@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local pre-check replicating the driver's DuckDB oracle compare.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+Loads each <verifyOutDir>/<name>/ parquet (Spark output), runs the matching
+oracle SQL from oracle_sql.json in DuckDB with the sf tables registered by
+bare name, then compares: columns sorted by name, rows sorted, values exact
+(floats compared both exactly and with 1e-9 rel tolerance, reported
+separately so we know whether the strict hash would pass).
+"""
+import sys, os, json, glob, math
+import duckdb
+
+def load_spark(con, d):
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        return None
+    return con.execute(
+        f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+
+def norm(tbl):
+    import pyarrow as pa
+    cols = sorted(tbl.column_names)
+    rows = []
+    data = {c: tbl.column(c).to_pylist() for c in cols}
+    n = tbl.num_rows
+    for i in range(n):
+        rows.append(tuple(data[c][i] for c in cols))
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return cols, rows
+
+def cmp_val(a, b):
+    if a is None or b is None:
+        return (a is None and b is None), True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False, False
+        exact = (fa == fb) or (math.isnan(fa) and math.isnan(fb))
+        close = exact or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        return exact, close
+    if type(a) is not type(b):
+        sa, sb = str(a), str(b)
+        return sa == sb, sa == sb
+    return a == b, a == b
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = 0
+    for name in names:
+        spark_tbl = load_spark(con, os.path.join(out_dir, name))
+        if spark_tbl is None:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        if name not in oracle:
+            print(f"SKIP {name}: rows-only ({spark_tbl.num_rows} rows)")
+            continue
+        try:
+            duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        sc, sr = norm(spark_tbl)
+        dc, dr = norm(duck_tbl)
+        if sc != dc:
+            print(f"FAIL {name}: columns {sc} vs {dc}"); n_fail += 1; continue
+        if len(sr) != len(dr):
+            print(f"FAIL {name}: rows {len(sr)} vs {len(dr)}"); n_fail += 1; continue
+        exact_bad = close_bad = 0
+        first = None
+        for i, (ra, rb) in enumerate(zip(sr, dr)):
+            for j, (a, b) in enumerate(zip(ra, rb)):
+                e, c = cmp_val(a, b)
+                if not e:
+                    exact_bad += 1
+                    if first is None:
+                        first = (i, sc[j], a, b)
+                if not c:
+                    close_bad += 1
+        if close_bad:
+            print(f"FAIL {name}: {close_bad} values differ beyond tol; "
+                  f"first={first}")
+            n_fail += 1
+        elif exact_bad:
+            print(f"WARN {name}: exact-hash would fail on {exact_bad} float "
+                  f"values (within tol). first={first}")
+            n_pass += 1
+        else:
+            print(f"PASS {name}: {len(sr)} rows exact")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

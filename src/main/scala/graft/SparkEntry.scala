@@ -1,13 +1,145 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's market_analysis (compute_usage.py) re-expressed.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.qMarketStats(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q_market_stats" -> (Relational.qMarketStats _),
+    "q_opportunities" -> (Relational.qOpportunities _),
+    "q_validated_filter" -> (Relational.qValidatedFilter _),
+    "q_clean_cast" -> (Relational.qCleanCast _),
+    "q_dedup_keeplast" -> (Relational.qDedupKeepLast _),
+    "q_doc_export" -> (Relational.qDocExport _),
+    "q3_top_orders" -> (Relational.q3TopOrders _),
+    "q5_region_revenue" -> (Relational.q5RegionRevenue _),
+    "q_top_spenders" -> (Relational.qTopSpenders _),
+    "q_feature_extract" -> (Relational.qFeatureExtract _),
+  )
+
+  /** DuckDB-dialect equivalents over the same bare table names.
+    * Column names and numeric determinism rules: see SURVEY.md §4 — money
+    * aggregates go through DECIMAL so both engines produce identical values.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS sum_disc_price,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_market_stats" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS avg_unit_price,
+        |  COUNT(*) AS nb_sales
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l_quantity > 9 AND l_extendedprice > 1000 AND l_extendedprice IS NOT NULL
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_opportunities" ->
+      """WITH stats AS (
+        |  SELECT p_brand AS stats_brand,
+        |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS brand_avg_price,
+        |    COUNT(*) AS brand_n
+        |  FROM part GROUP BY p_brand)
+        |SELECT p_partkey, p_brand, p_retailprice, brand_avg_price, brand_n,
+        |  p_retailprice < brand_avg_price * 0.95 AS is_opportunity
+        |FROM part LEFT JOIN stats ON p_brand = stats_brand
+        |ORDER BY p_partkey""".stripMargin,
+    "q_validated_filter" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+        |  CASE WHEN o_orderpriority LIKE '1-%' THEN 'urgent' ELSE 'std' END AS route
+        |FROM orders
+        |WHERE o_orderstatus IN ('O','F')
+        |  AND o_totalprice BETWEEN 5000 AND 50000000
+        |  AND o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_clean_cast" ->
+      """SELECT event_id, user_id, event_type,
+        |  COALESCE(value, 0.0) AS value_clean,
+        |  COALESCE(CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INT), 0) AS k_value,
+        |  CAST(ts AS DATE) AS event_date
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_dedup_keeplast" ->
+      """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_doc_export" ->
+      """SELECT 'ord_' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+        |  o_orderkey, c_name, n_name AS geo_name, c_mktsegment, o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_orderpriority LIKE '1-%' THEN 'hot' ELSE 'all' END AS routing
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_top_spenders" ->
+      """SELECT n_name, rank_in_nation, c_custkey, c_name, total_spent FROM (
+        |  SELECT n_name, c_custkey, c_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC, c_custkey) AS rank_in_nation
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, c_custkey, c_name)
+        |WHERE rank_in_nation <= 3
+        |ORDER BY n_name, rank_in_nation""".stripMargin,
+    "q_feature_extract" ->
+      """SELECT p_partkey,
+        |  CAST(p_size AS DOUBLE) AS f_size,
+        |  CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS f_brand_code,
+        |  CAST(length(p_type) AS INT) AS f_type_len,
+        |  p_retailprice AS target_price,
+        |  CASE WHEN p_partkey % 5 = 0 THEN 'test' ELSE 'train' END AS split
+        |FROM part
+        |WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        |ORDER BY p_partkey""".stripMargin,
+  )
 }

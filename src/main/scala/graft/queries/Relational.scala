@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+import graft.ops.Agg._
+
+/** Relational core: the reference's usage-layer semantics
+  * (filter → derive → groupBy-agg → enrichment join → validation → export,
+  * cf. /root/reference/dags/lib/compute_usage.py and index_to_es.py)
+  * re-expressed as declarative Spark plans over the star schema, plus the
+  * classic TPC-H-shaped analytics the same schema supports.
+  *
+  * Scale notes apply to every query here:
+  *  - dims (`nation`, `region`, `supplier`, `part`, and any aggregated stats
+  *    frame) are `broadcast()` — no shuffle of the fact side for those joins;
+  *  - fact-side filters/projections are applied directly on the scan so
+  *    Catalyst pushes them into parquet (`PushedFilters`, pruned `ReadSchema`);
+  *  - aggregations are partial (map-side combine) by construction since we
+  *    use hash aggregates over groupBy keys.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: full-scan multi-aggregate pricing summary.
+    * One shuffle (groupBy on two low-cardinality keys); partial aggregation
+    * makes the shuffle O(distinct keys × partitions), not O(rows).
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum2(col("l_quantity")).as("sum_qty"),
+        decSum2(col("l_extendedprice")).as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("sum_disc_price"),
+        sum(money(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax"))).as("sum_charge"),
+        decAvg(col("l_quantity")).as("avg_qty"),
+        decAvg(col("l_extendedprice")).as("avg_price"),
+        decAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Reference market_analysis (compute_usage.py:46-60): filter + derived
+    * unit price + groupBy avg/count — keyed by nation instead of commune.
+    * supplier/nation are broadcast; single shuffle for the final groupBy.
+    * The per-m² average is the quantity-weighted unit price
+    * sum(price)/sum(qty): both sums are exact decimals, so the result is one
+    * deterministic IEEE division — identical on any partitioning.
+    */
+  def qMarketStats(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 9 && col("l_extendedprice") > 1000 &&
+        col("l_extendedprice").isNotNull)
+      .select("l_suppkey", "l_extendedprice", "l_quantity")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        (decSum2(col("l_extendedprice")).cast("double") /
+          decSum2(col("l_quantity")).cast("double")).as("avg_unit_price"),
+        count(lit(1)).as("nb_sales"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Reference opportunities (compute_usage.py:70-76): left join a listings
+    * frame against aggregated market stats and flag under-market rows.
+    * The stats side is an aggregate of the same small dim → broadcast;
+    * at 100 TB the listings side streams through map-side joined.
+    */
+  def qOpportunities(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val stats = p.groupBy(col("p_brand").as("stats_brand"))
+      .agg(
+        decAvg(col("p_retailprice")).as("brand_avg_price"),
+        count(lit(1)).as("brand_n"))
+    p.select("p_partkey", "p_brand", "p_retailprice")
+      .join(broadcast(stats), col("p_brand") === col("stats_brand"), "left")
+      .withColumn("is_opportunity",
+        col("p_retailprice") < col("brand_avg_price") * 0.95)
+      .select("p_partkey", "p_brand", "p_retailprice", "brand_avg_price",
+        "brand_n", "is_opportunity")
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Reference ES-indexing validation (index_to_es.py:233-252): category
+    * whitelist, value/surface range checks, not-null, plus prefix routing
+    * (gov-dvf vs gov-dvf-paris). All filters are scan-pushable.
+    */
+  def qValidatedFilter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(
+        col("o_orderstatus").isin("O", "F") &&
+        col("o_totalprice").between(5000, 50000000) &&
+        col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("route",
+        when(col("o_orderpriority").startsWith("1-"), lit("urgent"))
+          .otherwise(lit("std")))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority", "route")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Reference formatting cleanup (raw_to_fmt_lbc.py:52-56):
+    * to_numeric(errors=coerce).fillna(0) + date normalization, applied to the
+    * semi-structured `events.props` payload with a regex extract (column
+    * functions only — stays inside whole-stage codegen).
+    */
+  def qCleanCast(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value_clean"),
+        coalesce(
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"),
+          lit(0)).as("k_value"),
+        col("ts").cast("date").as("event_date"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Reference dedup keep-last (raw_to_fmt_lbc.py:49-51,
+    * drop_duplicates(subset=['id'], keep='last')): latest event per
+    * (user_id, event_type) by recency. One shuffle on the dedup key; the
+    * window never materializes more than a partition at a time.
+    */
+  def qDedupKeepLast(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Reference ES document assembly (index_to_es.py doc build): stable doc
+    * id, flattened "geo"-ish fields, routing flag. Output is JSONL-sink-ready
+    * (see sources.Datalake.writeJsonl) — the per-row python bulk loop becomes
+    * a distributed write.
+    */
+  def qDocExport(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val c = Tables.customer(spark, dir).select(
+      "c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(
+        concat(lit("ord_"), col("o_orderkey")).as("doc_id"),
+        col("o_orderkey"), col("c_name"), col("n_name").as("geo_name"),
+        col("c_mktsegment"), col("o_totalprice"), col("o_orderdate"),
+        when(col("o_orderpriority").startsWith("1-"), lit("hot"))
+          .otherwise(lit("all")).as("routing"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** TPC-H Q3 shape: segment filter, 3-way join, revenue topN.
+    * customer is small → broadcast; orders⋈lineitem shuffles on orderkey
+    * (at 100 TB both sides bucket/cluster by orderkey → no shuffle at all).
+    */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1996-01-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-table join, region-filtered, revenue by nation.
+    * All dims broadcast; the only shuffles are orders⋈lineitem and the
+    * final small groupBy.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+      .select("r_regionkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-N per group (the Kibana "top communes" pattern): rank customers by
+    * order revenue within their nation. One shuffle on the window key.
+    */
+  def qTopSpenders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val spend = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"), col("c_name"))
+      .agg(decSum2(col("o_totalprice")).as("total_spent"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+    spend.withColumn("rank_in_nation", row_number().over(w))
+      .filter(col("rank_in_nation") <= 3)
+      .select("n_name", "rank_in_nation", "c_custkey", "c_name", "total_spent")
+      .orderBy(col("n_name"), col("rank_in_nation"))
+  }
+
+  /** Reference ML feature extraction (ML_ROADMAP.md Phase 2): select typed
+    * features + target, deterministic 80/20 split (training percent 80).
+    */
+  def qFeatureExtract(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir)
+      .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
+      .select(
+        col("p_partkey"),
+        col("p_size").cast("double").as("f_size"),
+        regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int").as("f_brand_code"),
+        length(col("p_type")).cast("int").as("f_type_len"),
+        col("p_retailprice").as("target_price"),
+        when(col("p_partkey") % 5 === 0, lit("test")).otherwise(lit("train")).as("split"))
+      .orderBy(col("p_partkey"))
+  }
+}

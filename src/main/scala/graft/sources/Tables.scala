@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the star-schema testdata.
+  *
+  * Reads are plain `spark.read.parquet` so Catalyst owns column pruning and
+  * filter pushdown — callers `select`/`filter` and the scan only reads the
+  * needed columns/row groups (verified in specs via `PushedFilters` /
+  * `ReadSchema`). At 100 TB the same call reads a partitioned directory tree
+  * and partition pruning composes with the row-group pushdown for free.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanos timestamp
+    * type, so the session reads it as a nanos long
+    * (spark.sql.legacy.parquet.nanosAsLong) and we truncate to microseconds
+    * here, matching DuckDB's TIMESTAMP_NS→TIMESTAMP cast.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
