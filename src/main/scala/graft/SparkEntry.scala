@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Relational
+import graft.queries.{EventQueries, Relational, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -26,6 +26,15 @@ object SparkEntry {
     "q5_region_revenue" -> (Relational.q5RegionRevenue _),
     "q_top_spenders" -> (Relational.qTopSpenders _),
     "q_feature_extract" -> (Relational.qFeatureExtract _),
+    "q_lang_id" -> (TextQueries.qLangId _),
+    "q_quality_score" -> (TextQueries.qQualityScore _),
+    "q_token_count" -> (TextQueries.qTokenCount _),
+    "q_fingerprint" -> (TextQueries.qFingerprint _),
+    "q_dedup_exact" -> (TextQueries.qDedupExact _),
+    "q_multimodal_features" -> (TextQueries.qMultimodalFeatures _),
+    "q_sessionize" -> (EventQueries.qSessionize _),
+    "q_window_tumbling" -> (EventQueries.qWindowTumbling _),
+    "q_incremental_watermark" -> (EventQueries.qIncrementalWatermark _),
   )
 
   /** DuckDB-dialect equivalents over the same bare table names.
@@ -141,5 +150,77 @@ object SparkEntry {
         |FROM part
         |WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
         |ORDER BY p_partkey""".stripMargin,
+    "q_lang_id" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS score_en,
+        |  CAST(len(regexp_extract_all(text, '\b(le|la|les|de|et|une)\b')) AS BIGINT) AS score_fr,
+        |  CAST(len(regexp_extract_all(text, '\b(der|die|und|das|ist|ein)\b')) AS BIGINT) AS score_de,
+        |  CAST(len(regexp_extract_all(text, '\b(el|los|y|que|como|un)\b')) AS BIGINT) AS score_es
+        |  FROM documents)
+        |SELECT doc_id, lang AS labeled_lang, score_en, score_fr, score_de, score_es,
+        |  CASE WHEN score_en >= score_fr AND score_en >= score_de AND score_en >= score_es THEN 'en'
+        |       WHEN score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+        |       WHEN score_de >= score_es THEN 'de'
+        |       ELSE 'es' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_txt,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+        |  CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_chars_txt, n_words, n_punct,
+        |  CAST(n_punct AS DOUBLE)/n_chars_txt AS punct_ratio,
+        |  CAST(n_stop AS DOUBLE)/n_words AS stop_ratio,
+        |  0.4 * least(1.0, CAST(n_words AS DOUBLE)/200.0)
+        |  + 0.3 * (1.0 - least(1.0, (CAST(n_punct AS DOUBLE)/n_chars_txt) * 5.0))
+        |  + 0.3 * least(1.0, (CAST(n_stop AS DOUBLE)/n_words) * 4.0) AS quality
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_txt,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  hex(substr(text, 1, 8)) AS header_hex,
+        |  CAST((CAST(strlen(text) AS BIGINT) * 2654435761) % 1000 AS DOUBLE)/1000.0 AS fake_brightness
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |f AS (SELECT *, CASE
+        |    WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |    WHEN lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |n AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM n GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q_window_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_incremental_watermark" ->
+      """SELECT user_id, COUNT(*) AS n_new_events,
+        |  MAX(CAST(ts AS TIMESTAMP)) AS latest_ts
+        |FROM events WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

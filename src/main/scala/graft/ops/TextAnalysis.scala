@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline, as pure Column
+  * expressions: everything here stays inside whole-stage codegen (no UDFs),
+  * so a 100 TB corpus pays one scan and no serialization boundary.
+  *
+  * Determinism: token/char counts are integer; ratios are single IEEE
+  * divisions of integers — identical on any engine and partitioning.
+  */
+object TextAnalysis {
+
+  /** Whitespace-collapsed lowercase normal form (dedup canonical text). */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Stable document fingerprint: md5 of the normal form — the same
+    * function exists in every SQL engine, so fingerprints are portable.
+    */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column =
+    size(split(trim(c), "\\s+")).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation —
+    * a cheap proxy for subword tokenizer load (no vocab needed).
+    */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Punctuation character count. */
+  def punctCount(c: Column): Column =
+    regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Stopword-profile scores per language: count whole-word marker hits.
+    * N-gram-free language ID that is one regex scan per language — at scale
+    * this is a single projection, no shuffle.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is)\\b",
+    "fr" -> "\\b(le|la|les|de|et|une)\\b",
+    "de" -> "\\b(der|die|und|das|ist|ein)\\b",
+    "es" -> "\\b(el|los|y|que|como|un)\\b")
+
+  def langScore(c: Column, lang: String): Column =
+    regexp_count(c, lit(langMarkers.toMap.apply(lang))).cast("long")
+
+  /** Argmax with fixed priority order en > fr > de > es on ties. */
+  def langPredict(c: Column): Column = {
+    val s = langMarkers.map { case (l, _) => l -> langScore(c, l) }.toMap
+    when(s("en") >= s("fr") && s("en") >= s("de") && s("en") >= s("es"), lit("en"))
+      .when(s("fr") >= s("de") && s("fr") >= s("es"), lit("fr"))
+      .when(s("de") >= s("es"), lit("de"))
+      .otherwise(lit("es"))
+  }
+
+  /** Composite quality score in [0,1] from length/punctuation/stopword
+    * signals (the usual pre-training heuristics). The formula is a fixed
+    * expression tree of integer-derived doubles → bit-deterministic.
+    */
+  def qualityScore(nWords: Column, punctRatio: Column, stopRatio: Column): Column =
+    lit(0.4) * least(lit(1.0), nWords.cast("double") / 200.0) +
+      lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio * 5.0)) +
+      lit(0.3) * least(lit(1.0), stopRatio * 4.0)
+}

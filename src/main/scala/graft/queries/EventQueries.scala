@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.ops.Agg._
+
+/** Event-stream analytics (batch form; streaming versions live in
+  * graft.streaming). The reference's incremental lbc fetch state
+  * (lbc_fetcher.py watermark file) maps to the watermark filter; its hourly
+  * DAG schedule maps to the tumbling window.
+  */
+object EventQueries {
+
+  /** Gap-based sessionization (30 min): the classic two-window plan —
+    * lag to mark session starts, running sum to number sessions, then one
+    * groupBy. Shuffles once on user_id; at 100 TB events would be
+    * pre-bucketed by user_id making this shuffle-free.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val flagged = e.withColumn("is_new",
+      when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > 1800000000L, 1)
+        .when(lag(col("ts_us"), 1).over(byUser).isNull, 1)
+        .otherwise(0))
+    val numbered = flagged.withColumn("session_seq",
+      sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    numbered.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        decSum2(col("value")).as("total_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Tumbling 1-hour window aggregate per event type. */
+  def qWindowTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(
+        date_trunc("hour", col("ts")).as("bucket"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        decSum2(col("value")).as("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  /** Incremental read past a watermark (reference keeps last_fetched in a
+    * state file; at scale this is a partition-pruned predicate on event
+    * time, not a full scan).
+    */
+  def qIncrementalWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.filter(col("ts") > lit("2024-01-15 00:00:00"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_new_events"),
+        max(col("ts")).as("latest_ts"))
+      .orderBy(col("user_id"))
+  }
+}

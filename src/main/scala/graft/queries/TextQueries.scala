@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.ops.TextAnalysis._
+
+/** Text-analysis queries over the `documents` table — the LLM-pipeline
+  * additions from SURVEY.md §2. All are single-scan projections or one
+  * groupBy; no UDFs, no collects.
+  */
+object TextQueries {
+
+  /** Language ID: per-language stopword scores + argmax prediction. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        langScore(col("text"), "en").as("score_en"),
+        langScore(col("text"), "fr").as("score_fr"),
+        langScore(col("text"), "de").as("score_de"),
+        langScore(col("text"), "es").as("score_es"),
+        langPredict(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality features + composite score per document. */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val base = d.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_txt"),
+      wsTokenCount(col("text")).as("n_words"),
+      punctCount(col("text")).as("n_punct"),
+      langScore(col("text"), "en").as("n_stop"))
+    base.select(
+        col("doc_id"), col("n_chars_txt"), col("n_words"), col("n_punct"),
+        (col("n_punct").cast("double") / col("n_chars_txt")).as("punct_ratio"),
+        (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"),
+        qualityScore(col("n_words"),
+          col("n_punct").cast("double") / col("n_chars_txt"),
+          col("n_stop").cast("double") / col("n_words")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace words vs BPE-ish subword units. */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_txt"),
+        wsTokenCount(col("text")).as("ws_tokens"),
+        bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: portable md5 of the normal form. */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact dedup: group identical normal forms, keep the smallest id.
+    * One shuffle on the fingerprint — the canonical 100 TB exact-dedup plan
+    * (hash-partition by digest, keep one per group).
+    */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("fp"))
+  }
+
+  /** Multimodal plumbing: treat the payload as opaque bytes with typed
+    * metadata. Size/header come from real byte ops; `fake_brightness` is
+    * the clearly-marked decode STUB (image/audio libs absent here) — the
+    * schema, batching and partition behavior are what this validates.
+    * See ops.Multimodal for the mapPartitions decode path.
+    */
+  def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        hex(substring(col("text"), 1, 8)).as("header_hex"),
+        // STUB decode: deterministic fake of a decoded-image statistic.
+        ((octet_length(col("text")).cast("long") * lit(2654435761L)) % 1000)
+          .cast("double").divide(lit(1000.0)).as("fake_brightness"))
+      .orderBy(col("doc_id"))
+  }
+}
