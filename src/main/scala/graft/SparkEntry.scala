@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventQueries, Relational, TextQueries}
+import graft.queries.{EventQueries, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -35,6 +35,12 @@ object SparkEntry {
     "q_sessionize" -> (EventQueries.qSessionize _),
     "q_window_tumbling" -> (EventQueries.qWindowTumbling _),
     "q_incremental_watermark" -> (EventQueries.qIncrementalWatermark _),
+    "q_knn_cosine" -> (SimilarityQueries.qKnnCosine _),
+    "q_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
+    "q_ann_lsh" -> (SimilarityQueries.qAnnLsh _),
+    "q_minhash_neardup" -> (SimilarityQueries.qMinhashNearDup _),
+    "q_simhash" -> (SimilarityQueries.qSimhash _),
+    "q_ngram_jaccard" -> (SimilarityQueries.qNgramJaccard _),
   )
 
   /** DuckDB-dialect equivalents over the same bare table names.
@@ -222,5 +228,20 @@ object SparkEntry {
         |  MAX(CAST(ts AS TIMESTAMP)) AS latest_ts
         |FROM events WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |    FROM embeddings WHERE vec_id < 10)
+        |SELECT query_id, vec_id AS neighbor_id, rank FROM (
+        |  SELECT q.query_id, e.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.q_emb, e.embedding) DESC, e.vec_id)
+        |      AS BIGINT) AS rank
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

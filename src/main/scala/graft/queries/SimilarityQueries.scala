@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.ops.{Dedup, Similarity}
+
+/** Similarity search + near-dup detection queries (SURVEY.md §2, LLM
+  * pipeline block). kNN and the brute-force pair scan have DuckDB oracles
+  * (`list_cosine_similarity`); the LSH/sketch families are rows-only checks
+  * (their hash functions aren't expressible in ANSI SQL) and are instead
+  * cross-validated against the exact ops in ScalaTest specs.
+  */
+object SimilarityQueries {
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+
+  /** Exact top-5 cosine neighbors for the first 10 vectors. */
+  def qKnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val queries = c.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    Similarity.knnBruteForce(c, queries, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Exact all-pairs near-duplicates at cosine ≥ 0.4 (brute baseline). */
+  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForcePairs(corpus(spark, dir), tau = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** LSH-bucketed near-duplicates at cosine ≥ 0.4 — the 100 TB path.
+    * Rows-only check; subset-of-exact is asserted in SimilaritySpec.
+    */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hyperplaneLshPairs(corpus(spark, dir), tau = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash+LSH candidate near-dup pairs on documents (rows-only). */
+  def qMinhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir),
+        col("doc_id"), col("text"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** SimHash near-dup candidates on documents (rows-only). */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), maxHamming = 16)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Length-blocked word-3gram Jaccard pairs on documents (rows-only). */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), minJaccard = 0.03)
+      .select(col("doc_a"), col("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+}

@@ -1,0 +1,113 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding math. Lives under
+  * org.apache.spark.sql because Expression↔Column bridging
+  * (classic.ExpressionUtils) and AbstractDataType are private[sql];
+  * user-facing wrappers are re-exported from graft.functions.vectors.
+  *
+  * Why not a Scala UDF: a UDF forces deserialization of the float array into
+  * a Scala collection per row and breaks whole-stage codegen. These
+  * expressions read the unsafe ArrayData in place and emit a tight Java loop
+  * via doGenCode, so a brute-force scan over 10^9 vectors stays in one
+  * codegen stage. Accumulation is double-precision regardless of the float
+  * storage — deterministic per row (no reduction across rows).
+  */
+abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+}
+
+/** Cosine similarity of two float vectors (0.0 if either has zero norm). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xi = (double) $a.getFloat($i);
+         |  double yi = (double) $b.getFloat($i);
+         |  $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
+         |}
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product of two float vectors. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorColumns {
+  /** `cosine_sim(a, b)` as a Column (codegen'd, double-accumulated). */
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** `dot(a, b)` as a Column. */
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
