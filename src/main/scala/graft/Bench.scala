@@ -1,27 +1,41 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR (default sf0.1) and prints one JSON line.
+  *
+  * Each query is forced through the built-in `noop` sink so the FULL result
+  * (every column, every row) is materialized on the executors — `count()`
+  * would let Catalyst prune projections and undercount real work.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    val spark: SparkSession = GraftSession.get("graft-bench")
+    // Untimed warmup at the smallest SF: compiles every plan shape's
+    // generated code and initializes shuffle/broadcast/write machinery, so
+    // the timed pass below measures steady-state throughput (what a long-
+    // running cluster job sees), not one-time JVM costs.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH FAIL $name: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"BENCH $name: $dt%.2fs")
+      name -> dt
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

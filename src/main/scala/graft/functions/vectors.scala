@@ -14,3 +14,19 @@ object vectors {
   /** Codegen'd dot product over two Array[Float] columns. */
   def dot(a: Column, b: Column): Column = VectorColumns.dot(a, b)
 }
+
+/** Public face of the codegen'd text-sketch expressions
+  * (org.apache.spark.sql.graft.TextExprs).
+  */
+object text {
+  import org.apache.spark.sql.graft.TextColumns
+
+  /** Word n-gram shingles of the normalized (lower, ws-collapsed) text. */
+  def wordShingles(c: Column, n: Int): Column = TextColumns.wordShingles(c, n)
+
+  /** k-long MinHash signature of a shingle array (each shingle hashed once). */
+  def minhashSig(shingles: Column, k: Int): Column = TextColumns.minhashSig(shingles, k)
+
+  /** 64-bit SimHash of a token array. */
+  def simhash64(tokens: Column): Column = TextColumns.simhash64(tokens)
+}

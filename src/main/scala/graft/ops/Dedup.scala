@@ -20,27 +20,27 @@ import graft.ops.TextAnalysis.normText
 object Dedup {
 
   /** Word 3-gram shingles of the normalized text (docs shorter than 3 words
-    * collapse to a single whole-text shingle).
+    * collapse to a single whole-text shingle). Native codegen expression —
+    * one text scan per row; see org.apache.spark.sql.graft.TextExprs for why
+    * the declarative `transform` formulation was catastrophically slower.
     */
   def withShingles(df: DataFrame, text: Column): DataFrame =
-    df.withColumn("__words", split(normText(text), " "))
-      .withColumn("__shingles",
-        when(size(col("__words")) >= 3,
-          expr("transform(sequence(0, size(__words)-3), i -> " +
-            "concat_ws(' ', __words[i], __words[i+1], __words[i+2]))"))
-          .otherwise(array(array_join(col("__words"), " "))))
+    df.withColumn("__shingles", graft.functions.text.wordShingles(text, 3))
 
-  /** MinHash signature (k hashes via murmur3 seed-mixing) + LSH banding.
-    * Returns candidate pairs with the signature-estimated Jaccard.
+  /** MinHash signature + LSH banding. Returns candidate pairs with the
+    * signature-estimated Jaccard (fraction of agreeing positions).
+    *
+    * Each shingle STRING is hashed exactly once (two independent 64-bit
+    * hashes); the k per-position hash functions are the Kirsch-Mitzenmacher
+    * family g_j = h1 + j*h2, so building the signature is k array-mins over
+    * longs — cheap arithmetic instead of k full string hashes.
     */
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
       k: Int = 32, bands: Int = 8): DataFrame = {
     val rows = k / bands
-    val sigs = withShingles(df.select(id.as("doc_id"), text.as("__text")), col("__text"))
-      .withColumn("__sig",
-        expr(s"transform(sequence(0, ${k - 1}), j -> " +
-          "array_min(transform(__shingles, s -> hash(s, j))))"))
-      .select(col("doc_id"), col("__sig"))
+    val sigs = df.select(id.as("doc_id"),
+      graft.functions.text.minhashSig(
+        graft.functions.text.wordShingles(text, 3), k).as("__sig"))
     val buckets = sigs.select(col("doc_id"), col("__sig"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"struct(b AS band, hash(slice(__sig, b*$rows+1, $rows), b) AS bkey))")).as("bk"))
@@ -52,32 +52,18 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(expr("array_intersect(a.__sig, b.__sig)")).cast("double") / k)
-          .as("est_jaccard"))
+        (expr("aggregate(zip_with(a.__sig, b.__sig, (x, y) -> IF(x = y, 1, 0)), " +
+          "0, (acc, v) -> acc + v)").cast("double") / k).as("est_jaccard"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** 64-bit SimHash per doc: per-token xxhash64, ±1 vote per bit, sign →
-    * bit. Computed entirely with array higher-order functions in one
-    * projection.
+    * bit. Native codegen expression — one pass over the tokens.
     */
   def withSimhash(df: DataFrame, text: Column): DataFrame =
-    df.withColumn("__tokens", split(normText(text), " "))
-      .withColumn("__hashes", expr("transform(__tokens, t -> xxhash64(t))"))
-      .withColumn("__bitsum",
-        expr("""aggregate(__hashes, array_repeat(CAST(0 AS BIGINT), 64),
-          (acc, h) -> zip_with(acc,
-            transform(sequence(0, 63),
-              i -> CASE WHEN (shiftright(h, i) & 1) = 1
-                   THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
-            (x, y) -> x + y))"""))
-      .withColumn("simhash",
-        expr("""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-          (acc, i) -> CASE WHEN __bitsum[i] > 0
-                      THEN acc | shiftleft(CAST(1 AS BIGINT), i)
-                      ELSE acc END)"""))
-      .drop("__tokens", "__hashes", "__bitsum")
+    df.withColumn("simhash",
+      graft.functions.text.simhash64(graft.functions.text.wordShingles(text, 1)))
 
   /** SimHash near-dup candidates: bucket on 16-bit chunks (two docs within
     * hamming distance ≤ 3·16 of each other share a chunk by pigeonhole for
@@ -104,23 +90,46 @@ object Dedup {
       .agg(min(col("hamming")).as("hamming"))
   }
 
-  /** Exact word-3gram Jaccard for candidate pairs blocked by length bucket
-    * (same-bucket only). The blocking key bounds the join fan-out; at scale
-    * the bucket width trades recall vs cost.
+  /** Exact word-3gram Jaccard via an inverted-index self-join: explode each
+    * doc's distinct shingles to (shingle, doc, |S_doc|) postings, equi-join
+    * on the shingle, and count shared shingles per pair — the intersection
+    * falls out of a groupBy and the union is |A| + |B| − |A∩B|, so there are
+    * no per-pair array ops at all.
+    *
+    * Why this shape at 100 TB: work is proportional to Σ_s df(s)², spread
+    * across millions of shingle keys (one well-balanced shuffle), instead of
+    * a per-length-bucket cross product whose parallelism is capped by the
+    * handful of buckets. `maxDocFreq` drops boilerplate shingles whose
+    * posting lists would otherwise dominate the join (standard prefix-filter
+    * tradeoff: pairs sharing ONLY capped shingles are lost).
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-      minJaccard: Double, bucketWidth: Int = 100): DataFrame = {
-    val sh = withShingles(df.select(id.as("doc_id"), text.as("__text")), col("__text"))
-      .select(col("doc_id"),
-        array_distinct(col("__shingles")).as("__sh"),
-        (length(col("__text")) / bucketWidth).cast("int").as("__bucket"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    a.join(b, col("a.__bucket") === col("b.__bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(expr("array_intersect(a.__sh, b.__sh)")).cast("double") /
-          size(expr("array_union(a.__sh, b.__sh)"))).as("jaccard"))
+      minJaccard: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val postings0 = withShingles(
+        df.select(id.as("doc_id"), text.as("__text")), col("__text"))
+      .select(col("doc_id"), array_distinct(col("__shingles")).as("__sh"))
+      .select(col("doc_id"), size(col("__sh")).as("n"),
+        explode(col("__sh")).as("shingle"))
+    val postings =
+      if (maxDocFreq == Int.MaxValue) postings0
+      else {
+        val dfCounts = postings0.groupBy("shingle")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq)
+          .select("shingle")
+        postings0.join(dfCounts, "shingle")
+      }
+    val a = postings.select(col("doc_id").as("doc_a"), col("shingle"),
+      col("n").as("n_a"))
+    val b = postings.select(col("doc_id").as("doc_b"),
+      col("shingle").as("__shingle_b"), col("n").as("n_b"))
+    a.join(b, col("shingle") === col("__shingle_b") &&
+        col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("__inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__inter").cast("double") /
+          (col("n_a") + col("n_b") - col("__inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Layered datalake IO, mirroring the reference's raw/formatted/usage tree
+  * (cf. /root/reference/Datalake + the dags/lib fetcher modules) as distributed
+  * Spark reads/writes instead of single files handled in driver pandas.
+  *
+  * Layout: `<root>/<layer>/<domain>/<name>[/ingest_date=YYYYMMDD]/part-*`.
+  * Partitioning by ingest_date gives partition pruning on incremental reads
+  * (the reference's state-file watermark becomes a pruned predicate).
+  */
+object Datalake {
+  val Raw = "raw"
+  val Formatted = "formatted"
+  val Usage = "usage"
+
+  def path(root: String, layer: String, domain: String, name: String): String =
+    s"$root/$layer/$domain/$name"
+
+  /** CSV ingestion with explicit schema + coercing mode: malformed rows get
+    * nulls (PERMISSIVE), matching the reference's errors='coerce' semantics
+    * without a driver-side pass.
+    */
+  def readCsv(spark: SparkSession, p: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .csv(p)
+
+  /** JSON-lines ingestion (one doc per line — the streaming-friendly form
+    * of the reference's per-fetch JSON arrays).
+    */
+  def readJsonl(spark: SparkSession, p: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(p)
+
+  /** Write a formatted/usage layer as snappy parquet, optionally
+    * partitioned (ingest_date, geo prefix, …) for downstream pruning.
+    */
+  def writeParquet(df: DataFrame, p: String, partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).option("compression", "snappy")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(p)
+  }
+
+  /** Bulk-export sink: JSONL documents, the shape Elasticsearch `_bulk`
+    * (or any doc store) ingests. The reference iterates rows in the driver
+    * and POSTs batches of 1000 (index_to_es.py) — here every executor
+    * writes its partition directly, so export scales with the cluster.
+    */
+  def writeJsonl(df: DataFrame, p: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(p)
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event analytics: the reference's
+  * hourly Airflow poll + state file (lbc_fetcher.py) becomes a real stream
+  * with watermarks and typed state.
+  *
+  * Both transforms take a streaming DataFrame with
+  * (event_id long, ts timestamp, user_id long, event_type string,
+  * value double) — e.g. `spark.readStream.schema(...).parquet(dir)` or a
+  * MemoryStream in tests — and are sink-agnostic.
+  */
+object EventStreams {
+
+  /** Tumbling 1h windowed counts per event type with a 2h watermark: late
+    * events beyond the watermark are dropped, state is bounded, output is
+    * append-mode compatible. At scale this is the canonical "metrics from
+    * a firehose" plan: partial aggregation per executor, one shuffle on
+    * (window, event_type).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization (30 min) with typed per-key state +
+    * event-time timeout: the streaming twin of EventQueries.qSessionize.
+    * State per user is O(1); a session emits when a later event arrives past
+    * the gap, or when the WATERMARK passes last_event + gap (event-time
+    * timeout — deterministic under replay/backfill, unlike wall-clock
+    * timeouts, and it lets the engine reach quiescence between triggers).
+    * Memory is bounded by active users, not history.
+    */
+  def sessionize(events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > gapMs =>
+                  out += SessionOut(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // must stay ahead of the watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

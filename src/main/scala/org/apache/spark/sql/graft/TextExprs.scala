@@ -1,0 +1,170 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-sketch pipelines (shingling,
+  * MinHash, SimHash).
+  *
+  * Why not SQL higher-order functions: `transform`/`aggregate` lambdas are
+  * interpreted per element, and CollapseProject inlines a `split(...)` alias
+  * into EVERY element access of the lambda body — the declarative shingle
+  * pipeline re-ran the regexp+split ~150x per document. Each expression here
+  * is one pass over the text per row, runs inside whole-stage codegen (the
+  * generated code calls the static `compute`), and hashes every shingle
+  * exactly once.
+  *
+  * Scale note: these are per-row projections — no state, no shuffle — so
+  * they scale embarrassingly with executors; the dedup joins downstream
+  * remain the only shuffles.
+  */
+object TextSketch {
+  /** Normalized word list: lowercase, trim, split on whitespace runs. */
+  private def words(t: UTF8String): Array[String] =
+    t.toString.toLowerCase.trim.split("\\s+")
+
+  /** Word n-gram shingles joined by ' '; docs shorter than n words collapse
+    * to one whole-text shingle (parity with the SQL formulation the oracle
+    * checks replicate).
+    */
+  def shingles(t: UTF8String, n: Int): ArrayData = {
+    val w = words(t)
+    if (w.length < n) {
+      new GenericArrayData(Array[Any](UTF8String.fromString(w.mkString(" "))))
+    } else {
+      val out = new Array[Any](w.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < out.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(w(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** MinHash signature over a shingle array: each shingle hashed ONCE with
+    * two xxhash64 seeds, the k hash family is Kirsch-Mitzenmacher
+    * g_j = h1 + j*h2. Duplicates in the input cannot change a min, so the
+    * caller needn't dedup first.
+    */
+  def minhashSig(arr: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill[Long](k)(Long.MaxValue)
+    val m = arr.numElements()
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      val h1 = XXH64.hashUTF8String(s, 42L)
+      val h2 = XXH64.hashUTF8String(s, 1L)
+      var j = 0
+      var g = h1
+      while (j < k) {
+        if (g < sig(j)) sig(j) = g
+        g += h2
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over a token array: per-token xxhash64, ±1 vote per
+    * bit, sign of the vote sum becomes the bit.
+    */
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val m = arr.numElements()
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUTF8String(s, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** `word_shingles(text, n)`: array of word n-grams of the normalized text. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    TextSketch.shingles(t.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextSketch.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(shingles, k)`: k-long MinHash signature. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(arr: Any): Any =
+    TextSketch.minhashSig(arr.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextSketch.minhashSig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `simhash64(tokens)`: 64-bit SimHash of a token array. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(arr: Any): Any =
+    TextSketch.simhash64(arr.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextSketch.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object TextColumns {
+  def wordShingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
+
+  def minhashSig(shingles: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), k))
+
+  def simhash64(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+}

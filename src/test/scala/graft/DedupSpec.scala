@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+import graft.queries.TextQueries
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different content about spark engines and shuffles here"),
+    (5L, "THE  quick   Brown fox JUMPS over the lazy dog") // normalizes to 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normal-form duplicates, keeps min id") {
+    val out = docs.select(
+        graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .collect()
+    val dupGroup = out.find(_.getAs[Long]("n") === 3L)
+    assert(dupGroup.isDefined, "1,2,5 should share a fingerprint")
+    assert(dupGroup.get.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash LSH surfaces exact and near duplicates as candidates") {
+    val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "identical docs must collide in every band")
+    assert(pairs.contains((1L, 5L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near dup should be a candidate, got $pairs")
+  }
+
+  test("minhash est_jaccard is 1.0 for identical docs") {
+    val est = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"))
+      .filter(col("doc_a") === 1 && col("doc_b") === 2)
+      .select("est_jaccard").as[Double].head()
+    assert(est === 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0, unrelated docs far") {
+    val sh = Dedup.withSimhash(docs.select(col("doc_id"), col("text")), col("text"))
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) === sh(5L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 10)
+  }
+
+  test("ngram jaccard: identical=1, near-dup high, disjoint docs absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        minJaccard = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 3L)) > 0.5)
+    assert(!pairs.contains((1L, 4L)), "docs sharing no shingle never pair")
+  }
+
+  test("embedding LSH pairs are a subset of exact brute-force pairs") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val exact = Similarity.bruteForcePairs(corpus, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.hyperplaneLshPairs(corpus, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH found non-pairs: ${lsh -- exact}")
+    assert(lsh.nonEmpty, "LSH should recall at least some true pairs here")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.vectors._
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosineSim expression: known values, both codegen and interpreted") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(2.0f, 3.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(cosineSim(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 0.0) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) - 8.0 / (math.sqrt(5) * math.sqrt(13))) < 1e-12)
+    assert(got(3) === 0.0) // zero-norm guard
+  }
+
+  test("dot expression matches manual sum") {
+    val df = Seq((Array(1.5f, -2.0f, 3.0f), Array(2.0f, 4.0f, -1.0f))).toDF("a", "b")
+    val got = df.select(dot(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(got - (1.5 * 2.0 + -2.0 * 4.0 + 3.0 * -1.0)) < 1e-12)
+  }
+
+  test("knn ranks agree with a driver-side argmax on sf0.001") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val queries = corpus.filter(col("id") < 3)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val got = Similarity.knnBruteForce(corpus, queries, 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+
+    val all = corpus.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    (0L until 3L).foreach { q =>
+      val best = all.filter(_._1 != q)
+        .map { case (i, v) => (i, cos(all(q), v)) }
+        .toSeq.sortBy { case (i, c) => (-c, i) }.head._1
+      assert(got(q) === best, s"query $q")
+    }
+  }
+
+  test("knn plan broadcasts the query side") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val queries = corpus.filter(col("id") < 3)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val plan = Similarity.knnBruteForce(corpus, queries, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for all suites (Spark startup dominates test
+  * wall-clock otherwise).
+  */
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .appName("graft-test")
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+abstract class SparkSpecBase extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+}

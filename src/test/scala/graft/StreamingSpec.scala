@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts aggregate a memory stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 2, "click", 2.0),
+      Event(3, ts(20), 1, "view", 3.0))
+    val q = EventStreams.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only closed windows; push the watermark forward
+      input.addData(Event(4, Timestamp.valueOf("2024-01-01 14:00:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n_events FROM wc").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows.contains(("click", 2L)))
+      assert(rows.contains(("view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // user 1: two events 5 min apart, then one 40 min later → first session closes
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(45), 1, "view", 3.0))
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sess").collect()
+      assert(rows.length === 1, s"expected one closed session, got ${rows.toSeq}")
+      val r = rows.head
+      assert(r.getAs[Long]("n_events") === 2L)
+      assert(r.getAs[Double]("total_value") === 3.0)
+      assert(r.getAs[Timestamp]("session_start") === ts(0))
+      assert(r.getAs[Timestamp]("session_end") === ts(5))
+      // advance the watermark (2h delay) past 10:45 + 30min gap → the idle
+      // session closes via event-time timeout
+      input.addData(Event(4, Timestamp.valueOf("2024-01-01 15:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(5, Timestamp.valueOf("2024-01-01 15:01:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      val u1 = spark.sql("SELECT * FROM sess WHERE user_id = 1").collect()
+      assert(u1.length === 2, s"idle session should time out, got ${u1.toSeq}")
+      assert(u1.map(_.getAs[Long]("n_events")).toSet === Set(2L, 1L))
+    } finally q.stop()
+  }
+}
