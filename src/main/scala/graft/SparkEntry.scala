@@ -38,6 +38,7 @@ object SparkEntry {
     "q_knn_cosine" -> (SimilarityQueries.qKnnCosine _),
     "q_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
     "q_ann_lsh" -> (SimilarityQueries.qAnnLsh _),
+    "q_ann_ivf" -> (SimilarityQueries.qAnnIvf _),
     "q_minhash_neardup" -> (SimilarityQueries.qMinhashNearDup _),
     "q_simhash" -> (SimilarityQueries.qSimhash _),
     "q_ngram_jaccard" -> (SimilarityQueries.qNgramJaccard _),

@@ -96,4 +96,51 @@ object Similarity {
       .filter(cosineSim(col("emb_a"), col("emb_b")) >= tau)
       .select(col("id_a"), col("id_b"))
   }
+
+  /** IVF-flat approximate kNN — the scale path for SERVING top-k (vs the
+    * LSH path, which targets all-pairs dedup).
+    *
+    * Coarse quantizer: `nCells` centroids picked as a deterministic hash
+    * sample of the corpus (cheap stand-in for k-means; the plumbing — cell
+    * assignment, probe, within-cell search — is identical). Centroids are
+    * the "index model": tiny, collected once, broadcast everywhere.
+    *
+    * Plan shape at 100 TB: corpus×centroids is a broadcast nested-loop
+    * scored in one map-side pass (linear in corpus, no shuffle), each
+    * vector keeps its argmax cell; queries probe their `nProbe` nearest
+    * cells; the only shuffled data is corpus rows matched to probed cells
+    * (≈ nProbe/nCells of the corpus), then a per-query top-k window.
+    * Recall is tunable via nProbe; nProbe = nCells degrades to exact.
+    */
+  def ivfFlatKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    // Index build: the centroid table IS the model — nCells×dim floats,
+    // collected once on the driver and inlined as literals. This is the one
+    // deliberate driver-side step (same role as fitting a quantizer).
+    val cents: Array[Array[Float]] =
+      corpus.orderBy(hash(col("id")), col("id")).limit(nCells)
+        .select(col("emb")).collect()
+        .map(_.getSeq[Float](0).toArray)
+    // array<struct<s,cell>> of centroid scores — pure projection, so cell
+    // assignment/probing never shuffles the corpus.
+    def cellScores(emb: Column): Column = array(cents.zipWithIndex.map {
+      case (c, i) =>
+        struct(cosineSim(emb, array(c.map(lit(_)): _*)).as("s"),
+          lit(i).as("cell"))
+    }: _*)
+    val assigned = corpus
+      .withColumn("cell", array_max(cellScores(col("emb"))).getField("cell"))
+    val probes = queries
+      .withColumn("__probe",
+        explode(slice(reverse(sort_array(cellScores(col("q_emb")))), 1, nProbe)))
+      .select(col("query_id"), col("q_emb"), col("__probe.cell").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("id"))
+    assigned.join(broadcast(probes), "cell")
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("q_emb"), col("emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
 }

@@ -39,6 +39,17 @@ object SimilarityQueries {
     Similarity.hyperplaneLshPairs(corpus(spark, dir), tau = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** IVF-flat approximate top-5 for the first 10 vectors — the serving-path
+    * ANN (rows-only; recall vs brute force asserted in SimilaritySpec).
+    */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val queries = c.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    Similarity.ivfFlatKnn(c, queries, k = 5, nCells = 16, nProbe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** MinHash+LSH candidate near-dup pairs on documents (rows-only). */
   def qMinhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir),

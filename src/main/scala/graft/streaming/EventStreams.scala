@@ -31,6 +31,17 @@ object EventStreams {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup on event_id with bounded state: the watermark
+    * lets Spark drop dedup state older than the delay, so memory is
+    * proportional to the watermark window, not the stream's history —
+    * the streaming twin of the batch keep-last dedup (and the reference's
+    * incremental `id`-dedup in raw_to_fmt_lbc.py).
+    */
+  def dedupEvents(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)

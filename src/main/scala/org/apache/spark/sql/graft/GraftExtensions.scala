@@ -1,0 +1,63 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+
+/** SparkSessionExtensions entry point: registers the graft custom
+  * expressions as SQL functions, so `spark.sql("SELECT simhash64(...)")`
+  * and the DataFrame API share one codegen'd implementation.
+  *
+  * Wire up with either
+  *   .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+  * or `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def reg(ext: SparkSessionExtensions, name: String, usage: String,
+      builder: FunctionBuilder): Unit =
+    ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+  private def intArg(name: String, e: Expression): Int = e match {
+    case IntegerLiteral(i) => i
+    case _ => throw new IllegalArgumentException(
+      s"$name expects a literal integer argument, got $e")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    reg(ext, "cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float arrays.", {
+        case Seq(a, b) => CosineSimilarity(a, b)
+        case args => throw new IllegalArgumentException(
+          s"cosine_sim expects 2 arguments, got ${args.length}")
+      })
+    reg(ext, "vec_dot",
+      "vec_dot(a, b) - dot product of two float arrays.", {
+        case Seq(a, b) => DotProduct(a, b)
+        case args => throw new IllegalArgumentException(
+          s"vec_dot expects 2 arguments, got ${args.length}")
+      })
+    reg(ext, "word_shingles",
+      "word_shingles(text, n) - word n-grams of the normalized text.", {
+        case Seq(t, n) => WordShingles(t, intArg("word_shingles", n))
+        case args => throw new IllegalArgumentException(
+          s"word_shingles expects 2 arguments, got ${args.length}")
+      })
+    reg(ext, "minhash_sig",
+      "minhash_sig(shingles, k) - k-long MinHash signature of a string array.", {
+        case Seq(s, k) => MinHashSig(s, intArg("minhash_sig", k))
+        case args => throw new IllegalArgumentException(
+          s"minhash_sig expects 2 arguments, got ${args.length}")
+      })
+    reg(ext, "simhash64",
+      "simhash64(tokens) - 64-bit SimHash of a string array.", {
+        case Seq(t) => SimHash64(t)
+        case args => throw new IllegalArgumentException(
+          s"simhash64 expects 1 argument, got ${args.length}")
+      })
+  }
+}

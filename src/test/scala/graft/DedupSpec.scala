@@ -58,6 +58,20 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.contains((1L, 4L)), "docs sharing no shingle never pair")
   }
 
+  test("IVF-flat knn recalls most of the exact brute-force neighbors") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val queries = corpus.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val exact = Similarity.knnBruteForce(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfFlatKnn(corpus, queries, k = 5, nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    assert(ivf.size === exact.size, "IVF must still return k per query here")
+  }
+
   test("embedding LSH pairs are a subset of exact brute-force pairs") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-function registration path: a session built with GraftExtensions
+  * can call every custom expression from plain SQL.
+  *
+  * getOrCreate() reuses any existing default session and silently skips
+  * extension injection, so this suite clears the default/active session,
+  * builds its own (sharing the JVM's SparkContext), and restores the prior
+  * default afterwards.
+  */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var prior: Option[SparkSession] = None
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    prior = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    spark = SparkSession.builder()
+      .appName("graft-ext-test")
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    // do NOT stop: the SparkContext is shared with the other suites
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    prior.foreach { p =>
+      SparkSession.setDefaultSession(p)
+      SparkSession.setActiveSession(p)
+    }
+  }
+
+  test("cosine_sim and vec_dot work from SQL") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c,
+        |       vec_dot(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+        |               array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT))) AS d
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getDouble(1) === 23.0)
+  }
+
+  test("word_shingles, minhash_sig, simhash64 work from SQL") {
+    val r = spark.sql(
+      """SELECT word_shingles('The quick  brown Fox', 3) AS sh,
+        |       size(minhash_sig(word_shingles('a b c d', 3), 32)) AS k,
+        |       simhash64(word_shingles('hello world', 1)) AS s1,
+        |       simhash64(word_shingles('HELLO   world', 1)) AS s2
+        |""".stripMargin).collect().head
+    assert(r.getSeq[String](0) === Seq("the quick brown", "quick brown fox"))
+    assert(r.getInt(1) === 32)
+    assert(r.getLong(2) === r.getLong(3), "simhash must be normalization-invariant")
+  }
+}

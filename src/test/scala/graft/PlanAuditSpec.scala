@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.{Relational, SimilarityQueries, TextQueries}
+
+/** Plan-shape audit: the properties that make these queries survive a 100 TB
+  * scale-up — scans pruned to the needed columns, filters pushed to parquet,
+  * dimension joins broadcast, no accidental cartesian products.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q3/q5/market_stats/doc_export broadcast every dimension join") {
+    Seq[DataFrame](
+      Relational.q3TopOrders(spark, sfDir),
+      Relational.q5RegionRevenue(spark, sfDir),
+      Relational.qMarketStats(spark, sfDir),
+      Relational.qDocExport(spark, sfDir)
+    ).foreach { df =>
+      val plan = executed(df)
+      assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"dim join fell back to sort-merge:\n$plan")
+    }
+  }
+
+  test("no query plans a CartesianProduct (knn uses broadcast nested loop)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")
+    }
+  }
+
+  test("feature extract scan reads only the projected columns") {
+    val plan = executed(Relational.qFeatureExtract(spark, sfDir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("p_partkey") && readSchema.contains("p_size"))
+    assert(!readSchema.contains("p_comment") && !readSchema.contains("p_container"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("fingerprint scan prunes the documents payload columns") {
+    val plan = executed(TextQueries.qFingerprint(spark, sfDir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang"), s"unused column read: $readSchema")
+  }
+
+  test("similarity sketch queries keep their single shuffle per side") {
+    // buckets self-join: explode → one hash-partition exchange per side (the
+    // sketch/bucket shape), never a range/cartesian fallback
+    val plan = SimilarityQueries.qMinhashNearDup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

@@ -35,6 +35,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 1.0), // duplicate id
+      Event(2, ts(2), 1, "view", 2.0))
+    val q = EventStreams.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(Event(1, ts(3), 1, "click", 9.0)) // still a dup
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM dd").collect().head.getLong(0)
+      assert(n === 2, "3 sends of id=1 + 1 of id=2 must dedup to 2 rows")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
