@@ -24,6 +24,8 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // graft custom expressions usable from plain SQL
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       // testdata events.ts is parquet TIMESTAMP(NANOS); read as raw nanos
       // longs and convert in sources.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

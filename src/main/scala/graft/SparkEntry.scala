@@ -26,6 +26,8 @@ object SparkEntry {
     "q5_region_revenue" -> (Relational.q5RegionRevenue _),
     "q_top_spenders" -> (Relational.qTopSpenders _),
     "q_feature_extract" -> (Relational.qFeatureExtract _),
+    "q_rollup_revenue" -> (Relational.qRollupRevenue _),
+    "q_approx_profile" -> (Relational.qApproxProfile _),
     "q_lang_id" -> (TextQueries.qLangId _),
     "q_quality_score" -> (TextQueries.qQualityScore _),
     "q_token_count" -> (TextQueries.qTokenCount _),
@@ -157,6 +159,16 @@ object SparkEntry {
         |FROM part
         |WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
         |ORDER BY p_partkey""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id, lang,
         |  CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS score_en,

@@ -46,3 +46,26 @@ object Agg {
   def onePlus(rate: Column): Column =
     lit(1).cast(DecimalType(8, 4)) + rate.cast(DecimalType(8, 4))
 }
+
+/** Skew mitigation for joins whose key distribution is heavy-tailed.
+  *
+  * AQE's skew-join split handles most cases at runtime; explicit salting is
+  * for the pathological ones AQE can't fix (e.g. a single key holding >10%
+  * of a 100 TB fact when joined against a non-broadcastable side): the
+  * skewed side gets a random salt in [0, salts), the other side is exploded
+  * ×salts, and the join key becomes (key, salt) — one hot partition becomes
+  * `salts` even ones at the cost of replicating the smaller side.
+  */
+object Salting {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    val s = skewed.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val o = other.withColumn("__salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    s.join(o, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -244,4 +244,41 @@ object Relational {
         when(col("p_partkey") % 5 === 0, lit("test")).otherwise(lit("train")).as("split"))
       .orderBy(col("p_partkey"))
   }
+
+  /** Multi-level dashboard totals (the Kibana region→nation drill-down):
+    * ROLLUP produces per-nation rows, per-region subtotals, and the grand
+    * total in ONE pass — Spark expands the grouping sets before the single
+    * shuffle, so at 100 TB this costs one aggregation, not three queries.
+    */
+  def qRollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(decSum2(col("o_totalprice")).as("total_revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Sketch-based profile (the approximate path for interactive dashboards
+    * over 100 TB): HyperLogLog distinct users + t-digest-style percentile
+    * per event type. Both sketches are mergeable partial aggregates — one
+    * shuffle of sketch bytes, never of rows. Rows-only check (sketch
+    * internals differ across engines); relative error vs exact is asserted
+    * in ApproxSpec.
+    */
+  def qApproxProfile(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -10,7 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * getOrCreate() reuses any existing default session and silently skips
   * extension injection, so this suite clears the default/active session,
   * builds its own (sharing the JVM's SparkContext), and restores the prior
-  * default afterwards.
+  * default afterwards. It must use builder.withExtensions — the
+  * `spark.sql.extensions` CONFIG is read from the SparkContext's conf, which
+  * belongs to whichever suite created the context first in this JVM.
   */
 class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -25,8 +27,8 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("graft-ext-test")
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
   }
