@@ -13,6 +13,13 @@ object vectors {
 
   /** Codegen'd dot product over two Array[Float] columns. */
   def dot(a: Column, b: Column): Column = VectorColumns.dot(a, b)
+
+  /** Bounded-heap top-k aggregate: keeps the k highest (score, id) pairs,
+    * partial buffers capped at k → the shuffle never carries more than
+    * k·partitions rows per group (vs a window sort shuffling every row).
+    */
+  def topk(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.graft.TopKColumns.topk(score, id, k)
 }
 
 /** Public face of the codegen'd text-sketch expressions

@@ -68,4 +68,60 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** STUB resize: a real implementation re-encodes the image at a target
+    * resolution; the fake deterministically truncates/pads to `maxBytes`.
+    * Shape contract (binary in → smaller binary out) is what matters.
+    */
+  private[graft] def resizeStub(bytes: Array[Byte], maxBytes: Int): Array[Byte] =
+    if (bytes.length >= maxBytes) java.util.Arrays.copyOf(bytes, maxBytes)
+    else java.util.Arrays.copyOf(bytes, bytes.length) // never pad real media
+
+  /** Resize payloads in place (binary → binary, per-partition, no shuffle). */
+  def withResizedPayload(df: DataFrame, maxBytes: Int): DataFrame = {
+    val schema = StructType(df.schema.fields.map {
+      case f if f.name == "payload" => f.copy(nullable = false)
+      case f => f
+    })
+    val enc = RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val vals = r.toSeq.toArray
+        vals(idx) = resizeStub(r.getAs[Array[Byte]](idx), maxBytes)
+        Row(vals: _*)
+      }
+    }(enc)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** STUB frame sampling: a real implementation demuxes a video and keeps
+    * every Nth frame; the fake treats each `frameBytes` slice of the payload
+    * as one "frame". The plumbing is the real design: one media row fans out
+    * to per-frame rows (media_id, frame_idx, frame) inside mapPartitions —
+    * no shuffle, no driver involvement — and each frame row then composes
+    * with decodeFeatures / similarity / dedup like any other payload.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, everyN: Int,
+      frameBytes: Int = 1024): DataFrame = {
+    require(everyN > 0 && frameBytes > 0)
+    val enc = RowEncoder.encoderFor(frameSchema)
+    df.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+          (0 until nFrames by everyN).iterator.map { f =>
+            val from = f * frameBytes
+            val until = math.min(from + frameBytes, bytes.length)
+            Row(id, f, java.util.Arrays.copyOfRange(bytes, from, until))
+          }
+        }
+      }(enc)
+  }
 }

@@ -38,6 +38,23 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
   }
 
+  /** Same result as [[knnBruteForce]] via the custom bounded-heap `topk`
+    * aggregate: partial aggregation keeps ≤ k candidates per query per
+    * partition, so the shuffle moves k·partitions rows per query instead of
+    * the |corpus| scored candidates the window/sort plan moves. This is the
+    * kNN form that survives a 100 TB corpus.
+    */
+  def knnBruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.vectors.topk(
+        cosineSim(col("q_emb"), col("emb")), col("id"), k).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        (col("__pos") + 1).cast("long").as("rank"))
+
   /** Deterministic random hyperplanes: `bands` bands × `bits` bits each.
     * Fixed seed → the signature function is stable across runs/executors.
     */

@@ -18,12 +18,14 @@ object SimilarityQueries {
     Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
 
-  /** Exact top-5 cosine neighbors for the first 10 vectors. */
+  /** Exact top-5 cosine neighbors for the first 10 vectors, via the
+    * bounded-heap topk aggregate (shuffle ≤ k per query per partition).
+    */
   def qKnnCosine(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val queries = c.filter(col("id") < 10)
       .select(col("id").as("query_id"), col("emb").as("q_emb"))
-    Similarity.knnBruteForce(c, queries, k = 5)
+    Similarity.knnBruteForceTopK(c, queries, k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
 

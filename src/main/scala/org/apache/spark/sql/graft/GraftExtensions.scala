@@ -59,5 +59,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case args => throw new IllegalArgumentException(
           s"simhash64 expects 1 argument, got ${args.length}")
       })
+    reg(ext, "topk",
+      "topk(score, id, k) - aggregate: k highest (score,id) pairs, sorted desc.", {
+        case Seq(s, i, k) =>
+          TopKAgg(s, i, intArg("topk", k)).toAggregateExpression()
+        case args => throw new IllegalArgumentException(
+          s"topk expects 3 arguments, got ${args.length}")
+      })
   }
 }

@@ -31,4 +31,26 @@ class MultimodalSpec extends SparkSpecBase {
     val schema = Multimodal.withPayload(docs, "text").schema
     assert(schema("payload").dataType.typeName === "binary")
   }
+
+  test("resize caps payload size and never pads") {
+    val docs = Seq((1L, "x" * 100), (2L, "y")).toDF("doc_id", "text")
+    val out = Multimodal.withResizedPayload(
+        Multimodal.withPayload(docs, "text"), maxBytes = 10)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Array[Byte]]("payload").length === 10)
+    assert(out(1).getAs[Array[Byte]]("payload").length === 1)
+  }
+
+  test("frame sampling fans one media row into every-Nth frame rows") {
+    // 5 "frames" of 4 bytes (last partial), keep every 2nd → idx 0, 2, 4
+    val docs = Seq((7L, "abcdefghijklmnopq")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+        Multimodal.withPayload(docs, "text"), "doc_id",
+        everyN = 2, frameBytes = 4)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getInt(1)).toSeq === Seq(0, 2, 4))
+    assert(frames.map(r => new String(r.getAs[Array[Byte]]("frame"))).toSeq ===
+      Seq("abcd", "ijkl", "q"))
+    assert(frames.forall(_.getLong(0) === 7L))
+  }
 }

@@ -47,6 +47,32 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("topk-aggregate knn returns exactly the window-based knn result") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val queries = corpus.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val viaWindow = Similarity.knnBruteForce(corpus, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaTopk = Similarity.knnBruteForceTopK(corpus, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaTopk === viaWindow)
+  }
+
+  test("topk aggregate: bounded buffer, duplicate merges, fewer rows than k") {
+    val df = Seq(
+      (1L, 5.0, 10L), (1L, 9.0, 11L), (1L, 7.0, 12L), (1L, 9.0, 13L),
+      (2L, 1.0, 20L)
+    ).toDF("g", "s", "i")
+    val out = df.groupBy("g").agg(topk(col("s"), col("i"), 2).as("t"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1))))
+      .toMap
+    // score desc, tie → smaller id first
+    assert(out(1L) === Seq((9.0, 11L), (9.0, 13L)))
+    assert(out(2L) === Seq((1.0, 20L))) // group smaller than k
+  }
+
   test("knn plan broadcasts the query side") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
