@@ -37,6 +37,7 @@ object SparkEntry {
     "q_sessionize" -> (EventQueries.qSessionize _),
     "q_window_tumbling" -> (EventQueries.qWindowTumbling _),
     "q_incremental_watermark" -> (EventQueries.qIncrementalWatermark _),
+    "q_asof_attribution" -> (EventQueries.qAsofAttribution _),
     "q_knn_cosine" -> (SimilarityQueries.qKnnCosine _),
     "q_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
     "q_ann_lsh" -> (SimilarityQueries.qAnnLsh _),
@@ -241,6 +242,17 @@ object SparkEntry {
         |  MAX(CAST(ts AS TIMESTAMP)) AS latest_ts
         |FROM events WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_asof_attribution" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |    CAST(ts AS TIMESTAMP) AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS click_ts,
+        |    max(event_id) AS click_event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT purchase_id, user_id, purchase_ts, click_event_id, click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND p.purchase_ts >= c.click_ts
+        |ORDER BY purchase_id""".stripMargin,
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
         |    FROM embeddings WHERE vec_id < 10)

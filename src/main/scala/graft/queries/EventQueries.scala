@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.ops.AsOf
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
@@ -65,5 +67,22 @@ object EventQueries {
         count(lit(1)).as("n_new_events"),
         max(col("ts")).as("latest_ts"))
       .orderBy(col("user_id"))
+  }
+
+  /** Attribution via as-of join: each purchase matched to the user's most
+    * recent click at-or-before it. Clicks are pre-deduped to one per
+    * (user, ts) so the match is deterministic; the oracle is DuckDB's
+    * native ASOF LEFT JOIN.
+    */
+  def qAsofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_event_id"))
+    AsOf.asOfJoin(purchases, clicks, "user_id", "purchase_ts", "click_ts")
+      .orderBy(col("purchase_id"))
   }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ops.AsOf
+
+class AsOfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("as-of join picks the latest right row at-or-before each left row") {
+    val trades = Seq(
+      (1L, 100L, ts(5)), (2L, 100L, ts(10)), (3L, 100L, ts(2)),
+      (4L, 200L, ts(7))
+    ).toDF("trade_id", "acct", "trade_ts")
+    val quotes = Seq(
+      (100L, ts(1), 10.0), (100L, ts(5), 11.0), (100L, ts(9), 12.0),
+      (300L, ts(0), 99.0)
+    ).toDF("acct", "quote_ts", "px")
+
+    val got = AsOf.asOfJoin(trades, quotes, "acct", "trade_ts", "quote_ts")
+      .orderBy("trade_id").collect()
+    // trade 1 @10:05 → quote @10:05 (>= is inclusive, right-first at tie)
+    assert(got(0).getAs[Double]("px") === 11.0)
+    // trade 2 @10:10 → quote @10:09
+    assert(got(1).getAs[Double]("px") === 12.0)
+    // trade 3 @10:02 → quote @10:01
+    assert(got(2).getAs[Double]("px") === 10.0)
+    // acct 200 has no quotes → nulls, row preserved (left semantics)
+    assert(got(3).isNullAt(got(3).fieldIndex("px")))
+    assert(got.length === 4)
+  }
+
+  test("as-of join plans one shuffle, no quadratic join") {
+    val trades = Seq((1L, 100L, ts(5))).toDF("trade_id", "acct", "trade_ts")
+    val quotes = Seq((100L, ts(1), 10.0)).toDF("acct", "quote_ts", "px")
+    val plan = AsOf.asOfJoin(trades, quotes, "acct", "trade_ts", "quote_ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"union form must not plan a join:\n$plan")
+    assert(plan.contains("Window"))
+  }
+}
