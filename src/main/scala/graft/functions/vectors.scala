@@ -31,6 +31,9 @@ object text {
   /** Word n-gram shingles of the normalized (lower, ws-collapsed) text. */
   def wordShingles(c: Column, n: Int): Column = TextColumns.wordShingles(c, n)
 
+  /** Distinct 64-bit hashes of the word n-grams (cheap join/shuffle keys). */
+  def wordShingleHashes(c: Column, n: Int): Column = TextColumns.wordShingleHashes(c, n)
+
   /** k-long MinHash signature of a shingle array (each shingle hashed once). */
   def minhashSig(shingles: Column, k: Int): Column = TextColumns.minhashSig(shingles, k)
 

@@ -105,9 +105,10 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       minJaccard: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val postings0 = withShingles(
-        df.select(id.as("doc_id"), text.as("__text")), col("__text"))
-      .select(col("doc_id"), array_distinct(col("__shingles")).as("__sh"))
+    // 64-bit hashed shingles: identity-only join keys, 8 bytes instead of a
+    // ~20-char string through the explode/shuffle/broadcast
+    val postings0 = df.select(id.as("doc_id"),
+        graft.functions.text.wordShingleHashes(text, 3).as("__sh"))
       .select(col("doc_id"), size(col("__sh")).as("n"),
         explode(col("__sh")).as("shingle"))
     val postings =

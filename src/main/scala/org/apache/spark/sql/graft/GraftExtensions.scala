@@ -47,6 +47,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case args => throw new IllegalArgumentException(
           s"word_shingles expects 2 arguments, got ${args.length}")
       })
+    reg(ext, "word_shingle_hashes",
+      "word_shingle_hashes(text, n) - distinct xxhash64 of each word n-gram.", {
+        case Seq(t, n) => WordShingleHashes(t, intArg("word_shingle_hashes", n))
+        case args => throw new IllegalArgumentException(
+          s"word_shingle_hashes expects 2 arguments, got ${args.length}")
+      })
     reg(ext, "minhash_sig",
       "minhash_sig(shingles, k) - k-long MinHash signature of a string array.", {
         case Seq(s, k) => MinHashSig(s, intArg("minhash_sig", k))

@@ -55,6 +55,26 @@ object TextSketch {
     }
   }
 
+  /** Distinct 64-bit shingle hashes (xxhash64, seed 42) — for inverted-index
+    * joins where only shingle IDENTITY matters, an 8-byte key shuffles and
+    * compares far cheaper than the string; collisions at 2^-64 are noise
+    * next to the sketch error of the methods consuming this.
+    */
+  def shingleHashes(t: UTF8String, n: Int): ArrayData = {
+    val arr = shingles(t, n)
+    val m = arr.numElements()
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m)
+    var k = 0
+    var i = 0
+    while (i < m) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
   /** MinHash signature over a shingle array: each shingle hashed ONCE with
     * two xxhash64 seeds, the k hash family is Kirsch-Mitzenmacher
     * g_j = h1 + j*h2. Duplicates in the input cannot change a min, so the
@@ -124,6 +144,23 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `word_shingle_hashes(text, n)`: distinct xxhash64 of each word n-gram. */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    TextSketch.shingleHashes(t.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextSketch.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
 /** `minhash_sig(shingles, k)`: k-long MinHash signature. */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -161,6 +198,9 @@ case class SimHash64(child: Expression)
 object TextColumns {
   def wordShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
+
+  def wordShingleHashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(text), n))
 
   def minhashSig(shingles: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), k))
