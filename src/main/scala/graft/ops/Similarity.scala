@@ -129,15 +129,50 @@ object Similarity {
     * (≈ nProbe/nCells of the corpus), then a per-query top-k window.
     * Recall is tunable via nProbe; nProbe = nCells degrades to exact.
     */
-  def ivfFlatKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    // Index build: the centroid table IS the model — nCells×dim floats,
-    // collected once on the driver and inlined as literals. This is the one
-    // deliberate driver-side step (same role as fitting a quantizer).
-    val cents: Array[Array[Float]] =
+  /** Lloyd-refined coarse quantizer. Init = deterministic hash-sample of the
+    * corpus; each iteration is one distributed pass: map-side argmax cell
+    * assignment (centroids inlined as literals — no shuffle), then ONE
+    * groupBy(cell) shuffle of per-dimension partial sums. Only the
+    * nCells×dim centroid matrix ever reaches the driver — corpus size is
+    * irrelevant to driver memory, so the same loop trains on 100 TB.
+    * Empty cells keep their previous centroid.
+    */
+  def trainCentroids(corpus: DataFrame, nCells: Int,
+      iters: Int): Array[Array[Float]] = {
+    var cents: Array[Array[Float]] =
       corpus.orderBy(hash(col("id")), col("id")).limit(nCells)
         .select(col("emb")).collect()
         .map(_.getSeq[Float](0).toArray)
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    var it = 0
+    while (it < iters) {
+      def cellScores(emb: Column): Column = array(cents.zipWithIndex.map {
+        case (c, i) =>
+          struct(cosineSim(emb, array(c.map(lit(_)): _*)).as("s"),
+            lit(i).as("cell"))
+      }: _*)
+      val dims = (0 until dim).map(d => avg(col("emb").getItem(d)).as(s"d$d"))
+      val means = corpus
+        .withColumn("cell", array_max(cellScores(col("emb"))).getField("cell"))
+        .groupBy("cell").agg(dims.head, dims.tail: _*)
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        val c = r.getAs[Int]("cell")
+        next(c) = (0 until dim).map(d => r.getAs[Double](s"d$d").toFloat).toArray
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  def ivfFlatKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 2): DataFrame = {
+    // Index build: the centroid table IS the model — nCells×dim floats,
+    // collected once on the driver and inlined as literals. This is the one
+    // deliberate driver-side step (same role as fitting a quantizer).
+    val cents: Array[Array[Float]] = trainCentroids(corpus, nCells, trainIters)
     // array<struct<s,cell>> of centroid scores — pure projection, so cell
     // assignment/probing never shuffles the corpus.
     def cellScores(emb: Column): Column = array(cents.zipWithIndex.map {

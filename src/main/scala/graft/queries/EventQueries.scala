@@ -23,17 +23,10 @@ object EventQueries {
     */
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
-        unix_micros(col("ts")).as("ts_us"))
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-    val flagged = e.withColumn("is_new",
-      when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > 1800000000L, 1)
-        .when(lag(col("ts_us"), 1).over(byUser).isNull, 1)
-        .otherwise(0))
-    val numbered = flagged.withColumn("session_seq",
-      sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-    numbered.groupBy(col("user_id"), col("session_seq"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    graft.ops.Sessionize
+      .withSessionSeq(e, col("user_id"), col("ts"), col("event_id"))
+      .groupBy(col("user_id"), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),

@@ -2,9 +2,11 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.sources.Datalake
 
 /** Structured Streaming forms of the event analytics: the reference's
   * hourly Airflow poll + state file (lbc_fetcher.py) becomes a real stream
@@ -30,6 +32,22 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /** Incremental JSONL bulk export — the streaming form of the reference's
+    * Elasticsearch `_bulk` indexing (index_to_es.py): each micro-batch is
+    * written as JSONL under `outDir/batch=<epoch>/` by every executor in
+    * parallel. Overwrite per epoch directory makes replays after failure
+    * idempotent; the checkpoint carries exactly-once epoch tracking.
+    */
+  def exportJsonl(docs: DataFrame, outDir: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        Datalake.writeJsonl(batch, s"$outDir/batch=$epoch", SaveMode.Overwrite)
+      }
+      .start()
 
   /** Streaming exact dedup on event_id with bounded state: the watermark
     * lets Spark drop dedup state older than the delay, so memory is

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** SparkSessionExtensions entry point: registers the graft custom
   * expressions as SQL functions, so `spark.sql("SELECT simhash64(...)")`
@@ -13,6 +14,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, In
   *   .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
   * or `SparkSession.builder.withExtensions(new GraftExtensions)`.
   */
+object GraftChecks {
+  /** Max k the bounded-heap aggregate accepts (16 bytes/entry per group per
+    * task buffer — 1M entries ≈ 16 MB per group, the sane ceiling).
+    */
+  val MaxTopK = 1 << 20
+
+  val noOversizedTopK: LogicalPlan => Unit = plan =>
+    plan.foreach(_.expressions.foreach(_.foreach {
+      case t: TopKAgg if t.k > MaxTopK =>
+        throw new IllegalArgumentException(
+          s"topk k=${t.k} exceeds the $MaxTopK cap; a bounded-heap this " +
+            "large defeats the aggregate's purpose — use a window rank or " +
+            "raise GraftChecks.MaxTopK deliberately")
+      case _ => ()
+    }))
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
@@ -72,5 +90,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case args => throw new IllegalArgumentException(
           s"topk expects 3 arguments, got ${args.length}")
       })
+    // Analysis-time guard: every group's topk buffer lives on the heap of
+    // every task, so an absurd k is an executor OOM discovered mid-job.
+    // Failing at analysis keeps the mistake interactive.
+    ext.injectCheckRule(_ => GraftChecks.noOversizedTopK)
   }
 }

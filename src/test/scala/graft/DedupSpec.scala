@@ -70,6 +70,10 @@ class DedupSpec extends SparkSpecBase {
     val recall = (ivf & exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
     assert(ivf.size === exact.size, "IVF must still return k per query here")
+    // Lloyd training is deterministic: same init sample, same iteration math
+    val again = Similarity.ivfFlatKnn(corpus, queries, k = 5, nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === ivf)
   }
 
   test("embedding LSH pairs are a subset of exact brute-force pairs") {

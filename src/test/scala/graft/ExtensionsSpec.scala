@@ -54,6 +54,20 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(1) === 23.0)
   }
 
+  test("topk works from SQL and the check rule rejects oversized k at analysis") {
+    val rows = spark.sql(
+      """SELECT g, topk(s, i, 2) AS t FROM VALUES
+        |  (1, 5.0D, 10L), (1, 9.0D, 11L), (1, 7.0D, 12L) AS v(g, s, i)
+        |GROUP BY g""".stripMargin).collect()
+    assert(rows.head.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) ===
+      Seq(11L, 12L))
+    val err = intercept[Exception] {
+      spark.sql("SELECT topk(s, i, 2000000) FROM VALUES (1.0D, 1L) AS v(s, i)")
+        .collect()
+    }
+    assert(err.getMessage.contains("cap"), s"wrong error: ${err.getMessage}")
+  }
+
   test("word_shingles, minhash_sig, simhash64 work from SQL") {
     val r = spark.sql(
       """SELECT word_shingles('The quick  brown Fox', 3) AS sh,

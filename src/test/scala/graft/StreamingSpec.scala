@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStreams
@@ -32,6 +33,27 @@ class StreamingSpec extends SparkSpecBase {
         .map(r => (r.getString(0), r.getLong(1))).toSet
       assert(rows.contains(("click", 2L)))
       assert(rows.contains(("view", 1L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch jsonl export writes every micro-batch's docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[Event]
+    input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "view", 2.0))
+    val q = EventStreams.exportJsonl(
+      input.toDF().select(concat(lit("ev_"), col("event_id")).as("doc_id"),
+        col("event_type"), col("value")),
+      out, ckpt)
+    try {
+      q.processAllAvailable()
+      input.addData(Event(3, ts(2), 3, "click", 3.0))
+      q.processAllAvailable()
+      val docs = spark.read.json(s"$out/batch=*").collect()
+      assert(docs.length === 3)
+      assert(docs.map(_.getAs[String]("doc_id")).toSet === Set("ev_1", "ev_2", "ev_3"))
     } finally q.stop()
   }
 
