@@ -44,6 +44,7 @@ object SparkEntry {
     "q_ann_ivf" -> (SimilarityQueries.qAnnIvf _),
     "q_minhash_neardup" -> (SimilarityQueries.qMinhashNearDup _),
     "q_simhash" -> (SimilarityQueries.qSimhash _),
+    "q_winnow_neardup" -> (SimilarityQueries.qWinnowNearDup _),
     "q_ngram_jaccard" -> (SimilarityQueries.qNgramJaccard _),
   )
 

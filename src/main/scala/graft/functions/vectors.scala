@@ -34,6 +34,9 @@ object text {
   /** Distinct 64-bit hashes of the word n-grams (cheap join/shuffle keys). */
   def wordShingleHashes(c: Column, n: Int): Column = TextColumns.wordShingleHashes(c, n)
 
+  /** Winnowed (MOSS) fingerprint sketch: substring-robust doc fingerprints. */
+  def winnow(c: Column, n: Int, w: Int): Column = TextColumns.winnow(c, n, w)
+
   /** k-long MinHash signature of a shingle array (each shingle hashed once). */
   def minhashSig(shingles: Column, k: Int): Column = TextColumns.minhashSig(shingles, k)
 

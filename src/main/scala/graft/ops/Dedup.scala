@@ -90,6 +90,25 @@ object Dedup {
       .agg(min(col("hamming")).as("hamming"))
   }
 
+  /** Near-dup candidates via winnowed (MOSS) fingerprints: docs sharing any
+    * window-minimum k-gram hash pair up, weighted by how many they share.
+    * Same inverted-index shape as the other sketches — explode the sketch
+    * (O(len/w) fingerprints per doc, much sparser than full shingles), one
+    * shuffle on the fingerprint, pairs within posting lists only. Robust to
+    * partial overlap (any shared ≥ w+n-1 word run fires), which whole-doc
+    * digests miss.
+    */
+  def winnowPairs(df: DataFrame, id: Column, text: Column,
+      w: Int = 4): DataFrame = {
+    val postings = df.select(id.as("doc_id"),
+        explode(graft.functions.text.winnow(text, 3, w)).as("fp"))
+    val a = postings.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = postings.select(col("doc_id").as("doc_b"), col("fp").as("__fp_b"))
+    a.join(b, col("fp") === col("__fp_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Exact word-3gram Jaccard via an inverted-index self-join: explode each
     * doc's distinct shingles to (shingle, doc, |S_doc|) postings, equi-join
     * on the shingle, and count shared shingles per pair — the intersection

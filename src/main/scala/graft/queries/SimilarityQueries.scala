@@ -58,6 +58,11 @@ object SimilarityQueries {
         col("doc_id"), col("text"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Winnowed-fingerprint near-dup candidates on documents (rows-only). */
+  def qWinnowNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(Tables.documents(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** SimHash near-dup candidates on documents (rows-only). */
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir),

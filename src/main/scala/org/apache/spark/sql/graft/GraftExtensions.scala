@@ -77,6 +77,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case args => throw new IllegalArgumentException(
           s"minhash_sig expects 2 arguments, got ${args.length}")
       })
+    reg(ext, "winnow",
+      "winnow(text, n, w) - winnowed k-gram fingerprint sketch (MOSS).", {
+        case Seq(t, n, w) => Winnow(t, intArg("winnow", n), intArg("winnow", w))
+        case args => throw new IllegalArgumentException(
+          s"winnow expects 3 arguments, got ${args.length}")
+      })
     reg(ext, "simhash64",
       "simhash64(tokens) - 64-bit SimHash of a string array.", {
         case Seq(t) => SimHash64(t)

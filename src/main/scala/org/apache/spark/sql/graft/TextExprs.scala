@@ -100,6 +100,41 @@ object TextSketch {
     new GenericArrayData(sig)
   }
 
+  /** Winnowed fingerprint sketch (the MOSS scheme): over the ORDERED k-gram
+    * hash sequence, keep the minimum of each sliding window of `w` hashes
+    * (rightmost-minimum tie rule keeps the sketch sparse); distinct kept
+    * values, ascending. Guarantee: two docs sharing a run of ≥ w+k-1 words
+    * share at least one fingerprint — substring-robust, unlike a whole-doc
+    * digest, and O(len/w) sized, unlike the full shingle set.
+    */
+  def winnow(t: UTF8String, n: Int, w: Int): ArrayData = {
+    val arr = shingles(t, n)
+    val m = arr.numElements()
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      h(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L); i += 1
+    }
+    val kept = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      if (m > 0) { var mn = h(0); i = 1; while (i < m) { if (h(i) <= mn) mn = h(i); i += 1 }; kept.add(mn) }
+    } else {
+      var start = 0
+      while (start + w <= m) {
+        var mnIdx = start
+        var j = start + 1
+        while (j < start + w) { if (h(j) <= h(mnIdx)) mnIdx = j; j += 1 }
+        kept.add(h(mnIdx))
+        start += 1
+      }
+    }
+    val out = new Array[Long](kept.size)
+    val it = kept.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over a token array: per-token xxhash64, ±1 vote per
     * bit, sign of the vote sum becomes the bit.
     */
@@ -161,6 +196,23 @@ case class WordShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `winnow(text, n, w)`: winnowed k-gram fingerprint sketch. */
+case class Winnow(child: Expression, n: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    TextSketch.winnow(t.asInstanceOf[UTF8String], n, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextSketch.winnow($c, $n, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
 /** `minhash_sig(shingles, k)`: k-long MinHash signature. */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -201,6 +253,9 @@ object TextColumns {
 
   def wordShingleHashes(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(text), n))
+
+  def winnow(text: Column, n: Int, w: Int): Column =
+    ExpressionUtils.column(Winnow(ExpressionUtils.expression(text), n, w))
 
   def minhashSig(shingles: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(shingles), k))

@@ -58,6 +58,26 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.contains((1L, 4L)), "docs sharing no shingle never pair")
   }
 
+  test("winnow pairs: identical docs pair, substring overlap fires, disjoint absent") {
+    val pairs = Dedup.winnowPairs(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "identical docs share every fingerprint")
+    assert(pairs.contains((1L, 5L)), "normalization-equal docs share fingerprints")
+    assert(!pairs.contains((1L, 4L)), "no shared word runs → no shared fingerprint")
+  }
+
+  test("winnow sketch is deterministic and much smaller than the shingle set") {
+    val sk = docs.select(col("doc_id"),
+        graft.functions.text.winnow(col("text"), 3, 4).as("w"),
+        graft.functions.text.wordShingleHashes(col("text"), 3).as("sh"))
+      .collect()
+    sk.foreach { r =>
+      val w = r.getSeq[Long](1); val sh = r.getSeq[Long](2)
+      assert(w.nonEmpty && w.toSet.subsetOf(sh.toSet),
+        "every fingerprint is one of the doc's shingle hashes")
+    }
+  }
+
   test("IVF-flat knn recalls most of the exact brute-force neighbors") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
