@@ -1,10 +1,11 @@
 package graft
 
 import java.nio.file.Files
+import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.sources.Datalake
+import graft.sources.{Datalake, Watermark}
 
 class DatalakeSpec extends SparkSpecBase {
   import spark.implicits._
@@ -30,6 +31,26 @@ class DatalakeSpec extends SparkSpecBase {
     val got = Datalake.readCsv(spark, s"$tmp/in.csv", schema)
       .orderBy("id").collect().map(r => (r.getLong(0), Option(r.get(1))))
     assert(got.toSeq === Seq((1L, Some(10.5)), (2L, None), (3L, None)))
+  }
+
+  test("watermark state: first read sees all, committed read sees only newer") {
+    val state = s"${Files.createTempDirectory("graft-wm")}/wm.state"
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val batch1 = Seq((1L, t(0)), (2L, t(5))).toDF("id", "ts")
+    assert(Watermark.read(spark, state).isEmpty)
+    val first = Watermark.incrementalRead(spark, batch1, "ts", state)
+    assert(first.count() === 2, "no watermark yet → everything")
+    Watermark.commit(spark, first, "ts", state)
+    assert(Watermark.read(spark, state) === Some(t(5)))
+    val batch2 = Seq((2L, t(5)), (3L, t(9))).toDF("id", "ts") // 2 = already seen
+    val second = Watermark.incrementalRead(spark, batch2, "ts", state)
+    assert(second.collect().map(_.getLong(0)).toSeq === Seq(3L),
+      "only rows strictly past the watermark")
+    Watermark.commit(spark, second, "ts", state)
+    assert(Watermark.read(spark, state) === Some(t(9)))
+    // empty increment must not regress the watermark
+    Watermark.commit(spark, second.filter(lit(false)), "ts", state)
+    assert(Watermark.read(spark, state) === Some(t(9)))
   }
 
   test("partitioned parquet write enables partition pruning") {
