@@ -27,6 +27,7 @@ object SparkEntry {
     "q_top_spenders" -> (Relational.qTopSpenders _),
     "q_feature_extract" -> (Relational.qFeatureExtract _),
     "q_rollup_revenue" -> (Relational.qRollupRevenue _),
+    "q_anti_customers" -> (Relational.qAntiCustomers _),
     "q_approx_profile" -> (Relational.qApproxProfile _),
     "q_lang_id" -> (TextQueries.qLangId _),
     "q_quality_score" -> (TextQueries.qQualityScore _),
@@ -161,6 +162,13 @@ object SparkEntry {
         |FROM part
         |WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
         |ORDER BY p_partkey""".stripMargin,
+    "q_anti_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
     "q_rollup_revenue" ->
       """SELECT r_name, n_name,
         |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue,

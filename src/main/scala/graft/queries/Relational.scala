@@ -245,6 +245,21 @@ object Relational {
       .orderBy(col("p_partkey"))
   }
 
+  /** NOT EXISTS via left_anti join: lapsed customers — no order since 1998.
+    * The anti join needs only the join key from the right side — no payload
+    * moves — and broadcasts when the right side's distinct keys fit, making
+    * the "lapsed" scan a single pass over the left table at any scale.
+    */
+  def qAntiCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01"))
+      .select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .orderBy(col("c_custkey"))
+  }
+
   /** Multi-level dashboard totals (the Kibana region→nation drill-down):
     * ROLLUP produces per-nation rows, per-region subtotals, and the grand
     * total in ONE pass — Spark expands the grouping sets before the single

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Loaders for the star-schema testdata.
   *
@@ -37,4 +37,20 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Typed view of lineitem for callers who want compile-time field checks.
+    * Same scan + pushdown as the DataFrame path (Encoders are Catalyst
+    * expressions, not reflection at runtime); use the DataFrame loaders when
+    * the schema is dynamic.
+    */
+  final case class LineItem(
+      l_orderkey: Long, l_partkey: Long, l_suppkey: Long, l_linenumber: Int,
+      l_quantity: Double, l_extendedprice: Double, l_discount: Double,
+      l_tax: Double, l_returnflag: String, l_linestatus: String,
+      l_shipdate: java.sql.Timestamp)
+
+  def lineitemDS(s: SparkSession, d: String): Dataset[LineItem] = {
+    import s.implicits._
+    lineitem(s, d).as[LineItem]
+  }
 }

@@ -58,6 +58,31 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
   }
 
+  test("typed Dataset view matches the DataFrame plan and pushes filters") {
+    val ds = graft.sources.Tables.lineitemDS(spark, sfDir)
+    val typedCount = ds.filter(_.l_quantity > 30).count()
+    val dfCount = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") > 30).count()
+    assert(typedCount === dfCount)
+    // Column-based filter on the typed view still reaches the scan
+    val plan = ds.filter(col("l_quantity") > 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("anti-join customers: complement of the semi join, exact partition") {
+    val anti = Relational.qAntiCustomers(spark, sfDir).count()
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1998-01-01"))
+      .select("o_custkey")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    assert(anti + semi === c.count())
+    // non-emptiness is pinned by the sf0.01 oracle (8 lapsed customers);
+    // sf0.001 may legitimately have zero
+  }
+
   test("dedup keep-last keeps exactly one row per key, the latest") {
     val out = Relational.qDedupKeepLast(spark, sfDir)
     val dupKeys = out.groupBy("user_id", "event_type").count()
