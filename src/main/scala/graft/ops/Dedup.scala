@@ -3,8 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.TextAnalysis.normText
-
 /** Near-duplicate detection over text — the three standard sketches, all as
   * declarative plans (SQL higher-order functions; no UDFs, no driver loops).
   *

@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.AsOf
-import org.apache.spark.sql.expressions.Window
-
 import graft.sources.Tables
 import graft.ops.Agg._
 

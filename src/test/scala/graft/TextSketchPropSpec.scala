@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.graft.TextSketch
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the sketch kernels — pure JVM functions, no Spark
+  * session, so hundreds of generated cases (empty strings, exotic
+  * whitespace, case noise) run in milliseconds. Generators are driven with
+  * fixed seeds: failures reproduce.
+  */
+class TextSketchPropSpec extends AnyFunSuite {
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+  private val ws = Gen.nonEmptyListOf(Gen.oneOf(' ', '\t', '\n')).map(_.mkString)
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  private def cases[A](g: Gen[A], n: Int = 300)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  test("shingle count is max(words - n + 1, 1) for any text") {
+    cases(text) { s =>
+      val words = s.trim.split("\\s+").filter(_.nonEmpty).length.max(1)
+      val n = TextSketch.shingles(u(s), 3).numElements()
+      assert(n === math.max(words - 2, 1), s"text=[$s]")
+    }
+  }
+
+  test("shingles are whitespace-run and case invariant") {
+    cases(Gen.zip(text, ws)) { case (s, pad) =>
+      val messy = s.toUpperCase.replace(" ", pad)
+      val a = TextSketch.shingles(u(s), 3)
+      val b = TextSketch.shingles(u(messy), 3)
+      assert(a.numElements() === b.numElements(), s"text=[$s] pad=[$pad]")
+      (0 until a.numElements()).foreach { i =>
+        assert(a.getUTF8String(i) === b.getUTF8String(i))
+      }
+    }
+  }
+
+  test("minhash signature: always k longs, order-free over the word set") {
+    cases(Gen.nonEmptyListOf(word)) { words =>
+      val sig = TextSketch.minhashSig(
+        TextSketch.shingles(u(words.mkString(" ")), 1), 32)
+      assert(sig.numElements() === 32)
+      val rev = TextSketch.minhashSig(
+        TextSketch.shingles(u(words.reverse.mkString(" ")), 1), 32)
+      assert(sig.toLongArray.toSeq === rev.toLongArray.toSeq,
+        "min over a multiset ignores order")
+    }
+  }
+
+  test("winnow sketch is non-empty and a subset of the shingle hash set") {
+    cases(text) { s =>
+      if (s.trim.nonEmpty) {
+        val sketch = TextSketch.winnow(u(s), 3, 4).toLongArray.toSet
+        val all = TextSketch.shingleHashes(u(s), 3).toLongArray.toSet
+        assert(sketch.nonEmpty, s"text=[$s]")
+        assert(sketch.subsetOf(all), s"text=[$s]")
+      }
+    }
+  }
+
+  test("simhash is order-free over the token multiset") {
+    cases(Gen.nonEmptyListOf(word)) { words =>
+      val a = TextSketch.simhash64(TextSketch.shingles(u(words.mkString(" ")), 1))
+      val b = TextSketch.simhash64(TextSketch.shingles(u(words.reverse.mkString(" ")), 1))
+      assert(a === b)
+    }
+  }
+}
