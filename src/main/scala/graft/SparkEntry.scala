@@ -35,6 +35,7 @@ object SparkEntry {
     "q_fingerprint" -> (TextQueries.qFingerprint _),
     "q_dedup_exact" -> (TextQueries.qDedupExact _),
     "q_multimodal_features" -> (TextQueries.qMultimodalFeatures _),
+    "q_pack_sequences" -> (TextQueries.qPackSequences _),
     "q_sessionize" -> (EventQueries.qSessionize _),
     "q_window_tumbling" -> (EventQueries.qWindowTumbling _),
     "q_incremental_watermark" -> (EventQueries.qIncrementalWatermark _),
@@ -227,6 +228,17 @@ object SparkEntry {
         |  hex(substr(text, 1, 8)) AS header_hex,
         |  CAST((CAST(strlen(text) AS BIGINT) * 2654435761) % 1000 AS DOUBLE)/1000.0 AS fake_brightness
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, tokens,
+        |    SUM(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT CAST(FLOOR((cum - tokens) / 2048) AS BIGINT) AS pack_id,
+        |  COUNT(*) AS n_docs, SUM(tokens) AS total_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),

@@ -78,6 +78,23 @@ object TextQueries {
       .orderBy(col("fp"))
   }
 
+  /** Sequence packing: contiguous-fill documents into 2048-token budgets
+    * (whitespace tokens), then per-pack stats. See ops.Packing for the
+    * shard-parallel 100 TB form.
+    */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), wsTokenCount(col("text")).as("tokens"))
+    graft.ops.Packing.packSequences(d, col("tokens"), col("doc_id"), 2048L)
+      .groupBy(col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("pack_id"))
+  }
+
   /** Multimodal plumbing: treat the payload as opaque bytes with typed
     * metadata. Size/header come from real byte ops; `fake_brightness` is
     * the clearly-marked decode STUB (image/audio libs absent here) — the

@@ -2,10 +2,45 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ops.TextAnalysis._
-import graft.ops.Cleaning
+import graft.ops.{Cleaning, Packing}
 
 class TextAnalysisSpec extends SparkSpecBase {
   import spark.implicits._
+
+  test("sequence packing: contiguous fill respects the budget invariant") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), wsTokenCount(col("text")).as("tokens"))
+    val packed = Packing.packSequences(docs, col("tokens"), col("doc_id"), 512L)
+    // every doc lands in exactly one pack
+    assert(packed.count() === docs.count())
+    // pack ids are contiguous from 0
+    val ids = packed.select("pack_id").distinct()
+      .orderBy("pack_id").as[Long].collect()
+    assert(ids.toSeq === (0L until ids.length).toSeq)
+    // contiguous-fill invariant: a pack exceeds the budget only by its
+    // final document: total - last_doc_tokens < budget
+    val viol = packed.groupBy("pack_id")
+      .agg(sum("tokens").as("total"), max("doc_id").as("last_doc"))
+      .join(packed.select(col("doc_id").as("last_doc"), col("tokens").as("last_tokens")), "last_doc")
+      .filter(col("total") - col("last_tokens") >= 512L)
+      .count()
+    assert(viol === 0)
+  }
+
+  test("sharded packing never crosses shard boundaries") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), wsTokenCount(col("text")).as("tokens"),
+        (col("doc_id") % 4).as("shard"))
+    val packed = Packing.packSequences(docs, col("tokens"), col("doc_id"),
+      512L, shard = Some(col("shard")))
+    // within each shard, ids are contiguous from 0 — independent packings
+    val perShard = packed.groupBy("shard")
+      .agg(countDistinct("pack_id").as("n_packs"), max("pack_id").as("max_id"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("max_id") === r.getAs[Long]("n_packs") - 1)
+    }
+  }
 
   test("fingerprint is whitespace/case invariant") {
     val df = Seq("Hello   World", "hello world", "  hello world  ").toDF("t")
