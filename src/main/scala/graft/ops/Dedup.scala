@@ -97,9 +97,17 @@ object Dedup {
     * digests miss.
     */
   def winnowPairs(df: DataFrame, id: Column, text: Column,
-      w: Int = 4): DataFrame = {
-    val postings = df.select(id.as("doc_id"),
+      w: Int = 4, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val postings0 = df.select(id.as("doc_id"),
         explode(graft.functions.text.winnow(text, 3, w)).as("fp"))
+    // boilerplate fingerprints (templated phrases) would dominate the join
+    // quadratically; cap document frequency like the ngram inverted index
+    val postings =
+      if (maxDocFreq == Int.MaxValue) postings0
+      else postings0.join(
+        postings0.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq).select("fp"),
+        "fp")
     val a = postings.select(col("doc_id").as("doc_a"), col("fp"))
     val b = postings.select(col("doc_id").as("doc_b"), col("fp").as("__fp_b"))
     a.join(b, col("fp") === col("__fp_b") && col("doc_a") < col("doc_b"))
