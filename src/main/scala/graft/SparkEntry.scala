@@ -40,6 +40,7 @@ object SparkEntry {
     "q_window_tumbling" -> (EventQueries.qWindowTumbling _),
     "q_incremental_watermark" -> (EventQueries.qIncrementalWatermark _),
     "q_asof_attribution" -> (EventQueries.qAsofAttribution _),
+    "q_range_join" -> (EventQueries.qRangeJoin _),
     "q_knn_cosine" -> (SimilarityQueries.qKnnCosine _),
     "q_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
     "q_ann_lsh" -> (SimilarityQueries.qAnnLsh _),
@@ -274,6 +275,17 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.c_user AND p.purchase_ts >= c.click_ts
         |ORDER BY purchase_id""".stripMargin,
+    "q_range_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |    CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+        |    CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT click_id, purchase_id, user_id
+        |FROM c JOIN p ON user_id = p_user
+        |  AND click_ts >= p_ts - INTERVAL 1 HOUR AND click_ts < p_ts
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
         |    FROM embeddings WHERE vec_id < 10)

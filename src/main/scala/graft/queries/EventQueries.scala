@@ -60,6 +60,26 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Range join: every click inside the hour BEFORE each purchase of the
+    * same user ("pre-purchase window" attribution, many-to-many). The
+    * bucketized equi-join form — see ops.RangeJoin for why the naive
+    * inequality join degenerates to a nested loop.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("win_start"),
+        col("ts").as("win_end"))
+    graft.ops.RangeJoin.pointInInterval(clicks, purchases, "user_id",
+        col("click_ts"), col("win_start"), col("win_end"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** Attribution via as-of join: each purchase matched to the user's most
     * recent click at-or-before it. Clicks are pre-deduped to one per
     * (user, ts) so the match is deterministic; the oracle is DuckDB's

@@ -33,6 +33,29 @@ class AsOfSpec extends SparkSpecBase {
     assert(got.length === 4)
   }
 
+  test("range join equals the naive inequality join, including bucket-boundary points") {
+    import graft.ops.RangeJoin
+    val events = Seq(
+      (1L, 100L, ts(0)), (2L, 100L, ts(30)), (3L, 100L, ts(59)),
+      (4L, 200L, ts(10)), (5L, 100L, ts(5))
+    ).toDF("eid", "acct", "ets")
+    // intervals: one exactly bucket-aligned, one spanning buckets, one empty
+    val iv = Seq(
+      (10L, 100L, ts(0), ts(30)),   // [10:00, 10:30) — catches 1, 5
+      (11L, 100L, ts(29), ts(59)),  // spans buckets — catches 2 (30), 5? no (5<29)
+      (12L, 200L, ts(10), ts(10)),  // empty — catches nothing
+      (13L, 200L, ts(0), ts(60))    // catches 4
+    ).toDF("ivid", "acct", "s", "e")
+    val got = RangeJoin.pointInInterval(events, iv, "acct",
+        col("ets"), col("s"), col("e"), bucketMs = 15L * 60 * 1000)
+      .select("eid", "ivid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = events.join(iv, Seq("acct"))
+      .filter(col("ets") >= col("s") && col("ets") < col("e"))
+      .select("eid", "ivid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+    assert(got === Set((1L, 10L), (5L, 10L), (2L, 11L), (4L, 13L)))
+  }
+
   test("as-of join plans one shuffle, no quadratic join") {
     val trades = Seq((1L, 100L, ts(5))).toDF("trade_id", "acct", "trade_ts")
     val quotes = Seq((100L, ts(1), 10.0)).toDF("acct", "quote_ts", "px")
