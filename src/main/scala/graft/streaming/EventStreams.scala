@@ -33,6 +33,26 @@ object EventStreams {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream attribution join: clicks within the hour before each
+    * purchase of the same user, both sides unbounded streams. The
+    * time-interval join condition + watermarks let Spark BOUND the join
+    * state: a buffered click can be dropped once the purchase watermark
+    * passes click_ts + 1h, and vice versa — without the interval bound the
+    * state grows forever. The streaming twin of ops.RangeJoin /
+    * EventQueries.qRangeJoin.
+    *
+    * clicks: (click_id, user_id, click_ts); purchases: (purchase_id,
+    * p_user, p_ts) — sides pre-aliased so the join condition is unambiguous.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("click_ts", "1 hour")
+      .join(purchases.withWatermark("p_ts", "1 hour"),
+        expr("""user_id = p_user
+               |AND click_ts >= p_ts - INTERVAL 1 HOUR
+               |AND click_ts < p_ts""".stripMargin))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("p_ts"))
+
   /** Incremental JSONL bulk export — the streaming form of the reference's
     * Elasticsearch `_bulk` indexing (index_to_es.py): each micro-batch is
     * written as JSONL under `outDir/batch=<epoch>/` by every executor in

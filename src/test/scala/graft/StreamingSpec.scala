@@ -36,6 +36,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches clicks to in-window purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    clicks.addData((1L, 7L, ts(0)), (2L, 7L, ts(50)), (3L, 8L, ts(10)))
+    purchases.addData((100L, 7L, ts(30))) // catches click 1 (0 ≥ -30) not 2 (50 ≥ 30)
+    val q = EventStreams.attributionJoin(
+        clicks.toDF().toDF("click_id", "user_id", "click_ts"),
+        purchases.toDF().toDF("purchase_id", "p_user", "p_ts"))
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT click_id, purchase_id FROM attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 100L)))
+      // a later purchase catches the later click, same stream continues
+      purchases.addData((101L, 7L, Timestamp.valueOf("2024-01-01 11:20:00")))
+      q.processAllAvailable()
+      val got2 = spark.sql("SELECT click_id, purchase_id FROM attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 === Set((1L, 100L), (2L, 101L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch jsonl export writes every micro-batch's docs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
