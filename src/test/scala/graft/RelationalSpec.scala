@@ -58,6 +58,24 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
   }
 
+  test("typed Aggregator weighted mean matches the Column-level computation") {
+    import spark.implicits._
+    import graft.sources.Tables.LineItem
+    val ds = graft.sources.Tables.lineitemDS(spark, sfDir)
+    val wm = new graft.ops.TypedAggs.WeightedMean[LineItem](
+      _.l_extendedprice, _.l_quantity)
+    val typed = ds.groupByKey(_.l_returnflag)
+      .agg(wm.toColumn.name("wprice")).collect().toMap
+    val untyped = ds.toDF().groupBy("l_returnflag")
+      .agg((sum(col("l_extendedprice") * col("l_quantity")) /
+        sum(col("l_quantity"))).as("wprice"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(typed.keySet === untyped.keySet)
+    typed.foreach { case (k, v) =>
+      assert(math.abs(v - untyped(k)) <= 1e-9 * math.abs(v), s"flag $k")
+    }
+  }
+
   test("typed Dataset view matches the DataFrame plan and pushes filters") {
     val ds = graft.sources.Tables.lineitemDS(spark, sfDir)
     val typedCount = ds.filter(_.l_quantity > 30).count()
