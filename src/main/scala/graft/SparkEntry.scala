@@ -27,6 +27,7 @@ object SparkEntry {
     "q_top_spenders" -> (Relational.qTopSpenders _),
     "q_feature_extract" -> (Relational.qFeatureExtract _),
     "q_rollup_revenue" -> (Relational.qRollupRevenue _),
+    "q_cube_orders" -> (Relational.qCubeOrders _),
     "q_anti_customers" -> (Relational.qAntiCustomers _),
     "q_approx_profile" -> (Relational.qApproxProfile _),
     "q_lang_id" -> (TextQueries.qLangId _),
@@ -164,6 +165,13 @@ object SparkEntry {
         |FROM part
         |WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
         |ORDER BY p_partkey""".stripMargin,
+    "q_cube_orders" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_anti_customers" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer

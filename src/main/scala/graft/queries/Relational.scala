@@ -279,6 +279,23 @@ object Relational {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** CUBE over (market segment, order priority): all four grouping sets —
+    * every combination, each margin, and the grand total — in one
+    * aggregation pass (same grouping-sets machinery as ROLLUP, full
+    * cross-product of levels).
+    */
+  def qCubeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val o = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderpriority", "o_totalprice")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(decSum2(col("o_totalprice")).as("total_revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
   /** Sketch-based profile (the approximate path for interactive dashboards
     * over 100 TB): HyperLogLog distinct users + t-digest-style percentile
     * per event type. Both sketches are mergeable partial aggregates — one

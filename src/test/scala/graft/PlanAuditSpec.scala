@@ -49,6 +49,14 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!readSchema.contains("lang"), s"unused column read: $readSchema")
   }
 
+  test("range join plans an equi-join, never a nested loop") {
+    val plan = graft.queries.EventQueries.qRangeJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("Join"), "bucketized range join still joins")
+  }
+
   test("similarity sketch queries keep their single shuffle per side") {
     // buckets self-join: explode → one hash-partition exchange per side (the
     // sketch/bucket shape), never a range/cartesian fallback
