@@ -37,6 +37,7 @@ object SparkEntry {
     "q_dedup_exact" -> (TextQueries.qDedupExact _),
     "q_multimodal_features" -> (TextQueries.qMultimodalFeatures _),
     "q_pack_sequences" -> (TextQueries.qPackSequences _),
+    "q_corpus_funnel" -> (TextQueries.qCorpusFunnel _),
     "q_sessionize" -> (EventQueries.qSessionize _),
     "q_window_tumbling" -> (EventQueries.qWindowTumbling _),
     "q_incremental_watermark" -> (EventQueries.qIncrementalWatermark _),
@@ -237,6 +238,29 @@ object SparkEntry {
         |  hex(substr(text, 1, 8)) AS header_hex,
         |  CAST((CAST(strlen(text) AS BIGINT) * 2654435761) % 1000 AS DOUBLE)/1000.0 AS fake_brightness
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_funnel" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS s_en,
+        |    CAST(len(regexp_extract_all(text, '\b(le|la|les|de|et|une)\b')) AS BIGINT) AS s_fr,
+        |    CAST(len(regexp_extract_all(text, '\b(der|die|und|das|ist|ein)\b')) AS BIGINT) AS s_de,
+        |    CAST(len(regexp_extract_all(text, '\b(el|los|y|que|como|un)\b')) AS BIGINT) AS s_es,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |scored AS (SELECT doc_id, fp,
+        |    CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+        |         WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+        |         WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang,
+        |    0.4 * least(1.0, CAST(n_words AS DOUBLE)/200.0)
+        |    + 0.3 * (1.0 - least(1.0, (CAST(n_punct AS DOUBLE)/n_chars) * 5.0))
+        |    + 0.3 * least(1.0, (CAST(s_en AS DOUBLE)/n_words) * 4.0) AS quality
+        |  FROM s),
+        |kept AS (SELECT * FROM scored WHERE pred_lang = 'en' AND quality >= 0.5)
+        |SELECT doc_id, fp, pred_lang, quality FROM kept
+        |WHERE doc_id = (SELECT min(k.doc_id) FROM kept k WHERE k.fp = kept.fp)
+        |ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens

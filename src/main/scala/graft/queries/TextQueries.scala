@@ -78,6 +78,29 @@ object TextQueries {
       .orderBy(col("fp"))
   }
 
+  /** The end-to-end corpus-cleaning funnel: language filter → quality
+    * filter → exact dedup (keep smallest id per normal-form fingerprint) —
+    * the composition every training-data pipeline runs, as ONE declarative
+    * plan: a scan-side projection computes all signals in a single pass,
+    * one shuffle for the dedup group, one broadcast-able semi join back.
+    */
+  def qCorpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val scored = d.select(
+      col("doc_id"),
+      langPredict(col("text")).as("pred_lang"),
+      qualityScore(wsTokenCount(col("text")),
+        punctCount(col("text")).cast("double") / length(col("text")),
+        langScore(col("text"), "en").cast("double") / wsTokenCount(col("text")))
+        .as("quality"),
+      fingerprint(col("text")).as("fp"))
+    val kept = scored.filter(col("pred_lang") === "en" && col("quality") >= 0.5)
+    val keepers = kept.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    kept.join(keepers, Seq("fp", "doc_id"))
+      .select(col("doc_id"), col("fp"), col("pred_lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing: contiguous-fill documents into 2048-token budgets
     * (whitespace tokens), then per-pack stats. See ops.Packing for the
     * shard-parallel 100 TB form.
