@@ -165,6 +165,7 @@ object TextSketch {
 /** `word_shingles(text, n)`: array of word n-grams of the normalized text. */
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"word_shingles n must be >= 1, got $n")
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -182,6 +183,7 @@ case class WordShingles(child: Expression, n: Int)
 /** `word_shingle_hashes(text, n)`: distinct xxhash64 of each word n-gram. */
 case class WordShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"word_shingle_hashes n must be >= 1, got $n")
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -199,6 +201,7 @@ case class WordShingleHashes(child: Expression, n: Int)
 /** `winnow(text, n, w)`: winnowed k-gram fingerprint sketch. */
 case class Winnow(child: Expression, n: Int, w: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1 && w >= 1, s"winnow needs n >= 1 and w >= 1, got n=$n w=$w")
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -216,6 +219,7 @@ case class Winnow(child: Expression, n: Int, w: Int)
 /** `minhash_sig(shingles, k)`: k-long MinHash signature. */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"minhash_sig k must be >= 1, got $k")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
