@@ -4,9 +4,11 @@
 Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 Loads each <verifyOutDir>/<name>/ parquet (Spark output), runs the matching
 oracle SQL from oracle_sql.json in DuckDB with the sf tables registered by
-bare name, then compares: columns sorted by name, rows sorted, values exact
-(floats compared both exactly and with 1e-9 rel tolerance, reported
-separately so we know whether the strict hash would pass).
+bare name, then compares: columns sorted by name, ARROW TYPES equal (round-1
+lesson: the driver's hash is type-sensitive — value-equal DECIMAL(28,2) vs
+DECIMAL(38,2), or BIGINT vs HUGEINT, fail its hash), rows sorted, values
+exact (floats also reported with 1e-9 rel tolerance so we can distinguish
+hash-fail from genuine divergence).
 """
 import sys, os, json, glob, math
 import duckdb
@@ -18,16 +20,35 @@ def load_spark(con, d):
     return con.execute(
         f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
 
+def canon_type(t):
+    """Canonical type string; large_string==string, timestamp tz-insensitive
+    units kept (the driver hashes parquet-level logical types)."""
+    import pyarrow as pa
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{t.field(i).name}:{canon_type(t.field(i).type)}"
+                         for i in range(t.num_fields))
+        return f"struct<{inner}>"
+    return str(t)
+
 def norm(tbl):
     import pyarrow as pa
     cols = sorted(tbl.column_names)
+    types = {f.name: canon_type(f.type) for f in tbl.schema}
     rows = []
     data = {c: tbl.column(c).to_pylist() for c in cols}
     n = tbl.num_rows
     for i in range(n):
         rows.append(tuple(data[c][i] for c in cols))
     rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
-    return cols, rows
+    return cols, types, rows
 
 def cmp_val(a, b):
     if a is None or b is None:
@@ -67,10 +88,15 @@ def main(sf_dir, out_dir):
             duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
-        sc, sr = norm(spark_tbl)
-        dc, dr = norm(duck_tbl)
+        sc, st, sr = norm(spark_tbl)
+        dc, dt, dr = norm(duck_tbl)
         if sc != dc:
             print(f"FAIL {name}: columns {sc} vs {dc}"); n_fail += 1; continue
+        type_mismatch = {c: (st[c], dt[c]) for c in sc if st[c] != dt[c]}
+        if type_mismatch:
+            print(f"FAIL {name}: TYPE mismatch (driver hash-sensitive): "
+                  f"{type_mismatch}")
+            n_fail += 1; continue
         if len(sr) != len(dr):
             print(f"FAIL {name}: rows {len(sr)} vs {len(dr)}"); n_fail += 1; continue
         exact_bad = close_bad = 0

@@ -60,9 +60,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(32,6)) AS sum_disc_price,
         |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_price,
@@ -122,7 +122,7 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "q3_top_orders" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(32,6)) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -133,7 +133,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(32,6)) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -147,9 +147,9 @@ object SparkEntry {
     "q_top_spenders" ->
       """SELECT n_name, rank_in_nation, c_custkey, c_name, total_spent FROM (
         |  SELECT n_name, c_custkey, c_name,
-        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent,
-        |    row_number() OVER (PARTITION BY n_name
-        |      ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC, c_custkey) AS rank_in_nation
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_spent,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC, c_custkey) AS INT) AS rank_in_nation
         |  FROM orders
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
@@ -168,7 +168,7 @@ object SparkEntry {
         |ORDER BY p_partkey""".stripMargin,
     "q_cube_orders" ->
       """SELECT c_mktsegment, o_orderpriority,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_revenue,
         |  COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderpriority)
@@ -182,7 +182,7 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q_rollup_revenue" ->
       """SELECT r_name, n_name,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_revenue,
         |  COUNT(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -269,7 +269,7 @@ object SparkEntry {
         |    SUM(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t)
         |SELECT CAST(FLOOR((cum - tokens) / 2048) AS BIGINT) AS pack_id,
-        |  COUNT(*) AS n_docs, SUM(tokens) AS total_tokens,
+        |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin,
     "q_sessionize" ->
@@ -283,13 +283,13 @@ object SparkEntry {
         |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
         |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
         |FROM n GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
     "q_window_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
-        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_incremental_watermark" ->
       """SELECT user_id, COUNT(*) AS n_new_events,
