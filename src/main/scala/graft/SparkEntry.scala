@@ -333,5 +333,23 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // exact word-3gram Jaccard — same normalization as TextSketch.words
+    // (lower, trim, split \s+), whole-text shingle for docs < 3 words,
+    // Jaccard over DISTINCT shingles
+    "q_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(1, len(ws) - 2),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS sg
+        |  FROM w),
+        |p AS (SELECT doc_id, len(sg) AS n, unnest(sg) AS s FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        |HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.03
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -60,8 +60,19 @@ object Salting {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
 
+  /** Join types that survive exploding `other` ×salts: each skewed row still
+    * matches exactly its one salt copy. Right/full outer would emit every
+    * UNMATCHED `other` row `salts` times — wrong results, so rejected.
+    */
+  private val safeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "semi", "anti")
+
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
+    require(safeJoinTypes.contains(joinType.toLowerCase(java.util.Locale.ROOT)),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got '$joinType' " +
+        "(right/full outer would duplicate unmatched rows of the exploded side)")
     val s = skewed.withColumn("__salt",
       pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
     val o = other.withColumn("__salt",

@@ -63,9 +63,14 @@ object Dedup {
     df.withColumn("simhash",
       graft.functions.text.simhash64(graft.functions.text.wordShingles(text, 1)))
 
-  /** SimHash near-dup candidates: bucket on 16-bit chunks (two docs within
-    * hamming distance ≤ 3·16 of each other share a chunk by pigeonhole for
-    * distance < 4 chunks differing); verify with exact bit_count(xor).
+  /** SimHash near-dup candidates: bucket on the four 16-bit chunks, verify
+    * with exact bit_count(xor). The pigeonhole guarantee is hamming < 4
+    * ONLY (fewer differing bits than chunks forces a shared chunk); pairs at
+    * hamming 4..maxHamming are found iff their differing bits happen to
+    * leave some chunk untouched — candidate recall degrades as hamming
+    * approaches maxHamming. Bucketing more/overlapping chunks would close
+    * that gap at the cost of more candidates; for near-dup detection the
+    * interesting pairs sit well below hamming 4 anyway.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       maxHamming: Int = 12): DataFrame = {

@@ -10,28 +10,77 @@ import org.apache.spark.sql.functions._
   * Contiguous-fill strategy: documents in a deterministic order get a
   * running token total; `pack_id = floor((cumsum - tokens) / budget)` —
   * i.e. a doc opens a new pack when the previous docs already filled the
-  * current budget. Single window over one global ordering. Simple, stable,
-  * and (unlike first-fit-decreasing) expressible as one window — bit-exact
-  * on any engine.
+  * current budget. Simple, stable, and (unlike first-fit-decreasing)
+  * expressible declaratively — bit-exact on any engine.
   *
-  * Scale note: a single global ordering means ONE range-partitioned sort at
-  * 100 TB — heavy but standard (it's a terasort). When global pack numbering
-  * isn't required, pass a `shard` column: packing runs per shard (e.g. per
-  * ingest partition), the sort becomes per-shard, and pack ids are
-  * (shard, local id) — embarrassingly parallel. Docs larger than the budget
-  * get a pack of their own (the formula handles it naturally).
+  * Scale design — the global running sum is TWO-PHASE, never a
+  * single-partition window (Spark's unpartitioned `WindowExec` moves ALL
+  * rows to one task):
+  *   1. rows get an order-preserving bucket id from sampled quantiles of
+  *      the order column (bucket boundaries affect only load balance,
+  *      never the output);
+  *   2. a per-bucket window computes the local running sum — parallel
+  *      across `buckets` tasks, one hash shuffle;
+  *   3. per-bucket token totals (tiny: ≤ `buckets` rows, partial-agg
+  *      combined) are collected, prefix-scanned on the driver (bounded
+  *      model data, same pattern as the IVF centroid matrix), and
+  *      broadcast-joined back as offsets: `cum = local_cum + offset`.
+  * When global pack numbering isn't required, pass a `shard` column
+  * instead: packing runs per shard and is embarrassingly parallel with no
+  * driver step at all. Docs larger than the budget get a pack of their own
+  * (the formula handles it naturally).
   */
 object Packing {
 
   /** Adds `pack_id` (0-based) + `cum_tokens` under contiguous-fill order by
-    * `orderCol`.
+    * `orderCol`. For the global path (no shard) `orderCol` must be a unique
+    * numeric column (ids): quantile sampling needs numeric, uniqueness makes
+    * the running sum deterministic.
     */
   def packSequences(df: DataFrame, tokens: Column, orderCol: Column,
-      budget: Long, shard: Option[Column] = None): DataFrame = {
-    val w0 = shard.map(Window.partitionBy(_)).getOrElse(Window.partitionBy())
-    val w = w0.orderBy(orderCol).rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn("cum_tokens", sum(tokens).over(w))
-      .withColumn("pack_id",
-        floor((col("cum_tokens") - tokens) / budget).cast("long"))
+      budget: Long, shard: Option[Column] = None,
+      buckets: Int = 64): DataFrame = shard match {
+    case Some(s) =>
+      val w = Window.partitionBy(s).orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      df.withColumn("cum_tokens", sum(tokens).over(w))
+        .withColumn("pack_id",
+          floor((col("cum_tokens") - tokens) / budget).cast("long"))
+
+    case None =>
+      val spark = df.sparkSession
+      val t = df.withColumn("__tok", tokens.cast("long"))
+        .withColumn("__ord", orderCol)
+      // 1. order-preserving buckets from sampled quantiles. Boundaries are
+      // approximate: only parallelism depends on them, not the result.
+      val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+      val cuts = t.stat.approxQuantile("__ord", probs, 0.01)
+        .distinct.sorted
+      val bucketOf = cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(col("__ord") > lit(c), 1).otherwise(0)
+      }
+      val bucketed = t.withColumn("__b", bucketOf)
+      // 3. bucket totals → driver prefix scan → broadcast offsets.
+      // (Computed from the pre-window frame so the aggregation is a cheap
+      // partial-combined scan, not a second pass over shuffled rows.)
+      val totals = bucketed.groupBy(col("__b"))
+        .agg(sum(col("__tok")).as("__btot"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy(_._1)
+      val offsets = totals.map(_._1)
+        .zip(totals.scanLeft(0L)(_ + _._2).dropRight(1))
+      val offDf = spark.createDataFrame(offsets.toSeq)
+        .toDF("__b", "__off")
+      // 2. per-bucket running sum: parallel window, one hash shuffle.
+      val w = Window.partitionBy(col("__b")).orderBy(col("__ord"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      bucketed
+        .withColumn("cum_tokens", sum(col("__tok")).over(w))
+        .join(broadcast(offDf), Seq("__b"))
+        .withColumn("cum_tokens", col("cum_tokens") + col("__off"))
+        .withColumn("pack_id",
+          floor((col("cum_tokens") - col("__tok")) / budget).cast("long"))
+        .drop("__b", "__off", "__tok", "__ord")
   }
 }

@@ -24,9 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * remain the only shuffles.
   */
 object TextSketch {
-  /** Normalized word list: lowercase, trim, split on whitespace runs. */
+  /** Normalized word list: lowercase, trim, split on whitespace runs.
+    * Locale.ROOT: the default-locale overload is locale-sensitive (tr/az
+    * executors lowercase 'I' to dotless 'ı'), which would silently diverge
+    * from Spark's lower() and the DuckDB oracle — and between executors.
+    */
   private def words(t: UTF8String): Array[String] =
-    t.toString.toLowerCase.trim.split("\\s+")
+    t.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
 
   /** Word n-gram shingles joined by ' '; docs shorter than n words collapse
     * to one whole-text shingle (parity with the SQL formulation the oracle
@@ -85,15 +89,19 @@ object TextSketch {
     val m = arr.numElements()
     var i = 0
     while (i < m) {
-      val s = arr.getUTF8String(i)
-      val h1 = XXH64.hashUTF8String(s, 42L)
-      val h2 = XXH64.hashUTF8String(s, 1L)
-      var j = 0
-      var g = h1
-      while (j < k) {
-        if (g < sig(j)) sig(j) = g
-        g += h2
-        j += 1
+      // input arrays from SQL may carry null elements; a null shingle
+      // contributes nothing rather than NPE-ing the executor
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = XXH64.hashUTF8String(s, 42L)
+        val h2 = XXH64.hashUTF8String(s, 1L)
+        var j = 0
+        var g = h1
+        while (j < k) {
+          if (g < sig(j)) sig(j) = g
+          g += h2
+          j += 1
+        }
       }
       i += 1
     }
@@ -143,12 +151,14 @@ object TextSketch {
     val m = arr.numElements()
     var i = 0
     while (i < m) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUTF8String(s, 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUTF8String(s, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }

@@ -23,16 +23,22 @@ abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInput
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  // dimension mismatch (malformed embedding) yields NULL, not a truncated
+  // plausible-but-wrong similarity — corrupt data must fail loudly
+  override def nullable: Boolean = true
 }
 
-/** Cosine similarity of two float vectors (0.0 if either has zero norm). */
+/** Cosine similarity of two float vectors (0.0 if either has zero norm,
+  * NULL on dimension mismatch).
+  */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends VectorBinaryExpression {
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       val xi = x.getFloat(i).toDouble
@@ -50,15 +56,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double xi = (double) $a.getFloat($i);
-         |  double yi = (double) $b.getFloat($i);
-         |  $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double xi = (double) $a.getFloat($i);
+         |    double yi = (double) $b.getFloat($i);
+         |    $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
+         |  }
+         |  ${ev.value} = ($nx == 0.0 || $ny == 0.0)
+         |    ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
-         |${ev.value} = ($nx == 0.0 || $ny == 0.0)
-         |  ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 
@@ -67,14 +77,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Dot product of two float vectors. */
+/** Dot product of two float vectors (NULL on dimension mismatch). */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var i = 0
     while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     dot
@@ -86,12 +97,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

@@ -57,6 +57,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("Join"), "bucketized range join still joins")
   }
 
+  test("global sequence packing never plans an unpartitioned window") {
+    // Spark's unpartitioned WindowExec moves every row to ONE task — the
+    // round-1 scale-killer. The two-phase cumulative sum must only emit
+    // windows partitioned by the bucket column.
+    val df = TextQueries.qPackSequences(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "packing should still use a window for the per-bucket cumsum")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window (single-task cumsum) in packing plan:\n$w")
+    }
+  }
+
   test("similarity sketch queries keep their single shuffle per side") {
     // buckets self-join: explode → one hash-partition exchange per side (the
     // sketch/bucket shape), never a range/cartesian fallback
