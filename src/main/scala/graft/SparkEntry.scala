@@ -22,6 +22,9 @@ object SparkEntry {
     "q_clean_cast" -> (Relational.qCleanCast _),
     "q_dedup_keeplast" -> (Relational.qDedupKeepLast _),
     "q_doc_export" -> (Relational.qDocExport _),
+    "q_doc_export_geo" -> (Relational.qDocExportGeo _),
+    "q_nested_join" -> (Relational.qNestedJoin _),
+    "q_regression" -> (Relational.qRegression _),
     "q3_top_orders" -> (Relational.q3TopOrders _),
     "q5_region_revenue" -> (Relational.q5RegionRevenue _),
     "q_top_spenders" -> (Relational.qTopSpenders _),
@@ -120,6 +123,55 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY o_orderkey""".stripMargin,
+    // nested pin.location struct via struct_pack; hot docs emitted twice
+    // (main + hot index) so the export row count exceeds the input's
+    "q_doc_export_geo" ->
+      """WITH base AS (
+        |  SELECT 'ord_' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+        |    o_orderkey, c_name,
+        |    struct_pack(location := struct_pack(
+        |        lat := CAST(c_custkey % 180 - 90 AS DOUBLE),
+        |        lon := CAST(c_custkey % 360 - 180 AS DOUBLE)),
+        |      geo_name := n_name) AS pin,
+        |    o_totalprice,
+        |    o_orderpriority LIKE '1-%' AS hot
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT doc_id, o_orderkey, c_name, pin, o_totalprice,
+        |  'orders-all' AS es_index FROM base
+        |UNION ALL
+        |SELECT doc_id, o_orderkey, c_name, pin, o_totalprice,
+        |  'orders-hot' AS es_index FROM base WHERE hot
+        |ORDER BY o_orderkey, es_index""".stripMargin,
+    "q_nested_join" ->
+      """WITH listings AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    struct_pack(zipcode := c_nationkey, segment := c_mktsegment) AS location
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT o_orderkey, location, n_name AS zip_name, o_totalprice
+        |FROM listings JOIN nation ON location.zipcode = n_nationkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // exact-domain sums (BIGINT/DECIMAL), closed-form double arithmetic
+    // written in the same shape as the Spark query → bit-exact
+    "q_regression" ->
+      """WITH f AS (SELECT
+        |    CASE WHEN p_partkey % 5 = 0 THEN 'test' ELSE 'train' END AS split,
+        |    CAST(p_size AS BIGINT) AS x,
+        |    CAST(p_retailprice AS DECIMAL(18,2)) AS y
+        |  FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+        |a AS (SELECT split, COUNT(*) AS n_rows,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(x*y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(y*y) AS DOUBLE) AS syy
+        |  FROM f GROUP BY split)
+        |SELECT split, n_rows AS n,
+        |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+        |  (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept,
+        |  ((n*sxy - sx*sy) * (n*sxy - sx*sy))
+        |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2
+        |FROM a ORDER BY split""".stripMargin,
     "q3_top_orders" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(32,6)) AS revenue

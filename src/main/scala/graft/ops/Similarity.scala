@@ -186,13 +186,18 @@ object Similarity {
       .withColumn("__probe",
         explode(slice(reverse(sort_array(cellScores(col("q_emb")))), 1, nProbe)))
       .select(col("query_id"), col("q_emb"), col("__probe.cell").as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("id"))
+    // Per-query top-k via the bounded-heap `topk` aggregate (same plan as
+    // knnBruteForceTopK): partial aggregation caps the shuffle at
+    // k·partitions rows per query, instead of moving every scored candidate
+    // through a window sort.
     assigned.join(broadcast(probes), "cell")
       .filter(col("id") =!= col("query_id"))
-      .withColumn("cos", cosineSim(col("q_emb"), col("emb")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.vectors.topk(
+        cosineSim(col("q_emb"), col("emb")), col("id"), k).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        (col("__pos") + 1).cast("long").as("rank"))
   }
 }

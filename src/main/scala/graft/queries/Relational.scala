@@ -296,6 +296,104 @@ object Relational {
         col("o_orderpriority").asc_nulls_first)
   }
 
+  /** Reference geo-point document assembly + dual-index fan-out
+    * (index_to_es.py:247-268): every exported doc carries a nested
+    * `pin.location.{lat,lon}` struct, and hot-route docs ("Paris" analog:
+    * priority '1-…') are emitted TWICE — once into the main index and once
+    * into the dedicated hot index — so the export has MORE rows than its
+    * input. The fan-out is a scan-side generator (explode over a 1- or
+    * 2-element literal array): no shuffle, no second pass; at 100 TB the
+    * duplicate rows are produced inside the same map task that builds the
+    * doc. Coordinates are derived deterministically from the key (the
+    * testdata has no geo columns); the struct-assembly plumbing is the
+    * point.
+    */
+  def qDocExportGeo(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      // struct assembly staged through withColumn: field names come from
+      // resolved attributes/aliases (the one-shot select form loses inner
+      // aliases to the generator rewrite → anonymous col1 fields)
+      .withColumn("lat", (col("c_custkey") % 180 - 90).cast("double"))
+      .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double"))
+      .withColumn("location", struct(col("lat"), col("lon")))
+      .withColumn("geo_name", col("n_name"))
+      .withColumn("pin", struct(col("location"), col("geo_name")))
+      .select(
+        concat(lit("ord_"), col("o_orderkey")).as("doc_id"),
+        col("o_orderkey"), col("c_name"), col("pin"), col("o_totalprice"),
+        explode(
+          when(col("o_orderpriority").startsWith("1-"),
+            array(lit("orders-all"), lit("orders-hot")))
+            .otherwise(array(lit("orders-all")))).as("es_index"))
+      .orderBy(col("o_orderkey"), col("es_index"))
+  }
+
+  /** Reference nested-field join key (compute_usage.py:70-76 joins on
+    * `location.zipcode`): listings carry their geo attributes as a nested
+    * struct, and the enrichment join keys on a FIELD of that struct. Spark
+    * resolves `location.zipcode` to a GetStructField, the dim side is
+    * broadcast, and nested schema pruning keeps unread struct fields out of
+    * the scan (pinned in PlanAuditSpec against a parquet-backed nested
+    * frame).
+    */
+  def qNestedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      struct(col("c_nationkey").as("zipcode"),
+        col("c_mktsegment").as("segment")).as("location"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val listings = o.join(c, o("o_custkey") === c("c_custkey"))
+    val dim = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    listings.join(broadcast(dim), col("location.zipcode") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("location"),
+        col("n_name").as("zip_name"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Closed-form least-squares price regression (ML_ROADMAP.md Phase 2-3):
+    * slope/intercept/r² of target_price on the size feature, per split —
+    * the normal equations reduced to six mergeable aggregates (n, Σx, Σx²,
+    * Σy, Σxy, Σy²), i.e. ONE partial-aggregated shuffle of six numbers per
+    * group regardless of corpus size. Every sum runs in an exact domain
+    * (long / decimal) and only the final closed-form arithmetic is IEEE
+    * double, written identically in the oracle → bit-exact across engines
+    * and partitionings.
+    */
+  def qRegression(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.part(spark, dir)
+      .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
+      .select(
+        when(col("p_partkey") % 5 === 0, lit("test")).otherwise(lit("train")).as("split"),
+        col("p_size").cast("long").as("x"),
+        col("p_retailprice").cast(DecimalType(18, 2)).as("y"))
+    val a = f.groupBy(col("split")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("x")).as("sx_e"),
+      sum(col("x") * col("x")).as("sxx_e"),
+      sum(col("y")).as("sy_e"),
+      sum(col("x") * col("y")).as("sxy_e"),
+      sum(col("y") * col("y")).as("syy_e"))
+    val n = col("n_rows").cast("double")
+    val sx = col("sx_e").cast("double")
+    val sxx = col("sxx_e").cast("double")
+    val sy = col("sy_e").cast("double")
+    val sxy = col("sxy_e").cast("double")
+    val syy = col("syy_e").cast("double")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a.select(col("split"), col("n_rows").as("n"),
+        slope.as("slope"),
+        ((sy - slope * sx) / n).as("intercept"),
+        (((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+          ((n * sxx - sx * sx) * (n * syy - sy * sy))).as("r2"))
+      .orderBy(col("split"))
+  }
+
   /** Sketch-based profile (the approximate path for interactive dashboards
     * over 100 TB): HyperLogLog distinct users + t-digest-style percentile
     * per event type. Both sketches are mergeable partial aggregates — one

@@ -37,6 +37,17 @@ object Datalake {
   def readJsonl(spark: SparkSession, p: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(p)
 
+  /** Multiline JSON-array ingestion — the reference's raw layer stores one
+    * JSON ARRAY per fetch (lbc_fetcher.py writes the whole API response),
+    * not JSONL. `multiLine` makes Spark parse each FILE as one JSON value
+    * and explode top-level arrays into rows. Scale note: multiline JSON is
+    * not splittable (one file = one task), which matches the raw-fetch
+    * shape (many small files, parallelism across files); the formatted
+    * layer re-writes as parquet/JSONL for splittable downstream reads.
+    */
+  def readJsonArray(spark: SparkSession, p: String, schema: StructType): DataFrame =
+    spark.read.option("multiLine", "true").schema(schema).json(p)
+
   /** Write a formatted/usage layer as snappy parquet, optionally
     * partitioned (ingest_date, geo prefix, …) for downstream pruning.
     */

@@ -22,6 +22,30 @@ class DatalakeSpec extends SparkSpecBase {
       docs.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("multiline JSON-array file reads one row per array element") {
+    val tmp = Files.createTempDirectory("graft-jsonarr").toString
+    // the reference's raw layer: one pretty-printed JSON ARRAY per fetch
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/fetch1.json"),
+      """[
+        |  {"id": 1, "name": "a", "price": 10.5},
+        |  {"id": 2, "name": "b",
+        |   "price": 20.0},
+        |  {"id": 3, "name": "c", "price": null}
+        |]""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("price", DoubleType)))
+    val back = Datalake.readJsonArray(spark, s"$tmp/fetch1.json", schema)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+    assert(back.toSeq === Seq((1L, "a", Some(10.5)), (2L, "b", Some(20.0)),
+      (3L, "c", None)))
+    // the same file through the JSONL reader loses rows (the per-line parser
+    // can't see records spanning lines) → the array reader is load-bearing
+    val asJsonl = Datalake.readJsonl(spark, s"$tmp/fetch1.json", schema)
+    assert(asJsonl.filter(col("id").isNotNull).count() < 3)
+  }
+
   test("csv read with schema coerces malformed cells to null") {
     val tmp = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Paths.get(s"$tmp/in.csv"),

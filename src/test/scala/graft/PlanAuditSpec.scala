@@ -72,6 +72,40 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("nested-field join key: broadcast + nested schema pruning from parquet") {
+    // the reference joins on location.zipcode (a struct FIELD). Pin that a
+    // parquet-backed nested frame (a) broadcast-joins on the field and
+    // (b) prunes unread struct fields out of the scan (nestedSchemaPruning).
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"),
+        struct(col("c_nationkey").as("zipcode"),
+          col("c_mktsegment").as("segment")).as("location"),
+        col("c_name"))
+      .write.mode("overwrite").parquet(tmp)
+    val listings = spark.read.parquet(tmp)
+    val dim = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val j = listings
+      .join(broadcast(dim), col("location.zipcode") === col("n_nationkey"))
+      .select(col("c_custkey"), col("location.zipcode").as("zip"), col("n_name"))
+    val plan = executed(j)
+    assert(plan.contains("BroadcastHashJoin"), s"nested key not broadcast:\n$plan")
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchema.contains("zipcode"), s"struct field not read: $readSchema")
+    assert(!readSchema.contains("segment") && !readSchema.contains("c_name"),
+      s"nested schema pruning failed — unread fields in scan: $readSchema")
+  }
+
+  test("geo export fan-out generates rows scan-side (no extra shuffle)") {
+    val df = Relational.qDocExportGeo(spark, sfDir)
+    val plan = executed(df)
+    assert(plan.contains("Generate"), s"explode fan-out missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"nation dim not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("similarity sketch queries keep their single shuffle per side") {
     // buckets self-join: explode → one hash-partition exchange per side (the
     // sketch/bucket shape), never a range/cartesian fallback

@@ -101,6 +101,68 @@ class RelationalSpec extends SparkSpecBase {
     // sf0.001 may legitimately have zero
   }
 
+  test("geo export fans hot docs into two indices and builds the pin struct") {
+    val out = Relational.qDocExportGeo(spark, sfDir)
+    val rows = out.collect()
+    val base = Relational.qDocExport(spark, sfDir)
+    val nHot = base.filter(col("routing") === "hot").count()
+    val nAll = base.count()
+    // dual-index fan-out: output EXCEEDS input by exactly the hot-doc count
+    assert(rows.length === nAll + nHot)
+    assert(out.filter(col("es_index") === "orders-hot").count() === nHot)
+    // nested struct assembled with the right field path and ranges
+    rows.take(50).foreach { r =>
+      val pin = r.getAs[org.apache.spark.sql.Row]("pin")
+      val loc = pin.getAs[org.apache.spark.sql.Row]("location")
+      val lat = loc.getAs[Double]("lat"); val lon = loc.getAs[Double]("lon")
+      assert(lat >= -90 && lat < 90 && lon >= -180 && lon < 180)
+      assert(pin.getAs[String]("geo_name").nonEmpty)
+    }
+  }
+
+  test("nested-field join keys on location.zipcode and matches the flat join") {
+    val nested = Relational.qNestedJoin(spark, sfDir)
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val n = spark.read.parquet(s"$sfDir/nation.parquet")
+    val flat = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey")).count()
+    assert(nested.count() === flat)
+    // the struct survives the join intact
+    val r = nested.limit(1).collect().head
+    val loc = r.getAs[org.apache.spark.sql.Row]("location")
+    assert(loc.schema.fieldNames.toSeq === Seq("zipcode", "segment"))
+  }
+
+  test("closed-form regression matches a direct least-squares computation") {
+    val out = Relational.qRegression(spark, sfDir).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Double]("slope"), r.getAs[Double]("intercept"), r.getAs[Double]("r2")))
+      .toMap
+    assert(out.keySet === Set("train", "test"))
+    // recompute naively on the driver for each split
+    val pts = spark.read.parquet(s"$sfDir/part.parquet")
+      .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
+      .select(col("p_partkey"), col("p_size").cast("double"),
+        col("p_retailprice"))
+      .collect()
+      .map(r => (if (r.getLong(0) % 5 == 0) "test" else "train",
+        r.getDouble(1), r.getDouble(2)))
+    out.foreach { case (split, (slope, intercept, r2)) =>
+      val xs = pts.filter(_._1 == split)
+      val n = xs.length.toDouble
+      val mx = xs.map(_._2).sum / n; val my = xs.map(_._3).sum / n
+      val cov = xs.map(p => (p._2 - mx) * (p._3 - my)).sum
+      val vx = xs.map(p => (p._2 - mx) * (p._2 - mx)).sum
+      val expSlope = cov / vx
+      assert(math.abs(slope - expSlope) <= 1e-6 * math.max(1.0, math.abs(expSlope)),
+        s"$split slope $slope vs $expSlope")
+      assert(math.abs((intercept + slope * mx) - my) <= 1e-6 * math.max(1.0, math.abs(my)),
+        s"$split intercept/mean identity")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$split r2=$r2")
+    }
+  }
+
   test("dedup keep-last keeps exactly one row per key, the latest") {
     val out = Relational.qDedupKeepLast(spark, sfDir)
     val dupKeys = out.groupBy("user_id", "event_type").count()
