@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventQueries, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{CorpusQueries, EventQueries, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -54,6 +54,12 @@ object SparkEntry {
     "q_simhash" -> (SimilarityQueries.qSimhash _),
     "q_winnow_neardup" -> (SimilarityQueries.qWinnowNearDup _),
     "q_ngram_jaccard" -> (SimilarityQueries.qNgramJaccard _),
+    "q_decontaminate" -> (CorpusQueries.qDecontaminate _),
+    "q_sample_stratified" -> (CorpusQueries.qSampleStratified _),
+    "q_source_mix" -> (CorpusQueries.qSourceMix _),
+    "q_chunk_windows" -> (CorpusQueries.qChunkWindows _),
+    "q_pii_scrub" -> (CorpusQueries.qPiiScrub _),
+    "q_repetition_filter" -> (CorpusQueries.qRepetitionFilter _),
   )
 
   /** DuckDB-dialect equivalents over the same bare table names.
@@ -403,5 +409,85 @@ object SparkEntry {
         |GROUP BY a.doc_id, b.doc_id, a.n, b.n
         |HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.03
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // eval set = every 50th doc; contamination = any shared word 8-gram
+    // (same normalization as the jaccard oracle)
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(1, len(ws) - 7),
+        |        i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+        |          ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]) END) AS sg
+        |  FROM w),
+        |ev AS (SELECT DISTINCT unnest(sg) AS g FROM sh WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, unnest(sg) AS g FROM sh WHERE doc_id % 50 <> 0),
+        |hits AS (SELECT tr.doc_id, count(DISTINCT tr.g) AS n_shared
+        |  FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+        |  COALESCE(h.n_shared, CAST(0 AS BIGINT)) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 50 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, source, substring(md5(text), 1, 3) AS samp_key
+        |FROM documents
+        |WHERE substring(md5(text), 1, 3) <
+        |  (CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 2 = 0
+        |    THEN '800' ELSE '333' END)
+        |ORDER BY doc_id""".stripMargin,
+    "q_source_mix" ->
+      """WITH per AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM per)
+        |SELECT source, n_docs, tokens,
+        |  CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+        |  CAST(FLOOR(1000000 * tokens / total_tokens) AS BIGINT) AS token_budget
+        |FROM per CROSS JOIN t ORDER BY source""".stripMargin,
+    // DuckDB list_slice end is INCLUSIVE (start-1+len), unlike Spark's
+    // slice(start, length)
+    "q_chunk_windows" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |t AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+        |c AS (SELECT doc_id, ws, n,
+        |    unnest(generate_series(0, greatest((n-1)//48, 0))) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx*48 AS BIGINT) AS chunk_start,
+        |  CAST(least(64, n - chunk_idx*48) AS BIGINT) AS chunk_len,
+        |  array_to_string(list_slice(ws, chunk_idx*48 + 1,
+        |    chunk_idx*48 + least(64, n - chunk_idx*48)), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_pii_scrub" ->
+      """SELECT event_id,
+        |  regexp_replace(props, '\d+', '[NUM]', 'g') AS props_clean,
+        |  CAST(len(regexp_extract_all(props, '\d+')) AS BIGINT) AS n_redacted
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_repetition_filter" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+        |  FROM w),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 2
+        |    THEN [array_to_string(ws, ' ')]
+        |    ELSE list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i]||' '||ws[i+1]) END) AS b
+        |  FROM w),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+        |bt AS (SELECT doc_id, MAX(c) AS top_bigram_n,
+        |    CAST(SUM(c) AS BIGINT) AS n_bigrams FROM bc GROUP BY doc_id)
+        |SELECT d.doc_id, n_words, n_distinct,
+        |  1.0 - CAST(n_distinct AS DOUBLE)/CAST(n_words AS DOUBLE) AS dup_word_ratio,
+        |  CAST(top_bigram_n AS DOUBLE)/CAST(n_bigrams AS DOUBLE) AS top_bigram_frac,
+        |  (1.0 - CAST(n_distinct AS DOUBLE)/CAST(n_words AS DOUBLE)) <= 0.95
+        |    AND CAST(top_bigram_n AS DOUBLE)/CAST(n_bigrams AS DOUBLE) <= 0.18 AS keep
+        |FROM d JOIN bt ON d.doc_id = bt.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

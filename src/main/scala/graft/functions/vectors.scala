@@ -42,4 +42,7 @@ object text {
 
   /** 64-bit SimHash of a token array. */
   def simhash64(tokens: Column): Column = TextColumns.simhash64(tokens)
+
+  /** Fraction of agreeing positions of two signatures (MinHash est. Jaccard). */
+  def sigAgreement(a: Column, b: Column): Column = TextColumns.sigAgreement(a, b)
 }

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators — the steps between "cleaned documents"
+  * and "training batches" in a large-scale LLM data pipeline: benchmark
+  * decontamination, stratified sampling, source mixing, window chunking,
+  * PII scrubbing, repetition-based quality filtering.
+  *
+  * All are declarative Column plans. Scale shapes:
+  *  - decontamination is the one join (inverted index on shingle identity;
+  *    the eval side is tiny → broadcast);
+  *  - sampling/scrubbing/chunking are pure per-row projections — zero
+  *    shuffle, embarrassingly parallel;
+  *  - mixing aggregates to one row per source (partial-agg shuffle of a
+  *    handful of counters) and broadcasts the 1-row total back;
+  *  - repetition stats shuffle only (doc_id, bigram) pairs, keyed by doc.
+  */
+object Corpus {
+
+  /** Benchmark decontamination (the published-eval-overlap check used for
+    * LLM training sets): flag training documents that share any word n-gram
+    * with an evaluation set. Join keys are the distinct 64-bit shingle
+    * hashes (8-byte shuffle keys; a hash collision at 2^-64 is noise), the
+    * eval side is expected to be tiny (benchmarks) → broadcast, so the
+    * training corpus streams through map-side at 100 TB.
+    *
+    * Returns every train row with `n_shared` (distinct contaminating
+    * n-grams) and `contaminated`.
+    */
+  def decontaminate(train: DataFrame, eval_ : DataFrame, id: Column,
+      text: Column, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = df.select(id.as("doc_id"),
+        explode(graft.functions.text.wordShingleHashes(text, n)).as("g"))
+    val hits = grams(train)
+      .join(broadcast(grams(eval_).select(col("g")).distinct()), "g")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("n_shared"))
+    train.select(id.as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("n_shared") > 0, lit(false)).as("contaminated"))
+  }
+
+  /** Deterministic stratified sampling: a row is kept iff the first three
+    * hex chars of md5(text) fall below its stratum's threshold — a pure
+    * per-row predicate (no shuffle, no RNG state, identical on any engine
+    * and any partitioning; re-runs select the same rows). `rateKey3` maps a
+    * stratum to a 3-hex-digit cutoff: '800' ≈ 50 %, '333' ≈ 20 %.
+    */
+  def sampleStratified(df: DataFrame, text: Column, rateKey3: Column): DataFrame =
+    df.withColumn("samp_key", substring(md5(text), 1, 3))
+      .filter(col("samp_key") < rateKey3)
+
+  /** Source-mixing table: per-source document/token counts and an exact
+    * proportional token-budget allocation. All arithmetic stays in exact
+    * integer domains (floor(B·tokens/total) in BIGINT); only the reported
+    * `share` is a final double division of two exact longs. The grand
+    * total is a 1-row aggregate broadcast back — never an unpartitioned
+    * window.
+    */
+  def sourceMix(df: DataFrame, source: Column, tokens: Column,
+      budget: Long): DataFrame = {
+    val per = df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("tokens"))
+    val total = per.agg(sum(col("tokens")).as("total_tokens"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("share"),
+        floor(lit(budget) * col("tokens") / col("total_tokens")).cast("long")
+          .as("token_budget"))
+  }
+
+  /** Chunk documents into fixed-size training windows with overlap: window
+    * of `size` whitespace tokens every `stride` tokens (stride < size →
+    * overlapping windows, the usual LM pretraining shape). Scan-side
+    * generator — one explode, no shuffle; a doc shorter than `size` yields
+    * its single (possibly short) window.
+    */
+  def chunkWindows(df: DataFrame, id: Column, text: Column,
+      winSize: Int, stride: Int): DataFrame = {
+    require(winSize >= 1 && stride >= 1 && stride <= winSize,
+      s"need 1 <= stride <= winSize, got winSize=$winSize stride=$stride")
+    val ws = split(trim(text), "\\s+")
+    val len = least(lit(winSize), col("n_tokens") - col("chunk_idx") * stride)
+    df.select(id.as("doc_id"), ws.as("__ws"), size(ws).as("n_tokens"))
+      .select(col("doc_id"), col("__ws"), col("n_tokens"),
+        explode(sequence(lit(0),
+          greatest(floor((col("n_tokens") - 1) / stride), lit(0)).cast("int")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("chunk_start"),
+        len.cast("long").as("chunk_len"),
+        array_join(slice(col("__ws"), col("chunk_idx") * stride + 1, len), " ")
+          .as("chunk_text"))
+  }
+
+  /** PII-style scrubbing: redact every match of `pattern` with `tag` and
+    * report the per-row redaction count. Pure projection (regexp_replace +
+    * regexp_extract_all are codegen'd) — zero shuffle at any scale. The
+    * pattern set here is the mechanical stand-in for email/phone/SSN
+    * patterns (the testdata carries digit payloads, not synthetic PII).
+    */
+  def scrub(df: DataFrame, target: Column, pattern: String,
+      tag: String): DataFrame =
+    df.withColumn("n_redacted",
+        size(regexp_extract_all(target, lit(pattern), lit(0))).cast("long"))
+      .withColumn("clean", regexp_replace(target, pattern, tag))
+
+  /** Gopher-style repetition statistics per document: duplicate-word ratio
+    * (1 - distinct/total) and most-frequent-bigram fraction. Word
+    * distinctness is a per-row array op (zero shuffle); the bigram mode
+    * needs a real distributed count — explode → count per (doc, bigram) →
+    * max per doc, everything keyed by doc_id (two partial-agg shuffles,
+    * no row ever leaves its doc's key space).
+    */
+  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = graft.functions.text.wordShingles(text, 1)
+    val perDoc = df.select(id.as("doc_id"),
+      size(words).cast("long").as("n_words"),
+      size(array_distinct(words)).cast("long").as("n_distinct"))
+    val topBigram = df
+      .select(id.as("doc_id"),
+        explode(graft.functions.text.wordShingles(text, 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    perDoc.join(topBigram, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double"))
+          .as("dup_word_ratio"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"))
+  }
+}

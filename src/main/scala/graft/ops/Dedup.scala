@@ -50,8 +50,10 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (expr("aggregate(zip_with(a.__sig, b.__sig, (x, y) -> IF(x = y, 1, 0)), " +
-          "0, (acc, v) -> acc + v)").cast("double") / k).as("est_jaccard"))
+        // codegen'd position-agreement (the HOF zip_with/aggregate form runs
+        // interpreted per element per candidate pair)
+        graft.functions.text.sigAgreement(col("a.__sig"), col("b.__sig"))
+          .as("est_jaccard"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
   }

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Corpus
+import graft.sources.Tables
+
+/** Corpus-construction queries (ops.Corpus over the driver testdata) — the
+  * training-set assembly stages downstream of cleaning: decontamination,
+  * sampling, mixing, chunking, scrubbing, repetition filtering.
+  */
+object CorpusQueries {
+
+  /** Decontaminate the training split against a deterministic "benchmark"
+    * subset (every 50th doc plays the eval set): any shared word 8-gram
+    * flags the training doc. Output covers every train doc so the clean
+    * majority is visible too.
+    */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val eval_ = d.filter(col("doc_id") % 50 === 0)
+    val train = d.filter(col("doc_id") % 50 =!= 0)
+    Corpus.decontaminate(train, eval_, col("doc_id"), col("text"), n = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stratified deterministic sampling: even-numbered sources keep ~50 %,
+    * odd-numbered ~20 %, selected by the md5(text) hex prefix — stable
+    * across runs, engines and partitionings.
+    */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val rate = when(
+      regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2 === 0,
+      lit("800")).otherwise(lit("333"))
+    Corpus.sampleStratified(d, col("text"), rate)
+      .select(col("doc_id"), col("source"), col("samp_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Source-mixing table: per-source doc/token counts, corpus share, and an
+    * exact 1M-token budget allocation.
+    */
+  def qSourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Corpus.sourceMix(d, col("source"),
+        graft.ops.TextAnalysis.wsTokenCount(col("text")), budget = 1000000L)
+      .orderBy(col("source"))
+  }
+
+  /** Chunk every document into 64-token windows with stride 48 (16-token
+    * overlap) — the LM pretraining window shape.
+    */
+  def qChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    Corpus.chunkWindows(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), winSize = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Scrub digit runs out of the event payloads (the mechanical stand-in
+    * for PII patterns) and count redactions per event.
+    */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    Corpus.scrub(Tables.events(spark, dir), col("props"), "\\d+", "[NUM]")
+      .select(col("event_id"), col("clean").as("props_clean"), col("n_redacted"))
+      .orderBy(col("event_id"))
+
+  /** Repetition-based quality stats per document (Gopher-style): duplicate
+    * word ratio + most-frequent-bigram fraction, with a keep flag.
+    */
+  def qRepetitionFilter(spark: SparkSession, dir: String): DataFrame =
+    Corpus.repetitionStats(Tables.documents(spark, dir),
+        col("doc_id"), col("text"))
+      .withColumn("keep",
+        col("dup_word_ratio") <= 0.95 && col("top_bigram_frac") <= 0.18)
+      .orderBy(col("doc_id"))
+}

@@ -89,6 +89,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case args => throw new IllegalArgumentException(
           s"simhash64 expects 1 argument, got ${args.length}")
       })
+    reg(ext, "sig_agreement",
+      "sig_agreement(a, b) - fraction of agreeing positions of two long arrays.", {
+        case Seq(a, b) => SigAgreement(a, b)
+        case args => throw new IllegalArgumentException(
+          s"sig_agreement expects 2 arguments, got ${args.length}")
+      })
     reg(ext, "topk",
       "topk(score, id, k) - aggregate: k highest (score,id) pairs, sorted desc.", {
         case Seq(s, i, k) =>

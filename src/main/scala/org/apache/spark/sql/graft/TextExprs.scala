@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -261,6 +261,54 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** `sig_agreement(a, b)`: fraction of agreeing positions of two equal-length
+  * long signatures — the MinHash Jaccard estimate. Codegen'd (the
+  * `aggregate(zip_with(...))` HOF formulation runs interpreted per element
+  * per candidate pair). NULL on length mismatch or empty signatures, so
+  * malformed sketches fail loudly rather than skewing dedup decisions.
+  */
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements() || n == 0) return null
+    var agree = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) agree += 1; i += 1 }
+    agree.toDouble / n
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val agree = ctx.freshName("agree")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements() || $n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $agree = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.getLong($i) == $b.getLong($i)) $agree++;
+         |  }
+         |  ${ev.value} = (double) $agree / $n;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextColumns {
   def wordShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
@@ -276,4 +324,8 @@ object TextColumns {
 
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+
+  def sigAgreement(a: Column, b: Column): Column =
+    ExpressionUtils.column(SigAgreement(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

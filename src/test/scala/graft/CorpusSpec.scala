@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Corpus
+import graft.queries.CorpusQueries
+
+class CorpusSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("decontaminate flags exactly the docs sharing an n-gram with eval") {
+    val eval_ = Seq((100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "completely unrelated text about spark query planning here"),
+      // contains the eval 8-gram "the quick brown fox jumps over the lazy"
+      (2L, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(train, eval_, col("doc_id"), col("text"), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
+  test("stratified sample is deterministic and near its target rates") {
+    val a = CorpusQueries.qSampleStratified(spark, "/root/testdata/sf0.01")
+    val b = CorpusQueries.qSampleStratified(spark, "/root/testdata/sf0.01")
+    assert(a.collect().toSeq === b.collect().toSeq, "sampling must be stable")
+    val bySrcParity = a
+      .withColumn("par", regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2)
+      .groupBy("par").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 250 docs per parity at sf0.01: even ≈ 50%, odd ≈ 20%
+    assert(bySrcParity(0) > 95 && bySrcParity(0) < 155, s"even rate off: $bySrcParity")
+    assert(bySrcParity(1) > 25 && bySrcParity(1) < 75, s"odd rate off: $bySrcParity")
+  }
+
+  test("source mix: shares sum to 1, budgets never exceed the total") {
+    val rows = CorpusQueries.qSourceMix(spark, "/root/testdata/sf0.01").collect()
+    val shares = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-9)
+    val budgets = rows.map(_.getAs[Long]("token_budget")).sum
+    assert(budgets <= 1000000L && budgets > 1000000L - rows.length,
+      s"floor allocation must lose < 1 token per source, got $budgets")
+  }
+
+  test("chunk windows tile every token with the configured overlap") {
+    val df = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Corpus.chunkWindows(df, col("doc_id"), col("text"), 64, 48)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.length === 3) // starts 0, 48, 96
+    assert(chunks.map(_.getAs[Long]("chunk_start")).toSeq === Seq(0L, 48L, 96L))
+    assert(chunks.map(_.getAs[Long]("chunk_len")).toSeq === Seq(64L, 52L, 4L))
+    val first = chunks.head.getAs[String]("chunk_text").split(" ")
+    assert(first.head === "w1" && first.last === "w64" && first.length === 64)
+    val last = chunks.last.getAs[String]("chunk_text").split(" ")
+    assert(last.toSeq === Seq("w97", "w98", "w99", "w100"))
+  }
+
+  test("scrub redacts every digit run and counts them") {
+    val out = CorpusQueries.qPiiScrub(spark, sfDir)
+    assert(out.filter(col("props_clean").rlike("\\d")).count() === 0,
+      "digits survived scrubbing")
+    assert(out.filter(col("n_redacted") >= 1).count() > 0)
+  }
+
+  test("repetition stats catch a degenerate doc and pass a normal one") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "a genuinely varied document with many different words inside"))
+      .toDF("doc_id", "text")
+    val out = Corpus.repetitionStats(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("dup_word_ratio"), r.getAs[Double]("top_bigram_frac")))
+      .toMap
+    assert(out(1L)._1 === 0.9 && out(1L)._2 === 1.0) // 10 words, 1 distinct
+    assert(out(2L)._1 === 0.0 && out(2L)._2 < 0.2)
+  }
+
+  test("sig_agreement: exact fraction, null on length mismatch") {
+    val df = Seq((Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 4L)))
+      .toDF("a", "b")
+    val v = df.select(graft.functions.text.sigAgreement(col("a"), col("b")))
+      .collect().head.getDouble(0)
+    assert(v === 0.75)
+    val mism = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+      .select(graft.functions.text.sigAgreement(col("a"), col("b")))
+      .collect().head
+    assert(mism.isNullAt(0), "length mismatch must yield NULL")
+  }
+}
