@@ -46,6 +46,7 @@ object SparkEntry {
     "q_incremental_watermark" -> (EventQueries.qIncrementalWatermark _),
     "q_asof_attribution" -> (EventQueries.qAsofAttribution _),
     "q_range_join" -> (EventQueries.qRangeJoin _),
+    "q_salted_join" -> (EventQueries.qSaltedJoin _),
     "q_knn_cosine" -> (SimilarityQueries.qKnnCosine _),
     "q_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
     "q_ann_lsh" -> (SimilarityQueries.qAnnLsh _),
@@ -376,6 +377,15 @@ object SparkEntry {
         |FROM c JOIN p ON user_id = p_user
         |  AND click_ts >= p_ts - INTERVAL 1 HOUR AND click_ts < p_ts
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // oracle = the UNSALTED join: salting must be invisible in the result
+    "q_salted_join" ->
+      """WITH stats AS (SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS type_avg
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, COALESCE(value, 0.0) AS value, type_avg,
+        |  COALESCE(value, 0.0) > type_avg AS above_avg
+        |FROM events e JOIN stats USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
         |    FROM embeddings WHERE vec_id < 10)

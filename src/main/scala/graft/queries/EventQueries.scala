@@ -80,6 +80,31 @@ object EventQueries {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Enrichment join on a PATHOLOGICALLY skewed key: `event_type` has 5
+    * values over the whole table, so an unsalted shuffle join can use at
+    * most 5 reducers no matter how many executors exist. The salted form
+    * (ops.Salting) turns each hot key into `salts` even partitions; the
+    * stats side is exploded ×salts and hinted shuffle_hash so the salt
+    * actually governs partitioning (a broadcast would hide the
+    * demonstration — and at 100 TB the non-fact side isn't always
+    * broadcastable). Results are identical to the plain join: the oracle
+    * is the unsalted SQL.
+    */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stats = e.groupBy(col("event_type"))
+      .agg(decAvg(col("value")).as("type_avg"))
+    graft.ops.Salting.saltedJoin(
+        e.select(col("event_id"), col("event_type"), col("value")),
+        stats.hint("shuffle_hash"),
+        "event_type", salts = 8)
+      .select(col("event_id"), col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value"),
+        col("type_avg"),
+        (coalesce(col("value"), lit(0.0)) > col("type_avg")).as("above_avg"))
+      .orderBy(col("event_id"))
+  }
+
   /** Attribution via as-of join: each purchase matched to the user's most
     * recent click at-or-before it. Clicks are pre-deduped to one per
     * (user, ts) so the match is deterministic; the oracle is DuckDB's

@@ -106,6 +106,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("salted join shuffles on (key, salt), not broadcast") {
+    // if Spark broadcast the stats side the salt would be decorative:
+    // the whole point is that the 5-key fact side repartitions on
+    // (event_type, __salt) = 40 even partitions instead of 5 hot ones
+    val df = graft.queries.EventQueries.qSaltedJoin(spark, sfDir)
+    val plan = executed(df)
+    assert(plan.contains("ShuffledHashJoin"), s"salted join not shuffled:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"stats side broadcast — salt is decorative:\n$plan")
+    assert(plan.contains("__salt"), s"salt key missing from join:\n$plan")
+  }
+
   test("similarity sketch queries keep their single shuffle per side") {
     // buckets self-join: explode → one hash-partition exchange per side (the
     // sketch/bucket shape), never a range/cartesian fallback
