@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.streaming.CorpusStreams
+
+class CorpusStreamSpec extends SparkSpecBase {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  test("AvailableNow backfill drains a multi-file backlog in bounded batches") {
+    val dir = Files.createTempDirectory("graft-backfill")
+    // 3 identical files = a backlog; maxFilesPerTrigger=1 → ≥3 micro-batches
+    (1 to 3).foreach { i =>
+      Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+        dir.resolve(s"drop$i.parquet"))
+    }
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val batches = new AtomicInteger(0)
+    val rows = new AtomicLong(0L)
+    val maxBatchRows = new AtomicLong(0L)
+    val q = CorpusStreams.readDocFiles(spark, dir.toString, docSchema, 1)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-backfill-ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val n = batch.count()
+        if (n > 0) {
+          batches.incrementAndGet()
+          rows.addAndGet(n)
+          maxBatchRows.getAndUpdate(m => math.max(m, n))
+        }
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must terminate on its own")
+    assert(rows.get() === 3 * nDocs, "backfill must process every file exactly once")
+    assert(batches.get() >= 3, s"rate limit ignored: ${batches.get()} batches")
+    assert(maxBatchRows.get() <= nDocs,
+      s"a micro-batch exceeded one file: ${maxBatchRows.get()}")
+  }
+
+  test("streaming clean agrees with the batch funnel signals on the same docs") {
+    val dir = Files.createTempDirectory("graft-cleanstream")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val q = CorpusStreams.cleanDocs(
+        CorpusStreams.readDocFiles(spark, dir.toString, docSchema, 10))
+      .writeStream.format("memory").queryName("clean_docs").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("clean_docs")
+        .select("doc_id", "pred_lang", "quality", "fp")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3)))
+        .toMap
+      // batch reference: the funnel BEFORE its dedup stage
+      val batch = CorpusStreams.cleanDocs(
+          graft.sources.Tables.documents(spark, sfDir))
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3)))
+        .toMap
+      assert(streamed === batch)
+      assert(batch.nonEmpty, "clean set must be non-trivial")
+    } finally q.stop()
+  }
+}
