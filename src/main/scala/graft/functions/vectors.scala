@@ -45,4 +45,7 @@ object text {
 
   /** Fraction of agreeing positions of two signatures (MinHash est. Jaccard). */
   def sigAgreement(a: Column, b: Column): Column = TextColumns.sigAgreement(a, b)
+
+  /** All text signals (lang scores, token/punct counts) in one char pass. */
+  def textStats(text: Column): Column = TextColumns.textStats(text)
 }

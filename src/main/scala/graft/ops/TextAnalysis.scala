@@ -21,23 +21,30 @@ object TextAnalysis {
     */
   def fingerprint(c: Column): Column = md5(normText(c))
 
-  /** Whitespace token count. */
-  def wsTokenCount(c: Column): Column =
-    size(split(trim(c), "\\s+")).cast("long")
+  /** All signal accessors below project fields off the single-pass codegen
+    * TextStats struct (org.apache.spark.sql.graft.TextExprs). The regex
+    * formulations they replaced (kept in `langMarkers` + the oracle SQL,
+    * which still uses them) cost one full text scan PER signal; identical
+    * `text_stats(c)` calls in one projection are evaluated once per row by
+    * whole-stage codegen's subexpression elimination, so a query reading
+    * all seven signals pays ONE character pass.
+    */
+  private def stats(c: Column): Column = graft.functions.text.textStats(c)
+
+  /** Whitespace token count (= size(split(trim(c), '\s+'))). */
+  def wsTokenCount(c: Column): Column = stats(c).getField("ws_tokens")
 
   /** BPE-ish token count: letter runs, digit runs, single punctuation —
     * a cheap proxy for subword tokenizer load (no vocab needed).
     */
-  def bpeTokenCount(c: Column): Column =
-    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+  def bpeTokenCount(c: Column): Column = stats(c).getField("bpe_tokens")
 
   /** Punctuation character count. */
-  def punctCount(c: Column): Column =
-    regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("long")
+  def punctCount(c: Column): Column = stats(c).getField("n_punct")
 
   /** Stopword-profile scores per language: count whole-word marker hits.
-    * N-gram-free language ID that is one regex scan per language — at scale
-    * this is a single projection, no shuffle.
+    * N-gram-free language ID in the same single scan — no shuffle, no
+    * extra pass per language.
     */
   val langMarkers: Seq[(String, String)] = Seq(
     "en" -> "\\b(the|and|of|to|in|is)\\b",
@@ -45,8 +52,10 @@ object TextAnalysis {
     "de" -> "\\b(der|die|und|das|ist|ein)\\b",
     "es" -> "\\b(el|los|y|que|como|un)\\b")
 
-  def langScore(c: Column, lang: String): Column =
-    regexp_count(c, lit(langMarkers.toMap.apply(lang))).cast("long")
+  def langScore(c: Column, lang: String): Column = {
+    require(langMarkers.toMap.contains(lang), s"unknown lang $lang")
+    stats(c).getField(s"s_$lang")
+  }
 
   /** Argmax with fixed priority order en > fr > de > es on ties. */
   def langPredict(c: Column): Column = {

@@ -89,6 +89,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case args => throw new IllegalArgumentException(
           s"simhash64 expects 1 argument, got ${args.length}")
       })
+    reg(ext, "text_stats",
+      "text_stats(text) - struct of all per-doc text signals in one pass.", {
+        case Seq(t) => TextStats(t)
+        case args => throw new IllegalArgumentException(
+          s"text_stats expects 1 argument, got ${args.length}")
+      })
     reg(ext, "sig_agreement",
       "sig_agreement(a, b) - fraction of agreeing positions of two long arrays.", {
         case Seq(a, b) => SigAgreement(a, b)

@@ -143,6 +143,97 @@ object TextSketch {
     new GenericArrayData(out)
   }
 
+  /** All per-document text signals in ONE character pass (the regex
+    * formulation pays one full scan per signal — 4 language scores + word +
+    * punct + bpe counts = 7 scans per row). Semantics replicate the exact
+    * Java-regex behavior of the SQL formulations the oracles use:
+    *  - lang scores: `\b(w1|w2|…)\b` whole-word matches, case-sensitive,
+    *    ASCII `\w` = [A-Za-z0-9_] (so a marker word inside a \w-run does
+    *    not count, and any non-\w char is a boundary);
+    *  - ws_tokens: `size(split(trim(s), '\s+'))` — trim strips 0x20 only
+    *    (Spark's trim), Java split keeps leading/trailing empty fields for
+    *    non-space whitespace at the ends, empty input gives one field;
+    *  - n_punct: chars outside [A-Za-z0-9] and Java `\s`;
+    *  - bpe_tokens: letter runs + digit runs + punct chars.
+    */
+  def textStats(t: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = t.toString
+    @inline def isWs(c: Char) = c == ' ' || c == '\t' || c == '\n' ||
+      c == '\u000B' || c == '\f' || c == '\r'
+    @inline def isLetter(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    @inline def isDigit(c: Char) = c >= '0' && c <= '9'
+    @inline def isWord(c: Char) = isLetter(c) || isDigit(c) || c == '_'
+
+    // ws token count over the space-trimmed view
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    var wsTokens = 0L
+    if (b == e) wsTokens = 1L
+    else {
+      var i = b
+      var inRun = false
+      while (i < e) {
+        val ws = isWs(s.charAt(i))
+        if (!ws && !inRun) { wsTokens += 1; inRun = true }
+        else if (ws) inRun = false
+        i += 1
+      }
+      if (isWs(s.charAt(b))) wsTokens += 1
+      if (isWs(s.charAt(e - 1))) wsTokens += 1
+    }
+
+    var punct = 0L; var bpe = 0L
+    var sEn = 0L; var sFr = 0L; var sDe = 0L; var sEs = 0L
+    val n = s.length
+
+    @inline def runEq(a: Int, end: Int, w: String): Boolean = {
+      if (end - a != w.length) return false
+      var i = 0
+      while (i < w.length) {
+        if (s.charAt(a + i) != w.charAt(i)) return false
+        i += 1
+      }
+      true
+    }
+    def scoreRun(a: Int, end: Int): Unit = {
+      if (runEq(a, end, "the") || runEq(a, end, "and") || runEq(a, end, "of") ||
+        runEq(a, end, "to") || runEq(a, end, "in") || runEq(a, end, "is")) sEn += 1
+      if (runEq(a, end, "le") || runEq(a, end, "la") || runEq(a, end, "les") ||
+        runEq(a, end, "de") || runEq(a, end, "et") || runEq(a, end, "une")) sFr += 1
+      if (runEq(a, end, "der") || runEq(a, end, "die") || runEq(a, end, "und") ||
+        runEq(a, end, "das") || runEq(a, end, "ist") || runEq(a, end, "ein")) sDe += 1
+      if (runEq(a, end, "el") || runEq(a, end, "los") || runEq(a, end, "y") ||
+        runEq(a, end, "que") || runEq(a, end, "como") || runEq(a, end, "un")) sEs += 1
+    }
+
+    var i = 0
+    var wordStart = -1
+    var letterRun = false
+    var digitRun = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWord(c)) { if (wordStart < 0) wordStart = i }
+      else if (wordStart >= 0) { scoreRun(wordStart, i); wordStart = -1 }
+      if (isLetter(c)) {
+        if (!letterRun) bpe += 1
+        letterRun = true; digitRun = false
+      } else if (isDigit(c)) {
+        if (!digitRun) bpe += 1
+        digitRun = true; letterRun = false
+      } else {
+        letterRun = false; digitRun = false
+        if (!isWs(c)) { punct += 1; bpe += 1 }
+      }
+      i += 1
+    }
+    if (wordStart >= 0) scoreRun(wordStart, n)
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sEn, sFr, sDe, sEs, wsTokens, bpe, punct))
+  }
+
   /** 64-bit SimHash over a token array: per-token xxhash64, ±1 vote per
     * bit, sign of the vote sum becomes the bit.
     */
@@ -261,6 +352,35 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** `text_stats(text)`: all per-document text signals in one character pass —
+  * struct(s_en, s_fr, s_de, s_es, ws_tokens, bpe_tokens, n_punct), each the
+  * exact value of the corresponding regex formulation. Consumers project
+  * fields off ONE shared call; whole-stage codegen's subexpression
+  * elimination evaluates it once per row however many fields are read.
+  */
+case class TextStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("s_en", LongType, nullable = false),
+    StructField("s_fr", LongType, nullable = false),
+    StructField("s_de", LongType, nullable = false),
+    StructField("s_es", LongType, nullable = false),
+    StructField("ws_tokens", LongType, nullable = false),
+    StructField("bpe_tokens", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false)))
+
+  override def nullSafeEval(t: Any): Any =
+    TextSketch.textStats(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextSketch.textStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
 /** `sig_agreement(a, b)`: fraction of agreeing positions of two equal-length
   * long signatures — the MinHash Jaccard estimate. Codegen'd (the
   * `aggregate(zip_with(...))` HOF formulation runs interpreted per element
@@ -328,4 +448,7 @@ object TextColumns {
   def sigAgreement(a: Column, b: Column): Column =
     ExpressionUtils.column(SigAgreement(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def textStats(text: Column): Column =
+    ExpressionUtils.column(TextStats(ExpressionUtils.expression(text)))
 }

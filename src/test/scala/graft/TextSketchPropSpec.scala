@@ -74,4 +74,44 @@ class TextSketchPropSpec extends AnyFunSuite {
       assert(a === b)
     }
   }
+
+  test("textStats single pass equals every regex formulation it replaced") {
+    import java.util.regex.Pattern
+    val langs = Seq(
+      "\\b(the|and|of|to|in|is)\\b", "\\b(le|la|les|de|et|une)\\b",
+      "\\b(der|die|und|das|ist|ein)\\b", "\\b(el|los|y|que|como|un)\\b")
+      .map(Pattern.compile)
+    val punctP = Pattern.compile("[^A-Za-z0-9\\s]")
+    val bpeP = Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+    def count(p: Pattern, s: String): Long = {
+      val m = p.matcher(s); var n = 0L; while (m.find()) n += 1; n
+    }
+    // adversarial alphabet: marker words, marker substrings inside words,
+    // underscores (\w but "punct"), digits, mixed whitespace, punctuation
+    val token = Gen.oneOf(
+      word, Gen.oneOf("the", "de", "und", "los", "une", "is", "y"),
+      Gen.oneOf("theory", "then", "in_x", "de2", "_the_", "42", "a-b", "c'est"),
+      Gen.oneOf("!", "...", "a,b", "(x)"))
+    val messy = Gen.zip(
+      Gen.listOf(Gen.zip(token,
+        Gen.oneOf(" ", "  ", "\t", "\n", " \t "))),
+      Gen.oneOf("", " ", "\t", "  "))
+      .map { case (ps, lead) => lead + ps.map(p => p._1 + p._2).mkString }
+    cases(messy, n = 500) { s =>
+      val st = TextSketch.textStats(u(s))
+      langs.zipWithIndex.foreach { case (p, i) =>
+        assert(st.getLong(i) === count(p, s), s"lang $i text=[$s]")
+      }
+      val trimmed = {
+        var b = 0; var e = s.length
+        while (b < e && s.charAt(b) == ' ') b += 1
+        while (e > b && s.charAt(e - 1) == ' ') e -= 1
+        s.substring(b, e)
+      }
+      assert(st.getLong(4) === trimmed.split("\\s+", -1).length.toLong,
+        s"ws_tokens text=[$s]")
+      assert(st.getLong(5) === count(bpeP, s), s"bpe text=[$s]")
+      assert(st.getLong(6) === count(punctP, s), s"punct text=[$s]")
+    }
+  }
 }
