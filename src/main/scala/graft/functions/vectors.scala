@@ -20,6 +20,14 @@ object vectors {
     */
   def topk(score: Column, id: Column, k: Int): Column =
     org.apache.spark.sql.graft.TopKColumns.topk(score, id, k)
+
+  /** Per-vector symmetric int8 quantization: struct<scale, q binary> —
+    * the 4x-smaller storage format for an embedding column at 100 TB.
+    */
+  def quantize(emb: Column): Column = VectorColumns.quantize(emb)
+
+  /** Inverse of [[quantize]] (up to ≤ scale/2 per-element rounding). */
+  def dequantize(q: Column): Column = VectorColumns.dequantize(q)
 }
 
 /** Public face of the codegen'd text-sketch expressions

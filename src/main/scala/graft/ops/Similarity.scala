@@ -55,6 +55,34 @@ object Similarity {
       .select(col("query_id"), col("__e.id").as("neighbor_id"),
         (col("__pos") + 1).cast("long").as("rank"))
 
+  /** Quantize an embedding column for storage: struct<scale float, q binary>
+    * is dim+4 bytes per vector vs 4·dim for the float array — the 4x IO
+    * reduction that makes a 100 TB embedding store scannable. Pure
+    * projection (codegen'd), typically applied once at write time.
+    */
+  def quantizeCorpus(corpus: DataFrame): DataFrame =
+    corpus.withColumn("qemb", graft.functions.vectors.quantize(col("emb")))
+      .drop("emb")
+
+  /** kNN served directly from the int8-quantized corpus: vectors are
+    * dequantized on the fly inside the scan projection and scored with the
+    * same codegen cosine + bounded-heap top-k as the float path — the scan
+    * reads a quarter of the bytes; ranking error is O(1/127) per cosine, so
+    * recall vs the float kNN is near-perfect.
+    */
+  def knnQuantized(qcorpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    qcorpus.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.vectors.topk(
+        cosineSim(col("q_emb"),
+          graft.functions.vectors.dequantize(col("qemb"))), col("id"), k)
+        .as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        (col("__pos") + 1).cast("long").as("rank"))
+
   /** Deterministic random hyperplanes: `bands` bands × `bits` bits each.
     * Fixed seed → the signature function is stable across runs/executors.
     */

@@ -59,6 +59,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case args => throw new IllegalArgumentException(
           s"vec_dot expects 2 arguments, got ${args.length}")
       })
+    reg(ext, "vec_quantize",
+      "vec_quantize(emb) - per-vector symmetric int8 quantization.", {
+        case Seq(a) => VecQuantize(a)
+        case args => throw new IllegalArgumentException(
+          s"vec_quantize expects 1 argument, got ${args.length}")
+      })
+    reg(ext, "vec_dequantize",
+      "vec_dequantize(q) - int8 struct back to a float array.", {
+        case Seq(a) => VecDequantize(a)
+        case args => throw new IllegalArgumentException(
+          s"vec_dequantize expects 1 argument, got ${args.length}")
+      })
     reg(ext, "word_shingles",
       "word_shingles(text, n) - word n-grams of the normalized text.", {
         case Seq(t, n) => WordShingles(t, intArg("word_shingles", n))

@@ -115,6 +115,93 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernels for int8 embedding quantization — 4x smaller storage/IO
+  * for a 100 TB embedding store, with per-vector symmetric scaling
+  * (scale = max|x|/127; error per element ≤ scale/2).
+  */
+object VectorKernels {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def quantize(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    var maxAbs = 0f
+    var i = 0
+    while (i < n) {
+      val a = math.abs(arr.getFloat(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = maxAbs / 127f
+    val q = new Array[Byte](n)
+    if (scale > 0f) {
+      i = 0
+      while (i < n) {
+        q(i) = math.round(arr.getFloat(i) / scale).toByte
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](scale, q))
+  }
+
+  def dequantize(row: InternalRow): ArrayData = {
+    val scale = row.getFloat(0)
+    val q = row.getBinary(1)
+    val out = new Array[Any](q.length)
+    var i = 0
+    while (i < q.length) { out(i) = q(i) * scale; i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `vec_quantize(emb)`: per-vector symmetric int8 quantization →
+  * struct<scale float, q binary> (dim + 4 bytes vs 4·dim — the storage
+  * format for an embedding column at 100 TB; round-trip error per element
+  * is ≤ scale/2, cosine error O(1/127)).
+  */
+case class VecQuantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", FloatType, nullable = false),
+    StructField("q", BinaryType, nullable = false)))
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.quantize(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.VectorKernels.quantize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecQuantize =
+    copy(child = newChild)
+}
+
+/** `vec_dequantize(qstruct)`: int8 → float array (inverse of vec_quantize
+  * up to the ≤ scale/2 per-element rounding).
+  */
+case class VecDequantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StructType(Seq(
+    StructField("scale", FloatType, nullable = false),
+    StructField("q", BinaryType, nullable = false))))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.dequantize(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.VectorKernels.dequantize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecDequantize =
+    copy(child = newChild)
+}
+
 object VectorColumns {
   /** `cosine_sim(a, b)` as a Column (codegen'd, double-accumulated). */
   def cosineSim(a: Column, b: Column): Column =
@@ -125,4 +212,12 @@ object VectorColumns {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** `vec_quantize(emb)` as a Column. */
+  def quantize(emb: Column): Column =
+    ExpressionUtils.column(VecQuantize(ExpressionUtils.expression(emb)))
+
+  /** `vec_dequantize(q)` as a Column. */
+  def dequantize(q: Column): Column =
+    ExpressionUtils.column(VecDequantize(ExpressionUtils.expression(q)))
 }

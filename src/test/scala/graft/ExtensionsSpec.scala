@@ -68,6 +68,23 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("cap"), s"wrong error: ${err.getMessage}")
   }
 
+  test("text_stats, sig_agreement, vec_quantize round-trip from SQL") {
+    val r = spark.sql(
+      """SELECT text_stats('the cat and the dog!').s_en AS en,
+        |       text_stats('le chat  et la mer').s_fr AS fr,
+        |       text_stats(' a b  c ').ws_tokens AS wt,
+        |       sig_agreement(array(1L, 2L, 3L, 4L), array(1L, 2L, 9L, 4L)) AS sa,
+        |       vec_dequantize(vec_quantize(
+        |         array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT)))) AS rt
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) === 3L) // the, and, the
+    assert(r.getLong(1) === 3L) // le, et, la
+    assert(r.getLong(2) === 3L)
+    assert(r.getDouble(3) === 0.75)
+    val rt = r.getSeq[Float](4)
+    assert(math.abs(rt(0) - 1.0f) <= 1f / 254 && math.abs(rt(1) + 0.5f) <= 1f / 254)
+  }
+
   test("word_shingles, minhash_sig, simhash64 work from SQL") {
     val r = spark.sql(
       """SELECT word_shingles('The quick  brown Fox', 3) AS sh,

@@ -73,6 +73,36 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out(2L) === Seq((1.0, 20L))) // group smaller than k
   }
 
+  test("int8 quantization: 4x smaller, tight round-trip, near-perfect knn") {
+    import graft.functions.vectors._
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val q = Similarity.quantizeCorpus(corpus)
+    // storage: q is dim bytes (+4 scale) vs 4*dim floats
+    val row = corpus.join(q, "id").select(col("emb"), col("qemb")).limit(1)
+      .collect().head
+    val dim = row.getSeq[Float](0).length
+    assert(row.getStruct(1).getAs[Array[Byte]]("q").length === dim)
+    // round-trip error bound: |x - deq| <= scale/2 per element
+    val maxErr = aggregate(
+      zip_with(col("emb"), dequantize(col("qemb")), (a, b) => abs(a - b)),
+      lit(0.0), (acc, v) => greatest(acc, v.cast("double")))
+    val err = corpus.join(q, "id")
+      .select(max(maxErr), max(abs(col("qemb.scale"))))
+      .collect().head
+    assert(err.getDouble(0) <= err.getFloat(1) / 2 + 1e-6,
+      s"round-trip error ${err.getDouble(0)} exceeds scale/2 ${err.getFloat(1) / 2}")
+    // serving path: quantized knn recalls almost everything the float knn finds
+    val queries = corpus.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val exact = Similarity.knnBruteForceTopK(corpus, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.knnQuantized(q, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized knn recall $recall")
+  }
+
   test("knn plan broadcasts the query side") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
