@@ -80,6 +80,15 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: join the stream against a STATIC dimension
+    * frame. The static side is broadcast and re-planned per micro-batch
+    * (picking up dim updates between batches) and — unlike a stream-stream
+    * join — keeps NO state: the cheapest join a stream can do, and the
+    * streaming twin of the batch dim-broadcast enrichment.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)

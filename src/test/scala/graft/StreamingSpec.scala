@@ -135,4 +135,56 @@ class StreamingSpec extends SparkSpecBase {
       assert(u1.map(_.getAs[Long]("n_events")).toSet === Set(2L, 1L))
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins the dim with zero streaming state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(1), 8, "view", 2.0))
+    val dim = Seq((7L, "gold"), (9L, "silver")).toDF("user_id", "tier")
+    val q = EventStreams.enrich(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, tier FROM enr").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got === Map(1L -> Some("gold"), 2L -> None))
+      // no state operator: stream-static joins keep nothing between batches
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"unexpected streaming state: ${q.lastProgress.stateOperators.toSeq}")
+    } finally q.stop()
+  }
+
+  test("stateful streaming dedup runs on the RocksDB state store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0), Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "view", 2.0))
+      val q = EventStreams.dedupEvents(input.toDF())
+        .writeStream.format("memory").queryName("rocks_dedup")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        input.addData(Event(1, ts(2), 1, "click", 1.0)) // dup across batches
+        q.processAllAvailable()
+        assert(spark.sql("SELECT event_id FROM rocks_dedup").collect()
+          .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+        assert(q.lastProgress.stateOperators.nonEmpty,
+          "dedup must be stateful")
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
