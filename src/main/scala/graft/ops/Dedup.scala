@@ -111,10 +111,13 @@ object Dedup {
     // quadratically; cap document frequency like the ngram inverted index
     val postings =
       if (maxDocFreq == Int.MaxValue) postings0
-      else postings0.join(
-        postings0.groupBy("fp").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDocFreq).select("fp"),
-        "fp")
+      else {
+        // same single-shuffle window cap as ngramJaccardPairs
+        val win = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+        postings0.withColumn("__df", count(lit(1)).over(win))
+          .filter(col("__df") <= maxDocFreq)
+          .drop("__df")
+      }
     val a = postings.select(col("doc_id").as("doc_a"), col("fp"))
     val b = postings.select(col("doc_id").as("doc_b"), col("fp").as("__fp_b"))
     a.join(b, col("fp") === col("__fp_b") && col("doc_a") < col("doc_b"))
@@ -146,11 +149,13 @@ object Dedup {
     val postings =
       if (maxDocFreq == Int.MaxValue) postings0
       else {
-        val dfCounts = postings0.groupBy("shingle")
-          .agg(count(lit(1)).as("__df"))
+        // df-cap as a count-over-window on the shingle key: ONE shuffle
+        // (which the downstream equi-join needs anyway — exchange reuse),
+        // no second pass over the shingling, no join-back
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+        postings0.withColumn("__df", count(lit(1)).over(w))
           .filter(col("__df") <= maxDocFreq)
-          .select("shingle")
-        postings0.join(dfCounts, "shingle")
+          .drop("__df")
       }
     val a = postings.select(col("doc_id").as("doc_a"), col("shingle"),
       col("n").as("n_a"))
