@@ -39,6 +39,7 @@ object SparkEntry {
     "q_fingerprint" -> (TextQueries.qFingerprint _),
     "q_dedup_exact" -> (TextQueries.qDedupExact _),
     "q_multimodal_features" -> (TextQueries.qMultimodalFeatures _),
+    "q_multimodal_frames" -> (TextQueries.qMultimodalFrames _),
     "q_pack_sequences" -> (TextQueries.qPackSequences _),
     "q_corpus_funnel" -> (TextQueries.qCorpusFunnel _),
     "q_sessionize" -> (EventQueries.qSessionize _),
@@ -297,6 +298,16 @@ object SparkEntry {
         |  hex(substr(text, 1, 8)) AS header_hex,
         |  CAST((CAST(strlen(text) AS BIGINT) * 2654435761) % 1000 AS DOUBLE)/1000.0 AS fake_brightness
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // frame fan-out: every-2nd 64-byte frame of the payload (docs are
+    // ASCII so VARCHAR slicing = byte slicing; DuckDB has no BLOB substr)
+    "q_multimodal_frames" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(length(text)/64.0) AS BIGINT) - 1, 2)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  encode(substring(text, CAST(frame_idx*64 + 1 AS BIGINT), 64)) AS frame
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "q_corpus_funnel" ->
       """WITH s AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS s_en,

@@ -124,6 +124,19 @@ object TextQueries {
     * schema, batching and partition behavior are what this validates.
     * See ops.Multimodal for the mapPartitions decode path.
     */
+  /** Frame fan-out as a first-class query: one media row (payload bytes)
+    * becomes every-2nd-64-byte-frame rows via ops.Multimodal.sampleFrames —
+    * mapPartitions fan-out, no shuffle, no driver. The frame SLICING is
+    * real byte plumbing (only the demux that would precede it on real video
+    * is the documented stub); the oracle replays the slicing in SQL.
+    */
+  def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.withPayload(Tables.documents(spark, dir), "text"),
+        "doc_id", everyN = 2, frameBytes = 64)
+      .select(col("media_id"), col("frame_idx"), col("frame"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(
