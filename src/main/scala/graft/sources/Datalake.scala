@@ -65,6 +65,43 @@ object Datalake {
   def writeJsonl(df: DataFrame, p: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(p)
 
+  /** Idempotent incremental layer maintenance: overwrite ONLY the
+    * partitions present in `df` (dynamic partition overwrite), leaving
+    * every other partition untouched — re-running one ingest day (the
+    * reference re-triggers a DAG day) replaces exactly that day. A static
+    * overwrite would drop the whole table first.
+    */
+  def upsertPartitions(df: DataFrame, p: String,
+      partitionBy: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "snappy")
+      .partitionBy(partitionBy: _*)
+      .parquet(p)
+
+  /** Schema-evolution read: union the schemas of every file under `p`
+    * (columns added over time come back null for old files). Costs a
+    * footer read per file at planning — acceptable for layer roots,
+    * not for hot paths (which pin an explicit schema).
+    */
+  def readMergedSchema(spark: SparkSession, p: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(p)
+
+  /** Compact a directory of many small files into `nFiles` well-sized ones
+    * — the small-files problem is the classic datalake killer (every file
+    * is a task + a footer read + an object-store request at 100 TB).
+    * Round-robin repartition gives evenly sized output files; the rewrite
+    * goes to a new path so the swap can be atomic at the catalog/manifest
+    * level.
+    */
+  def compact(spark: SparkSession, from: String, to: String,
+      nFiles: Int): Unit =
+    spark.read.parquet(from)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .parquet(to)
+
   /** Persist as a bucketed+sorted table: two fact tables bucketed on their
     * join key with the same bucket count join with NO exchange and NO sort —
     * the shuffle is paid once at write time instead of on every join. This

@@ -77,6 +77,45 @@ class DatalakeSpec extends SparkSpecBase {
     assert(Watermark.read(spark, state) === Some(t(9)))
   }
 
+  test("dynamic partition overwrite replaces only the re-run day") {
+    val tmp = Files.createTempDirectory("graft-upsert").toString
+    val day1 = Seq((1L, "20240101", 1.0), (2L, "20240102", 2.0))
+      .toDF("id", "ingest_date", "v")
+    Datalake.upsertPartitions(day1, s"$tmp/t", Seq("ingest_date"))
+    // re-run day 2 with corrected data; day 1 must survive
+    val day2fix = Seq((2L, "20240102", 99.0)).toDF("id", "ingest_date", "v")
+    Datalake.upsertPartitions(day2fix, s"$tmp/t", Seq("ingest_date"))
+    val got = spark.read.parquet(s"$tmp/t")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"))).toSet
+    assert(got === Set((1L, 1.0), (2L, 99.0)),
+      "day1 kept, day2 replaced, nothing else")
+  }
+
+  test("mergeSchema read unions columns added over time") {
+    val tmp = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$tmp/t/f1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$tmp/t/f2")
+    val got = Datalake.readMergedSchema(spark, s"$tmp/t/*")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.get(r.fieldIndex("score")))))
+    assert(got.toSeq === Seq((1L, None), (2L, Some(9.5))),
+      "old files read with nulls for the new column")
+  }
+
+  test("compaction rewrites many small files into the target count") {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(37) // simulate the small-files problem
+      .write.parquet(s"$tmp/small")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$tmp/small") === 37)
+    Datalake.compact(spark, s"$tmp/small", s"$tmp/compacted", 4)
+    assert(parquetFiles(s"$tmp/compacted") === 4)
+    assert(spark.read.parquet(s"$tmp/compacted").count() ===
+      spark.read.parquet(s"$tmp/small").count(), "compaction loses nothing")
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val tmp = Files.createTempDirectory("graft-pq").toString
     val df = Seq((1L, "20240101", 1.0), (2L, "20240102", 2.0)).toDF("id", "ingest_date", "v")
