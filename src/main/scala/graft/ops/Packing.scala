@@ -54,8 +54,11 @@ object Packing {
       // 1. order-preserving buckets from sampled quantiles. Boundaries are
       // approximate: only parallelism depends on them, not the result.
       val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-      val cuts = t.stat.approxQuantile("__ord", probs, 0.01)
-        .distinct.sorted
+      // buckets=1 → no cuts (degenerate single bucket); approxQuantile
+      // returns null for an empty probability array, so skip the call
+      val cuts =
+        if (probs.isEmpty) Array.empty[Double]
+        else t.stat.approxQuantile("__ord", probs, 0.01).distinct.sorted
       val bucketOf = cuts.foldLeft(lit(0)) { (acc, c) =>
         acc + when(col("__ord") > lit(c), 1).otherwise(0)
       }

@@ -27,6 +27,29 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(viol === 0)
   }
 
+  test("two-phase packing equals the sequential reference for any bucketing") {
+    // the distributed cumsum (quantile buckets + prefix offsets) must be
+    // bit-identical to a driver-side sequential scan, whatever the bucket
+    // count — boundaries may only affect load balance, never output
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 500L).map(i => (i, rnd.nextInt(300).toLong + 1L))
+    val expectedFull = {
+      var cum = 0L
+      docs.sortBy(_._1).map { case (id, t) =>
+        cum += t; id -> ((cum, (cum - t) / 97L))
+      }.toMap
+    }
+    val df = docs.toDF("doc_id", "tokens")
+    Seq(1, 3, 16, 64, 500).foreach { buckets =>
+      val got = Packing.packSequences(df, col("tokens"), col("doc_id"),
+          budget = 97L, buckets = buckets)
+        .select("doc_id", "cum_tokens", "pack_id")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got === expectedFull, s"buckets=$buckets")
+    }
+  }
+
   test("sharded packing never crosses shard boundaries") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), wsTokenCount(col("text")).as("tokens"),
