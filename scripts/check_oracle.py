@@ -21,15 +21,17 @@ def load_spark(con, d):
         f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
 
 def canon_type(t):
-    """Canonical type string; large_string==string, timestamp tz-insensitive
-    units kept (the driver hashes parquet-level logical types)."""
+    """Canonical type string; large_string==string, timestamp UNIT kept
+    (tz dropped) — the driver hashes parquet-level logical types, and
+    TIMESTAMP(MILLIS) vs TIMESTAMP(MICROS) is exactly the kind of
+    value-equal type divergence its hash rejects."""
     import pyarrow as pa
     if pa.types.is_large_string(t) or pa.types.is_string(t):
         return "string"
     if pa.types.is_large_binary(t) or pa.types.is_binary(t):
         return "binary"
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        return f"timestamp[{t.unit}]"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return f"list<{canon_type(t.value_type)}>"
     if pa.types.is_struct(t):

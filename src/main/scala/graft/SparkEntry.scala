@@ -465,7 +465,9 @@ object SparkEntry {
         |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM per)
         |SELECT source, n_docs, tokens,
         |  CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
-        |  CAST(FLOOR(1000000 * tokens / total_tokens) AS BIGINT) AS token_budget
+        |  CAST(FLOOR(1000000 *
+        |    (CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)))
+        |    AS BIGINT) AS token_budget
         |FROM per CROSS JOIN t ORDER BY source""".stripMargin,
     // DuckDB list_slice end is INCLUSIVE (start-1+len), unlike Spark's
     // slice(start, length)

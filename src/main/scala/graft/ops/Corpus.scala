@@ -54,23 +54,25 @@ object Corpus {
     df.withColumn("samp_key", substring(md5(text), 1, 3))
       .filter(col("samp_key") < rateKey3)
 
-  /** Source-mixing table: per-source document/token counts and an exact
-    * proportional token-budget allocation. All arithmetic stays in exact
-    * integer domains (floor(B·tokens/total) in BIGINT); only the reported
-    * `share` is a final double division of two exact longs. The grand
-    * total is a 1-row aggregate broadcast back — never an unpartitioned
-    * window.
+  /** Source-mixing table: per-source document/token counts and a
+    * deterministic proportional token-budget allocation. Token sums are
+    * exact longs; the allocation is floor(B · share) where share =
+    * tokens/total as one double division — share-first, so nothing ever
+    * exceeds B in magnitude (a long B·tokens product would overflow
+    * silently near 2^63 at extreme corpus sizes). Every engine computing
+    * the same IEEE expression gets the identical result. The grand total
+    * is a 1-row aggregate broadcast back — never an unpartitioned window.
     */
   def sourceMix(df: DataFrame, source: Column, tokens: Column,
       budget: Long): DataFrame = {
     val per = df.groupBy(source.as("source"))
       .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("tokens"))
     val total = per.agg(sum(col("tokens")).as("total_tokens"))
+    val share = col("tokens").cast("double") / col("total_tokens").cast("double")
     per.crossJoin(broadcast(total))
       .select(col("source"), col("n_docs"), col("tokens"),
-        (col("tokens").cast("double") / col("total_tokens").cast("double"))
-          .as("share"),
-        floor(lit(budget) * col("tokens") / col("total_tokens")).cast("long")
+        share.as("share"),
+        floor(lit(budget).cast("double") * share).cast("long")
           .as("token_budget"))
   }
 

@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   * instead: packing runs per shard and is embarrassingly parallel with no
   * driver step at all. Docs larger than the budget get a pack of their own
   * (the formula handles it naturally).
+  *
+  * Cost shape: the global path runs three jobs, but the first two
+  * (quantile cuts, bucket totals) are column-pruned scans of just the
+  * order/token columns — at 100 TB they read two thin columns; only the
+  * final windowed pass reads full-width rows. The extra job-submission
+  * overhead is visible at toy scale (sf0.1 bench: ~1.1s vs the old
+  * single-partition plan's 0.4s) and is the price of a plan that does not
+  * collapse onto one task.
   */
 object Packing {
 

@@ -38,6 +38,22 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
   }
 
+  /** Shared serving tail for every scored-candidate kNN path: per-query
+    * bounded-heap top-k (partial buffers capped at k → the shuffle moves
+    * k·partitions rows per query, never every scored candidate), unpacked
+    * to (query_id, neighbor_id, rank). `candidates` must carry query_id,
+    * id and the score expression's inputs.
+    */
+  private def topkServe(candidates: DataFrame, score: Column, k: Int): DataFrame =
+    candidates
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.vectors.topk(score, col("id"), k).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        (col("__pos") + 1).cast("long").as("rank"))
+
   /** Same result as [[knnBruteForce]] via the custom bounded-heap `topk`
     * aggregate: partial aggregation keeps ≤ k candidates per query per
     * partition, so the shuffle moves k·partitions rows per query instead of
@@ -45,15 +61,8 @@ object Similarity {
     * kNN form that survives a 100 TB corpus.
     */
   def knnBruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
-    corpus.crossJoin(broadcast(queries))
-      .filter(col("id") =!= col("query_id"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.vectors.topk(
-        cosineSim(col("q_emb"), col("emb")), col("id"), k).as("__top"))
-      .select(col("query_id"),
-        posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), col("__e.id").as("neighbor_id"),
-        (col("__pos") + 1).cast("long").as("rank"))
+    topkServe(corpus.crossJoin(broadcast(queries)),
+      cosineSim(col("q_emb"), col("emb")), k)
 
   /** Quantize an embedding column for storage: struct<scale float, q binary>
     * is dim+4 bytes per vector vs 4·dim for the float array — the 4x IO
@@ -71,17 +80,8 @@ object Similarity {
     * recall vs the float kNN is near-perfect.
     */
   def knnQuantized(qcorpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
-    qcorpus.crossJoin(broadcast(queries))
-      .filter(col("id") =!= col("query_id"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.vectors.topk(
-        cosineSim(col("q_emb"),
-          graft.functions.vectors.dequantize(col("qemb"))), col("id"), k)
-        .as("__top"))
-      .select(col("query_id"),
-        posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), col("__e.id").as("neighbor_id"),
-        (col("__pos") + 1).cast("long").as("rank"))
+    topkServe(qcorpus.crossJoin(broadcast(queries)),
+      cosineSim(col("q_emb"), graft.functions.vectors.dequantize(col("qemb"))), k)
 
   /** Deterministic random hyperplanes: `bands` bands × `bits` bits each.
     * Fixed seed → the signature function is stable across runs/executors.
@@ -214,18 +214,8 @@ object Similarity {
       .withColumn("__probe",
         explode(slice(reverse(sort_array(cellScores(col("q_emb")))), 1, nProbe)))
       .select(col("query_id"), col("q_emb"), col("__probe.cell").as("cell"))
-    // Per-query top-k via the bounded-heap `topk` aggregate (same plan as
-    // knnBruteForceTopK): partial aggregation caps the shuffle at
-    // k·partitions rows per query, instead of moving every scored candidate
-    // through a window sort.
-    assigned.join(broadcast(probes), "cell")
-      .filter(col("id") =!= col("query_id"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.vectors.topk(
-        cosineSim(col("q_emb"), col("emb")), col("id"), k).as("__top"))
-      .select(col("query_id"),
-        posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), col("__e.id").as("neighbor_id"),
-        (col("__pos") + 1).cast("long").as("rank"))
+    // per-query top-k via the shared bounded-heap serving tail
+    topkServe(assigned.join(broadcast(probes), "cell"),
+      cosineSim(col("q_emb"), col("emb")), k)
   }
 }

@@ -24,13 +24,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * remain the only shuffles.
   */
 object TextSketch {
-  /** Normalized word list: lowercase, trim, split on whitespace runs.
+  /** Normalized word list: lowercase, space-trim, split on whitespace runs
+    * — replicating the ORACLE formulation `regexp_split_to_array(
+    * trim(lower(text)), '\s+')` exactly: SQL trim strips 0x20 only (NOT
+    * Java String.trim's "all chars <= 0x20"), and the SQL split keeps
+    * leading/trailing EMPTY fields when edge whitespace remains (tabs,
+    * newlines), where Java's default split drops trailing empties. Edge
+    * cases only — identical on interior whitespace — but a doc ending in
+    * '\n' must shingle the same on both engines.
     * Locale.ROOT: the default-locale overload is locale-sensitive (tr/az
     * executors lowercase 'I' to dotless 'ı'), which would silently diverge
     * from Spark's lower() and the DuckDB oracle — and between executors.
     */
-  private def words(t: UTF8String): Array[String] =
-    t.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+  private def words(t: UTF8String): Array[String] = {
+    val lower = t.toString.toLowerCase(java.util.Locale.ROOT)
+    var b = 0
+    var e = lower.length
+    while (b < e && lower.charAt(b) == ' ') b += 1
+    while (e > b && lower.charAt(e - 1) == ' ') e -= 1
+    lower.substring(b, e).split("\\s+", -1)
+  }
 
   /** Word n-gram shingles joined by ' '; docs shorter than n words collapse
     * to one whole-text shingle (parity with the SQL formulation the oracle
@@ -401,7 +414,13 @@ case class SigAgreement(left: Expression, right: Expression)
     if (n != y.numElements() || n == 0) return null
     var agree = 0
     var i = 0
-    while (i < n) { if (x.getLong(i) == y.getLong(i)) agree += 1; i += 1 }
+    while (i < n) {
+      // a null slot is a malformed signature — fail loudly (NULL), don't
+      // let getLong's 0-for-null count as agreement
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (x.getLong(i) == y.getLong(i)) agree += 1
+      i += 1
+    }
     agree.toDouble / n
   }
 
@@ -417,9 +436,12 @@ case class SigAgreement(left: Expression, right: Expression)
          |} else {
          |  int $agree = 0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    if ($a.getLong($i) == $b.getLong($i)) $agree++;
          |  }
-         |  ${ev.value} = (double) $agree / $n;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = (double) $agree / $n;
+         |  }
          |}
        """.stripMargin
     })

@@ -76,7 +76,7 @@ class CorpusSpec extends SparkSpecBase {
     assert(out(2L)._1 === 0.0 && out(2L)._2 < 0.2)
   }
 
-  test("sig_agreement: exact fraction, null on length mismatch") {
+  test("sig_agreement: exact fraction, null on length mismatch or null slot") {
     val df = Seq((Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 4L)))
       .toDF("a", "b")
     val v = df.select(graft.functions.text.sigAgreement(col("a"), col("b")))
@@ -86,5 +86,11 @@ class CorpusSpec extends SparkSpecBase {
       .select(graft.functions.text.sigAgreement(col("a"), col("b")))
       .collect().head
     assert(mism.isNullAt(0), "length mismatch must yield NULL")
+    // a null slot is a malformed signature → NULL, never counted as a match
+    val nullSlot = spark.range(1).select(graft.functions.text.sigAgreement(
+        array(lit(1L), lit(null).cast("long")),
+        array(lit(2L), lit(null).cast("long"))))
+      .collect().head
+    assert(nullSlot.isNullAt(0), "null slots must not count as agreement")
   }
 }

@@ -62,13 +62,28 @@ class CorpusStreamSpec extends SparkSpecBase {
         .select("doc_id", "pred_lang", "quality", "fp")
         .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3)))
         .toMap
-      // batch reference: the funnel BEFORE its dedup stage
-      val batch = CorpusStreams.cleanDocs(
-          graft.sources.Tables.documents(spark, sfDir))
+      // INDEPENDENT batch reference (not cleanDocs itself): re-derive the
+      // funnel's clean stage from the TextAnalysis primitives + thresholds
+      import graft.ops.TextAnalysis._
+      val batch = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          langPredict(col("text")).as("pred_lang"),
+          qualityScore(wsTokenCount(col("text")),
+            punctCount(col("text")).cast("double") / length(col("text")),
+            langScore(col("text"), "en").cast("double") / wsTokenCount(col("text")))
+            .as("quality"),
+          fingerprint(col("text")).as("fp"))
+        .filter(col("pred_lang") === "en" && col("quality") >= 0.5)
         .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3)))
         .toMap
       assert(streamed === batch)
       assert(batch.nonEmpty, "clean set must be non-trivial")
+      // and the batch funnel's final output (clean + dedup) is a subset of
+      // the streamed clean stage — batch and stream agree on "clean"
+      val funnel = graft.queries.TextQueries.qCorpusFunnel(spark, sfDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(funnel.subsetOf(streamed.keySet),
+        "funnel output must be a subset of the streamed clean set")
     } finally q.stop()
   }
 }

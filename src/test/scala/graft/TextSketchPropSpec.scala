@@ -75,6 +75,21 @@ class TextSketchPropSpec extends AnyFunSuite {
     }
   }
 
+  test("words replicate the SQL trim/split semantics on edge whitespace") {
+    // DuckDB: regexp_split_to_array(trim(lower(s)), '\s+') — trim strips
+    // SPACES only; edge tabs/newlines leave empty fields at the ends
+    def w(s: String): Seq[String] = {
+      val arr = TextSketch.shingles(u(s), 1)
+      (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+    }
+    assert(w("foo bar") === Seq("foo", "bar"))
+    assert(w("  foo bar  ") === Seq("foo", "bar"), "space trim")
+    assert(w("foo\n") === Seq("foo", ""), "trailing newline keeps empty field")
+    assert(w("\tfoo") === Seq("", "foo"), "leading tab keeps empty field")
+    assert(w("") === Seq(""), "empty text is one empty field")
+    assert(w(" \n ") === Seq("", ""), "whitespace-only after space trim")
+  }
+
   test("textStats single pass equals every regex formulation it replaced") {
     import java.util.regex.Pattern
     val langs = Seq(
