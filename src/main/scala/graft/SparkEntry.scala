@@ -32,6 +32,7 @@ object SparkEntry {
     "q_rollup_revenue" -> (Relational.qRollupRevenue _),
     "q_cube_orders" -> (Relational.qCubeOrders _),
     "q_anti_customers" -> (Relational.qAntiCustomers _),
+    "q_table_profile" -> (Relational.qTableProfile _),
     "q_approx_profile" -> (Relational.qApproxProfile _),
     "q_lang_id" -> (TextQueries.qLangId _),
     "q_quality_score" -> (TextQueries.qQualityScore _),
@@ -240,6 +241,17 @@ object SparkEntry {
         |  WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    "q_table_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate,
+        |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+        |  CAST(SUM(CASE WHEN o_totalprice NOT BETWEEN 0 AND 50000000 THEN 1 ELSE 0 END) AS BIGINT) AS price_out_of_range,
+        |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+        |  COUNT(DISTINCT o_orderpriority) AS n_priorities,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+        |FROM orders""".stripMargin,
     "q_rollup_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_revenue,

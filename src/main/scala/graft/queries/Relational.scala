@@ -394,6 +394,31 @@ object Relational {
       .orderBy(col("split"))
   }
 
+  /** Data-quality profile: the one-pass validation report a pipeline runs
+    * before promoting a layer (the reference validates row-by-row while
+    * indexing; at 100 TB you want the report FIRST). Null counts, domain
+    * violations, range stats and exact cardinalities — all mergeable
+    * aggregates in a single scan; the two countDistincts expand to one
+    * extra aggregation level, still one pass over the data.
+    */
+  def qTableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_orderdate"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("bad_status"),
+        sum(when(!col("o_totalprice").between(0, 50000000), 1L).otherwise(0L))
+          .as("price_out_of_range"),
+        count_distinct(col("o_orderstatus")).as("n_statuses"),
+        count_distinct(col("o_orderpriority")).as("n_priorities"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"))
+  }
+
   /** Sketch-based profile (the approximate path for interactive dashboards
     * over 100 TB): HyperLogLog distinct users + t-digest-style percentile
     * per event type. Both sketches are mergeable partial aggregates — one
