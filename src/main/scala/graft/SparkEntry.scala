@@ -47,6 +47,7 @@ object SparkEntry {
     "q_window_tumbling" -> (EventQueries.qWindowTumbling _),
     "q_incremental_watermark" -> (EventQueries.qIncrementalWatermark _),
     "q_asof_attribution" -> (EventQueries.qAsofAttribution _),
+    "q_asof_tolerance" -> (EventQueries.qAsofTolerance _),
     "q_range_join" -> (EventQueries.qRangeJoin _),
     "q_salted_join" -> (EventQueries.qSaltedJoin _),
     "q_knn_cosine" -> (SimilarityQueries.qKnnCosine _),
@@ -389,6 +390,23 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.c_user AND p.purchase_ts >= c.click_ts
         |ORDER BY purchase_id""".stripMargin,
+    // tolerance = null out matches staler than 1h (merge_asof semantics)
+    "q_asof_tolerance" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |    CAST(ts AS TIMESTAMP) AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS click_ts,
+        |    max(event_id) AS click_event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |j AS (SELECT purchase_id, user_id, purchase_ts, click_event_id, click_ts
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.c_user AND p.purchase_ts >= c.click_ts)
+        |SELECT purchase_id, user_id, purchase_ts,
+        |  CASE WHEN click_ts >= purchase_ts - INTERVAL 1 HOUR
+        |    THEN click_event_id END AS click_event_id,
+        |  CASE WHEN click_ts >= purchase_ts - INTERVAL 1 HOUR
+        |    THEN click_ts END AS click_ts
+        |FROM j ORDER BY purchase_id""".stripMargin,
     "q_range_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,
         |    CAST(ts AS TIMESTAMP) AS click_ts

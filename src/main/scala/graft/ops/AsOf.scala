@@ -23,9 +23,15 @@ object AsOf {
   /** left.* plus the latest matching right row's columns (null when no right
     * row precedes the left row). Right columns keep their names — alias them
     * before the call if they collide with left's.
+    *
+    * `tolerance`: maximum staleness — a right row older than
+    * leftTs − tolerance does NOT match (its columns come back null), the
+    * pandas merge_asof `tolerance` semantics. Applied as a post-window
+    * filter on the carried timestamp, so the plan shape is unchanged.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      tolerance: Option[String] = None): DataFrame = {
     val lStruct = struct(left.columns.map(col): _*)
     val rStruct = struct(right.columns.map(col): _*)
     val l2 = left.select(col(key).as("__k"), col(leftTs).as("__ts"),
@@ -39,10 +45,18 @@ object AsOf {
       .orderBy(col("__ts").asc, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rightFields = right.columns.filter(c => c != key)
-    l2.unionByName(r2)
+    val carried = l2.unionByName(r2)
       .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
-      .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
-        rightFields.map(c => col(s"__last_r.$c").as(c)): _*)
+    val bounded = tolerance match {
+      case None => carried
+      case Some(tol) =>
+        // stale match → null out the carried right payload
+        carried.withColumn("__last_r",
+          when(col(s"__last_r.$rightTs") >=
+            col("__ts") - expr(s"INTERVAL $tol"), col("__last_r")))
+    }
+    bounded.select(left.columns.map(c => col(s"__l.$c").as(c)) ++
+      rightFields.map(c => col(s"__last_r.$c").as(c)): _*)
   }
 }

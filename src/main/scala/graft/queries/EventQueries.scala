@@ -121,4 +121,22 @@ object EventQueries {
     AsOf.asOfJoin(purchases, clicks, "user_id", "purchase_ts", "click_ts")
       .orderBy(col("purchase_id"))
   }
+
+  /** As-of attribution with MAX STALENESS (pandas merge_asof `tolerance`):
+    * a click older than one hour before the purchase no longer gets the
+    * credit — the realistic attribution-window rule. Same single-shuffle
+    * as-of plan; the tolerance is a post-window null-out.
+    */
+  def qAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_event_id"))
+    AsOf.asOfJoin(purchases, clicks, "user_id", "purchase_ts", "click_ts",
+        tolerance = Some("1 HOUR"))
+      .orderBy(col("purchase_id"))
+  }
 }

@@ -80,6 +80,24 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Gap-based session aggregates via the BUILT-IN session_window (dynamic
+    * gap windows merged by the engine): the declarative twin of the typed
+    * [[sessionize]] — use this form when per-session output is just
+    * aggregates; drop to flatMapGroupsWithState only when session state
+    * needs custom logic. State is bounded by the watermark like any
+    * windowed agg.
+    */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Stream-static enrichment: join the stream against a STATIC dimension
     * frame. The static side is broadcast and re-planned per micro-batch
     * (picking up dim updates between batches) and — unlike a stream-stream

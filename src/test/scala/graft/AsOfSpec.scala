@@ -33,6 +33,22 @@ class AsOfSpec extends SparkSpecBase {
     assert(got.length === 4)
   }
 
+  test("as-of tolerance nulls out matches staler than the window") {
+    val trades = Seq(
+      (1L, 100L, ts(5)),   // quote @10:04 → 1 min stale, within 2 min
+      (2L, 100L, ts(9))    // quote @10:04 → 5 min stale, beyond 2 min
+    ).toDF("trade_id", "acct", "trade_ts")
+    val quotes = Seq((100L, ts(4), 11.0)).toDF("acct", "quote_ts", "px")
+    val got = AsOf.asOfJoin(trades, quotes, "acct", "trade_ts", "quote_ts",
+        tolerance = Some("2 MINUTES"))
+      .orderBy("trade_id").collect()
+    assert(got(0).getAs[Double]("px") === 11.0, "fresh match kept")
+    assert(got(1).isNullAt(got(1).fieldIndex("px")), "stale match nulled")
+    assert(got(1).isNullAt(got(1).fieldIndex("quote_ts")),
+      "the whole right payload is nulled, not just one column")
+    assert(got.length === 2, "left rows always preserved")
+  }
+
   test("range join equals the naive inequality join, including bucket-boundary points") {
     import graft.ops.RangeJoin
     val events = Seq(

@@ -136,6 +136,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("built-in session_window agrees with the typed sessionizer's sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // two sessions for user 1 (gap > 30min), one for user 2
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "view", 2.0),
+      Event(3, ts(50), 1, "click", 4.0),
+      Event(4, ts(10), 2, "view", 8.0))
+    val q = EventStreams.sessionWindowStats(input.toDF())
+      .writeStream.format("memory").queryName("sw")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, n_events, total_value FROM sw")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the dim with zero streaming state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
