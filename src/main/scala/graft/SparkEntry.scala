@@ -54,6 +54,7 @@ object SparkEntry {
     "q_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
     "q_ann_lsh" -> (SimilarityQueries.qAnnLsh _),
     "q_ann_ivf" -> (SimilarityQueries.qAnnIvf _),
+    "q_ann_pq" -> (SimilarityQueries.qAnnPq _),
     "q_minhash_neardup" -> (SimilarityQueries.qMinhashNearDup _),
     "q_simhash" -> (SimilarityQueries.qSimhash _),
     "q_winnow_neardup" -> (SimilarityQueries.qWinnowNearDup _),

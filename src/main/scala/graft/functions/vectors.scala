@@ -28,6 +28,9 @@ object vectors {
 
   /** Inverse of [[quantize]] (up to ≤ scale/2 per-element rounding). */
   def dequantize(q: Column): Column = VectorColumns.dequantize(q)
+
+  /** Codegen'd Euclidean (L2) distance over two Array[Float] columns. */
+  def l2Dist(a: Column, b: Column): Column = VectorColumns.l2Dist(a, b)
 }
 
 /** Public face of the codegen'd text-sketch expressions

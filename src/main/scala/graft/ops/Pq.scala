@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors._
+
+/** Product quantization — the 100 TB ANN index format: each vector is
+  * stored as M one-byte sub-codes (64-dim float32 = 256 B → 8 B at M=8:
+  * 32x compression), and query-time scoring is M table LOOKUPS per corpus
+  * row (asymmetric distance computation) instead of a float loop.
+  *
+  * Spark-native shapes:
+  *  - TRAIN: per-subspace Lloyd where every iteration is one map-side
+  *    assignment pass (codegen'd L2 against inlined centroids) plus ONE
+  *    groupBy (subspace, cell) shuffle of per-dimension partial sums; only
+  *    the M·ksub·subdim codebook matrix ever reaches the driver, so the
+  *    same loop trains on any corpus size.
+  *  - ENCODE: pure projection (PqEncode codegen expression) — applied once
+  *    at write time; the encoded corpus is what gets stored/scanned.
+  *  - SEARCH: queries precompute their M·ksub lookup table once (PqLut),
+  *    the table is broadcast with the query set, and the corpus scan costs
+  *    M byte-indexed lookups per row (PqAdc) feeding the bounded-heap
+  *    top-k. No shuffle of corpus rows; the only moved data is k results
+  *    per query per partition.
+  */
+object Pq {
+
+  /** Driver-held codebook model: `flat` is m-major [m][k][subdim]. */
+  case class PqModel(m: Int, ksub: Int, dim: Int, flat: Array[Float]) {
+    def sub: Int = dim / m
+    def centroid(mi: Int, k: Int): Array[Float] = {
+      val base = (mi * ksub + k) * sub
+      java.util.Arrays.copyOfRange(flat, base, base + sub)
+    }
+  }
+
+  /** All-subspace cell assignment in ONE expression: PqEncode carries the
+    * codebook as a codegen reference object, so the generated code is a
+    * single static call — inlining ksub literal arrays per subspace
+    * (m·ksub codegen'd L2 expressions) blows generated methods past
+    * janino's limits and falls back to interpreted.
+    */
+  private def codesCol(emb: Column, model: PqModel): Column =
+    org.apache.spark.sql.graft.VectorColumns.pqEncode(
+      emb, model.flat, model.m, model.ksub)
+
+  /** Byte `mi` of a binary codes column as INT (hex round-trip — training
+    * only, never on the serving path).
+    */
+  private def byteAt(codes: Column, mi: Int): Column =
+    conv(hex(substring(codes, mi + 1, 1)), 16, 10).cast("int")
+
+  /** Train per-subspace codebooks with `iters` Lloyd iterations. Init is a
+    * deterministic hash-sample of the corpus (ksub vectors, sliced per
+    * subspace). Each iteration: map-side assignment for all M subspaces in
+    * one projection, explode to (subspace, cell, subvector), ONE grouped
+    * aggregation of per-dimension means. Empty cells keep their centroid.
+    */
+  def train(corpus: DataFrame, emb: Column, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): PqModel = {
+    val first = corpus.select(emb.as("e")).limit(1).collect()
+    require(first.nonEmpty, "PQ training needs a non-empty corpus")
+    val dim = first.head.getSeq[Float](0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val init: Array[Array[Float]] = corpus
+      .orderBy(hash(emb), emb.getItem(0))
+      .limit(ksub)
+      .select(emb.as("e")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(init.length == ksub, s"corpus smaller than ksub=$ksub")
+    val flat = new Array[Float](m * ksub * sub)
+    for (mi <- 0 until m; k <- 0 until ksub; d <- 0 until sub)
+      flat((mi * ksub + k) * sub + d) = init(k)(mi * sub + d)
+    var model = PqModel(m, ksub, dim, flat)
+
+    var it = 0
+    while (it < iters) {
+      val slices = array((0 until m).map { mi =>
+        struct(lit(mi).as("mi"), byteAt(col("__codes"), mi).as("cell"),
+          slice(emb, mi * sub + 1, sub).as("sv"))
+      }: _*)
+      val dims = (0 until sub).map(d =>
+        avg(col("s.sv").getItem(d)).as(s"d$d"))
+      val means = corpus
+        .withColumn("__codes", codesCol(emb, model))
+        .select(explode(slices).as("s"))
+        .groupBy(col("s.mi").as("mi"), col("s.cell").as("cell"))
+        .agg(dims.head, dims.tail: _*)
+        .collect()
+      val next = model.flat.clone()
+      means.foreach { r =>
+        val mi = r.getAs[Int]("mi")
+        val cell = r.getAs[Int]("cell")
+        val base = (mi * ksub + cell) * sub
+        var d = 0
+        while (d < sub) {
+          next(base + d) = r.getAs[Double](s"d$d").toFloat
+          d += 1
+        }
+      }
+      model = PqModel(m, ksub, dim, next)
+      it += 1
+    }
+    model
+  }
+
+  /** Encode the corpus for storage: `pq_codes` is M bytes per vector. */
+  def encodeCorpus(corpus: DataFrame, emb: Column, model: PqModel): DataFrame =
+    corpus.withColumn("pq_codes",
+      org.apache.spark.sql.graft.VectorColumns.pqEncode(
+        emb, model.flat, model.m, model.ksub))
+
+  /** Two-stage production search: PQ-ADC generates a `shortlist` of
+    * candidates from the compressed codes (cheap, coarse — on
+    * cluster-free random vectors ADC alone ranks poorly), then ONLY the
+    * shortlist rows fetch their full vectors for an exact L2 rerank.
+    * At 100 TB the full-precision reads are |Q|·shortlist point lookups,
+    * not a scan; recall@k equals ADC's recall@shortlist.
+    */
+  def searchPqRerank(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+      model: PqModel, k: Int, shortlist: Int = 64): DataFrame = {
+    val cand = searchPq(encoded, queries, model, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    cand
+      .join(corpus.select(col("id").as("neighbor_id"), col("emb")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .groupBy(col("query_id"))
+      .agg(graft.functions.vectors.topk(
+        -l2Dist(col("q_emb"), col("emb")), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Approximate top-k over a PQ-encoded corpus. `queries` carries
+    * (query_id, q_emb); each query's LUT is computed once and broadcast
+    * with it, the corpus scan pays M lookups per row.
+    */
+  def searchPq(encoded: DataFrame, queries: DataFrame, model: PqModel,
+      k: Int): DataFrame = {
+    val vc = org.apache.spark.sql.graft.VectorColumns
+    val q = queries.withColumn("__lut",
+      vc.pqLut(col("q_emb"), model.flat, model.m, model.ksub))
+    encoded.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.vectors.topk(
+        -vc.pqAdc(col("pq_codes"), col("__lut"), model.ksub), col("id"), k)
+        .as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
+}

@@ -52,6 +52,22 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** PQ-compressed ANN: train per-subspace codebooks, encode the corpus to
+    * 8-byte codes (32x compression), ADC-shortlist 64 candidates from the
+    * codes alone, exact-L2 rerank only the shortlist (rows-only; recall vs
+    * exact L2 asserted in SimilaritySpec).
+    */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Pq
+    val c = corpus(spark, dir)
+    val model = Pq.train(c, col("emb"), m = 8, ksub = 16, iters = 2)
+    val encoded = Pq.encodeCorpus(c, col("emb"), model).drop("emb")
+    val queries = c.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    Pq.searchPqRerank(encoded, c, queries, model, k = 5, shortlist = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** MinHash+LSH candidate near-dup pairs on documents (rows-only). */
   def qMinhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir),

@@ -115,6 +115,188 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Euclidean (L2) distance of two float vectors (NULL on dimension
+  * mismatch) — the metric product quantization approximates.
+  */
+case class EuclideanDistance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($acc);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EuclideanDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static kernels for product quantization: M subspaces × ksub centroids,
+  * each vector stored as M byte codes (e.g. 64-dim float = 256 bytes →
+  * 8 bytes at M=8: 32x compression). Codebooks are flattened m-major
+  * ([m][k][subdim]) float arrays — tiny driver-held models inlined into
+  * the expressions as reference objects.
+  */
+object PqKernels {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Nearest sub-centroid per subspace → one code byte each. */
+  def encode(arr: ArrayData, cb: Array[Float], m: Int, ksub: Int): Array[Byte] = {
+    val dim = arr.numElements()
+    val sub = dim / m
+    val out = new Array[Byte](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < ksub) {
+        var acc = 0.0
+        var d = 0
+        val base = (mi * ksub + k) * sub
+        while (d < sub) {
+          val diff = arr.getFloat(mi * sub + d).toDouble - cb(base + d)
+          acc += diff * diff
+          d += 1
+        }
+        if (acc < bestD) { bestD = acc; best = k }
+        k += 1
+      }
+      out(mi) = best.toByte
+      mi += 1
+    }
+    out
+  }
+
+  /** Per-query lookup table: squared L2 from the query's subvector to
+    * every sub-centroid — M·ksub floats, computed once per query row.
+    */
+  def lut(arr: ArrayData, cb: Array[Float], m: Int, ksub: Int): ArrayData = {
+    val dim = arr.numElements()
+    val sub = dim / m
+    val out = new Array[Any](m * ksub)
+    var mi = 0
+    while (mi < m) {
+      var k = 0
+      while (k < ksub) {
+        var acc = 0.0
+        var d = 0
+        val base = (mi * ksub + k) * sub
+        while (d < sub) {
+          val diff = arr.getFloat(mi * sub + d).toDouble - cb(base + d)
+          acc += diff * diff
+          d += 1
+        }
+        out(mi * ksub + k) = acc.toFloat
+        k += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric distance computation: Σ_m lut[m·ksub + code[m]] ≈ squared
+    * L2(query, vector) — M lookups, no float math per corpus row.
+    */
+  def adc(codes: Array[Byte], lutArr: ArrayData, ksub: Int): Double = {
+    var acc = 0.0
+    var mi = 0
+    while (mi < codes.length) {
+      acc += lutArr.getFloat(mi * ksub + (codes(mi) & 0xff))
+      mi += 1
+    }
+    acc
+  }
+}
+
+/** `pq_encode(emb)`: M byte codes per vector (codebooks inlined). */
+case class PqEncode(child: Expression, cb: Array[Float], m: Int, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(a: Any): Any =
+    PqKernels.encode(a.asInstanceOf[ArrayData], cb, m, ksub)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "float[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.PqKernels.encode($c, $cbRef, $m, $ksub)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** `pq_lut(q_emb)`: the query's M·ksub squared-distance lookup table. */
+case class PqLut(child: Expression, cb: Array[Float], m: Int, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    PqKernels.lut(a.asInstanceOf[ArrayData], cb, m, ksub)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "float[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.PqKernels.lut($c, $cbRef, $m, $ksub)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+/** `pq_adc(codes, lut)`: approximate squared L2 via M table lookups. */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqKernels.adc(a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData], ksub)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.PqKernels.adc($a, $b, $ksub)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static kernels for int8 embedding quantization — 4x smaller storage/IO
   * for a 100 TB embedding store, with per-vector symmetric scaling
   * (scale = max|x|/127; error per element ≤ scale/2).
@@ -220,4 +402,19 @@ object VectorColumns {
   /** `vec_dequantize(q)` as a Column. */
   def dequantize(q: Column): Column =
     ExpressionUtils.column(VecDequantize(ExpressionUtils.expression(q)))
+
+  /** `l2_dist(a, b)` as a Column. */
+  def l2Dist(a: Column, b: Column): Column =
+    ExpressionUtils.column(EuclideanDistance(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def pqEncode(emb: Column, cb: Array[Float], m: Int, ksub: Int): Column =
+    ExpressionUtils.column(PqEncode(ExpressionUtils.expression(emb), cb, m, ksub))
+
+  def pqLut(emb: Column, cb: Array[Float], m: Int, ksub: Int): Column =
+    ExpressionUtils.column(PqLut(ExpressionUtils.expression(emb), cb, m, ksub))
+
+  def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
+    ExpressionUtils.column(PqAdc(
+      ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), ksub))
 }

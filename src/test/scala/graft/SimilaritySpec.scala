@@ -103,6 +103,42 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.9, s"quantized knn recall $recall")
   }
 
+  test("product quantization: 32x compression, ADC recall vs exact L2") {
+    import graft.functions.vectors._
+    import graft.ops.Pq
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val model = Pq.train(corpus, col("emb"), m = 8, ksub = 16, iters = 2)
+    assert(model.dim === 64 && model.sub === 8)
+    val encoded = Pq.encodeCorpus(corpus, col("emb"), model).drop("emb")
+    // storage: 8 bytes per vector vs 256 for float32[64]
+    val codeLen = encoded.select(length(col("pq_codes"))).limit(1)
+      .collect().head.getInt(0)
+    assert(codeLen === 8)
+    val queries = corpus.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    // exact L2 top-k reference (codegen'd l2Dist + bounded-heap topk)
+    val exact = corpus.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(topk(-l2Dist(col("q_emb"), col("emb")), col("id"), 5).as("t"))
+      .select(col("query_id"), explode(col("t.id")).as("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // plain ADC over cluster-free random vectors is coarse — sanity floor
+    // only; the production path is shortlist + exact rerank
+    val adcOnly = Pq.searchPq(encoded, queries, model, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = (exact intersect adcOnly).size.toDouble / exact.size
+    assert(adcRecall > 0.0, s"ADC found nothing from the exact set")
+    // two-stage: ADC shortlist of 64 → exact L2 rerank of just those rows
+    val reranked = Pq.searchPqRerank(encoded, corpus, queries, model, 5,
+        shortlist = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect reranked).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ rerank recall $recall below 0.5 (adc=$adcRecall)")
+    assert(reranked.size === exact.size)
+  }
+
   test("knn plan broadcasts the query side") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
