@@ -33,6 +33,7 @@ object SparkEntry {
     "q_cube_orders" -> (Relational.qCubeOrders _),
     "q_anti_customers" -> (Relational.qAntiCustomers _),
     "q_table_profile" -> (Relational.qTableProfile _),
+    "q_correlated_min" -> (Relational.qCorrelatedMin _),
     "q_approx_profile" -> (Relational.qApproxProfile _),
     "q_lang_id" -> (TextQueries.qLangId _),
     "q_quality_score" -> (TextQueries.qQualityScore _),
@@ -243,6 +244,13 @@ object SparkEntry {
         |  WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    "q_correlated_min" ->
+      """SELECT p_brand, p_partkey, p_retailprice
+        |FROM part
+        |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
+        |                       FROM part p2
+        |                       WHERE p2.p_brand = part.p_brand)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
     "q_table_profile" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,

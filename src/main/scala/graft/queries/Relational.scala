@@ -394,6 +394,24 @@ object Relational {
       .orderBy(col("split"))
   }
 
+  /** Correlated scalar subquery through the SQL interface: cheapest
+    * part(s) per brand, written the way an analyst would. Catalyst
+    * DECORRELATES the subquery into an aggregate + join (no per-row
+    * re-execution — the naive reading is O(rows × brands)); the plan is
+    * pinned in PlanAuditSpec. Also exercises the spark.sql() surface over
+    * registered views, which the DataFrame queries don't touch.
+    */
+  def qCorrelatedMin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT p_brand, p_partkey, p_retailprice
+        |FROM part
+        |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
+        |                       FROM part p2
+        |                       WHERE p2.p_brand = part.p_brand)
+        |ORDER BY p_brand, p_partkey""".stripMargin)
+  }
+
   /** Data-quality profile: the one-pass validation report a pipeline runs
     * before promoting a layer (the reference validates row-by-row while
     * indexing; at 100 TB you want the report FIRST). Null counts, domain

@@ -106,6 +106,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("correlated scalar subquery decorrelates to aggregate + join") {
+    val df = Relational.qCorrelatedMin(spark, sfDir)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct"), s"subquery not decorrelated:\n$plan")
+    assert(plan.contains("Join"), "decorrelation produces a join")
+    assert(plan.contains("Aggregate") || plan.contains("HashAggregate"),
+      s"per-brand min must be ONE aggregate, not per-row re-execution:\n$plan")
+  }
+
   test("salted join shuffles on (key, salt), not broadcast") {
     // if Spark broadcast the stats side the salt would be decorative:
     // the whole point is that the 5-key fact side repartitions on
