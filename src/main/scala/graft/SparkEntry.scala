@@ -34,6 +34,8 @@ object SparkEntry {
     "q_anti_customers" -> (Relational.qAntiCustomers _),
     "q_table_profile" -> (Relational.qTableProfile _),
     "q_correlated_min" -> (Relational.qCorrelatedMin _),
+    "q_pivot_revenue" -> (Relational.qPivotRevenue _),
+    "q_unpivot_features" -> (Relational.qUnpivotFeatures _),
     "q_approx_profile" -> (Relational.qApproxProfile _),
     "q_lang_id" -> (TextQueries.qLangId _),
     "q_quality_score" -> (TextQueries.qQualityScore _),
@@ -244,6 +246,25 @@ object SparkEntry {
         |  WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    "q_pivot_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS O,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS F,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS P
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_unpivot_features" ->
+      """SELECT p_partkey, 'size' AS feature, CAST(p_size AS DOUBLE) AS value
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retailprice' AS feature, p_retailprice AS value
+        |FROM part
+        |ORDER BY p_partkey, feature""".stripMargin,
     "q_correlated_min" ->
       """SELECT p_brand, p_partkey, p_retailprice
         |FROM part

@@ -394,6 +394,38 @@ object Relational {
       .orderBy(col("split"))
   }
 
+  /** PIVOT: revenue by nation × order status reshaped to one column per
+    * status. With explicit pivot values Spark plans ONE aggregation pass
+    * (no per-value scans, no second shuffle) — the dashboard crosstab at
+    * any scale. Exact decimal sums as everywhere.
+    */
+  def qPivotRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val o = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderstatus", "o_totalprice")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(decSum2(col("o_totalprice")))
+      .orderBy(col("n_name"))
+  }
+
+  /** UNPIVOT (melt): wide feature columns to (key, feature, value) long
+    * form — the reshaping step before per-feature statistics. A pure
+    * per-row expansion: no shuffle, output = rows × features.
+    */
+  def qUnpivotFeatures(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("size"), col("retailprice")), "feature", "value")
+      .orderBy(col("p_partkey"), col("feature"))
+  }
+
   /** Correlated scalar subquery through the SQL interface: cheapest
     * part(s) per brand, written the way an analyst would. Catalyst
     * DECORRELATES the subquery into an aggregate + join (no per-row
