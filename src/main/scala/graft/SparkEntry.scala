@@ -53,6 +53,7 @@ object SparkEntry {
     "q_asof_tolerance" -> (EventQueries.qAsofTolerance _),
     "q_range_join" -> (EventQueries.qRangeJoin _),
     "q_salted_join" -> (EventQueries.qSaltedJoin _),
+    "q_lead_lag" -> (EventQueries.qLeadLag _),
     "q_knn_cosine" -> (SimilarityQueries.qKnnCosine _),
     "q_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
     "q_ann_lsh" -> (SimilarityQueries.qAnnLsh _),
@@ -448,6 +449,17 @@ object SparkEntry {
         |FROM c JOIN p ON user_id = p_user
         |  AND click_ts >= p_ts - INTERVAL 1 HOUR AND click_ts < p_ts
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "q_lead_lag" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events)
+        |SELECT event_id, user_id, ts,
+        |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS us_since_prev,
+        |  epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS us_to_next,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS first_event
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     // oracle = the UNSALTED join: salting must be invisible in the result
     "q_salted_join" ->
       """WITH stats AS (SELECT event_type,

@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.ops.AsOf
 import graft.sources.Tables
 import graft.ops.Agg._
@@ -78,6 +80,28 @@ object EventQueries {
         col("click_ts"), col("win_start"), col("win_end"))
       .select(col("click_id"), col("purchase_id"), col("user_id"))
       .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  /** Per-user event-sequence features: lead/lag gaps, running rank
+    * position, quartile bucket — the standard window-function toolbox in
+    * one pass. ONE shuffle on user_id serves every window (same
+    * partitioning, Spark plans a single WindowExec group); gap seconds
+    * stay in exact long arithmetic.
+    */
+  def qLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    e.select(
+        col("event_id"), col("user_id"), col("ts"),
+        (unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w))).as("us_since_prev"),
+        (unix_micros(lead(col("ts"), 1).over(w)) -
+          unix_micros(col("ts"))).as("us_to_next"),
+        ntile(4).over(w).as("quartile"),
+        first(col("event_id")).over(w).as("first_event"))
+      .orderBy(col("event_id"))
   }
 
   /** Enrichment join on a PATHOLOGICALLY skewed key: `event_type` has 5
