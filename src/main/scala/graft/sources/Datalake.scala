@@ -102,6 +102,36 @@ object Datalake {
       .option("compression", "snappy")
       .parquet(to)
 
+  /** Atomic publish without a table format: data lands under a new
+    * versioned directory, and ONE tiny manifest file is swapped last —
+    * readers resolve the manifest first, so they see either the old
+    * version or the new one, never a half-written directory. This is the
+    * commit protocol every serious datalake needs on plain object storage
+    * (a failed job leaves an orphan version dir, never a corrupt table);
+    * the manifest write is a single small PUT, the closest thing to atomic
+    * an object store offers.
+    */
+  def publish(df: DataFrame, tableRoot: String, version: String): Unit = {
+    val dataPath = s"$tableRoot/v=$version"
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .parquet(dataPath)
+    val manifest = java.nio.file.Paths.get(tableRoot, "MANIFEST")
+    val tmp = java.nio.file.Paths.get(tableRoot, s".MANIFEST.$version.tmp")
+    java.nio.file.Files.createDirectories(manifest.getParent)
+    java.nio.file.Files.writeString(tmp, s"v=$version\n")
+    java.nio.file.Files.move(tmp, manifest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read the currently-published version via the manifest. */
+  def readPublished(spark: SparkSession, tableRoot: String): DataFrame = {
+    val v = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(tableRoot, "MANIFEST")).trim
+    spark.read.parquet(s"$tableRoot/$v")
+  }
+
   /** Persist as a bucketed+sorted table: two fact tables bucketed on their
     * join key with the same bucket count join with NO exchange and NO sort —
     * the shuffle is paid once at write time instead of on every join. This

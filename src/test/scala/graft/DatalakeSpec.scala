@@ -116,6 +116,24 @@ class DatalakeSpec extends SparkSpecBase {
       spark.read.parquet(s"$tmp/small").count(), "compaction loses nothing")
   }
 
+  test("manifest publish is atomic: readers see old or new, never partial") {
+    val root = s"${Files.createTempDirectory("graft-pub")}/t"
+    Datalake.publish(Seq((1L, "a")).toDF("id", "v"), root, "001")
+    assert(Datalake.readPublished(spark, root)
+      .collect().map(_.getString(1)).toSeq === Seq("a"))
+    // a new version lands fully before the manifest swap; until then
+    // readers still resolve v=001
+    val newData = Seq((1L, "b"), (2L, "c")).toDF("id", "v")
+    newData.write.parquet(s"$root/v=002") // data written, NOT yet published
+    assert(Datalake.readPublished(spark, root).count() === 1,
+      "unpublished version must be invisible")
+    Datalake.publish(newData, root, "002")
+    assert(Datalake.readPublished(spark, root)
+      .orderBy("id").collect().map(_.getString(1)).toSeq === Seq("b", "c"))
+    // the old version dir still exists for time-travel/rollback
+    assert(spark.read.parquet(s"$root/v=001").count() === 1)
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val tmp = Files.createTempDirectory("graft-pq").toString
     val df = Seq((1L, "20240101", 1.0), (2L, "20240102", 2.0)).toDF("id", "ingest_date", "v")
