@@ -56,6 +56,31 @@ class CorpusSpec extends SparkSpecBase {
     assert(last.toSeq === Seq("w97", "w98", "w99", "w100"))
   }
 
+  test("chunk windows tile any length: property over random docs") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(200) + 1
+      (i.toLong, (1 to n).map(j => s"t$j").mkString(" "), n)
+    }
+    val df = docs.map(d => (d._1, d._2)).toDF("doc_id", "text")
+    val got = graft.ops.Corpus.chunkWindows(df, col("doc_id"), col("text"), 64, 48)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getLong(1)) }
+    docs.foreach { case (id, _, n) =>
+      val chunks = got(id)
+      val expected = math.max(1, (n - 1) / 48 + 1)
+      assert(chunks.length === expected, s"doc $id n=$n")
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(2) === i * 48L, s"doc $id chunk $i start")
+        assert(c.getLong(3) === math.min(64L, n - i * 48L), s"doc $id chunk $i len")
+      }
+      // last chunk reaches the end; consecutive chunks overlap by 16 (or less at tail)
+      val last = chunks.last
+      assert(last.getLong(2) + last.getLong(3) === n.toLong, s"doc $id tail")
+    }
+  }
+
   test("scrub redacts every digit run and counts them") {
     val out = CorpusQueries.qPiiScrub(spark, sfDir)
     assert(out.filter(col("props_clean").rlike("\\d")).count() === 0,
@@ -74,6 +99,17 @@ class CorpusSpec extends SparkSpecBase {
       .toMap
     assert(out(1L)._1 === 0.9 && out(1L)._2 === 1.0) // 10 words, 1 distinct
     assert(out(2L)._1 === 0.0 && out(2L)._2 < 0.2)
+  }
+
+  test("salted join rejects join types that would duplicate unmatched rows") {
+    val a = Seq((1L, "x")).toDF("k", "va")
+    val b = Seq((1L, "y")).toDF("k", "vb")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Salting.saltedJoin(a, b, "k", salts = 4, joinType = "full_outer")
+    }
+    assert(e.getMessage.contains("saltedJoin"))
+    // safe types still work
+    assert(graft.ops.Salting.saltedJoin(a, b, "k", 4, "left").count() === 1)
   }
 
   test("sig_agreement: exact fraction, null on length mismatch or null slot") {
