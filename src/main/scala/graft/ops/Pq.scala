@@ -121,18 +121,16 @@ object Pq {
     */
   def searchPqRerank(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
       model: PqModel, k: Int, shortlist: Int = 64): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k): the rerank can only " +
+        "return candidates the ADC stage produced")
     val cand = searchPq(encoded, queries, model, shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    cand
-      .join(corpus.select(col("id").as("neighbor_id"), col("emb")), "neighbor_id")
-      .join(broadcast(queries), "query_id")
-      .groupBy(col("query_id"))
-      .agg(graft.functions.vectors.topk(
-        -l2Dist(col("q_emb"), col("emb")), col("neighbor_id"), k).as("__top"))
-      .select(col("query_id"),
-        posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), col("__e.id").as("neighbor_id"),
-        (col("__pos") + 1).cast("long").as("rank"))
+    Similarity.topkServe(
+      cand.join(corpus.select(col("id"), col("emb")),
+          cand("neighbor_id") === col("id"))
+        .join(broadcast(queries), "query_id"),
+      -l2Dist(col("q_emb"), col("emb")), k)
   }
 
   /** Approximate top-k over a PQ-encoded corpus. `queries` carries
@@ -144,15 +142,7 @@ object Pq {
     val vc = org.apache.spark.sql.graft.VectorColumns
     val q = queries.withColumn("__lut",
       vc.pqLut(col("q_emb"), model.flat, model.m, model.ksub))
-    encoded.crossJoin(broadcast(q))
-      .filter(col("id") =!= col("query_id"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.vectors.topk(
-        -vc.pqAdc(col("pq_codes"), col("__lut"), model.ksub), col("id"), k)
-        .as("__top"))
-      .select(col("query_id"),
-        posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), col("__e.id").as("neighbor_id"),
-        (col("__pos") + 1).cast("long").as("rank"))
+    Similarity.topkServe(encoded.crossJoin(broadcast(q)),
+      -vc.pqAdc(col("pq_codes"), col("__lut"), model.ksub), k)
   }
 }

@@ -44,7 +44,7 @@ object Similarity {
     * to (query_id, neighbor_id, rank). `candidates` must carry query_id,
     * id and the score expression's inputs.
     */
-  private def topkServe(candidates: DataFrame, score: Column, k: Int): DataFrame =
+  private[ops] def topkServe(candidates: DataFrame, score: Column, k: Int): DataFrame =
     candidates
       .filter(col("id") =!= col("query_id"))
       .groupBy(col("query_id"))

@@ -90,7 +90,7 @@ object EventQueries {
     */
   def qLeadLag(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .select(col("event_id"), col("user_id"), col("ts"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     e.select(

@@ -434,14 +434,19 @@ object Relational {
     * registered views, which the DataFrame queries don't touch.
     */
   def qCorrelatedMin(spark: SparkSession, dir: String): DataFrame = {
-    Tables.part(spark, dir).createOrReplaceTempView("part")
-    spark.sql(
+    // scoped view name + drop after analysis: registering a view named
+    // `part` would silently shadow the real table for every later
+    // spark.sql in the shared session
+    Tables.part(spark, dir).createOrReplaceTempView("graft_corr_part")
+    val df = spark.sql(
       """SELECT p_brand, p_partkey, p_retailprice
-        |FROM part
+        |FROM graft_corr_part part
         |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
-        |                       FROM part p2
+        |                       FROM graft_corr_part p2
         |                       WHERE p2.p_brand = part.p_brand)
         |ORDER BY p_brand, p_partkey""".stripMargin)
+    spark.catalog.dropTempView("graft_corr_part") // plan already resolved
+    df
   }
 
   /** Data-quality profile: the one-pass validation report a pipeline runs

@@ -116,19 +116,31 @@ object Datalake {
     df.write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
       .parquet(dataPath)
-    val manifest = java.nio.file.Paths.get(tableRoot, "MANIFEST")
-    val tmp = java.nio.file.Paths.get(tableRoot, s".MANIFEST.$version.tmp")
-    java.nio.file.Files.createDirectories(manifest.getParent)
-    java.nio.file.Files.writeString(tmp, s"v=$version\n")
-    java.nio.file.Files.move(tmp, manifest,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // manifest IO goes through the Hadoop FileSystem of tableRoot, same as
+    // the data (java.nio would silently write a LOCAL file for an
+    // hdfs://-or-s3a:// root). Rename atomicity is the underlying FS's:
+    // true on HDFS/local; object stores need their conditional-put — the
+    // protocol still guarantees readers never resolve a partial directory.
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".MANIFEST.$version.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"v=$version\n".getBytes("UTF-8")) finally out.close()
+    val manifest = new org.apache.hadoop.fs.Path(root, "MANIFEST")
+    // FileContext rename+OVERWRITE is the atomic-replace primitive
+    // (plain FileSystem.rename won't overwrite; delete-then-rename would
+    // open a window with no manifest at all)
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+      .rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Read the currently-published version via the manifest. */
   def readPublished(spark: SparkSession, tableRoot: String): DataFrame = {
-    val v = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(tableRoot, "MANIFEST")).trim
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(root, "MANIFEST"))
+    val v = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
     spark.read.parquet(s"$tableRoot/$v")
   }
 

@@ -169,9 +169,21 @@ case class EuclideanDistance(left: Expression, right: Expression)
 object PqKernels {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
+  /** Fail loudly on model/vector shape mismatch: computing the subspace
+    * width from the ROW's length would quantize a corrupt wrong-dimension
+    * vector against misaligned codebook slices and emit plausible garbage
+    * codes (or read past the codebook) with no error.
+    */
+  private def checkShape(n: Int, cb: Array[Float], m: Int, ksub: Int): Unit = {
+    require(n > 0 && n % m == 0 && cb.length == ksub * n,
+      s"PQ shape mismatch: vector dim $n vs codebook for dim ${cb.length / ksub} " +
+        s"(m=$m, ksub=$ksub) — corrupt embedding or wrong model")
+  }
+
   /** Nearest sub-centroid per subspace → one code byte each. */
   def encode(arr: ArrayData, cb: Array[Float], m: Int, ksub: Int): Array[Byte] = {
     val dim = arr.numElements()
+    checkShape(dim, cb, m, ksub)
     val sub = dim / m
     val out = new Array[Byte](m)
     var mi = 0
@@ -202,6 +214,7 @@ object PqKernels {
     */
   def lut(arr: ArrayData, cb: Array[Float], m: Int, ksub: Int): ArrayData = {
     val dim = arr.numElements()
+    checkShape(dim, cb, m, ksub)
     val sub = dim / m
     val out = new Array[Any](m * ksub)
     var mi = 0
@@ -228,6 +241,13 @@ object PqKernels {
     * L2(query, vector) — M lookups, no float math per corpus row.
     */
   def adc(codes: Array[Byte], lutArr: ArrayData, ksub: Int): Double = {
+    // a LUT from a mismatched model would read out of bounds — and
+    // UnsafeArrayData.getFloat does NOT bounds-check, so this would be
+    // silent garbage, not an exception
+    require(lutArr.numElements() == codes.length * ksub,
+      s"PQ ADC mismatch: ${codes.length}-byte codes vs " +
+        s"${lutArr.numElements()}-entry LUT (ksub=$ksub) — codes and LUT " +
+        "come from different models")
     var acc = 0.0
     var mi = 0
     while (mi < codes.length) {
@@ -242,6 +262,8 @@ object PqKernels {
 case class PqEncode(child: Expression, cb: Array[Float], m: Int, ksub: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
+  require(m >= 1 && ksub >= 2 && ksub <= 256,
+    s"pq_encode needs m >= 1 and 2 <= ksub <= 256 (byte codes), got m=$m ksub=$ksub")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = BinaryType
 
@@ -262,6 +284,8 @@ case class PqEncode(child: Expression, cb: Array[Float], m: Int, ksub: Int)
 case class PqLut(child: Expression, cb: Array[Float], m: Int, ksub: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
+  require(m >= 1 && ksub >= 2 && ksub <= 256,
+    s"pq_lut needs m >= 1 and 2 <= ksub <= 256, got m=$m ksub=$ksub")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
 
