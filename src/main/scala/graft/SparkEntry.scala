@@ -69,6 +69,7 @@ object SparkEntry {
     "q_chunk_windows" -> (CorpusQueries.qChunkWindows _),
     "q_pii_scrub" -> (CorpusQueries.qPiiScrub _),
     "q_repetition_filter" -> (CorpusQueries.qRepetitionFilter _),
+    "q_corpus_pipeline" -> (CorpusQueries.qCorpusPipeline _),
   )
 
   /** DuckDB-dialect equivalents over the same bare table names.
@@ -562,6 +563,39 @@ object SparkEntry {
         |  regexp_replace(props, '\d+', '[NUM]', 'g') AS props_clean,
         |  CAST(len(regexp_extract_all(props, '\d+')) AS BIGINT) AS n_redacted
         |FROM events ORDER BY event_id""".stripMargin,
+    // the composed pipeline: sample → repetition keep → chunk, each stage
+    // the proven oracle fragment of its standalone query
+    "q_corpus_pipeline" ->
+      """WITH s AS (SELECT doc_id, text FROM documents
+        |  WHERE substring(md5(text), 1, 3) <
+        |    (CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 2 = 0
+        |      THEN '800' ELSE '333' END)),
+        |w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS lws
+        |  FROM s),
+        |d AS (SELECT doc_id, len(lws) AS n_words,
+        |    len(list_distinct(lws)) AS n_distinct FROM w),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(lws) < 2
+        |    THEN [array_to_string(lws, ' ')]
+        |    ELSE list_transform(generate_series(1, len(lws) - 1),
+        |      i -> lws[i]||' '||lws[i+1]) END) AS b
+        |  FROM w),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+        |bt AS (SELECT doc_id, MAX(c) AS top_n, SUM(c) AS n_bg FROM bc GROUP BY doc_id),
+        |keep AS (SELECT d.doc_id FROM d JOIN bt ON d.doc_id = bt.doc_id
+        |  WHERE 1.0 - CAST(n_distinct AS DOUBLE)/CAST(n_words AS DOUBLE) <= 0.95
+        |    AND CAST(top_n AS DOUBLE)/CAST(n_bg AS DOUBLE) <= 0.18),
+        |t AS (SELECT s.doc_id, regexp_split_to_array(trim(s.text), '\s+') AS ws
+        |  FROM s JOIN keep ON s.doc_id = keep.doc_id),
+        |t2 AS (SELECT doc_id, ws, len(ws) AS n FROM t),
+        |c AS (SELECT doc_id, ws, n,
+        |    unnest(generate_series(0, greatest((n-1)//48, 0))) AS chunk_idx
+        |  FROM t2)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx*48 AS BIGINT) AS chunk_start,
+        |  CAST(least(64, n - chunk_idx*48) AS BIGINT) AS chunk_len,
+        |  array_to_string(list_slice(ws, chunk_idx*48 + 1,
+        |    chunk_idx*48 + least(64, n - chunk_idx*48)), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_repetition_filter" ->
       """WITH w AS (SELECT doc_id,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws

@@ -65,6 +65,27 @@ object CorpusQueries {
       .select(col("event_id"), col("clean").as("props_clean"), col("n_redacted"))
       .orderBy(col("event_id"))
 
+  /** The corpus-construction pipeline COMPOSED as one declarative plan:
+    * deterministic sampling → repetition-quality filter → LM window
+    * chunking. Catalyst fuses the sample predicate and the chunk explode
+    * into the scan side; the only shuffles are the repetition stats'
+    * per-doc aggregations. The point (beyond each op alone): the stages
+    * compose without materialization barriers, so the 100 TB corpus makes
+    * one pass end-to-end.
+    */
+  def qCorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val sampled = Corpus.sampleStratified(d, col("text"),
+      when(regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2 === 0,
+        lit("800")).otherwise(lit("333")))
+    val keep = Corpus.repetitionStats(sampled, col("doc_id"), col("text"))
+      .filter(col("dup_word_ratio") <= 0.95 && col("top_bigram_frac") <= 0.18)
+      .select("doc_id")
+    Corpus.chunkWindows(sampled.join(keep, "doc_id"),
+        col("doc_id"), col("text"), winSize = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Repetition-based quality stats per document (Gopher-style): duplicate
     * word ratio + most-frequent-bigram fraction, with a keep flag.
     */
