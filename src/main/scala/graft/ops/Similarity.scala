@@ -174,14 +174,13 @@ object Similarity {
     val dim = cents.headOption.map(_.length).getOrElse(0)
     var it = 0
     while (it < iters) {
-      def cellScores(emb: Column): Column = array(cents.zipWithIndex.map {
-        case (c, i) =>
-          struct(cosineSim(emb, array(c.map(lit(_)): _*)).as("s"),
-            lit(i).as("cell"))
-      }: _*)
+      // assignment via the IvfCell reference-object expression: inlining
+      // nCells×dim float literals per projection bloats generated code
       val dims = (0 until dim).map(d => avg(col("emb").getItem(d)).as(s"d$d"))
       val means = corpus
-        .withColumn("cell", array_max(cellScores(col("emb"))).getField("cell"))
+        .withColumn("cell",
+          org.apache.spark.sql.graft.VectorColumns.ivfCell(
+            col("emb"), cents.flatten, nCells))
         .groupBy("cell").agg(dims.head, dims.tail: _*)
         .collect()
       val next = cents.map(_.clone())
@@ -201,15 +200,20 @@ object Similarity {
     // collected once on the driver and inlined as literals. This is the one
     // deliberate driver-side step (same role as fitting a quantizer).
     val cents: Array[Array[Float]] = trainCentroids(corpus, nCells, trainIters)
-    // array<struct<s,cell>> of centroid scores — pure projection, so cell
-    // assignment/probing never shuffles the corpus.
+    // corpus-side cell assignment: one reference-object expression call per
+    // row (no literal blow-up); pure projection, so assignment never
+    // shuffles the corpus.
+    val assigned = corpus
+      .withColumn("cell",
+        org.apache.spark.sql.graft.VectorColumns.ivfCell(
+          col("emb"), cents.flatten, nCells))
+    // probe side stays on the array<struct<s,cell>> form: it needs the
+    // TOP-nProbe cells, not just the argmax, and the query set is tiny
     def cellScores(emb: Column): Column = array(cents.zipWithIndex.map {
       case (c, i) =>
         struct(cosineSim(emb, array(c.map(lit(_)): _*)).as("s"),
           lit(i).as("cell"))
     }: _*)
-    val assigned = corpus
-      .withColumn("cell", array_max(cellScores(col("emb"))).getField("cell"))
     val probes = queries
       .withColumn("__probe",
         explode(slice(reverse(sort_array(cellScores(col("q_emb")))), 1, nProbe)))

@@ -258,6 +258,62 @@ object PqKernels {
   }
 }
 
+/** Static kernel + expression for IVF cell assignment: argmax-cosine over
+  * a centroid matrix carried as a codegen reference object — inlining
+  * nCells×dim float literals into the projection (the `array(struct(...))`
+  * argmax formulation) bloats generated code and re-materializes the
+  * centroids per call site.
+  */
+object IvfKernels {
+  /** Index of the max-cosine centroid; `cents` is row-major [cell][dim]. */
+  def argmaxCosine(arr: ArrayData, cents: Array[Float], nCells: Int): Int = {
+    val dim = arr.numElements()
+    require(dim > 0 && cents.length == nCells * dim,
+      s"IVF shape mismatch: vector dim $dim vs centroid matrix for dim " +
+        s"${if (nCells > 0) cents.length / nCells else 0} (nCells=$nCells)")
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < nCells) {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      val base = c * dim
+      while (i < dim) {
+        val x = arr.getFloat(i).toDouble
+        val y = cents(base + i).toDouble
+        dot += x * y; nx += x * x; ny += y * y
+        i += 1
+      }
+      val s = if (nx == 0.0 || ny == 0.0) 0.0
+        else dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (s > bestS) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** `ivf_cell(emb)`: argmax-cosine cell id against the inlined centroids. */
+case class IvfCell(child: Expression, cents: Array[Float], nCells: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(nCells >= 1, s"ivf_cell needs nCells >= 1, got $nCells")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any): Any =
+    IvfKernels.argmaxCosine(a.asInstanceOf[ArrayData], cents, nCells)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfcents", cents, "float[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.IvfKernels.argmaxCosine($c, $ref, $nCells)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCell =
+    copy(child = newChild)
+}
+
 /** `pq_encode(emb)`: M byte codes per vector (codebooks inlined). */
 case class PqEncode(child: Expression, cb: Array[Float], m: Int, ksub: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -441,4 +497,7 @@ object VectorColumns {
   def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
     ExpressionUtils.column(PqAdc(
       ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), ksub))
+
+  def ivfCell(emb: Column, cents: Array[Float], nCells: Int): Column =
+    ExpressionUtils.column(IvfCell(ExpressionUtils.expression(emb), cents, nCells))
 }
