@@ -48,6 +48,17 @@ object Datalake {
   def readJsonArray(spark: SparkSession, p: String, schema: StructType): DataFrame =
     spark.read.option("multiLine", "true").schema(schema).json(p)
 
+  /** ORC round-trip for interop with Hive-era warehouses (ORC supports the
+    * same predicate pushdown / column pruning as parquet; same layered
+    * layout applies). Parquet stays the house format — this is the bridge
+    * for tables that already live as ORC.
+    */
+  def writeOrc(df: DataFrame, p: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("compression", "snappy").orc(p)
+
+  def readOrc(spark: SparkSession, p: String): DataFrame =
+    spark.read.orc(p)
+
   /** Write a formatted/usage layer as snappy parquet, optionally
     * partitioned (ingest_date, geo prefix, …) for downstream pruning.
     */

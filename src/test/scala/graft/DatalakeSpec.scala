@@ -116,6 +116,21 @@ class DatalakeSpec extends SparkSpecBase {
       spark.read.parquet(s"$tmp/small").count(), "compaction loses nothing")
   }
 
+  test("orc round-trip preserves data and pushes filters to the scan") {
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    Datalake.writeOrc(src, s"$tmp/orders_orc")
+    val back = Datalake.readOrc(spark, s"$tmp/orders_orc")
+    assert(back.count() === src.count())
+    assert(back.schema === src.schema, "ORC round-trip must keep the schema")
+    val filtered = back.filter(col("o_totalprice") > 100000.0)
+    assert(filtered.count() ===
+      src.filter(col("o_totalprice") > 100000.0).count())
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"),
+      s"ORC scan did not receive the pushed filter:\n$plan")
+  }
+
   test("manifest publish is atomic: readers see old or new, never partial") {
     val root = s"${Files.createTempDirectory("graft-pub")}/t"
     Datalake.publish(Seq((1L, "a")).toDF("id", "v"), root, "001")
