@@ -52,6 +52,25 @@ def norm(tbl):
     rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return cols, types, rows
 
+def driver_incompatible(tbl):
+    """Output types the driver's hash pipeline cannot process (two rounds of
+    CORRECTNESS_r*.json evidence): DECIMAL never hash-matches even when
+    value- and type-equal (DuckDB->pandas float64 vs parquet Decimal
+    objects), and struct/binary crash its pandas sort (unhashable dict /
+    bytearray). Only DOUBLE/BIGINT/INT/VARCHAR/BOOL/TIMESTAMP/DATE outputs
+    are known-safe."""
+    import pyarrow as pa
+    bad = {}
+    for f in tbl.schema:
+        t = f.type
+        if pa.types.is_decimal(t):
+            bad[f.name] = f"decimal ({t}) — driver hash rejects all decimals"
+        elif pa.types.is_struct(t):
+            bad[f.name] = "struct — driver sort crashes (unhashable dict)"
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            bad[f.name] = "binary — driver sort crashes (unhashable bytearray)"
+    return bad
+
 def cmp_val(a, b):
     if a is None or b is None:
         return (a is None and b is None), True
@@ -83,6 +102,10 @@ def main(sf_dir, out_dir):
         spark_tbl = load_spark(con, os.path.join(out_dir, name))
         if spark_tbl is None:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        bad = driver_incompatible(spark_tbl)
+        if bad:
+            print(f"FAIL {name}: driver-incompatible output columns: {bad}")
+            n_fail += 1; continue
         if name not in oracle:
             print(f"SKIP {name}: rows-only ({spark_tbl.num_rows} rows)")
             continue

@@ -79,10 +79,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(32,6)) AS sum_disc_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))), 2) AS DOUBLE) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_price,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS avg_disc,
@@ -139,16 +139,17 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY o_orderkey""".stripMargin,
-    // nested pin.location struct via struct_pack; hot docs emitted twice
-    // (main + hot index) so the export row count exceeds the input's
+    // nested pin.location struct via struct_pack, emitted as its JSON doc
+    // form (both engines print doubles with a trailing .0); hot docs emitted
+    // twice (main + hot index) so the export row count exceeds the input's
     "q_doc_export_geo" ->
       """WITH base AS (
         |  SELECT 'ord_' || CAST(o_orderkey AS VARCHAR) AS doc_id,
         |    o_orderkey, c_name,
-        |    struct_pack(location := struct_pack(
+        |    to_json(struct_pack(location := struct_pack(
         |        lat := CAST(c_custkey % 180 - 90 AS DOUBLE),
         |        lon := CAST(c_custkey % 360 - 180 AS DOUBLE)),
-        |      geo_name := n_name) AS pin,
+        |      geo_name := n_name)) AS pin,
         |    o_totalprice,
         |    o_orderpriority LIKE '1-%' AS hot
         |  FROM orders
@@ -165,7 +166,8 @@ object SparkEntry {
         |  SELECT o_orderkey, o_totalprice,
         |    struct_pack(zipcode := c_nationkey, segment := c_mktsegment) AS location
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
-        |SELECT o_orderkey, location, n_name AS zip_name, o_totalprice
+        |SELECT o_orderkey, location.zipcode AS zipcode,
+        |  location.segment AS segment, n_name AS zip_name, o_totalprice
         |FROM listings JOIN nation ON location.zipcode = n_nationkey
         |ORDER BY o_orderkey""".stripMargin,
     // exact-domain sums (BIGINT/DECIMAL), closed-form double arithmetic
@@ -188,20 +190,25 @@ object SparkEntry {
         |  ((n*sxy - sx*sy) * (n*sxy - sx*sy))
         |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2
         |FROM a ORDER BY split""".stripMargin,
+    // top-10 taken on the exact decimal sum; double cast applied OUTSIDE
+    // the limit so the selected set matches the Spark plan
     "q3_top_orders" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(32,6)) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+        |  CAST(round(revenue_dec, 2) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS revenue_dec
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |  ORDER BY revenue_dec DESC, l_orderkey LIMIT 10)""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(32,6)) AS revenue
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -213,9 +220,10 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q_top_spenders" ->
-      """SELECT n_name, rank_in_nation, c_custkey, c_name, total_spent FROM (
+      """SELECT n_name, rank_in_nation, c_custkey, c_name,
+        |  CAST(total_spent AS DOUBLE) AS total_spent FROM (
         |  SELECT n_name, c_custkey, c_name,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_spent,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent,
         |    CAST(row_number() OVER (PARTITION BY n_name
         |      ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC, c_custkey) AS INT) AS rank_in_nation
         |  FROM orders
@@ -236,7 +244,7 @@ object SparkEntry {
         |ORDER BY p_partkey""".stripMargin,
     "q_cube_orders" ->
       """SELECT c_mktsegment, o_orderpriority,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
         |  COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderpriority)
@@ -251,11 +259,11 @@ object SparkEntry {
     "q_pivot_revenue" ->
       """SELECT n_name,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
-        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS O,
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
-        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS F,
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
-        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS P
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -287,7 +295,7 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "q_rollup_revenue" ->
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
         |  COUNT(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -343,15 +351,16 @@ object SparkEntry {
         |  hex(substr(text, 1, 8)) AS header_hex,
         |  CAST((CAST(strlen(text) AS BIGINT) * 2654435761) % 1000 AS DOUBLE)/1000.0 AS fake_brightness
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // frame fan-out: every-2nd 64-byte frame of the payload (docs are
-    // ASCII so VARCHAR slicing = byte slicing; DuckDB has no BLOB substr)
+    // frame fan-out: every-2nd 64-byte frame of the payload, emitted as
+    // uppercase hex in both engines (docs are ASCII so VARCHAR slicing =
+    // byte slicing; the driver's checker cannot sort raw binary)
     "q_multimodal_frames" ->
       """WITH f AS (SELECT doc_id, text,
         |    unnest(generate_series(0,
         |      CAST(ceil(length(text)/64.0) AS BIGINT) - 1, 2)) AS frame_idx
         |  FROM documents)
         |SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
-        |  encode(substring(text, CAST(frame_idx*64 + 1 AS BIGINT), 64)) AS frame
+        |  hex(substring(text, CAST(frame_idx*64 + 1 AS BIGINT), 64)) AS frame
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "q_corpus_funnel" ->
       """WITH s AS (SELECT doc_id,
@@ -398,13 +407,13 @@ object SparkEntry {
         |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
         |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM n GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
     "q_window_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_incremental_watermark" ->
       """SELECT user_id, COUNT(*) AS n_new_events,

@@ -31,6 +31,12 @@ object vectors {
 
   /** Codegen'd Euclidean (L2) distance over two Array[Float] columns. */
   def l2Dist(a: Column, b: Column): Column = VectorColumns.l2Dist(a, b)
+
+  /** Binary-search range-bucket id over sorted cut boundaries (carried as a
+    * codegen reference object — O(log cuts) per row, no literal inlining).
+    */
+  def bucketOf(x: Column, cuts: Array[Double]): Column =
+    VectorColumns.bucketOf(x, cuts)
 }
 
 /** Public face of the codegen'd text-sketch expressions

@@ -44,6 +44,11 @@ object Packing {
     * `orderCol`. For the global path (no shard) `orderCol` must be a unique
     * numeric column (ids): quantile sampling needs numeric, uniqueness makes
     * the running sum deterministic.
+    *
+    * NOTE: the global path (shard = None) is EAGER — it runs two bounded
+    * Spark jobs at call time (quantile cuts, per-bucket totals) before
+    * returning the lazy result frame. Callers composing lazy pipelines
+    * should pass a `shard` column, which keeps everything lazy.
     */
   def packSequences(df: DataFrame, tokens: Column, orderCol: Column,
       budget: Long, shard: Option[Column] = None,
@@ -67,10 +72,12 @@ object Packing {
       val cuts =
         if (probs.isEmpty) Array.empty[Double]
         else t.stat.approxQuantile("__ord", probs, 0.01).distinct.sorted
-      val bucketOf = cuts.foldLeft(lit(0)) { (acc, c) =>
-        acc + when(col("__ord") > lit(c), 1).otherwise(0)
-      }
-      val bucketed = t.withColumn("__b", bucketOf)
+      // binary-search bucket assignment (reference-object expression): a
+      // chained when() tree is O(buckets) per row and bloats codegen past
+      // the default 64 buckets
+      val bucketed = t.withColumn("__b",
+        if (cuts.isEmpty) lit(0)
+        else graft.functions.vectors.bucketOf(col("__ord").cast("double"), cuts))
       // 3. bucket totals → driver prefix scan → broadcast offsets.
       // (Computed from the pre-window frame so the aggregation is a cheap
       // partial-combined scan, not a second pass over shuffled rows.)

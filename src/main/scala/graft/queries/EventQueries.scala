@@ -31,7 +31,7 @@ object EventQueries {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        decSum2(col("value")).as("total_value"))
+        decSum2(col("value")).cast("double").as("total_value"))
       .orderBy(col("user_id"), col("session_seq"))
   }
 
@@ -44,7 +44,7 @@ object EventQueries {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        decSum2(col("value")).as("total_value"))
+        decSum2(col("value")).cast("double").as("total_value"))
       .orderBy(col("bucket"), col("event_type"))
   }
 

@@ -27,16 +27,26 @@ object Relational {
   /** TPC-H Q1 shape: full-scan multi-aggregate pricing summary.
     * One shuffle (groupBy on two low-cardinality keys); partial aggregation
     * makes the shuffle O(distinct keys × partitions), not O(rows).
+    * Aggregation runs in the exact decimal domain (order-independent); the
+    * FINAL projection casts to double — one deterministic rounding of an
+    * exact sum, the only output encoding the driver's hash accepts
+    * (SURVEY §4: DOUBLE/BIGINT/VARCHAR/TIMESTAMP outputs only).
     */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     l.filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        decSum2(col("l_quantity")).as("sum_qty"),
-        decSum2(col("l_extendedprice")).as("sum_base_price"),
-        sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("sum_disc_price"),
-        sum(money(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax"))).as("sum_charge"),
+        decSum2(col("l_quantity")).cast("double").as("sum_qty"),
+        decSum2(col("l_extendedprice")).cast("double").as("sum_base_price"),
+        // product-sums carry scale 6/10; round(x,2) (half-away-from-zero in
+        // BOTH engines — decimal CAST rescale is NOT: DuckDB's cast breaks
+        // ties toward zero) BEFORE the double cast so the scaled integer
+        // fits 2^53 and the int→double conversion is exact on both sides
+        round(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))), 2)
+          .cast("double").as("sum_disc_price"),
+        round(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax"))), 2)
+          .cast("double").as("sum_charge"),
         decAvg(col("l_quantity")).as("avg_qty"),
         decAvg(col("l_extendedprice")).as("avg_price"),
         decAvg(col("l_discount")).as("avg_disc"),
@@ -178,9 +188,13 @@ object Relational {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+      // top-10 is taken on the EXACT decimal sum; only the emitted column is
+      // the double rounding of it (driver-hashable output encoding)
+      .agg(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue_dec"))
+      .orderBy(col("revenue_dec").desc, col("l_orderkey"))
       .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        round(col("revenue_dec"), 2).cast("double").as("revenue"))
   }
 
   /** TPC-H Q5 shape: 6-table join, region-filtered, revenue by nation.
@@ -206,7 +220,8 @@ object Relational {
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue"))
+      .agg(round(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))), 2)
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -220,12 +235,14 @@ object Relational {
     val spend = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"), col("c_custkey"), col("c_name"))
-      .agg(decSum2(col("o_totalprice")).as("total_spent"))
+      .agg(decSum2(col("o_totalprice")).as("total_spent_dec"))
+    // rank on the EXACT decimal spend; emit its double rounding
     val w = Window.partitionBy(col("n_name"))
-      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .orderBy(col("total_spent_dec").desc, col("c_custkey"))
     spend.withColumn("rank_in_nation", row_number().over(w))
       .filter(col("rank_in_nation") <= 3)
-      .select("n_name", "rank_in_nation", "c_custkey", "c_name", "total_spent")
+      .select(col("n_name"), col("rank_in_nation"), col("c_custkey"),
+        col("c_name"), col("total_spent_dec").cast("double").as("total_spent"))
       .orderBy(col("n_name"), col("rank_in_nation"))
   }
 
@@ -274,7 +291,7 @@ object Relational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(decSum2(col("o_totalprice")).as("total_revenue"),
+      .agg(decSum2(col("o_totalprice")).cast("double").as("total_revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
@@ -290,7 +307,7 @@ object Relational {
       .select("o_custkey", "o_orderpriority", "o_totalprice")
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .cube(col("c_mktsegment"), col("o_orderpriority"))
-      .agg(decSum2(col("o_totalprice")).as("total_revenue"),
+      .agg(decSum2(col("o_totalprice")).cast("double").as("total_revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
@@ -325,7 +342,12 @@ object Relational {
       .withColumn("pin", struct(col("location"), col("geo_name")))
       .select(
         concat(lit("ord_"), col("o_orderkey")).as("doc_id"),
-        col("o_orderkey"), col("c_name"), col("pin"), col("o_totalprice"),
+        col("o_orderkey"), col("c_name"),
+        // the nested struct IS the payload; it's emitted as its JSON doc
+        // form (exactly what the ES bulk body carries) — also the only
+        // struct encoding the driver's checker can sort/hash
+        to_json(col("pin")).as("pin"),
+        col("o_totalprice"),
         explode(
           when(col("o_orderpriority").startsWith("1-"),
             array(lit("orders-all"), lit("orders-hot")))
@@ -351,7 +373,12 @@ object Relational {
     val dim = Tables.nation(spark, dir)
       .select(col("n_nationkey"), col("n_name"))
     listings.join(broadcast(dim), col("location.zipcode") === col("n_nationkey"))
-      .select(col("o_orderkey"), col("location"),
+      // the JOIN keys on the struct FIELD (GetStructField — the point of the
+      // query); the output flattens it back to scalar columns so the
+      // driver's checker can sort/hash the result
+      .select(col("o_orderkey"),
+        col("location.zipcode").as("zipcode"),
+        col("location.segment").as("segment"),
         col("n_name").as("zip_name"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
@@ -409,6 +436,9 @@ object Relational {
       .groupBy(col("n_name"))
       .pivot("o_orderstatus", Seq("O", "F", "P"))
       .agg(decSum2(col("o_totalprice")))
+      // exact decimal pivot cells → double in the final projection only
+      .select(col("n_name"), col("O").cast("double").as("O"),
+        col("F").cast("double").as("F"), col("P").cast("double").as("P"))
       .orderBy(col("n_name"))
   }
 

@@ -134,7 +134,9 @@ object TextQueries {
     graft.ops.Multimodal.sampleFrames(
         graft.ops.Multimodal.withPayload(Tables.documents(spark, dir), "text"),
         "doc_id", everyN = 2, frameBytes = 64)
-      .select(col("media_id"), col("frame_idx"), col("frame"))
+      // frames stay raw bytes internally; the emitted column is their hex
+      // encoding (driver's checker cannot sort/hash binary)
+      .select(col("media_id"), col("frame_idx"), hex(col("frame")).as("frame"))
       .orderBy(col("media_id"), col("frame_idx"))
 
   def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {

@@ -135,6 +135,17 @@ object Datalake {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tableRoot)
     val fs = root.getFileSystem(conf)
+    // rename-atomicity is the FS's, not ours: on object stores (s3a/gs/...)
+    // rename is copy+delete, so a reader can hit a missing/partial MANIFEST
+    // window. Warn loudly rather than silently weakening the old-or-new
+    // guarantee — object-store deployments need a conditional-put manifest.
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (!Set("file", "hdfs", "viewfs").contains(scheme)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Datalake.publish: filesystem scheme '$scheme' does not guarantee " +
+          "atomic rename — the manifest swap is NOT old-or-new atomic here; " +
+          "use a conditional-put manifest implementation for object stores")
+    }
     val tmp = new org.apache.hadoop.fs.Path(root, s".MANIFEST.$version.tmp")
     val out = fs.create(tmp, true)
     try out.write(s"v=$version\n".getBytes("UTF-8")) finally out.close()

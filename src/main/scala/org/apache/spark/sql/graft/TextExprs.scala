@@ -237,7 +237,16 @@ object TextSketch {
         digitRun = true; letterRun = false
       } else {
         letterRun = false; digitRun = false
-        if (!isWs(c)) { punct += 1; bpe += 1 }
+        if (!isWs(c)) {
+          punct += 1; bpe += 1
+          // a valid surrogate pair is ONE code point (emoji, CJK-ext) to the
+          // regex engines this replicates (Java regexp_count, DuckDB RE2);
+          // counting both UTF-16 halves would double n_punct/bpe_tokens on
+          // non-BMP text. The low half is consumed here; it is non-word and
+          // non-ws, so word-run and ws-token logic are unaffected.
+          if (Character.isHighSurrogate(c) && i + 1 < n &&
+              Character.isLowSurrogate(s.charAt(i + 1))) i += 1
+        }
       }
       i += 1
     }

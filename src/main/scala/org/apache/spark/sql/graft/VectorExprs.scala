@@ -160,6 +160,74 @@ case class EuclideanDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Model-array holder with STRUCTURAL equality. The expressions below are
+  * case classes; a raw `Array[Float]` field compares by reference, so two
+  * semantically identical expressions built from equal-but-distinct arrays
+  * would never be `semanticEquals` — canonicalization, common-subexpression
+  * elimination, and exchange reuse across a self-join would silently miss.
+  * The array is owned by the model-training code and never mutated after
+  * construction.
+  */
+final class FloatModel(val data: Array[Float]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case f: FloatModel => java.util.Arrays.equals(data, f.data)
+    case _ => false
+  }
+  override def hashCode: Int = java.util.Arrays.hashCode(data)
+  override def toString: String = s"FloatModel(len=${data.length})"
+}
+
+/** Double-array analog of [[FloatModel]] (quantile cut boundaries etc.). */
+final class DoubleModel(val data: Array[Double]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case d: DoubleModel => java.util.Arrays.equals(data, d.data)
+    case _ => false
+  }
+  override def hashCode: Int = java.util.Arrays.hashCode(data)
+  override def toString: String = s"DoubleModel(len=${data.length})"
+}
+
+object BucketKernels {
+  /** Number of cuts strictly less than v over the SORTED cut array — the
+    * bucket index of an order-preserving range partitioning. Binary search:
+    * a chained `when(v > c1).. when(v > cN)` formulation is O(cuts) per row
+    * and bloats codegen at large bucket counts; this is O(log cuts) in one
+    * tight loop.
+    */
+  def bucketOf(v: Double, cuts: Array[Double]): Int = {
+    var lo = 0
+    var hi = cuts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (v > cuts(mid)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}
+
+/** `bucket_of(x)`: index of x among the inlined sorted cut boundaries —
+  * range-bucket assignment for two-phase global windows (Packing). Cuts are
+  * carried as a codegen reference object, not literals.
+  */
+case class BucketBySortedCuts(child: Expression, cuts: DoubleModel)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any): Any =
+    BucketKernels.bucketOf(a.asInstanceOf[Double], cuts.data)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketcuts", cuts.data, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.BucketKernels.bucketOf($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BucketBySortedCuts = copy(child = newChild)
+}
+
 /** Static kernels for product quantization: M subspaces × ksub centroids,
   * each vector stored as M byte codes (e.g. 64-dim float = 256 bytes →
   * 8 bytes at M=8: 32x compression). Codebooks are flattened m-major
@@ -294,7 +362,7 @@ object IvfKernels {
 }
 
 /** `ivf_cell(emb)`: argmax-cosine cell id against the inlined centroids. */
-case class IvfCell(child: Expression, cents: Array[Float], nCells: Int)
+case class IvfCell(child: Expression, cents: FloatModel, nCells: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
   require(nCells >= 1, s"ivf_cell needs nCells >= 1, got $nCells")
@@ -302,10 +370,10 @@ case class IvfCell(child: Expression, cents: Array[Float], nCells: Int)
   override def dataType: DataType = IntegerType
 
   override def nullSafeEval(a: Any): Any =
-    IvfKernels.argmaxCosine(a.asInstanceOf[ArrayData], cents, nCells)
+    IvfKernels.argmaxCosine(a.asInstanceOf[ArrayData], cents.data, nCells)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("ivfcents", cents, "float[]")
+    val ref = ctx.addReferenceObj("ivfcents", cents.data, "float[]")
     defineCodeGen(ctx, ev,
       c => s"org.apache.spark.sql.graft.IvfKernels.argmaxCosine($c, $ref, $nCells)")
   }
@@ -315,7 +383,7 @@ case class IvfCell(child: Expression, cents: Array[Float], nCells: Int)
 }
 
 /** `pq_encode(emb)`: M byte codes per vector (codebooks inlined). */
-case class PqEncode(child: Expression, cb: Array[Float], m: Int, ksub: Int)
+case class PqEncode(child: Expression, cb: FloatModel, m: Int, ksub: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
   require(m >= 1 && ksub >= 2 && ksub <= 256,
@@ -324,10 +392,10 @@ case class PqEncode(child: Expression, cb: Array[Float], m: Int, ksub: Int)
   override def dataType: DataType = BinaryType
 
   override def nullSafeEval(a: Any): Any =
-    PqKernels.encode(a.asInstanceOf[ArrayData], cb, m, ksub)
+    PqKernels.encode(a.asInstanceOf[ArrayData], cb.data, m, ksub)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqcb", cb, "float[]")
+    val cbRef = ctx.addReferenceObj("pqcb", cb.data, "float[]")
     defineCodeGen(ctx, ev,
       c => s"org.apache.spark.sql.graft.PqKernels.encode($c, $cbRef, $m, $ksub)")
   }
@@ -337,7 +405,7 @@ case class PqEncode(child: Expression, cb: Array[Float], m: Int, ksub: Int)
 }
 
 /** `pq_lut(q_emb)`: the query's M·ksub squared-distance lookup table. */
-case class PqLut(child: Expression, cb: Array[Float], m: Int, ksub: Int)
+case class PqLut(child: Expression, cb: FloatModel, m: Int, ksub: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
   require(m >= 1 && ksub >= 2 && ksub <= 256,
@@ -346,10 +414,10 @@ case class PqLut(child: Expression, cb: Array[Float], m: Int, ksub: Int)
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
 
   override def nullSafeEval(a: Any): Any =
-    PqKernels.lut(a.asInstanceOf[ArrayData], cb, m, ksub)
+    PqKernels.lut(a.asInstanceOf[ArrayData], cb.data, m, ksub)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqcb", cb, "float[]")
+    val cbRef = ctx.addReferenceObj("pqcb", cb.data, "float[]")
     defineCodeGen(ctx, ev,
       c => s"org.apache.spark.sql.graft.PqKernels.lut($c, $cbRef, $m, $ksub)")
   }
@@ -391,7 +459,13 @@ object VectorKernels {
     var maxAbs = 0f
     var i = 0
     while (i < n) {
-      val a = math.abs(arr.getFloat(i))
+      val v = arr.getFloat(i)
+      // NaN fails every comparison and Math.round(NaN)=0, so a corrupt
+      // embedding would silently quantize to a plausible near-zero vector;
+      // fail loudly instead, like checkShape does for dimension mismatches
+      require(!java.lang.Float.isNaN(v) && !java.lang.Float.isInfinite(v),
+        s"vec_quantize: non-finite element $v at index $i — corrupt embedding")
+      val a = math.abs(v)
       if (a > maxAbs) maxAbs = a
       i += 1
     }
@@ -489,15 +563,25 @@ object VectorColumns {
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def pqEncode(emb: Column, cb: Array[Float], m: Int, ksub: Int): Column =
-    ExpressionUtils.column(PqEncode(ExpressionUtils.expression(emb), cb, m, ksub))
+    ExpressionUtils.column(PqEncode(
+      ExpressionUtils.expression(emb), new FloatModel(cb), m, ksub))
 
   def pqLut(emb: Column, cb: Array[Float], m: Int, ksub: Int): Column =
-    ExpressionUtils.column(PqLut(ExpressionUtils.expression(emb), cb, m, ksub))
+    ExpressionUtils.column(PqLut(
+      ExpressionUtils.expression(emb), new FloatModel(cb), m, ksub))
 
   def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
     ExpressionUtils.column(PqAdc(
       ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), ksub))
 
   def ivfCell(emb: Column, cents: Array[Float], nCells: Int): Column =
-    ExpressionUtils.column(IvfCell(ExpressionUtils.expression(emb), cents, nCells))
+    ExpressionUtils.column(IvfCell(
+      ExpressionUtils.expression(emb), new FloatModel(cents), nCells))
+
+  /** `bucket_of(x)` as a Column: binary-search range-bucket id over sorted
+    * cut boundaries.
+    */
+  def bucketOf(x: Column, cuts: Array[Double]): Column =
+    ExpressionUtils.column(BucketBySortedCuts(
+      ExpressionUtils.expression(x), new DoubleModel(cuts)))
 }

@@ -102,11 +102,15 @@ class TextSketchPropSpec extends AnyFunSuite {
       val m = p.matcher(s); var n = 0L; while (m.find()) n += 1; n
     }
     // adversarial alphabet: marker words, marker substrings inside words,
-    // underscores (\w but "punct"), digits, mixed whitespace, punctuation
+    // underscores (\w but "punct"), digits, mixed whitespace, punctuation,
+    // and non-BMP code points (surrogate pairs: emoji, CJK-ext) — Java
+    // regex counts a pair as ONE code point, so the single-pass scan must too
     val token = Gen.oneOf(
       word, Gen.oneOf("the", "de", "und", "los", "une", "is", "y"),
       Gen.oneOf("theory", "then", "in_x", "de2", "_the_", "42", "a-b", "c'est"),
-      Gen.oneOf("!", "...", "a,b", "(x)"))
+      Gen.oneOf("!", "...", "a,b", "(x)"),
+      Gen.oneOf("😀", "𠜎", "a😀b",
+        "the🎉", "😀😁", "café"))
     val messy = Gen.zip(
       Gen.listOf(Gen.zip(token,
         Gen.oneOf(" ", "  ", "\t", "\n", " \t "))),
@@ -128,5 +132,22 @@ class TextSketchPropSpec extends AnyFunSuite {
       assert(st.getLong(5) === count(bpeP, s), s"bpe text=[$s]")
       assert(st.getLong(6) === count(punctP, s), s"punct text=[$s]")
     }
+  }
+
+  test("textStats counts a non-BMP char (surrogate pair) as one code point") {
+    // 😀 = 😀: one punct + one bpe token, a word boundary for the
+    // marker-word scorer, part of ONE ws-token run
+    val st = TextSketch.textStats(u("the 😀 end"))
+    assert(st.getLong(0) === 1L, "s_en: 'the' scores once")
+    assert(st.getLong(4) === 3L, "ws_tokens")
+    assert(st.getLong(5) === 3L, "bpe: the + emoji + end")
+    assert(st.getLong(6) === 1L, "n_punct: emoji counts ONCE, not per half")
+    // inside a word run it splits the run like any non-word char
+    val st2 = TextSketch.textStats(u("the😀the"))
+    assert(st2.getLong(0) === 2L, "emoji is a \\b boundary: both 'the's score")
+    assert(st2.getLong(6) === 1L)
+    // a lone (unpaired) high surrogate is still one char = one code point
+    val st3 = TextSketch.textStats(u("a\uD83Db"))
+    assert(st3.getLong(6) === 1L, "lone surrogate counts once")
   }
 }
