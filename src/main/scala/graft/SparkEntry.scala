@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusQueries, EventQueries, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{CorpusQueries, DatalakeQueries, EventQueries, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -20,11 +20,13 @@ object SparkEntry {
     "q_opportunities" -> (Relational.qOpportunities _),
     "q_validated_filter" -> (Relational.qValidatedFilter _),
     "q_clean_cast" -> (Relational.qCleanCast _),
+    "q_datalake_pipeline" -> (DatalakeQueries.qDatalakePipeline _),
     "q_dedup_keeplast" -> (Relational.qDedupKeepLast _),
     "q_doc_export" -> (Relational.qDocExport _),
     "q_doc_export_geo" -> (Relational.qDocExportGeo _),
     "q_nested_join" -> (Relational.qNestedJoin _),
     "q_regression" -> (Relational.qRegression _),
+    "q_regression_eval" -> (Relational.qRegressionEval _),
     "q3_top_orders" -> (Relational.q3TopOrders _),
     "q5_region_revenue" -> (Relational.q5RegionRevenue _),
     "q_top_spenders" -> (Relational.qTopSpenders _),
@@ -123,6 +125,23 @@ object SparkEntry {
         |  COALESCE(CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INT), 0) AS k_value,
         |  CAST(ts AS DATE) AS event_date
         |FROM events ORDER BY event_id""".stripMargin,
+    // the full DAG (raw JSON → coerce+dedup → usage stats) reduced to its
+    // data semantics: the lake-layer round trips are lossless (micros longs
+    // through JSON, parquet elsewhere), so DuckDB computes the usage
+    // aggregate straight off the source table
+    "q_datalake_pipeline" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    COALESCE(value, 0.0) AS value_clean,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+        |    CAST(ts AS TIMESTAMP) AS tsx
+        |  FROM events),
+        |d AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY tsx DESC, event_id DESC) AS rn FROM e)
+        |SELECT event_type, event_date, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value_clean AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM d WHERE rn = 1 AND value_clean > 0
+        |GROUP BY event_type, event_date
+        |ORDER BY event_type, event_date""".stripMargin,
     "q_dedup_keeplast" ->
       """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
         |  SELECT *, row_number() OVER (
@@ -190,6 +209,30 @@ object SparkEntry {
         |  ((n*sxy - sx*sy) * (n*sxy - sx*sy))
         |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2
         |FROM a ORDER BY split""".stripMargin,
+    // train coefficients applied to both splits; residual sums expanded
+    // over the six exact aggregates — operator tree written identically
+    // to the Spark side (IEEE double is order-sensitive)
+    "q_regression_eval" ->
+      """WITH f AS (SELECT
+        |    CASE WHEN p_partkey % 5 = 0 THEN 'test' ELSE 'train' END AS split,
+        |    CAST(p_size AS BIGINT) AS x,
+        |    CAST(p_retailprice AS DECIMAL(18,2)) AS y
+        |  FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+        |a AS (SELECT split, COUNT(*) AS n_rows,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(x*y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(y*y) AS DOUBLE) AS syy
+        |  FROM f GROUP BY split),
+        |c AS (SELECT
+        |    (n*sxy - sx*sy) / (n*sxx - sx*sx) AS m,
+        |    (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS b
+        |  FROM a WHERE split = 'train')
+        |SELECT split, n_rows AS n, m AS slope, b AS intercept,
+        |  sqrt((syy - 2.0*m*sxy - 2.0*b*sy + m*m*sxx + 2.0*m*b*sx + n*b*b) / n) AS rmse,
+        |  1.0 - (syy - 2.0*m*sxy - 2.0*b*sy + m*m*sxx + 2.0*m*b*sx + n*b*b)
+        |      / (syy - sy*sy/n) AS r2
+        |FROM a CROSS JOIN c ORDER BY split""".stripMargin,
     // top-10 taken on the exact decimal sum; double cast applied OUTSIDE
     // the limit so the selected set matches the Spark plan
     "q3_top_orders" ->

@@ -1,0 +1,140 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{Datalake, Tables, Watermark}
+
+/** The reference's whole DAG (dags/DAG_Project.py:1-82) as ONE composed
+  * Spark job: extract(raw) → transform(formatted) → compute_usage(usage) →
+  * index/export, flowing through the Datalake raw/formatted/usage layers
+  * with the incremental-ingest watermark committed at the end — the one
+  * reference capability round 2 had in parts but never exercised
+  * end-to-end.
+  *
+  * Stage → layer mapping (all reference file:line in the stage comments):
+  *   raw:       one JSON-ARRAY file per fetch page (lbc_fetcher.py writes
+  *              the whole API response) + the bulk JSONL feed; the page
+  *              OVERLAPS the bulk feed and the format stage's dedup absorbs
+  *              the overlap — exactly the reference's at-least-once fetch /
+  *              dedup-keep-last pairing.
+  *   formatted: coerce + dedup keep-last (raw_to_fmt_lbc.py:49-56), written
+  *              as splittable snappy parquet.
+  *   usage:     market-stats aggregate (compute_usage.py:46-60) over the
+  *              formatted layer.
+  *   export:    validated docs (index_to_es.py:233-252) as the JSONL bulk
+  *              shape, written distributed.
+  *   state:     watermark advanced to the batch max ts (lbc_fetcher.py's
+  *              state/lbc_state.json) — crash before commit re-reads the
+  *              increment; dedup makes the re-run idempotent.
+  *
+  * Scale notes: every stage is a distributed read/write; the only
+  * driver-side data are the one bounded fetch page (a real API response is
+  * driver-side by nature) and the single watermark timestamp. Raw JSON is
+  * non-splittable per file but parallel ACROSS fetch files; formatted
+  * parquet restores splittability for everything downstream. The dedup is
+  * the pipeline's one wide shuffle; the usage aggregate partial-aggregates
+  * into #(type × day) groups.
+  */
+object DatalakeQueries {
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("ts_us", LongType)))
+
+  /** Full pipeline against a caller-supplied lake root (specs use a fixed
+    * root to assert layer contents / watermark advance / idempotent
+    * re-runs). Returns the usage-layer market stats read BACK from the lake
+    * — the round trip through every layer is part of what's checked.
+    */
+  def run(spark: SparkSession, dir: String, root: String): DataFrame = {
+    val statePath = s"$root/state/events.watermark"
+
+    // ---- extract → RAW. ts travels as micros-since-epoch longs: JSON has
+    // no timestamp type, and a lossless integer beats parsing round-trips.
+    val src = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("ts_us_ts", timestamp_micros(col("ts_us")))
+    val batch = Watermark.incrementalRead(spark, src, "ts_us_ts", statePath)
+    val bulkPath = Datalake.path(root, Datalake.Raw, "events", "bulk")
+    val pageDir = Datalake.path(root, Datalake.Raw, "events", "page0")
+    // raw ACCUMULATES across runs (the fetcher appends pages; formatted is
+    // rebuilt from all of raw each run, like the reference's convert step).
+    // An empty increment skips the fetch writes entirely — nothing arrived,
+    // nothing to land. A crash between fetch and commit re-appends the same
+    // increment on retry; the format stage's dedup absorbs the duplicates
+    // (at-least-once, idempotent).
+    if (batch.head(1).nonEmpty) {
+      Datalake.writeJsonl(batch.drop("ts_us_ts"), bulkPath,
+        org.apache.spark.sql.SaveMode.Append)
+      // one fetch page = one pretty JSON ARRAY (bounded: a real API page) —
+      // overlaps the bulk feed on purpose
+      val pageRows = batch.drop("ts_us_ts").filter(col("event_id") <= 50)
+        .orderBy(col("event_id")).toJSON.collect()
+      Files.createDirectories(java.nio.file.Paths.get(pageDir))
+      Files.writeString(java.nio.file.Paths.get(s"$pageDir/fetch.json"),
+        pageRows.mkString("[\n", ",\n", "\n]"))
+    }
+
+    // ---- transform → FORMATTED: array + JSONL raw reads unioned, value
+    // coerced (errors='coerce' → fillna(0)), dedup keep-last per
+    // (user_id, event_type) — absorbs the page/bulk overlap and any
+    // re-fetched increments
+    val raw = Datalake.readJsonArray(spark, s"$pageDir/fetch.json", rawSchema)
+      .unionByName(Datalake.readJsonl(spark, bulkPath, rawSchema))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val formatted = raw
+      .withColumn("value_clean", coalesce(col("value"), lit(0.0)))
+      .withColumn("event_date", timestamp_micros(col("ts_us")).cast("date"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "value")
+    val fmtPath = Datalake.path(root, Datalake.Formatted, "events", "latest")
+    Datalake.writeParquet(formatted, fmtPath)
+
+    // ---- compute_usage → USAGE: per (type, day) market stats over the
+    // formatted layer; exact decimal sums, final projection DOUBLE
+    val fmt = spark.read.parquet(fmtPath)
+    val usage = fmt.filter(col("value_clean") > 0)
+      .groupBy(col("event_type"), col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_clean").cast(DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+    val usagePath = Datalake.path(root, Datalake.Usage, "events", "market_stats")
+    Datalake.writeParquet(usage, usagePath)
+
+    // ---- index/export: validated docs (whitelist + range + not-null) as
+    // the JSONL bulk shape
+    val validated = fmt.filter(
+      col("event_type").isin("view", "click", "purchase") &&
+        col("value_clean") >= 0 && col("user_id").isNotNull)
+    Datalake.writeJsonl(
+      validated.select(
+        concat(lit("evt_"), col("event_id")).as("doc_id"),
+        col("user_id"), col("event_type"), col("value_clean"),
+        col("event_date")),
+      Datalake.path(root, Datalake.Usage, "events", "export"))
+
+    // ---- state: watermark forward to the batch max ts — next run's
+    // incremental read starts past it
+    Watermark.commit(spark, batch, "ts_us_ts", statePath)
+
+    spark.read.parquet(usagePath)
+      .orderBy(col("event_type"), col("event_date"))
+  }
+
+  /** Driver-gate entry: fresh lake root per run (deterministic output —
+    * the watermark always starts empty, so the batch is the full table).
+    */
+  def qDatalakePipeline(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, Files.createTempDirectory("graft-lake").toString)
+}

@@ -421,6 +421,53 @@ object Relational {
       .orderBy(col("split"))
   }
 
+  /** ML_ROADMAP.md Phase 3: apply the TRAIN split's closed-form
+    * coefficients to BOTH splits and report per-split RMSE and R² — the
+    * train/eval loop completed. The residual sums expand algebraically
+    * over the SAME six exact aggregates the fit uses
+    * (Σ(y-ŷ)² = Σy² − 2m·Σxy − 2b·Σy + m²·Σx² + 2mb·Σx + n·b²), so no
+    * per-row double reduction exists anywhere — bit-exact across engines
+    * and partitionings, and eval costs nothing beyond the fit's single
+    * six-number-per-split shuffle. Train coefficients reach the per-split
+    * rows via a 1-row broadcast cross join (no driver round-trip).
+    */
+  def qRegressionEval(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.part(spark, dir)
+      .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
+      .select(
+        when(col("p_partkey") % 5 === 0, lit("test")).otherwise(lit("train")).as("split"),
+        col("p_size").cast("long").as("x"),
+        col("p_retailprice").cast(DecimalType(18, 2)).as("y"))
+    val a = f.groupBy(col("split")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("x")).as("sx_e"),
+      sum(col("x") * col("x")).as("sxx_e"),
+      sum(col("y")).as("sy_e"),
+      sum(col("x") * col("y")).as("sxy_e"),
+      sum(col("y") * col("y")).as("syy_e"))
+    val n = col("n_rows").cast("double")
+    val sx = col("sx_e").cast("double")
+    val sxx = col("sxx_e").cast("double")
+    val sy = col("sy_e").cast("double")
+    val sxy = col("sxy_e").cast("double")
+    val syy = col("syy_e").cast("double")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val coef = a.filter(col("split") === "train")
+      .select(slope.as("m"), ((sy - slope * sx) / n).as("b"))
+    val m = col("m")
+    val b = col("b")
+    // identical operator tree on the oracle side: +/- chain left-assoc,
+    // each product left-assoc — IEEE double is order-sensitive
+    val sse = syy - lit(2.0) * m * sxy - lit(2.0) * b * sy +
+      m * m * sxx + lit(2.0) * m * b * sx + n * b * b
+    a.crossJoin(broadcast(coef))
+      .select(col("split"), col("n_rows").as("n"),
+        m.as("slope"), b.as("intercept"),
+        sqrt(sse / n).as("rmse"),
+        (lit(1.0) - sse / (syy - sy * sy / n)).as("r2"))
+      .orderBy(col("split"))
+  }
+
   /** PIVOT: revenue by nation × order status reshaped to one column per
     * status. With explicit pivot values Spark plans ONE aggregation pass
     * (no per-value scans, no second shuffle) — the dashboard crosstab at

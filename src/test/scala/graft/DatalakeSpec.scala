@@ -77,6 +77,33 @@ class DatalakeSpec extends SparkSpecBase {
     assert(Watermark.read(spark, state) === Some(t(9)))
   }
 
+  test("composed DAG: raw→formatted→usage layers populated, watermark advances, re-run is a no-op") {
+    val root = Files.createTempDirectory("graft-dag").toString
+    val out1 = graft.queries.DatalakeQueries.run(spark, sfDir, root).collect()
+    assert(out1.nonEmpty, "usage layer has market stats")
+    // every layer materialized on disk
+    for (p <- Seq("raw/events/bulk", "raw/events/page0/fetch.json",
+        "formatted/events/latest", "usage/events/market_stats",
+        "usage/events/export"))
+      assert(new java.io.File(s"$root/$p").exists(), s"layer missing: $p")
+    // watermark advanced to the batch max ts
+    val wm = Watermark.read(spark, s"$root/state/events.watermark")
+    val mx = graft.sources.Tables.events(spark, sfDir)
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    assert(wm === Some(mx), "watermark = max ingested ts")
+    // formatted layer absorbed the page/bulk overlap: exactly one row per
+    // (user_id, event_type)
+    val fmt = spark.read.parquet(s"$root/formatted/events/latest")
+    assert(fmt.count() ===
+      fmt.select("user_id", "event_type").distinct().count())
+    // second run on the SAME root: empty increment → usage output unchanged
+    val out2 = graft.queries.DatalakeQueries.run(spark, sfDir, root).collect()
+    assert(out2.map(_.toSeq).toSeq === out1.map(_.toSeq).toSeq,
+      "idempotent re-run (at-least-once fetch + dedup)")
+    assert(Watermark.read(spark, s"$root/state/events.watermark") === Some(mx),
+      "empty increment does not regress the watermark")
+  }
+
   test("dynamic partition overwrite replaces only the re-run day") {
     val tmp = Files.createTempDirectory("graft-upsert").toString
     val day1 = Seq((1L, "20240101", 1.0), (2L, "20240102", 2.0))

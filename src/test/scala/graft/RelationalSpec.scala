@@ -172,6 +172,29 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("regression eval carries train coefficients; train R2 matches the fit") {
+    val fit = Relational.qRegression(spark, sfDir).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Double]("slope"), r.getAs[Double]("intercept"), r.getAs[Double]("r2")))
+      .toMap
+    val ev = Relational.qRegressionEval(spark, sfDir).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Double]("slope"), r.getAs[Double]("intercept"),
+          r.getAs[Double]("rmse"), r.getAs[Double]("r2")))
+      .toMap
+    assert(ev.keySet === Set("train", "test"))
+    // BOTH rows carry the TRAIN fit's coefficients (eval = apply train
+    // model to each split), and rmse is a real non-negative error
+    ev.values.foreach { case (m, b, rmse, _) =>
+      assert(math.abs(m - fit("train")._1) <= 1e-9)
+      assert(math.abs(b - fit("train")._2) <= 1e-9)
+      assert(rmse >= 0.0 && !rmse.isNaN)
+    }
+    // algebraic identity: evaluating the train fit on its own split gives
+    // the fit's r² (different formula, same value up to fp noise)
+    assert(math.abs(ev("train")._4 - fit("train")._3) <= 1e-6)
+  }
+
   test("dedup keep-last keeps exactly one row per key, the latest") {
     val out = Relational.qDedupKeepLast(spark, sfDir)
     val dupKeys = out.groupBy("user_id", "event_type").count()
