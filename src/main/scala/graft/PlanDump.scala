@@ -17,7 +17,10 @@ object PlanDump {
         println(f"PLAN $name%-24s exch=${c("Exchange")}%2d " +
           f"bcast=${c("BroadcastExchange")}%2d reuse=${c("ReusedExchange")}%2d " +
           f"smj=${c("SortMergeJoin")}%2d bhj=${c("BroadcastHashJoin")}%2d " +
-          f"nlj=${c("BroadcastNestedLoopJoin")}%2d win=${c("Window")}%2d")
+          f"nlj=${c("BroadcastNestedLoopJoin")}%2d " +
+          // negative lookahead: WindowGroupLimit (top-k pushdown, desirable)
+          // must not count as a WindowExec
+          f"win=${c("Window(?!GroupLimit)")}%2d wgl=${c("WindowGroupLimit")}%2d")
       } catch { case e: Throwable => println(s"PLAN $name FAILED: ${e.getMessage}") }
     }
     spark.stop()

@@ -74,11 +74,45 @@ object SparkEntry {
     "q_corpus_pipeline" -> (CorpusQueries.qCorpusPipeline _),
   )
 
+  /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
+    * the Spark query uses — same `Similarity.hyperplanes(64, 4, 4)` call)
+    * are inlined as DOUBLE list literals, so DuckDB reproduces the
+    * signatures bit-for-bit: each sign bit is a double-accumulated dot of
+    * the same float values in the same order on both engines, and the
+    * verification filter is the identical `list_cosine_similarity >= 0.4`
+    * the (green) q_embed_neardup oracle uses.
+    */
+  private def lshOracle: String = {
+    val bands = 4
+    val bits = 4
+    val planes = graft.ops.Similarity.hyperplanes(64, bands, bits)
+    def planeLit(p: Array[Float]): String =
+      p.map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    val sigs = (0 until bands).map { b =>
+      (0 until bits).map { i =>
+        s"(CASE WHEN list_dot_product(embd, ${planeLit(planes(b * bits + i))}) >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("", " + ", s" AS sig_$b")
+    }
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS emb,
+       |    CAST(embedding AS DOUBLE[]) AS embd FROM embeddings),
+       |s AS (SELECT id, emb, ${sigs.mkString(",\n")} FROM e),
+       |bk AS (SELECT id, emb, band,
+       |    CASE band WHEN 0 THEN sig_0 WHEN 1 THEN sig_1
+       |      WHEN 2 THEN sig_2 ELSE sig_3 END AS sig
+       |  FROM s CROSS JOIN (SELECT unnest(range($bands)) AS band))
+       |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |FROM bk a JOIN bk b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+       |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** DuckDB-dialect equivalents over the same bare table names.
     * Column names and numeric determinism rules: see SURVEY.md §4 — money
     * aggregates go through DECIMAL so both engines produce identical values.
     */
   def oracleSql: Map[String, String] = Map(
+    "q_ann_lsh" -> lshOracle,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

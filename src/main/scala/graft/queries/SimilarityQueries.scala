@@ -7,10 +7,13 @@ import graft.sources.Tables
 import graft.ops.{Dedup, Similarity}
 
 /** Similarity search + near-dup detection queries (SURVEY.md §2, LLM
-  * pipeline block). kNN and the brute-force pair scan have DuckDB oracles
-  * (`list_cosine_similarity`); the LSH/sketch families are rows-only checks
-  * (their hash functions aren't expressible in ANSI SQL) and are instead
-  * cross-validated against the exact ops in ScalaTest specs.
+  * pipeline block). kNN, the brute-force pair scan AND the hyperplane-LSH
+  * path have DuckDB oracles (`list_cosine_similarity`; the LSH one inlines
+  * the seeded hyperplanes as literals — SparkEntry.lshOracle); the
+  * xxhash64-sketch families (minhash/simhash/winnow) and the
+  * trained-model ANN paths (IVF/PQ — float-mean training isn't bit-stable
+  * across engines) are rows-only checks, cross-validated against the exact
+  * ops in ScalaTest specs.
   */
 object SimilarityQueries {
 
@@ -35,7 +38,8 @@ object SimilarityQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   /** LSH-bucketed near-duplicates at cosine ≥ 0.4 — the 100 TB path.
-    * Rows-only check; subset-of-exact is asserted in SimilaritySpec.
+    * Oracle-checked exactly (the seeded hyperplanes are inlined into the
+    * DuckDB SQL); subset-of-exact additionally asserted in SimilaritySpec.
     */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.hyperplaneLshPairs(corpus(spark, dir), tau = 0.4)

@@ -57,6 +57,26 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("Join"), "bucketized range join still joins")
   }
 
+  test("rank-filter queries: ONE Window exec + WindowGroupLimit top-k pushdown") {
+    // PLANDUMP shows win=3 for these: that must be 1 WindowExec + 2
+    // WindowGroupLimit nodes (Spark's rank-filter pushdown computing the
+    // top-k BEFORE and AFTER the shuffle — partial + final, an
+    // optimization), never a duplicated WindowExec re-sorting all rows
+    Seq[DataFrame](
+      Relational.qDedupKeepLast(spark, sfDir),
+      Relational.qTopSpenders(spark, sfDir)
+    ).foreach { df =>
+      // AQE renders "== Final Plan ==" followed by "== Initial Plan ==";
+      // count nodes in the final section only
+      val plan = executed(df).split("== Initial Plan ==")(0)
+      val groupLimits = "WindowGroupLimit".r.findAllIn(plan).length
+      val windows = "Window(?!GroupLimit)".r.findAllIn(plan).length
+      assert(windows === 1, s"expected exactly one WindowExec:\n$plan")
+      assert(groupLimits === 2,
+        s"expected partial+final WindowGroupLimit pushdown:\n$plan")
+    }
+  }
+
   test("global sequence packing never plans an unpartitioned window") {
     // Spark's unpartitioned WindowExec moves every row to ONE task — the
     // round-1 scale-killer. The two-phase cumulative sum must only emit
