@@ -42,6 +42,7 @@ object SparkEntry {
     "q_lang_id" -> (TextQueries.qLangId _),
     "q_quality_score" -> (TextQueries.qQualityScore _),
     "q_token_count" -> (TextQueries.qTokenCount _),
+    "q_tfidf_keywords" -> (TextQueries.qTfidfKeywords _),
     "q_fingerprint" -> (TextQueries.qFingerprint _),
     "q_dedup_exact" -> (TextQueries.qDedupExact _),
     "q_multimodal_features" -> (TextQueries.qMultimodalFeatures _),
@@ -59,6 +60,7 @@ object SparkEntry {
     "q_knn_cosine" -> (SimilarityQueries.qKnnCosine _),
     "q_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
     "q_ann_lsh" -> (SimilarityQueries.qAnnLsh _),
+    "q_dedup_clusters" -> (SimilarityQueries.qDedupClusters _),
     "q_ann_ivf" -> (SimilarityQueries.qAnnIvf _),
     "q_ann_pq" -> (SimilarityQueries.qAnnPq _),
     "q_minhash_neardup" -> (SimilarityQueries.qMinhashNearDup _),
@@ -82,7 +84,7 @@ object SparkEntry {
     * verification filter is the identical `list_cosine_similarity >= 0.4`
     * the (green) q_embed_neardup oracle uses.
     */
-  private def lshOracle: String = {
+  private def lshPairCtes: String = {
     val bands = 4
     val bits = 4
     val planes = graft.ops.Similarity.hyperplanes(64, bands, bits)
@@ -93,19 +95,37 @@ object SparkEntry {
         s"(CASE WHEN list_dot_product(embd, ${planeLit(planes(b * bits + i))}) >= 0 THEN ${1 << i} ELSE 0 END)"
       }.mkString("", " + ", s" AS sig_$b")
     }
-    s"""WITH e AS (SELECT vec_id AS id, embedding AS emb,
+    s"""e AS (SELECT vec_id AS id, embedding AS emb,
        |    CAST(embedding AS DOUBLE[]) AS embd FROM embeddings),
        |s AS (SELECT id, emb, ${sigs.mkString(",\n")} FROM e),
        |bk AS (SELECT id, emb, band,
        |    CASE band WHEN 0 THEN sig_0 WHEN 1 THEN sig_1
        |      WHEN 2 THEN sig_2 ELSE sig_3 END AS sig
-       |  FROM s CROSS JOIN (SELECT unnest(range($bands)) AS band))
-       |SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |FROM bk a JOIN bk b
-       |  ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
-       |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
-       |ORDER BY id_a, id_b""".stripMargin
+       |  FROM s CROSS JOIN (SELECT unnest(range($bands)) AS band)),
+       |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+       |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4)""".stripMargin
   }
+
+  private def lshOracle: String =
+    s"""WITH $lshPairCtes
+       |SELECT id_a, id_b FROM p ORDER BY id_a, id_b""".stripMargin
+
+  /** Connected components over the LSH pair graph: min reachable id via a
+    * recursive transitive-closure CTE — exact, so it matches the converged
+    * min-label propagation regardless of either engine's iteration order.
+    */
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE $lshPairCtes,
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION ALL SELECT id_b, id_a FROM p),
+       |reach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT reach.id, ed.dst FROM reach JOIN ed ON reach.r = ed.src)
+       |SELECT id, CAST(MIN(r) AS BIGINT) AS component
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   /** DuckDB-dialect equivalents over the same bare table names.
     * Column names and numeric determinism rules: see SURVEY.md §4 — money
@@ -113,6 +133,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> lshOracle,
+    "q_dedup_clusters" -> clustersOracle,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -413,6 +434,23 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same tokenization as the ngram oracle (trim+lower+split \s+, drop
+    // empty edge fields); score = tf*N/df — exact ints, one IEEE division
+    "q_tfidf_keywords" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT t.doc_id, t.term, t.tf, d.df,
+        |    CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS score
+        |  FROM t JOIN d USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rank FROM s)
+        |SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

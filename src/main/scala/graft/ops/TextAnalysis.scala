@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for a training-data pipeline, as pure Column
@@ -74,4 +75,40 @@ object TextAnalysis {
     lit(0.4) * least(lit(1.0), nWords.cast("double") / 200.0) +
       lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio * 5.0)) +
       lit(0.3) * least(lit(1.0), stopRatio * 4.0)
+
+  /** Top-k keywords per document — inverted-index TF-IDF, scored
+    * tf·(N/df). Rational idf instead of the textbook ln(N/df): ln is
+    * monotone so the RANKING is identical, and tf·N ÷ df is exact-integer ÷
+    * exact-integer — ONE deterministic IEEE division, where ln(x) is
+    * libm-dependent in its last ulp across engines (would break an exact
+    * correctness gate for zero ranking benefit).
+    *
+    * Plan shape at 100 TB: token explode is scan-side (codegen word split,
+    * no pre-shuffle); (doc,term) counts partial-aggregate before their
+    * shuffle; df is a second term-keyed aggregate OVER the tf table (far
+    * smaller than the token stream); the join back is term-keyed (no
+    * broadcast assumption — vocabulary can be huge); the per-doc top-k runs
+    * as partial+final WindowGroupLimit, so the doc-keyed shuffle moves only
+    * surviving candidates.
+    */
+  def tfidfKeywords(docs: DataFrame, id: Column, text: Column,
+      k: Int = 5): DataFrame = {
+    val terms = docs.select(id.as("doc_id"),
+        explode(graft.functions.text.wordShingles(text, 1)).as("term"))
+      .filter(col("term") =!= "") // edge-whitespace empty fields carry no signal
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(id.as("doc_id"))
+      .agg(count(lit(1)).as("n_docs")) // 1 row — the corpus-size "model"
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(idf, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
 }

@@ -45,6 +45,20 @@ object SimilarityQueries {
     Similarity.hyperplaneLshPairs(corpus(spark, dir), tau = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Near-dup pairs promoted to duplicate CLUSTERS: connected components
+    * over the LSH pair graph (min-label propagation — ops/Components).
+    * component = min vec_id reachable; `id = component` marks the canonical
+    * doc a dedup would keep. Oracle-checked exactly (recursive CTE over the
+    * same inlined-hyperplane pair SQL).
+    */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val pairs = Similarity.hyperplaneLshPairs(c, tau = 0.4)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.ops.Components.connectedComponents(c.select(col("id")), pairs)
+      .orderBy(col("id"))
+  }
+
   /** IVF-flat approximate top-5 for the first 10 vectors — the serving-path
     * ANN (rows-only; recall vs brute force asserted in SimilaritySpec).
     */

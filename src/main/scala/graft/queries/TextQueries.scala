@@ -56,6 +56,14 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF keyword extraction: top-5 terms per document (tf·N/df — see
+    * TextAnalysis.tfidfKeywords for why the idf is rational, not ln).
+    */
+  def qTfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.tfidfKeywords(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), k = 5)
+      .orderBy(col("doc_id"), col("rank"))
+
   /** Document fingerprinting: portable md5 of the normal form. */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)

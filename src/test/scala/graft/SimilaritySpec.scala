@@ -25,6 +25,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(got - (1.5 * 2.0 + -2.0 * 4.0 + 3.0 * -1.0)) < 1e-12)
   }
 
+  test("connected components match a driver-side union-find on the LSH pair graph") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val pairs = Similarity.hyperplaneLshPairs(corpus, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = graft.ops.Components.connectedComponents(
+        corpus.select(col("id")),
+        Seq(pairs.toSeq: _*).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // classic path-compressed union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.foreach { case (a, b) => union(a, b) }
+    val ids = corpus.select("id").collect().map(_.getLong(0))
+    ids.foreach { i =>
+      assert(got(i) === find(i), s"component of $i")
+    }
+    assert(got.size === ids.length)
+    // sanity: at least one non-trivial cluster exists in the test data
+    assert(got.exists { case (i, c) => i != c }, "expected some near-dup cluster")
+  }
+
   test("knn ranks agree with a driver-side argmax on sf0.001") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ops.TextAnalysis._
-import graft.ops.{Cleaning, Packing}
+import graft.ops.{Cleaning, Packing, TextAnalysis}
 
 class TextAnalysisSpec extends SparkSpecBase {
   import spark.implicits._
@@ -89,6 +89,27 @@ class TextAnalysisSpec extends SparkSpecBase {
       "xyz qrs tuv").toDF("t")              // no markers → tie → en
     val got = df.select(langPredict(col("t"))).as[String].collect()
     assert(got === Array("en", "fr", "de", "en"))
+  }
+
+  test("tfidf keywords: hand-checked scores and ranks on a toy corpus") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple date date")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, col("doc_id"), col("text"), k = 2)
+      .collect()
+    // N=3; df: apple 2, banana 2, cherry 1, date 1
+    val top = out.groupBy(_.getAs[Long]("doc_id")).view
+      .mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[String]("term")).toSeq).toMap
+    assert(top(1L) === Seq("apple", "banana"), "doc1: 2*3/2=3.0 > 1*3/2=1.5")
+    assert(top(2L) === Seq("cherry", "banana"), "doc2: 1*3/1=3.0 > 1.5")
+    assert(top(3L) === Seq("date", "apple"), "doc3: 2*3/1=6.0 > 1.5")
+    val a1 = out.find(r => r.getAs[Long]("doc_id") == 1L &&
+      r.getAs[String]("term") == "apple").get
+    assert(a1.getAs[Long]("tf") === 2L)
+    assert(a1.getAs[Long]("df") === 2L)
+    assert(a1.getAs[Double]("score") === 3.0)
   }
 
   test("coercing casts: garbage → default, valid → value") {
