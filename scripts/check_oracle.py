@@ -57,9 +57,15 @@ def driver_incompatible(tbl):
     CORRECTNESS_r*.json evidence): DECIMAL never hash-matches even when
     value- and type-equal (DuckDB->pandas float64 vs parquet Decimal
     objects), and struct/binary crash its pandas sort (unhashable dict /
-    bytearray). Only DOUBLE/BIGINT/INT/VARCHAR/BOOL/TIMESTAMP/DATE outputs
-    are known-safe."""
+    bytearray). Enforced as a WHITELIST: only the types every green query
+    has ever emitted are known-safe — anything else (list, map, float32,
+    decimal, struct, binary, ...) fails here rather than at the driver."""
     import pyarrow as pa
+    def safe(t):
+        return (pa.types.is_float64(t) or pa.types.is_integer(t)
+                or pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_boolean(t) or pa.types.is_timestamp(t)
+                or pa.types.is_date(t))
     bad = {}
     for f in tbl.schema:
         t = f.type
@@ -69,6 +75,9 @@ def driver_incompatible(tbl):
             bad[f.name] = "struct — driver sort crashes (unhashable dict)"
         elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
             bad[f.name] = "binary — driver sort crashes (unhashable bytearray)"
+        elif not safe(t):
+            bad[f.name] = (f"{t} — not in the known-driver-safe whitelist "
+                           "(double/int/varchar/bool/timestamp/date)")
     return bad
 
 def cmp_val(a, b):

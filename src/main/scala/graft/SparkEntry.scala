@@ -85,9 +85,9 @@ object SparkEntry {
     * the (green) q_embed_neardup oracle uses.
     */
   private def lshPairCtes: String = {
-    val bands = 4
-    val bits = 4
-    val planes = graft.ops.Similarity.hyperplanes(64, bands, bits)
+    // single source of truth with the Spark query — see LshParams scaladoc
+    import graft.ops.Similarity.LshParams.{bands, bits, dim, tau}
+    val planes = graft.ops.Similarity.hyperplanes(dim, bands, bits)
     def planeLit(p: Array[Float]): String =
       p.map(v => v.toDouble.toString).mkString("[", ", ", "]")
     val sigs = (0 until bands).map { b =>
@@ -105,7 +105,7 @@ object SparkEntry {
        |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM bk a JOIN bk b
        |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
-       |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4)""".stripMargin
+       |  WHERE list_cosine_similarity(a.emb, b.emb) >= $tau)""".stripMargin
   }
 
   private def lshOracle: String =

@@ -58,6 +58,10 @@ object Components {
       df.agg(sum(col("component").cast(DecimalType(38, 0)))).head()
         .getDecimal(0)
     var prev = witness(labels)
+    if (prev == null) { // empty vertex set: sum() is NULL — already done
+      sym.unpersist()
+      return labels
+    }
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {

@@ -74,10 +74,17 @@ object Packing {
         else t.stat.approxQuantile("__ord", probs, 0.01).distinct.sorted
       // binary-search bucket assignment (reference-object expression): a
       // chained when() tree is O(buckets) per row and bloats codegen past
-      // the default 64 buckets
+      // the default 64 buckets. Bucketing must stay order-consistent with
+      // the window's sort for the prefix offsets to be correct: Spark sorts
+      // NULL first and NaN last, so NULL pins to bucket 0 and NaN to the
+      // last bucket explicitly (the null-intolerant expression would emit
+      // NULL / Java NaN-compares-false would emit 0, both order-breaking).
       val bucketed = t.withColumn("__b",
         if (cuts.isEmpty) lit(0)
-        else graft.functions.vectors.bucketOf(col("__ord").cast("double"), cuts))
+        else when(col("__ord").isNull, lit(0))
+          .when(col("__ord").cast("double").isNaN, lit(cuts.length))
+          .otherwise(
+            graft.functions.vectors.bucketOf(col("__ord").cast("double"), cuts)))
       // 3. bucket totals → driver prefix scan → broadcast offsets.
       // (Computed from the pre-window frame so the aggregation is a cheap
       // partial-combined scan, not a second pass over shuffled rows.)

@@ -83,10 +83,25 @@ object Similarity {
     topkServe(qcorpus.crossJoin(broadcast(queries)),
       cosineSim(col("q_emb"), graft.functions.vectors.dequantize(col("qemb"))), k)
 
+  /** The ONE definition of the production LSH family. The generated DuckDB
+    * oracle (SparkEntry.lshPairCtes) re-derives the same planes from these
+    * constants, so tuning any of them cannot silently desynchronize the
+    * query from its oracle — both sides change together or the build fails
+    * to say what it checks.
+    */
+  object LshParams {
+    val dim = 64
+    val bands = 4
+    val bits = 4
+    val tau = 0.4
+    val seed = 42L
+  }
+
   /** Deterministic random hyperplanes: `bands` bands × `bits` bits each.
     * Fixed seed → the signature function is stable across runs/executors.
     */
-  def hyperplanes(dim: Int, bands: Int, bits: Int, seed: Long = 42L): Array[Array[Float]] = {
+  def hyperplanes(dim: Int, bands: Int, bits: Int,
+      seed: Long = LshParams.seed): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(bands * bits)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
   }
@@ -101,9 +116,9 @@ object Similarity {
     * bounded by the signature width; AQE's skew-join splitting handles hot
     * buckets.
     */
-  def hyperplaneLshPairs(corpus: DataFrame, tau: Double,
-      bands: Int = 4, bits: Int = 4): DataFrame = {
-    val dim = 64
+  def hyperplaneLshPairs(corpus: DataFrame, tau: Double = LshParams.tau,
+      bands: Int = LshParams.bands, bits: Int = LshParams.bits): DataFrame = {
+    val dim = LshParams.dim
     val planes = hyperplanes(dim, bands, bits)
     // per-plane sign bit, folded into one int signature per band
     val sigCols = (0 until bands).map { b =>

@@ -42,7 +42,7 @@ object SimilarityQueries {
     * DuckDB SQL); subset-of-exact additionally asserted in SimilaritySpec.
     */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.hyperplaneLshPairs(corpus(spark, dir), tau = 0.4)
+    Similarity.hyperplaneLshPairs(corpus(spark, dir)) // LshParams defaults
       .orderBy(col("id_a"), col("id_b"))
 
   /** Near-dup pairs promoted to duplicate CLUSTERS: connected components
@@ -53,7 +53,7 @@ object SimilarityQueries {
     */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val pairs = Similarity.hyperplaneLshPairs(c, tau = 0.4)
+    val pairs = Similarity.hyperplaneLshPairs(c) // LshParams defaults
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     graft.ops.Components.connectedComponents(c.select(col("id")), pairs)
       .orderBy(col("id"))
