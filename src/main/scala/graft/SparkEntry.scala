@@ -57,6 +57,8 @@ object SparkEntry {
     "q_range_join" -> (EventQueries.qRangeJoin _),
     "q_salted_join" -> (EventQueries.qSaltedJoin _),
     "q_lead_lag" -> (EventQueries.qLeadLag _),
+    "q_rolling_features" -> (EventQueries.qRollingFeatures _),
+    "q_sample_weighted" -> (CorpusQueries.qSampleWeighted _),
     "q_knn_cosine" -> (SimilarityQueries.qKnnCosine _),
     "q_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
     "q_ann_lsh" -> (SimilarityQueries.qAnnLsh _),
@@ -585,6 +587,23 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS first_event
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    // ROWS frames over the unique (ts, event_id) order; decimal frame sums
+    // cast to double at the end
+    "q_rolling_features" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  COUNT(*) OVER w5 AS roll_n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w5 AS DOUBLE) AS roll_sum,
+        |  MIN(value) OVER w5 AS roll_min,
+        |  MAX(value) OVER w5 AS roll_max,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wc AS DOUBLE) AS cum_value
+        |FROM e WINDOW
+        |  w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |  wc AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)
+        |ORDER BY event_id""".stripMargin,
     // oracle = the UNSALTED join: salting must be invisible in the result
     "q_salted_join" ->
       """WITH stats AS (SELECT event_type,
@@ -648,6 +667,16 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 50 <> 0
         |ORDER BY d.doc_id""".stripMargin,
+    // weight = integer-derived arithmetic (bit-identical both engines);
+    // draw = md5 prefix vs fixed-width hex threshold, string compare
+    "q_sample_weighted" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |    least(1.0, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 150.0) * 0.5 AS weight
+        |  FROM documents)
+        |SELECT doc_id, source, weight FROM d
+        |WHERE substring(md5(text), 1, 8) <
+        |  lower(lpad(to_hex(greatest(least(CAST(floor(weight * 4294967296.0) AS BIGINT), 4294967295), 0)), 8, '0'))
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, source, substring(md5(text), 1, 3) AS samp_key
         |FROM documents

@@ -54,6 +54,25 @@ object Corpus {
     df.withColumn("samp_key", substring(md5(text), 1, 3))
       .filter(col("samp_key") < rateKey3)
 
+  /** Quality-weighted deterministic sampling: each row kept with
+    * probability = its own `weight` (importance sampling — the curation
+    * step that keeps more of the high-quality corpus). The uniform draw is
+    * the first 8 md5 hex chars of `key`; the weight becomes a fixed-width
+    * hex threshold, so keep = one lexicographic string compare — a pure
+    * per-row predicate: no shuffle, no RNG state, identical rows kept on
+    * any engine/partitioning/re-run. Weights clamp to [0, 1-2⁻³²] (an
+    * unclamped 1.0 would scale to 9 hex digits and truncate into a ~6 %
+    * threshold).
+    */
+  def sampleWeighted(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val scaled = greatest(
+      least(floor(weight * lit(4294967296.0)).cast("long"), lit(4294967295L)),
+      lit(0L))
+    df.withColumn("samp_u", substring(md5(key), 1, 8))
+      .withColumn("samp_thresh", lower(lpad(hex(scaled), 8, "0")))
+      .filter(col("samp_u") < col("samp_thresh"))
+  }
+
   /** Source-mixing table: per-source document/token counts and a
     * deterministic proportional token-budget allocation. Token sums are
     * exact longs; the allocation is floor(B · share) where share =

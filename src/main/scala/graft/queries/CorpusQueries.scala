@@ -25,6 +25,21 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-weighted sampling: keep probability = half the saturating
+    * length score (longer docs up to 150 tokens are proportionally more
+    * likely to survive, capped at 50 %). The weight is integer-derived ÷
+    * and × by constants — bit-identical on both engines — and the draw is
+    * the md5 prefix, so the SELECTED SET is exactly reproducible.
+    */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = least(lit(1.0),
+      graft.ops.TextAnalysis.wsTokenCount(col("text")).cast("double") / 150.0) * lit(0.5)
+    Corpus.sampleWeighted(d.withColumn("weight", w), col("text"), col("weight"))
+      .select(col("doc_id"), col("source"), col("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stratified deterministic sampling: even-numbered sources keep ~50 %,
     * odd-numbered ~20 %, selected by the md5(text) hex prefix — stable
     * across runs, engines and partitionings.

@@ -104,6 +104,32 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Rolling-FRAME features per user (the piece qLeadLag's offset
+    * functions don't cover): 5-event trailing count/sum/min/max plus the
+    * running total — the standard online feature-engineering shapes
+    * (trailing spend, activity burst detection). ROWS frames, not RANGE:
+    * row frames over the unique (ts, event_id) order are deterministic and
+    * cheaper (no peer-group scan). Sums run in exact decimal → one double
+    * cast; min/max pick existing doubles. Same single user_id shuffle
+    * serves every frame.
+    */
+  def qRollingFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val w5 = order.rowsBetween(-4, 0)
+    val cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    e.select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w5).as("roll_n"),
+        decSum2(col("value")).over(w5).cast("double").as("roll_sum"),
+        min(col("value")).over(w5).as("roll_min"),
+        max(col("value")).over(w5).as("roll_max"),
+        decSum2(col("value")).over(cum).cast("double").as("cum_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Enrichment join on a PATHOLOGICALLY skewed key: `event_type` has 5
     * values over the whole table, so an unsalted shuffle join can use at
     * most 5 reducers no matter how many executors exist. The salted form

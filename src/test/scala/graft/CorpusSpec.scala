@@ -56,6 +56,53 @@ class CorpusSpec extends SparkSpecBase {
     assert(last.toSeq === Seq("w97", "w98", "w99", "w100"))
   }
 
+  test("weighted sampling: rate tracks weight, samples are nested in weight") {
+    val docs = (1 to 4000).map(i => (i.toLong, s"doc body number $i")).toDF("doc_id", "text")
+    def kept(w: Double): Set[Long] =
+      Corpus.sampleWeighted(docs.withColumn("w", lit(w)), col("text"), col("w"))
+        .collect().map(_.getLong(0)).toSet
+    val k0 = kept(0.0); val k2 = kept(0.2); val k6 = kept(0.6); val k1 = kept(1.0)
+    assert(k0.isEmpty, "weight 0 keeps nothing")
+    // the md5 draw is shared across thresholds → samples NEST: raising the
+    // weight only ADDS rows (the property that makes re-sampling at a new
+    // rate cheap and stable)
+    assert(k2.subsetOf(k6) && k6.subsetOf(k1))
+    assert(math.abs(k2.size / 4000.0 - 0.2) < 0.03, s"~20% kept, got ${k2.size}")
+    assert(math.abs(k6.size / 4000.0 - 0.6) < 0.03, s"~60% kept, got ${k6.size}")
+    assert(k1.size === 4000, "weight 1.0 (clamped to 1-2^-32) keeps all")
+    // determinism: same call, same rows
+    assert(kept(0.2) === k2)
+  }
+
+  test("rolling frame features: hand-checked against a driver-side scan") {
+    val uid = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id").count().filter(col("count") >= 6)
+      .orderBy("user_id").limit(1).collect().head.getLong(0)
+    val rows = graft.queries.EventQueries.qRollingFeatures(spark, sfDir)
+      .filter(col("user_id") === uid).orderBy(col("event_id")).collect()
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("user_id") === uid)
+      .select("event_id", "ts", "value")
+      .collect()
+      .sortBy(r => (r.getTimestamp(1).getTime, r.getLong(0)))
+    assert(rows.nonEmpty && rows.length === raw.length)
+    val vals = raw.map(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    rows.zipWithIndex.foreach { case (r, _) =>
+      val i = raw.indexWhere(_.getLong(0) == r.getLong(0))
+      val lo = math.max(0, i - 4)
+      val frame = vals.slice(lo, i + 1).flatten
+      assert(r.getAs[Long]("roll_n") === (i - lo + 1), s"roll_n at $i")
+      val expSum = BigDecimal(frame.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toString)
+      assert(math.abs(r.getAs[Double]("roll_sum") - expSum.toDouble) < 1e-6,
+        s"roll_sum at $i")
+      if (frame.nonEmpty) {
+        assert(r.getAs[Double]("roll_min") === frame.min, s"roll_min at $i")
+        assert(r.getAs[Double]("roll_max") === frame.max, s"roll_max at $i")
+      }
+    }
+  }
+
   test("chunk windows tile any length: property over random docs") {
     val rnd = new scala.util.Random(11)
     val docs = (0 until 60).map { i =>
