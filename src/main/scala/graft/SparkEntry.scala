@@ -27,6 +27,7 @@ object SparkEntry {
     "q_nested_join" -> (Relational.qNestedJoin _),
     "q_regression" -> (Relational.qRegression _),
     "q_regression_eval" -> (Relational.qRegressionEval _),
+    "q_outlier_zscore" -> (Relational.qOutlierZscore _),
     "q3_top_orders" -> (Relational.q3TopOrders _),
     "q5_region_revenue" -> (Relational.q5RegionRevenue _),
     "q_top_spenders" -> (Relational.qTopSpenders _),
@@ -290,6 +291,27 @@ object SparkEntry {
         |  1.0 - (syy - 2.0*m*sxy - 2.0*b*sy + m*m*sxx + 2.0*m*b*sx + n*b*b)
         |      / (syy - sy*sy/n) AS r2
         |FROM a CROSS JOIN c ORDER BY split""".stripMargin,
+    // mean/std from exact sums, closed-form double arithmetic written
+    // identically to the Spark side; zero-variance groups → NULL z
+    "q_outlier_zscore" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_retailprice FROM part
+        |  WHERE p_retailprice IS NOT NULL),
+        |s AS (SELECT p_brand AS stats_brand,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM p GROUP BY p_brand),
+        |j AS (SELECT p_partkey, p_brand, p_retailprice,
+        |    sx / n AS mean,
+        |    (n * sxx - sx * sx) / (n * (n - 1.0)) AS variance
+        |  FROM p JOIN s ON p_brand = stats_brand)
+        |SELECT p_partkey, p_brand, p_retailprice,
+        |  CASE WHEN NOT isnan(variance) AND variance > 0
+        |    THEN (p_retailprice - mean) / sqrt(variance) END AS z,
+        |  COALESCE(CASE WHEN NOT isnan(variance) AND variance > 0
+        |    THEN abs((p_retailprice - mean) / sqrt(variance)) > 2.0 END,
+        |    false) AS is_outlier
+        |FROM j ORDER BY p_partkey""".stripMargin,
     // top-10 taken on the exact decimal sum; double cast applied OUTSIDE
     // the limit so the selected set matches the Spark plan
     "q3_top_orders" ->

@@ -468,6 +468,40 @@ object Relational {
       .orderBy(col("split"))
   }
 
+  /** Per-group z-score outlier flagging — the data-quality gate that
+    * catches corrupt prices before they enter training features. Group
+    * mean/std come from the same exact-aggregate trick as the regression
+    * (n, Σx, Σx² in long/decimal, closed-form double afterwards — written
+    * identically in the oracle, so z is bit-deterministic). The stats side
+    * is one row per brand → broadcast back onto the fact scan; zero-variance
+    * groups yield NULL z (no division), never ±Inf.
+    */
+  def qOutlierZscore(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_retailprice").isNotNull)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+    val stats = p.groupBy(col("p_brand").as("stats_brand"))
+      .agg(count(lit(1)).as("n_e"),
+        sum(col("p_retailprice").cast(DecimalType(18, 2))).as("sx_e"),
+        sum(col("p_retailprice").cast(DecimalType(18, 2)) *
+          col("p_retailprice").cast(DecimalType(18, 2))).as("sxx_e"))
+    val n = col("n_e").cast("double")
+    val sx = col("sx_e").cast("double")
+    val sxx = col("sxx_e").cast("double")
+    val mean = sx / n
+    val variance = (n * sxx - sx * sx) / (n * (n - lit(1.0)))
+    val z = (col("p_retailprice") - mean) / sqrt(variance)
+    // NaN guard is explicit: DuckDB orders NaN above every value (NaN > 0
+    // is TRUE there, false in Spark), so a bare `variance > 0` predicate
+    // would diverge on degenerate groups (n=1, catastrophic cancellation)
+    val ok = !isnan(variance) && variance > 0
+    p.join(broadcast(stats), col("p_brand") === col("stats_brand"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        when(ok, z).as("z"),
+        coalesce(when(ok, abs(z) > lit(2.0)), lit(false)).as("is_outlier"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** PIVOT: revenue by nation × order status reshaped to one column per
     * status. With explicit pivot values Spark plans ONE aggregation pass
     * (no per-value scans, no second shuffle) — the dashboard crosstab at

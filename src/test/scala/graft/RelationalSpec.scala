@@ -195,6 +195,29 @@ class RelationalSpec extends SparkSpecBase {
     assert(math.abs(ev("train")._4 - fit("train")._3) <= 1e-6)
   }
 
+  test("z-score outliers agree with a driver-side per-brand computation") {
+    val out = Relational.qOutlierZscore(spark, sfDir).collect()
+    val byBrand = spark.read.parquet(s"$sfDir/part.parquet")
+      .filter(col("p_retailprice").isNotNull)
+      .select("p_partkey", "p_brand", "p_retailprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._2)
+    assert(out.length === byBrand.values.map(_.length).sum)
+    out.take(200).foreach { r =>
+      val xs = byBrand(r.getAs[String]("p_brand")).map(_._3)
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+      val x = r.getAs[Double]("p_retailprice")
+      if (sd > 0) {
+        val expZ = (x - mean) / sd
+        assert(math.abs(r.getAs[Double]("z") - expZ) < 1e-6,
+          s"z for part ${r.getLong(0)}")
+        assert(r.getAs[Boolean]("is_outlier") === (math.abs(expZ) > 2.0))
+      }
+    }
+  }
+
   test("dedup keep-last keeps exactly one row per key, the latest") {
     val out = Relational.qDedupKeepLast(spark, sfDir)
     val dupKeys = out.groupBy("user_id", "event_type").count()
