@@ -102,8 +102,7 @@ object SparkEntry {
        |    CAST(embedding AS DOUBLE[]) AS embd FROM embeddings),
        |s AS (SELECT id, emb, ${sigs.mkString(",\n")} FROM e),
        |bk AS (SELECT id, emb, band,
-       |    CASE band WHEN 0 THEN sig_0 WHEN 1 THEN sig_1
-       |      WHEN 2 THEN sig_2 ELSE sig_3 END AS sig
+       |    CASE band ${(0 until bands).map(b => s"WHEN $b THEN sig_$b").mkString(" ")} END AS sig
        |  FROM s CROSS JOIN (SELECT unnest(range($bands)) AS band)),
        |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM bk a JOIN bk b

@@ -76,10 +76,16 @@ object DatalakeQueries {
     // the fetch writes entirely. A crash between fetch and commit
     // re-appends the same increment on retry; the format stage's dedup
     // absorbs the duplicates (at-least-once, idempotent).
-    val hadoopBulk = new org.apache.hadoop.fs.Path(bulkPath)
-    val rawInitialized = hadoopBulk
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(hadoopBulk)
+    // BOTH raw artifacts must exist to skip the fetch — the format stage
+    // reads both, and a crash between the bulk write and the page write
+    // would otherwise wedge every later empty-increment run on a missing
+    // fetch.json
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    val rawInitialized = exists(bulkPath) && exists(s"$pageDir/fetch.json")
     if (batch.head(1).nonEmpty || !rawInitialized) {
       Datalake.writeJsonl(batch.drop("ts_us_ts"), bulkPath,
         org.apache.spark.sql.SaveMode.Append)

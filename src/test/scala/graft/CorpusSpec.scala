@@ -83,9 +83,11 @@ class CorpusSpec extends SparkSpecBase {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .filter(col("user_id") === uid)
-      .select("event_id", "ts", "value")
+      // sort on raw MICROS, not Timestamp.getTime (millis) — sub-milli ties
+      // would order differently from the query's microsecond window order
+      .select(col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
       .collect()
-      .sortBy(r => (r.getTimestamp(1).getTime, r.getLong(0)))
+      .sortBy(r => (r.getLong(1), r.getLong(0)))
     assert(rows.nonEmpty && rows.length === raw.length)
     val vals = raw.map(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
     rows.zipWithIndex.foreach { case (r, _) =>
