@@ -59,6 +59,7 @@ object SparkEntry {
     "q_salted_join" -> (EventQueries.qSaltedJoin _),
     "q_lead_lag" -> (EventQueries.qLeadLag _),
     "q_rolling_features" -> (EventQueries.qRollingFeatures _),
+    "q_skew_profile" -> (EventQueries.qSkewProfile _),
     "q_sample_weighted" -> (CorpusQueries.qSampleWeighted _),
     "q_knn_cosine" -> (SimilarityQueries.qKnnCosine _),
     "q_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
@@ -608,6 +609,15 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS first_event
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    // top-10 heavy keys; deterministic tiebreak (count desc, key asc);
+    // share = exact-int / exact-int
+    "q_skew_profile" ->
+      """WITH per AS (SELECT user_id, COUNT(*) AS n_events
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT COUNT(*) AS total FROM events)
+        |SELECT user_id, n_events, CAST(n_events AS DOUBLE) / total AS share
+        |FROM per CROSS JOIN t
+        |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
     // ROWS frames over the unique (ts, event_id) order; decimal frame sums
     // cast to double at the end
     "q_rolling_features" ->

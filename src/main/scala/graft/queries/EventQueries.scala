@@ -130,6 +130,25 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Join-key skew profile: the top-10 heaviest user_id keys with their
+    * share of all events — the diagnostic that decides whether a join
+    * needs salting/AQE skew handling BEFORE it melts a reducer at 100 TB.
+    * Shape: partial-agg count per key (one shuffle), 1-row total broadcast,
+    * global top-10 via TakeOrderedAndProject (sort-limit pushed to the
+    * partials — never an unpartitioned window). share = exact-int ÷
+    * exact-int, deterministic.
+    */
+  def qSkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id")
+    val per = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val total = e.agg(count(lit(1)).as("total"))
+    per.crossJoin(broadcast(total))
+      .select(col("user_id"), col("n_events"),
+        (col("n_events").cast("double") / col("total")).as("share"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(10)
+  }
+
   /** Enrichment join on a PATHOLOGICALLY skewed key: `event_type` has 5
     * values over the whole table, so an unsalted shuffle join can use at
     * most 5 reducers no matter how many executors exist. The salted form
