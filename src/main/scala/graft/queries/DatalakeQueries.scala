@@ -42,12 +42,40 @@ import graft.sources.{Datalake, Tables, Watermark}
   */
 object DatalakeQueries {
 
-  private val rawSchema = StructType(Seq(
+  private[graft] val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("ts_us", LongType)))
+
+  /** Coerce + derive (errors='coerce' → fillna(0), event_date from the
+    * micros long) — the format-stage projection, shared with the streaming
+    * micro-batch DAG (streaming/DatalakeStreams) so batch and stream agree
+    * on what "formatted" means.
+    */
+  private[graft] def coerceRaw(df: DataFrame): DataFrame =
+    df.withColumn("value_clean", coalesce(col("value"), lit(0.0)))
+      .withColumn("event_date", timestamp_micros(col("ts_us")).cast("date"))
+
+  /** Keep-last dedup per (user_id, event_type) by (ts_us, event_id). */
+  private[graft] def dedupKeepLast(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Usage-layer market stats over a formatted frame (exact decimal sums,
+    * DOUBLE final projection).
+    */
+  private[graft] def usageStats(fmt: DataFrame): DataFrame =
+    fmt.filter(col("value_clean") > 0)
+      .groupBy(col("event_type"), col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_clean").cast(DecimalType(18, 2)))
+          .cast("double").as("total_value"))
 
   /** Full pipeline against a caller-supplied lake root (specs use a fixed
     * root to assert layer contents / watermark advance / idempotent
@@ -104,25 +132,14 @@ object DatalakeQueries {
     // re-fetched increments
     val raw = Datalake.readJsonArray(spark, s"$pageDir/fetch.json", rawSchema)
       .unionByName(Datalake.readJsonl(spark, bulkPath, rawSchema))
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts_us").desc, col("event_id").desc)
-    val formatted = raw
-      .withColumn("value_clean", coalesce(col("value"), lit(0.0)))
-      .withColumn("event_date", timestamp_micros(col("ts_us")).cast("date"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "value")
+    val formatted = dedupKeepLast(coerceRaw(raw)).drop("value")
     val fmtPath = Datalake.path(root, Datalake.Formatted, "events", "latest")
     Datalake.writeParquet(formatted, fmtPath)
 
     // ---- compute_usage → USAGE: per (type, day) market stats over the
     // formatted layer; exact decimal sums, final projection DOUBLE
     val fmt = spark.read.parquet(fmtPath)
-    val usage = fmt.filter(col("value_clean") > 0)
-      .groupBy(col("event_type"), col("event_date"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value_clean").cast(DecimalType(18, 2)))
-          .cast("double").as("total_value"))
+    val usage = usageStats(fmt)
     val usagePath = Datalake.path(root, Datalake.Usage, "events", "market_stats")
     Datalake.writeParquet(usage, usagePath)
 

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.queries.DatalakeQueries
+import graft.sources.Datalake
+
+/** The composed DAG's CONTINUOUS form: the reference schedules the whole
+  * raw→formatted→usage chain hourly on Airflow (DAG_Project.py:26-29,
+  * `schedule='0 * * * *'`); here the same chain runs as a Structured
+  * Streaming micro-batch job — each raw fetch file that lands becomes an
+  * increment, with no scheduler in the loop.
+  *
+  * Division of labor per trigger (foreachBatch):
+  *   - the INCREMENT is coerced (same shared projection as the batch DAG —
+  *     DatalakeQueries.coerceRaw, so batch and stream agree on "formatted")
+  *     and APPENDED to the formatted layer: the formatted layer is an
+  *     append-only log of increments;
+  *   - the usage aggregate is recomputed over the whole formatted layer
+  *     with the keep-last dedup applied AT READ — cross-batch dedup state
+  *     inside the stream would grow without bound (the CorpusStreams
+  *     caveat); dedup-at-read over the log needs no state at all.
+  * Checkpointing makes the append at-least-once across restarts; replayed
+  * increments are absorbed by the same read-time dedup, so usage is
+  * exactly-once in effect.
+  *
+  * Scale notes: maxFilesPerTrigger bounds each increment (a 100 TB raw
+  * backlog drains in controlled chunks; Trigger.AvailableNow turns the
+  * same job into a bounded backfill that stops when caught up). The
+  * usage recompute reads the full formatted layer per trigger — the right
+  * trade while usage ≪ raw; an incremental-usage variant would partition
+  * the layer by event_date and overwrite only the dates present in the
+  * increment (Datalake.upsertPartitions).
+  */
+object DatalakeStreams {
+
+  val rawSchema: StructType = DatalakeQueries.rawSchema
+
+  /** Rate-limited JSONL raw-fetch stream (one file = one fetch drop). */
+  def readRawStream(spark: SparkSession, bulkDir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(bulkDir)
+
+  /** Run the micro-batch DAG until the raw backlog is drained
+    * (Trigger.AvailableNow): append formatted increments, refresh usage.
+    */
+  def runBackfill(raw: DataFrame, fmtPath: String, usagePath: String,
+      checkpoint: String): StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (increment: Dataset[Row], _: Long) =>
+        val spark = increment.sparkSession
+        DatalakeQueries.coerceRaw(increment).drop("value")
+          .write.mode(SaveMode.Append)
+          .option("compression", "snappy").parquet(fmtPath)
+        val fmt = DatalakeQueries.dedupKeepLast(spark.read.parquet(fmtPath))
+        Datalake.writeParquet(DatalakeQueries.usageStats(fmt), usagePath)
+        ()
+      }
+      .start()
+}

@@ -12,6 +12,39 @@ import graft.streaming.EventStreams
   */
 class FileStreamSpec extends SparkSpecBase {
 
+  test("streaming micro-batch DAG converges to the batch DAG's usage layer") {
+    import graft.streaming.DatalakeStreams
+    val root = java.nio.file.Files.createTempDirectory("graft-sdag")
+    val rawDir = s"$root/raw"; val fmt = s"$root/formatted"
+    val usage = s"$root/usage"; val ckpt = s"$root/ckpt"
+    // two fetch drops with an OVERLAPPING increment (at-least-once raw):
+    // the read-time dedup must absorb the replay
+    val src = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+    src.filter(col("event_id") % 2 === 0).write.json(s"$rawDir/d1")
+    src.filter(col("event_id") % 2 =!= 0 || col("event_id") % 10 === 0)
+      .write.json(s"$rawDir/d2")
+    // flatten the drops into one dir of files (the file source lists files)
+    val raw = DatalakeStreams.readRawStream(spark, s"$rawDir/d*/",
+      maxFilesPerTrigger = 2)
+    val q = DatalakeStreams.runBackfill(raw, fmt, usage, ckpt)
+    try { q.awaitTermination() } finally q.stop()
+    val streamed = spark.read.parquet(usage)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // batch truth over the SAME rows (the full events table)
+    val batchUsage = graft.queries.DatalakeQueries.usageStats(
+        graft.queries.DatalakeQueries.dedupKeepLast(
+          graft.queries.DatalakeQueries.coerceRaw(src)))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed === batchUsage,
+      "stream-computed usage == batch usage despite the overlapping replay")
+  }
+
   test("file-source stream of events matches the batch windowed aggregation") {
     // nanosAsLong session conf → ts arrives as LongType nanos
     val schema = StructType(Seq(

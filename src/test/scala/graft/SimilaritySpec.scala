@@ -54,6 +54,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.exists { case (i, c) => i != c }, "expected some near-dup cluster")
   }
 
+  test("connected components: 64-node path graph converges via pointer jumping") {
+    // a path is the WORST case for plain propagation (diameter = n-1);
+    // pointer jumping must close it in O(log n) rounds — well inside the
+    // default iteration cap
+    val n = 64
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = graft.ops.Components.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n)
+    assert(got.values.forall(_ == 0L), "one component, min id 0")
+    // two disjoint paths → two components
+    val edges2 = ((0L until 31L).map(i => (i, i + 1)) ++
+      (32L until 63L).map(i => (i, i + 1))).toDF("src", "dst")
+    val got2 = graft.ops.Components.connectedComponents(nodes, edges2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 31L).forall(got2(_) == 0L))
+    assert((32L to 63L).forall(got2(_) == 32L))
+  }
+
+  test("empty vertex set yields an empty labeling, not an error") {
+    val empty = Seq.empty[Long].toDF("id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.ops.Components.connectedComponents(empty, noEdges).count() === 0)
+  }
+
   test("knn ranks agree with a driver-side argmax on sf0.001") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))

@@ -134,6 +134,20 @@ class TextSketchPropSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketOf binary search equals the linear count of cuts below v") {
+    import org.apache.spark.sql.graft.BucketKernels
+    val cutsG = Gen.nonEmptyListOf(Gen.chooseNum(-1000.0, 1000.0))
+      .map(_.distinct.sorted.toArray)
+    cases(Gen.zip(cutsG, Gen.chooseNum(-1500.0, 1500.0))) { case (cuts, v) =>
+      val expected = cuts.count(c => v > c)
+      assert(BucketKernels.bucketOf(v, cuts) === expected,
+        s"v=$v cuts=${cuts.mkString(",")}")
+    }
+    // boundary: v equal to a cut goes LEFT (v > c is false)
+    assert(BucketKernels.bucketOf(5.0, Array(1.0, 5.0, 9.0)) === 1)
+    assert(BucketKernels.bucketOf(0.0, Array.empty[Double]) === 0)
+  }
+
   test("textStats counts a non-BMP char (surrogate pair) as one code point") {
     // 😀 = 😀: one punct + one bpe token, a word boundary for the
     // marker-word scorer, part of ONE ws-token run
