@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Agg._
+import graft.sources.Tables
+
+/** User-journey analytics over the events stream: ordered-step funnels,
+  * cohort retention, and calendar gap-fill — the product-analytics layer the
+  * reference's Kibana dashboards imply (index_to_es.py feeds dashboards;
+  * these are the standard queries behind them, re-expressed as Spark plans).
+  *
+  * Scale shape shared by all three: everything is keyed by `user_id`, so ONE
+  * shuffle on user_id serves every window/aggregate; at 100 TB an events
+  * table bucketed by user_id makes the whole family exchange-free.
+  */
+object JourneyQueries {
+
+  /** Ordered three-step funnel signup → click → purchase: each step must
+    * happen at-or-after the previous step's FIRST occurrence (the strict
+    * product-funnel rule, not mere set membership). Three chained
+    * whole-partition window minima over the SAME user_id partitioning —
+    * Catalyst plans one exchange and three WindowExec passes, no joins, no
+    * second shuffle. The final per-user collapse reuses the partitioning.
+    */
+  def qFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy(col("user_id"))
+    val staged = e
+      .withColumn("signup_ts",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("first_click_ts",
+        min(when(col("event_type") === "click" &&
+          col("ts") >= col("signup_ts"), col("ts"))).over(w))
+      .withColumn("first_purchase_ts",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("first_click_ts"), col("ts"))).over(w))
+    staged
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("signup_ts")).as("signup_ts"),
+        max(col("first_click_ts")).as("first_click_ts"),
+        max(col("first_purchase_ts")).as("first_purchase_ts"))
+      .filter(col("signup_ts").isNotNull)
+      .withColumn("stage",
+        when(col("first_purchase_ts").isNotNull, "purchased")
+          .when(col("first_click_ts").isNotNull, "clicked")
+          .otherwise("signed_up"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Cohort retention matrix: users grouped by their first-activity day,
+    * counted on each later day they return. Distinct (user, day) pairs
+    * first (the activity grid), per-user min for the cohort, then one
+    * count per (cohort, offset) cell. retention = exact-int ÷ exact-int.
+    * The cohort-size side is tiny (one row per cohort day) → broadcast.
+    */
+  def qRetentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = ud.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val sizes = cohorts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    ud.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Calendar gap-fill + forward-fill: densify each user's daily activity to
+    * a full date range (`sequence` explode — scan-side, no shuffle), then
+    * carry the last observed daily total forward across the gaps
+    * (`last(..., ignoreNulls)` over a running frame) and measure staleness.
+    * This is the standard feature-store preparation for time-series models
+    * (no gaps, explicit staleness). The explode fans out ~span rows per
+    * user BEFORE the window shuffle, so reducers see the dense grid evenly.
+    */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        decSum2(col("value")).cast("double").as("day_total"))
+    val calendar = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    calendar.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("day_total"), ignoreNulls = true).over(w).as("filled_total"),
+        datediff(col("day"),
+          last(when(col("n").isNotNull, col("day")), ignoreNulls = true)
+            .over(w)).as("days_since_active"),
+        col("n").isNotNull.as("is_active"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Typed JSON extraction from the semi-structured `props` column:
+    * `from_json` with an explicit schema (codegen'd Jackson parse, one pass
+    * per row — the idiomatic Spark form; get_json_object re-parses per
+    * field). Pure projection: no shuffle, prunes to two columns at the
+    * scan. Malformed/missing keys become NULL (PERMISSIVE), flagged not
+    * dropped — the data-lake contract for schema-on-read.
+    */
+  def qJsonProps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(col("event_id"),
+        from_json(col("props"), "k INT").getField("k").as("k"))
+      .select(col("event_id"), col("k"),
+        col("k").isNotNull.as("has_k"),
+        // decade bucket in pure int arithmetic (k - k%10): identical
+        // semantics in both engines (double-divide-then-cast is not —
+        // DuckDB CAST rounds where Spark truncates)
+        (col("k") - (col("k") % lit(10))).as("k_decade"))
+      .orderBy(col("event_id"))
+  }
+}
