@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusQueries, DatalakeQueries, EventQueries, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{CorpusQueries, DatalakeQueries, EventQueries, JourneyQueries, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -60,6 +60,10 @@ object SparkEntry {
     "q_lead_lag" -> (EventQueries.qLeadLag _),
     "q_rolling_features" -> (EventQueries.qRollingFeatures _),
     "q_skew_profile" -> (EventQueries.qSkewProfile _),
+    "q_funnel_steps" -> (JourneyQueries.qFunnelSteps _),
+    "q_retention_cohort" -> (JourneyQueries.qRetentionCohort _),
+    "q_gap_fill" -> (JourneyQueries.qGapFill _),
+    "q_json_props" -> (JourneyQueries.qJsonProps _),
     "q_sample_weighted" -> (CorpusQueries.qSampleWeighted _),
     "q_knn_cosine" -> (SimilarityQueries.qKnnCosine _),
     "q_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
@@ -780,6 +784,75 @@ object SparkEntry {
         |  array_to_string(list_slice(ws, chunk_idx*48 + 1,
         |    chunk_idx*48 + least(64, n - chunk_idx*48)), ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // chained conditional window minima — each step's "first occurrence
+    // at-or-after the previous step" is a whole-partition MIN over the
+    // same user_id partitioning in both engines
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |s1 AS (SELECT *, MIN(CASE WHEN event_type='signup' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS signup_ts FROM e),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type='click' AND ts >= signup_ts
+        |    THEN ts END) OVER (PARTITION BY user_id) AS first_click_ts FROM s1),
+        |s3 AS (SELECT *, MIN(CASE WHEN event_type='purchase'
+        |    AND ts >= first_click_ts THEN ts END)
+        |    OVER (PARTITION BY user_id) AS first_purchase_ts FROM s2)
+        |SELECT user_id, MAX(signup_ts) AS signup_ts,
+        |  MAX(first_click_ts) AS first_click_ts,
+        |  MAX(first_purchase_ts) AS first_purchase_ts,
+        |  CASE WHEN MAX(first_purchase_ts) IS NOT NULL THEN 'purchased'
+        |       WHEN MAX(first_click_ts) IS NOT NULL THEN 'clicked'
+        |       ELSE 'signed_up' END AS stage
+        |FROM s3 GROUP BY user_id HAVING MAX(signup_ts) IS NOT NULL
+        |ORDER BY user_id""".stripMargin,
+    // retention = exact-int ÷ exact-int (one IEEE division, bit-identical);
+    // day_offset BIGINT on both sides (Spark datediff is INT → widened)
+    "q_retention_cohort" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id),
+        |sz AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM c
+        |  GROUP BY cohort_day),
+        |act AS (SELECT c.cohort_day,
+        |    date_diff('day', c.cohort_day, ud.day) AS day_offset,
+        |    COUNT(*) AS n_active
+        |  FROM ud JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT act.cohort_day, day_offset, n_active, cohort_size,
+        |  CAST(n_active AS DOUBLE)/cohort_size AS retention
+        |FROM act JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    // calendar densify via generate_series (Spark: sequence+explode);
+    // forward-fill via IGNORE NULLS running last_value; decimal day
+    // totals cast to double after the aggregate
+    "q_gap_fill" ->
+      """WITH daily AS (SELECT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (SELECT user_id, CAST(unnest(generate_series(
+        |      CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+        |    GROUP BY user_id)),
+        |j AS (SELECT cal.user_id, cal.day, daily.n, daily.day_total
+        |  FROM cal LEFT JOIN daily USING (user_id, day))
+        |SELECT user_id, day, COALESCE(n, 0) AS n_events,
+        |  last_value(day_total IGNORE NULLS) OVER w AS filled_total,
+        |  date_diff('day', last_value(CASE WHEN n IS NOT NULL THEN day END
+        |    IGNORE NULLS) OVER w, day) AS days_since_active,
+        |  n IS NOT NULL AS is_active
+        |FROM j WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |  ROWS UNBOUNDED PRECEDING)
+        |ORDER BY user_id, day""".stripMargin,
+    // typed JSON extraction; decade bucket in pure INT arithmetic
+    // (k - k%10) — identical truncation semantics in both engines
+    "q_json_props" ->
+      """WITH k AS (SELECT event_id,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |SELECT event_id, k, k IS NOT NULL AS has_k,
+        |  k - (k % 10) AS k_decade
+        |FROM k ORDER BY event_id""".stripMargin,
     "q_repetition_filter" ->
       """WITH w AS (SELECT doc_id,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws

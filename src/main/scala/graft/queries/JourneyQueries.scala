@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import graft.ops.Agg._
 import graft.sources.Tables
@@ -67,8 +68,10 @@ object JourneyQueries {
     val sizes = cohorts.groupBy(col("cohort_day"))
       .agg(count(lit(1)).as("cohort_size"))
     ud.join(cohorts, "user_id")
+      // BIGINT offset: Spark's datediff is INT, DuckDB's is BIGINT — the
+      // driver hash is type-sensitive (SURVEY §4), so widen here
       .groupBy(col("cohort_day"),
-        datediff(col("day"), col("cohort_day")).as("day_offset"))
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
       .agg(count(lit(1)).as("n_active"))
       .join(broadcast(sizes), "cohort_day")
       .select(col("cohort_day"), col("day_offset"), col("n_active"),
@@ -103,7 +106,7 @@ object JourneyQueries {
         last(col("day_total"), ignoreNulls = true).over(w).as("filled_total"),
         datediff(col("day"),
           last(when(col("n").isNotNull, col("day")), ignoreNulls = true)
-            .over(w)).as("days_since_active"),
+            .over(w)).cast("long").as("days_since_active"),
         col("n").isNotNull.as("is_active"))
       .orderBy(col("user_id"), col("day"))
   }
@@ -118,7 +121,7 @@ object JourneyQueries {
   def qJsonProps(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     e.select(col("event_id"),
-        from_json(col("props"), "k INT").getField("k").as("k"))
+        from_json(col("props"), StructType.fromDDL("k INT")).getField("k").as("k"))
       .select(col("event_id"), col("k"),
         col("k").isNotNull.as("has_k"),
         // decade bucket in pure int arithmetic (k - k%10): identical

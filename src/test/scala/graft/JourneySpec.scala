@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.JourneyQueries
+
+/** Property checks for the journey-analytics family (exact values are the
+  * DuckDB oracles' job — these pin the invariants and plan shapes).
+  */
+class JourneySpec extends SparkSpecBase {
+
+  test("funnel: stages are consistent with their timestamps and ordered") {
+    val rows = JourneyQueries.qFunnelSteps(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val signup = r.getAs[java.sql.Timestamp]("signup_ts")
+      val click = r.getAs[java.sql.Timestamp]("first_click_ts")
+      val purchase = r.getAs[java.sql.Timestamp]("first_purchase_ts")
+      val stage = r.getAs[String]("stage")
+      assert(signup != null)
+      // strict ordering: each step at-or-after the previous step
+      if (click != null) assert(!click.before(signup))
+      if (purchase != null) { assert(click != null); assert(!purchase.before(click)) }
+      stage match {
+        case "purchased" => assert(purchase != null)
+        case "clicked"   => assert(click != null && purchase == null)
+        case "signed_up" => assert(click == null && purchase == null)
+      }
+    }
+  }
+
+  test("funnel: one exchange serves all three window passes") {
+    val plan = JourneyQueries.qFunnelSteps(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the three chained minima + the final agg must reuse ONE user_id
+    // hash-partitioning: exactly one exchange below the sort/windows
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 keyed exchange, got $exchanges:\n$plan")
+  }
+
+  test("retention: day-0 cell is the full cohort, counts bounded by size") {
+    val rows = JourneyQueries.qRetentionCohort(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val day0 = rows.filter(_.getAs[Long]("day_offset") == 0L)
+    assert(day0.nonEmpty)
+    day0.foreach { r =>
+      assert(r.getAs[Long]("n_active") === r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Double]("retention") === 1.0)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("day_offset") >= 0L)
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"))
+      val ret = r.getAs[Double]("retention")
+      assert(ret > 0.0 && ret <= 1.0)
+    }
+  }
+
+  test("gap fill: per-user calendar is dense, fill carries forward") {
+    val rows = JourneyQueries.qGapFill(spark, sfDir)
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, days) =>
+      val ds = days.map(_.getAs[java.sql.Date]("day").toLocalDate).sorted
+      // dense: every day between min and max present exactly once
+      assert(ds.distinct.length === ds.length)
+      assert(ds.length ===
+        java.time.temporal.ChronoUnit.DAYS.between(ds.head, ds.last) + 1)
+      days.sortBy(_.getAs[java.sql.Date]("day").toLocalDate.toEpochDay)
+        .foreach { r =>
+          val active = r.getAs[Boolean]("is_active")
+          if (active) {
+            assert(r.getAs[Long]("n_events") > 0L)
+            assert(r.getAs[Long]("days_since_active") === 0L)
+          } else assert(r.getAs[Long]("n_events") === 0L)
+          // endpoints are active days, so fill is always defined
+          assert(!r.isNullAt(r.fieldIndex("filled_total")))
+        }
+    }
+  }
+
+  test("json props: extraction matches a regex pull, decade truncates") {
+    val rows = JourneyQueries.qJsonProps(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("props")).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("props")).toMap
+    rows.foreach { r =>
+      val expected = """"k":\s*(-?\d+)""".r
+        .findFirstMatchIn(raw(r.getAs[Long]("event_id"))).map(_.group(1).toInt)
+      if (r.isNullAt(r.fieldIndex("k"))) {
+        assert(expected.isEmpty); assert(!r.getAs[Boolean]("has_k"))
+      } else {
+        val k = r.getAs[Int]("k")
+        assert(expected.contains(k)); assert(r.getAs[Boolean]("has_k"))
+        assert(r.getAs[Int]("k_decade") === k - (k % 10))
+      }
+    }
+  }
+
+  test("json props: pure projection — no exchange in the plan") {
+    val plan = JourneyQueries.qJsonProps(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"projection query must not shuffle:\n$plan")
+  }
+}
