@@ -21,6 +21,7 @@ object SparkEntry {
     "q_validated_filter" -> (Relational.qValidatedFilter _),
     "q_clean_cast" -> (Relational.qCleanCast _),
     "q_datalake_pipeline" -> (DatalakeQueries.qDatalakePipeline _),
+    "q_datalake_dual" -> (DatalakeQueries.qDatalakeDual _),
     "q_dedup_keeplast" -> (Relational.qDedupKeepLast _),
     "q_doc_export" -> (Relational.qDocExport _),
     "q_doc_export_geo" -> (Relational.qDocExportGeo _),
@@ -204,6 +205,23 @@ object SparkEntry {
         |FROM d WHERE rn = 1 AND value_clean > 0
         |GROUP BY event_type, event_date
         |ORDER BY event_type, event_date""".stripMargin,
+    // the dual-feed DAG reduced to its data semantics: both lake round
+    // trips are lossless for the columns used (micros longs through JSON;
+    // long/int/varchar through CSV), so DuckDB joins the source tables
+    // directly after replaying the JSON side's coerce+dedup
+    "q_datalake_dual" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    COALESCE(value, 0.0) AS value_clean,
+        |    CAST(ts AS TIMESTAMP) AS tsx
+        |  FROM events),
+        |d AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY tsx DESC, event_id DESC) AS rn FROM e),
+        |f AS (SELECT * FROM d WHERE rn = 1 AND value_clean > 0)
+        |SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value_clean AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM f JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_dedup_keeplast" ->
       """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
         |  SELECT *, row_number() OVER (

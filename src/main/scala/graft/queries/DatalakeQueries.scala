@@ -118,12 +118,17 @@ object DatalakeQueries {
       Datalake.writeJsonl(batch.drop("ts_us_ts"), bulkPath,
         org.apache.spark.sql.SaveMode.Append)
       // one fetch page = one pretty JSON ARRAY (bounded: a real API page) —
-      // overlaps the bulk feed on purpose
+      // overlaps the bulk feed on purpose. Written through the SAME Hadoop
+      // FS as every other layer artifact (java.nio would silently land on
+      // driver-local disk for an hdfs://-or-s3a:// root and the exists()
+      // gate above would never see it).
       val pageRows = batch.drop("ts_us_ts").filter(col("event_id") <= 50)
         .orderBy(col("event_id")).toJSON.collect()
-      Files.createDirectories(java.nio.file.Paths.get(pageDir))
-      Files.writeString(java.nio.file.Paths.get(s"$pageDir/fetch.json"),
-        pageRows.mkString("[\n", ",\n", "\n]"))
+      val pagePath = new org.apache.hadoop.fs.Path(s"$pageDir/fetch.json")
+      val fs = pagePath.getFileSystem(hconf)
+      val out = fs.create(pagePath, true)
+      try out.write(pageRows.mkString("[\n", ",\n", "\n]").getBytes("UTF-8"))
+      finally out.close()
     }
 
     // ---- transform → FORMATTED: array + JSONL raw reads unioned, value
@@ -164,21 +169,121 @@ object DatalakeQueries {
       .orderBy(col("event_type"), col("event_date"))
   }
 
-  /** Driver-gate entry: fresh lake root per run (deterministic output —
-    * the watermark always starts empty, so the batch is the full table).
-    * The lake must outlive the returned LAZY DataFrame (it reads the usage
-    * layer), so cleanup is a JVM shutdown hook, not an eager delete —
-    * repeated bench/verify invocations in one JVM don't leak /tmp forever.
+  /** Lake roots awaiting exit-time cleanup: ONE JVM-wide shutdown hook
+    * draining a concurrent queue — per-call hook registration would
+    * accumulate hooks (and captured roots) unboundedly across repeated
+    * bench/verify invocations in one JVM.
     */
-  def qDatalakePipeline(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft-lake")
+  private val tempRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
+  private lazy val cleanupHookInstalled: Boolean = {
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm))
         f.delete(); ()
       }
-      rm(root.toFile)
+      var f = tempRoots.poll()
+      while (f != null) { rm(f); f = tempRoots.poll() }
     }
-    run(spark, dir, root.toString)
+    true
   }
+
+  private def tempLakeRoot(): String = {
+    val root = Files.createTempDirectory("graft-lake")
+    tempRoots.add(root.toFile)
+    cleanupHookInstalled
+    root.toString
+  }
+
+  /** Driver-gate entry: fresh lake root per run (deterministic output —
+    * the watermark always starts empty, so the batch is the full table).
+    * The lake must outlive the returned LAZY DataFrame (it reads the usage
+    * layer), so cleanup is a JVM shutdown hook, not an eager delete.
+    */
+  def qDatalakePipeline(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, tempLakeRoot())
+
+  private[graft] val dimSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  /** The reference's ACTUAL dual-feed shape: TWO raw sources — a CSV.gz
+    * bulk drop (dvf_fetcher.py downloads the government CSV.gz;
+    * raw_to_fmt_dvf.py:1-24 coerces it) and a JSON API feed
+    * (lbc_fetcher.py) — each independently coerced into the formatted
+    * layer, then JOINED in the usage layer (compute_usage.py:70-76 joins
+    * listings to the per-commune stats).
+    *
+    * Here: the events JSON feed (listings analog) joins the customer
+    * dimension arriving as a gzip CSV drop (the DVF analog). Coercions:
+    * JSON side = errors='coerce' fillna + keep-last dedup; CSV side =
+    * explicit schema + PERMISSIVE (malformed → null), exactly
+    * `Datalake.readCsv`.
+    *
+    * Scale notes: .gz CSV is NOT splittable — one file, one task — which
+    * is fine for a raw drop read once per run; the formatted layer
+    * re-lands both feeds as snappy parquet so everything downstream is
+    * splittable. The usage join broadcasts the dimension (a dim table is
+    * small by construction); the fact side's only wide shuffle is the
+    * dedup, and the final aggregate partial-aggregates map-side into
+    * #(segment × type) groups.
+    */
+  def runDual(spark: SparkSession, dir: String, root: String): DataFrame = {
+    // ---- feed 1 → RAW: events as a JSONL API feed (ts as micros longs)
+    val jsonRaw = Datalake.path(root, Datalake.Raw, "events", "feed")
+    Datalake.writeJsonl(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us")),
+      jsonRaw)
+
+    // ---- feed 2 → RAW: customer dimension as ONE gzip CSV drop with a
+    // header line — the DVF bulk-file shape (dvf_fetcher.py)
+    val csvRaw = Datalake.path(root, Datalake.Raw, "customer", "bulk_csv")
+    Tables.customer(spark, dir)
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("header", "true").option("compression", "gzip")
+      .csv(csvRaw)
+
+    // ---- transform → FORMATTED, each feed through its own coercion
+    val fmtEvents = dedupKeepLast(coerceRaw(
+      Datalake.readJsonl(spark, jsonRaw, rawSchema))).drop("value")
+    val fmtEventsPath = Datalake.path(root, Datalake.Formatted, "events", "latest")
+    Datalake.writeParquet(fmtEvents, fmtEventsPath)
+
+    val fmtDim = Datalake.readCsv(spark, csvRaw, dimSchema)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val fmtDimPath = Datalake.path(root, Datalake.Formatted, "customer", "latest")
+    Datalake.writeParquet(fmtDim, fmtDimPath)
+
+    // ---- compute_usage → USAGE: fact ⋈ broadcast(dim), per
+    // (segment, type) stats — the reference's listings⋈stats join
+    val usage = segmentStats(
+      spark.read.parquet(fmtEventsPath),
+      spark.read.parquet(fmtDimPath))
+    val usagePath = Datalake.path(root, Datalake.Usage, "events", "segment_stats")
+    Datalake.writeParquet(usage, usagePath)
+
+    spark.read.parquet(usagePath)
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
+  def qDatalakeDual(spark: SparkSession, dir: String): DataFrame =
+    runDual(spark, dir, tempLakeRoot())
+
+  /** Usage-layer join of the dual DAG, exposed for plan assertions: the
+    * dimension side is broadcast — a dim table is small by construction,
+    * and at 100 TB the fact side never shuffles for this join.
+    */
+  private[graft] def segmentStats(fact: DataFrame, dim: DataFrame): DataFrame =
+    fact.filter(col("value_clean") > 0)
+      .join(broadcast(dim), fact("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value_clean").cast(DecimalType(18, 2)))
+          .cast("double").as("total_value"))
 }

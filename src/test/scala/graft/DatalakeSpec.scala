@@ -104,6 +104,47 @@ class DatalakeSpec extends SparkSpecBase {
       "empty increment does not regress the watermark")
   }
 
+  test("dual-feed DAG: CSV.gz + JSON feeds land, coerce, and join in usage") {
+    val root = Files.createTempDirectory("graft-dualdag").toString
+    val out = graft.queries.DatalakeQueries.runDual(spark, sfDir, root)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "usage layer has segment stats")
+    // both raw feeds + both formatted layers on disk; the CSV drop is gzip
+    for (p <- Seq("raw/events/feed", "raw/customer/bulk_csv",
+        "formatted/events/latest", "formatted/customer/latest",
+        "usage/events/segment_stats"))
+      assert(new java.io.File(s"$root/$p").exists(), s"layer missing: $p")
+    val gz = new java.io.File(s"$root/raw/customer/bulk_csv").listFiles()
+      .filter(_.getName.endsWith(".csv.gz"))
+    assert(gz.length === 1, "one gzip CSV bulk drop")
+    // usage = direct-from-source compute (the lake round trips are lossless)
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expected = e
+      .withColumn("value_clean", coalesce(col("value"), lit(0.0)))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("value_clean") > 0)
+      .join(graft.sources.Tables.customer(spark, sfDir),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value_clean").cast(DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .orderBy(col("c_mktsegment"), col("event_type")).collect()
+    assert(rows.map(_.toSeq).toSeq === expected.map(_.toSeq).toSeq)
+    // the usage join must broadcast the dimension side (never shuffle the
+    // fact for a dim join)
+    val joinPlan = graft.queries.DatalakeQueries.segmentStats(
+      spark.read.parquet(s"$root/formatted/events/latest"),
+      spark.read.parquet(s"$root/formatted/customer/latest"))
+      .queryExecution.executedPlan.toString
+    assert(joinPlan.contains("BroadcastHashJoin"),
+      s"dimension join is not broadcast:\n$joinPlan")
+  }
+
   test("dynamic partition overwrite replaces only the re-run day") {
     val tmp = Files.createTempDirectory("graft-upsert").toString
     val day1 = Seq((1L, "20240101", 1.0), (2L, "20240102", 2.0))
