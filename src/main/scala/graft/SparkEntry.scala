@@ -135,11 +135,128 @@ object SparkEntry {
        |SELECT id, CAST(MIN(r) AS BIGINT) AS component
        |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** The IVF oracle is GENERATED from the TRAINED model (the lshOracle
+    * pattern, extended to data-dependent constants): float-mean Lloyd
+    * training isn't bit-stable across engines, but the trained centroids
+    * are just numbers — inlined as DOUBLE list literals, DuckDB replays
+    * assignment (argmax cosine, ties to the LOWEST cell — `s > bestS` in
+    * IvfKernels.argmaxCosine), probing (top-nProbe cells, ties to the
+    * HIGHEST cell — reverse(sort_array) in ivfFlatKnnWith), and the
+    * bounded-heap serve (score DESC, id ASC, self excluded) exactly.
+    * Available only after qAnnIvf has run in this JVM — which Verify
+    * guarantees (queries run before the oracle dump).
+    */
+  private def ivfOracle(cents: Array[Array[Float]]): String = {
+    import graft.queries.SimilarityQueries.{IvfK, IvfNProbe}
+    def centLit(c: Array[Float]): String =
+      c.map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => s"($i, CAST(${centLit(c)} AS DOUBLE[]))" }
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS emb,
+       |    CAST(embedding AS DOUBLE[]) AS embd FROM embeddings),
+       |cents(cell, c) AS (VALUES
+       |$centRows),
+       |assigned AS (SELECT id, emb, embd,
+       |    (SELECT cell FROM cents
+       |     ORDER BY list_cosine_similarity(e.embd, c) DESC, cell LIMIT 1) AS cell
+       |  FROM e),
+       |q AS (SELECT id AS query_id, emb AS q_emb, embd AS q_embd
+       |  FROM e WHERE id < 10),
+       |probes AS (SELECT query_id, q_emb, cell FROM (
+       |    SELECT q.query_id, q.q_emb, cents.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.q_embd, cents.c) DESC,
+       |          cents.cell DESC) AS pr
+       |    FROM q CROSS JOIN cents) WHERE pr <= $IvfNProbe),
+       |cand AS (SELECT p.query_id, a.id,
+       |    CAST(row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_cosine_similarity(p.q_emb, a.emb) DESC, a.id)
+       |      AS BIGINT) AS rank
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE a.id <> p.query_id)
+       |SELECT query_id, id AS neighbor_id, rank FROM cand WHERE rank <= $IvfK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The PQ oracle replays encode → LUT → ADC → shortlist → exact rerank
+    * from the TRAINED codebook, matching the kernels bit-for-bit
+    * (PqKernels in VectorExprs.scala):
+    *  - encode: unrolled squared-L2 terms in dimension order (left-assoc
+    *    double adds = the kernel's `acc +=` loop), argmin with ties to the
+    *    LOWEST cell (`acc < bestD` is strict);
+    *  - LUT: same unrolled sum, then CAST(... AS FLOAT) = `acc.toFloat`;
+    *  - ADC: per-(query, vector) list of LUT floats ordered by subspace,
+    *    summed left-assoc after CAST AS DOUBLE = `acc += getFloat(...)`;
+    *  - rerank: sqrt of the 64-term unrolled squared L2 (EuclideanDistance
+    *    applies math.sqrt BEFORE the ordering — sqrt can collapse
+    *    near-equal distances into double ties, so the oracle must order by
+    *    the sqrt'd value too), ties to the smaller id, top-k.
+    */
+  private def pqOracle(model: graft.ops.Pq.PqModel): String = {
+    import graft.queries.SimilarityQueries.{PqK, PqShortlist}
+    val m = model.m; val ksub = model.ksub; val sub = model.sub
+    val dim = model.dim
+    def sq(a: String, b: String): String = s"($a - $b)*($a - $b)"
+    val cbRows = (for (mi <- 0 until m; k <- 0 until ksub) yield {
+      val vals = model.centroid(mi, k).map(_.toDouble.toString)
+        .mkString("[", ", ", "]")
+      s"($mi, $k, CAST($vals AS DOUBLE[]))"
+    }).mkString(",\n")
+    def subDist(vec: String): String =
+      (1 to sub).map(d => sq(s"$vec[cb.mi*$sub + $d]", s"cb.c[$d]"))
+        .mkString(" + ")
+    val adcSum = (1 to m).map(i => s"ls[$i]").mkString(" + ")
+    val rerankDist =
+      (1 to dim).map(i => sq(s"a.embd[$i]", s"b.embd[$i]")).mkString(" + ")
+    s"""WITH e AS (SELECT vec_id AS id,
+       |    CAST(embedding AS DOUBLE[]) AS embd FROM embeddings),
+       |cb(mi, cell, c) AS (VALUES
+       |$cbRows),
+       |encd AS (SELECT e.id, cb.mi, cb.cell,
+       |    ${subDist("e.embd")} AS dist
+       |  FROM e CROSS JOIN cb),
+       |enc AS (SELECT id, mi, cell FROM (
+       |    SELECT id, mi, cell, row_number() OVER (PARTITION BY id, mi
+       |      ORDER BY dist ASC, cell ASC) AS rn FROM encd) WHERE rn = 1),
+       |q AS (SELECT id AS query_id, embd AS q_embd FROM e WHERE id < 10),
+       |lut AS (SELECT q.query_id, cb.mi, cb.cell,
+       |    CAST(${subDist("q.q_embd")} AS FLOAT) AS lv
+       |  FROM q CROSS JOIN cb),
+       |adcl AS (SELECT l.query_id, enc.id,
+       |    list(CAST(l.lv AS DOUBLE) ORDER BY l.mi) AS ls
+       |  FROM enc JOIN lut l ON enc.mi = l.mi AND enc.cell = l.cell
+       |  WHERE enc.id <> l.query_id
+       |  GROUP BY l.query_id, enc.id),
+       |shortlist AS (SELECT query_id, id FROM (
+       |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ($adcSum) ASC, id ASC) AS rn
+       |    FROM adcl) WHERE rn <= $PqShortlist),
+       |rr AS (SELECT s.query_id, s.id,
+       |    CAST(row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY sqrt($rerankDist) ASC, s.id ASC) AS BIGINT) AS rank
+       |  FROM shortlist s
+       |  JOIN e a ON a.id = s.query_id
+       |  JOIN e b ON b.id = s.id)
+       |SELECT query_id, id AS neighbor_id, rank FROM rr WHERE rank <= $PqK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB-dialect equivalents over the same bare table names.
     * Column names and numeric determinism rules: see SURVEY.md §4 — money
     * aggregates go through DECIMAL so both engines produce identical values.
+    * Model-dependent oracles (IVF, PQ) are appended when their trained
+    * model is available in this JVM; otherwise those queries fall back to
+    * the driver's rows-only check.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++
+      graft.queries.SimilarityQueries.lastIvfModel
+        .map(c => "q_ann_ivf" -> ivfOracle(c)) ++
+      graft.queries.SimilarityQueries.lastPqModel
+        .map(mdl => "q_ann_pq" -> pqOracle(mdl))
+
+  private def staticOracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> lshOracle,
     "q_dedup_clusters" -> clustersOracle,
     "q1_pricing_summary" ->

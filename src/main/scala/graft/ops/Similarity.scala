@@ -215,6 +215,16 @@ object Similarity {
     // collected once on the driver and inlined as literals. This is the one
     // deliberate driver-side step (same role as fitting a quantizer).
     val cents: Array[Array[Float]] = trainCentroids(corpus, nCells, trainIters)
+    ivfFlatKnnWith(corpus, queries, cents, k, nProbe)
+  }
+
+  /** Search phase against an already-trained centroid model — split out so
+    * a caller can hold the exact model (e.g. to generate the DuckDB oracle
+    * with the centroids inlined as literals, SparkEntry.ivfOracle).
+    */
+  def ivfFlatKnnWith(corpus: DataFrame, queries: DataFrame,
+      cents: Array[Array[Float]], k: Int, nProbe: Int): DataFrame = {
+    val nCells = cents.length
     // corpus-side cell assignment: one reference-object expression call per
     // row (no literal blow-up); pure projection, so assignment never
     // shuffles the corpus.

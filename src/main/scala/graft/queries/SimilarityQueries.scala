@@ -7,13 +7,14 @@ import graft.sources.Tables
 import graft.ops.{Dedup, Similarity}
 
 /** Similarity search + near-dup detection queries (SURVEY.md §2, LLM
-  * pipeline block). kNN, the brute-force pair scan AND the hyperplane-LSH
-  * path have DuckDB oracles (`list_cosine_similarity`; the LSH one inlines
-  * the seeded hyperplanes as literals — SparkEntry.lshOracle); the
-  * xxhash64-sketch families (minhash/simhash/winnow) and the
-  * trained-model ANN paths (IVF/PQ — float-mean training isn't bit-stable
-  * across engines) are rows-only checks, cross-validated against the exact
-  * ops in ScalaTest specs.
+  * pipeline block). kNN, the brute-force pair scan, the hyperplane-LSH
+  * path AND the trained-model ANN paths (IVF, PQ) have exact DuckDB
+  * oracles: constants the query depends on — seeded hyperplanes, trained
+  * centroids/codebooks — are inlined as literals into GENERATED SQL
+  * (SparkEntry.lshOracle/ivfOracle/pqOracle), so DuckDB replays the full
+  * model-application path without retraining. Only the xxhash64-sketch
+  * families (minhash/simhash/winnow) remain rows-only (no xxhash64 in
+  * DuckDB), cross-validated against exact ops in DedupSpec.
   */
 object SimilarityQueries {
 
@@ -59,30 +60,56 @@ object SimilarityQueries {
       .orderBy(col("id"))
   }
 
+  /** Trained centroids of the LAST qAnnIvf invocation, for oracle
+    * generation: float-mean training isn't bit-stable ACROSS engines, but
+    * the trained model is just data — SparkEntry.oracleSql inlines these
+    * exact values as literals into generated DuckDB SQL (the lshOracle
+    * pattern), so assignment+probe+topk replays exactly. Verify runs every
+    * query before dumping oracle_sql.json, so the cache is always populated
+    * with the model the dumped parquet was computed from.
+    */
+  @volatile private[graft] var lastIvfModel: Option[Array[Array[Float]]] = None
+
+  val IvfK = 5
+  val IvfNProbe = 4
+
   /** IVF-flat approximate top-5 for the first 10 vectors — the serving-path
-    * ANN (rows-only; recall vs brute force asserted in SimilaritySpec).
+    * ANN. SQL-oracled via the trained-centroid inlining above; recall vs
+    * brute force additionally asserted in SimilaritySpec.
     */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val queries = c.filter(col("id") < 10)
       .select(col("id").as("query_id"), col("emb").as("q_emb"))
-    Similarity.ivfFlatKnn(c, queries, k = 5, nCells = 16, nProbe = 4)
+    val cents = Similarity.trainCentroids(c, nCells = 16, iters = 2)
+    lastIvfModel = Some(cents)
+    Similarity.ivfFlatKnnWith(c, queries, cents, k = IvfK, nProbe = IvfNProbe)
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Trained PQ codebook of the LAST qAnnPq invocation — same
+    * oracle-generation contract as [[lastIvfModel]]. */
+  @volatile private[graft] var lastPqModel: Option[graft.ops.Pq.PqModel] = None
+
+  val PqK = 5
+  val PqShortlist = 64
+
   /** PQ-compressed ANN: train per-subspace codebooks, encode the corpus to
     * 8-byte codes (32x compression), ADC-shortlist 64 candidates from the
-    * codes alone, exact-L2 rerank only the shortlist (rows-only; recall vs
-    * exact L2 asserted in SimilaritySpec).
+    * codes alone, exact-L2 rerank only the shortlist. SQL-oracled via
+    * trained-codebook inlining (SparkEntry.pqOracle); recall vs exact L2
+    * additionally asserted in SimilaritySpec.
     */
   def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Pq
     val c = corpus(spark, dir)
     val model = Pq.train(c, col("emb"), m = 8, ksub = 16, iters = 2)
+    lastPqModel = Some(model)
     val encoded = Pq.encodeCorpus(c, col("emb"), model).drop("emb")
     val queries = c.filter(col("id") < 10)
       .select(col("id").as("query_id"), col("emb").as("q_emb"))
-    Pq.searchPqRerank(encoded, c, queries, model, k = 5, shortlist = 64)
+    Pq.searchPqRerank(encoded, c, queries, model, k = PqK,
+        shortlist = PqShortlist)
       .orderBy(col("query_id"), col("rank"))
   }
 
