@@ -68,6 +68,7 @@ object SparkEntry {
     "q_sample_weighted" -> (CorpusQueries.qSampleWeighted _),
     "q_knn_cosine" -> (SimilarityQueries.qKnnCosine _),
     "q_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
+    "q_semantic_dedup" -> (SimilarityQueries.qSemanticDedup _),
     "q_ann_lsh" -> (SimilarityQueries.qAnnLsh _),
     "q_dedup_clusters" -> (SimilarityQueries.qDedupClusters _),
     "q_ann_ivf" -> (SimilarityQueries.qAnnIvf _),
@@ -242,19 +243,46 @@ object SparkEntry {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** SemDeDup oracle: same trained-centroid assignment CTE as the IVF
+    * oracle, then within-cell pairs under the exact cosine threshold.
+    */
+  private def semOracle(cents: Array[Array[Float]]): String = {
+    import graft.queries.SimilarityQueries.SemTau
+    def centLit(c: Array[Float]): String =
+      c.map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => s"($i, CAST(${centLit(c)} AS DOUBLE[]))" }
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS emb,
+       |    CAST(embedding AS DOUBLE[]) AS embd FROM embeddings),
+       |cents(cell, c) AS (VALUES
+       |$centRows),
+       |assigned AS (SELECT id, emb, embd,
+       |    (SELECT cell FROM cents
+       |     ORDER BY list_cosine_similarity(e.embd, c) DESC, cell LIMIT 1) AS cell
+       |  FROM e)
+       |SELECT a.id AS id_a, b.id AS id_b, a.cell
+       |FROM assigned a JOIN assigned b
+       |  ON a.cell = b.cell AND a.id < b.id
+       |WHERE list_cosine_similarity(a.emb, b.emb) >= $SemTau
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** DuckDB-dialect equivalents over the same bare table names.
     * Column names and numeric determinism rules: see SURVEY.md §4 — money
     * aggregates go through DECIMAL so both engines produce identical values.
-    * Model-dependent oracles (IVF, PQ) are appended when their trained
-    * model is available in this JVM; otherwise those queries fall back to
-    * the driver's rows-only check.
+    * Model-dependent oracles (IVF, PQ, SemDeDup) are appended when their
+    * trained model is available in this JVM; otherwise those queries fall
+    * back to the driver's rows-only check.
     */
   def oracleSql: Map[String, String] =
     staticOracleSql ++
       graft.queries.SimilarityQueries.lastIvfModel
         .map(c => "q_ann_ivf" -> ivfOracle(c)) ++
       graft.queries.SimilarityQueries.lastPqModel
-        .map(mdl => "q_ann_pq" -> pqOracle(mdl))
+        .map(mdl => "q_ann_pq" -> pqOracle(mdl)) ++
+      graft.queries.SimilarityQueries.lastSemModel
+        .map(c => "q_semantic_dedup" -> semOracle(c))
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> lshOracle,

@@ -145,6 +145,33 @@ object Similarity {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** SemDeDup-shaped clustered near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then compare
+    * ONLY within-cluster pairs — the second scale path for embedding
+    * near-dup besides LSH, trading LSH's probabilistic recall for a
+    * geometry-aware partition (semantically close points share a cell by
+    * construction).
+    *
+    * Plan shape: cell assignment is a map-side codegen expression against
+    * the broadcast centroid model (no shuffle), then ONE shuffle on the
+    * cell id, within-cell self-join, exact cosine filter. Candidate count
+    * is Σ |cell|², bounded by the cell granularity (nCells tunes it), never
+    * O(n²). At 100 TB: train on a sample, assignment stays map-side; hot
+    * cells are AQE skew-split (same story as hot LSH buckets).
+    */
+  def clusteredNearDupPairs(corpus: DataFrame, cents: Array[Array[Float]],
+      tau: Double): DataFrame = {
+    val assigned = corpus.withColumn("cell",
+      org.apache.spark.sql.graft.VectorColumns.ivfCell(
+        col("emb"), cents.flatten, cents.length))
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(cosineSim(col("a.emb"), col("b.emb")) >= tau)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cell").as("cell"))
+  }
+
   /** Exact all-pairs near-duplicates (cosine ≥ tau) — the brute baseline the
     * LSH path approximates. Broadcast one side; only viable when one side
     * fits in memory (the oracle-checkable small-scale case).

@@ -113,6 +113,26 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Centroid model of the LAST qSemanticDedup invocation — same
+    * oracle-generation contract as [[lastIvfModel]]. */
+  @volatile private[graft] var lastSemModel: Option[Array[Array[Float]]] = None
+
+  val SemTau = 0.35
+
+  /** SemDeDup-shaped clustered embedding near-dup: k-means cells (the IVF
+    * coarse quantizer reused as the cluster model), within-cell exact
+    * cosine pairs. SQL-oracled via trained-centroid inlining
+    * (SparkEntry.semOracle); within-cell-subset-of-exact additionally
+    * asserted in SimilaritySpec.
+    */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = Similarity.trainCentroids(c, nCells = 16, iters = 2)
+    lastSemModel = Some(cents)
+    Similarity.clusteredNearDupPairs(c, cents, tau = SemTau)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** MinHash+LSH candidate near-dup pairs on documents (rows-only). */
   def qMinhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir),

@@ -114,6 +114,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(viaTopk === viaWindow)
   }
 
+  test("semantic dedup: pairs are within-cell, subset of exact, one keyed shuffle") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val cents = Similarity.trainCentroids(corpus, nCells = 8, iters = 2)
+    val got = Similarity.clusteredNearDupPairs(corpus, cents, tau = 0.35)
+    val rows = got.collect()
+    // every reported pair clears the exact cosine threshold (no false
+    // positives: the cell is a candidate filter, the verify is exact)
+    val exact = Similarity.bruteForcePairs(corpus, tau = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      assert(exact.contains((r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))))
+    }
+    // both members of a pair really sit in the reported cell
+    val cellOf = corpus.withColumn("cell",
+        org.apache.spark.sql.graft.VectorColumns.ivfCell(
+          col("emb"), cents.flatten, cents.length))
+      .select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val c = r.getAs[Int]("cell")
+      assert(cellOf(r.getAs[Long]("id_a")) === c)
+      assert(cellOf(r.getAs[Long]("id_b")) === c)
+    }
+    // plan: ONE keyed exchange pair (self-join on cell), assignment is
+    // map-side — no extra shuffle before the join
+    val plan = got.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"cell self-join should shuffle each side once:\n$plan")
+  }
+
   test("topk aggregate: bounded buffer, duplicate merges, fewer rows than k") {
     val df = Seq(
       (1L, 5.0, 10L), (1L, 9.0, 11L), (1L, 7.0, 12L), (1L, 9.0, 13L),
