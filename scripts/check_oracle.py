@@ -107,6 +107,13 @@ def main(sf_dir, out_dir):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = 0
+    # an oracled query whose dump is MISSING means it threw at runtime in
+    # Verify (Verify catches per-query and moves on) — count it as a FAIL,
+    # not a silent absence
+    for name in sorted(set(oracle) - set(names)):
+        print(f"FAIL {name}: oracle present but no Spark output "
+              "(query threw at runtime in Verify?)")
+        n_fail += 1
     for name in names:
         spark_tbl = load_spark(con, os.path.join(out_dir, name))
         if spark_tbl is None:

@@ -147,32 +147,44 @@ object SparkEntry {
     * Available only after qAnnIvf has run in this JVM — which Verify
     * guarantees (queries run before the oracle dump).
     */
-  private def ivfOracle(cents: Array[Array[Float]]): String = {
-    import graft.queries.SimilarityQueries.{IvfK, IvfNProbe}
+  /** Shared centroid-assignment CTE block for every trained-centroid
+    * oracle (IVF, SemDeDup): `e` (corpus with DOUBLE[] embd — FLOAT[]
+    * `list_cosine_similarity` computes in float and deviates ~1e-7 from
+    * the kernels' double accumulation; the DOUBLE[] overload bit-matches),
+    * `cents` (the trained model as literals), `assigned` (argmax cell,
+    * ties to the LOWEST cell — mirrors argmaxCosine's strict `>`). ONE
+    * definition so the assignment rule cannot drift between oracles.
+    */
+  private def centroidAssignCtes(cents: Array[Array[Float]]): String = {
     def centLit(c: Array[Float]): String =
       c.map(v => v.toDouble.toString).mkString("[", ", ", "]")
     val centRows = cents.zipWithIndex
       .map { case (c, i) => s"($i, CAST(${centLit(c)} AS DOUBLE[]))" }
       .mkString(",\n")
-    s"""WITH e AS (SELECT vec_id AS id, embedding AS emb,
+    s"""e AS (SELECT vec_id AS id,
        |    CAST(embedding AS DOUBLE[]) AS embd FROM embeddings),
        |cents(cell, c) AS (VALUES
        |$centRows),
-       |assigned AS (SELECT id, emb, embd,
+       |assigned AS (SELECT id, embd,
        |    (SELECT cell FROM cents
        |     ORDER BY list_cosine_similarity(e.embd, c) DESC, cell LIMIT 1) AS cell
-       |  FROM e),
-       |q AS (SELECT id AS query_id, emb AS q_emb, embd AS q_embd
+       |  FROM e)""".stripMargin
+  }
+
+  private def ivfOracle(cents: Array[Array[Float]]): String = {
+    import graft.queries.SimilarityQueries.{IvfK, IvfNProbe}
+    s"""WITH ${centroidAssignCtes(cents)},
+       |q AS (SELECT id AS query_id, embd AS q_embd
        |  FROM e WHERE id < 10),
-       |probes AS (SELECT query_id, q_emb, cell FROM (
-       |    SELECT q.query_id, q.q_emb, cents.cell,
+       |probes AS (SELECT query_id, q_embd, cell FROM (
+       |    SELECT q.query_id, q.q_embd, cents.cell,
        |      row_number() OVER (PARTITION BY q.query_id
        |        ORDER BY list_cosine_similarity(q.q_embd, cents.c) DESC,
        |          cents.cell DESC) AS pr
        |    FROM q CROSS JOIN cents) WHERE pr <= $IvfNProbe),
        |cand AS (SELECT p.query_id, a.id,
        |    CAST(row_number() OVER (PARTITION BY p.query_id
-       |      ORDER BY list_cosine_similarity(p.q_emb, a.emb) DESC, a.id)
+       |      ORDER BY list_cosine_similarity(p.q_embd, a.embd) DESC, a.id)
        |      AS BIGINT) AS rank
        |  FROM probes p JOIN assigned a ON a.cell = p.cell
        |  WHERE a.id <> p.query_id)
@@ -243,28 +255,18 @@ object SparkEntry {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** SemDeDup oracle: same trained-centroid assignment CTE as the IVF
-    * oracle, then within-cell pairs under the exact cosine threshold.
+  /** SemDeDup oracle: the shared trained-centroid assignment CTEs, then
+    * within-cell pairs under the exact cosine threshold (DOUBLE[] columns
+    * — the tau comparison must be in the same double precision as the
+    * Spark filter, or pairs within ~1e-7 of tau diverge).
     */
   private def semOracle(cents: Array[Array[Float]]): String = {
     import graft.queries.SimilarityQueries.SemTau
-    def centLit(c: Array[Float]): String =
-      c.map(v => v.toDouble.toString).mkString("[", ", ", "]")
-    val centRows = cents.zipWithIndex
-      .map { case (c, i) => s"($i, CAST(${centLit(c)} AS DOUBLE[]))" }
-      .mkString(",\n")
-    s"""WITH e AS (SELECT vec_id AS id, embedding AS emb,
-       |    CAST(embedding AS DOUBLE[]) AS embd FROM embeddings),
-       |cents(cell, c) AS (VALUES
-       |$centRows),
-       |assigned AS (SELECT id, emb, embd,
-       |    (SELECT cell FROM cents
-       |     ORDER BY list_cosine_similarity(e.embd, c) DESC, cell LIMIT 1) AS cell
-       |  FROM e)
+    s"""WITH ${centroidAssignCtes(cents)}
        |SELECT a.id AS id_a, b.id AS id_b, a.cell
        |FROM assigned a JOIN assigned b
        |  ON a.cell = b.cell AND a.id < b.id
-       |WHERE list_cosine_similarity(a.emb, b.emb) >= $SemTau
+       |WHERE list_cosine_similarity(a.embd, b.embd) >= $SemTau
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -1009,7 +1011,13 @@ object SparkEntry {
         |  ROWS UNBOUNDED PRECEDING)
         |ORDER BY user_id, day""".stripMargin,
     // typed JSON extraction; decade bucket in pure INT arithmetic
-    // (k - k%10) — identical truncation semantics in both engines
+    // (k - k%10) — identical truncation semantics in both engines.
+    // Data contract: the testdata generator emits props uniformly as
+    // {"k": <int>} (verified at every SF). from_json's PERMISSIVE edge
+    // semantics (quoted "42" → NULL, malformed JSON → NULL) have no
+    // DuckDB equivalent in this CAST — messier props would need a
+    // try_cast + json_valid guard AND would still diverge on
+    // string-coercion; revisit if the generator changes.
     "q_json_props" ->
       """WITH k AS (SELECT event_id,
         |    CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
