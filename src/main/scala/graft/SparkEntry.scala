@@ -91,8 +91,9 @@ object SparkEntry {
     * are inlined as DOUBLE list literals, so DuckDB reproduces the
     * signatures bit-for-bit: each sign bit is a double-accumulated dot of
     * the same float values in the same order on both engines, and the
-    * verification filter is the identical `list_cosine_similarity >= 0.4`
-    * the (green) q_embed_neardup oracle uses.
+    * verification filter computes cosine on the DOUBLE[] embedding (the
+    * FLOAT[] overload computes in float, ~1e-7 off the Spark kernel's
+    * double accumulation — near-tau pairs would diverge).
     */
   private def lshPairCtes: String = {
     // single source of truth with the Spark query — see LshParams scaladoc
@@ -105,16 +106,16 @@ object SparkEntry {
         s"(CASE WHEN list_dot_product(embd, ${planeLit(planes(b * bits + i))}) >= 0 THEN ${1 << i} ELSE 0 END)"
       }.mkString("", " + ", s" AS sig_$b")
     }
-    s"""e AS (SELECT vec_id AS id, embedding AS emb,
+    s"""e AS (SELECT vec_id AS id,
        |    CAST(embedding AS DOUBLE[]) AS embd FROM embeddings),
-       |s AS (SELECT id, emb, ${sigs.mkString(",\n")} FROM e),
-       |bk AS (SELECT id, emb, band,
+       |s AS (SELECT id, embd, ${sigs.mkString(",\n")} FROM e),
+       |bk AS (SELECT id, embd, band,
        |    CASE band ${(0 until bands).map(b => s"WHEN $b THEN sig_$b").mkString(" ")} END AS sig
        |  FROM s CROSS JOIN (SELECT unnest(range($bands)) AS band)),
        |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM bk a JOIN bk b
        |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
-       |  WHERE list_cosine_similarity(a.emb, b.emb) >= $tau)""".stripMargin
+       |  WHERE list_cosine_similarity(a.embd, b.embd) >= $tau)""".stripMargin
   }
 
   private def lshOracle: String =
@@ -813,20 +814,26 @@ object SparkEntry {
         |  COALESCE(value, 0.0) > type_avg AS above_avg
         |FROM events e JOIN stats USING (event_type)
         |ORDER BY event_id""".stripMargin,
+    // cosine on DOUBLE[] columns — bit-matches the Spark kernel's double
+    // accumulation (the FLOAT[] overload computes in float)
     "q_knn_cosine" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
-        |    FROM embeddings WHERE vec_id < 10)
+      """WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embd
+        |    FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embd AS q_embd
+        |    FROM ed WHERE vec_id < 10)
         |SELECT query_id, vec_id AS neighbor_id, rank FROM (
         |  SELECT q.query_id, e.vec_id,
         |    CAST(row_number() OVER (PARTITION BY q.query_id
-        |      ORDER BY list_cosine_similarity(q.q_emb, e.embedding) DESC, e.vec_id)
+        |      ORDER BY list_cosine_similarity(q.q_embd, e.embd) DESC, e.vec_id)
         |      AS BIGINT) AS rank
-        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)
+        |  FROM q CROSS JOIN ed e WHERE e.vec_id <> q.query_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_embed_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+      """WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embd
+        |    FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM ed a JOIN ed b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embd, b.embd) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     // exact word-3gram Jaccard — same normalization as TextSketch.words
     // (lower, trim, split \s+), whole-text shingle for docs < 3 words,
