@@ -113,6 +113,93 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, total_value: Double)
 
+  case class FunnelState(buf: List[Event],
+      signup: Option[Long], click: Option[Long], purchase: Option[Long])
+  case class FunnelOut(user_id: Long, signup_ts: Timestamp,
+      first_click_ts: Option[Timestamp], first_purchase_ts: Option[Timestamp],
+      stage: String)
+
+  /** Micros-since-epoch of a Timestamp — `getTime` is MILLIS and silently
+    * truncates the microsecond part the events actually carry. */
+  private def usOf(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  private def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Streaming twin of JourneyQueries.qFunnelSteps, and the one stateful
+    * op here that is CORRECT UNDER OUT-OF-ORDER DELIVERY: the funnel's
+    * chained "first click at-or-after the FIRST signup" rule is
+    * order-sensitive (a late-arriving earlier signup can validate a click
+    * that was previously before the funnel start), so events cannot be
+    * folded in arrival order. Instead each user BUFFERS events until the
+    * watermark passes them (nothing older can still arrive), then folds
+    * the ripe prefix in (ts, stage, event_id) order into O(1) funnel state
+    * and emits a changelog row with the user's current stage.
+    *
+    * State per user = the O(1) step triple + a buffer bounded by the
+    * watermark delay (events ≤ delay old), NOT history — the exact memory
+    * bound every correct event-time operator has. Emission is a CHANGELOG
+    * (append of monotone snapshots); the latest row per user equals the
+    * batch funnel over the same events once the watermark passes them
+    * (proven in StreamingSpec against qFunnelSteps' staging rule).
+    */
+  def funnelChangelog(events: Dataset[Event],
+      watermarkDelay: String = "0 seconds"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[FunnelState]) =>
+          val prev = state.getOption
+            .getOrElse(FunnelState(Nil, None, None, None))
+          val wm = state.getCurrentWatermarkMs
+          if (state.hasTimedOut) {
+            // fold every buffered event STRICTLY older than the watermark
+            // (an event in the watermark's own millisecond could still be
+            // followed by a same-millisecond earlier-micros arrival), in
+            // event-time order — the batch semantics exactly
+            val (ripe, rest) = prev.buf.partition(_.ts.getTime < wm)
+            var (su, cl, pu) = (prev.signup, prev.click, prev.purchase)
+            // batch's chained `>=` comparisons are order-insensitive within
+            // one timestamp (a click AT the signup's ts counts), so the
+            // fold must see equal-ts events in stage order, not id order
+            def prio(t: String): Int = t match {
+              case "signup" => 0; case "click" => 1; case "purchase" => 2
+              case _ => 3
+            }
+            ripe.sortBy(e => (usOf(e.ts), prio(e.event_type), e.event_id))
+              .foreach { e =>
+                val t = usOf(e.ts)
+                e.event_type match {
+                  case "signup" if su.isEmpty => su = Some(t)
+                  case "click" if cl.isEmpty && su.exists(t >= _) => cl = Some(t)
+                  case "purchase" if pu.isEmpty && cl.exists(t >= _) => pu = Some(t)
+                  case _ => ()
+                }
+              }
+            val next = FunnelState(rest, su, cl, pu)
+            state.update(next)
+            if (rest.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+            su.map { s =>
+              FunnelOut(userId, tsOf(s),
+                cl.map(tsOf), pu.map(tsOf),
+                if (pu.isDefined) "purchased"
+                else if (cl.isDefined) "clicked" else "signed_up")
+            }.iterator
+          } else {
+            state.update(prev.copy(buf = prev.buf ++ evs))
+            // fire on the next watermark advance; never at/behind it
+            state.setTimeoutTimestamp(wm + 1)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Gap-based sessionization (30 min) with typed per-key state +
     * event-time timeout: the streaming twin of EventQueries.qSessionize.
     * State per user is O(1); a session emits when a later event arrives past

@@ -136,6 +136,57 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming funnel changelog converges to the batch funnel under out-of-order delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // real events from sf0.001, time-sliced into three chunks and SHUFFLED
+    // WITHIN each chunk — out-of-order arrival the buffer-until-watermark
+    // fold must absorb (chunks are time-disjoint so nothing is ever late)
+    val all = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val chunks = all.grouped(math.max(1, all.length / 3 + 1)).toSeq
+      .map(c => new scala.util.Random(42).shuffle(c.toSeq))
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelChangelog(input.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      // one more empty-advance so the final watermark timeout fires
+      input.addData(Event(Long.MaxValue,
+        new Timestamp(all.last.ts.getTime + 3600L * 1000), -1L, "view", 0.0))
+      q.processAllAvailable()
+      // snapshots per user are MONOTONE (each step timestamp is set once,
+      // stage only advances), so the most-advanced stage IS the latest row
+      val last = spark.sql(
+        """SELECT user_id, signup_ts, first_click_ts, first_purchase_ts, stage
+          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY CASE stage WHEN 'purchased' THEN 2
+          |      WHEN 'clicked' THEN 1 ELSE 0 END DESC) AS pick
+          |  FROM funnel)
+          |WHERE pick = 1""".stripMargin)
+        .collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Timestamp]("signup_ts"), r.getAs[Timestamp]("first_click_ts"),
+            r.getAs[Timestamp]("first_purchase_ts"), r.getAs[String]("stage"))))
+        .toMap
+      val batch = graft.queries.JourneyQueries.qFunnelSteps(spark, sfDir)
+        .collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Timestamp]("signup_ts"), r.getAs[Timestamp]("first_click_ts"),
+            r.getAs[Timestamp]("first_purchase_ts"), r.getAs[String]("stage"))))
+        .toMap
+      assert(last.keySet === batch.keySet,
+        s"user sets differ: stream-only=${last.keySet -- batch.keySet}, " +
+          s"batch-only=${batch.keySet -- last.keySet}")
+      batch.foreach { case (u, exp) =>
+        assert(last(u) === exp, s"user $u: stream ${last(u)} vs batch $exp")
+      }
+    } finally q.stop()
+  }
+
   test("built-in session_window agrees with the typed sessionizer's sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
