@@ -54,20 +54,33 @@ object JourneyQueries {
   }
 
   /** Cohort retention matrix: users grouped by their first-activity day,
-    * counted on each later day they return. Distinct (user, day) pairs
-    * first (the activity grid), per-user min for the cohort, then one
-    * count per (cohort, offset) cell. retention = exact-int ÷ exact-int.
-    * The cohort-size side is tiny (one row per cohort day) → broadcast.
+    * counted on each later day they return. retention = exact-int ÷
+    * exact-int. The cohort-size side is tiny (one row per cohort day) →
+    * broadcast.
+    *
+    * Plan shape: the fact path rides ONE user_id shuffle — an explicit
+    * `repartition(user_id)` whose HashPartitioning satisfies the clustered
+    * distribution of the (user_id, day) distinct, the per-user window
+    * minimum AND the day-0 size derivation (vs the naive
+    * distinct→groupBy→self-join form: three differently-keyed exchanges of
+    * the full grid). The only other full-grid exchange is the final
+    * (cohort, offset) cell aggregate, which partial-aggregates map-side
+    * into #cohorts×#offsets groups. cohort = window min over the
+    * partitioning; sizes = the grid rows where day == cohort_day (exactly
+    * one per user — their first day), a branch that re-reads the scan but
+    * counts only #cohorts rows.
     */
   def qRetentionCohort(spark: SparkSession, dir: String): DataFrame = {
     val ud = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
+      .repartition(col("user_id"))
       .distinct()
-    val cohorts = ud.groupBy(col("user_id"))
-      .agg(min(col("day")).as("cohort_day"))
-    val sizes = cohorts.groupBy(col("cohort_day"))
+    val w = Window.partitionBy(col("user_id"))
+    val grid = ud.withColumn("cohort_day", min(col("day")).over(w))
+    val sizes = grid.filter(col("day") === col("cohort_day"))
+      .groupBy(col("cohort_day"))
       .agg(count(lit(1)).as("cohort_size"))
-    ud.join(cohorts, "user_id")
+    grid
       // BIGINT offset: Spark's datediff is INT, DuckDB's is BIGINT — the
       // driver hash is type-sensitive (SURVEY §4), so widen here
       .groupBy(col("cohort_day"),
