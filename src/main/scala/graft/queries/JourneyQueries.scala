@@ -102,8 +102,14 @@ object JourneyQueries {
     * user BEFORE the window shuffle, so reducers see the dense grid evenly.
     */
   def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    // ONE explicit user_id shuffle feeds everything: the daily aggregate,
+    // the per-user span, the densify join (both sides co-partitioned from
+    // the same exchange — no broadcast needed, so the plan is the same one
+    // that runs at 100 TB where `daily` could never broadcast) and the
+    // forward-fill window.
     val daily = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .repartition(col("user_id"))
       .groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n"),
         decSum2(col("value")).cast("double").as("day_total"))
