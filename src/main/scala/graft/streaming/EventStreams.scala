@@ -185,14 +185,20 @@ object EventStreams {
             val next = FunnelState(rest, su, cl, pu)
             state.update(next)
             if (rest.nonEmpty) state.setTimeoutTimestamp(wm + 1)
-            su.map { s =>
+            // emit only when this timeout actually folded something — a
+            // timeout whose buffer is all still-unripe would otherwise
+            // re-emit an identical snapshot on every watermark advance
+            if (ripe.nonEmpty) su.map { s =>
               FunnelOut(userId, tsOf(s),
                 cl.map(tsOf), pu.map(tsOf),
                 if (pu.isDefined) "purchased"
                 else if (cl.isDefined) "clicked" else "signed_up")
             }.iterator
+            else Iterator.empty
           } else {
-            state.update(prev.copy(buf = prev.buf ++ evs))
+            // prepend (the fold sorts anyway): appending is O(buf) per
+            // batch and O(buf²) across a watermark window
+            state.update(prev.copy(buf = evs.toList ::: prev.buf))
             // fire on the next watermark advance; never at/behind it
             state.setTimeoutTimestamp(wm + 1)
             Iterator.empty
