@@ -10,13 +10,15 @@ trap 'rm -rf "$OUT"' EXIT
 
 sbt -batch "compile; Test/compile" >/dev/null
 sbt -batch test 2>&1 | grep -E "Tests:|FAILED" | tail -2
-# A query that THROWS at runtime prints '[verify] <name> failed' and
-# leaves no output dir — check_oracle would then never see it, so a
-# runtime-broken (but compiling) snapshot would gate green. Fail loudly.
-VLOG="$(sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | grep -E '\[verify\]' || true)"
-if [ -n "$VLOG" ]; then
-  echo "$VLOG"
-  echo "GATE FAIL: queries failed at runtime in Verify" >&2
+# A query that THROWS at runtime leaves no output dir — check_oracle
+# would then never see it, so a runtime-broken (but compiling) snapshot
+# would gate green. Verify records such failures in _failures.txt
+# (machine-readable; its exit code stays 0 for the driver's contract).
+sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | grep -E '\[verify\]' || true
+if [ -f "$OUT/_failures.txt" ]; then
+  echo "GATE FAIL: queries failed at runtime in Verify:" >&2
+  cat "$OUT/_failures.txt" >&2
   exit 1
 fi
-python3 scripts/check_oracle.py "$SF" "$OUT" | tail -3
+# show every non-PASS line (FAIL/WARN/SKIP + summary), not just the tail
+python3 scripts/check_oracle.py "$SF" "$OUT" | grep -vE '^PASS'

@@ -24,6 +24,14 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // allow co-partitioned joins to ride a partitioning on a SUBSET of
+      // the join keys (e.g. one user_id repartition serving a
+      // (user_id, day) join — qGapFill): rows equal on all join keys are
+      // certainly co-located when partitioned by a subset. The default
+      // (true) forces a full-key reshuffle purely to avoid inheriting a
+      // coarser partitioning's skew; our skew story is AQE skew-join +
+      // explicit salting, so the extra shuffle is pure waste here.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // graft custom expressions usable from plain SQL
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       // testdata events.ts is parquet TIMESTAMP(NANOS); read as raw nanos

@@ -16,13 +16,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
       }
     }
+    // machine-readable failure marker: the exit code stays 0 (the driver's
+    // contract), so tooling (scripts/gate.sh) reads this file instead of
+    // scraping logs — log-scrape breaks silently if the message wording
+    // changes, and a runtime-broken snapshot must not gate green
+    if (failed.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/_failures.txt"),
+        failed.sorted.mkString("", "\n", "\n"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -104,9 +104,11 @@ object JourneyQueries {
   def qGapFill(spark: SparkSession, dir: String): DataFrame = {
     // ONE explicit user_id shuffle feeds everything: the daily aggregate,
     // the per-user span, the densify join (both sides co-partitioned from
-    // the same exchange — no broadcast needed, so the plan is the same one
-    // that runs at 100 TB where `daily` could never broadcast) and the
-    // forward-fill window.
+    // the same exchange) and the forward-fill window. At small SF the
+    // optimizer still broadcasts the daily side (fine — it fits); the
+    // repartition's point is the 100 TB shape, where daily cannot
+    // broadcast and the co-partitioned join needs NO additional exchange
+    // — pinned in JourneySpec with broadcast disabled.
     val daily = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
       .repartition(col("user_id"))

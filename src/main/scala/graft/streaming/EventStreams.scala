@@ -140,14 +140,24 @@ object EventStreams {
     * and emits a changelog row with the user's current stage.
     *
     * State per user = the O(1) step triple + a buffer bounded by the
-    * watermark delay (events ≤ delay old), NOT history — the exact memory
-    * bound every correct event-time operator has. Emission is a CHANGELOG
-    * (append of monotone snapshots); the latest row per user equals the
-    * batch funnel over the same events once the watermark passes them
-    * (proven in StreamingSpec against qFunnelSteps' staging rule).
+    * watermark delay (events ≤ delay old), NOT history: the ripe prefix is
+    * folded on EVERY invocation — data batches included, since Spark never
+    * fires a timeout for a key that just received data (its timeout is
+    * re-armed above the sweep threshold first), so a continuously-active
+    * key that only folded on timeout would be starved and its buffer
+    * unbounded. Emission is a CHANGELOG (append of monotone snapshots,
+    * emitted only when the step triple CHANGES); the latest row per user
+    * equals the batch funnel over the same events once the watermark
+    * passes them (proven in StreamingSpec against qFunnelSteps' rule).
+    *
+    * The watermark delay is the operator's out-of-order tolerance — how
+    * much CROSS-batch disorder is absorbed before Spark's late-record
+    * filter drops events (within-batch disorder is always absorbed by the
+    * buffer). "0 seconds" would make the cross-batch guarantee vacuous,
+    * so the default matches the session-gap order of magnitude.
     */
   def funnelChangelog(events: Dataset[Event],
-      watermarkDelay: String = "0 seconds"): Dataset[FunnelOut] = {
+      watermarkDelay: String = "1 hour"): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermarkDelay)
@@ -158,51 +168,49 @@ object EventStreams {
           val prev = state.getOption
             .getOrElse(FunnelState(Nil, None, None, None))
           val wm = state.getCurrentWatermarkMs
-          if (state.hasTimedOut) {
-            // fold every buffered event STRICTLY older than the watermark
-            // (an event in the watermark's own millisecond could still be
-            // followed by a same-millisecond earlier-micros arrival), in
-            // event-time order — the batch semantics exactly
-            val (ripe, rest) = prev.buf.partition(_.ts.getTime < wm)
-            var (su, cl, pu) = (prev.signup, prev.click, prev.purchase)
-            // batch's chained `>=` comparisons are order-insensitive within
-            // one timestamp (a click AT the signup's ts counts), so the
-            // fold must see equal-ts events in stage order, not id order
-            def prio(t: String): Int = t match {
-              case "signup" => 0; case "click" => 1; case "purchase" => 2
-              case _ => 3
-            }
-            ripe.sortBy(e => (usOf(e.ts), prio(e.event_type), e.event_id))
-              .foreach { e =>
-                val t = usOf(e.ts)
-                e.event_type match {
-                  case "signup" if su.isEmpty => su = Some(t)
-                  case "click" if cl.isEmpty && su.exists(t >= _) => cl = Some(t)
-                  case "purchase" if pu.isEmpty && cl.exists(t >= _) => pu = Some(t)
-                  case _ => ()
-                }
-              }
-            val next = FunnelState(rest, su, cl, pu)
-            state.update(next)
-            if (rest.nonEmpty) state.setTimeoutTimestamp(wm + 1)
-            // emit only when this timeout actually folded something — a
-            // timeout whose buffer is all still-unripe would otherwise
-            // re-emit an identical snapshot on every watermark advance
-            if (ripe.nonEmpty) su.map { s =>
-              FunnelOut(userId, tsOf(s),
-                cl.map(tsOf), pu.map(tsOf),
-                if (pu.isDefined) "purchased"
-                else if (cl.isDefined) "clicked" else "signed_up")
-            }.iterator
-            else Iterator.empty
-          } else {
+          val buffered =
+            if (state.hasTimedOut) prev.buf
             // prepend (the fold sorts anyway): appending is O(buf) per
             // batch and O(buf²) across a watermark window
-            state.update(prev.copy(buf = evs.toList ::: prev.buf))
-            // fire on the next watermark advance; never at/behind it
-            state.setTimeoutTimestamp(wm + 1)
-            Iterator.empty
+            else evs.toList ::: prev.buf
+          // fold every buffered event STRICTLY older than the watermark
+          // (an event in the watermark's own millisecond could still be
+          // followed by a same-millisecond earlier-micros arrival), in
+          // event-time order — the batch semantics exactly
+          val (ripe, rest) = buffered.partition(_.ts.getTime < wm)
+          var (su, cl, pu) = (prev.signup, prev.click, prev.purchase)
+          // batch's chained `>=` comparisons are order-insensitive within
+          // one timestamp (a click AT the signup's ts counts), so the
+          // fold must see equal-ts events in stage order, not id order
+          def prio(t: String): Int = t match {
+            case "signup" => 0; case "click" => 1; case "purchase" => 2
+            case _ => 3
           }
+          ripe.sortBy(e => (usOf(e.ts), prio(e.event_type), e.event_id))
+            .foreach { e =>
+              val t = usOf(e.ts)
+              e.event_type match {
+                case "signup" if su.isEmpty => su = Some(t)
+                case "click" if cl.isEmpty && su.exists(t >= _) => cl = Some(t)
+                case "purchase" if pu.isEmpty && cl.exists(t >= _) => pu = Some(t)
+                case _ => ()
+              }
+            }
+          state.update(FunnelState(rest, su, cl, pu))
+          // fire on the next watermark advance while anything is pending;
+          // never at/behind the current watermark
+          if (rest.nonEmpty || !state.hasTimedOut)
+            state.setTimeoutTimestamp(wm + 1)
+          // emit only when the fold CHANGED the triple — identical
+          // snapshots would otherwise re-emit on every watermark advance
+          val changed = (su, cl, pu) != ((prev.signup, prev.click, prev.purchase))
+          if (changed) su.map { s =>
+            FunnelOut(userId, tsOf(s),
+              cl.map(tsOf), pu.map(tsOf),
+              if (pu.isDefined) "purchased"
+              else if (cl.isDefined) "clicked" else "signed_up")
+          }.iterator
+          else Iterator.empty
       }
   }
 

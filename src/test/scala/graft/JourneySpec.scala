@@ -96,6 +96,39 @@ class JourneySpec extends SparkSpecBase {
     }
   }
 
+  test("gap fill: with broadcast disabled, one keyed exchange serves agg+join+window") {
+    // the 100 TB shape: daily can't broadcast, so the densify join must be
+    // co-partitioned off the single explicit user_id repartition
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    val coKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val oldCo = spark.conf.get(coKey)
+    try {
+      spark.conf.set(key, "-1")
+      // the engine session (GraftSession) sets this; the shared test
+      // session doesn't, so set it here for the scale-shape assertion
+      spark.conf.set(coKey, "false")
+      val df = JourneyQueries.qGapFill(spark, sfDir)
+      df.collect() // materialize so AQE finalizes the executed plan
+      // AdaptiveSparkPlan.toString prints final AND initial plans — pin
+      // only the final one
+      val full = df.queryExecution.executedPlan.toString
+      val plan = full.split("== Initial Plan ==").head
+      assert(!plan.contains("BroadcastHashJoin"), s"broadcast disabled:\n$plan")
+      // every hash exchange must be one of the two explicit user_id
+      // repartitions (one per join branch); the join and window must add
+      // NONE of their own (no ENSURE_REQUIREMENTS hash exchange)
+      val keyed = "Exchange hashpartitioning\\([^)]*\\), (\\w+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(keyed.nonEmpty && keyed.forall(_ == "REPARTITION_BY_COL"),
+        s"join/window added a hash exchange beyond the explicit " +
+          s"repartitions: $keyed\n$plan")
+    } finally {
+      spark.conf.set(key, old)
+      spark.conf.set(coKey, oldCo)
+    }
+  }
+
   test("json props: pure projection — no exchange in the plan") {
     val plan = JourneyQueries.qJsonProps(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -139,24 +139,40 @@ class StreamingSpec extends SparkSpecBase {
   test("streaming funnel changelog converges to the batch funnel under out-of-order delivery") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    // real events from sf0.001, time-sliced into three chunks and SHUFFLED
-    // WITHIN each chunk — out-of-order arrival the buffer-until-watermark
-    // fold must absorb (chunks are time-disjoint so nothing is ever late)
+    // real events from sf0.001, time-sliced into three chunks, SHUFFLED
+    // WITHIN each chunk, AND with every event in the 30 minutes before a
+    // chunk boundary delivered one batch LATE — both within-batch disorder
+    // (absorbed by the buffer) and cross-batch lateness (absorbed by the
+    // 1h watermark delay, which these straddlers stay inside)
     val all = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
       .as[Event].collect().sortBy(_.ts.getTime)
-    val chunks = all.grouped(math.max(1, all.length / 3 + 1)).toSeq
-      .map(c => new scala.util.Random(42).shuffle(c.toSeq))
+    val raw = all.grouped(math.max(1, all.length / 3 + 1)).toSeq
+      .map(_.toSeq)
+    val shifted = raw.indices.map { i =>
+      val boundary = raw(i).last.ts.getTime
+      val (late, keep) =
+        raw(i).partition(e => boundary - e.ts.getTime < 30L * 60 * 1000)
+      val fromPrev = if (i == 0) Nil else {
+        val pb = raw(i - 1).last.ts.getTime
+        raw(i - 1).filter(e => pb - e.ts.getTime < 30L * 60 * 1000)
+      }
+      // the final chunk keeps its own stragglers (no later batch exists)
+      val mine = if (i == raw.length - 1) keep ++ late else keep
+      new scala.util.Random(42).shuffle(mine ++ fromPrev)
+    }
+    assert(shifted.map(_.length).sum === all.length)
     val input = MemoryStream[Event]
     val q = EventStreams.funnelChangelog(input.toDS())
       .writeStream.format("memory").queryName("funnel")
       .outputMode(OutputMode.Append()).start()
     try {
-      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
-      // one more empty-advance so the final watermark timeout fires
+      shifted.foreach { c => input.addData(c); q.processAllAvailable() }
+      // advance the watermark (1h delay) past every real event so the
+      // final timeout folds the tail
       input.addData(Event(Long.MaxValue,
-        new Timestamp(all.last.ts.getTime + 3600L * 1000), -1L, "view", 0.0))
+        new Timestamp(all.last.ts.getTime + 3L * 3600L * 1000), -1L, "view", 0.0))
       q.processAllAvailable()
       // snapshots per user are MONOTONE (each step timestamp is set once,
       // stage only advances), so the most-advanced stage IS the latest row
