@@ -835,6 +835,88 @@ object SparkEntry {
         |FROM ed a JOIN ed b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embd, b.embd) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // the sketch-family oracles (minhash/simhash/winnow) replay the md5-lane
+    // kernels exactly: TextSketch hashes each shingle/token with md5 and
+    // takes the little-endian 64-bit lanes — the SAME values DuckDB's
+    // md5_number_lower/upper produce — and every comparison on lanes is
+    // unsigned on both engines (UBIGINT there, Long.compareUnsigned here).
+    // Kirsch-Mitzenmacher g_j = h1 + j*h2 wraps mod 2^64 → HUGEINT % 2^64.
+    "q_minhash_neardup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(1, len(ws) - 2),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sg
+        |  FROM w),
+        |hx AS (SELECT doc_id,
+        |    CAST(md5_number_lower(s) AS HUGEINT) AS h1,
+        |    CAST(md5_number_upper(s) AS HUGEINT) AS h2
+        |  FROM (SELECT doc_id, unnest(sg) AS s FROM sh)),
+        |g AS (SELECT doc_id, j, min((h1 + j*h2) % 18446744073709551616) AS gj
+        |  FROM hx CROSS JOIN (SELECT unnest(range(32)) AS j)
+        |  GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(gj ORDER BY j) AS sig FROM g GROUP BY doc_id),
+        |bk AS (SELECT doc_id, sig, band, list_slice(sig, band*4 + 1, band*4 + 4) AS bslice
+        |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)),
+        |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.sig AS sa, b.sig AS sb
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bslice = b.bslice
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_filter(range(32), i -> sa[i+1] = sb[i+1])) AS DOUBLE) / 32.0
+        |    AS est_jaccard
+        |FROM pr ORDER BY doc_a, doc_b""".stripMargin,
+    // simhash replay via the 64-bit BIT LIST (sign of the per-bit vote sum):
+    // chunk keys are 16-bit reassemblies of the bits, hamming = count of
+    // differing bit positions = bit_count(xor) on the Spark side
+    "q_simhash" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5_number_lower(t) AS h
+        |  FROM (SELECT doc_id, unnest(ws) AS t FROM w)),
+        |v AS (SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b)
+        |  GROUP BY doc_id, b),
+        |bits AS (SELECT doc_id,
+        |    list(CASE WHEN vote > 0 THEN 1 ELSE 0 END ORDER BY b) AS bl
+        |  FROM v GROUP BY doc_id),
+        |bk AS (SELECT doc_id, bl, c,
+        |    CAST(list_sum(list_transform(range(16), i -> bl[c*16 + i + 1] * (1 << i))) AS INT) AS ckey
+        |  FROM bits CROSS JOIN (SELECT unnest(range(4)) AS c)),
+        |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.bl AS ba, b.bl AS bb
+        |  FROM bk a JOIN bk b ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id),
+        |hm AS (SELECT doc_a, doc_b,
+        |    CAST(len(list_filter(range(64), i -> ba[i+1] <> bb[i+1])) AS BIGINT) AS hamming
+        |  FROM pr)
+        |SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 16
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // winnow replay: ordered 3-gram hash sequence, min of each 4-wide
+    // sliding window (tie rule irrelevant — only the VALUE is kept),
+    // distinct fingerprints, pairs weighted by shared count
+    "q_winnow_neardup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(1, len(ws) - 2),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sg
+        |  FROM w),
+        |hx AS (SELECT doc_id, len(sg) AS m,
+        |    unnest(range(1, len(sg) + 1)) AS i,
+        |    md5_number_lower(unnest(sg)) AS h
+        |  FROM sh),
+        |win AS (SELECT doc_id, i, m,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM hx),
+        |kept AS (SELECT DISTINCT doc_id, wmin AS fp FROM win
+        |  WHERE i <= greatest(m - 3, 1))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
     // exact word-3gram Jaccard — same normalization as TextSketch.words
     // (lower, trim, split \s+), whole-text shingle for docs < 3 words,
     // Jaccard over DISTINCT shingles

@@ -28,10 +28,12 @@ object Dedup {
   /** MinHash signature + LSH banding. Returns candidate pairs with the
     * signature-estimated Jaccard (fraction of agreeing positions).
     *
-    * Each shingle STRING is hashed exactly once (two independent 64-bit
-    * hashes); the k per-position hash functions are the Kirsch-Mitzenmacher
-    * family g_j = h1 + j*h2, so building the signature is k array-mins over
-    * longs — cheap arithmetic instead of k full string hashes.
+    * Each shingle STRING is hashed exactly once (ONE md5 digest yields two
+    * independent 64-bit lanes — the same values DuckDB's md5_number_lower/
+    * upper produce, which is what makes the oracle replay exact); the k
+    * per-position hash functions are the Kirsch-Mitzenmacher family
+    * g_j = h1 + j*h2 mod 2^64, so building the signature is k array-mins
+    * over longs — cheap arithmetic instead of k full string hashes.
     */
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
       k: Int = 32, bands: Int = 8): DataFrame = {
@@ -39,15 +41,23 @@ object Dedup {
     val sigs = df.select(id.as("doc_id"),
       graft.functions.text.minhashSig(
         graft.functions.text.wordShingles(text, 3), k).as("__sig"))
+    // bkey (murmur3 of the band slice) is the cheap 4-byte SHUFFLE key; the
+    // residual `bslice` equality makes the bucket rule EXACTLY "same band
+    // content" — no false merges on 2^-32 murmur collisions — which is both
+    // the textbook LSH definition and what lets the DuckDB oracle replay
+    // the banding by joining on the slice values themselves.
     val buckets = sigs.select(col("doc_id"), col("__sig"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"struct(b AS band, hash(slice(__sig, b*$rows+1, $rows), b) AS bkey))")).as("bk"))
+          s"struct(b AS band, hash(slice(__sig, b*$rows+1, $rows), b) AS bkey, " +
+          s"slice(__sig, b*$rows+1, $rows) AS bslice))")).as("bk"))
       .select(col("doc_id"), col("__sig"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col("bk.bslice").as("bslice"))
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.bslice") === col("b.bslice") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         // codegen'd position-agreement (the HOF zip_with/aggregate form runs
@@ -58,8 +68,9 @@ object Dedup {
       .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
-  /** 64-bit SimHash per doc: per-token xxhash64, ±1 vote per bit, sign →
-    * bit. Native codegen expression — one pass over the tokens.
+  /** 64-bit SimHash per doc: per-token md5 lane (oracle-replayable), ±1
+    * vote per bit, sign → bit. Native codegen expression — one pass over
+    * the tokens.
     */
   def withSimhash(df: DataFrame, text: Column): DataFrame =
     df.withColumn("simhash",

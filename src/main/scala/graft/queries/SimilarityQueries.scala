@@ -12,9 +12,11 @@ import graft.ops.{Dedup, Similarity}
   * oracles: constants the query depends on — seeded hyperplanes, trained
   * centroids/codebooks — are inlined as literals into GENERATED SQL
   * (SparkEntry.lshOracle/ivfOracle/pqOracle), so DuckDB replays the full
-  * model-application path without retraining. Only the xxhash64-sketch
-  * families (minhash/simhash/winnow) remain rows-only (no xxhash64 in
-  * DuckDB), cross-validated against exact ops in DedupSpec.
+  * model-application path without retraining. The text-sketch families
+  * (minhash/simhash/winnow) are ALSO exact: their kernels hash shingles
+  * with md5 lanes (the one hash both engines share — DuckDB
+  * md5_number_lower/upper), so the oracles replay signature construction,
+  * banding, and verification bit-for-bit.
   */
 object SimilarityQueries {
 
@@ -133,18 +135,24 @@ object SimilarityQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** MinHash+LSH candidate near-dup pairs on documents (rows-only). */
+  /** MinHash+LSH candidate near-dup pairs on documents. Exact-oracled:
+    * DuckDB rebuilds the md5-lane signatures and joins on band slices.
+    */
   def qMinhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir),
         col("doc_id"), col("text"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** Winnowed-fingerprint near-dup candidates on documents (rows-only). */
+  /** Winnowed-fingerprint near-dup candidates on documents. Exact-oracled:
+    * DuckDB replays the sliding-window minima over the md5-lane hashes.
+    */
   def qWinnowNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowPairs(Tables.documents(spark, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** SimHash near-dup candidates on documents (rows-only). */
+  /** SimHash near-dup candidates on documents. Exact-oracled: DuckDB
+    * rebuilds the per-bit vote signs and the 16-bit chunk buckets.
+    */
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir),
         col("doc_id"), col("text"), maxHamming = 16)

@@ -92,26 +92,69 @@ object TextSketch {
     new GenericArrayData(java.util.Arrays.copyOf(out, k))
   }
 
-  /** MinHash signature over a shingle array: each shingle hashed ONCE with
-    * two xxhash64 seeds, the k hash family is Kirsch-Mitzenmacher
-    * g_j = h1 + j*h2. Duplicates in the input cannot change a min, so the
-    * caller needn't dedup first.
+  /** One MD5 per call, reused across shingles on the same thread.
+    * MD5 here is NOT for security — it is the one hash function BOTH
+    * engines implement identically (Spark `md5`, DuckDB `md5_number_*`),
+    * which is what makes the sketch families (minhash/simhash/winnow)
+    * exactly replayable in the generated DuckDB oracles. xxhash64 stays in
+    * [[shingleHashes]], where only hash IDENTITY matters and no oracle
+    * depends on the values.
+    */
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def md5Bytes(s: UTF8String): Array[Byte] = {
+    val d = md5Digest.get()
+    d.reset()
+    d.digest(s.getBytes)
+  }
+
+  /** Little-endian uint64 of digest bytes [off, off+8) — DuckDB's
+    * `md5_number_upper` is lane(dig, 0), `md5_number_lower` is lane(dig, 8)
+    * (verified against DuckDB 1.0.0: md5_number_upper('abc') =
+    * 0xB04FD23C98500190 = LE of digest bytes 0-7). Lane values are UNSIGNED
+    * 64-bit on the DuckDB side (UBIGINT), so every comparison on them here
+    * uses `Long.compareUnsigned` — a signed min would diverge from the
+    * oracle whenever values straddle 2^63.
+    */
+  private def md5Lane(dig: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (dig(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** md5 lower lane of one string — the hash domain the sketch kernels
+    * (minhash/simhash/winnow) draw from; exposed so specs can state
+    * "sketch ⊆ hash set" properties in the same domain.
+    */
+  def md5Lower(s: UTF8String): Long = md5Lane(md5Bytes(s), 8)
+
+  /** MinHash signature over a shingle array: each shingle MD5-hashed ONCE
+    * (both 64-bit lanes of one digest), the k hash family is
+    * Kirsch-Mitzenmacher g_j = h1 + j*h2 (mod 2^64 by Long wraparound;
+    * the oracle replays it as HUGEINT arithmetic mod 2^64). Position mins
+    * are UNSIGNED (see [[md5Lane]]); the empty sentinel is the unsigned
+    * max -1L. Duplicates in the input cannot change a min, so the caller
+    * needn't dedup first.
     */
   def minhashSig(arr: ArrayData, k: Int): ArrayData = {
-    val sig = Array.fill[Long](k)(Long.MaxValue)
+    val sig = Array.fill[Long](k)(-1L) // unsigned max
     val m = arr.numElements()
     var i = 0
     while (i < m) {
       // input arrays from SQL may carry null elements; a null shingle
       // contributes nothing rather than NPE-ing the executor
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h1 = XXH64.hashUTF8String(s, 42L)
-        val h2 = XXH64.hashUTF8String(s, 1L)
+        val dig = md5Bytes(arr.getUTF8String(i))
+        val h1 = md5Lane(dig, 8) // md5_number_lower
+        val h2 = md5Lane(dig, 0) // md5_number_upper
         var j = 0
         var g = h1
         while (j < k) {
-          if (g < sig(j)) sig(j) = g
+          if (java.lang.Long.compareUnsigned(g, sig(j)) < 0) sig(j) = g
           g += h2
           j += 1
         }
@@ -134,17 +177,25 @@ object TextSketch {
     val h = new Array[Long](m)
     var i = 0
     while (i < m) {
-      h(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L); i += 1
+      // md5 lower lane — unsigned domain, exactly replayable as DuckDB
+      // md5_number_lower (see md5Lane); all mins below compare unsigned
+      h(i) = md5Lane(md5Bytes(arr.getUTF8String(i)), 8); i += 1
     }
-    val kept = new java.util.TreeSet[java.lang.Long]()
+    @inline def leq(a: Long, b: Long): Boolean =
+      java.lang.Long.compareUnsigned(a, b) <= 0
+    val kept = new java.util.TreeSet[java.lang.Long](
+      new java.util.Comparator[java.lang.Long] {
+        override def compare(a: java.lang.Long, b: java.lang.Long): Int =
+          java.lang.Long.compareUnsigned(a, b)
+      })
     if (m <= w) {
-      if (m > 0) { var mn = h(0); i = 1; while (i < m) { if (h(i) <= mn) mn = h(i); i += 1 }; kept.add(mn) }
+      if (m > 0) { var mn = h(0); i = 1; while (i < m) { if (leq(h(i), mn)) mn = h(i); i += 1 }; kept.add(mn) }
     } else {
       var start = 0
       while (start + w <= m) {
         var mnIdx = start
         var j = start + 1
-        while (j < start + w) { if (h(j) <= h(mnIdx)) mnIdx = j; j += 1 }
+        while (j < start + w) { if (leq(h(j), h(mnIdx))) mnIdx = j; j += 1 }
         kept.add(h(mnIdx))
         start += 1
       }
@@ -256,8 +307,9 @@ object TextSketch {
       Array[Any](sEn, sFr, sDe, sEs, wsTokens, bpe, punct))
   }
 
-  /** 64-bit SimHash over a token array: per-token xxhash64, ±1 vote per
-    * bit, sign of the vote sum becomes the bit.
+  /** 64-bit SimHash over a token array: per-token md5 lower lane (oracle-
+    * replayable, see [[md5Lane]]), ±1 vote per bit, sign of the vote sum
+    * becomes the bit.
     */
   def simhash64(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
@@ -265,8 +317,7 @@ object TextSketch {
     var i = 0
     while (i < m) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUTF8String(s, 42L)
+        val h = md5Lane(md5Bytes(arr.getUTF8String(i)), 8)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -69,11 +69,15 @@ class DedupSpec extends SparkSpecBase {
   test("winnow sketch is deterministic and much smaller than the shingle set") {
     val sk = docs.select(col("doc_id"),
         graft.functions.text.winnow(col("text"), 3, 4).as("w"),
-        graft.functions.text.wordShingleHashes(col("text"), 3).as("sh"))
+        graft.functions.text.wordShingles(col("text"), 3).as("sh"))
       .collect()
     sk.foreach { r =>
-      val w = r.getSeq[Long](1); val sh = r.getSeq[Long](2)
-      assert(w.nonEmpty && w.toSet.subsetOf(sh.toSet),
+      val w = r.getSeq[Long](1)
+      // md5-lane domain (what winnow hashes with), not xxhash64
+      val sh = r.getSeq[String](2).map(s =>
+        org.apache.spark.sql.graft.TextSketch.md5Lower(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))).toSet
+      assert(w.nonEmpty && w.toSet.subsetOf(sh),
         "every fingerprint is one of the doc's shingle hashes")
     }
   }

@@ -60,7 +60,11 @@ class TextSketchPropSpec extends AnyFunSuite {
     cases(text) { s =>
       if (s.trim.nonEmpty) {
         val sketch = TextSketch.winnow(u(s), 3, 4).toLongArray.toSet
-        val all = TextSketch.shingleHashes(u(s), 3).toLongArray.toSet
+        // the sketch draws from the md5-lane domain (oracle-replayable),
+        // NOT the xxhash64 identity-hash domain of shingleHashes
+        val sh = TextSketch.shingles(u(s), 3)
+        val all = (0 until sh.numElements())
+          .map(i => TextSketch.md5Lower(sh.getUTF8String(i))).toSet
         assert(sketch.nonEmpty, s"text=[$s]")
         assert(sketch.subsetOf(all), s"text=[$s]")
       }
