@@ -107,11 +107,18 @@ def main(sf_dir, out_dir):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = 0
-    # an oracled query whose dump is MISSING means it threw at runtime in
-    # Verify (Verify catches per-query and moves on) — count it as a FAIL,
-    # not a silent absence
-    for name in sorted(set(oracle) - set(names)):
-        print(f"FAIL {name}: oracle present but no Spark output "
+    # a query whose dump is MISSING threw at runtime in Verify (it catches
+    # per-query and moves on) — count it as a FAIL, not a silent absence.
+    # Compare against the FULL manifest Verify dumps (queries.txt), not just
+    # oracle keys: a rows-only query that throws has no oracle entry and
+    # would otherwise vanish from a standalone check_oracle run.
+    manifest_path = os.path.join(out_dir, "queries.txt")
+    if os.path.exists(manifest_path):
+        expected = set(l.strip() for l in open(manifest_path) if l.strip())
+    else:
+        expected = set(oracle)
+    for name in sorted(expected - set(names)):
+        print(f"FAIL {name}: registered query has no Spark output "
               "(query threw at runtime in Verify?)")
         n_fail += 1
     for name in names:

@@ -162,13 +162,22 @@ object SparkEntry {
     val centRows = cents.zipWithIndex
       .map { case (c, i) => s"($i, CAST(${centLit(c)} AS DOUBLE[]))" }
       .mkString(",\n")
+    // the CASE mirrors IvfKernels.argmaxCosine's zero-norm guard (cosine
+    // against a zero vector is DEFINED as 0.0 there, where DuckDB's
+    // list_cosine_similarity yields NaN — which sorts ABOVE all values in
+    // DuckDB ORDER BY DESC and would desync assignment for a zero
+    // embedding); the current generator never emits zero vectors, but the
+    // oracle should not depend on that contract silently
     s"""e AS (SELECT vec_id AS id,
        |    CAST(embedding AS DOUBLE[]) AS embd FROM embeddings),
        |cents(cell, c) AS (VALUES
        |$centRows),
        |assigned AS (SELECT id, embd,
        |    (SELECT cell FROM cents
-       |     ORDER BY list_cosine_similarity(e.embd, c) DESC, cell LIMIT 1) AS cell
+       |     ORDER BY (CASE WHEN list_dot_product(e.embd, e.embd) = 0
+       |         OR list_dot_product(c, c) = 0 THEN 0.0
+       |       ELSE list_cosine_similarity(e.embd, c) END) DESC, cell
+       |     LIMIT 1) AS cell
        |  FROM e)""".stripMargin
   }
 
@@ -281,11 +290,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     staticOracleSql ++
       graft.queries.SimilarityQueries.lastIvfModel
-        .map(c => "q_ann_ivf" -> ivfOracle(c)) ++
+        .map { case (_, c) => "q_ann_ivf" -> ivfOracle(c) } ++
       graft.queries.SimilarityQueries.lastPqModel
-        .map(mdl => "q_ann_pq" -> pqOracle(mdl)) ++
+        .map { case (_, mdl) => "q_ann_pq" -> pqOracle(mdl) } ++
       graft.queries.SimilarityQueries.lastSemModel
-        .map(c => "q_semantic_dedup" -> semOracle(c))
+        .map { case (_, c) => "q_semantic_dedup" -> semOracle(c) }
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> lshOracle,

@@ -16,6 +16,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a clean re-run into a previously-failed outDir must not inherit the
+    // stale failure marker (parquet dirs are overwritten, the marker isn't)
+    Files.deleteIfExists(Paths.get(s"$outDir/_failures.txt"))
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -25,6 +28,16 @@ object Verify {
         failed += name
       }
     }
+    // the generated trained-model oracles are only valid for the sfDir the
+    // models were trained on — a cache populated from a different dir (or a
+    // partial run) would dump oracles that don't match the dumped parquet
+    if (!graft.queries.SimilarityQueries.modelsConsistentWith(sfDir))
+      failed += "_model_dir_mismatch"
+    // full query manifest: lets check_oracle detect a rows-only query that
+    // threw (it has no oracle entry, so oracle_sql.json alone can't) —
+    // every name listed here must have an output dir
+    Files.writeString(Paths.get(s"$outDir/queries.txt"),
+      SparkEntry.queries.keys.toSeq.sorted.mkString("", "\n", "\n"))
     // machine-readable failure marker: the exit code stays 0 (the driver's
     // contract), so tooling (scripts/gate.sh) reads this file instead of
     // scraping logs — log-scrape breaks silently if the message wording

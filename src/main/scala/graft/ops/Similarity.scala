@@ -145,6 +145,34 @@ object Similarity {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Scale-adaptive cell count for the centroid models (the IVF coarse
+    * quantizer and the SemDeDup cluster model): nCells = clamp(⌈√n⌉,
+    * minCells, maxCells).
+    *
+    * Why √n: the within-cell pair work (SemDeDup's Σ|cell|² self-join) is
+    * ≈ n²/nCells while map-side assignment work is n·nCells·dim — their
+    * sum is minimized at nCells = Θ(√n), where expected cell population
+    * and cell count are both √n. A FIXED nCells is the scale bug: at 1000×
+    * the corpus each cell holds 1000× the rows and the within-cell join
+    * quadratically explodes (10⁶× pair work per cell).
+    *
+    * The caps: minCells keeps tiny corpora from degenerating to one cell
+    * per point; maxCells bounds the broadcast model — at n = 10^11 docs
+    * (a 100 TB corpus at ~1 KB/doc) √n ≈ 316k cells × 64 dims × 4 B ≈
+    * 80 MB of centroids in every task closure, too fat. The 65 536 cap
+    * holds the model at ≈16 MB (64-dim) — at that point expected cell
+    * population is n/65536 ≈ 1.5M rows on 1000 executors (≈23 cells per
+    * executor core at 32 cores each), and the next structural step is a
+    * second quantization level (two-level k-means / IVF-PQ), not a bigger
+    * flat model.
+    */
+  def cellsFor(n: Long, minCells: Int = 16, maxCells: Int = 65536): Int = {
+    require(minCells >= 1 && maxCells >= minCells,
+      s"bad cell bounds [$minCells, $maxCells]")
+    val root = math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toLong
+    math.min(maxCells.toLong, math.max(minCells.toLong, root)).toInt
+  }
+
   /** SemDeDup-shaped clustered near-duplicate pairs (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space, then compare
     * ONLY within-cluster pairs — the second scale path for embedding

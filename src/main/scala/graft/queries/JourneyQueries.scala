@@ -101,7 +101,21 @@ object JourneyQueries {
     * (no gaps, explicit staleness). The explode fans out ~span rows per
     * user BEFORE the window shuffle, so reducers see the dense grid evenly.
     */
-  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+  def qGapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFill(Tables.events(spark, dir))
+
+  /** Hard cap on the per-user densified span. The `sequence(d0, d1)`
+    * explode emits span+1 rows per user with NO inherent bound: one user
+    * with a 30-year span emits ~11k rows; ONE corrupt millennium timestamp
+    * emits millions and can OOM a task. ~20 years of daily activity is the
+    * ceiling of plausible real data — beyond it the cause is data
+    * corruption, and the right behavior is the vec_quantize pattern: fail
+    * LOUDLY at the offending row, not silently densify garbage.
+    */
+  val MaxGapFillSpanDays = 7305 // 20 years
+
+  private[graft] def gapFill(events: DataFrame,
+      maxSpanDays: Int = MaxGapFillSpanDays): DataFrame = {
     // ONE explicit user_id shuffle feeds everything: the daily aggregate,
     // the per-user span, the densify join (both sides co-partitioned from
     // the same exchange) and the forward-fill window. At small SF the
@@ -109,16 +123,25 @@ object JourneyQueries {
     // repartition's point is the 100 TB shape, where daily cannot
     // broadcast and the co-partitioned join needs NO additional exchange
     // — pinned in JourneySpec with broadcast disabled.
-    val daily = Tables.events(spark, dir)
+    val daily = events
       .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
       .repartition(col("user_id"))
       .groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n"),
         decSum2(col("value")).cast("double").as("day_total"))
+    // span guard: raise_error sits in the dead branch of the cap check, so
+    // the happy path costs one datediff comparison per user and a corrupt
+    // span kills the job with the offending user in the message
     val calendar = daily.groupBy(col("user_id"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("user_id"),
-        explode(sequence(col("d0"), col("d1"))).as("day"))
+        explode(sequence(col("d0"),
+          when(datediff(col("d1"), col("d0")) <= maxSpanDays, col("d1"))
+            .otherwise(raise_error(concat(
+              lit("gap-fill span overflow: user "), col("user_id"),
+              lit(" spans "), datediff(col("d1"), col("d0")),
+              lit(s" days (cap $maxSpanDays) — corrupt timestamp?")))
+              .cast("date")))).as("day"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
     calendar.join(daily, Seq("user_id", "day"), "left")

@@ -68,30 +68,42 @@ object SimilarityQueries {
     * exact values as literals into generated DuckDB SQL (the lshOracle
     * pattern), so assignment+probe+topk replays exactly. Verify runs every
     * query before dumping oracle_sql.json, so the cache is always populated
-    * with the model the dumped parquet was computed from.
+    * with the model the dumped parquet was computed from. Each cache
+    * carries the sfDir it was trained on; [[modelsConsistentWith]] lets
+    * Verify assert the dumped oracles belong to the dumped parquet (a
+    * model trained on a DIFFERENT sfDir would generate a desynced oracle).
     */
-  @volatile private[graft] var lastIvfModel: Option[Array[Array[Float]]] = None
+  @volatile private[graft] var lastIvfModel: Option[(String, Array[Array[Float]])] = None
+
+  /** True iff every populated model cache was trained on `dir`. */
+  private[graft] def modelsConsistentWith(dir: String): Boolean =
+    (lastIvfModel.iterator.map(_._1) ++
+      lastPqModel.iterator.map(_._1) ++
+      lastSemModel.iterator.map(_._1)).forall(_ == dir)
 
   val IvfK = 5
   val IvfNProbe = 4
 
   /** IVF-flat approximate top-5 for the first 10 vectors — the serving-path
     * ANN. SQL-oracled via the trained-centroid inlining above; recall vs
-    * brute force additionally asserted in SimilaritySpec.
+    * brute force additionally asserted in SimilaritySpec. nCells scales
+    * with the corpus (√n — Similarity.cellsFor) so the within-cell
+    * candidate population stays bounded as the corpus grows.
     */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val queries = c.filter(col("id") < 10)
       .select(col("id").as("query_id"), col("emb").as("q_emb"))
-    val cents = Similarity.trainCentroids(c, nCells = 16, iters = 2)
-    lastIvfModel = Some(cents)
+    val cents = Similarity.trainCentroids(c,
+      nCells = Similarity.cellsFor(c.count()), iters = 2)
+    lastIvfModel = Some((dir, cents))
     Similarity.ivfFlatKnnWith(c, queries, cents, k = IvfK, nProbe = IvfNProbe)
       .orderBy(col("query_id"), col("rank"))
   }
 
   /** Trained PQ codebook of the LAST qAnnPq invocation — same
     * oracle-generation contract as [[lastIvfModel]]. */
-  @volatile private[graft] var lastPqModel: Option[graft.ops.Pq.PqModel] = None
+  @volatile private[graft] var lastPqModel: Option[(String, graft.ops.Pq.PqModel)] = None
 
   val PqK = 5
   val PqShortlist = 64
@@ -106,7 +118,7 @@ object SimilarityQueries {
     import graft.ops.Pq
     val c = corpus(spark, dir)
     val model = Pq.train(c, col("emb"), m = 8, ksub = 16, iters = 2)
-    lastPqModel = Some(model)
+    lastPqModel = Some((dir, model))
     val encoded = Pq.encodeCorpus(c, col("emb"), model).drop("emb")
     val queries = c.filter(col("id") < 10)
       .select(col("id").as("query_id"), col("emb").as("q_emb"))
@@ -117,7 +129,7 @@ object SimilarityQueries {
 
   /** Centroid model of the LAST qSemanticDedup invocation — same
     * oracle-generation contract as [[lastIvfModel]]. */
-  @volatile private[graft] var lastSemModel: Option[Array[Array[Float]]] = None
+  @volatile private[graft] var lastSemModel: Option[(String, Array[Array[Float]])] = None
 
   val SemTau = 0.35
 
@@ -125,12 +137,15 @@ object SimilarityQueries {
     * coarse quantizer reused as the cluster model), within-cell exact
     * cosine pairs. SQL-oracled via trained-centroid inlining
     * (SparkEntry.semOracle); within-cell-subset-of-exact additionally
-    * asserted in SimilaritySpec.
+    * asserted in SimilaritySpec. nCells = √n (Similarity.cellsFor): the
+    * within-cell pair join is O((n/nCells)²) per cell, so a fixed cell
+    * count would blow up quadratically as the corpus grows.
     */
   def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val cents = Similarity.trainCentroids(c, nCells = 16, iters = 2)
-    lastSemModel = Some(cents)
+    val cents = Similarity.trainCentroids(c,
+      nCells = Similarity.cellsFor(c.count()), iters = 2)
+    lastSemModel = Some((dir, cents))
     Similarity.clusteredNearDupPairs(c, cents, tau = SemTau)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -77,6 +77,32 @@ class JourneySpec extends SparkSpecBase {
     }
   }
 
+  test("gap fill: a pathological span fails loudly instead of exploding") {
+    import spark.implicits._
+    // one corrupt millennium timestamp next to normal activity: without the
+    // cap the densify would emit ~366k calendar rows for this one user;
+    // with it the job dies naming the user
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), 2.0),
+      (2L, java.sql.Timestamp.valueOf("1024-01-15 00:00:00"), 3.0), // corrupt
+      (2L, java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), 4.0)
+    ).toDF("user_id", "ts", "value")
+    val ex = intercept[Exception] {
+      JourneyQueries.gapFill(events).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(ex).mkString("\n")
+    assert(all.contains("gap-fill span overflow"), s"wrong failure: $all")
+    assert(all.contains("user 2"), s"overflow must name the user: $all")
+    // sane spans still densify (the guard's happy path is invisible)
+    val ok = JourneyQueries.gapFill(events.filter(col("user_id") === 1L))
+      .collect()
+    assert(ok.length === 6) // 2024-01-10..15 densified
+  }
+
   test("json props: extraction matches a regex pull, decade truncates") {
     val rows = JourneyQueries.qJsonProps(spark, sfDir).collect()
     assert(rows.nonEmpty)

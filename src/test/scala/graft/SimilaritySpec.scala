@@ -225,6 +225,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(reranked.size === exact.size)
   }
 
+  test("cellsFor scales cells with √n and keeps cell population bounded") {
+    import graft.ops.Similarity.cellsFor
+    // clamps: tiny corpora don't degenerate to one cell per point; the
+    // broadcast model is capped at 64k cells (≈16 MB at 64 dims) — the
+    // 1000-executor ceiling documented at cellsFor
+    assert(cellsFor(0) === 16)
+    assert(cellsFor(100) === 16)
+    assert(cellsFor(1000000) === 1000)
+    assert(cellsFor(100000000000L) === 65536)
+    // monotone: a bigger corpus never gets fewer cells
+    Seq(1L, 500L, 10000L, 1000000L, 10000000000L).sliding(2).foreach {
+      case Seq(a, b) => assert(cellsFor(a) <= cellsFor(b))
+      case _ =>
+    }
+    // on the real corpus: √n cells keep the max cell population within a
+    // constant factor of the n/nCells expectation — the invariant that
+    // bounds SemDeDup's within-cell O(|cell|²) pair join at any scale
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val n = corpus.count()
+    val nCells = cellsFor(n)
+    assert(nCells > 16 || n <= 256, "√n rule should exceed the floor here")
+    val cents = Similarity.trainCentroids(corpus, nCells, iters = 2)
+    val maxPop = corpus.withColumn("cell",
+        org.apache.spark.sql.graft.VectorColumns.ivfCell(
+          col("emb"), cents.flatten, nCells))
+      .groupBy("cell").count().agg(max("count")).head().getLong(0)
+    val expect = math.ceil(n.toDouble / nCells).toLong
+    assert(maxPop <= 8 * expect,
+      s"max cell population $maxPop vs expected $expect — skew this heavy " +
+        "defeats the within-cell pair bound")
+  }
+
   test("knn plan broadcasts the query side") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
