@@ -74,6 +74,7 @@ object SparkEntry {
     "q_ann_ivf" -> (SimilarityQueries.qAnnIvf _),
     "q_ann_pq" -> (SimilarityQueries.qAnnPq _),
     "q_minhash_neardup" -> (SimilarityQueries.qMinhashNearDup _),
+    "q_dedup_incremental" -> (SimilarityQueries.qDedupIncremental _),
     "q_simhash" -> (SimilarityQueries.qSimhash _),
     "q_winnow_neardup" -> (SimilarityQueries.qWinnowNearDup _),
     "q_ngram_jaccard" -> (SimilarityQueries.qNgramJaccard _),
@@ -876,6 +877,52 @@ object SparkEntry {
         |  CAST(len(list_filter(range(32), i -> sa[i+1] = sb[i+1])) AS DOUBLE) / 32.0
         |    AS est_jaccard
         |FROM pr ORDER BY doc_a, doc_b""".stripMargin,
+    // incremental dedup replay: both generations' sketches (the md5-lane
+    // minhash CTEs), the historical store contents (he = exact fps,
+    // hist-side bk rows = the band store), and both joins — exact-dup
+    // precedence over near-dup, canonical match = min historical id. The
+    // testdata has no exact cross-generation text dups (both engines emit
+    // zero exact_dup rows — the join still runs); the positive exact path
+    // is pinned in DedupSpec with crafted generations.
+    "q_dedup_incremental" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(1, len(ws) - 2),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sg
+        |  FROM w),
+        |hx AS (SELECT doc_id,
+        |    CAST(md5_number_lower(s) AS HUGEINT) AS h1,
+        |    CAST(md5_number_upper(s) AS HUGEINT) AS h2
+        |  FROM (SELECT doc_id, unnest(sg) AS s FROM sh)),
+        |g AS (SELECT doc_id, j, min((h1 + j*h2) % 18446744073709551616) AS gj
+        |  FROM hx CROSS JOIN (SELECT unnest(range(32)) AS j)
+        |  GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(gj ORDER BY j) AS sig FROM g GROUP BY doc_id),
+        |bk AS (SELECT doc_id, sig, band, list_slice(sig, band*4 + 1, band*4 + 4) AS bslice
+        |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)),
+        |fp AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |he AS (SELECT fp, min(doc_id) AS keep_id FROM fp WHERE doc_id % 5 <> 4 GROUP BY fp),
+        |ex AS (SELECT f.doc_id, he.keep_id AS exact_id FROM fp f JOIN he USING (fp)
+        |  WHERE f.doc_id % 5 = 4),
+        |cand AS (SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS hist_id,
+        |    b.sig AS sb, h.sig AS sh2
+        |  FROM bk b JOIN bk h ON b.band = h.band AND b.bslice = h.bslice
+        |  WHERE b.doc_id % 5 = 4 AND h.doc_id % 5 <> 4),
+        |near AS (SELECT doc_id, min(hist_id) AS near_id FROM cand
+        |  WHERE CAST(len(list_filter(range(32), i -> sb[i+1] = sh2[i+1])) AS DOUBLE)/32.0 >= 0.5
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CASE WHEN ex.exact_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN near.near_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'unique' END AS status,
+        |  COALESCE(ex.exact_id, near.near_id) AS match_id
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) b
+        |LEFT JOIN ex ON b.doc_id = ex.doc_id
+        |LEFT JOIN near ON b.doc_id = near.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // simhash replay via the 64-bit BIT LIST (sign of the per-bit vote sum):
     // chunk keys are 16-bit reassemblies of the bits, hamming = count of
     // differing bit positions = bit_count(xor) on the Spark side

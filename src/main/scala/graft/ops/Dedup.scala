@@ -35,24 +35,42 @@ object Dedup {
     * g_j = h1 + j*h2 mod 2^64, so building the signature is k array-mins
     * over longs — cheap arithmetic instead of k full string hashes.
     */
-  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
-      k: Int = 32, bands: Int = 8): DataFrame = {
+  /** Exploded LSH band rows of a signature frame (doc_id, __sig):
+    * one row per (doc, band) with the murmur3 `bkey` (cheap 4-byte SHUFFLE
+    * key) and the band-slice values themselves (`bslice` — the residual
+    * equality that makes the bucket rule EXACTLY "same band content": no
+    * false merges on 2^-32 murmur collisions, which is both the textbook
+    * LSH definition and what lets the DuckDB oracle replay the banding by
+    * joining on slice values). Shared by the all-pairs join and the
+    * incremental store, so the two paths cannot drift.
+    */
+  private[graft] def bandRows(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val sigs = df.select(id.as("doc_id"),
-      graft.functions.text.minhashSig(
-        graft.functions.text.wordShingles(text, 3), k).as("__sig"))
-    // bkey (murmur3 of the band slice) is the cheap 4-byte SHUFFLE key; the
-    // residual `bslice` equality makes the bucket rule EXACTLY "same band
-    // content" — no false merges on 2^-32 murmur collisions — which is both
-    // the textbook LSH definition and what lets the DuckDB oracle replay
-    // the banding by joining on the slice values themselves.
-    val buckets = sigs.select(col("doc_id"), col("__sig"),
+    sigs.select(col("doc_id"), col("__sig"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"struct(b AS band, hash(slice(__sig, b*$rows+1, $rows), b) AS bkey, " +
           s"slice(__sig, b*$rows+1, $rows) AS bslice))")).as("bk"))
       .select(col("doc_id"), col("__sig"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"),
         col("bk.bslice").as("bslice"))
+  }
+
+  /** Per-doc minhash sketch: exact fingerprint + k-lane signature — the
+    * row an incremental dedup STORE persists per historical document.
+    */
+  def minhashSketch(df: DataFrame, id: Column, text: Column,
+      k: Int = 32): DataFrame =
+    df.select(id.as("doc_id"),
+      TextAnalysis.fingerprint(text).as("fp"),
+      graft.functions.text.minhashSig(
+        graft.functions.text.wordShingles(text, 3), k).as("__sig"))
+
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
+      k: Int = 32, bands: Int = 8): DataFrame = {
+    val sigs = df.select(id.as("doc_id"),
+      graft.functions.text.minhashSig(
+        graft.functions.text.wordShingles(text, 3), k).as("__sig"))
+    val buckets = bandRows(sigs, k, bands)
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b,
@@ -66,6 +84,58 @@ object Dedup {
           .as("est_jaccard"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Incremental dedup of a NEW batch against a persisted historical
+    * sketch store — the production daily shape: the expensive work (the
+    * historical pair graph) is NEVER recomputed; per day the engine
+    * sketches only the new batch map-side and joins it against the store.
+    *
+    *  - `histExact`: (fp, keep_id) — one row per distinct historical
+    *    fingerprint with the canonical (min) doc id.
+    *  - `histBands`: persisted [[bandRows]] of the historical corpus.
+    *  - `batch`: today's [[minhashSketch]] rows.
+    *
+    * A batch doc is `exact_dup` when its fingerprint exists in history,
+    * else `near_dup` when it shares an LSH band with a historical doc at
+    * signature agreement ≥ `nearTau`, else `unique`. `match_id` is the
+    * minimal matching historical doc. Batch-internal duplicates are the
+    * CLASSIC dedup jobs' business (q_dedup_exact / q_minhash_neardup) —
+    * this operator is deliberately new-vs-history only.
+    *
+    * Scale shape: both joins key on small values (16-byte fp; band+bkey
+    * ints with the bslice residual). With the store bucketed by its join
+    * key (sources/Datalake bucketed writer) only the NEW side — a daily
+    * increment, orders of magnitude smaller than history — shuffles;
+    * history streams from bucketed parquet with zero exchange. The
+    * candidate count is bounded by banding exactly as in the all-pairs
+    * form.
+    */
+  def incrementalDedup(batch: DataFrame, histExact: DataFrame,
+      histBands: DataFrame, k: Int = 32, bands: Int = 8,
+      nearTau: Double = 0.5): DataFrame = {
+    val exact = batch.select(col("doc_id"), col("fp"))
+      .join(histExact, Seq("fp"), "left")
+      .select(col("doc_id"), col("keep_id").as("exact_id"))
+    val near = bandRows(batch.select(col("doc_id"), col("__sig")), k, bands)
+      .as("b")
+      .join(histBands.as("h"),
+        col("b.band") === col("h.band") && col("b.bkey") === col("h.bkey") &&
+          col("b.bslice") === col("h.bslice"))
+      .select(col("b.doc_id").as("doc_id"), col("h.doc_id").as("hist_id"),
+        graft.functions.text.sigAgreement(col("b.__sig"), col("h.__sig"))
+          .as("est"))
+      .filter(col("est") >= nearTau)
+      .groupBy(col("doc_id"))
+      .agg(min(col("hist_id")).as("near_id"))
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact_dup")
+          .when(col("near_id").isNotNull, "near_dup")
+          .otherwise("unique").as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"))
   }
 
   /** 64-bit SimHash per doc: per-token md5 lane (oracle-replayable), ±1

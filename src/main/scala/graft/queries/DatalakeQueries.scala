@@ -187,7 +187,7 @@ object DatalakeQueries {
     true
   }
 
-  private def tempLakeRoot(): String = {
+  private[graft] def tempLakeRoot(): String = {
     val root = Files.createTempDirectory("graft-lake")
     tempRoots.add(root.toFile)
     cleanupHookInstalled

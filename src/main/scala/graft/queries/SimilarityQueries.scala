@@ -173,6 +173,47 @@ object SimilarityQueries {
         col("doc_id"), col("text"), maxHamming = 16)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Incremental corpus dedup — the production DAILY shape: history's
+    * sketch store is PERSISTED in the lake (built once, by "yesterday's"
+    * job); today's batch is sketched map-side and joined against the
+    * store, so the cost per day is O(batch), never O(corpus) — no dedup
+    * query before this one had the incremental property (each re-derived
+    * every pair from scratch).
+    *
+    * Generations are modeled by a deterministic id split (doc_id % 5 == 4
+    * is today's crawl; documents carry no event time, so the events-table
+    * watermark gate isn't reusable here). The store round-trips through
+    * the Datalake formatted layer — (fp, keep_id) + band rows — exactly
+    * what a real deployment persists; at scale it is written BUCKETED by
+    * the join key so only the daily increment ever shuffles.
+    *
+    * Exact-oracled: DuckDB replays both generations' md5-lane sketches,
+    * the store contents, and both joins (SparkEntry: q_dedup_incremental).
+    */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Datalake
+    val docs = Tables.documents(spark, dir)
+    val hist = docs.filter(col("doc_id") % 5 =!= 4)
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val root = DatalakeQueries.tempLakeRoot()
+    // "yesterday's" job: sketch history once, persist the store
+    val histSk = Dedup.minhashSketch(hist, col("doc_id"), col("text"))
+    val exactPath = Datalake.path(root, Datalake.Formatted, "dedup", "exact_fp")
+    val bandsPath = Datalake.path(root, Datalake.Formatted, "dedup", "bands")
+    Datalake.writeParquet(
+      histSk.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id")),
+      exactPath)
+    Datalake.writeParquet(
+      Dedup.bandRows(histSk.select(col("doc_id"), col("__sig")), 32, 8),
+      bandsPath)
+    // "today's" job: batch sketch (map-side) vs the store read back
+    Dedup.incrementalDedup(
+        Dedup.minhashSketch(batch, col("doc_id"), col("text")),
+        spark.read.parquet(exactPath),
+        spark.read.parquet(bandsPath))
+      .orderBy(col("doc_id"))
+  }
+
   /** Length-blocked word-3gram Jaccard pairs on documents (rows-only). */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir),

@@ -82,6 +82,33 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental dedup: exact beats near, canonical min id, unique passes") {
+    // history = docs 1..5 (the suite corpus); today's batch carries an
+    // exact copy (normalizes to doc 1), a near-dup, and a fresh doc
+    val batch = Seq(
+      (10L, "The quick  brown fox jumps over the LAZY dog"), // exact (norm) of 1
+      (11L, "the quick brown fox jumps over the lazy wolf"), // near dup
+      (12L, "entirely novel text with no historical counterpart whatsoever")
+    ).toDF("doc_id", "text")
+    val histSk = Dedup.minhashSketch(docs, col("doc_id"), col("text"))
+    val out = Dedup.incrementalDedup(
+        Dedup.minhashSketch(batch, col("doc_id"), col("text")),
+        histSk.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id")),
+        Dedup.bandRows(histSk.select(col("doc_id"), col("__sig")), 32, 8))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // exact dup: fingerprint match wins even though bands also match;
+    // canonical = MIN historical id of the fp group (1, not 2 or 5)
+    assert(out(10L) === ("exact_dup", 1L))
+    // near dup: shares a band at agreement >= 0.5 with some historical
+    // near-duplicate; WHICH of the family matches is banding luck, but the
+    // match must be from the quick-brown-fox family (1,2,3,5), never 4
+    assert(out(11L)._1 === "near_dup")
+    assert(Set(1L, 2L, 3L, 5L).contains(out(11L)._2), s"got ${out(11L)._2}")
+    // unique: neither join fires
+    assert(out(12L) === ("unique", -1L))
+  }
+
   test("IVF-flat knn recalls most of the exact brute-force neighbors") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
