@@ -214,6 +214,66 @@ object EventStreams {
       }
   }
 
+  case class RetentionState(buf: List[Event], cohortDay: Option[Long])
+  case class RetentionActivity(user_id: Long, cohort_day: java.time.LocalDate,
+      day: java.time.LocalDate, day_offset: Long)
+
+  /** Streaming twin of JourneyQueries.qRetentionCohort — the second
+    * operator on the buffer-until-watermark pattern [[funnelChangelog]]
+    * proved out. Retention is order-sensitive the same way the funnel is:
+    * a LATE-arriving earlier event moves the user's cohort day backward,
+    * which would re-label every matrix cell the user ever contributed to —
+    * so nothing may be emitted until it can no longer change.
+    *
+    * The sealing rule that makes emissions final: an activity DAY is
+    * emitted only once the watermark passes the day's END — after which no
+    * event of that day can still arrive (the late filter drops it), so
+    * (a) every (user, day) cell is emitted EXACTLY once (all of a day's
+    * events ripen in the same fold), and (b) the cohort day is final at
+    * the user's first fold: ripe days seal earliest-first, and every
+    * still-buffered or future event has a day ≥ every sealed day.
+    *
+    * State per user = the O(1) cohort day + a buffer bounded by the
+    * watermark delay. Output is an append changelog of per-user activity
+    * cells (user, cohort_day, day, day_offset); the retention MATRIX is a
+    * plain aggregate over it — count(cells) per (cohort_day, offset) —
+    * which StreamingSpec proves equal to the batch qRetentionCohort on
+    * shuffled, straggler-delayed real events.
+    */
+  def retentionActivity(events: Dataset[Event],
+      watermarkDelay: String = "1 hour"): Dataset[RetentionActivity] = {
+    import events.sparkSession.implicits._
+    val DayMs = 86400000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionActivity](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[RetentionState]) =>
+          val prev = state.getOption.getOrElse(RetentionState(Nil, None))
+          val wm = state.getCurrentWatermarkMs
+          val buffered =
+            if (state.hasTimedOut) prev.buf
+            else evs.toList ::: prev.buf
+          def dayOf(e: Event): Long = math.floorDiv(e.ts.getTime, DayMs)
+          // ripe = the whole DAY is sealed (end-of-day at or behind the
+          // watermark), not merely the event — day-level finality is what
+          // guarantees exactly-once per (user, day) cell
+          val (ripe, rest) = buffered.partition(e => (dayOf(e) + 1) * DayMs <= wm)
+          val ripeDays = ripe.map(dayOf).distinct.sorted
+          val cohort = (prev.cohortDay.toList ++ ripeDays)
+            .reduceOption(_ min _)
+          state.update(RetentionState(rest, cohort))
+          if (rest.nonEmpty || !state.hasTimedOut)
+            state.setTimeoutTimestamp(wm + 1)
+          val c = cohort.getOrElse(0L) // ripeDays nonEmpty => cohort defined
+          ripeDays.iterator.map { d =>
+            RetentionActivity(userId, java.time.LocalDate.ofEpochDay(c),
+              java.time.LocalDate.ofEpochDay(d), d - c)
+          }
+      }
+  }
+
   /** Gap-based sessionization (30 min) with typed per-key state +
     * event-time timeout: the streaming twin of EventQueries.qSessionize.
     * State per user is O(1); a session emits when a later event arrives past

@@ -203,6 +203,61 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming retention activity converges to the batch cohort matrix under out-of-order delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the funnel test's disorder harness: three time chunks, shuffled
+    // within, stragglers delivered one batch late (inside the 1h delay)
+    val all = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val raw = all.grouped(math.max(1, all.length / 3 + 1)).toSeq.map(_.toSeq)
+    val shifted = raw.indices.map { i =>
+      val boundary = raw(i).last.ts.getTime
+      val (late, keep) =
+        raw(i).partition(e => boundary - e.ts.getTime < 30L * 60 * 1000)
+      val fromPrev = if (i == 0) Nil else {
+        val pb = raw(i - 1).last.ts.getTime
+        raw(i - 1).filter(e => pb - e.ts.getTime < 30L * 60 * 1000)
+      }
+      val mine = if (i == raw.length - 1) keep ++ late else keep
+      new scala.util.Random(7).shuffle(mine ++ fromPrev)
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.retentionActivity(input.toDS())
+      .writeStream.format("memory").queryName("retention")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      shifted.foreach { c => input.addData(c); q.processAllAvailable() }
+      // seal the LAST DAY: the day-level ripeness rule needs the watermark
+      // (maxTs - 1h) past the final day's END, so flush 3 days ahead
+      input.addData(Event(Long.MaxValue,
+        new Timestamp(all.last.ts.getTime + 3L * 86400L * 1000), -1L, "view", 0.0))
+      q.processAllAvailable()
+      // each (user, day) cell arrives EXACTLY once -> the matrix is a
+      // plain count aggregate of the changelog
+      val stream = spark.sql(
+        """SELECT CAST(cohort_day AS STRING) AS cd, day_offset, COUNT(*) AS n
+          |FROM retention WHERE user_id >= 0
+          |GROUP BY 1, 2""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // exactly-once check: no (user, day) cell may appear twice
+      val dup = spark.sql(
+        """SELECT user_id, day, COUNT(*) AS n FROM retention
+          |GROUP BY 1, 2 HAVING COUNT(*) > 1""".stripMargin).collect()
+      assert(dup.isEmpty, s"cells emitted twice: ${dup.mkString(", ")}")
+      val batch = graft.queries.JourneyQueries.qRetentionCohort(spark, sfDir)
+        .collect()
+        .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+          r.getAs[Long]("day_offset")) -> r.getAs[Long]("n_active")).toMap
+      assert(stream === batch,
+        s"matrix mismatch: stream-only=${stream.toSet -- batch.toSet}, " +
+          s"batch-only=${batch.toSet -- stream.toSet}")
+    } finally q.stop()
+  }
+
   test("built-in session_window agrees with the typed sessionizer's sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
