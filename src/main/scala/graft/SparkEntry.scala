@@ -72,6 +72,7 @@ object SparkEntry {
     "q_ann_lsh" -> (SimilarityQueries.qAnnLsh _),
     "q_dedup_clusters" -> (SimilarityQueries.qDedupClusters _),
     "q_ann_ivf" -> (SimilarityQueries.qAnnIvf _),
+    "q_ann_ivf_quantized" -> (SimilarityQueries.qAnnIvfQuantized _),
     "q_ann_pq" -> (SimilarityQueries.qAnnPq _),
     "q_minhash_neardup" -> (SimilarityQueries.qMinhashNearDup _),
     "q_dedup_incremental" -> (SimilarityQueries.qDedupIncremental _),
@@ -157,7 +158,32 @@ object SparkEntry {
     * ties to the LOWEST cell — mirrors argmaxCosine's strict `>`). ONE
     * definition so the assignment rule cannot drift between oracles.
     */
-  private def centroidAssignCtes(cents: Array[Array[Float]]): String = {
+  /** The float corpus as the assignment CTE's `e` input. */
+  private val floatCorpusCte =
+    """e AS (SELECT vec_id AS id,
+      |    CAST(embedding AS DOUBLE[]) AS embd FROM embeddings)""".stripMargin
+
+  /** The int8-quantized-then-dequantized corpus as `e` — replays
+    * VectorKernels.quantize/dequantize BIT-FOR-BIT: DuckDB FLOAT
+    * arithmetic is true float32 (verified: FLOAT/FLOAT and FLOAT*FLOAT
+    * match numpy float32 exactly), scale = list_max(|x|)/127f, the code is
+    * Java Math.round's floor(x/scale + 0.5f), dequantize is code*scale in
+    * float — so `e` holds exactly the doubles the Spark kernel scores.
+    */
+  private val quantCorpusCtes =
+    """eq AS (SELECT vec_id AS id, embedding AS embf FROM embeddings),
+      |sc AS (SELECT id, embf,
+      |    list_max(list_transform(embf, x -> abs(x))) / CAST(127 AS FLOAT) AS scale
+      |  FROM eq),
+      |dq AS (SELECT id, CASE WHEN scale > 0 THEN
+      |      list_transform(embf, x ->
+      |        CAST(CAST(floor(x/scale + CAST(0.5 AS FLOAT)) AS INT) AS FLOAT) * scale)
+      |    ELSE list_transform(embf, x -> CAST(0 AS FLOAT)) END AS deqf
+      |  FROM sc),
+      |e AS (SELECT id, CAST(deqf AS DOUBLE[]) AS embd FROM dq)""".stripMargin
+
+  private def centroidAssignCtes(cents: Array[Array[Float]],
+      corpusCtes: String = floatCorpusCte): String = {
     def centLit(c: Array[Float]): String =
       c.map(v => v.toDouble.toString).mkString("[", ", ", "]")
     val centRows = cents.zipWithIndex
@@ -169,8 +195,7 @@ object SparkEntry {
     // DuckDB ORDER BY DESC and would desync assignment for a zero
     // embedding); the current generator never emits zero vectors, but the
     // oracle should not depend on that contract silently
-    s"""e AS (SELECT vec_id AS id,
-       |    CAST(embedding AS DOUBLE[]) AS embd FROM embeddings),
+    s"""$corpusCtes,
        |cents(cell, c) AS (VALUES
        |$centRows),
        |assigned AS (SELECT id, embd,
@@ -182,11 +207,11 @@ object SparkEntry {
        |  FROM e)""".stripMargin
   }
 
-  private def ivfOracle(cents: Array[Array[Float]]): String = {
+  private def ivfOracleFrom(cents: Array[Array[Float]], corpusCtes: String,
+      qCte: String): String = {
     import graft.queries.SimilarityQueries.{IvfK, IvfNProbe}
-    s"""WITH ${centroidAssignCtes(cents)},
-       |q AS (SELECT id AS query_id, embd AS q_embd
-       |  FROM e WHERE id < 10),
+    s"""WITH ${centroidAssignCtes(cents, corpusCtes)},
+       |$qCte,
        |probes AS (SELECT query_id, q_embd, cell FROM (
        |    SELECT q.query_id, q.q_embd, cents.cell,
        |      row_number() OVER (PARTITION BY q.query_id
@@ -202,6 +227,20 @@ object SparkEntry {
        |SELECT query_id, id AS neighbor_id, rank FROM cand WHERE rank <= $IvfK
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  private def ivfOracle(cents: Array[Array[Float]]): String =
+    ivfOracleFrom(cents, floatCorpusCte,
+      """q AS (SELECT id AS query_id, embd AS q_embd
+        |  FROM e WHERE id < 10)""".stripMargin)
+
+  /** Quantized-store IVF: corpus side scores the dequantized int8 codes;
+    * the QUERY side stays on the original floats (queries arrive as
+    * floats at serving time — only the stored corpus is quantized).
+    */
+  private def ivfQuantOracle(cents: Array[Array[Float]]): String =
+    ivfOracleFrom(cents, quantCorpusCtes,
+      """q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_embd
+        |  FROM embeddings WHERE vec_id < 10)""".stripMargin)
 
   /** The PQ oracle replays encode → LUT → ADC → shortlist → exact rerank
     * from the TRAINED codebook, matching the kernels bit-for-bit
@@ -292,6 +331,8 @@ object SparkEntry {
     staticOracleSql ++
       graft.queries.SimilarityQueries.lastIvfModel
         .map { case (_, c) => "q_ann_ivf" -> ivfOracle(c) } ++
+      graft.queries.SimilarityQueries.lastIvfQModel
+        .map { case (_, c) => "q_ann_ivf_quantized" -> ivfQuantOracle(c) } ++
       graft.queries.SimilarityQueries.lastPqModel
         .map { case (_, mdl) => "q_ann_pq" -> pqOracle(mdl) } ++
       graft.queries.SimilarityQueries.lastSemModel

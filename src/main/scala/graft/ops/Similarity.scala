@@ -278,15 +278,38 @@ object Similarity {
     * with the centroids inlined as literals, SparkEntry.ivfOracle).
     */
   def ivfFlatKnnWith(corpus: DataFrame, queries: DataFrame,
+      cents: Array[Array[Float]], k: Int, nProbe: Int): DataFrame =
+    ivfServe(corpus, col("emb"), queries, cents, k, nProbe)
+
+  /** IVF over the int8-QUANTIZED store — the real serving path at 100 TB:
+    * the scan reads dim+4 bytes per vector (4x less IO than floats), cell
+    * assignment and scoring dequantize on the fly inside the projection,
+    * and only ~nProbe/nCells of the (already 4x smaller) corpus shuffles.
+    * Composes [[quantizeCorpus]] with the IVF serve; recall vs the float
+    * IVF is pinned ≥ 0.95 in SimilaritySpec, and the registered query is
+    * exact-oracled — int8 quantize/dequantize replays bit-for-bit in
+    * DuckDB float32 arithmetic (SparkEntry.ivfQuantOracle).
+    */
+  def ivfFlatKnnQuantized(qcorpus: DataFrame, queries: DataFrame,
+      cents: Array[Array[Float]], k: Int, nProbe: Int): DataFrame =
+    ivfServe(qcorpus, graft.functions.vectors.dequantize(col("qemb")),
+      queries, cents, k, nProbe)
+
+  /** Shared IVF serve over any corpus-side embedding EXPRESSION (float
+    * column or on-the-fly dequantize) — one definition, so the float and
+    * quantized paths cannot drift.
+    */
+  private def ivfServe(corpus: DataFrame, emb: Column, queries: DataFrame,
       cents: Array[Array[Float]], k: Int, nProbe: Int): DataFrame = {
     val nCells = cents.length
     // corpus-side cell assignment: one reference-object expression call per
     // row (no literal blow-up); pure projection, so assignment never
     // shuffles the corpus.
     val assigned = corpus
+      .withColumn("__emb", emb)
       .withColumn("cell",
         org.apache.spark.sql.graft.VectorColumns.ivfCell(
-          col("emb"), cents.flatten, nCells))
+          col("__emb"), cents.flatten, nCells))
     // probe side stays on the array<struct<s,cell>> form: it needs the
     // TOP-nProbe cells, not just the argmax, and the query set is tiny
     def cellScores(emb: Column): Column = array(cents.zipWithIndex.map {
@@ -300,6 +323,6 @@ object Similarity {
       .select(col("query_id"), col("q_emb"), col("__probe.cell").as("cell"))
     // per-query top-k via the shared bounded-heap serving tail
     topkServe(assigned.join(broadcast(probes), "cell"),
-      cosineSim(col("q_emb"), col("emb")), k)
+      cosineSim(col("q_emb"), col("__emb")), k)
   }
 }

@@ -78,6 +78,7 @@ object SimilarityQueries {
   /** True iff every populated model cache was trained on `dir`. */
   private[graft] def modelsConsistentWith(dir: String): Boolean =
     (lastIvfModel.iterator.map(_._1) ++
+      lastIvfQModel.iterator.map(_._1) ++
       lastPqModel.iterator.map(_._1) ++
       lastSemModel.iterator.map(_._1)).forall(_ == dir)
 
@@ -98,6 +99,31 @@ object SimilarityQueries {
       nCells = Similarity.cellsFor(c.count()), iters = 2)
     lastIvfModel = Some((dir, cents))
     Similarity.ivfFlatKnnWith(c, queries, cents, k = IvfK, nProbe = IvfNProbe)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Centroid model of the LAST qAnnIvfQuantized invocation — same
+    * oracle-generation contract as [[lastIvfModel]]. */
+  @volatile private[graft] var lastIvfQModel: Option[(String, Array[Array[Float]])] = None
+
+  /** IVF over the int8-QUANTIZED store — the true 100 TB serving path:
+    * the corpus scan reads dim+4 bytes per vector (4x less IO), cell
+    * assignment and scoring dequantize on the fly, only ~nProbe/nCells of
+    * the smaller store shuffles; queries stay on their original floats.
+    * Exact-oracled: DuckDB's float32 arithmetic replays quantize →
+    * dequantize → assignment → probe → serve bit-for-bit
+    * (SparkEntry.ivfQuantOracle); recall ≥ 0.95 vs the float IVF is
+    * pinned in SimilaritySpec.
+    */
+  def qAnnIvfQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val queries = c.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val cents = Similarity.trainCentroids(c,
+      nCells = Similarity.cellsFor(c.count()), iters = 2)
+    lastIvfQModel = Some((dir, cents))
+    Similarity.ivfFlatKnnQuantized(Similarity.quantizeCorpus(c), queries,
+        cents, k = IvfK, nProbe = IvfNProbe)
       .orderBy(col("query_id"), col("rank"))
   }
 

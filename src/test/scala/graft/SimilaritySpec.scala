@@ -258,6 +258,25 @@ class SimilaritySpec extends SparkSpecBase {
         "defeats the within-cell pair bound")
   }
 
+  test("quantized IVF end-to-end: int8 codes inside probed cells, recall vs float IVF") {
+    import graft.ops.Similarity.cellsFor
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val queries = corpus.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val cents = Similarity.trainCentroids(corpus, cellsFor(corpus.count()), iters = 2)
+    val floatIvf = Similarity.ivfFlatKnnWith(corpus, queries, cents, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quantIvf = Similarity.ivfFlatKnnQuantized(
+        Similarity.quantizeCorpus(corpus), queries, cents, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(quantIvf.size === floatIvf.size, "both paths must return k per query")
+    val recall = (quantIvf intersect floatIvf).size.toDouble / floatIvf.size
+    assert(recall >= 0.95,
+      s"quantized IVF recall $recall vs float IVF — int8 error should cost " +
+        "almost nothing at this k")
+  }
+
   test("knn plan broadcasts the query side") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
