@@ -114,10 +114,18 @@ object Dedup {
   def incrementalDedup(batch: DataFrame, histExact: DataFrame,
       histBands: DataFrame, k: Int = 32, bands: Int = 8,
       nearTau: Double = 0.5): DataFrame = {
-    val exact = batch.select(col("doc_id"), col("fp"))
+    // both store joins are shuffle_hash with the BATCH as the build side:
+    // the daily increment is orders of magnitude smaller than history, so
+    // per partition the hash map is tiny while the store STREAMS through
+    // the probe side — and with the store bucketed on the join key, the
+    // store side needs no exchange at all. The planner's default here is a
+    // sort-merge join, which would SORT the full history side every run —
+    // exactly the O(corpus) cost the incremental design exists to avoid.
+    val exact = batch.select(col("doc_id"), col("fp")).hint("shuffle_hash")
       .join(histExact, Seq("fp"), "left")
       .select(col("doc_id"), col("keep_id").as("exact_id"))
     val near = bandRows(batch.select(col("doc_id"), col("__sig")), k, bands)
+      .hint("shuffle_hash")
       .as("b")
       .join(histBands.as("h"),
         col("b.band") === col("h.band") && col("b.bkey") === col("h.bkey") &&
@@ -128,9 +136,10 @@ object Dedup {
       .filter(col("est") >= nearTau)
       .groupBy(col("doc_id"))
       .agg(min(col("hist_id")).as("near_id"))
-    batch.select(col("doc_id"))
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
+    // `exact` already carries EVERY batch doc (left join), so it drives
+    // the assembly — one co-partitioned shuffle_hash join on doc_id, not
+    // two sort-merge joins re-sorting batch-sized frames
+    exact.join(near.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("exact_id").isNotNull, "exact_dup")
           .when(col("near_id").isNotNull, "near_dup")

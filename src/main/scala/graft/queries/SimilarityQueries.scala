@@ -240,7 +240,8 @@ object SimilarityQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Length-blocked word-3gram Jaccard pairs on documents (rows-only). */
+  /** Inverted-index word-3gram Jaccard pairs on documents (exact SQL
+    * oracle: DuckDB computes the same Jaccard over distinct shingles). */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
         col("doc_id"), col("text"), minJaccard = 0.03)

@@ -109,6 +109,25 @@ class DedupSpec extends SparkSpecBase {
     assert(out(12L) === ("unique", -1L))
   }
 
+  test("incremental dedup plan: store joins are shuffle_hash, zero sort-merge") {
+    // the incremental design exists to avoid O(corpus) work per day — a
+    // sort-merge join would re-SORT the full history side every run, and
+    // the planner picks exactly that without the hints. Build side must be
+    // the (small) batch; the bucketed store streams through the probe side.
+    val batch = Seq((10L, "some fresh text here")).toDF("doc_id", "text")
+    val histSk = Dedup.minhashSketch(docs, col("doc_id"), col("text"))
+    val df = Dedup.incrementalDedup(
+      Dedup.minhashSketch(batch, col("doc_id"), col("text")),
+      histSk.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id")),
+      Dedup.bandRows(histSk.select(col("doc_id"), col("__sig")), 32, 8))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin"),
+      s"incremental dedup must not sort the history store:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffle_hash joins:\n$plan")
+  }
+
   test("IVF-flat knn recalls most of the exact brute-force neighbors") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
