@@ -158,6 +158,32 @@ object SparkEntry {
     * ties to the LOWEST cell — mirrors argmaxCosine's strict `>`). ONE
     * definition so the assignment rule cannot drift between oracles.
     */
+  /** ONE definition of the md5-lane minhash signature + banding CTEs
+    * (w → sh → hx → g → sig → bk over `documents`), shared by every
+    * oracle that replays the sketch (q_minhash_neardup,
+    * q_dedup_incremental) — the sketch parameters (3-gram shingles, k=32,
+    * 8 bands × 4 rows) exist in exactly one SQL rendering, so an edit
+    * cannot desync one oracle from the shared Spark kernel.
+    */
+  private val minhashSigCtes =
+    """w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |      ELSE list_transform(generate_series(1, len(ws) - 2),
+      |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sg
+      |  FROM w),
+      |hx AS (SELECT doc_id,
+      |    CAST(md5_number_lower(s) AS HUGEINT) AS h1,
+      |    CAST(md5_number_upper(s) AS HUGEINT) AS h2
+      |  FROM (SELECT doc_id, unnest(sg) AS s FROM sh)),
+      |g AS (SELECT doc_id, j, min((h1 + j*h2) % 18446744073709551616) AS gj
+      |  FROM hx CROSS JOIN (SELECT unnest(range(32)) AS j)
+      |  GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id, list(gj ORDER BY j) AS sig FROM g GROUP BY doc_id),
+      |bk AS (SELECT doc_id, sig, band, list_slice(sig, band*4 + 1, band*4 + 4) AS bslice
+      |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band))""".stripMargin
+
   /** The float corpus as the assignment CTE's `e` input. */
   private val floatCorpusCte =
     """e AS (SELECT vec_id AS id,
@@ -166,9 +192,14 @@ object SparkEntry {
   /** The int8-quantized-then-dequantized corpus as `e` — replays
     * VectorKernels.quantize/dequantize BIT-FOR-BIT: DuckDB FLOAT
     * arithmetic is true float32 (verified: FLOAT/FLOAT and FLOAT*FLOAT
-    * match numpy float32 exactly), scale = list_max(|x|)/127f, the code is
-    * Java Math.round's floor(x/scale + 0.5f), dequantize is code*scale in
-    * float — so `e` holds exactly the doubles the Spark kernel scores.
+    * match numpy float32 exactly), scale = list_max(|x|)/127f, dequantize
+    * is code*scale in float — so `e` holds exactly the doubles the Spark
+    * kernel scores. The rounding replay is floor(DOUBLE(x/scale) + 0.5):
+    * JDK 7+ Math.round(float) is EXACT round-half-up (JDK-6430675), NOT
+    * floor(f + 0.5f) — the float-domain add rounds up at values just
+    * below k+0.5 (e.g. 0.49999997f + 0.5f == 1.0f while Math.round gives
+    * 0); float→double widening and the double +0.5 are both exact for
+    * |x/scale| ≤ 127, so the double-domain floor IS Math.round.
     */
   private val quantCorpusCtes =
     """eq AS (SELECT vec_id AS id, embedding AS embf FROM embeddings),
@@ -177,7 +208,7 @@ object SparkEntry {
       |  FROM eq),
       |dq AS (SELECT id, CASE WHEN scale > 0 THEN
       |      list_transform(embf, x ->
-      |        CAST(CAST(floor(x/scale + CAST(0.5 AS FLOAT)) AS INT) AS FLOAT) * scale)
+      |        CAST(CAST(floor(CAST(x/scale AS DOUBLE) + 0.5) AS INT) AS FLOAT) * scale)
       |    ELSE list_transform(embf, x -> CAST(0 AS FLOAT)) END AS deqf
       |  FROM sc),
       |e AS (SELECT id, CAST(deqf AS DOUBLE[]) AS embd FROM dq)""".stripMargin
@@ -893,23 +924,7 @@ object SparkEntry {
     // unsigned on both engines (UBIGINT there, Long.compareUnsigned here).
     // Kirsch-Mitzenmacher g_j = h1 + j*h2 wraps mod 2^64 → HUGEINT % 2^64.
     "q_minhash_neardup" ->
-      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
-        |  FROM documents),
-        |sh AS (SELECT doc_id,
-        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-        |      ELSE list_transform(generate_series(1, len(ws) - 2),
-        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sg
-        |  FROM w),
-        |hx AS (SELECT doc_id,
-        |    CAST(md5_number_lower(s) AS HUGEINT) AS h1,
-        |    CAST(md5_number_upper(s) AS HUGEINT) AS h2
-        |  FROM (SELECT doc_id, unnest(sg) AS s FROM sh)),
-        |g AS (SELECT doc_id, j, min((h1 + j*h2) % 18446744073709551616) AS gj
-        |  FROM hx CROSS JOIN (SELECT unnest(range(32)) AS j)
-        |  GROUP BY doc_id, j),
-        |sig AS (SELECT doc_id, list(gj ORDER BY j) AS sig FROM g GROUP BY doc_id),
-        |bk AS (SELECT doc_id, sig, band, list_slice(sig, band*4 + 1, band*4 + 4) AS bslice
-        |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)),
+      s"""WITH $minhashSigCtes,
         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.sig AS sa, b.sig AS sb
         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bslice = b.bslice
@@ -918,32 +933,16 @@ object SparkEntry {
         |  CAST(len(list_filter(range(32), i -> sa[i+1] = sb[i+1])) AS DOUBLE) / 32.0
         |    AS est_jaccard
         |FROM pr ORDER BY doc_a, doc_b""".stripMargin,
-    // incremental dedup replay: both generations' sketches (the md5-lane
-    // minhash CTEs), the historical store contents (he = exact fps,
-    // hist-side bk rows = the band store), and both joins — exact-dup
+    // incremental dedup replay: both generations' sketches (the shared
+    // md5-lane minhash CTEs), the historical store contents (he = exact
+    // fps, hist-side bk rows = the band store), and both joins — exact-dup
     // precedence over near-dup, canonical match = min historical id. The
     // testdata has no exact cross-generation text dups (both engines emit
     // zero exact_dup rows — the join still runs); the positive exact path
     // is pinned in DedupSpec with crafted generations.
     "q_dedup_incremental" ->
-      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
-        |  FROM documents),
-        |sh AS (SELECT doc_id,
-        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-        |      ELSE list_transform(generate_series(1, len(ws) - 2),
-        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS sg
-        |  FROM w),
-        |hx AS (SELECT doc_id,
-        |    CAST(md5_number_lower(s) AS HUGEINT) AS h1,
-        |    CAST(md5_number_upper(s) AS HUGEINT) AS h2
-        |  FROM (SELECT doc_id, unnest(sg) AS s FROM sh)),
-        |g AS (SELECT doc_id, j, min((h1 + j*h2) % 18446744073709551616) AS gj
-        |  FROM hx CROSS JOIN (SELECT unnest(range(32)) AS j)
-        |  GROUP BY doc_id, j),
-        |sig AS (SELECT doc_id, list(gj ORDER BY j) AS sig FROM g GROUP BY doc_id),
-        |bk AS (SELECT doc_id, sig, band, list_slice(sig, band*4 + 1, band*4 + 4) AS bslice
-        |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band)),
-        |fp AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      s"""WITH $minhashSigCtes,
+        |fp AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
         |  FROM documents),
         |he AS (SELECT fp, min(doc_id) AS keep_id FROM fp WHERE doc_id % 5 <> 4 GROUP BY fp),
         |ex AS (SELECT f.doc_id, he.keep_id AS exact_id FROM fp f JOIN he USING (fp)

@@ -16,9 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // a clean re-run into a previously-failed outDir must not inherit the
-    // stale failure marker (parquet dirs are overwritten, the marker isn't)
-    Files.deleteIfExists(Paths.get(s"$outDir/_failures.txt"))
+    // a re-run into a used outDir must not inherit ANY stale end-of-run
+    // artifact: the failure marker (a clean re-run would gate red), and
+    // the manifest + oracles (a run that dies mid-loop would otherwise
+    // leave fresh parquet next to an old manifest/oracle set, and
+    // check_oracle would validate the partial snapshot as green)
+    Seq("_failures.txt", "queries.txt", "oracle_sql.json").foreach(f =>
+      Files.deleteIfExists(Paths.get(s"$outDir/$f")))
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
