@@ -274,6 +274,92 @@ object EventStreams {
       }
   }
 
+  case class GapFillState(buf: List[Event],
+      cursor: Option[(Long, Long, Double)]) // (lastEmittedDay, lastActiveDay, filledTotal)
+  case class GapFillOut(user_id: Long, day: java.time.LocalDate,
+      n_events: Long, filled_total: Double, days_since_active: Long,
+      is_active: Boolean)
+
+  /** Streaming twin of JourneyQueries.gapFill — the third operator on the
+    * day-sealed buffer-until-watermark pattern. The batch query densifies
+    * each user's calendar between first and last activity day and
+    * forward-fills the last observed daily total; the stream emits those
+    * SAME dense rows incrementally as days seal (watermark past the day's
+    * end), including the empty gap days between sealed activity days.
+    *
+    * Why sealing matters here: a day's n_events / day_total and whether a
+    * calendar day is a gap at all are only final once no event of that day
+    * can still arrive; emitting earlier would need retractions. Once an
+    * activity day seals, every earlier calendar day is also sealed, so the
+    * dense range (previous cursor, newest sealed activity day] is emitted
+    * in one pass and the cursor advances — exactly-once per (user, day).
+    * Trailing gap days after the newest sealed ACTIVITY day are not
+    * emitted, matching the batch densify's min..max day range.
+    *
+    * State per user = O(1) cursor (last emitted day, last active day,
+    * running filled total) + the watermark-bounded buffer. Daily totals
+    * fold in the exact decimal domain (each value rounded to cents, summed
+    * exactly — the ops.Agg.decSum2 contract) so the changelog converges
+    * bit-for-bit to the batch plan's DECIMAL(18,2) sums; StreamingSpec
+    * proves stream == batch on shuffled, straggler-delayed real events.
+    */
+  def gapFillChangelog(events: Dataset[Event],
+      watermarkDelay: String = "1 hour"): Dataset[GapFillOut] = {
+    import events.sparkSession.implicits._
+    val DayMs = 86400000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapFillState, GapFillOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[GapFillState]) =>
+          val prev = state.getOption.getOrElse(GapFillState(Nil, None))
+          val wm = state.getCurrentWatermarkMs
+          val buffered =
+            if (state.hasTimedOut) prev.buf
+            else evs.toList ::: prev.buf
+          def dayOf(e: Event): Long = math.floorDiv(e.ts.getTime, DayMs)
+          val (ripe, rest) = buffered.partition(e => (dayOf(e) + 1) * DayMs <= wm)
+          state.update(prev.copy(buf = rest)) // cursor updated below if folding
+          if (rest.nonEmpty || !state.hasTimedOut)
+            state.setTimeoutTimestamp(wm + 1)
+          if (ripe.isEmpty) Iterator.empty
+          else {
+            val byDay = ripe.groupBy(dayOf)
+            // exact decimal fold: round each value to cents, sum exactly,
+            // ONE double conversion — order-independent and equal to the
+            // batch plan's sum(cast(value as DECIMAL(18,2))) cast double
+            def decSum(es: List[Event]): Double =
+              es.map(e => BigDecimal(e.value)
+                  .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP))
+                .sum.toDouble
+            val maxActive = byDay.keys.max
+            var (cursor, lastActive, filled) = prev.cursor match {
+              case Some((c, a, f)) => (c, a, f)
+              case None =>
+                val first = byDay.keys.min
+                (first - 1, first, 0.0) // emission starts at the first day
+            }
+            val out = List.newBuilder[GapFillOut]
+            var d = cursor + 1
+            while (d <= maxActive) {
+              byDay.get(d) match {
+                case Some(es) =>
+                  filled = decSum(es); lastActive = d
+                  out += GapFillOut(userId, java.time.LocalDate.ofEpochDay(d),
+                    es.length.toLong, filled, 0L, is_active = true)
+                case None =>
+                  out += GapFillOut(userId, java.time.LocalDate.ofEpochDay(d),
+                    0L, filled, d - lastActive, is_active = false)
+              }
+              d += 1
+            }
+            state.update(GapFillState(rest, Some((maxActive, lastActive, filled))))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization (30 min) with typed per-key state +
     * event-time timeout: the streaming twin of EventQueries.qSessionize.
     * State per user is O(1); a session emits when a later event arrives past

@@ -258,6 +258,66 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming gap-fill changelog converges to the batch densify under out-of-order delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+    val all = src.as[Event].collect().sortBy(_.ts.getTime)
+    val raw = all.grouped(math.max(1, all.length / 3 + 1)).toSeq.map(_.toSeq)
+    val shifted = raw.indices.map { i =>
+      val boundary = raw(i).last.ts.getTime
+      val (late, keep) =
+        raw(i).partition(e => boundary - e.ts.getTime < 30L * 60 * 1000)
+      val fromPrev = if (i == 0) Nil else {
+        val pb = raw(i - 1).last.ts.getTime
+        raw(i - 1).filter(e => pb - e.ts.getTime < 30L * 60 * 1000)
+      }
+      val mine = if (i == raw.length - 1) keep ++ late else keep
+      new scala.util.Random(13).shuffle(mine ++ fromPrev)
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.gapFillChangelog(input.toDS())
+      .writeStream.format("memory").queryName("gapfill")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      shifted.foreach { c => input.addData(c); q.processAllAvailable() }
+      // seal every real day (watermark = maxTs - 1h must pass the last
+      // day's end) — flush 3 days ahead
+      input.addData(Event(Long.MaxValue,
+        new Timestamp(all.last.ts.getTime + 3L * 86400L * 1000), -1L, "view", 0.0))
+      q.processAllAvailable()
+      val stream = spark.sql(
+        """SELECT user_id, CAST(day AS STRING) AS day, n_events,
+          |  filled_total, days_since_active, is_active
+          |FROM gapfill WHERE user_id >= 0""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getBoolean(5))))
+      // exactly-once: one row per (user, day)
+      assert(stream.map(_._1).distinct.length === stream.length,
+        "duplicate (user, day) rows in the changelog")
+      // batch over the SAME coalesced input (the registered q_gap_fill
+      // reads raw nullable values; the stream's Event type cannot carry
+      // nulls, so the oracle here is gapFill over the coalesced frame)
+      val batch = graft.queries.JourneyQueries.gapFill(src)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Date]("day").toString) ->
+          ((r.getAs[Long]("n_events"), r.getAs[Double]("filled_total"),
+            r.getAs[Long]("days_since_active"), r.getAs[Boolean]("is_active"))))
+        .toMap
+      val streamMap = stream.toMap
+      assert(streamMap.keySet === batch.keySet,
+        s"calendar mismatch: stream-only=${streamMap.keySet -- batch.keySet take 5}, " +
+          s"batch-only=${batch.keySet -- streamMap.keySet take 5}")
+      batch.foreach { case (k, exp) =>
+        assert(streamMap(k) === exp, s"cell $k: stream ${streamMap(k)} vs batch $exp")
+      }
+    } finally q.stop()
+  }
+
   test("built-in session_window agrees with the typed sessionizer's sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
