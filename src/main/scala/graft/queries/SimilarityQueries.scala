@@ -246,9 +246,17 @@ object SimilarityQueries {
     Datalake.writeParquet(
       Dedup.bandRows(histSk.select(col("doc_id"), col("__sig")), 32, 8),
       bandsPath)
-    // "today's" job: batch sketch (map-side) vs the store read back
+    // "today's" job: the batch sketch is WRITTEN FIRST — it is both the
+    // join input and the store increment the next generation appends
+    // (sketch each doc exactly once, ever). Reading it back also stops
+    // the dedup plan's two store joins from re-sketching the batch in
+    // each forked subtree.
+    val batchSkPath =
+      Datalake.path(root, Datalake.Formatted, "dedup", "batch_sketch")
+    Datalake.writeParquet(
+      Dedup.minhashSketch(batch, col("doc_id"), col("text")), batchSkPath)
     Dedup.incrementalDedup(
-        Dedup.minhashSketch(batch, col("doc_id"), col("text")),
+        spark.read.parquet(batchSkPath),
         spark.read.parquet(exactPath),
         spark.read.parquet(bandsPath))
       .orderBy(col("doc_id"))
