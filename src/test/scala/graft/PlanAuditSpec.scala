@@ -147,6 +147,23 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("__salt"), s"salt key missing from join:\n$plan")
   }
 
+  test("IVF paths: probes broadcast, corpus never hash-shuffles before the join") {
+    // the IVF scale contract: cell assignment is a map-side projection and
+    // the probe set is broadcast, so the ONLY hash exchange in the plan is
+    // the bounded-heap top-k aggregate (k rows/query/partition) — the
+    // corpus itself, float or quantized, never shuffles for the join
+    Seq("q_ann_ivf" -> SimilarityQueries.qAnnIvf _,
+        "q_ann_ivf_quantized" -> SimilarityQueries.qAnnIvfQuantized _)
+      .foreach { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val hashExch = "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(hashExch === 1,
+          s"$name: expected ONE hash exchange (the top-k agg), got $hashExch:\n$plan")
+        assert(plan.contains("BroadcastExchange"),
+          s"$name: probe side must broadcast:\n$plan")
+      }
+  }
+
   test("similarity sketch queries keep their single shuffle per side") {
     // buckets self-join: explode → one hash-partition exchange per side (the
     // sketch/bucket shape), never a range/cartesian fallback
