@@ -33,6 +33,43 @@ object CorpusStreams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
 
+  /** Streaming arrival form of the incremental dedup (ops.Dedup
+    * .incrementalDedup): each micro-batch of newly crawled documents is
+    * ONE "daily batch" — sketched once, its sketch landed as a store
+    * increment (epoch-keyed dir: overwrite-on-replay = idempotent, the
+    * exportJsonl pattern), then statused against the PERSISTED historical
+    * store. The batch operator is reused wholesale inside foreachBatch, so
+    * stream and batch cannot disagree on dedup semantics — and because
+    * the operator is new-vs-history only (batch-internal dups are the
+    * classic jobs' business), chunking the arrival into micro-batches is
+    * EXACT: the union of per-epoch results equals one batch run over the
+    * union (proven in CorpusStreamSpec).
+    *
+    * No streaming state at all: the sketch is a projection, the joins are
+    * against static frames — the cheapest correct form, and the store
+    * increments feed the next store compaction.
+    */
+  def incrementalDedupStream(docs: DataFrame, histExact: DataFrame,
+      histBands: DataFrame, storeIncrementDir: String, resultDir: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val skPath = s"$storeIncrementDir/epoch=$epoch"
+        graft.sources.Datalake.writeParquet(
+          graft.ops.Dedup.minhashSketch(batch, col("doc_id"), col("text")),
+          skPath)
+        graft.sources.Datalake.writeParquet(
+          graft.ops.Dedup.incrementalDedup(
+            batch.sparkSession.read.parquet(skPath), histExact, histBands),
+          s"$resultDir/epoch=$epoch")
+      }
+      .start()
+
   /** Stateless streaming clean: the same scan-side signals as the batch
     * funnel (language ID, quality score, normal-form fingerprint), keeping
     * English docs above the quality bar. Identical thresholds to

@@ -49,6 +49,57 @@ class CorpusStreamSpec extends SparkSpecBase {
       s"a micro-batch exceeded one file: ${maxBatchRows.get()}")
   }
 
+  test("streaming incremental dedup: union of micro-batch results equals one batch run") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hist = docs.filter(col("doc_id") % 5 =!= 4)
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    // persisted store (yesterday's job)
+    val histSk = Dedup.minhashSketch(hist, col("doc_id"), col("text"))
+    val exact = histSk.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val bands = Dedup.bandRows(histSk.select(col("doc_id"), col("__sig")), 32, 8)
+    // today's crawl lands as TWO file drops → two micro-batches. The file
+    // source does not recurse into non-partition subdirs, so each drop
+    // must be a parquet FILE in dropDir, not a write-output directory
+    val dropDir = Files.createTempDirectory("graft-incr-drops")
+    def land(df: DataFrame, name: String): Unit = {
+      val stage = Files.createTempDirectory("graft-incr-stage").resolve("out")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, dropDir.resolve(name))
+    }
+    land(batch.filter(col("doc_id") % 2 === 0), "drop1.parquet")
+    land(batch.filter(col("doc_id") % 2 =!= 0), "drop2.parquet")
+    val incDir = Files.createTempDirectory("graft-incr-store").toString
+    val resDir = Files.createTempDirectory("graft-incr-res").toString
+    val q = CorpusStreams.incrementalDedupStream(
+      CorpusStreams.readDocFiles(spark, dropDir.toString, docSchema, 1)
+        .select(col("doc_id"), col("text")),
+      exact, bands, incDir, resDir,
+      Files.createTempDirectory("graft-incr-ckpt").toString)
+    try assert(q.awaitTermination(120000) || { q.stop(); !q.isActive })
+    finally if (q.isActive) q.stop()
+    val streamed = spark.read.parquet(resDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"),
+          Option(r.getAs[java.lang.Long]("match_id"))))).toMap
+    val once = Dedup.incrementalDedup(
+        Dedup.minhashSketch(batch, col("doc_id"), col("text")), exact, bands)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"),
+          Option(r.getAs[java.lang.Long]("match_id"))))).toMap
+    // new-vs-history only => chunking the arrival is exact
+    assert(streamed === once,
+      s"stream-only=${streamed.toSet -- once.toSet}, batch-only=${once.toSet -- streamed.toSet}")
+    // the store increments landed (one sketch dir per epoch, ready to
+    // compact into tomorrow's store)
+    val inc = spark.read.parquet(incDir)
+    assert(inc.count() === batch.count())
+  }
+
   test("streaming clean agrees with the batch funnel signals on the same docs") {
     val dir = Files.createTempDirectory("graft-cleanstream")
     Files.copy(Paths.get(s"$sfDir/documents.parquet"),
