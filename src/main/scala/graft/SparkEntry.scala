@@ -86,6 +86,7 @@ object SparkEntry {
     "q_pii_scrub" -> (CorpusQueries.qPiiScrub _),
     "q_repetition_filter" -> (CorpusQueries.qRepetitionFilter _),
     "q_corpus_pipeline" -> (CorpusQueries.qCorpusPipeline _),
+    "q_shard_shuffle" -> (CorpusQueries.qShardShuffle _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1209,6 +1210,24 @@ object SparkEntry {
         |SELECT event_id, k, k IS NOT NULL AS has_k,
         |  k - (k % 10) AS k_decade
         |FROM k ORDER BY event_id""".stripMargin,
+    // the two-phase enumeration (bounded subbucket counts + offsets +
+    // within-subbucket row_number) equals ONE window ranked by
+    // (subbucket, key, doc_id) within the shard — which is how the oracle
+    // replays it; shard/subbucket are ascii arithmetic on md5 hex chars,
+    // identical in both engines
+    "q_shard_shuffle" ->
+      """WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key
+        |  FROM documents),
+        |d AS (SELECT doc_id, key,
+        |    (ascii(substring(key,1,1)) - CASE WHEN ascii(substring(key,1,1)) >= 97
+        |      THEN 87 ELSE 48 END) % 8 AS shard,
+        |    ascii(substring(key,2,1)) - CASE WHEN ascii(substring(key,2,1)) >= 97
+        |      THEN 87 ELSE 48 END AS sub
+        |  FROM k)
+        |SELECT doc_id, CAST(shard AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY sub, key, doc_id) - 1 AS BIGINT) AS pos
+        |FROM d ORDER BY shard, pos""".stripMargin,
     "q_repetition_filter" ->
       """WITH w AS (SELECT doc_id,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws

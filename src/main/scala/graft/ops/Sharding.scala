@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-shard assignment + deterministic global shuffle — the LAST
+  * step of a training-data pipeline: every document gets a stable
+  * pseudo-random position inside a stable shard, so shard files can be
+  * written in a reproducible "shuffled" order (data order affects
+  * training; reproducibility demands it be a pure function of the data).
+  *
+  * Shuffle key = md5 of the doc id: content-independent, uniform, and the
+  * one hash both engines share, so the whole permutation is exactly
+  * replayable in the DuckDB oracle.
+  *
+  * Scale shape (the Packing two-phase pattern, applied to enumeration):
+  * a naive `row_number() OVER (PARTITION BY shard)` caps parallelism at
+  * nShards reducers — a single reducer per shard sorts billions of rows
+  * at 100 TB. Instead positions are enumerated in two phases:
+  *   1. one COUNT pass per (shard, subbucket) — subbucket = the next hex
+  *      digit of the key, so nShards×16 groups; the counts (≤ a few KB)
+  *      come to the driver, prefix-summed per shard, broadcast back;
+  *   2. row_number only WITHIN (shard, subbucket) + the subbucket's
+  *      offset — parallelism nShards×16, each sort 1/16th of a shard.
+  * Widening the subbucket to two hex digits (×256) is the knob when
+  * shards outgrow a reducer; the enumeration stays identical.
+  */
+object Sharding {
+
+  /** Value 0-15 of the `i`-th hex char (1-based) of `hexCol` — engine-
+    * portable (ascii arithmetic; both engines lowercase md5 hex).
+    */
+  private def hexDigit(hexCol: Column, i: Int): Column = {
+    val a = ascii(substring(hexCol, i, 1))
+    (a - when(a >= 97, 87).otherwise(48)).cast("int")
+  }
+
+  /** (doc_id, shard, pos): shard in [0, nShards), pos = 0-based position
+    * of the doc in its shard's deterministic shuffled order
+    * (subbucket, key, doc_id ascending).
+    */
+  def shardShuffle(df: DataFrame, id: Column, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 16,
+      s"nShards must be in [1,16] (one hex digit routes the shard), got $nShards")
+    val keyed = df.select(id.as("doc_id"))
+      .withColumn("__key", md5(col("doc_id").cast("string")))
+      .withColumn("shard", hexDigit(col("__key"), 1) % nShards)
+      .withColumn("__sub", hexDigit(col("__key"), 2))
+    // phase 1: bounded counts → per-shard prefix offsets (≤ nShards×16
+    // rows ever reach the driver — a model step, like Packing's buckets)
+    val counts = keyed.groupBy(col("shard"), col("__sub"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Int]("__sub")) -> r.getAs[Long]("__n"))
+      .toMap
+    val offsets = counts.keys.groupBy(_._1).flatMap { case (shard, ks) =>
+      ks.toSeq.sortBy(_._2).foldLeft((0L, List.empty[((Int, Int), Long)])) {
+        case ((acc, out), k) => (acc + counts(k), (k -> acc) :: out)
+      }._2
+    }
+    val offsetDf = keyed.sparkSession.createDataFrame(
+      offsets.toSeq.map { case ((s, b), o) => (s, b, o) })
+      .toDF("shard", "__sub", "__off")
+    // phase 2: enumerate within each (shard, subbucket) — nShards×16-way
+    // parallel — and add the broadcast offset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("__sub"))
+      .orderBy(col("__key"), col("doc_id"))
+    keyed.join(broadcast(offsetDf), Seq("shard", "__sub"))
+      .select(col("doc_id"), col("shard"),
+        (col("__off") + row_number().over(w) - 1).as("pos"))
+  }
+}

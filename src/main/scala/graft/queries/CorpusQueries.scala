@@ -110,4 +110,16 @@ object CorpusQueries {
       .withColumn("keep",
         col("dup_word_ratio") <= 0.95 && col("top_bigram_frac") <= 0.18)
       .orderBy(col("doc_id"))
+
+  /** Training-shard assignment + deterministic global shuffle (the final
+    * pipeline step before shard files are written): stable md5-derived
+    * shard + shuffled position per doc, enumerated with the two-phase
+    * bounded-counts pattern so parallelism never collapses to one reducer
+    * per shard (ops.Sharding). Exact-oracled: the permutation is a pure
+    * function of md5 hex, replayed in DuckDB as one window.
+    */
+  def qShardShuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sharding.shardShuffle(Tables.documents(spark, dir),
+        col("doc_id"), nShards = 8)
+      .orderBy(col("shard"), col("pos"))
 }

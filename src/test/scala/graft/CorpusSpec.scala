@@ -178,4 +178,37 @@ class CorpusSpec extends SparkSpecBase {
       .collect().head
     assert(nullSlot.isNullAt(0), "null slots must not count as agreement")
   }
+
+  test("shard shuffle: two-phase enumeration == single-window rank, dense, deterministic") {
+    import graft.ops.Sharding
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Sharding.shardShuffle(docs, col("doc_id"), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.length === docs.count())
+    // positions are DENSE 0..n-1 within each shard (shard files can be
+    // written by position with no gaps)
+    got.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $s positions not dense")
+    }
+    // the scalable two-phase enumeration must equal the naive
+    // single-window definition (rank by (subbucket, key, id) per shard)
+    val naive = docs.select(col("doc_id"))
+      .withColumn("k", md5(col("doc_id").cast("string")))
+      .withColumn("v1", ascii(substring(col("k"), 1, 1)))
+      .withColumn("v2", ascii(substring(col("k"), 2, 1)))
+      .withColumn("shard",
+        ((col("v1") - when(col("v1") >= 97, 87).otherwise(48)) % 8).cast("int"))
+      .withColumn("sub", col("v2") - when(col("v2") >= 97, 87).otherwise(48))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("sub"), col("k"), col("doc_id"))).cast("long") - 1)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSet === naive.toSet)
+    // pure function of the data: a second run is identical
+    val again = Sharding.shardShuffle(docs, col("doc_id"), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSet === got.toSet)
+  }
 }
