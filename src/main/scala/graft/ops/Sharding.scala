@@ -38,10 +38,25 @@ object Sharding {
   /** (doc_id, shard, pos): shard in [0, nShards), pos = 0-based position
     * of the doc in its shard's deterministic shuffled order
     * (subbucket, key, doc_id ascending).
+    *
+    * nShards must DIVIDE 16: the shard is a uniform hex digit mod
+    * nShards, and a non-divisor (say 10) would give shards 0-5 twice the
+    * mass of shards 6-9 — 2x shard files and 2x sort work, silently
+    * breaking the uniformity contract. More shards → route on more
+    * digits.
+    *
+    * INPUT CONTRACT: `df` must be an immutable snapshot (a lake manifest /
+    * fixed file set). The two phases read it twice; if the source changes
+    * between the count pass and the enumeration pass, offsets and ranks
+    * disagree and positions silently duplicate or gap. (Unlike Packing,
+    * whose collected boundaries only steer parallelism, here phase
+    * agreement is a correctness requirement.) The CorpusSpec density
+    * check is the post-hoc detector for a violated contract.
     */
   def shardShuffle(df: DataFrame, id: Column, nShards: Int): DataFrame = {
-    require(nShards >= 1 && nShards <= 16,
-      s"nShards must be in [1,16] (one hex digit routes the shard), got $nShards")
+    require(nShards >= 1 && 16 % nShards == 0,
+      s"nShards must divide 16 (uniform hex-digit routing; got $nShards) " +
+        "— a non-divisor skews shard mass 2:1")
     val keyed = df.select(id.as("doc_id"))
       .withColumn("__key", md5(col("doc_id").cast("string")))
       .withColumn("shard", hexDigit(col("__key"), 1) % nShards)

@@ -218,6 +218,50 @@ object EventStreams {
   case class RetentionActivity(user_id: Long, cohort_day: java.time.LocalDate,
       day: java.time.LocalDate, day_offset: Long)
 
+  private val DayMs = 86400000L
+  private def epochDayOf(e: Event): Long = math.floorDiv(e.ts.getTime, DayMs)
+
+  /** ONE copy of the day-sealed buffer-until-watermark mechanics shared by
+    * [[retentionActivity]] and [[gapFillChangelog]] (the funnel keeps its
+    * own loop — it seals per EVENT, not per day). Events buffer per key
+    * until their whole DAY is sealed (end-of-day at or behind the
+    * watermark) — day-level finality is what makes every (user, day)
+    * emission exactly-once: all of a day's events ripen in one fold, and
+    * nothing of that day can arrive later (the late filter drops it).
+    * `fold(key, stateWithRestBuffer, ripeEvents)` sees the sealed events
+    * and returns the updated state + emissions; the timeout re-arm and
+    * buffer plumbing live here, once.
+    */
+  private def foldSealedDays[S, O](events: Dataset[Event],
+      watermarkDelay: String, empty: S, buf: S => List[Event],
+      withBuf: (S, List[Event]) => S,
+      fold: (Long, S, List[Event]) => (S, Iterator[O]))(
+      implicit se: org.apache.spark.sql.Encoder[S],
+      oe: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[S, O](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[S]) =>
+          val prev = state.getOption.getOrElse(empty)
+          val wm = state.getCurrentWatermarkMs
+          val buffered =
+            if (state.hasTimedOut) buf(prev)
+            else evs.toList ::: buf(prev)
+          val (ripe, rest) =
+            buffered.partition(e => (epochDayOf(e) + 1) * DayMs <= wm)
+          val (next, out) =
+            if (ripe.isEmpty) (withBuf(prev, rest), Iterator.empty[O])
+            else fold(userId, withBuf(prev, rest), ripe)
+          state.update(next)
+          if (rest.nonEmpty || !state.hasTimedOut)
+            state.setTimeoutTimestamp(wm + 1)
+          out
+      }
+  }
+
   /** Streaming twin of JourneyQueries.qRetentionCohort — the second
     * operator on the buffer-until-watermark pattern [[funnelChangelog]]
     * proved out. Retention is order-sensitive the same way the funnel is:
@@ -243,35 +287,19 @@ object EventStreams {
   def retentionActivity(events: Dataset[Event],
       watermarkDelay: String = "1 hour"): Dataset[RetentionActivity] = {
     import events.sparkSession.implicits._
-    val DayMs = 86400000L
-    events
-      .withWatermark("ts", watermarkDelay)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[RetentionState, RetentionActivity](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (userId, evs, state: GroupState[RetentionState]) =>
-          val prev = state.getOption.getOrElse(RetentionState(Nil, None))
-          val wm = state.getCurrentWatermarkMs
-          val buffered =
-            if (state.hasTimedOut) prev.buf
-            else evs.toList ::: prev.buf
-          def dayOf(e: Event): Long = math.floorDiv(e.ts.getTime, DayMs)
-          // ripe = the whole DAY is sealed (end-of-day at or behind the
-          // watermark), not merely the event — day-level finality is what
-          // guarantees exactly-once per (user, day) cell
-          val (ripe, rest) = buffered.partition(e => (dayOf(e) + 1) * DayMs <= wm)
-          val ripeDays = ripe.map(dayOf).distinct.sorted
-          val cohort = (prev.cohortDay.toList ++ ripeDays)
-            .reduceOption(_ min _)
-          state.update(RetentionState(rest, cohort))
-          if (rest.nonEmpty || !state.hasTimedOut)
-            state.setTimeoutTimestamp(wm + 1)
-          val c = cohort.getOrElse(0L) // ripeDays nonEmpty => cohort defined
+    foldSealedDays[RetentionState, RetentionActivity](
+      events, watermarkDelay, RetentionState(Nil, None), _.buf,
+      (s, b) => s.copy(buf = b),
+      (userId, st, ripe) => {
+        val ripeDays = ripe.map(epochDayOf).distinct.sorted
+        val cohort = (st.cohortDay.toList ++ ripeDays).reduceOption(_ min _)
+        val c = cohort.getOrElse(0L) // ripe nonEmpty => cohort defined
+        (st.copy(cohortDay = cohort),
           ripeDays.iterator.map { d =>
             RetentionActivity(userId, java.time.LocalDate.ofEpochDay(c),
               java.time.LocalDate.ofEpochDay(d), d - c)
-          }
-      }
+          })
+      })
   }
 
   case class GapFillState(buf: List[Event],
@@ -299,65 +327,58 @@ object EventStreams {
     * State per user = O(1) cursor (last emitted day, last active day,
     * running filled total) + the watermark-bounded buffer. Daily totals
     * fold in the exact decimal domain (each value rounded to cents, summed
-    * exactly — the ops.Agg.decSum2 contract) so the changelog converges
-    * bit-for-bit to the batch plan's DECIMAL(18,2) sums; StreamingSpec
-    * proves stream == batch on shuffled, straggler-delayed real events.
+    * exactly — the ops.Agg.decSum2 contract), so the changelog converges
+    * bit-for-bit to the batch densify over the SAME input — StreamingSpec
+    * proves it on shuffled, straggler-delayed real events.
+    *
+    * Value contract: Event.value is a primitive Double, so a feed must
+    * coalesce NULL values (to 0.0) BEFORE this operator. The registered
+    * batch q_gap_fill reads raw nullable values, where an all-NULL
+    * activity day leaves day_total NULL and the forward-fill carries the
+    * previous total — a coalesced feed sums such a day to 0.0 instead.
+    * Stream==batch therefore holds against the batch densify over the
+    * coalesced frame (what the spec compares), not against the raw-null
+    * variant.
     */
   def gapFillChangelog(events: Dataset[Event],
       watermarkDelay: String = "1 hour"): Dataset[GapFillOut] = {
     import events.sparkSession.implicits._
-    val DayMs = 86400000L
-    events
-      .withWatermark("ts", watermarkDelay)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[GapFillState, GapFillOut](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (userId, evs, state: GroupState[GapFillState]) =>
-          val prev = state.getOption.getOrElse(GapFillState(Nil, None))
-          val wm = state.getCurrentWatermarkMs
-          val buffered =
-            if (state.hasTimedOut) prev.buf
-            else evs.toList ::: prev.buf
-          def dayOf(e: Event): Long = math.floorDiv(e.ts.getTime, DayMs)
-          val (ripe, rest) = buffered.partition(e => (dayOf(e) + 1) * DayMs <= wm)
-          state.update(prev.copy(buf = rest)) // cursor updated below if folding
-          if (rest.nonEmpty || !state.hasTimedOut)
-            state.setTimeoutTimestamp(wm + 1)
-          if (ripe.isEmpty) Iterator.empty
-          else {
-            val byDay = ripe.groupBy(dayOf)
-            // exact decimal fold: round each value to cents, sum exactly,
-            // ONE double conversion — order-independent and equal to the
-            // batch plan's sum(cast(value as DECIMAL(18,2))) cast double
-            def decSum(es: List[Event]): Double =
-              es.map(e => BigDecimal(e.value)
-                  .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP))
-                .sum.toDouble
-            val maxActive = byDay.keys.max
-            var (cursor, lastActive, filled) = prev.cursor match {
-              case Some((c, a, f)) => (c, a, f)
-              case None =>
-                val first = byDay.keys.min
-                (first - 1, first, 0.0) // emission starts at the first day
-            }
-            val out = List.newBuilder[GapFillOut]
-            var d = cursor + 1
-            while (d <= maxActive) {
-              byDay.get(d) match {
-                case Some(es) =>
-                  filled = decSum(es); lastActive = d
-                  out += GapFillOut(userId, java.time.LocalDate.ofEpochDay(d),
-                    es.length.toLong, filled, 0L, is_active = true)
-                case None =>
-                  out += GapFillOut(userId, java.time.LocalDate.ofEpochDay(d),
-                    0L, filled, d - lastActive, is_active = false)
-              }
-              d += 1
-            }
-            state.update(GapFillState(rest, Some((maxActive, lastActive, filled))))
-            out.result().iterator
+    foldSealedDays[GapFillState, GapFillOut](
+      events, watermarkDelay, GapFillState(Nil, None), _.buf,
+      (s, b) => s.copy(buf = b),
+      (userId, st, ripe) => {
+        val byDay = ripe.groupBy(epochDayOf)
+        // exact decimal fold: round each value to cents, sum exactly,
+        // ONE double conversion — order-independent and equal to the
+        // batch plan's sum(cast(value as DECIMAL(18,2))) cast double
+        def decSum(es: List[Event]): Double =
+          es.map(e => BigDecimal(e.value)
+              .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble
+        val maxActive = byDay.keys.max
+        var (cursor, lastActive, filled) = st.cursor match {
+          case Some((c, a, f)) => (c, a, f)
+          case None =>
+            val first = byDay.keys.min
+            (first - 1, first, 0.0) // emission starts at the first day
+        }
+        val out = List.newBuilder[GapFillOut]
+        var d = cursor + 1
+        while (d <= maxActive) {
+          byDay.get(d) match {
+            case Some(es) =>
+              filled = decSum(es); lastActive = d
+              out += GapFillOut(userId, java.time.LocalDate.ofEpochDay(d),
+                es.length.toLong, filled, 0L, is_active = true)
+            case None =>
+              out += GapFillOut(userId, java.time.LocalDate.ofEpochDay(d),
+                0L, filled, d - lastActive, is_active = false)
           }
-      }
+          d += 1
+        }
+        (st.copy(cursor = Some((maxActive, lastActive, filled))),
+          out.result().iterator)
+      })
   }
 
   /** Gap-based sessionization (30 min) with typed per-key state +

@@ -78,8 +78,10 @@ class CorpusStreamSpec extends SparkSpecBase {
         .select(col("doc_id"), col("text")),
       exact, bands, incDir, resDir,
       Files.createTempDirectory("graft-incr-ckpt").toString)
-    try assert(q.awaitTermination(120000) || { q.stop(); !q.isActive })
-    finally if (q.isActive) q.stop()
+    try {
+      val done = q.awaitTermination(120000)
+      assert(done, "AvailableNow query did not drain the drops in 120s")
+    } finally if (q.isActive) q.stop()
     val streamed = spark.read.parquet(resDir)
       .collect()
       .map(r => r.getAs[Long]("doc_id") ->
