@@ -71,9 +71,11 @@ object SparkEntry {
     "q_semantic_dedup" -> (SimilarityQueries.qSemanticDedup _),
     "q_ann_lsh" -> (SimilarityQueries.qAnnLsh _),
     "q_dedup_clusters" -> (SimilarityQueries.qDedupClusters _),
+    "q_dedup_clusters_incremental" -> (SimilarityQueries.qDedupClustersIncremental _),
     "q_ann_ivf" -> (SimilarityQueries.qAnnIvf _),
     "q_ann_ivf_quantized" -> (SimilarityQueries.qAnnIvfQuantized _),
     "q_ann_pq" -> (SimilarityQueries.qAnnPq _),
+    "q_ann_ivfpq" -> (SimilarityQueries.qAnnIvfPq _),
     "q_minhash_neardup" -> (SimilarityQueries.qMinhashNearDup _),
     "q_dedup_incremental" -> (SimilarityQueries.qDedupIncremental _),
     "q_simhash" -> (SimilarityQueries.qSimhash _),
@@ -288,36 +290,75 @@ object SparkEntry {
     *    near-equal distances into double ties, so the oracle must order by
     *    the sqrt'd value too), ties to the smaller id, top-k.
     */
-  private def pqOracle(model: graft.ops.Pq.PqModel): String = {
-    import graft.queries.SimilarityQueries.{PqK, PqShortlist}
-    val m = model.m; val ksub = model.ksub; val sub = model.sub
-    val dim = model.dim
-    def sq(a: String, b: String): String = s"($a - $b)*($a - $b)"
-    val cbRows = (for (mi <- 0 until m; k <- 0 until ksub) yield {
+  /** Shared PQ CTE fragments (codebook VALUES, encode, LUT, ADC sum,
+    * rerank distance) — ONE SQL rendering of each kernel, composed by both
+    * the standalone PQ oracle and the IVF+PQ oracle so the two cannot
+    * drift. All fragments assume the `e(id, embd DOUBLE[])` corpus CTE and
+    * a `q(query_id, q_embd)` query CTE are in scope.
+    */
+  private def pqSq(a: String, b: String): String = s"($a - $b)*($a - $b)"
+
+  private def pqSubDist(model: graft.ops.Pq.PqModel, vec: String): String =
+    (1 to model.sub)
+      .map(d => pqSq(s"$vec[cb.mi*${model.sub} + $d]", s"cb.c[$d]"))
+      .mkString(" + ")
+
+  /** cb / encd / enc / lut: codebook literals, per-subspace argmin encode
+    * (ties to the LOWEST cell — the kernel's strict `<`), per-query float
+    * LUT (`acc.toFloat`).
+    */
+  private def pqEncodeLutCtes(model: graft.ops.Pq.PqModel): String = {
+    val cbRows = (for (mi <- 0 until model.m; k <- 0 until model.ksub) yield {
       val vals = model.centroid(mi, k).map(_.toDouble.toString)
         .mkString("[", ", ", "]")
       s"($mi, $k, CAST($vals AS DOUBLE[]))"
     }).mkString(",\n")
-    def subDist(vec: String): String =
-      (1 to sub).map(d => sq(s"$vec[cb.mi*$sub + $d]", s"cb.c[$d]"))
-        .mkString(" + ")
-    val adcSum = (1 to m).map(i => s"ls[$i]").mkString(" + ")
-    val rerankDist =
-      (1 to dim).map(i => sq(s"a.embd[$i]", s"b.embd[$i]")).mkString(" + ")
-    s"""WITH e AS (SELECT vec_id AS id,
-       |    CAST(embedding AS DOUBLE[]) AS embd FROM embeddings),
-       |cb(mi, cell, c) AS (VALUES
+    s"""cb(mi, cell, c) AS (VALUES
        |$cbRows),
        |encd AS (SELECT e.id, cb.mi, cb.cell,
-       |    ${subDist("e.embd")} AS dist
+       |    ${pqSubDist(model, "e.embd")} AS dist
        |  FROM e CROSS JOIN cb),
        |enc AS (SELECT id, mi, cell FROM (
        |    SELECT id, mi, cell, row_number() OVER (PARTITION BY id, mi
        |      ORDER BY dist ASC, cell ASC) AS rn FROM encd) WHERE rn = 1),
-       |q AS (SELECT id AS query_id, embd AS q_embd FROM e WHERE id < 10),
        |lut AS (SELECT q.query_id, cb.mi, cb.cell,
-       |    CAST(${subDist("q.q_embd")} AS FLOAT) AS lv
-       |  FROM q CROSS JOIN cb),
+       |    CAST(${pqSubDist(model, "q.q_embd")} AS FLOAT) AS lv
+       |  FROM q CROSS JOIN cb)""".stripMargin
+  }
+
+  /** ADC total over the per-(query, vector) LUT list `ls` (mi order,
+    * left-assoc double adds = the kernel's `acc += getFloat`). */
+  private def pqAdcSum(model: graft.ops.Pq.PqModel): String =
+    (1 to model.m).map(i => s"ls[$i]").mkString(" + ")
+
+  /** shortlist → exact-L2 rerank tail: sqrt BEFORE the ordering (sqrt can
+    * collapse near-equal distances into double ties — EuclideanDistance
+    * applies math.sqrt first), ties to the smaller id, top-k.
+    */
+  private def pqRerankTail(model: graft.ops.Pq.PqModel, k: Int): String = {
+    val rerankDist = (1 to model.dim)
+      .map(i => pqSq(s"a.embd[$i]", s"b.embd[$i]")).mkString(" + ")
+    s"""rr AS (SELECT s.query_id, s.id,
+       |    CAST(row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY sqrt($rerankDist) ASC, s.id ASC) AS BIGINT) AS rank
+       |  FROM shortlist s
+       |  JOIN e a ON a.id = s.query_id
+       |  JOIN e b ON b.id = s.id)
+       |SELECT query_id, id AS neighbor_id, rank FROM rr WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Replays encode → LUT → ADC → shortlist → exact rerank from the
+    * TRAINED codebook, matching the kernels bit-for-bit (PqKernels in
+    * VectorExprs.scala) — see the fragment docs above for the per-stage
+    * tie/precision rules.
+    */
+  private def pqOracle(model: graft.ops.Pq.PqModel): String = {
+    import graft.queries.SimilarityQueries.{PqK, PqShortlist}
+    s"""WITH e AS (SELECT vec_id AS id,
+       |    CAST(embedding AS DOUBLE[]) AS embd FROM embeddings),
+       |q AS (SELECT id AS query_id, embd AS q_embd FROM e WHERE id < 10),
+       |${pqEncodeLutCtes(model)},
        |adcl AS (SELECT l.query_id, enc.id,
        |    list(CAST(l.lv AS DOUBLE) ORDER BY l.mi) AS ls
        |  FROM enc JOIN lut l ON enc.mi = l.mi AND enc.cell = l.cell
@@ -325,16 +366,43 @@ object SparkEntry {
        |  GROUP BY l.query_id, enc.id),
        |shortlist AS (SELECT query_id, id FROM (
        |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
-       |      ORDER BY ($adcSum) ASC, id ASC) AS rn
+       |      ORDER BY (${pqAdcSum(model)}) ASC, id ASC) AS rn
        |    FROM adcl) WHERE rn <= $PqShortlist),
-       |rr AS (SELECT s.query_id, s.id,
-       |    CAST(row_number() OVER (PARTITION BY s.query_id
-       |      ORDER BY sqrt($rerankDist) ASC, s.id ASC) AS BIGINT) AS rank
-       |  FROM shortlist s
-       |  JOIN e a ON a.id = s.query_id
-       |  JOIN e b ON b.id = s.id)
-       |SELECT query_id, id AS neighbor_id, rank FROM rr WHERE rank <= $PqK
-       |ORDER BY query_id, rank""".stripMargin
+       |${pqRerankTail(model, PqK)}""".stripMargin
+  }
+
+  /** The composed IVFADC oracle: the trained-centroid assignment + probe
+    * CTEs (shared with the IVF oracles) restrict the PQ ADC scan to
+    * probed-cell rows, then the shared shortlist/rerank tail runs
+    * unchanged — a CTE merge of ivfOracle and pqOracle, exactly like the
+    * Spark plan it checks (Pq.searchIvfPq).
+    */
+  private def ivfpqOracle(cents: Array[Array[Float]],
+      model: graft.ops.Pq.PqModel): String = {
+    import graft.queries.SimilarityQueries.{IvfK, IvfNProbe, IvfPqShortlist}
+    s"""WITH ${centroidAssignCtes(cents)},
+       |q AS (SELECT id AS query_id, embd AS q_embd FROM e WHERE id < 10),
+       |probes AS (SELECT query_id, cell FROM (
+       |    SELECT q.query_id, cents.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.q_embd, cents.c) DESC,
+       |          cents.cell DESC) AS pr
+       |    FROM q CROSS JOIN cents) WHERE pr <= $IvfNProbe),
+       |${pqEncodeLutCtes(model)},
+       |adcl AS (SELECT l.query_id, enc.id,
+       |    list(CAST(l.lv AS DOUBLE) ORDER BY l.mi) AS ls
+       |  FROM enc
+       |  JOIN assigned a ON a.id = enc.id
+       |  JOIN probes p ON p.cell = a.cell
+       |  JOIN lut l ON enc.mi = l.mi AND enc.cell = l.cell
+       |    AND l.query_id = p.query_id
+       |  WHERE enc.id <> l.query_id
+       |  GROUP BY l.query_id, enc.id),
+       |shortlist AS (SELECT query_id, id FROM (
+       |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY (${pqAdcSum(model)}) ASC, id ASC) AS rn
+       |    FROM adcl) WHERE rn <= $IvfPqShortlist),
+       |${pqRerankTail(model, IvfK)}""".stripMargin
   }
 
   /** SemDeDup oracle: the shared trained-centroid assignment CTEs, then
@@ -367,12 +435,18 @@ object SparkEntry {
         .map { case (_, c) => "q_ann_ivf_quantized" -> ivfQuantOracle(c) } ++
       graft.queries.SimilarityQueries.lastPqModel
         .map { case (_, mdl) => "q_ann_pq" -> pqOracle(mdl) } ++
+      graft.queries.SimilarityQueries.lastIvfPqModel
+        .map { case (_, cm) => "q_ann_ivfpq" -> ivfpqOracle(cm._1, cm._2) } ++
       graft.queries.SimilarityQueries.lastSemModel
         .map { case (_, c) => "q_semantic_dedup" -> semOracle(c) }
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> lshOracle,
     "q_dedup_clusters" -> clustersOracle,
+    // deliberately the SAME full-graph recursive CTE: the incremental
+    // fold's correctness claim IS "equals the from-scratch components",
+    // so the driver re-proves the equivalence on every round
+    "q_dedup_clusters_incremental" -> clustersOracle,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

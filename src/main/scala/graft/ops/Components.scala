@@ -91,4 +91,66 @@ object Components {
         "large-star/small-star rounds")
     labels
   }
+
+  /** Incremental component maintenance — fold one day's NEW vertices and
+    * edges into a PERSISTED labeling without touching the historical
+    * graph: the 100 TB answer to "don't re-derive clusters from the full
+    * pair store every day".
+    *
+    *  - `storeLabels`: yesterday's converged (id, component) rows,
+    *    component = MIN reachable id (exactly what [[connectedComponents]]
+    *    emits — the invariant this method RELIES on: each component's
+    *    label is its minimum member).
+    *  - `newNodes`: today's new vertex ids (not present in the store).
+    *  - `newEdges`: every edge incident to a new vertex — batch-internal
+    *    pairs plus batch-vs-history pairs. Historical-internal edges were
+    *    already folded into the store and must not be re-supplied.
+    *
+    * Shape: each edge's historical endpoints CONTRACT to their stored
+    * component representative (two broadcast-able lookups against only the
+    * edge endpoints, never the full store), then min-label propagation
+    * runs on the contracted graph — |new nodes| + |touched components|
+    * vertices, O(day's edges) edges, regardless of corpus size. Because a
+    * store component's representative IS its min member, the contracted
+    * minimum equals the from-scratch minimum over the merged vertex sets,
+    * so the output labeling is IDENTICAL to re-running
+    * [[connectedComponents]] on the full two-generation graph (pinned in
+    * DedupSpec; the registered query's DuckDB oracle is the full-graph
+    * recursive CTE, so the driver re-proves the equivalence every round).
+    * Finally the store relabels by broadcast-joining the (old rep → new
+    * label) remap — map-side only: the historical rows never shuffle, and
+    * untouched components pass through unchanged.
+    */
+  def incrementalComponents(storeLabels: DataFrame, newNodes: DataFrame,
+      newEdges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val srcLbl = storeLabels
+      .select(col("id").as("src"), col("component").as("__csrc"))
+    val dstLbl = storeLabels
+      .select(col("id").as("dst"), col("component").as("__cdst"))
+    // contract: historical endpoints become their component rep; new
+    // endpoints stay themselves. The joins key on the EDGE list (the small
+    // side) — at scale the store side is bucketed on id, the edge side
+    // shuffles O(day's edges).
+    val cEdges = newEdges.select(col("src"), col("dst"))
+      .join(srcLbl, Seq("src"), "left")
+      .join(dstLbl, Seq("dst"), "left")
+      .select(coalesce(col("__csrc"), col("src")).as("src"),
+        coalesce(col("__cdst"), col("dst")).as("dst"))
+    // contracted vertex set: every new node (untouched ones stay
+    // singletons) plus every rep an edge touches
+    val cNodes = newNodes.select(col("id"))
+      .unionByName(cEdges.select(col("src").as("id")))
+      .unionByName(cEdges.select(col("dst").as("id")))
+      .distinct()
+    val sub = connectedComponents(cNodes, cEdges, maxIters)
+    // relabel history: broadcast the bounded (old rep → new label) remap
+    // over the store — the only rows that change are in touched components
+    val remap = sub.select(col("id").as("component"),
+      col("component").as("__newc"))
+    val hist = storeLabels
+      .join(broadcast(remap), Seq("component"), "left")
+      .select(col("id"), coalesce(col("__newc"), col("component")).as("component"))
+    val fresh = sub.join(newNodes.select(col("id")), Seq("id"), "leftsemi")
+    hist.unionByName(fresh)
+  }
 }

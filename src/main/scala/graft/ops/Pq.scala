@@ -133,6 +133,51 @@ object Pq {
       -l2Dist(col("q_emb"), col("emb")), k)
   }
 
+  /** The composed production serving index: IVF coarse cells OVER PQ codes
+    * (IVFADC, Jégou et al. 2011, "Product quantization for nearest
+    * neighbor search" §IV) — what a real 100 TB ANN deployment stores and
+    * scans. The stored index row is (id, cell, M-byte code): the coarse
+    * cell bounds WHICH rows a query touches (~nProbe/nCells of the
+    * corpus), the PQ code bounds what each touched row COSTS (M byte
+    * lookups, no float read), and only the ADC shortlist ever fetches its
+    * full-precision vector for the exact rerank.
+    *
+    * Plan shape: cell assignment + PQ encode are one map-side projection
+    * (what the ingest job writes); queries probe top-nProbe cells and
+    * carry their precomputed LUT in the broadcast; the within-cell ADC
+    * scan feeds the bounded-heap top-`shortlist`; the rerank is
+    * |Q|·shortlist point lookups joined back to the float store — never a
+    * second corpus scan.
+    */
+  def searchIvfPq(corpus: DataFrame, queries: DataFrame,
+      cents: Array[Array[Float]], model: PqModel, k: Int, nProbe: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k): the rerank can only " +
+        "return candidates the ADC stage produced")
+    val vc = org.apache.spark.sql.graft.VectorColumns
+    // the stored index: one projection at write time, floats dropped
+    val indexed = corpus.select(col("id"),
+      vc.ivfCell(col("emb"), cents.flatten, cents.length).as("cell"),
+      vc.pqEncode(col("emb"), model.flat, model.m, model.ksub).as("pq_codes"))
+    // probes carry the per-query LUT: nProbe rows per query, M·ksub floats
+    // each — tiny, broadcast with the query set
+    val probes = Similarity.probeCells(queries, cents, nProbe)
+      .withColumn("__lut",
+        vc.pqLut(col("q_emb"), model.flat, model.m, model.ksub))
+      .select(col("query_id"), col("cell"), col("__lut"))
+    val short = Similarity.topkServe(
+        indexed.join(broadcast(probes), "cell"),
+        -vc.pqAdc(col("pq_codes"), col("__lut"), model.ksub), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact L2 rerank of just the shortlist rows (same tail as searchPqRerank)
+    Similarity.topkServe(
+      short.join(corpus.select(col("id"), col("emb")),
+          short("neighbor_id") === col("id"))
+        .join(broadcast(queries), "query_id"),
+      -l2Dist(col("q_emb"), col("emb")), k)
+  }
+
   /** Approximate top-k over a PQ-encoded corpus. `queries` carries
     * (query_id, q_emb); each query's LUT is computed once and broadcast
     * with it, the corpus scan pays M lookups per row.

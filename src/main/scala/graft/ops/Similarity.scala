@@ -116,8 +116,14 @@ object Similarity {
     * bounded by the signature width; AQE's skew-join splitting handles hot
     * buckets.
     */
-  def hyperplaneLshPairs(corpus: DataFrame, tau: Double = LshParams.tau,
-      bands: Int = LshParams.bands, bits: Int = LshParams.bits): DataFrame = {
+  /** Exploded LSH bucket rows (id, emb, band, sig) — the per-doc banded
+    * signatures. Factored out of [[hyperplaneLshPairs]] because this is
+    * also the row an INCREMENTAL deployment persists per historical vector
+    * (the minhash bandRows pattern): sign bits depend only on the vector
+    * itself, so yesterday's bucket rows never need recomputing.
+    */
+  def lshBuckets(corpus: DataFrame, bands: Int = LshParams.bands,
+      bits: Int = LshParams.bits): DataFrame = {
     val dim = LshParams.dim
     val planes = hyperplanes(dim, bands, bits)
     // per-plane sign bit, folded into one int signature per band
@@ -129,11 +135,16 @@ object Similarity {
       bitCols.reduce(_ + _).as(s"sig_$b")
     }
     val signed = corpus.select(col("id") +: col("emb") +: sigCols: _*)
-    val buckets = signed.select(col("id"), col("emb"),
+    signed.select(col("id"), col("emb"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), col(s"sig_$b").as("sig"))): _*)).as("bk"))
       .select(col("id"), col("emb"),
         col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  def hyperplaneLshPairs(corpus: DataFrame, tau: Double = LshParams.tau,
+      bands: Int = LshParams.bands, bits: Int = LshParams.bits): DataFrame = {
+    val buckets = lshBuckets(corpus, bands, bits)
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b,
@@ -143,6 +154,30 @@ object Similarity {
         cosineSim(col("a.emb"), col("b.emb")).as("cos"))
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** The day-job half of incremental LSH near-dup: every verified pair
+    * that TOUCHES the new batch — batch-internal pairs plus
+    * batch-vs-history pairs — from one bucket join of the batch's rows
+    * against (persisted history ∪ batch) rows. History-internal pairs are
+    * deliberately absent: they are already folded into the persisted
+    * component store. Batch side is the shuffle-hash build side (the daily
+    * increment is orders of magnitude smaller than history; with the
+    * history buckets parquet bucketed on (band, sig) the store side needs
+    * no exchange — the incrementalDedup store-join story).
+    */
+  def lshIncrementalPairs(batchBuckets: DataFrame, histBuckets: DataFrame,
+      tau: Double = LshParams.tau): DataFrame = {
+    val all = histBuckets.unionByName(batchBuckets)
+    val b = batchBuckets.hint("shuffle_hash").as("b")
+    val u = all.as("u")
+    b.join(u,
+        col("b.band") === col("u.band") && col("b.sig") === col("u.sig") &&
+          col("b.id") =!= col("u.id"))
+      .filter(cosineSim(col("b.emb"), col("u.emb")) >= tau)
+      .select(least(col("b.id"), col("u.id")).as("src"),
+        greatest(col("b.id"), col("u.id")).as("dst"))
+      .distinct()
   }
 
   /** Scale-adaptive cell count for the centroid models (the IVF coarse
@@ -295,6 +330,26 @@ object Similarity {
     ivfServe(qcorpus, graft.functions.vectors.dequantize(col("qemb")),
       queries, cents, k, nProbe)
 
+  /** Query-side probe stage shared by every IVF family (flat, quantized,
+    * IVF+PQ): each query keeps its top-`nProbe` centroid cells. The query
+    * set is tiny, so the per-row array<struct<s,cell>> sort is cheap, and
+    * the output (query_id, q_emb, cell) is what gets broadcast to the
+    * corpus scan. ONE definition so the probe rule (ties to the HIGHEST
+    * cell — reverse(sort_array)) cannot drift between serving paths.
+    */
+  private[graft] def probeCells(queries: DataFrame,
+      cents: Array[Array[Float]], nProbe: Int): DataFrame = {
+    def cellScores(emb: Column): Column = array(cents.zipWithIndex.map {
+      case (c, i) =>
+        struct(cosineSim(emb, array(c.map(lit(_)): _*)).as("s"),
+          lit(i).as("cell"))
+    }: _*)
+    queries
+      .withColumn("__probe",
+        explode(slice(reverse(sort_array(cellScores(col("q_emb")))), 1, nProbe)))
+      .select(col("query_id"), col("q_emb"), col("__probe.cell").as("cell"))
+  }
+
   /** Shared IVF serve over any corpus-side embedding EXPRESSION (float
     * column or on-the-fly dequantize) — one definition, so the float and
     * quantized paths cannot drift.
@@ -310,19 +365,8 @@ object Similarity {
       .withColumn("cell",
         org.apache.spark.sql.graft.VectorColumns.ivfCell(
           col("__emb"), cents.flatten, nCells))
-    // probe side stays on the array<struct<s,cell>> form: it needs the
-    // TOP-nProbe cells, not just the argmax, and the query set is tiny
-    def cellScores(emb: Column): Column = array(cents.zipWithIndex.map {
-      case (c, i) =>
-        struct(cosineSim(emb, array(c.map(lit(_)): _*)).as("s"),
-          lit(i).as("cell"))
-    }: _*)
-    val probes = queries
-      .withColumn("__probe",
-        explode(slice(reverse(sort_array(cellScores(col("q_emb")))), 1, nProbe)))
-      .select(col("query_id"), col("q_emb"), col("__probe.cell").as("cell"))
     // per-query top-k via the shared bounded-heap serving tail
-    topkServe(assigned.join(broadcast(probes), "cell"),
+    topkServe(assigned.join(broadcast(probeCells(queries, cents, nProbe)), "cell"),
       cosineSim(col("q_emb"), col("__emb")), k)
   }
 }

@@ -62,6 +62,47 @@ object SimilarityQueries {
       .orderBy(col("id"))
   }
 
+  /** INCREMENTAL cluster maintenance — the production daily shape for
+    * duplicate CLUSTERS, closing the gap qDedupIncremental left (it
+    * statuses new docs but the components still re-derived from scratch):
+    * "yesterday's" job persists the converged component store and the
+    * per-vector LSH bucket rows; "today's" job buckets only the batch,
+    * derives the pairs that TOUCH it, and folds them into the store via
+    * contracted min-label propagation (Components.incrementalComponents) —
+    * per-day propagation work is O(batch pairs + touched components),
+    * never O(corpus), and the untouched store relabels by broadcast
+    * remap without shuffling.
+    *
+    * The ORACLE is the full-graph recursive CTE (the same SQL as
+    * q_dedup_clusters): the driver hash-compare therefore re-proves
+    * incremental == from-scratch on every round — the equivalence is the
+    * correctness claim, not a side note.
+    */
+  def qDedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Datalake
+    val c = corpus(spark, dir)
+    val hist = c.filter(col("id") % 5 =!= 4)
+    val batch = c.filter(col("id") % 5 === 4)
+    val root = DatalakeQueries.tempLakeRoot()
+    // "yesterday's" job: converged labels over history-internal pairs +
+    // history's bucket rows, both persisted in the lake's formatted layer
+    val labelsPath = Datalake.path(root, Datalake.Formatted, "clusters", "labels")
+    val bucketsPath = Datalake.path(root, Datalake.Formatted, "clusters", "buckets")
+    Datalake.writeParquet(
+      graft.ops.Components.connectedComponents(hist.select(col("id")),
+        Similarity.hyperplaneLshPairs(hist)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))),
+      labelsPath)
+    Datalake.writeParquet(Similarity.lshBuckets(hist), bucketsPath)
+    // "today's" job: bucket ONLY the batch, join against the persisted
+    // store, fold the day's pairs into the persisted labeling
+    val newPairs = Similarity.lshIncrementalPairs(
+      Similarity.lshBuckets(batch), spark.read.parquet(bucketsPath))
+    graft.ops.Components.incrementalComponents(
+        spark.read.parquet(labelsPath), batch.select(col("id")), newPairs)
+      .orderBy(col("id"))
+  }
+
   /** Trained centroids of the LAST qAnnIvf invocation, for oracle
     * generation: float-mean training isn't bit-stable ACROSS engines, but
     * the trained model is just data — SparkEntry.oracleSql inlines these
@@ -80,6 +121,7 @@ object SimilarityQueries {
     (lastIvfModel.iterator.map(_._1) ++
       lastIvfQModel.iterator.map(_._1) ++
       lastPqModel.iterator.map(_._1) ++
+      lastIvfPqModel.iterator.map(_._1) ++
       lastSemModel.iterator.map(_._1)).forall(_ == dir)
 
   val IvfK = 5
@@ -149,6 +191,19 @@ object SimilarityQueries {
   val PqK = 5
   val PqShortlist = 64
 
+  /** Per-dir PQ codebook memo (the centroidCache pattern): qAnnPq and
+    * qAnnIvfPq need the SAME deterministic codebook (m=8, ksub=16, 2 Lloyd
+    * iterations over the same corpus), and training is the expensive step
+    * — one training per dir instead of one per query.
+    */
+  private val pqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Pq.PqModel]()
+
+  private def pqModelFor(spark: SparkSession, dir: String): graft.ops.Pq.PqModel =
+    pqModelCache.computeIfAbsent(dir, _ =>
+      graft.ops.Pq.train(corpus(spark, dir), col("emb"), m = 8, ksub = 16,
+        iters = 2))
+
   /** PQ-compressed ANN: train per-subspace codebooks, encode the corpus to
     * 8-byte codes (32x compression), ADC-shortlist 64 candidates from the
     * codes alone, exact-L2 rerank only the shortlist. SQL-oracled via
@@ -158,13 +213,42 @@ object SimilarityQueries {
   def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Pq
     val c = corpus(spark, dir)
-    val model = Pq.train(c, col("emb"), m = 8, ksub = 16, iters = 2)
+    val model = pqModelFor(spark, dir)
     lastPqModel = Some((dir, model))
     val encoded = Pq.encodeCorpus(c, col("emb"), model).drop("emb")
     val queries = c.filter(col("id") < 10)
       .select(col("id").as("query_id"), col("emb").as("q_emb"))
     Pq.searchPqRerank(encoded, c, queries, model, k = PqK,
         shortlist = PqShortlist)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Models of the LAST qAnnIvfPq invocation (coarse centroids + PQ
+    * codebook) — same oracle-generation contract as [[lastIvfModel]]. */
+  @volatile private[graft] var lastIvfPqModel:
+    Option[(String, (Array[Array[Float]], graft.ops.Pq.PqModel))] = None
+
+  val IvfPqShortlist = 32
+
+  /** The COMPOSED serving index — IVF cells over PQ codes (IVFADC): the
+    * production ANN shape at 100 TB, where the coarse cell bounds which
+    * rows a query touches and the PQ code bounds what each row costs.
+    * Reuses the per-dir centroid and codebook models (both caches), so
+    * query + oracle see identical constants. Exact-oracled: the generated
+    * SQL merges the IVF assignment/probe CTEs with the PQ
+    * encode/LUT/ADC/rerank CTEs (SparkEntry.ivfpqOracle); recall vs the
+    * float IVF-flat is pinned in SimilaritySpec.
+    */
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Pq
+    val c = corpus(spark, dir)
+    val cents = centroidsFor(spark, dir)
+    val model = pqModelFor(spark, dir)
+    lastIvfPqModel = Some((dir, (cents, model)))
+    val queries = c.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    Pq.searchIvfPq(c, queries, cents, model, k = IvfK, nProbe = IvfNProbe,
+        shortlist = IvfPqShortlist)
       .orderBy(col("query_id"), col("rank"))
   }
 

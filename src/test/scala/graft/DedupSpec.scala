@@ -128,6 +128,61 @@ class DedupSpec extends SparkSpecBase {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffle_hash joins:\n$plan")
   }
 
+  test("incremental components: merges, bridges, new-min relabels == from-scratch") {
+    import graft.ops.Components
+    // store graph: {5,6} and {8,9} are two converged components (labels =
+    // min member), 7 a singleton
+    val storeLabels = Seq((5L, 5L), (6L, 5L), (7L, 7L), (8L, 8L), (9L, 8L))
+      .toDF("id", "component")
+    // day's batch: 1 bridges BOTH store components (and its id is SMALLER
+    // than every historical member — the relabel must flow new→old);
+    // 10 pairs with the singleton; 11 arrives with no edges at all
+    val newNodes = Seq(1L, 10L, 11L).toDF("id")
+    val newEdges = Seq((1L, 6L), (9L, 1L), (10L, 7L)).toDF("src", "dst")
+    val got = Components.incrementalComponents(storeLabels, newNodes, newEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // from-scratch reference over the full two-generation graph
+    val allNodes = Seq(5L, 6L, 7L, 8L, 9L, 1L, 10L, 11L).toDF("id")
+    val histEdges = Seq((5L, 6L), (8L, 9L)).toDF("src", "dst")
+    val want = Components.connectedComponents(allNodes,
+        histEdges.unionByName(newEdges))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+    // and the specific shapes: the bridge merged 5,6,8,9 under new min 1;
+    // 10 joined 7 under 7; 11 stayed a singleton
+    assert(Seq(5L, 6L, 8L, 9L, 1L).forall(got(_) == 1L))
+    assert(got(10L) === 7L && got(7L) === 7L)
+    assert(got(11L) === 11L)
+  }
+
+  test("incremental components == batch on the two-generation LSH split, store never shuffles") {
+    import graft.ops.{Components, Similarity}
+    val c = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val hist = c.filter(col("id") % 5 =!= 4)
+    val batch = c.filter(col("id") % 5 === 4)
+    val store = Components.connectedComponents(hist.select(col("id")),
+      Similarity.hyperplaneLshPairs(hist)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+    val newPairs = Similarity.lshIncrementalPairs(
+      Similarity.lshBuckets(batch), Similarity.lshBuckets(hist))
+    val inc = Components.incrementalComponents(store, batch.select(col("id")),
+      newPairs)
+    val got = inc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Components.connectedComponents(c.select(col("id")),
+        Similarity.hyperplaneLshPairs(c)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want,
+      "incremental fold must equal from-scratch components on the full graph")
+    // the relabel stage must broadcast the remap over the store — a
+    // shuffled join of the full store would be the O(corpus) cost the
+    // incremental design exists to avoid
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"store relabel should be a broadcast join:\n$plan")
+  }
+
   test("IVF-flat knn recalls most of the exact brute-force neighbors") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))

@@ -277,6 +277,47 @@ class SimilaritySpec extends SparkSpecBase {
         "almost nothing at this k")
   }
 
+  test("composed IVF+PQ: probed-cell ADC shortlist, exact rerank, recall vs float IVF") {
+    import graft.ops.{Pq, Similarity}
+    import graft.ops.Similarity.cellsFor
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val queries = corpus.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val cents = Similarity.trainCentroids(corpus, cellsFor(corpus.count()), iters = 2)
+    val model = Pq.train(corpus, col("emb"), m = 8, ksub = 16, iters = 2)
+    val got = Pq.searchIvfPq(corpus, queries, cents, model, k = 5,
+      nProbe = 4, shortlist = 32)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 50, "k results per query")
+    // every result sits in a cell its query probed: the composed index can
+    // only ever return rows the coarse stage admitted
+    val cellOf = corpus.withColumn("cell",
+        org.apache.spark.sql.graft.VectorColumns.ivfCell(
+          col("emb"), cents.flatten, cents.length))
+      .select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = Similarity.probeCells(queries, cents, nProbe = 4)
+      .select(col("query_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    rows.foreach { case (q, n, _) =>
+      assert(probed.contains((q, cellOf(n))),
+        s"neighbor $n of query $q is outside the probed cells")
+    }
+    // the verdict pin: composing PQ under the IVF cells must not cost much
+    // recall vs scanning those same cells at full float precision — the
+    // ADC shortlist (32 of ~nProbe/nCells·n candidates) plus exact rerank
+    // recovers what the float scan finds
+    val floatIvf = Similarity.ivfFlatKnnWith(corpus, queries, cents,
+        k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = rows.map(r => (r._1, r._2)).count(floatIvf.contains)
+      .toDouble / floatIvf.size
+    assert(recall >= 0.7,
+      s"IVF+PQ recall $recall vs float IVF-flat — the ADC shortlist is " +
+        "dropping true neighbors")
+  }
+
   test("knn plan broadcasts the query side") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
