@@ -121,6 +121,17 @@ def main(sf_dir, out_dir):
         print(f"FAIL {name}: registered query has no Spark output "
               "(query threw at runtime in Verify?)")
         n_fail += 1
+    # the mirror-image hole: an output dir for a name NOT in the manifest is
+    # a stale leftover of a removed/renamed query (Verify never cleans old
+    # dirs). Treating it as rows-only would let a RENAME pass silently — the
+    # old dir shows as SKIP while nothing gates the new name's semantics.
+    if os.path.exists(manifest_path):
+        stale = sorted(set(names) - expected)
+        names = [n for n in names if n in expected]
+        for name in stale:
+            print(f"FAIL {name}: output dir not in queries.txt manifest "
+                  "(stale dir from a removed/renamed query — clear outDir)")
+            n_fail += 1
     for name in names:
         spark_tbl = load_spark(con, os.path.join(out_dir, name))
         if spark_tbl is None:

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+/** Scaling-exponent evidence for the quadratic-risk sketch families
+  * (minhash / simhash / winnow / ngram / semantic): their plan SHAPES are
+  * bucketed (work ∝ Σ bucket², never O(n²)), but shape alone doesn't prove
+  * the bucket-size distribution stays tame as the corpus grows. This
+  * harness MEASURES it: per family and per scale factor, the distinct
+  * CANDIDATE pair count (the op with its verification threshold disabled —
+  * exactly the join mass the banding admits), the verified pair count, and
+  * the production op's wall time. The observed exponent between scale
+  * points (log pair-ratio / log n-ratio) goes into BASELINE.md; ~1 means
+  * the candidate mass grows with the corpus, ~2 means the banding is NOT
+  * containing the join and the df caps / cell counts need tightening.
+  *
+  * Usage:
+  *   runMain graft.ScalingBench gen <outDir>      # synthesize ~5x sf0.1
+  *   runMain graft.ScalingBench run <dir> [dir..] # one JSON line per dir
+  *
+  * The generated corpus models a GROWING corpus with a CONSTANT duplicate
+  * rate (the production assumption: dup clusters grow in count, not size):
+  * 5 replicas of sf0.1; within each replica 90% of docs are remapped to a
+  * fresh shingle space (seeded alphabet permutation via translate — word
+  * boundaries, lengths and df distribution survive, cross-replica shingle
+  * collisions don't happen), 10% are kept verbatim so every replica
+  * contributes real cross-replica duplicate cliques. Embeddings get the
+  * analogous treatment: a seeded dimension permutation (norms and
+  * intra-replica geometry preserved) with the same 10% verbatim slice.
+  */
+object ScalingBench {
+
+  private val Replicas = 5
+  private val VerbatimPct = 10 // doc_id % 100 < this → copied unchanged
+
+  private def permuted(seed: Int, xs: IndexedSeq[Char]): String =
+    new scala.util.Random(seed).shuffle(xs).mkString
+
+  def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val lower = ('a' to 'z').toIndexedSeq
+    val upper = ('A' to 'Z').toIndexedSeq
+    val docReps = (0 until Replicas).map { r =>
+      val shifted = docs.withColumn("doc_id",
+        col("doc_id") + lit(r.toLong * 10000000L))
+      if (r == 0) shifted
+      else shifted.withColumn("text",
+        when(col("doc_id") % 100 < VerbatimPct, col("text"))
+          .otherwise(translate(col("text"),
+            (lower ++ upper).mkString,
+            permuted(1000 + r, lower) + permuted(2000 + r, upper))))
+    }
+    docReps.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    val embReps = (0 until Replicas).map { r =>
+      val shifted = embs.withColumn("vec_id",
+        col("vec_id") + lit(r.toLong * 10000000L))
+      if (r == 0) shifted
+      else {
+        val perm = new scala.util.Random(3000 + r)
+          .shuffle((0 until dim).toIndexedSeq)
+        shifted.withColumn("embedding",
+          when(col("vec_id") % 100 < VerbatimPct, col("embedding"))
+            .otherwise(array(perm.map(i => col("embedding").getItem(i)): _*)))
+      }
+    }
+    embReps.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** (family, nRows, candidates, verified, secs) for one dir. `candidates`
+    * = the op with verification disabled; `secs` times the PRODUCTION op
+    * (same thresholds as the registered queries), best of `passes`.
+    */
+  def measure(spark: SparkSession, dir: String, passes: Int = 2): Seq[String] = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val nDocs = docs.count()
+    val nVecs = embs.count()
+    def time(df: => DataFrame): Double =
+      (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val cents = Similarity.trainCentroids(embs,
+      Similarity.cellsFor(nVecs), iters = 2)
+    val fams = Seq(
+      ("minhash", nDocs,
+        // agreement floor 0 = every banded candidate pair
+        Dedup.minhashLshPairs(docs, col("doc_id"), col("text")).count(),
+        Dedup.minhashLshPairs(docs, col("doc_id"), col("text"))
+          .filter(col("est_jaccard") >= 0.5).count(),
+        time(Dedup.minhashLshPairs(docs, col("doc_id"), col("text")))),
+      ("simhash", nDocs,
+        Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 64).count(),
+        Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 16).count(),
+        time(Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 16))),
+      ("winnow", nDocs,
+        Dedup.winnowPairs(docs, col("doc_id"), col("text")).count(),
+        Dedup.winnowPairs(docs, col("doc_id"), col("text"))
+          .filter(col("n_shared") >= 3).count(),
+        time(Dedup.winnowPairs(docs, col("doc_id"), col("text")))),
+      ("ngram", nDocs,
+        Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+          minJaccard = 0.0).count(),
+        Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+          minJaccard = 0.03).count(),
+        time(Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+          minJaccard = 0.03))),
+      ("semantic", nVecs,
+        Similarity.clusteredNearDupPairs(embs, cents, tau = -1.0).count(),
+        Similarity.clusteredNearDupPairs(embs, cents, tau = 0.35).count(),
+        time(Similarity.clusteredNearDupPairs(embs, cents, tau = 0.35))))
+    fams.map { case (fam, n, cand, ver, secs) =>
+      s"""{"dir":"$dir","family":"$fam","n":$n,"candidates":$cand,""" +
+        s""""verified":$ver,"secs":${f"$secs%.2f"}}"""
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get("graft-scaling")
+    args.toList match {
+      case "gen" :: outDir :: rest =>
+        val src = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        generate(spark, src, outDir)
+        println(s"""{"generated":"$outDir","replicas":$Replicas}""")
+      case "run" :: dirs if dirs.nonEmpty =>
+        dirs.foreach(d => measure(spark, d).foreach(println))
+      case _ =>
+        System.err.println("usage: ScalingBench gen <outDir> [srcDir] | run <dir>...")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

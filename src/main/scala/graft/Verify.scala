@@ -23,6 +23,13 @@ object Verify {
     // check_oracle would validate the partial snapshot as green)
     Seq("_failures.txt", "queries.txt", "oracle_sql.json").foreach(f =>
       Files.deleteIfExists(Paths.get(s"$outDir/$f")))
+    // the manifest is written BEFORE the query loop (the registry is known
+    // up front): a run killed mid-loop then leaves fresh parquet WITH a
+    // manifest, so check_oracle's missing-output check catches the partial
+    // snapshot — written after, the same death leaves no manifest and the
+    // oracle-keys-only fallback would silently pass over the missing dirs
+    Files.writeString(Paths.get(s"$outDir/queries.txt"),
+      SparkEntry.queries.keys.toSeq.sorted.mkString("", "\n", "\n"))
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -37,11 +44,6 @@ object Verify {
     // partial run) would dump oracles that don't match the dumped parquet
     if (!graft.queries.SimilarityQueries.modelsConsistentWith(sfDir))
       failed += "_model_dir_mismatch"
-    // full query manifest: lets check_oracle detect a rows-only query that
-    // threw (it has no oracle entry, so oracle_sql.json alone can't) —
-    // every name listed here must have an output dir
-    Files.writeString(Paths.get(s"$outDir/queries.txt"),
-      SparkEntry.queries.keys.toSeq.sorted.mkString("", "\n", "\n"))
     // machine-readable failure marker: the exit code stays 0 (the driver's
     // contract), so tooling (scripts/gate.sh) reads this file instead of
     // scraping logs — log-scrape breaks silently if the message wording

@@ -131,11 +131,16 @@ object Components {
     // endpoints stay themselves. The joins key on the EDGE list (the small
     // side) — at scale the store side is bucketed on id, the edge side
     // shuffles O(day's edges).
+    // eager localCheckpoint: cEdges feeds BOTH union branches of the
+    // propagation's symmetrized edge list AND both branches of the vertex
+    // set — without it the upstream day-pair derivation (an LSH bucket
+    // join in the cluster query) re-executes once per consumer
     val cEdges = newEdges.select(col("src"), col("dst"))
       .join(srcLbl, Seq("src"), "left")
       .join(dstLbl, Seq("dst"), "left")
       .select(coalesce(col("__csrc"), col("src")).as("src"),
         coalesce(col("__cdst"), col("dst")).as("dst"))
+      .localCheckpoint(true)
     // contracted vertex set: every new node (untouched ones stay
     // singletons) plus every rep an edge touches
     val cNodes = newNodes.select(col("id"))

@@ -77,12 +77,21 @@ object Sharding {
       offsets.toSeq.map { case ((s, b), o) => (s, b, o) })
       .toDF("shard", "__sub", "__off")
     // phase 2: enumerate within each (shard, subbucket) — nShards×16-way
-    // parallel — and add the broadcast offset
+    // parallel — and add the broadcast offset. LEFT join + loud null
+    // check: with an inner join, a row whose (shard, subbucket) group was
+    // absent in phase 1 (source changed between the passes — the input
+    // contract above violated) would be silently DROPPED; instead it now
+    // fails the job with an explicit diagnosis.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"), col("__sub"))
       .orderBy(col("__key"), col("doc_id"))
-    keyed.join(broadcast(offsetDf), Seq("shard", "__sub"))
+    keyed.join(broadcast(offsetDf), Seq("shard", "__sub"), "left")
       .select(col("doc_id"), col("shard"),
-        (col("__off") + row_number().over(w) - 1).as("pos"))
+        (when(col("__off").isNull,
+          raise_error(concat(lit("shardShuffle: subbucket unseen by the " +
+            "count pass (shard="), col("shard"), lit(", sub="), col("__sub"),
+            lit(") — the input snapshot changed between phases"))))
+          .otherwise(col("__off"))
+          + row_number().over(w) - 1).as("pos"))
   }
 }

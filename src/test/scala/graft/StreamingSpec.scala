@@ -358,6 +358,86 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("crash recovery: kill mid-stream, restart from the RocksDB checkpoint, changelog still equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the shared disorder harness: three time chunks, shuffled within,
+      // stragglers delivered one batch late (inside the 1h delay)
+      val all = graft.sources.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+        .as[Event].collect().sortBy(_.ts.getTime)
+      val raw = all.grouped(math.max(1, all.length / 3 + 1)).toSeq.map(_.toSeq)
+      val shifted = raw.indices.map { i =>
+        val boundary = raw(i).last.ts.getTime
+        val (late, keep) =
+          raw(i).partition(e => boundary - e.ts.getTime < 30L * 60 * 1000)
+        val fromPrev = if (i == 0) Nil else {
+          val pb = raw(i - 1).last.ts.getTime
+          raw(i - 1).filter(e => pb - e.ts.getTime < 30L * 60 * 1000)
+        }
+        val mine = if (i == raw.length - 1) keep ++ late else keep
+        new scala.util.Random(13).shuffle(mine ++ fromPrev)
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-rec-ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-rec-out").toString
+      val input = MemoryStream[Event]
+      // file sink, NOT memory sink: the parquet sink's _spark_metadata log
+      // is what makes output exactly-once ACROSS restarts — the operational
+      // contract this test exists to prove
+      def start() = EventStreams.retentionActivity(input.toDS())
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      // incarnation 1: commit chunk 1, then DIE with chunk 2 enqueued but
+      // not yet committed — the restart has to re-read it from the source
+      // via the offset WAL, and every cohort day learned from chunk 1
+      // exists ONLY in the checkpointed RocksDB state
+      val q1 = start()
+      input.addData(shifted(0))
+      q1.processAllAvailable()
+      input.addData(shifted(1))
+      q1.stop()
+      // incarnation 2: same checkpoint, fresh query
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        input.addData(shifted(2))
+        q2.processAllAvailable()
+        // seal the last day (watermark 1h + day-end ripeness → 3 days clear)
+        input.addData(Event(Long.MaxValue,
+          new Timestamp(all.last.ts.getTime + 3L * 86400L * 1000), -1L, "view", 0.0))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val outRows = spark.read.parquet(outDir)
+      // exactly-once survived the restart: no (user, day) cell twice
+      val dup = outRows.groupBy("user_id", "day").count()
+        .filter(col("count") > 1).collect()
+      assert(dup.isEmpty, s"cells emitted twice across restart: ${dup.mkString(", ")}")
+      val stream = outRows.filter(col("user_id") >= 0)
+        .groupBy(col("cohort_day").cast("string").as("cd"), col("day_offset"))
+        .count().collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = graft.queries.JourneyQueries.qRetentionCohort(spark, sfDir)
+        .collect()
+        .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+          r.getAs[Long]("day_offset")) -> r.getAs[Long]("n_active")).toMap
+      assert(stream === batch,
+        s"matrix diverged after recovery: stream-only=${stream.toSet -- batch.toSet}, " +
+          s"batch-only=${batch.toSet -- stream.toSet}")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful streaming dedup runs on the RocksDB state store") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
