@@ -31,17 +31,25 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to passes).map { pass =>
+      val attempts = (1 to passes).map { pass =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name (pass $pass): ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name (pass $pass): ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val dt = times.min
+      // only SUCCESSFUL passes compete for the min: a fast-failing pass
+      // (say 0.05s on a transient error) must not record an artificially
+      // small time no honest run can match. All passes failed → record the
+      // slowest attempt so the number reads as a penalty, never a win.
+      val good = attempts.collect { case (t, true) => t }
+      val dt = if (good.nonEmpty) good.min else attempts.map(_._1).max
       System.err.println(
-        f"BENCH $name: $dt%.2fs (min of ${times.map(t => f"$t%.2f").mkString("/")})")
+        f"BENCH $name: $dt%.2fs (${good.length}/${attempts.length} ok, " +
+          s"of ${attempts.map(a => f"${a._1}%.2f").mkString("/")})")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -25,9 +25,11 @@ import graft.ops.{Dedup, Similarity}
   * rate (the production assumption: dup clusters grow in count, not size):
   * 5 replicas of sf0.1; within each replica 90% of docs are remapped to a
   * fresh shingle space (seeded alphabet permutation via translate — word
-  * boundaries, lengths and df distribution survive, cross-replica shingle
-  * collisions don't happen), 10% are kept verbatim so every replica
-  * contributes real cross-replica duplicate cliques. Embeddings get the
+  * boundaries, lengths and df distribution survive; cross-replica shingle
+  * collisions become RARE, not impossible: two distinct permutations can
+  * map different words to the same image, and digits/punctuation are not
+  * remapped at all), 10% are kept verbatim so every replica contributes
+  * real cross-replica duplicate cliques. Embeddings get the
   * analogous treatment: a seeded dimension permutation (norms and
   * intra-replica geometry preserved) with the same 10% verbatim slice.
   */

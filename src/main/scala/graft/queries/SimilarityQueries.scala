@@ -94,10 +94,17 @@ object SimilarityQueries {
           .select(col("id_a").as("src"), col("id_b").as("dst"))),
       labelsPath)
     Datalake.writeParquet(Similarity.lshBuckets(hist), bucketsPath)
-    // "today's" job: bucket ONLY the batch, join against the persisted
-    // store, fold the day's pairs into the persisted labeling
+    // "today's" job: bucket ONLY the batch. The batch's bucket rows are
+    // WRITTEN FIRST (the qDedupIncremental batch-sketch pattern): they are
+    // both the join input — read back once, so the pair join's two
+    // consumers (union side and build side) don't each re-derive the
+    // signature projection — and the store increment the next generation
+    // appends (bucket each vector exactly once, ever).
+    val batchBucketsPath =
+      Datalake.path(root, Datalake.Formatted, "clusters", "batch_buckets")
+    Datalake.writeParquet(Similarity.lshBuckets(batch), batchBucketsPath)
     val newPairs = Similarity.lshIncrementalPairs(
-      Similarity.lshBuckets(batch), spark.read.parquet(bucketsPath))
+      spark.read.parquet(batchBucketsPath), spark.read.parquet(bucketsPath))
     graft.ops.Components.incrementalComponents(
         spark.read.parquet(labelsPath), batch.select(col("id")), newPairs)
       .orderBy(col("id"))

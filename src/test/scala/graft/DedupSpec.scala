@@ -177,10 +177,15 @@ class DedupSpec extends SparkSpecBase {
       "incremental fold must equal from-scratch components on the full graph")
     // the relabel stage must broadcast the remap over the store — a
     // shuffled join of the full store would be the O(corpus) cost the
-    // incremental design exists to avoid
+    // incremental design exists to avoid. The NEGATIVE assertion is the
+    // real pin: a positive contains(BroadcastHashJoin) alone would still
+    // pass if the store relabel regressed to a shuffled join while some
+    // other join in the plan happened to broadcast.
     val plan = inc.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"store relabel should be a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no join in the fold's output plan may shuffle the store:\n$plan")
   }
 
   test("IVF-flat knn recalls most of the exact brute-force neighbors") {

@@ -13,6 +13,33 @@ class StreamingSpec extends SparkSpecBase {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
+  /** The ONE disorder harness every streaming-vs-batch convergence proof
+    * feeds on: time-sliced into three chunks, SHUFFLED within each chunk,
+    * AND with every event in the 30 minutes before a chunk boundary
+    * delivered one batch LATE — both within-batch disorder (absorbed by
+    * the operators' buffers) and cross-batch lateness (absorbed by the 1h
+    * watermark delay, which these stragglers stay inside). The final chunk
+    * keeps its own stragglers (no later batch exists). One definition so
+    * the four proofs provably test the SAME input disorder.
+    */
+  private def disorderedChunks(all: Seq[Event], seed: Int): Seq[Seq[Event]] = {
+    val raw = all.grouped(math.max(1, all.length / 3 + 1)).toSeq.map(_.toSeq)
+    val shifted = raw.indices.map { i =>
+      val boundary = raw(i).last.ts.getTime
+      val (late, keep) =
+        raw(i).partition(e => boundary - e.ts.getTime < 30L * 60 * 1000)
+      val fromPrev = if (i == 0) Nil else {
+        val pb = raw(i - 1).last.ts.getTime
+        raw(i - 1).filter(e => pb - e.ts.getTime < 30L * 60 * 1000)
+      }
+      val mine = if (i == raw.length - 1) keep ++ late else keep
+      new scala.util.Random(seed).shuffle(mine ++ fromPrev)
+    }
+    assert(shifted.map(_.length).sum === all.length,
+      "disorder harness must deliver every event exactly once")
+    shifted
+  }
+
   test("windowed counts aggregate a memory stream with watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -139,30 +166,12 @@ class StreamingSpec extends SparkSpecBase {
   test("streaming funnel changelog converges to the batch funnel under out-of-order delivery") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    // real events from sf0.001, time-sliced into three chunks, SHUFFLED
-    // WITHIN each chunk, AND with every event in the 30 minutes before a
-    // chunk boundary delivered one batch LATE — both within-batch disorder
-    // (absorbed by the buffer) and cross-batch lateness (absorbed by the
-    // 1h watermark delay, which these straddlers stay inside)
+    // real events from sf0.001 through the shared disorder harness
     val all = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
       .as[Event].collect().sortBy(_.ts.getTime)
-    val raw = all.grouped(math.max(1, all.length / 3 + 1)).toSeq
-      .map(_.toSeq)
-    val shifted = raw.indices.map { i =>
-      val boundary = raw(i).last.ts.getTime
-      val (late, keep) =
-        raw(i).partition(e => boundary - e.ts.getTime < 30L * 60 * 1000)
-      val fromPrev = if (i == 0) Nil else {
-        val pb = raw(i - 1).last.ts.getTime
-        raw(i - 1).filter(e => pb - e.ts.getTime < 30L * 60 * 1000)
-      }
-      // the final chunk keeps its own stragglers (no later batch exists)
-      val mine = if (i == raw.length - 1) keep ++ late else keep
-      new scala.util.Random(42).shuffle(mine ++ fromPrev)
-    }
-    assert(shifted.map(_.length).sum === all.length)
+    val shifted = disorderedChunks(all, seed = 42)
     val input = MemoryStream[Event]
     val q = EventStreams.funnelChangelog(input.toDS())
       .writeStream.format("memory").queryName("funnel")
@@ -206,24 +215,11 @@ class StreamingSpec extends SparkSpecBase {
   test("streaming retention activity converges to the batch cohort matrix under out-of-order delivery") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    // the funnel test's disorder harness: three time chunks, shuffled
-    // within, stragglers delivered one batch late (inside the 1h delay)
     val all = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
       .as[Event].collect().sortBy(_.ts.getTime)
-    val raw = all.grouped(math.max(1, all.length / 3 + 1)).toSeq.map(_.toSeq)
-    val shifted = raw.indices.map { i =>
-      val boundary = raw(i).last.ts.getTime
-      val (late, keep) =
-        raw(i).partition(e => boundary - e.ts.getTime < 30L * 60 * 1000)
-      val fromPrev = if (i == 0) Nil else {
-        val pb = raw(i - 1).last.ts.getTime
-        raw(i - 1).filter(e => pb - e.ts.getTime < 30L * 60 * 1000)
-      }
-      val mine = if (i == raw.length - 1) keep ++ late else keep
-      new scala.util.Random(7).shuffle(mine ++ fromPrev)
-    }
+    val shifted = disorderedChunks(all, seed = 7)
     val input = MemoryStream[Event]
     val q = EventStreams.retentionActivity(input.toDS())
       .writeStream.format("memory").queryName("retention")
@@ -265,18 +261,7 @@ class StreamingSpec extends SparkSpecBase {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
     val all = src.as[Event].collect().sortBy(_.ts.getTime)
-    val raw = all.grouped(math.max(1, all.length / 3 + 1)).toSeq.map(_.toSeq)
-    val shifted = raw.indices.map { i =>
-      val boundary = raw(i).last.ts.getTime
-      val (late, keep) =
-        raw(i).partition(e => boundary - e.ts.getTime < 30L * 60 * 1000)
-      val fromPrev = if (i == 0) Nil else {
-        val pb = raw(i - 1).last.ts.getTime
-        raw(i - 1).filter(e => pb - e.ts.getTime < 30L * 60 * 1000)
-      }
-      val mine = if (i == raw.length - 1) keep ++ late else keep
-      new scala.util.Random(13).shuffle(mine ++ fromPrev)
-    }
+    val shifted = disorderedChunks(all, seed = 13)
     val input = MemoryStream[Event]
     val q = EventStreams.gapFillChangelog(input.toDS())
       .writeStream.format("memory").queryName("gapfill")
@@ -366,24 +351,11 @@ class StreamingSpec extends SparkSpecBase {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      // the shared disorder harness: three time chunks, shuffled within,
-      // stragglers delivered one batch late (inside the 1h delay)
       val all = graft.sources.Tables.events(spark, sfDir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
         .as[Event].collect().sortBy(_.ts.getTime)
-      val raw = all.grouped(math.max(1, all.length / 3 + 1)).toSeq.map(_.toSeq)
-      val shifted = raw.indices.map { i =>
-        val boundary = raw(i).last.ts.getTime
-        val (late, keep) =
-          raw(i).partition(e => boundary - e.ts.getTime < 30L * 60 * 1000)
-        val fromPrev = if (i == 0) Nil else {
-          val pb = raw(i - 1).last.ts.getTime
-          raw(i - 1).filter(e => pb - e.ts.getTime < 30L * 60 * 1000)
-        }
-        val mine = if (i == raw.length - 1) keep ++ late else keep
-        new scala.util.Random(13).shuffle(mine ++ fromPrev)
-      }
+      val shifted = disorderedChunks(all, seed = 13)
       val ckpt = java.nio.file.Files.createTempDirectory("graft-rec-ckpt").toString
       val outDir = java.nio.file.Files.createTempDirectory("graft-rec-out").toString
       val input = MemoryStream[Event]
