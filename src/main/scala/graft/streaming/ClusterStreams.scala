@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Components, Similarity}
+import graft.sources.Datalake
+
+/** Streaming arrival form of incremental CLUSTER maintenance — the
+  * continuous twin of q_dedup_clusters_incremental, built the way
+  * CorpusStreams.incrementalDedupStream is: every micro-batch of newly
+  * arrived vectors is one "daily batch", folded into the PERSISTED
+  * component store with the batch operator
+  * (Components.incrementalComponents) inside foreachBatch, so stream and
+  * batch cannot disagree on cluster semantics.
+  *
+  * Unlike the dedup stream (stateless: new-vs-history only), the cluster
+  * fold is SEQUENTIAL — epoch N folds into the labeling epoch N-1
+  * produced, and its pair derivation must see every earlier batch's
+  * bucket rows, not just history's. Both stores are therefore
+  * epoch-versioned on disk, which is also what makes crash-replay
+  * idempotent:
+  *  - bucket rows land at `bucketsIncDir/epoch=N` (overwrite-on-replay);
+  *    the pair join for epoch N reads base buckets + increments < N, so a
+  *    replayed epoch never sees its own half-written first attempt;
+  *  - labels land at `labelsDir/epoch=N`; the fold reads the labeling at
+  *    the LATEST epoch < N (or the base store for the first epoch), so a
+  *    replay re-derives epoch N from exactly the pre-crash state.
+  *
+  * Scale shape per epoch: bucket projection is map-side on the batch; the
+  * pair join shuffles O(batch bucket rows) with the batch as build side;
+  * the contracted fold is O(batch pairs + touched components); the store
+  * relabel is a broadcast remap. The growing increment list is the same
+  * story as the dedup sketch store: a periodic compaction folds
+  * increments into the base buckets (and the latest labels into the base
+  * labeling) — bounded housekeeping, not part of the per-epoch path.
+  */
+object ClusterStreams {
+
+  private def epochsIn(df: DataFrame, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
+  }
+
+  /** `vecs`: streaming (id, emb) arrivals. `baseLabels` (id, component) and
+    * `baseBuckets` (lshBuckets rows) are "yesterday's" persisted stores.
+    */
+  def incrementalClusterStream(vecs: DataFrame, baseLabels: DataFrame,
+      baseBuckets: DataFrame, bucketsIncDir: String, labelsDir: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val s = batch.sparkSession
+        // 1. land this epoch's bucket rows (written once, read back as
+        //    both join input and the store increment — the batch-sketch
+        //    pattern)
+        val bPath = s"$bucketsIncDir/epoch=$epoch"
+        Datalake.writeParquet(Similarity.lshBuckets(batch), bPath)
+        val batchBuckets = s.read.parquet(bPath)
+        // 2. pre-crash state: labels at the latest epoch < this one (or
+        //    the base store), buckets of base + every PRIOR epoch
+        val prevLabels = epochsIn(batch, labelsDir).filter(_ < epoch)
+          .sorted.lastOption
+          .map(e => s.read.parquet(s"$labelsDir/epoch=$e"))
+          .getOrElse(baseLabels)
+        val priorBuckets = epochsIn(batch, bucketsIncDir).filter(_ < epoch)
+          .sorted
+          .map(e => s.read.parquet(s"$bucketsIncDir/epoch=$e"))
+          .foldLeft(baseBuckets)(_ unionByName _)
+        // 3. fold: day pairs → contracted propagation → versioned labels
+        val newPairs =
+          Similarity.lshIncrementalPairs(batchBuckets, priorBuckets)
+        Datalake.writeParquet(
+          Components.incrementalComponents(prevLabels,
+            batch.select(col("id")), newPairs),
+          s"$labelsDir/epoch=$epoch")
+      }
+      .start()
+}

@@ -102,6 +102,67 @@ class CorpusStreamSpec extends SparkSpecBase {
     assert(inc.count() === batch.count())
   }
 
+  test("streaming incremental clusters: sequential epoch folds equal one from-scratch run") {
+    import graft.ops.{Components, Similarity}
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val c = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val hist = c.filter(col("id") % 5 =!= 4)
+    val batch = c.filter(col("id") % 5 === 4)
+    // "yesterday's" persisted stores
+    val baseLabels = Components.connectedComponents(hist.select(col("id")),
+      Similarity.hyperplaneLshPairs(hist)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+    val baseBuckets = Similarity.lshBuckets(hist)
+    // today's arrivals land as TWO file drops → two SEQUENTIAL epochs
+    // (unlike the dedup stream, epoch 2's fold depends on epoch 1's
+    // labels and bucket rows — this is the stateful case)
+    val dropDir = Files.createTempDirectory("graft-clus-drops")
+    def land(df: DataFrame, name: String): Unit = {
+      val stage = Files.createTempDirectory("graft-clus-stage").resolve("out")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, dropDir.resolve(name))
+    }
+    val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    land(src.filter(col("vec_id") % 5 === 4 && col("vec_id") % 2 === 0),
+      "drop1.parquet")
+    land(src.filter(col("vec_id") % 5 === 4 && col("vec_id") % 2 =!= 0),
+      "drop2.parquet")
+    val bucketsInc = Files.createTempDirectory("graft-clus-binc").toString
+    val labelsDir = Files.createTempDirectory("graft-clus-labels").toString
+    val q = graft.streaming.ClusterStreams.incrementalClusterStream(
+      CorpusStreams.readDocFiles(spark, dropDir.toString, embSchema, 1)
+        .select(col("vec_id").as("id"), col("embedding").as("emb")),
+      baseLabels, baseBuckets, bucketsInc, labelsDir,
+      Files.createTempDirectory("graft-clus-ckpt").toString)
+    try {
+      assert(q.awaitTermination(120000),
+        "AvailableNow query did not drain the drops in 120s")
+    } finally if (q.isActive) q.stop()
+    // both epochs must have produced a versioned labeling
+    val epochs = new java.io.File(labelsDir).listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).sorted
+    assert(epochs.length === 2, s"expected 2 label versions, got ${epochs.toSeq}")
+    // the LATEST labeling equals a from-scratch run over the full corpus:
+    // the sequential fold loses nothing across epochs
+    val streamed = spark.read.parquet(s"$labelsDir/${epochs.last}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val once = Components.connectedComponents(c.select(col("id")),
+        Similarity.hyperplaneLshPairs(c)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === once,
+      s"stream-only=${streamed.toSet -- once.toSet}, " +
+        s"batch-only=${once.toSet -- streamed.toSet}")
+    // the bucket increments landed per epoch (compaction feedstock)
+    assert(spark.read.parquet(bucketsInc).count() ===
+      batch.count() * Similarity.LshParams.bands)
+  }
+
   test("streaming clean agrees with the batch funnel signals on the same docs") {
     val dir = Files.createTempDirectory("graft-cleanstream")
     Files.copy(Paths.get(s"$sfDir/documents.parquet"),
