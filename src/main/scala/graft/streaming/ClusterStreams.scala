@@ -37,12 +37,36 @@ import graft.sources.Datalake
   */
 object ClusterStreams {
 
-  private def epochsIn(df: DataFrame, dir: String): Seq[Long] = {
+  private def epochsIn(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
+  }
+
+  /** The bounded housekeeping both stores' docs promise: fold the
+    * epoch-versioned increments back into base form. New base buckets =
+    * old base ∪ every increment (bucket rows only ever accumulate); new
+    * base labels = the labeling at the LATEST epoch (labels supersede,
+    * they don't accumulate — the latest version IS the full-corpus
+    * labeling). After compaction the increment/label epoch dirs are dead
+    * and a stream RESUMES against the new base with a fresh checkpoint —
+    * the per-epoch read fan-in drops back to one store. CorpusStreamSpec
+    * proves fold → compact → resume → fold lands on exactly the
+    * from-scratch labeling.
+    */
+  def compactStores(spark: org.apache.spark.sql.SparkSession,
+      baseBuckets: DataFrame, bucketsIncDir: String, labelsDir: String,
+      outBucketsPath: String, outLabelsPath: String): Unit = {
+    val compacted = epochsIn(spark, bucketsIncDir).sorted
+      .map(e => spark.read.parquet(s"$bucketsIncDir/epoch=$e"))
+      .foldLeft(baseBuckets)(_ unionByName _)
+    Datalake.writeParquet(compacted, outBucketsPath)
+    val latest = epochsIn(spark, labelsDir).max
+    Datalake.writeParquet(
+      spark.read.parquet(s"$labelsDir/epoch=$latest"), outLabelsPath)
   }
 
   /** `vecs`: streaming (id, emb) arrivals. `baseLabels` (id, component) and
@@ -67,11 +91,11 @@ object ClusterStreams {
         val batchBuckets = s.read.parquet(bPath)
         // 2. pre-crash state: labels at the latest epoch < this one (or
         //    the base store), buckets of base + every PRIOR epoch
-        val prevLabels = epochsIn(batch, labelsDir).filter(_ < epoch)
+        val prevLabels = epochsIn(s, labelsDir).filter(_ < epoch)
           .sorted.lastOption
           .map(e => s.read.parquet(s"$labelsDir/epoch=$e"))
           .getOrElse(baseLabels)
-        val priorBuckets = epochsIn(batch, bucketsIncDir).filter(_ < epoch)
+        val priorBuckets = epochsIn(s, bucketsIncDir).filter(_ < epoch)
           .sorted
           .map(e => s.read.parquet(s"$bucketsIncDir/epoch=$e"))
           .foldLeft(baseBuckets)(_ unionByName _)

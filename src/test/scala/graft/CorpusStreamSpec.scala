@@ -128,9 +128,9 @@ class CorpusStreamSpec extends SparkSpecBase {
       Files.move(part, dropDir.resolve(name))
     }
     val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    land(src.filter(col("vec_id") % 5 === 4 && col("vec_id") % 2 === 0),
+    land(src.filter(col("vec_id") % 5 === 4 && col("vec_id") % 3 === 0),
       "drop1.parquet")
-    land(src.filter(col("vec_id") % 5 === 4 && col("vec_id") % 2 =!= 0),
+    land(src.filter(col("vec_id") % 5 === 4 && col("vec_id") % 3 === 1),
       "drop2.parquet")
     val bucketsInc = Files.createTempDirectory("graft-clus-binc").toString
     val labelsDir = Files.createTempDirectory("graft-clus-labels").toString
@@ -147,9 +147,43 @@ class CorpusStreamSpec extends SparkSpecBase {
     val epochs = new java.io.File(labelsDir).listFiles()
       .map(_.getName).filter(_.startsWith("epoch=")).sorted
     assert(epochs.length === 2, s"expected 2 label versions, got ${epochs.toSeq}")
-    // the LATEST labeling equals a from-scratch run over the full corpus:
-    // the sequential fold loses nothing across epochs
-    val streamed = spark.read.parquet(s"$labelsDir/${epochs.last}")
+    // the bucket increments landed per epoch (compaction feedstock)
+    assert(spark.read.parquet(bucketsInc).count() ===
+      batch.filter(col("id") % 3 =!= 2).count() * Similarity.LshParams.bands)
+    // COMPACT: increments fold back into base form; then a NEW stream
+    // (fresh checkpoint, empty increment history) resumes against the
+    // compacted base with the third drop
+    val cBuckets = Files.createTempDirectory("graft-clus-cbuck").toString
+    val cLabels = Files.createTempDirectory("graft-clus-clab").resolve("base").toString
+    graft.streaming.ClusterStreams.compactStores(spark, baseBuckets,
+      bucketsInc, labelsDir, cBuckets, cLabels)
+    val dropDir2 = Files.createTempDirectory("graft-clus-drops2")
+    def land2(df: DataFrame, name: String): Unit = {
+      val stage = Files.createTempDirectory("graft-clus-stage2").resolve("out")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, dropDir2.resolve(name))
+    }
+    land2(src.filter(col("vec_id") % 5 === 4 && col("vec_id") % 3 === 2),
+      "drop3.parquet")
+    val bucketsInc2 = Files.createTempDirectory("graft-clus-binc2").toString
+    val labelsDir2 = Files.createTempDirectory("graft-clus-labels2").toString
+    val q2 = graft.streaming.ClusterStreams.incrementalClusterStream(
+      CorpusStreams.readDocFiles(spark, dropDir2.toString, embSchema, 1)
+        .select(col("vec_id").as("id"), col("embedding").as("emb")),
+      spark.read.parquet(cLabels), spark.read.parquet(cBuckets),
+      bucketsInc2, labelsDir2,
+      Files.createTempDirectory("graft-clus-ckpt2").toString)
+    try {
+      assert(q2.awaitTermination(120000),
+        "resumed AvailableNow query did not drain drop 3 in 120s")
+    } finally if (q2.isActive) q2.stop()
+    // the final labeling — two folds, a compaction, and a resumed fold
+    // later — equals a from-scratch run over the full corpus
+    val epochs2 = new java.io.File(labelsDir2).listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).sorted
+    val streamed = spark.read.parquet(s"$labelsDir2/${epochs2.last}")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val once = Components.connectedComponents(c.select(col("id")),
         Similarity.hyperplaneLshPairs(c)
@@ -158,9 +192,6 @@ class CorpusStreamSpec extends SparkSpecBase {
     assert(streamed === once,
       s"stream-only=${streamed.toSet -- once.toSet}, " +
         s"batch-only=${once.toSet -- streamed.toSet}")
-    // the bucket increments landed per epoch (compaction feedstock)
-    assert(spark.read.parquet(bucketsInc).count() ===
-      batch.count() * Similarity.LshParams.bands)
   }
 
   test("streaming clean agrees with the batch funnel signals on the same docs") {
