@@ -69,6 +69,39 @@ object ClusterStreams {
       spark.read.parquet(s"$labelsDir/epoch=$latest"), outLabelsPath)
   }
 
+  /** ONE epoch's fold — the foreachBatch body, factored out so the replay
+    * path is directly testable: calling foldEpoch twice for the same epoch
+    * (a crash-replay) must land on the same stores, because the epoch
+    * reads only state strictly BELOW its own epoch number and overwrites
+    * its own outputs (CorpusStreamSpec pins this).
+    */
+  private[graft] def foldEpoch(batch: DataFrame, epoch: Long,
+      baseLabels: DataFrame, baseBuckets: DataFrame,
+      bucketsIncDir: String, labelsDir: String): Unit = {
+    val s = batch.sparkSession
+    // 1. land this epoch's bucket rows (written once, read back as both
+    //    join input and the store increment — the batch-sketch pattern)
+    val bPath = s"$bucketsIncDir/epoch=$epoch"
+    Datalake.writeParquet(Similarity.lshBuckets(batch), bPath)
+    val batchBuckets = s.read.parquet(bPath)
+    // 2. pre-crash state: labels at the latest epoch < this one (or the
+    //    base store), buckets of base + every PRIOR epoch
+    val prevLabels = epochsIn(s, labelsDir).filter(_ < epoch)
+      .sorted.lastOption
+      .map(e => s.read.parquet(s"$labelsDir/epoch=$e"))
+      .getOrElse(baseLabels)
+    val priorBuckets = epochsIn(s, bucketsIncDir).filter(_ < epoch)
+      .sorted
+      .map(e => s.read.parquet(s"$bucketsIncDir/epoch=$e"))
+      .foldLeft(baseBuckets)(_ unionByName _)
+    // 3. fold: day pairs → contracted propagation → versioned labels
+    val newPairs = Similarity.lshIncrementalPairs(batchBuckets, priorBuckets)
+    Datalake.writeParquet(
+      Components.incrementalComponents(prevLabels,
+        batch.select(col("id")), newPairs),
+      s"$labelsDir/epoch=$epoch")
+  }
+
   /** `vecs`: streaming (id, emb) arrivals. `baseLabels` (id, component) and
     * `baseBuckets` (lshBuckets rows) are "yesterday's" persisted stores.
     */
@@ -82,30 +115,8 @@ object ClusterStreams {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val s = batch.sparkSession
-        // 1. land this epoch's bucket rows (written once, read back as
-        //    both join input and the store increment — the batch-sketch
-        //    pattern)
-        val bPath = s"$bucketsIncDir/epoch=$epoch"
-        Datalake.writeParquet(Similarity.lshBuckets(batch), bPath)
-        val batchBuckets = s.read.parquet(bPath)
-        // 2. pre-crash state: labels at the latest epoch < this one (or
-        //    the base store), buckets of base + every PRIOR epoch
-        val prevLabels = epochsIn(s, labelsDir).filter(_ < epoch)
-          .sorted.lastOption
-          .map(e => s.read.parquet(s"$labelsDir/epoch=$e"))
-          .getOrElse(baseLabels)
-        val priorBuckets = epochsIn(s, bucketsIncDir).filter(_ < epoch)
-          .sorted
-          .map(e => s.read.parquet(s"$bucketsIncDir/epoch=$e"))
-          .foldLeft(baseBuckets)(_ unionByName _)
-        // 3. fold: day pairs → contracted propagation → versioned labels
-        val newPairs =
-          Similarity.lshIncrementalPairs(batchBuckets, priorBuckets)
-        Datalake.writeParquet(
-          Components.incrementalComponents(prevLabels,
-            batch.select(col("id")), newPairs),
-          s"$labelsDir/epoch=$epoch")
+        foldEpoch(batch, epoch, baseLabels, baseBuckets, bucketsIncDir,
+          labelsDir)
       }
       .start()
 }

@@ -194,6 +194,35 @@ class CorpusStreamSpec extends SparkSpecBase {
         s"batch-only=${once.toSet -- streamed.toSet}")
   }
 
+  test("cluster fold replay is idempotent: re-running an epoch lands on identical stores") {
+    import graft.ops.{Components, Similarity}
+    val c = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val hist = c.filter(col("id") % 5 =!= 4)
+    val batch = c.filter(col("id") % 5 === 4)
+    val baseLabels = Components.connectedComponents(hist.select(col("id")),
+      Similarity.hyperplaneLshPairs(hist)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+    val baseBuckets = Similarity.lshBuckets(hist)
+    val binc = Files.createTempDirectory("graft-replay-binc").toString
+    val ldir = Files.createTempDirectory("graft-replay-labels").toString
+    val b0 = batch.filter(col("id") % 2 === 0)
+    val b1 = batch.filter(col("id") % 2 =!= 0)
+    graft.streaming.ClusterStreams.foldEpoch(b0, 0, baseLabels, baseBuckets, binc, ldir)
+    graft.streaming.ClusterStreams.foldEpoch(b1, 1, baseLabels, baseBuckets, binc, ldir)
+    val first = spark.read.parquet(s"$ldir/epoch=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketRows = spark.read.parquet(binc).count()
+    // crash-replay of epoch 1: the fold reads only state BELOW its epoch
+    // and overwrites its own outputs, so a retry must change nothing
+    graft.streaming.ClusterStreams.foldEpoch(b1, 1, baseLabels, baseBuckets, binc, ldir)
+    val replayed = spark.read.parquet(s"$ldir/epoch=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayed === first, "replayed epoch diverged from its first run")
+    assert(spark.read.parquet(binc).count() === bucketRows,
+      "replay must overwrite its bucket increment, not append to it")
+  }
+
   test("streaming clean agrees with the batch funnel signals on the same docs") {
     val dir = Files.createTempDirectory("graft-cleanstream")
     Files.copy(Paths.get(s"$sfDir/documents.parquet"),

@@ -164,6 +164,25 @@ class PlanAuditSpec extends SparkSpecBase {
       }
   }
 
+  test("IVF+PQ composed path: the two bounded-heap aggs are the only hash exchanges") {
+    // the IVFADC scale contract: cell assignment + PQ encode are map-side,
+    // probes (with their LUTs) broadcast, and the ONLY hash exchange is
+    // the ADC shortlist's bounded-heap agg — the rerank top-k agg RIDES
+    // that same query_id partitioning (its joins broadcast the tiny
+    // shortlist/query sides), so the encoded corpus never shuffles and
+    // the rerank adds zero exchanges
+    val plan = SimilarityQueries.qAnnIvfPq(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hashExch = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExch === 1,
+      s"expected ONE hash exchange (ADC shortlist top-k; rerank reuses its " +
+        s"partitioning), got $hashExch:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"probe/shortlist sides must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the composed path may sort-merge:\n$plan")
+  }
+
   test("similarity sketch queries keep their single shuffle per side") {
     // buckets self-join: explode → one hash-partition exchange per side (the
     // sketch/bucket shape), never a range/cartesian fallback
