@@ -76,6 +76,7 @@ object SparkEntry {
     "q_ann_ivf_quantized" -> (SimilarityQueries.qAnnIvfQuantized _),
     "q_ann_pq" -> (SimilarityQueries.qAnnPq _),
     "q_ann_ivfpq" -> (SimilarityQueries.qAnnIvfPq _),
+    "q_ann_ivfpq_residual" -> (SimilarityQueries.qAnnIvfPqResidual _),
     "q_minhash_neardup" -> (SimilarityQueries.qMinhashNearDup _),
     "q_dedup_incremental" -> (SimilarityQueries.qDedupIncremental _),
     "q_simhash" -> (SimilarityQueries.qSimhash _),
@@ -303,18 +304,26 @@ object SparkEntry {
       .map(d => pqSq(s"$vec[cb.mi*${model.sub} + $d]", s"cb.c[$d]"))
       .mkString(" + ")
 
-  /** cb / encd / enc / lut: codebook literals, per-subspace argmin encode
-    * (ties to the LOWEST cell — the kernel's strict `<`), per-query float
-    * LUT (`acc.toFloat`).
-    */
-  private def pqEncodeLutCtes(model: graft.ops.Pq.PqModel): String = {
+  /** The `cb(mi, cell, c)` codebook VALUES block (DOUBLE[] literals —
+    * the kernels widen float inputs to double before subtracting, so the
+    * double rendering of the float codebook is the exact arithmetic
+    * domain). */
+  private def pqCbValues(model: graft.ops.Pq.PqModel): String = {
     val cbRows = (for (mi <- 0 until model.m; k <- 0 until model.ksub) yield {
       val vals = model.centroid(mi, k).map(_.toDouble.toString)
         .mkString("[", ", ", "]")
       s"($mi, $k, CAST($vals AS DOUBLE[]))"
     }).mkString(",\n")
     s"""cb(mi, cell, c) AS (VALUES
-       |$cbRows),
+       |$cbRows)""".stripMargin
+  }
+
+  /** cb / encd / enc / lut: codebook literals, per-subspace argmin encode
+    * (ties to the LOWEST cell — the kernel's strict `<`), per-query float
+    * LUT (`acc.toFloat`).
+    */
+  private def pqEncodeLutCtes(model: graft.ops.Pq.PqModel): String = {
+    s"""${pqCbValues(model)},
        |encd AS (SELECT e.id, cb.mi, cb.cell,
        |    ${pqSubDist(model, "e.embd")} AS dist
        |  FROM e CROSS JOIN cb),
@@ -369,6 +378,69 @@ object SparkEntry {
        |      ORDER BY (${pqAdcSum(model)}) ASC, id ASC) AS rn
        |    FROM adcl) WHERE rn <= $PqShortlist),
        |${pqRerankTail(model, PqK)}""".stripMargin
+  }
+
+  /** The residual IVFADC oracle (q_ann_ivfpq_residual): like
+    * [[ivfpqOracle]] but encode/LUT run on RESIDUALS. The residual
+    * subtraction happens in FLOAT (ef.embf FLOAT[] minus the FLOAT[]
+    * centroid rendering — DuckDB float arithmetic is true float32, same
+    * IEEE value as the kernel's float−float and the query side's
+    * zip_with), then the result widens to DOUBLE[] for the shared
+    * encode/LUT fragments, exactly as the kernels widen per element.
+    * The LUT is keyed per (query, probed cell): the query's residual
+    * differs per cell, and the lut→assigned join on pcell = cell IS the
+    * probe restriction.
+    */
+  private def ivfpqResidualOracle(cents: Array[Array[Float]],
+      model: graft.ops.Pq.PqModel): String = {
+    import graft.queries.SimilarityQueries.{IvfK, IvfNProbe, IvfPqShortlist}
+    val dim = model.dim
+    val centfRows = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, CAST(${c.map(_.toString).mkString("[", ", ", "]")} AS FLOAT[]))"
+    }.mkString(",\n")
+    s"""WITH ${centroidAssignCtes(cents)},
+       |q AS (SELECT id AS query_id, embd AS q_embd FROM e WHERE id < 10),
+       |probes AS (SELECT query_id, cell FROM (
+       |    SELECT q.query_id, cents.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.q_embd, cents.c) DESC,
+       |          cents.cell DESC) AS pr
+       |    FROM q CROSS JOIN cents) WHERE pr <= $IvfNProbe),
+       |ef AS (SELECT vec_id AS id, embedding AS embf FROM embeddings),
+       |centsf(cell, cf) AS (VALUES
+       |$centfRows),
+       |res AS (SELECT a.id, CAST(list_transform(range(1, ${dim + 1}),
+       |      i -> ef.embf[i] - cf.cf[i]) AS DOUBLE[]) AS resd
+       |  FROM assigned a JOIN ef ON ef.id = a.id
+       |  JOIN centsf cf ON cf.cell = a.cell),
+       |qres AS (SELECT p.query_id, p.cell AS pcell,
+       |    CAST(list_transform(range(1, ${dim + 1}),
+       |      i -> ef.embf[i] - cf.cf[i]) AS DOUBLE[]) AS qresd
+       |  FROM probes p JOIN ef ON ef.id = p.query_id
+       |  JOIN centsf cf ON cf.cell = p.cell),
+       |${pqCbValues(model)},
+       |encd AS (SELECT res.id, cb.mi, cb.cell,
+       |    ${pqSubDist(model, "res.resd")} AS dist
+       |  FROM res CROSS JOIN cb),
+       |enc AS (SELECT id, mi, cell FROM (
+       |    SELECT id, mi, cell, row_number() OVER (PARTITION BY id, mi
+       |      ORDER BY dist ASC, cell ASC) AS rn FROM encd) WHERE rn = 1),
+       |lut AS (SELECT qr.query_id, qr.pcell, cb.mi, cb.cell,
+       |    CAST(${pqSubDist(model, "qr.qresd")} AS FLOAT) AS lv
+       |  FROM qres qr CROSS JOIN cb),
+       |adcl AS (SELECT l.query_id, enc.id,
+       |    list(CAST(l.lv AS DOUBLE) ORDER BY l.mi) AS ls
+       |  FROM enc
+       |  JOIN assigned a ON a.id = enc.id
+       |  JOIN lut l ON l.pcell = a.cell AND enc.mi = l.mi
+       |    AND enc.cell = l.cell
+       |  WHERE enc.id <> l.query_id
+       |  GROUP BY l.query_id, enc.id),
+       |shortlist AS (SELECT query_id, id FROM (
+       |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY (${pqAdcSum(model)}) ASC, id ASC) AS rn
+       |    FROM adcl) WHERE rn <= $IvfPqShortlist),
+       |${pqRerankTail(model, IvfK)}""".stripMargin
   }
 
   /** The composed IVFADC oracle: the trained-centroid assignment + probe
@@ -437,6 +509,9 @@ object SparkEntry {
         .map { case (_, mdl) => "q_ann_pq" -> pqOracle(mdl) } ++
       graft.queries.SimilarityQueries.lastIvfPqModel
         .map { case (_, cm) => "q_ann_ivfpq" -> ivfpqOracle(cm._1, cm._2) } ++
+      graft.queries.SimilarityQueries.lastIvfPqResModel
+        .map { case (_, cm) =>
+          "q_ann_ivfpq_residual" -> ivfpqResidualOracle(cm._1, cm._2) } ++
       graft.queries.SimilarityQueries.lastSemModel
         .map { case (_, c) => "q_semantic_dedup" -> semOracle(c) }
 

@@ -178,6 +178,61 @@ object Pq {
       -l2Dist(col("q_emb"), col("emb")), k)
   }
 
+  /** Residual variant of [[searchIvfPq]] — IVFADC as published (Jégou et
+    * al. 2011 §IV.A): the PQ code quantizes the RESIDUAL emb −
+    * centroid[cell] instead of the raw vector, centering the codebook's
+    * domain on each cell and cutting quantization error. `model` must be
+    * trained on the residual column (see
+    * SimilarityQueries.qAnnIvfPqResidual).
+    *
+    * The one structural difference from the raw variant: the query-side
+    * LUT is PER PROBED CELL, not per query — the query's residual against
+    * cell c (q_emb − centroid[c]) differs per cell, so each probe row
+    * carries its own LUT. Still tiny: nProbe rows per query, M·ksub
+    * floats each. The residual subtraction is float32 on both engines
+    * (zip_with float−float here; FLOAT[] arithmetic in the generated
+    * oracle), which is what keeps this path exactly replayable.
+    */
+  def searchIvfPqResidual(corpus: DataFrame, queries: DataFrame,
+      cents: Array[Array[Float]], model: PqModel, k: Int, nProbe: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k): the rerank can only " +
+        "return candidates the ADC stage produced")
+    val vc = org.apache.spark.sql.graft.VectorColumns
+    // stored index row: cell id + code of the RESIDUAL (one map-side pass;
+    // the argmax and the subtraction share a kernel call)
+    val indexed = corpus.select(col("id"),
+      vc.ivfCell(col("emb"), cents.flatten, cents.length).as("cell"),
+      vc.pqEncode(vc.ivfResidual(col("emb"), cents.flatten, cents.length),
+        model.flat, model.m, model.ksub).as("pq_codes"))
+    // per-probe query residual: the probe set is tiny, so the interpreted
+    // zip_with costs nothing — and float−float in zip_with is the same
+    // IEEE float32 the corpus-side kernel computes
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("cell", "__cent"))
+    val probes = Similarity.probeCells(queries, cents, nProbe)
+      .join(centDf, "cell")
+      .withColumn("__qres",
+        zip_with(col("q_emb"), col("__cent"), (a, b) => a - b))
+      .withColumn("__lut",
+        vc.pqLut(col("__qres"), model.flat, model.m, model.ksub))
+      .select(col("query_id"), col("cell"), col("__lut"))
+    val short = Similarity.topkServe(
+        indexed.join(broadcast(probes), "cell"),
+        -vc.pqAdc(col("pq_codes"), col("__lut"), model.ksub), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank on the ORIGINAL vectors, same tail as the raw variant
+    Similarity.topkServe(
+      short.join(corpus.select(col("id"), col("emb")),
+          short("neighbor_id") === col("id"))
+        .join(broadcast(queries), "query_id"),
+      -l2Dist(col("q_emb"), col("emb")), k)
+  }
+
   /** Approximate top-k over a PQ-encoded corpus. `queries` carries
     * (query_id, q_emb); each query's LUT is computed once and broadcast
     * with it, the corpus scan pays M lookups per row.

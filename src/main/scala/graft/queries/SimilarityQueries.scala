@@ -129,6 +129,7 @@ object SimilarityQueries {
       lastIvfQModel.iterator.map(_._1) ++
       lastPqModel.iterator.map(_._1) ++
       lastIvfPqModel.iterator.map(_._1) ++
+      lastIvfPqResModel.iterator.map(_._1) ++
       lastSemModel.iterator.map(_._1)).forall(_ == dir)
 
   val IvfK = 5
@@ -256,6 +257,49 @@ object SimilarityQueries {
       .select(col("id").as("query_id"), col("emb").as("q_emb"))
     Pq.searchIvfPq(c, queries, cents, model, k = IvfK, nProbe = IvfNProbe,
         shortlist = IvfPqShortlist)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Models of the LAST qAnnIvfPqResidual invocation — same contract as
+    * [[lastIvfPqModel]]; the codebook here is trained on RESIDUALS. */
+  @volatile private[graft] var lastIvfPqResModel:
+    Option[(String, (Array[Array[Float]], graft.ops.Pq.PqModel))] = None
+
+  /** Per-dir RESIDUAL codebook memo: trained on emb − centroid[cell]
+    * (the same deterministic Lloyd as pqModelFor, different input
+    * column), shared between the query and its generated oracle.
+    */
+  private val pqResModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Pq.PqModel]()
+
+  private def pqResModelFor(spark: SparkSession, dir: String,
+      cents: Array[Array[Float]]): graft.ops.Pq.PqModel =
+    pqResModelCache.computeIfAbsent(dir, _ =>
+      graft.ops.Pq.train(
+        corpus(spark, dir).withColumn("__res",
+          org.apache.spark.sql.graft.VectorColumns.ivfResidual(
+            col("emb"), cents.flatten, cents.length)),
+        col("__res"), m = 8, ksub = 16, iters = 2))
+
+  /** IVFADC with RESIDUAL encoding — the composed index as published
+    * (Jégou et al. 2011 §IV.A): PQ codes quantize emb − centroid[cell],
+    * so the codebook's domain is centered per cell and quantization error
+    * drops; the query's LUT is computed per probed cell from its own
+    * residual. Exact-oracled: the float32 residual subtraction replays in
+    * DuckDB FLOAT[] arithmetic, then the shared encode/LUT/ADC/rerank
+    * fragments run on the residual columns
+    * (SparkEntry.ivfpqResidualOracle).
+    */
+  def qAnnIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Pq
+    val c = corpus(spark, dir)
+    val cents = centroidsFor(spark, dir)
+    val model = pqResModelFor(spark, dir, cents)
+    lastIvfPqResModel = Some((dir, (cents, model)))
+    val queries = c.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    Pq.searchIvfPqResidual(c, queries, cents, model, k = IvfK,
+        nProbe = IvfNProbe, shortlist = IvfPqShortlist)
       .orderBy(col("query_id"), col("rank"))
   }
 

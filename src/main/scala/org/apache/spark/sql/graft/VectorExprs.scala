@@ -359,6 +359,52 @@ object IvfKernels {
     }
     best
   }
+
+  /** Residual against the argmax-cosine centroid: emb − cents[cell], in
+    * FLOAT32 (float − float per element — both the DuckDB oracle's
+    * FLOAT[] subtraction and Spark's zip_with on float columns compute
+    * the identical IEEE float32 value, which is what keeps the residual
+    * PQ path exactly replayable). One pass: the argmax and the subtract
+    * share the kernel call.
+    */
+  def residual(arr: ArrayData, cents: Array[Float], nCells: Int): ArrayData = {
+    val cell = argmaxCosine(arr, cents, nCells)
+    val dim = arr.numElements()
+    val out = new Array[Float](dim)
+    val base = cell * dim
+    var i = 0
+    while (i < dim) {
+      out(i) = arr.getFloat(i) - cents(base + i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `ivf_residual(emb)`: emb − centroid[argmax cell] — the vector the
+  * residual-PQ index quantizes (IVFADC with residual encoding, Jégou et
+  * al. 2011 §IV.A: quantizing the residual instead of the raw vector
+  * centers the PQ codebook's domain on the cell, cutting quantization
+  * error).
+  */
+case class IvfResidual(child: Expression, cents: FloatModel, nCells: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(nCells >= 1, s"ivf_residual needs nCells >= 1, got $nCells")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    IvfKernels.residual(a.asInstanceOf[ArrayData], cents.data, nCells)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfcents", cents.data, "float[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.IvfKernels.residual($c, $ref, $nCells)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfResidual =
+    copy(child = newChild)
 }
 
 /** `ivf_cell(emb)`: argmax-cosine cell id against the inlined centroids. */
@@ -576,6 +622,10 @@ object VectorColumns {
 
   def ivfCell(emb: Column, cents: Array[Float], nCells: Int): Column =
     ExpressionUtils.column(IvfCell(
+      ExpressionUtils.expression(emb), new FloatModel(cents), nCells))
+
+  def ivfResidual(emb: Column, cents: Array[Float], nCells: Int): Column =
+    ExpressionUtils.column(IvfResidual(
       ExpressionUtils.expression(emb), new FloatModel(cents), nCells))
 
   /** `bucket_of(x)` as a Column: binary-search range-bucket id over sorted

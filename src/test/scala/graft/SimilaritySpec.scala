@@ -318,6 +318,57 @@ class SimilaritySpec extends SparkSpecBase {
         "dropping true neighbors")
   }
 
+  test("residual IVF+PQ: float32 residuals, probed-cell containment, recall") {
+    import graft.ops.{Pq, Similarity}
+    import graft.ops.Similarity.cellsFor
+    val vc = org.apache.spark.sql.graft.VectorColumns
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val queries = corpus.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val cents = Similarity.trainCentroids(corpus, cellsFor(corpus.count()), iters = 2)
+    // the residual expression really is emb − centroid[argmax cell], in float
+    val probe = corpus.limit(5)
+      .select(col("id"), col("emb"),
+        vc.ivfCell(col("emb"), cents.flatten, cents.length).as("cell"),
+        vc.ivfResidual(col("emb"), cents.flatten, cents.length).as("res"))
+      .collect()
+    probe.foreach { r =>
+      val emb = r.getSeq[Float](1)
+      val cell = r.getInt(2)
+      val res = r.getSeq[Float](3)
+      emb.indices.foreach { i =>
+        assert(res(i) === emb(i) - cents(cell)(i), s"residual[$i] of id ${r.getLong(0)}")
+      }
+    }
+    val model = Pq.train(
+      corpus.withColumn("__res",
+        vc.ivfResidual(col("emb"), cents.flatten, cents.length)),
+      col("__res"), m = 8, ksub = 16, iters = 2)
+    val got = Pq.searchIvfPqResidual(corpus, queries, cents, model, k = 5,
+      nProbe = 4, shortlist = 32)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 50, "k results per query")
+    val cellOf = corpus.withColumn("cell",
+        vc.ivfCell(col("emb"), cents.flatten, cents.length))
+      .select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = Similarity.probeCells(queries, cents, nProbe = 4)
+      .select(col("query_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    rows.foreach { case (q, n, _) =>
+      assert(probed.contains((q, cellOf(n))),
+        s"neighbor $n of query $q is outside the probed cells")
+    }
+    val floatIvf = Similarity.ivfFlatKnnWith(corpus, queries, cents,
+        k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = rows.map(r => (r._1, r._2)).count(floatIvf.contains)
+      .toDouble / floatIvf.size
+    assert(recall >= 0.7,
+      s"residual IVF+PQ recall $recall vs float IVF-flat")
+  }
+
   test("knn plan broadcasts the query side") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
