@@ -242,17 +242,30 @@ object SparkEntry {
        |  FROM e)""".stripMargin
   }
 
-  private def ivfOracleFrom(cents: Array[Array[Float]], corpusCtes: String,
-      qCte: String): String = {
-    import graft.queries.SimilarityQueries.{IvfK, IvfNProbe}
-    s"""WITH ${centroidAssignCtes(cents, corpusCtes)},
-       |$qCte,
-       |probes AS (SELECT query_id, q_embd, cell FROM (
+  /** ONE SQL rendering of the probe stage (top-nProbe cells per query,
+    * ties to the HIGHEST cell — mirrors Similarity.probeCells'
+    * reverse(sort_array)), shared by every IVF-family oracle so the
+    * tie-break rule cannot drift between them. `q` and `cents` must be in
+    * scope; `withQEmbd` keeps the query vector in the output for oracles
+    * that score candidates directly against it.
+    */
+  private def probesCte(withQEmbd: Boolean): String = {
+    import graft.queries.SimilarityQueries.IvfNProbe
+    val cols = if (withQEmbd) "query_id, q_embd, cell" else "query_id, cell"
+    s"""probes AS (SELECT $cols FROM (
        |    SELECT q.query_id, q.q_embd, cents.cell,
        |      row_number() OVER (PARTITION BY q.query_id
        |        ORDER BY list_cosine_similarity(q.q_embd, cents.c) DESC,
        |          cents.cell DESC) AS pr
-       |    FROM q CROSS JOIN cents) WHERE pr <= $IvfNProbe),
+       |    FROM q CROSS JOIN cents) WHERE pr <= $IvfNProbe)""".stripMargin
+  }
+
+  private def ivfOracleFrom(cents: Array[Array[Float]], corpusCtes: String,
+      qCte: String): String = {
+    import graft.queries.SimilarityQueries.IvfK
+    s"""WITH ${centroidAssignCtes(cents, corpusCtes)},
+       |$qCte,
+       |${probesCte(withQEmbd = true)},
        |cand AS (SELECT p.query_id, a.id,
        |    CAST(row_number() OVER (PARTITION BY p.query_id
        |      ORDER BY list_cosine_similarity(p.q_embd, a.embd) DESC, a.id)
@@ -400,12 +413,7 @@ object SparkEntry {
     }.mkString(",\n")
     s"""WITH ${centroidAssignCtes(cents)},
        |q AS (SELECT id AS query_id, embd AS q_embd FROM e WHERE id < 10),
-       |probes AS (SELECT query_id, cell FROM (
-       |    SELECT q.query_id, cents.cell,
-       |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY list_cosine_similarity(q.q_embd, cents.c) DESC,
-       |          cents.cell DESC) AS pr
-       |    FROM q CROSS JOIN cents) WHERE pr <= $IvfNProbe),
+       |${probesCte(withQEmbd = false)},
        |ef AS (SELECT vec_id AS id, embedding AS embf FROM embeddings),
        |centsf(cell, cf) AS (VALUES
        |$centfRows),
@@ -454,12 +462,7 @@ object SparkEntry {
     import graft.queries.SimilarityQueries.{IvfK, IvfNProbe, IvfPqShortlist}
     s"""WITH ${centroidAssignCtes(cents)},
        |q AS (SELECT id AS query_id, embd AS q_embd FROM e WHERE id < 10),
-       |probes AS (SELECT query_id, cell FROM (
-       |    SELECT q.query_id, cents.cell,
-       |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY list_cosine_similarity(q.q_embd, cents.c) DESC,
-       |          cents.cell DESC) AS pr
-       |    FROM q CROSS JOIN cents) WHERE pr <= $IvfNProbe),
+       |${probesCte(withQEmbd = false)},
        |${pqEncodeLutCtes(model)},
        |adcl AS (SELECT l.query_id, enc.id,
        |    list(CAST(l.lv AS DOUBLE) ORDER BY l.mi) AS ls

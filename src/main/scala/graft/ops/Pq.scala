@@ -112,6 +112,21 @@ object Pq {
       org.apache.spark.sql.graft.VectorColumns.pqEncode(
         emb, model.flat, model.m, model.ksub))
 
+  /** The ONE exact-rerank tail every two-stage search ends in: the
+    * (query_id, neighbor_id) shortlist fetches its full vectors — |Q|·
+    * shortlist point lookups, never a second corpus scan — and the
+    * bounded-heap top-k reranks on exact L2. One definition so the three
+    * callers (whole-corpus PQ, raw IVF+PQ, residual IVF+PQ) cannot drift
+    * on tie-breaks or broadcast shape.
+    */
+  private def rerankExact(short: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame =
+    Similarity.topkServe(
+      short.join(corpus.select(col("id"), col("emb")),
+          short("neighbor_id") === col("id"))
+        .join(broadcast(queries), "query_id"),
+      -l2Dist(col("q_emb"), col("emb")), k)
+
   /** Two-stage production search: PQ-ADC generates a `shortlist` of
     * candidates from the compressed codes (cheap, coarse — on
     * cluster-free random vectors ADC alone ranks poorly), then ONLY the
@@ -124,13 +139,10 @@ object Pq {
     require(shortlist >= k,
       s"shortlist ($shortlist) must be >= k ($k): the rerank can only " +
         "return candidates the ADC stage produced")
-    val cand = searchPq(encoded, queries, model, shortlist)
-      .select(col("query_id"), col("neighbor_id"))
-    Similarity.topkServe(
-      cand.join(corpus.select(col("id"), col("emb")),
-          cand("neighbor_id") === col("id"))
-        .join(broadcast(queries), "query_id"),
-      -l2Dist(col("q_emb"), col("emb")), k)
+    rerankExact(
+      searchPq(encoded, queries, model, shortlist)
+        .select(col("query_id"), col("neighbor_id")),
+      corpus, queries, k)
   }
 
   /** The composed production serving index: IVF coarse cells OVER PQ codes
@@ -170,12 +182,7 @@ object Pq {
         indexed.join(broadcast(probes), "cell"),
         -vc.pqAdc(col("pq_codes"), col("__lut"), model.ksub), shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    // exact L2 rerank of just the shortlist rows (same tail as searchPqRerank)
-    Similarity.topkServe(
-      short.join(corpus.select(col("id"), col("emb")),
-          short("neighbor_id") === col("id"))
-        .join(broadcast(queries), "query_id"),
-      -l2Dist(col("q_emb"), col("emb")), k)
+    rerankExact(short, corpus, queries, k)
   }
 
   /** Residual variant of [[searchIvfPq]] — IVFADC as published (Jégou et
@@ -200,12 +207,16 @@ object Pq {
       s"shortlist ($shortlist) must be >= k ($k): the rerank can only " +
         "return candidates the ADC stage produced")
     val vc = org.apache.spark.sql.graft.VectorColumns
-    // stored index row: cell id + code of the RESIDUAL (one map-side pass;
-    // the argmax and the subtraction share a kernel call)
-    val indexed = corpus.select(col("id"),
-      vc.ivfCell(col("emb"), cents.flatten, cents.length).as("cell"),
-      vc.pqEncode(vc.ivfResidual(col("emb"), cents.flatten, cents.length),
-        model.flat, model.m, model.ksub).as("pq_codes"))
+    // stored index row: cell id + code of the RESIDUAL, one map-side pass
+    // with ONE argmax per row — the residual is taken against the
+    // already-computed cell column (ivfResidualAt), not recomputed
+    val indexed = corpus
+      .withColumn("cell",
+        vc.ivfCell(col("emb"), cents.flatten, cents.length))
+      .select(col("id"), col("cell"),
+        vc.pqEncode(
+          vc.ivfResidualAt(col("emb"), col("cell"), cents.flatten),
+          model.flat, model.m, model.ksub).as("pq_codes"))
     // per-probe query residual: the probe set is tiny, so the interpreted
     // zip_with costs nothing — and float−float in zip_with is the same
     // IEEE float32 the corpus-side kernel computes

@@ -60,11 +60,22 @@ object ClusterStreams {
   def compactStores(spark: org.apache.spark.sql.SparkSession,
       baseBuckets: DataFrame, bucketsIncDir: String, labelsDir: String,
       outBucketsPath: String, outLabelsPath: String): Unit = {
-    val compacted = epochsIn(spark, bucketsIncDir).sorted
+    // resolve the label high-water mark FIRST: compacting with no labeling
+    // at all must refuse up front (not die after half the outputs are
+    // written), and bucket increments ABOVE the latest labeled epoch are a
+    // crashed fold's orphans — folding them into the base would bake the
+    // torn epoch in permanently (its rows bucketed forever but never
+    // labeled, and re-bucketed AGAIN when the fold replays), so they are
+    // left as increments for the replay to overwrite.
+    val labelEpochs = epochsIn(spark, labelsDir)
+    require(labelEpochs.nonEmpty,
+      s"compactStores: no labeled epoch under $labelsDir — nothing to " +
+        "compact (stream has not completed a fold yet)")
+    val latest = labelEpochs.max
+    val compacted = epochsIn(spark, bucketsIncDir).filter(_ <= latest).sorted
       .map(e => spark.read.parquet(s"$bucketsIncDir/epoch=$e"))
       .foldLeft(baseBuckets)(_ unionByName _)
     Datalake.writeParquet(compacted, outBucketsPath)
-    val latest = epochsIn(spark, labelsDir).max
     Datalake.writeParquet(
       spark.read.parquet(s"$labelsDir/epoch=$latest"), outLabelsPath)
   }

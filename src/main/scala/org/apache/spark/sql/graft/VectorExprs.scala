@@ -360,16 +360,18 @@ object IvfKernels {
     best
   }
 
-  /** Residual against the argmax-cosine centroid: emb − cents[cell], in
+  /** Residual against a GIVEN cell's centroid: emb − cents[cell], in
     * FLOAT32 (float − float per element — both the DuckDB oracle's
     * FLOAT[] subtraction and Spark's zip_with on float columns compute
     * the identical IEEE float32 value, which is what keeps the residual
-    * PQ path exactly replayable). One pass: the argmax and the subtract
-    * share the kernel call.
+    * PQ path exactly replayable). The serving path feeds this the
+    * already-computed cell column so the nCells×dim argmax runs ONCE per
+    * row, not once per consumer.
     */
-  def residual(arr: ArrayData, cents: Array[Float], nCells: Int): ArrayData = {
-    val cell = argmaxCosine(arr, cents, nCells)
+  def residualAt(arr: ArrayData, cell: Int, cents: Array[Float]): ArrayData = {
     val dim = arr.numElements()
+    require(cell >= 0 && (cell + 1) * dim <= cents.length,
+      s"IVF residual: cell $cell out of range for a ${cents.length / math.max(dim, 1)}-cell model")
     val out = new Array[Float](dim)
     val base = cell * dim
     var i = 0
@@ -379,6 +381,12 @@ object IvfKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Residual against the argmax-cosine centroid (standalone form — runs
+    * its own argmax; prefer [[residualAt]] with a shared cell column when
+    * the plan also needs the cell id). */
+  def residual(arr: ArrayData, cents: Array[Float], nCells: Int): ArrayData =
+    residualAt(arr, argmaxCosine(arr, cents, nCells), cents)
 }
 
 /** `ivf_residual(emb)`: emb − centroid[argmax cell] — the vector the
@@ -405,6 +413,33 @@ case class IvfResidual(child: Expression, cents: FloatModel, nCells: Int)
 
   override protected def withNewChildInternal(newChild: Expression): IvfResidual =
     copy(child = newChild)
+}
+
+/** `ivf_residual_at(emb, cell)`: emb − centroid[cell] for an
+  * already-computed cell column — the serving-path form (one argmax per
+  * row, shared between the stored cell id and the encoded residual).
+  */
+case class IvfResidualAt(left: Expression, right: Expression,
+    cents: FloatModel)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(a: Any, c: Any): Any =
+    IvfKernels.residualAt(a.asInstanceOf[ArrayData], c.asInstanceOf[Int],
+      cents.data)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfcents", cents.data, "float[]")
+    defineCodeGen(ctx, ev, (a, c) =>
+      s"org.apache.spark.sql.graft.IvfKernels.residualAt($a, $c, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IvfResidualAt =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `ivf_cell(emb)`: argmax-cosine cell id against the inlined centroids. */
@@ -627,6 +662,11 @@ object VectorColumns {
   def ivfResidual(emb: Column, cents: Array[Float], nCells: Int): Column =
     ExpressionUtils.column(IvfResidual(
       ExpressionUtils.expression(emb), new FloatModel(cents), nCells))
+
+  def ivfResidualAt(emb: Column, cell: Column, cents: Array[Float]): Column =
+    ExpressionUtils.column(IvfResidualAt(
+      ExpressionUtils.expression(emb), ExpressionUtils.expression(cell),
+      new FloatModel(cents)))
 
   /** `bucket_of(x)` as a Column: binary-search range-bucket id over sorted
     * cut boundaries.

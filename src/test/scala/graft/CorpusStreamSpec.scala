@@ -119,19 +119,19 @@ class CorpusStreamSpec extends SparkSpecBase {
     // today's arrivals land as TWO file drops → two SEQUENTIAL epochs
     // (unlike the dedup stream, epoch 2's fold depends on epoch 1's
     // labels and bucket rows — this is the stateful case)
-    val dropDir = Files.createTempDirectory("graft-clus-drops")
-    def land(df: DataFrame, name: String): Unit = {
+    def land(df: DataFrame, dir: java.nio.file.Path, name: String): Unit = {
       val stage = Files.createTempDirectory("graft-clus-stage").resolve("out")
       df.coalesce(1).write.parquet(stage.toString)
       val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
         .findFirst().get()
-      Files.move(part, dropDir.resolve(name))
+      Files.move(part, dir.resolve(name))
     }
+    val dropDir = Files.createTempDirectory("graft-clus-drops")
     val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
     land(src.filter(col("vec_id") % 5 === 4 && col("vec_id") % 3 === 0),
-      "drop1.parquet")
+      dropDir, "drop1.parquet")
     land(src.filter(col("vec_id") % 5 === 4 && col("vec_id") % 3 === 1),
-      "drop2.parquet")
+      dropDir, "drop2.parquet")
     val bucketsInc = Files.createTempDirectory("graft-clus-binc").toString
     val labelsDir = Files.createTempDirectory("graft-clus-labels").toString
     val q = graft.streaming.ClusterStreams.incrementalClusterStream(
@@ -158,15 +158,8 @@ class CorpusStreamSpec extends SparkSpecBase {
     graft.streaming.ClusterStreams.compactStores(spark, baseBuckets,
       bucketsInc, labelsDir, cBuckets, cLabels)
     val dropDir2 = Files.createTempDirectory("graft-clus-drops2")
-    def land2(df: DataFrame, name: String): Unit = {
-      val stage = Files.createTempDirectory("graft-clus-stage2").resolve("out")
-      df.coalesce(1).write.parquet(stage.toString)
-      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.move(part, dropDir2.resolve(name))
-    }
-    land2(src.filter(col("vec_id") % 5 === 4 && col("vec_id") % 3 === 2),
-      "drop3.parquet")
+    land(src.filter(col("vec_id") % 5 === 4 && col("vec_id") % 3 === 2),
+      dropDir2, "drop3.parquet")
     val bucketsInc2 = Files.createTempDirectory("graft-clus-binc2").toString
     val labelsDir2 = Files.createTempDirectory("graft-clus-labels2").toString
     val q2 = graft.streaming.ClusterStreams.incrementalClusterStream(
