@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusQueries, DatalakeQueries, EventQueries, JourneyQueries, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{CorpusQueries, DatalakeQueries, EventQueries, JourneyQueries, LayoutQueries, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -90,6 +90,8 @@ object SparkEntry {
     "q_repetition_filter" -> (CorpusQueries.qRepetitionFilter _),
     "q_corpus_pipeline" -> (CorpusQueries.qCorpusPipeline _),
     "q_shard_shuffle" -> (CorpusQueries.qShardShuffle _),
+    "q_zorder_layout" -> (LayoutQueries.qZorderLayout _),
+    "q_zorder_skipping" -> (LayoutQueries.qZorderSkipping _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1402,5 +1404,48 @@ object SparkEntry {
         |    AND CAST(top_bigram_n AS DOUBLE)/CAST(n_bigrams AS DOUBLE) <= 0.18 AS keep
         |FROM d JOIN bt ON d.doc_id = bt.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Morton z-value as generated bit arithmetic — the IDENTICAL
+    // (>>, &, <<, |) expression both engines evaluate on exact integers
+    "q_zorder_layout" ->
+      s"""WITH m AS (SELECT l_partkey & 1023 AS x, l_orderkey & 1023 AS y
+         |    FROM lineitem),
+         |z AS (SELECT x, y, ${zExprSql("x", "y", 10)} AS z FROM m)
+         |SELECT CAST(z >> 14 AS INT) AS file_id, COUNT(*) AS n_rows,
+         |  min(z) AS z_min, max(z) AS z_max,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin,
+    "q_zorder_skipping" ->
+      s"""WITH m AS (SELECT l_partkey & 1023 AS x, l_orderkey & 1023 AS y
+         |    FROM lineitem),
+         |zf AS (SELECT 'zorder' AS layout,
+         |    CAST((${zExprSql("x", "y", 10)}) >> 14 AS INT) AS file_id, x, y
+         |  FROM m),
+         |lf AS (SELECT 'linear' AS layout, CAST(x >> 4 AS INT) AS file_id,
+         |    x, y FROM m),
+         |u AS (SELECT * FROM zf UNION ALL SELECT * FROM lf),
+         |f AS (SELECT layout, file_id, COUNT(*) AS n_rows,
+         |    min(x) AS min_x, max(x) AS max_x,
+         |    min(y) AS min_y, max(y) AS max_y
+         |  FROM u GROUP BY 1, 2)
+         |SELECT layout, CAST(COUNT(*) AS BIGINT) AS files_total,
+         |  CAST(SUM(CASE WHEN max_x >= 128 AND min_x <= 255
+         |      AND max_y >= 128 AND min_y <= 255 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS files_scanned,
+         |  CAST(SUM(CASE WHEN max_x >= 128 AND min_x <= 255
+         |      AND max_y >= 128 AND min_y <= 255 THEN n_rows ELSE 0 END) AS BIGINT)
+         |    AS rows_scanned
+         |FROM f GROUP BY layout ORDER BY layout""".stripMargin,
   )
+
+  /** The Morton interleave of the low `bits` bits of `x` and `y` as a SQL
+    * expression string — pure (>>, &, <<, |) integer arithmetic, valid in
+    * both the Spark and DuckDB dialects, and the exact formula
+    * `ops.Layout.zValue` builds as Columns.
+    */
+  private def zExprSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})"))
+      .mkString(" | ")
 }
