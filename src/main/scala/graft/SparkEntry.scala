@@ -92,6 +92,7 @@ object SparkEntry {
     "q_shard_shuffle" -> (CorpusQueries.qShardShuffle _),
     "q_zorder_layout" -> (LayoutQueries.qZorderLayout _),
     "q_zorder_skipping" -> (LayoutQueries.qZorderSkipping _),
+    "q_bm25_search" -> (TextQueries.qBm25Search _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -521,6 +522,7 @@ object SparkEntry {
         .map { case (_, c) => "q_semantic_dedup" -> semOracle(c) }
 
   private def staticOracleSql: Map[String, String] = Map(
+    "q_bm25_search" -> bm25Oracle,
     "q_ann_lsh" -> lshOracle,
     "q_dedup_clusters" -> clustersOracle,
     // deliberately the SAME full-graph recursive CTE: the incremental
@@ -1437,6 +1439,43 @@ object SparkEntry {
          |    AS rows_scanned
          |FROM f GROUP BY layout ORDER BY layout""".stripMargin,
   )
+
+  /** BM25 oracle — the query set inlined from its single source of truth
+    * (TextQueries.bm25Queries); scoring expression mirrors
+    * ops.Retrieval.bm25TopK token for token: same literals, same
+    * association, per-term partials floored onto the 2^-16 dyadic grid so
+    * the cross-term SUM is reduction-order-exact in both engines.
+    */
+  private def bm25Oracle: String = {
+    val vals = graft.queries.TextQueries.bm25Queries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+       |    FROM (VALUES $vals) AS v(query_id, term)),
+       |w AS (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |t AS (SELECT doc_id, term, max(dl) AS dl, COUNT(*) AS tf FROM w
+       |  WHERE term <> '' AND term IN (SELECT term FROM q)
+       |  GROUP BY doc_id, term),
+       |d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+       |n AS (SELECT COUNT(*) AS nd,
+       |    CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sumdl
+       |  FROM documents),
+       |s AS (SELECT q.query_id, t.doc_id,
+       |    floor((ln(1.0 + (CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5))
+       |      * ((CAST(tf AS DOUBLE) * 2.2)
+       |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+       |          * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / nd))))))
+       |      * 65536.0) / 65536.0 AS ts
+       |  FROM t JOIN q USING (term) JOIN d USING (term) CROSS JOIN n),
+       |sc AS (SELECT query_id, doc_id, SUM(ts) AS score FROM s
+       |  GROUP BY query_id, doc_id),
+       |r AS (SELECT query_id, doc_id, score, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** The Morton interleave of the low `bits` bits of `x` and `y` as a SQL
     * expression string — pure (>>, &, <<, |) integer arithmetic, valid in

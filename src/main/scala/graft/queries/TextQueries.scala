@@ -64,6 +64,28 @@ object TextQueries {
         Tables.documents(spark, dir), col("doc_id"), col("text"), k = 5)
       .orderBy(col("doc_id"), col("rank"))
 
+  /** The fixed BM25 query set — one source of truth for the Spark query
+    * AND the generated oracle VALUES (SparkEntry.bm25Oracle). Terms come
+    * from the synthetic corpus vocabulary so every query matches.
+    */
+  val bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "fast", 0L -> "query",
+    1L -> "customer", 1L -> "order", 1L -> "join",
+    2L -> "window", 2L -> "agg", 2L -> "stream",
+    3L -> "vector", 3L -> "hash", 3L -> "table")
+
+  /** BM25 top-10 per query over documents — the in-engine form of the
+    * reference's Elasticsearch ranking (ops.Retrieval for the plan shape
+    * and the fixed-point determinism contract).
+    */
+  def qBm25Search(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = bm25Queries.toDF("query_id", "term")
+    graft.ops.Retrieval.bm25TopK(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), q, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Document fingerprinting: portable md5 of the normal form. */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
