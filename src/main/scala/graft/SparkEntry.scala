@@ -93,6 +93,7 @@ object SparkEntry {
     "q_zorder_layout" -> (LayoutQueries.qZorderLayout _),
     "q_zorder_skipping" -> (LayoutQueries.qZorderSkipping _),
     "q_bm25_search" -> (TextQueries.qBm25Search _),
+    "q_lm_score" -> (TextQueries.qLmScore _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -523,6 +524,36 @@ object SparkEntry {
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,
+    // add-one bigram LM trained on every-10th docs; ln p floored to the
+    // 2^-16 grid pre-sum (reduction-order-exact, same tree as the Spark op)
+    "q_lm_score" ->
+      """WITH wr AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 2
+        |    THEN [array_to_string(ws, ' ')]
+        |    ELSE list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i]||' '||ws[i+1]) END) AS g
+        |  FROM wr),
+        |c2 AS (SELECT g, COUNT(*) AS c2n FROM bg
+        |  WHERE doc_id % 10 = 0 GROUP BY g),
+        |c1 AS (SELECT split_part(g, ' ', 1) AS w1,
+        |    CAST(SUM(c2n) AS BIGINT) AS c1n FROM c2 GROUP BY 1),
+        |vt AS (SELECT COUNT(DISTINCT t) AS v FROM
+        |  (SELECT unnest(ws) AS t FROM wr WHERE doc_id % 10 = 0)),
+        |p AS (SELECT bg.doc_id, c2.c2n IS NULL AS unseen,
+        |    floor(ln(CAST(COALESCE(c2.c2n, 0) + 1 AS DOUBLE)
+        |        / CAST(COALESCE(c1.c1n, 0) + v AS DOUBLE))
+        |      * 65536.0) / 65536.0 AS lp
+        |  FROM bg
+        |  LEFT JOIN c2 USING (g)
+        |  LEFT JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1
+        |  CROSS JOIN vt)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN unseen THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+        |  (-SUM(lp)) / COUNT(*) AS cross_entropy,
+        |  ((-SUM(lp)) / COUNT(*)) <= 6.0 AS keep
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_ann_lsh" -> lshOracle,
     "q_dedup_clusters" -> clustersOracle,
     // deliberately the SAME full-graph recursive CTE: the incremental

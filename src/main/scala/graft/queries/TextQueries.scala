@@ -86,6 +86,16 @@ object TextQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Bigram-LM quality scoring: every 10th doc trains the reference LM,
+    * all docs scored by cross-entropy under it (ops.LanguageModel — the
+    * in-engine KenLM-filter shape). tau = 6 nats ≈ perplexity 400.
+    */
+  def qLmScore(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.LanguageModel.bigramCrossEntropy(
+        Tables.documents(spark, dir), col("doc_id"), col("text"),
+        isRef = col("doc_id") % 10 === 0, tau = 6.0)
+      .orderBy(col("doc_id"))
+
   /** Document fingerprinting: portable md5 of the normal form. */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
