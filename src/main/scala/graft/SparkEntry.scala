@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusQueries, DatalakeQueries, EventQueries, JourneyQueries, LayoutQueries, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{CorpusQueries, DatalakeQueries, EventQueries, GraphQueries, JourneyQueries, LayoutQueries, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -94,6 +94,7 @@ object SparkEntry {
     "q_zorder_skipping" -> (LayoutQueries.qZorderSkipping _),
     "q_bm25_search" -> (TextQueries.qBm25Search _),
     "q_lm_score" -> (TextQueries.qLmScore _),
+    "q_pagerank" -> (GraphQueries.qPagerank _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -524,6 +525,7 @@ object SparkEntry {
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,
+    "q_pagerank" -> pagerankOracle(5),
     // add-one bigram LM trained on every-10th docs; ln p floored to the
     // 2^-16 grid pre-sum (reduction-order-exact, same tree as the Spark op)
     "q_lm_score" ->
@@ -1506,6 +1508,39 @@ object SparkEntry {
        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** PageRank oracle: the power iteration UNROLLED as `iters` chained CTE
+    * pairs (per-edge contributions snapped to the 2^-52 grid, then the
+    * damping update), mirroring ops.Graph.pageRank's expression tree
+    * exactly — identical literals, casts and association, so all five
+    * iterations stay bit-equal in both engines.
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val head =
+      """e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |nt AS (SELECT COUNT(*) AS nd FROM deg),
+        |r0 AS (SELECT src AS node, 1.0/CAST(nd AS DOUBLE) AS r
+        |  FROM deg CROSS JOIN nt)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.dst AS node,
+         |    SUM(floor((r.r/deg.deg)*4503599627370496.0)/4503599627370496.0) AS s
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg ON e.src = deg.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT node, 0.15/CAST(nd AS DOUBLE) + 0.85*s AS r
+         |  FROM s$i CROSS JOIN nt)""".stripMargin
+    }
+    val ctes = (head +: steps).mkString(",\n")
+    s"""WITH $ctes
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  node >> 1 AS entity_key, r AS pr
+       |FROM r$iters ORDER BY node""".stripMargin
   }
 
   /** The Morton interleave of the low `bits` bits of `x` and `y` as a SQL

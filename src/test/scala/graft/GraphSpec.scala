@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+import graft.queries.GraphQueries
+
+class GraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("pagerank: symmetric pair splits evenly, star centre dominates") {
+    // pair 1<->2 plus star 10<->{11,12,13}, all bidirected
+    val pairs = Seq((1L, 2L), (10L, 11L), (10L, 12L), (10L, 13L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 5)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Double]("r")).toMap
+    assert(math.abs(r(1L) - r(2L)) < 1e-12, "symmetric nodes rank equal")
+    assert(r(10L) > r(11L) * 2, "star centre concentrates rank")
+    assert(math.abs(r(11L) - r(12L)) < 1e-12 && math.abs(r(12L) - r(13L)) < 1e-12)
+    // total rank mass conserved up to the per-edge snapping bias
+    val mass = r.values.sum
+    assert(mass > 0.99 && mass <= 1.0001, s"rank mass drifted: $mass")
+  }
+
+  test("trade-graph pagerank: suppliers outrank customers, deterministic") {
+    val a = GraphQueries.qPagerank(spark, "/root/testdata/sf0.01").collect()
+    val b = GraphQueries.qPagerank(spark, "/root/testdata/sf0.01").collect()
+    assert(a.toSeq === b.toSeq, "snapped contributions must be order-exact")
+    val byKind = a.groupBy(_.getAs[String]("kind"))
+    assert(byKind("supplier").length === 100 && byKind("customer").length === 1500)
+    // 100 suppliers absorb the trade mass of 1500 customers: the WEAKEST
+    // supplier must outrank the STRONGEST customer
+    val minSupp = byKind("supplier").map(_.getAs[Double]("pr")).min
+    val maxCust = byKind("customer").map(_.getAs[Double]("pr")).max
+    assert(minSupp > maxCust,
+      s"supplier floor $minSupp should exceed customer ceiling $maxCust")
+  }
+
+  test("pagerank plan: edge/degree exchanges reused across iterations") {
+    val df = GraphQueries.qPagerank(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("ReusedExchange"),
+      s"iterations must reuse the static edge/degree shuffles:\n$plan")
+  }
+}
