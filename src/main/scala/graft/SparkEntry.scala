@@ -95,6 +95,7 @@ object SparkEntry {
     "q_bm25_search" -> (TextQueries.qBm25Search _),
     "q_lm_score" -> (TextQueries.qLmScore _),
     "q_pagerank" -> (GraphQueries.qPagerank _),
+    "q_bpe_tokenize" -> (TextQueries.qBpeTokenize _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -521,7 +522,9 @@ object SparkEntry {
         .map { case (_, cm) =>
           "q_ann_ivfpq_residual" -> ivfpqResidualOracle(cm._1, cm._2) } ++
       graft.queries.SimilarityQueries.lastSemModel
-        .map { case (_, c) => "q_semantic_dedup" -> semOracle(c) }
+        .map { case (_, c) => "q_semantic_dedup" -> semOracle(c) } ++
+      graft.queries.TextQueries.lastBpeModel
+        .map { case (_, m) => "q_bpe_tokenize" -> bpeOracle(m) }
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,
@@ -1508,6 +1511,44 @@ object SparkEntry {
        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** BPE oracle — trained-model pattern: the learned merge list inlined
+    * as a chain of plain `replace` calls over the separator-wrapped
+    * representation (ops.Bpe's portability trick: both engines' replace
+    * is a left-to-right non-overlapping scan, and the double-separator
+    * wrapping makes that exactly canonical simultaneous BPE merging).
+    * chr(1) is the separator; RE2's replacement backref is `\1` where
+    * Java's is `$1`, hence the dialect-specific wrap expression.
+    */
+  private def bpeOracle(merges: Seq[(String, String)]): String = {
+    def sq(s: String): String = s.replace("'", "''")
+    def wrapped(sym: String): String = s"chr(1)||'${sq(sym)}'||chr(1)"
+    val repChain = merges.foldLeft(
+      "regexp_replace(word, '(.)', chr(1)||'\\1'||chr(1), 'g')") {
+      case (rep, (a, b)) =>
+        s"replace($rep,\n      ${wrapped(a)}||${wrapped(b)}, ${wrapped(a + b)})"
+    }
+    s"""WITH w AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents),
+       |wc AS (SELECT doc_id, word, COUNT(*) AS wn FROM w
+       |  WHERE word <> '' GROUP BY doc_id, word),
+       |dw AS (SELECT DISTINCT word FROM wc),
+       |tok AS (SELECT word,
+       |    $repChain AS rep
+       |  FROM dw),
+       |tl AS (SELECT word,
+       |    CAST((length(rep) - length(replace(rep, chr(1), ''))) >> 1
+       |      AS BIGINT) AS ntok
+       |  FROM tok)
+       |SELECT wc.doc_id, CAST(SUM(wn) AS BIGINT) AS n_words,
+       |  CAST(SUM(wn * length(word)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(wn * ntok) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(wn * length(word)) AS DOUBLE) / SUM(wn * ntok)
+       |    AS compression
+       |FROM wc JOIN tl USING (word)
+       |GROUP BY wc.doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** PageRank oracle: the power iteration UNROLLED as `iters` chained CTE

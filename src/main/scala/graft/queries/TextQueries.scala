@@ -96,6 +96,35 @@ object TextQueries {
         isRef = col("doc_id") % 10 === 0, tau = 6.0)
       .orderBy(col("doc_id"))
 
+  /** Trained BPE merge list per sfDir — the same trained-model oracle
+    * contract as SimilarityQueries.lastIvfModel: the query memoizes its
+    * merges here and SparkEntry inlines them into the generated DuckDB
+    * replay; Verify asserts the cached dir matches the dumped dir.
+    */
+  @volatile private[graft] var lastBpeModel: Option[(String, Seq[(String, String)])] = None
+
+  /** True iff the BPE model cache (if populated) was trained on `dir`. */
+  private[graft] def bpeModelConsistentWith(dir: String): Boolean =
+    lastBpeModel.forall(_._1 == dir)
+
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  /** BPE subword tokenizer: train 64 merges on every-5th doc's word
+    * counts, tokenize the whole corpus dictionary-encoded (ops.Bpe).
+    * Training is memoized per sfDir — the merges are a pure function of
+    * the data, so re-invocation replays the cached model.
+    */
+  def qBpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeMemo.computeIfAbsent(dir, _ =>
+      graft.ops.Bpe.trainOnSlice(docs, col("doc_id"), col("text"),
+        isTrain = col("doc_id") % 5 === 0, nMerges = 64))
+    lastBpeModel = Some((dir, merges))
+    graft.ops.Bpe.tokenizeStats(docs, col("doc_id"), col("text"), merges)
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting: portable md5 of the normal form. */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
