@@ -96,6 +96,7 @@ object SparkEntry {
     "q_lm_score" -> (TextQueries.qLmScore _),
     "q_pagerank" -> (GraphQueries.qPagerank _),
     "q_bpe_tokenize" -> (TextQueries.qBpeTokenize _),
+    "q_curriculum" -> (CorpusQueries.qCurriculum _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -529,6 +530,33 @@ object SparkEntry {
   private def staticOracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,
     "q_pagerank" -> pagerankOracle(5),
+    // two-phase curriculum enumeration == ONE window ordered globally by
+    // (tier, subbucket, key, doc_id) — the same replay shape as
+    // q_shard_shuffle; quality fragment = the proven q_quality_score CTE
+    "q_curriculum" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars_txt,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+        |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |    0.4 * least(1.0, CAST(n_words AS DOUBLE)/200.0)
+        |    + 0.3 * (1.0 - least(1.0, (CAST(n_punct AS DOUBLE)/n_chars_txt) * 5.0))
+        |    + 0.3 * least(1.0, (CAST(n_stop AS DOUBLE)/n_words) * 4.0) AS quality
+        |  FROM b),
+        |t AS (SELECT doc_id,
+        |    CAST(3 - least(3, CAST(floor(quality * 4.0) AS INT)) AS INT) AS tier,
+        |    md5(CAST(doc_id AS VARCHAR)) AS key
+        |  FROM q),
+        |d AS (SELECT doc_id, tier, key,
+        |    ascii(substring(key,1,1)) - CASE WHEN ascii(substring(key,1,1)) >= 97
+        |      THEN 87 ELSE 48 END AS sub
+        |  FROM t)
+        |SELECT doc_id, tier,
+        |  CAST(row_number() OVER (ORDER BY tier, sub, key, doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM d ORDER BY pos""".stripMargin,
     // add-one bigram LM trained on every-10th docs; ln p floored to the
     // 2^-16 grid pre-sum (reduction-order-exact, same tree as the Spark op)
     "q_lm_score" ->

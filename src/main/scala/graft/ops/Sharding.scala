@@ -94,4 +94,45 @@ object Sharding {
           .otherwise(col("__off"))
           + row_number().over(w) - 1).as("pos"))
   }
+
+  /** Curriculum enumeration — the shardShuffle two-phase pattern applied
+    * to ORDERED tiers: a deterministic global position that walks tier 0
+    * first (shuffled within), then tier 1, and so on. The training-data
+    * shape for curriculum ordering: sort the corpus by a difficulty/
+    * quality tier, shuffle within each tier, and never pay a global sort —
+    * phase 1 counts per (tier, subbucket), the driver prefix-sums them in
+    * (tier, sub) order (≤ nTiers×16 rows — a bounded model step), phase 2
+    * ranks within (tier, subbucket) only, parallelism nTiers×16.
+    *
+    * Same INPUT CONTRACT as shardShuffle (immutable snapshot between the
+    * two passes), with the same loud left-join guard.
+    */
+  def curriculumOrder(df: DataFrame, id: Column, tier: Column): DataFrame = {
+    val keyed = df.select(id.as("doc_id"), tier.cast("int").as("tier"))
+      .withColumn("__key", md5(col("doc_id").cast("string")))
+      .withColumn("__sub", hexDigit(col("__key"), 1))
+    val counts = keyed.groupBy(col("tier"), col("__sub"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getAs[Int]("tier"), r.getAs[Int]("__sub")) -> r.getAs[Long]("__n"))
+      .toMap
+    val offsets = counts.keys.toSeq.sorted
+      .foldLeft((0L, List.empty[((Int, Int), Long)])) {
+        case ((acc, out), k) => (acc + counts(k), (k -> acc) :: out)
+      }._2
+    val offsetDf = keyed.sparkSession.createDataFrame(
+      offsets.map { case ((t, b), o) => (t, b, o) })
+      .toDF("tier", "__sub", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tier"), col("__sub"))
+      .orderBy(col("__key"), col("doc_id"))
+    keyed.join(broadcast(offsetDf), Seq("tier", "__sub"), "left")
+      .select(col("doc_id"), col("tier"),
+        (when(col("__off").isNull,
+          raise_error(concat(lit("curriculumOrder: subbucket unseen by the " +
+            "count pass (tier="), col("tier"), lit(", sub="), col("__sub"),
+            lit(") — the input snapshot changed between phases"))))
+          .otherwise(col("__off"))
+          + row_number().over(w) - 1).as("pos"))
+  }
 }

@@ -111,6 +111,26 @@ object CorpusQueries {
         col("dup_word_ratio") <= 0.95 && col("top_bigram_frac") <= 0.18)
       .orderBy(col("doc_id"))
 
+  /** Curriculum data ordering: the corpus enumerated highest-quality-first
+    * (tier 0 = top quality quartile), deterministically shuffled WITHIN
+    * each tier — the "sort by quality, shuffle within" pretraining order,
+    * with zero global sort (ops.Sharding.curriculumOrder's two-phase
+    * enumeration). Quality is the q_quality_score composite; tier =
+    * 3 − clamp(⌊quality·4⌋, 3) so better docs come first.
+    */
+  def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysis
+    val d = Tables.documents(spark, dir)
+    val quality = TextAnalysis.qualityScore(
+      TextAnalysis.wsTokenCount(col("text")),
+      TextAnalysis.punctCount(col("text")).cast("double") / length(col("text")),
+      TextAnalysis.langScore(col("text"), "en").cast("double") /
+        TextAnalysis.wsTokenCount(col("text")))
+    val tier = lit(3) - least(lit(3), floor(quality * 4.0).cast("int"))
+    graft.ops.Sharding.curriculumOrder(d, col("doc_id"), tier)
+      .orderBy(col("pos"))
+  }
+
   /** Training-shard assignment + deterministic global shuffle (the final
     * pipeline step before shard files are written): stable md5-derived
     * shard + shuffled position per doc, enumerated with the two-phase

@@ -211,4 +211,30 @@ class CorpusSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(again.toSet === got.toSet)
   }
+
+  test("curriculum order: dense global positions, tiers walked in order, shuffled within") {
+    val out = CorpusQueries.qCurriculum(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("tier"),
+        r.getAs[Long]("pos")))
+    // one dense global enumeration 0..n-1
+    assert(out.map(_._3).sorted.toSeq === (0L until out.length).toSeq)
+    // positions walk tiers monotonically: sort by pos, tier never decreases
+    val tiersByPos = out.sortBy(_._3).map(_._2)
+    tiersByPos.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, "tier must never decrease along pos")
+      case _ =>
+    }
+    assert(tiersByPos.distinct.length > 1, "quality must split into tiers")
+    // within a tier the order is md5-shuffled, not id-ordered: doc_ids
+    // along pos inside the largest tier must not be sorted
+    val biggest = out.groupBy(_._2).maxBy(_._2.length)._2
+    val idsByPos = biggest.sortBy(_._3).map(_._1).toSeq
+    assert(idsByPos !== idsByPos.sorted, "within-tier order should be shuffled")
+    // deterministic
+    val again = CorpusQueries.qCurriculum(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("tier"),
+        r.getAs[Long]("pos")))
+    assert(again.toSeq === out.sortBy(_._3).toSeq ||
+      again.toSet === out.toSet)
+  }
 }
