@@ -35,13 +35,13 @@ class GraphSpec extends SparkSpecBase {
       s"supplier floor $minSupp should exceed customer ceiling $maxCust")
   }
 
-  test("pagerank plan: edge/degree exchanges reused across iterations") {
+  test("pagerank plan: iterations read the cached edge list") {
     val df = GraphQueries.qPagerank(spark, "/root/testdata/sf0.01")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     assert(!plan.contains("CartesianProduct"))
-    assert(plan.contains("ReusedExchange"),
-      s"iterations must reuse the static edge/degree shuffles:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"iterations must read the persisted edge list, not rebuild it:\n$plan")
   }
 }
