@@ -80,10 +80,13 @@ object Bpe {
       else {
         val Array(a, b) = best(0).getAs[String]("p").split(Sep)
         merges += ((a, b))
+        val prev = reps
         reps = reps.withColumn("rep", mergeExpr(col("rep"), a, b))
           .localCheckpoint()
+        prev.unpersist() // superseded checkpoint — the Components discipline
       }
     }
+    reps.unpersist() // training state is dead once the merges are extracted
     merges.toList
   }
 

@@ -35,9 +35,10 @@ import org.apache.spark.sql.functions._
   * the joined table cached and the count inlined, one shuffle per
   * iteration). The rank table is deliberately NOT broadcast-hinted: AQE
   * broadcasts it while N is small and falls back to a keyed shuffle join
-  * when a billion-node rank table outgrows broadcast. For hundreds of
-  * iterations, localCheckpoint every ~10 rounds additionally bounds
-  * lineage the way ops.Components does.
+  * when a billion-node rank table outgrows broadcast. Every superseded
+  * rank checkpoint is unpersisted and the edge cache dropped after the
+  * final iteration (the ops.Components discipline) — one invocation
+  * leaves exactly one small persistent RDD behind: the returned result.
   */
 object Graph {
 
@@ -58,10 +59,16 @@ object Graph {
     // same IEEE divisions the oracle runs engine-side on the same value
     val r0 = lit(1.0) / lit(nd.toDouble)
     val teleport = lit(0.15) / lit(nd.toDouble)
+    // each iteration is eagerly localCheckpointed and the superseded rank
+    // table released (the ops.Components fixpoint discipline): lineage
+    // stays one iteration deep, and when the loop ends the cached edge
+    // table can be dropped too — only the final rank checkpoint remains
     var ranks = ed.select(col("src").as("node")).distinct()
       .select(col("node"), r0.as("r"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      ranks = ed.join(ranks, ed("src") === ranks("node"))
+      val prev = ranks
+      ranks = ed.join(prev, ed("src") === prev("node"))
         .select(ed("dst"),
           (floor((col("r") / col("deg")) * lit(4503599627370496.0)) /
             lit(4503599627370496.0)).as("c"))
@@ -69,7 +76,10 @@ object Graph {
         .agg(sum(col("c")).as("s")) // exact: dyadic summands
         .select(col("dst").as("node"),
           (teleport + lit(0.85) * col("s")).as("r"))
+        .localCheckpoint(true)
+      prev.unpersist()
     }
+    ed.unpersist()
     ranks
   }
 }

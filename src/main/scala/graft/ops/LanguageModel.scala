@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * consistent MLE denominator) and V = |reference vocabulary|. All counts
   * exact integers; each ln p is floored onto the 2^-16 dyadic grid before
   * the per-doc sum (the SURVEY §4 fixed-point contract), so the
-  * cross-entropy is reduction-order-exact and oracle-replayable.
+  * cross-entropy is reduction-order-exact and oracle-replayable (same
+  * bounded last-ulp ln caveat as ops.Retrieval — see its scaladoc).
   *
   * Scale shape at 100 TB: reference bigram counts are one shuffled
   * aggregation (partial map-side combine); c1/V are small derived aggs;

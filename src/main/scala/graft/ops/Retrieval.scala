@@ -14,7 +14,16 @@ import org.apache.spark.sql.functions._
   * sum is exact in IEEE double regardless of reduction order — the same
   * fixed-point trick the money aggregates use via DECIMAL. Without it a
   * distributed float sum is partition-order-dependent and can never
-  * hash-match an oracle (or even itself across runs).
+  * hash-match an oracle (or even itself across runs). One honest caveat:
+  * the snap makes the SUM order-exact, not ln() itself portable — if the
+  * JVM's Math.log and the oracle engine's libm ever disagree in the last
+  * ulp AND that product lands within an ulp of a grid boundary, floor()
+  * flips by one cell. Probability ≈ 2^-35 per term score (grid 2^-16,
+  * ulp 2^-52 at these magnitudes); verified exact over every (tf, df,
+  * dl) combination at both tested scale factors. The repo-wide rule
+  * (tfidf's rational idf) stands: prefer ÷ over ln when ranking is all
+  * that matters; BM25's published form wants the log, so it carries this
+  * documented, bounded risk instead.
   *
   * Scale shape at 100 TB:
   *   - the query-term set broadcasts and SEMI-RESTRICTS the token stream

@@ -19,6 +19,7 @@ object LayoutQueries {
 
   private val Bits = 10     // keys masked into [0, 1024)
   private val NFiles = 64   // 64 fixed-width z-ranges → z >> 14
+  private val Log2Files = java.lang.Integer.numberOfTrailingZeros(NFiles)
 
   /** Per-file skipping envelope of a Z-order layout of lineitem on
     * (l_partkey, l_orderkey): 64 files, each with the min/max of BOTH keys
@@ -56,7 +57,7 @@ object LayoutQueries {
     val linStats = li
       .select((col("l_partkey").bitwiseAND(lit(mask))).as("__x"),
         (col("l_orderkey").bitwiseAND(lit(mask))).as("__y"))
-      .withColumn("file_id", shiftright(col("__x"), Bits - 6).cast("int"))
+      .withColumn("file_id", shiftright(col("__x"), Bits - Log2Files).cast("int"))
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),

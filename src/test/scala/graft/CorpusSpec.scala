@@ -234,7 +234,7 @@ class CorpusSpec extends SparkSpecBase {
     val again = CorpusQueries.qCurriculum(spark, "/root/testdata/sf0.01")
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("tier"),
         r.getAs[Long]("pos")))
-    assert(again.toSeq === out.sortBy(_._3).toSeq ||
-      again.toSet === out.toSet)
+    assert(again.toSeq === out.toSeq,
+      "output must be pos-ordered and bit-identical across runs")
   }
 }

@@ -35,13 +35,18 @@ class GraphSpec extends SparkSpecBase {
       s"supplier floor $minSupp should exceed customer ceiling $maxCust")
   }
 
-  test("pagerank plan: iterations read the cached edge list") {
+  test("pagerank releases its working storage: only the result survives") {
+    // the edge cache and every superseded rank checkpoint must be
+    // unpersisted by the time the query returns — one invocation may leave
+    // exactly ONE persistent RDD behind (the returned checkpointed ranks)
+    val before = spark.sparkContext.getPersistentRDDs.size
     val df = GraphQueries.qPagerank(spark, "/root/testdata/sf0.01")
     df.collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"pagerank leaked cached state: $before -> $after persistent RDDs")
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     assert(!plan.contains("CartesianProduct"))
-    assert(plan.contains("InMemoryTableScan"),
-      s"iterations must read the persisted edge list, not rebuild it:\n$plan")
   }
 }
