@@ -82,6 +82,7 @@ object SparkEntry {
     "q_simhash" -> (SimilarityQueries.qSimhash _),
     "q_winnow_neardup" -> (SimilarityQueries.qWinnowNearDup _),
     "q_ngram_jaccard" -> (SimilarityQueries.qNgramJaccard _),
+    "q_substring_dedup" -> (SimilarityQueries.qSubstringDedup _),
     "q_decontaminate" -> (CorpusQueries.qDecontaminate _),
     "q_sample_stratified" -> (CorpusQueries.qSampleStratified _),
     "q_source_mix" -> (CorpusQueries.qSourceMix _),
@@ -97,6 +98,11 @@ object SparkEntry {
     "q_pagerank" -> (GraphQueries.qPagerank _),
     "q_bpe_tokenize" -> (TextQueries.qBpeTokenize _),
     "q_curriculum" -> (CorpusQueries.qCurriculum _),
+    "q_heavy_hitters" -> (TextQueries.qHeavyHitters _),
+    "q_nb_classifier" -> (TextQueries.qNbClassifier _),
+    "q_triangle_count" -> (GraphQueries.qTriangleCount _),
+    "q_skyline_parts" -> (Relational.qSkylineParts _),
+    "q_scd2_history" -> (EventQueries.qScd2History _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1252,6 +1258,38 @@ object SparkEntry {
         |GROUP BY a.doc_id, b.doc_id, a.n, b.n
         |HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.03
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // ExactSubstr span replay: positioned word-8-gram md5-lane hashes
+    // (md5_number_lower = TextSketch.shingleLanes' lower lane), canonical
+    // occurrence = min packed (doc_id*2^20 + pos), flagged positions merged
+    // into spans by the same gaps-and-islands windows; docs < 8 words are
+    // excluded on both sides (their collapse shingle is q_dedup_exact's
+    // business)
+    "q_substring_dedup" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+        |  FROM w WHERE len(ws) >= 8),
+        |p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    md5_number_lower(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+        |      ||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]) AS h,
+        |    doc_id * 1048576 + (i - 1) AS packed
+        |  FROM g),
+        |f AS (SELECT doc_id, pos, packed,
+        |    COUNT(*) OVER (PARTITION BY h) AS cnt,
+        |    MIN(packed) OVER (PARTITION BY h) AS keeper
+        |  FROM p),
+        |fl AS (SELECT doc_id, pos FROM f WHERE cnt >= 2 AND packed <> keeper),
+        |b AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM fl),
+        |isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM b)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+        |  MAX(pos) + 7 - MIN(pos) + 1 AS span_words, COUNT(*) AS n_windows
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     // eval set = every 50th doc; contamination = any shared word 8-gram
     // (same normalization as the jaccard oracle)
     "q_decontaminate" ->
@@ -1502,6 +1540,129 @@ object SparkEntry {
          |      AND max_y >= 128 AND min_y <= 255 THEN n_rows ELSE 0 END) AS BIGINT)
          |    AS rows_scanned
          |FROM f GROUP BY layout ORDER BY layout""".stripMargin,
+    // Count-Min replay: ONE md5 digest per token occurrence sliced into
+    // four 32-bit bucket words (lower/upper lane, low/high half) — the
+    // same slices Sketches.buckets masks engine-side; arithmetic stays in
+    // HUGEINT because UBIGINT lanes exceed BIGINT
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |    '\s+')) AS t FROM documents),
+        |buck AS (SELECT t,
+        |    unnest([CAST(CAST(md5_number_lower(t) AS HUGEINT) % 1024 AS BIGINT),
+        |      CAST((CAST(md5_number_lower(t) AS HUGEINT) // 4294967296) % 1024 AS BIGINT),
+        |      CAST(CAST(md5_number_upper(t) AS HUGEINT) % 1024 AS BIGINT),
+        |      CAST((CAST(md5_number_upper(t) AS HUGEINT) // 4294967296) % 1024 AS BIGINT)]) AS bucket,
+        |    unnest([0, 1, 2, 3]) AS lane
+        |  FROM tok),
+        |cms AS (SELECT lane, bucket, COUNT(*) AS cnt FROM buck
+        |  GROUP BY lane, bucket),
+        |exact AS (SELECT t, COUNT(*) AS exact_cnt FROM tok GROUP BY t
+        |  ORDER BY exact_cnt DESC, t LIMIT 20),
+        |qb AS (SELECT t,
+        |    unnest([CAST(CAST(md5_number_lower(t) AS HUGEINT) % 1024 AS BIGINT),
+        |      CAST((CAST(md5_number_lower(t) AS HUGEINT) // 4294967296) % 1024 AS BIGINT),
+        |      CAST(CAST(md5_number_upper(t) AS HUGEINT) % 1024 AS BIGINT),
+        |      CAST((CAST(md5_number_upper(t) AS HUGEINT) // 4294967296) % 1024 AS BIGINT)]) AS bucket,
+        |    unnest([0, 1, 2, 3]) AS lane
+        |  FROM exact),
+        |est AS (SELECT qb.t, MIN(cnt) AS cms_est FROM qb
+        |  JOIN cms USING (lane, bucket) GROUP BY qb.t)
+        |SELECT exact.t AS token, exact_cnt, cms_est,
+        |  cms_est - exact_cnt AS overcount
+        |FROM exact JOIN est ON est.t = exact.t
+        |ORDER BY exact_cnt DESC, token""".stripMargin,
+    // trained-model replay (the q_lm_score pattern, supervised): the NB
+    // model = (cls, token) counts + class totals + priors + vocab scalar,
+    // every ln floored to the 2^-16 grid, argmax by (score desc, cls)
+    "q_nb_classifier" ->
+      """WITH wr AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(ws) AS t FROM wr),
+        |ref AS (SELECT * FROM tok WHERE doc_id % 10 = 0),
+        |ctk AS (SELECT lang AS cls, t, COUNT(*) AS ctn FROM ref
+        |  GROUP BY 1, 2),
+        |ck AS (SELECT cls, CAST(SUM(ctn) AS BIGINT) AS ckn FROM ctk
+        |  GROUP BY 1),
+        |vt AS (SELECT COUNT(DISTINCT t) AS v FROM ref),
+        |dpc AS (SELECT lang AS cls, COUNT(*) AS nd FROM documents
+        |  WHERE doc_id % 10 = 0 GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS ntot FROM documents WHERE doc_id % 10 = 0),
+        |cls AS (SELECT ck.cls, ckn,
+        |    floor(ln(CAST(nd AS DOUBLE) / CAST(ntot AS DOUBLE))
+        |      * 65536.0) / 65536.0 AS lp0
+        |  FROM ck JOIN dpc ON ck.cls = dpc.cls CROSS JOIN tot),
+        |sc AS (SELECT tok.doc_id, tok.lang AS actual, cls.cls, cls.lp0,
+        |    floor(ln(CAST(COALESCE(ctn, 0) + 1 AS DOUBLE)
+        |        / CAST(ckn + v AS DOUBLE)) * 65536.0) / 65536.0 AS lp
+        |  FROM tok CROSS JOIN cls
+        |  LEFT JOIN ctk ON ctk.cls = cls.cls AND ctk.t = tok.t
+        |  CROSS JOIN vt),
+        |ag AS (SELECT doc_id, actual, cls, lp0 + SUM(lp) AS score FROM sc
+        |  GROUP BY doc_id, actual, cls, lp0),
+        |rk AS (SELECT doc_id, actual, cls, score, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn FROM ag)
+        |SELECT doc_id, cls AS predicted, score, actual,
+        |  cls = actual AS is_correct
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // degree-oriented triangle enumeration over the top-8 co-purchase
+    // graph — identical orientation rule ((deg, id)-smaller endpoint
+    // first), identical kNN edge construction
+    "q_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |pairs AS (SELECT a.p AS u, b.p AS v, COUNT(*) AS w
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p GROUP BY 1, 2),
+        |top8 AS (SELECT u, v FROM (SELECT u, v,
+        |    row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+        |  FROM pairs) WHERE rn <= 8),
+        |und AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |  FROM top8),
+        |deg AS (SELECT n, COUNT(*) AS d FROM
+        |  (SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY n),
+        |ori AS (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |      THEN u ELSE v END AS s,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |      THEN v ELSE u END AS t
+        |  FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+        |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM ori e1 JOIN ori e2 ON e1.t = e2.s
+        |  JOIN ori e3 ON e3.s = e1.s AND e3.t = e2.t),
+        |nodes AS (SELECT a AS node FROM tri UNION ALL
+        |  SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY node
+        |ORDER BY node""".stripMargin,
+    // strict-dominance skyline: NOT EXISTS is the definition the
+    // two-phase scan implements
+    "q_skyline_parts" ->
+      """SELECT p_partkey, p_retailprice, CAST(p_size AS DOUBLE) AS p_size
+        |FROM part a
+        |WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM part b
+        |    WHERE b.p_retailprice IS NOT NULL AND b.p_size IS NOT NULL
+        |      AND b.p_retailprice <= a.p_retailprice
+        |      AND b.p_size >= a.p_size
+        |      AND (b.p_retailprice < a.p_retailprice
+        |        OR b.p_size > a.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
+    // SCD2 windows: change rows by null-safe lag compare, intervals by
+    // lead, versions by row_number — all over (ts, event_id) per user
+    "q_scd2_history" ->
+      """WITH e AS (SELECT user_id, ts, event_type, event_id,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ch AS (SELECT user_id, ts AS valid_from, event_type, event_id
+        |  FROM e WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |  (lead(valid_from) OVER w2) IS NULL AS is_current
+        |FROM ch
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+        |ORDER BY user_id, version""".stripMargin,
   )
 
   /** BM25 oracle — the query set inlined from its single source of truth

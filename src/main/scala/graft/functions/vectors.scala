@@ -51,6 +51,16 @@ object text {
   /** Distinct 64-bit hashes of the word n-grams (cheap join/shuffle keys). */
   def wordShingleHashes(c: Column, n: Int): Column = TextColumns.wordShingleHashes(c, n)
 
+  /** Ordered md5-lane hash per word n-gram (position i = window at word i,
+    * duplicates kept) — the positioned-window key for exact-substring dedup.
+    */
+  def wordShingleLanes(c: Column, n: Int): Column = TextColumns.wordShingleLanes(c, n)
+
+  /** Both 64-bit md5 lanes of a string as [lower, upper] — the oracle-
+    * replayable hash pair (DuckDB md5_number_lower / md5_number_upper).
+    */
+  def md5Lanes(c: Column): Column = TextColumns.md5Lanes(c)
+
   /** Winnowed (MOSS) fingerprint sketch: substring-robust doc fingerprints. */
   def winnow(c: Column, n: Int, w: Int): Column = TextColumns.winnow(c, n, w)
 

@@ -215,6 +215,78 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Exact-substring duplicate SPANS (the ExactSubstr operator of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — there built on a corpus suffix array): any word run
+    * of ≥ `w` words that occurs more than once in the corpus is flagged at
+    * every occurrence except the canonical first, and flagged occurrences
+    * are merged into per-doc removable spans. Unlike the pair-level
+    * sketches above, the output is WHAT TO CUT — (doc, span) rows — not
+    * who-matches-whom.
+    *
+    * Spark-first shape replacing the suffix array: the positioned window
+    * hash table. One scan emits (doc, pos, h) for every word `w`-gram
+    * (ordered md5-lane hashes — one codegen pass, longs through the
+    * explode); ONE hash-partitioned window computes each window-hash's
+    * occurrence count and minimal occurrence; every non-canonical
+    * occurrence of a repeated hash is a flagged position; a per-doc
+    * gaps-and-islands pass merges overlapping/adjacent fixed-width
+    * [pos, pos+w-1] intervals into spans. Work is Θ(total words) rows
+    * through two shuffles (hash key, then doc key) — no quadratic pair
+    * stage at all, because identity, not similarity, is the predicate.
+    * Self-repetition inside one doc is caught by the same rule (its later
+    * occurrences are non-canonical). Boilerplate-heavy window hashes make
+    * hot keys, but the per-key work is a count+min (linear, no pair join),
+    * so skew costs sort time, not blowup.
+    *
+    * Docs shorter than `w` words are excluded: their whole-text collapse
+    * shingle is exact-dup territory (q_dedup_exact), not substring spans.
+    * Canonical occurrence = min (doc_id, pos), packed as
+    * doc_id·2^20 + pos — positions must fit 20 bits (docs under ~1M words;
+    * violated rows fail loudly rather than mis-rank).
+    */
+  def exactSubstringSpans(df: DataFrame, id: Column, text: Column,
+      w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nWords = size(split(trim(lower(text)), "\\s+", -1))
+    val posts = df.filter(nWords >= w)
+      .select(id.as("doc_id"),
+        posexplode(graft.functions.text.wordShingleLanes(text, w))
+          .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    val packed = col("doc_id") * lit(1048576L) +
+      when(col("pos") < 1048576L, col("pos"))
+        .otherwise(raise_error(concat(lit("exactSubstringSpans: pos overflows 20 bits in doc "),
+          col("doc_id").cast("string"))))
+    // count + canonical-min over ONE hash-partitioned window (single
+    // shuffle; both aggregates share the unbounded frame)
+    val byHash = Window.partitionBy(col("h"))
+    val flagged = posts
+      .withColumn("__packed", packed)
+      .withColumn("__cnt", count(lit(1)).over(byHash))
+      .withColumn("__keeper", min(col("__packed")).over(byHash))
+      .filter(col("__cnt") >= 2 && col("__packed") =!= col("__keeper"))
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands: a new span starts when the gap to the previous
+    // flagged position exceeds w (pos - lag > w ⇒ the fixed-width windows
+    // neither overlap nor touch); island id = running sum of breaks
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= w, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("__island", sum(col("__brk")).over(run))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"),
+        col("n_windows"))
+  }
+
   /** Exact word-3gram Jaccard via an inverted-index self-join: explode each
     * doc's distinct shingles to (shingle, doc, |S_doc|) postings, equi-join
     * on the shingle, and count shared shingles per pair — the intersection

@@ -82,4 +82,45 @@ object Graph {
     ed.unpersist()
     ranks
   }
+
+  /** Per-node triangle counts over an undirected graph, by degree-ordered
+    * edge orientation ("compact-forward", Latapy 2008; the MapReduce form
+    * is Suri & Vassilvitskii 2011's "Counting triangles and the curse of
+    * the last reducer"): direct every edge from its (degree, id)-smaller
+    * endpoint to the larger, enumerate wedges by joining oriented edges
+    * head-to-tail, and close each wedge against the oriented edge list.
+    * Every triangle is found exactly once (its nodes are totally ordered
+    * by (degree, id)), and — the scale point — the wedge join's fan-out
+    * per node is its ORIENTED out-degree, which the orientation bounds by
+    * O(√m) even on power-law graphs: the hub that would emit deg²
+    * wedges as a wedge CENTER never does, because almost all its edges
+    * point INTO it. Work is O(m^1.5) worst-case, the best known for exact
+    * enumeration, as three hash-partitioned self-joins with no state.
+    *
+    * Input contract: `edges` is the canonical undirected edge set —
+    * (u, v) with u < v, distinct, no self-loops. Returns (node, n_tri)
+    * for every node in ≥ 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // ONE degree join per endpoint, then orient: smaller (d, id) → larger
+    val withDeg = edges
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val ori = withDeg.select(
+      when(fwd, col("u")).otherwise(col("v")).as("s"),
+      when(fwd, col("v")).otherwise(col("u")).as("t"))
+    val e1 = ori.select(col("s").as("a"), col("t").as("b"))
+    val e2 = ori.select(col("s").as("b"), col("t").as("c"))
+    val e3 = ori.select(col("s").as("a"), col("t").as("c"))
+    e1.join(e2, "b")          // wedges a→b→c
+      .join(e3, Seq("a", "c")) // closed ⇔ triangle {a,b,c}
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_tri"))
+  }
 }

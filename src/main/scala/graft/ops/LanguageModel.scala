@@ -69,4 +69,73 @@ object LanguageModel {
         ((-col("__slp")) / col("n_bigrams")).as("cross_entropy"),
         (((-col("__slp")) / col("n_bigrams")) <= lit(tau)).as("keep"))
   }
+
+  /** Multinomial Naive Bayes document classifier, trained in-engine — the
+    * supervised sibling of [[bigramCrossEntropy]] and the classic shape of
+    * LLM-corpus quality/domain classifiers (the fastText filter of
+    * GPT-3/CCNet pipelines re-expressed as a token-count model): train on
+    * the labeled `isRef` slice, predict a label for EVERY document.
+    *
+    * Model: per-class prior ln(docs_c / docs_total) and add-one smoothed
+    * token likelihoods ln((c(cls,t) + 1) / (c(cls) + V)) with c(cls)
+    * derived as Σ_t c(cls,t) and V = |reference vocabulary| — two
+    * aggregations and two scalars; scoring is one keyed join per token
+    * against the (cls, token) table, fanned out over the (bounded,
+    * broadcast) class list, summed per (doc, class), argmax per doc.
+    * Every ln is floored onto the 2^-16 dyadic grid before any sum
+    * (SURVEY §4), so scores are reduction-order-exact, the argmax is
+    * deterministic (ties broken by class name), and the whole trained
+    * model replays in the DuckDB oracle.
+    *
+    * Scale shape at 100 TB: class table and scalars broadcast; the
+    * (cls, token) likelihood join is a keyed shuffle that AQE broadcasts
+    * while the model is small; the per-class fan-out multiplies the token
+    * stream by |classes| (bounded, single digits); final agg is doc-keyed.
+    */
+  def naiveBayes(docs: DataFrame, id: Column, text: Column,
+      label: Column, isRef: Column): DataFrame = {
+    val base = docs.select(id.as("doc_id"), label.as("__lbl"),
+      isRef.as("__ref"),
+      explode(graft.functions.text.wordShingles(text, 1)).as("t"))
+    val ref = base.filter(col("__ref"))
+    val ctk = ref.groupBy(col("__lbl").as("cls"), col("t"))
+      .agg(count(lit(1)).as("ctn"))
+    val vocab = ref.agg(count_distinct(col("t")).as("v")) // 1-row scalar
+    val docsPerClass = docs.filter(isRef)
+      .groupBy(label.as("cls")).agg(count(lit(1)).as("nd"))
+    val total = docs.filter(isRef).agg(count(lit(1)).as("ntot")) // 1 row
+    // class table: prior + likelihood denominator, both model-side
+    val classes = ctk.groupBy(col("cls")).agg(sum(col("ctn")).as("ckn"))
+      .join(docsPerClass, "cls")
+      .crossJoin(broadcast(total))
+      .select(col("cls"), col("ckn"),
+        (floor(log(col("nd").cast("double") / col("ntot").cast("double"))
+          * lit(65536.0)) / lit(65536.0)).as("lp0"))
+
+    val lp = floor(log(
+      (coalesce(col("ctn"), lit(0L)) + lit(1L)).cast("double") /
+        (col("ckn") + col("v")).cast("double"))
+      * lit(65536.0)) / lit(65536.0)
+
+    val scored = base.select(col("doc_id"), col("__lbl"), col("t"))
+      .crossJoin(broadcast(classes))
+      .join(ctk, Seq("cls", "t"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("__lbl"), col("cls"), col("lp0"),
+        lp.as("lp"))
+      .groupBy(col("doc_id"), col("__lbl"), col("cls"), col("lp0"))
+      .agg(sum(col("lp")).as("__slp")) // exact: dyadic summands
+      .select(col("doc_id"), col("__lbl"), col("cls"),
+        (col("lp0") + col("__slp")).as("score"))
+
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    scored
+      .withColumn("__rn", row_number().over(byDoc))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("cls").as("predicted"), col("score"),
+        col("__lbl").as("actual"),
+        (col("cls") === col("__lbl")).as("is_correct"))
+  }
 }

@@ -208,4 +208,17 @@ object EventQueries {
         tolerance = Some("1 HOUR"))
       .orderBy(col("purchase_id"))
   }
+
+  /** SCD2 dimension history from the event stream (ops.Scd): per user, the
+    * event_type attribute collapsed to change rows with versioned validity
+    * intervals — the CDC→warehouse history build. One user-keyed shuffle
+    * serves change detection, interval close and version numbering.
+    */
+  def qScd2History(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Scd.scd2History(Tables.events(spark, dir), col("user_id"),
+        col("ts"), col("event_type"), col("event_id"))
+      .select(col("key").as("user_id"), col("attr").as("event_type"),
+        col("valid_from"), col("valid_to"),
+        col("version").cast("long").as("version"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
 }

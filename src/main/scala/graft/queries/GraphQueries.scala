@@ -38,4 +38,34 @@ object GraphQueries {
         col("r").as("pr"))
       .orderBy(col("node"))
   }
+
+  /** Per-part triangle counts over the co-purchase graph. The graph is the
+    * scale-robust kNN form of co-occurrence: edge strength = how many
+    * orders contain both parts, each part keeps its top-8 strongest
+    * partners (ties by partner id), edges canonicalized undirected. The
+    * top-8 cap is what survives 1000×: a raw ≥-k-co-occurrences threshold
+    * makes graph density scale with the corpus, while top-8 bounds degree
+    * (≤ 16 after the union) and hence triangle work at ANY data size.
+    * Pair enumeration itself is bounded: orders hold ≤ a handful of
+    * parts, so the per-order self-join fans out C(lines,2), not n².
+    */
+  def qTriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val byU = Window.partitionBy(col("u"))
+      .orderBy(col("w").desc, col("v"))
+    val edges = pairs
+      .withColumn("rn", row_number().over(byU))
+      .filter(col("rn") <= 8)
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    Graph.triangleCounts(edges).orderBy(col("node"))
+  }
 }

@@ -602,4 +602,18 @@ object Relational {
         percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
       .orderBy(col("event_type"))
   }
+
+  /** Skyline (Pareto frontier) of parts: cheapest-for-their-size — no
+    * other part is both ≤ price and ≥ size with one strict. The reference
+    * surfaces "opportunities" as below-brand-average price
+    * (qOpportunities); the skyline is the multi-criteria upgrade of that
+    * judgment, computed by the two-phase distributed scan in ops.Skyline
+    * (local frontier per partition, one-task merge of the tiny union).
+    */
+  def qSkylineParts(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skyline.skyline2D(Tables.part(spark, dir), col("p_partkey"),
+        col("p_retailprice"), col("p_size"))
+      .select(col("id").as("p_partkey"), col("x").as("p_retailprice"),
+        col("y").as("p_size"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
 }

@@ -397,6 +397,18 @@ object SimilarityQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-substring duplicate spans on documents (ExactSubstr, Lee et al.
+    * 2021): every ≥8-word run occurring more than once in the corpus,
+    * merged into per-doc removable spans, canonical first occurrence kept.
+    * Exact-oracled: DuckDB replays the positioned md5-lane window hashes,
+    * the count/min window and the gaps-and-islands merge
+    * (SparkEntry: q_substring_dedup).
+    */
+  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstringSpans(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), w = 8)
+      .orderBy(col("doc_id"), col("span_start"))
+
   /** Inverted-index word-3gram Jaccard pairs on documents (exact SQL
     * oracle: DuckDB computes the same Jaccard over distinct shingles). */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =

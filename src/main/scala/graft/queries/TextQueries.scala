@@ -208,6 +208,43 @@ object TextQueries {
       .select(col("media_id"), col("frame_idx"), hex(col("frame")).as("frame"))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** Count-Min heavy hitters: the CMS built over every token occurrence
+    * (fixed d×w state, see ops.Sketches), point-queried at the top-20
+    * exact heavy hitters so the one-sided error is visible as an
+    * `overcount` column. Exact side exists for the comparison; the sketch
+    * is the scale artifact (estimate any token's frequency from ≤ 4096
+    * counters, no vocabulary state).
+    */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val toks = Tables.documents(spark, dir)
+      .select(explode(graft.functions.text.wordShingles(col("text"), 1))
+        .as("t"))
+    val cms = Sketches.cmsBuild(toks, col("t"), width = 1024)
+    val exact = toks.groupBy(col("t"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("t"))
+      .limit(20)
+    exact
+      .join(Sketches.cmsEstimate(cms, exact.select(col("t")), col("t"),
+        width = 1024).withColumnRenamed("item", "t"), Seq("t"))
+      .select(col("t").as("token"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  /** In-engine trained multinomial Naive Bayes language classifier
+    * (ops.LanguageModel.naiveBayes): trained on the every-10th-doc slice
+    * with the `lang` column as labels, every document classified, argmax
+    * deterministic via the snapped-ln score grid. The `is_correct` column
+    * makes train-set leakage visible: ref docs score near-perfectly,
+    * held-out docs show the model's real accuracy.
+    */
+  def qNbClassifier(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.LanguageModel.naiveBayes(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), col("lang"), col("doc_id") % 10 === 0)
+      .orderBy(col("doc_id"))
+
   def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(

@@ -307,6 +307,38 @@ object TextSketch {
       Array[Any](sEn, sFr, sDe, sEs, wsTokens, bpe, punct))
   }
 
+  /** ORDERED md5 lower lane per word n-gram — position i of the result is
+    * the hash of the window starting at word i (duplicates KEPT, unlike
+    * [[shingleHashes]]): the positioned-window primitive exact-substring
+    * dedup needs, where "window at (doc, pos)" is the unit of identity.
+    * md5 (not xxhash64) because the span oracle replays each window hash
+    * as DuckDB md5_number_lower (see [[md5Lane]]).
+    */
+  def shingleLanes(t: UTF8String, n: Int): ArrayData = {
+    val arr = shingles(t, n)
+    val m = arr.numElements()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      out(i) = md5Lane(md5Bytes(arr.getUTF8String(i)), 8)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Both 64-bit md5 lanes of one string as [lower, upper] — the full
+    * 128-bit digest exposed as two oracle-replayable longs (DuckDB
+    * `md5_number_lower` / `md5_number_upper`, see [[md5Lane]]). Consumers
+    * that need several independent-ish hash rows (e.g. the Count-Min
+    * sketch's depth-d bucket rows) SLICE these two lanes into 32-bit
+    * words instead of paying d digests per value — the standard
+    * one-strong-hash-many-slices construction.
+    */
+  def md5Lanes(t: UTF8String): ArrayData = {
+    val dig = md5Bytes(t)
+    new GenericArrayData(Array[Long](md5Lane(dig, 8), md5Lane(dig, 0)))
+  }
+
   /** 64-bit SimHash over a token array: per-token md5 lower lane (oracle-
     * replayable, see [[md5Lane]]), ±1 vote per bit, sign of the vote sum
     * becomes the bit.
@@ -369,6 +401,45 @@ case class WordShingleHashes(child: Expression, n: Int)
       c => s"org.apache.spark.sql.graft.TextSketch.shingleHashes($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+/** `word_shingle_lanes(text, n)`: ordered md5-lower-lane per word n-gram —
+  * element i is the hash of the window starting at word i, duplicates kept.
+  */
+case class WordShingleLanes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"word_shingle_lanes n must be >= 1, got $n")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    TextSketch.shingleLanes(t.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextSketch.shingleLanes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleLanes =
+    copy(child = newChild)
+}
+
+/** `md5_lanes(s)`: both 64-bit md5 lanes of a string as [lower, upper]
+  * (DuckDB `md5_number_lower` / `md5_number_upper`).
+  */
+case class Md5Lanes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    TextSketch.md5Lanes(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextSketch.md5Lanes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Lanes =
     copy(child = newChild)
 }
 
@@ -517,6 +588,12 @@ object TextColumns {
 
   def wordShingleHashes(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(text), n))
+
+  def wordShingleLanes(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingleLanes(ExpressionUtils.expression(text), n))
+
+  def md5Lanes(s: Column): Column =
+    ExpressionUtils.column(Md5Lanes(ExpressionUtils.expression(s)))
 
   def winnow(text: Column, n: Int, w: Int): Column =
     ExpressionUtils.column(Winnow(ExpressionUtils.expression(text), n, w))

@@ -82,6 +82,69 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("exact-substring spans: copied run flagged only in the later doc, merged into one span") {
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima" // 12 words
+    val corpus = Seq(
+      (1L, run),                              // canonical first occurrence
+      (2L, "prefix words here " + run),       // copies the 12-word run at word 3
+      (3L, "unrelated totally different words with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(corpus, col("doc_id"), col("text"), w = 8)
+      .collect()
+    assert(!spans.exists(_.getLong(0) == 1L), "canonical occurrence keeps its text")
+    assert(!spans.exists(_.getLong(0) == 3L), "no shared 8-word run, no span")
+    val s2 = spans.filter(_.getLong(0) == 2L)
+    assert(s2.length === 1, s"the 5 flagged windows must merge to ONE span: ${s2.toSeq}")
+    val r = s2.head
+    // flagged window starts 3..7 → span [3, 7+7] = the whole copied run
+    assert(r.getAs[Long]("span_start") === 3L)
+    assert(r.getAs[Long]("span_end") === 14L)
+    assert(r.getAs[Long]("span_words") === 12L)
+    assert(r.getAs[Long]("n_windows") === 5L)
+  }
+
+  test("exact-substring spans: self-repetition inside one doc is flagged after its first occurrence") {
+    val eight = "one two three four five six seven eight"
+    val corpus = Seq((7L, eight + " " + eight)).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(corpus, col("doc_id"), col("text"), w = 8)
+      .collect()
+    // 16 words, windows 0..8; only window 8 repeats window 0 (the boundary
+    // windows mix both copies) → one span over the second copy
+    assert(spans.length === 1)
+    val r = spans.head
+    assert(r.getAs[Long]("span_start") === 8L && r.getAs[Long]("span_end") === 15L
+      && r.getAs[Long]("n_windows") === 1L)
+  }
+
+  test("exact-substring spans: short docs are excluded, disjoint spans stay separate") {
+    val runA = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val runB = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val corpus = Seq(
+      (1L, "tiny doc"), (2L, "tiny doc"),     // < 8 words: exact-dup territory
+      (3L, runA), (4L, runB),
+      // copies run A at 0 and run B at 17 with 9 fresh words between — two islands
+      (5L, runA + " x1 x2 x3 x4 x5 x6 x7 x8 x9 " + runB)
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(corpus, col("doc_id"), col("text"), w = 8)
+      .collect()
+    assert(!spans.exists(r => r.getLong(0) == 1L || r.getLong(0) == 2L),
+      "docs under w words never emit spans")
+    val s5 = spans.filter(_.getLong(0) == 5L).sortBy(_.getAs[Long]("span_start"))
+    assert(s5.length === 2, s"runs separated by > w fresh words must stay two spans: ${s5.toSeq}")
+    assert(s5(0).getAs[Long]("span_start") === 0L && s5(0).getAs[Long]("span_end") === 7L)
+    assert(s5(1).getAs[Long]("span_start") === 17L && s5(1).getAs[Long]("span_end") === 24L)
+  }
+
+  test("exact-substring plan: two exchanges, no joins") {
+    val df = Dedup.exactSubstringSpans(docs, col("doc_id"), col("text"), w = 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"identity dedup needs no join:\n$plan")
+    val exch = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exch <= 2, s"expected at most 2 exchanges (hash key, doc key), got $exch:\n$plan")
+  }
+
   test("incremental dedup: exact beats near, canonical min id, unique passes") {
     // history = docs 1..5 (the suite corpus); today's batch carries an
     // exact copy (normalizes to doc 1), a near-dup, and a fresh doc
