@@ -111,16 +111,26 @@ object Graph {
       .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
+    // the oriented edge table feeds all THREE join branches — left in the
+    // plan, each branch re-runs the degree aggregation and both degree
+    // joins (measured 3× the whole build at sf0.1). Checkpoint it once
+    // (the pageRank edge-table discipline), and checkpoint the small
+    // result so the working table can be unpersisted before returning —
+    // one invocation leaves exactly one persistent RDD, the result.
     val ori = withDeg.select(
-      when(fwd, col("u")).otherwise(col("v")).as("s"),
-      when(fwd, col("v")).otherwise(col("u")).as("t"))
+        when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint(true)
     val e1 = ori.select(col("s").as("a"), col("t").as("b"))
     val e2 = ori.select(col("s").as("b"), col("t").as("c"))
     val e3 = ori.select(col("s").as("a"), col("t").as("c"))
-    e1.join(e2, "b")          // wedges a→b→c
-      .join(e3, Seq("a", "c")) // closed ⇔ triangle {a,b,c}
+    val res = e1.join(e2, "b")   // wedges a→b→c
+      .join(e3, Seq("a", "c"))   // closed ⇔ triangle {a,b,c}
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint(true)
+    ori.unpersist()
+    res
   }
 }

@@ -50,21 +50,31 @@ object GraphQueries {
     * parts, so the per-order self-join fans out C(lines,2), not n².
     */
   def qTriangleCount(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val pairs = li.as("a")
-      .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+    // pair enumeration WITHOUT a self-join: one shuffle by order collects
+    // each order's distinct part set (orders hold a handful of lines, so
+    // the set is tiny and collect_set's dedup replaces a separate
+    // distinct exchange), then the ordered pairs explode map-side —
+    // per-order C(parts,2) fan-out, bounded by order size at any SF
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("w"))
-    val byU = Window.partitionBy(col("u"))
-      .orderBy(col("w").desc, col("v"))
+    // top-8 via the bounded-heap aggregate, NOT a window: partial buffers
+    // cap at 8 entries per u per partition, so the exchange carries
+    // 8·partitions rows per node instead of sorting the full O(pairs)
+    // candidate mass (the count fits a double exactly — ≤ 2^53; heap
+    // tie-break is (w desc, v asc), identical to the oracle's row_number)
     val edges = pairs
-      .withColumn("rn", row_number().over(byU))
-      .filter(col("rn") <= 8)
-      .select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
+      .groupBy(col("u"))
+      .agg(graft.functions.vectors.topk(col("w").cast("double"), col("v"), 8)
+        .as("tk"))
+      .select(col("u"), explode(col("tk")).as("e"))
+      .select(least(col("u"), col("e.id")).as("u"),
+        greatest(col("u"), col("e.id")).as("v"))
       .distinct()
     Graph.triangleCounts(edges).orderBy(col("node"))
   }
