@@ -70,6 +70,41 @@ object CorpusStreams {
       }
       .start()
 
+  /** Streaming Count-Min sketch maintenance: each micro-batch's token CMS
+    * (ops.Sketches.cmsBuild) lands as an epoch-keyed store increment; the
+    * LIVE sketch is the cell-wise SUM of all increments ([[cmsRead]]).
+    * This is exact, not approximate-on-approximate: CMS is LINEAR —
+    * sketch(A ∪ B) = sketch(A) + sketch(B) cell-wise — so the folded
+    * stream sketch is bit-identical to one batch build over everything
+    * ever streamed (proven in CorpusStreamSpec). Epoch-keyed overwrite
+    * makes crash-replay idempotent: a replayed batch rewrites the same
+    * increment, never double-counts. State per epoch is ≤ d·w counter
+    * rows — the store grows with TIME, not with corpus size, and
+    * compaction is the same cell-wise sum into one base epoch.
+    */
+  def cmsStream(docs: DataFrame, storeDir: String, checkpoint: String,
+      width: Int,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val toks = batch.select(
+          explode(graft.functions.text.wordShingles(col("text"), 1)).as("t"))
+        graft.sources.Datalake.writeParquet(
+          graft.ops.Sketches.cmsBuild(toks, col("t"), width),
+          s"$storeDir/epoch=$epoch")
+      }
+      .start()
+
+  /** The live sketch: cell-wise sum over every landed increment. */
+  def cmsRead(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+      .groupBy(col("lane"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Stateless streaming clean: the same scan-side signals as the batch
     * funnel (language ID, quality score, normal-form fingerprint), keeping
     * English docs above the quality bar. Identical thresholds to

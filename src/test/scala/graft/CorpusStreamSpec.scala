@@ -253,4 +253,41 @@ class CorpusStreamSpec extends SparkSpecBase {
         "funnel output must be a subset of the streamed clean set")
     } finally q.stop()
   }
+
+  test("streaming CMS fold is EXACT: summed increments equal one batch sketch") {
+    import graft.ops.Sketches
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the corpus arrives as two file drops → two epochs, two increments
+    val dropDir = Files.createTempDirectory("graft-cms-drops")
+    def land(df: DataFrame, name: String): Unit = {
+      val stage = Files.createTempDirectory("graft-cms-stage").resolve("out")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, dropDir.resolve(name))
+    }
+    land(docs.filter(col("doc_id") % 2 === 0), "drop1.parquet")
+    land(docs.filter(col("doc_id") % 2 =!= 0), "drop2.parquet")
+    val storeDir = Files.createTempDirectory("graft-cms-store").toString
+    val q = CorpusStreams.cmsStream(
+      CorpusStreams.readDocFiles(spark, dropDir.toString, docSchema, 1)
+        .select(col("text")),
+      storeDir,
+      Files.createTempDirectory("graft-cms-ckpt").toString, width = 256)
+    try assert(q.awaitTermination(120000), "AvailableNow must terminate")
+    finally q.stop()
+    assert(Files.list(Paths.get(storeDir))
+      .filter(_.getFileName.toString.startsWith("epoch=")).count() >= 2,
+      "each micro-batch must land its own increment")
+    def cells(df: DataFrame): Map[(Int, Int), Long] = df.collect()
+      .map(r => (r.getInt(0), r.getAs[Number](1).intValue()) ->
+        r.getAs[Number](2).longValue()).toMap
+    val folded = cells(CorpusStreams.cmsRead(spark, storeDir))
+    val batch = cells(Sketches.cmsBuild(
+      docs.select(explode(graft.functions.text.wordShingles(col("text"), 1))
+        .as("t")), col("t"), width = 256))
+    // linearity: sketch(A ∪ B) = sketch(A) + sketch(B), cell for cell
+    assert(folded === batch,
+      "folded stream sketch must be bit-identical to the batch sketch")
+  }
 }
