@@ -254,7 +254,14 @@ object Dedup {
         posexplode(graft.functions.text.wordShingleLanes(text, w))
           .as(Seq("pos", "h")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
-    val packed = col("doc_id") * lit(1048576L) +
+    // both components are guarded loudly: pos must fit its 20 bits, and
+    // doc_id must fit the remaining 43 (and be non-negative) or the packed
+    // long would silently wrap and mis-rank the canonical occurrence
+    val packed =
+      when(col("doc_id").between(0L, (1L << 43) - 1), col("doc_id"))
+        .otherwise(raise_error(concat(
+          lit("exactSubstringSpans: doc_id outside [0, 2^43) "),
+          col("doc_id").cast("string")))) * lit(1048576L) +
       when(col("pos") < 1048576L, col("pos"))
         .otherwise(raise_error(concat(lit("exactSubstringSpans: pos overflows 20 bits in doc "),
           col("doc_id").cast("string"))))

@@ -61,14 +61,17 @@ object Sketches {
     * column `item`): min over the item's d counters. The sketch side is
     * tiny (≤ Depth × width rows) and broadcasts; estimates never
     * undercount, so `est ≥` the true count always (CMS's one-sided
-    * guarantee — pinned in SketchSpec).
+    * guarantee — pinned in Round7Spec). LEFT join: the sketch stores only
+    * non-empty counters, so an absent cell is a ZERO count — an item some
+    * of whose cells were never touched must estimate through those zeros
+    * (an unseen item correctly estimates 0), not lose the lane or vanish.
     */
   def cmsEstimate(cms: DataFrame, queries: DataFrame, item: Column,
       width: Int): DataFrame =
     queries
       .select(item.as("item"),
         posexplode(buckets(item, width)).as(Seq("lane", "bucket")))
-      .join(broadcast(cms), Seq("lane", "bucket"))
+      .join(broadcast(cms), Seq("lane", "bucket"), "left")
       .groupBy(col("item"))
-      .agg(min(col("cnt")).as("cms_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 }

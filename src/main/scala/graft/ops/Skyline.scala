@@ -64,15 +64,18 @@ object Skyline {
     val pts: Dataset[SkyPoint] = df
       .select(id.cast("long").as("id"), x.cast("double").as("x"),
         y.cast("double").as("y"))
-      .filter(col("x").isNotNull && col("y").isNotNull &&
-        !isnan(col("x")) && !isnan(col("y")))
+      .filter(col("id").isNotNull && col("x").isNotNull &&
+        col("y").isNotNull && !isnan(col("x")) && !isnan(col("y")))
       .as[SkyPoint]
     val local = pts
       .sortWithinPartitions(col("x"), col("y").desc, col("id"))
       .mapPartitions(scan)
-    // the union of local skylines is small; one task merges it with the
-    // same scan (coalesce, not repartition — no shuffle needed)
-    local.coalesce(1)
+    // repartition — NOT coalesce — to width 1: coalesce(1) is a narrow
+    // dependency that would fuse phase 1 into the single merge task and
+    // run the whole scan serially; the repartition shuffle is the stage
+    // barrier that keeps phase 1 parallel, and it moves only the tiny
+    // local-skyline union
+    local.repartition(1)
       .sortWithinPartitions(col("x"), col("y").desc, col("id"))
       .mapPartitions(scan)
       .toDF()

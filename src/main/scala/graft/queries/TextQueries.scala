@@ -221,10 +221,15 @@ object TextQueries {
       .select(explode(graft.functions.text.wordShingles(col("text"), 1))
         .as("t"))
     val cms = Sketches.cmsBuild(toks, col("t"), width = 1024)
+    // the exact top-20 (a full-scan aggregation + total sort) feeds BOTH
+    // the output's left side and the estimate's query set — checkpoint the
+    // 20 rows so the corpus is scanned once for the sketch and once for
+    // the exact side, never a third time
     val exact = toks.groupBy(col("t"))
       .agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("t"))
       .limit(20)
+      .localCheckpoint(true)
     exact
       .join(Sketches.cmsEstimate(cms, exact.select(col("t")), col("t"),
         width = 1024).withColumnRenamed("item", "t"), Seq("t"))

@@ -39,6 +39,16 @@ class Round7Spec extends SparkSpecBase {
     assert(est === Map("aa" -> 5L, "bb" -> 3L, "cc" -> 2L))
   }
 
+  test("CMS estimates an UNSEEN item as 0 instead of dropping or inflating it") {
+    val cms = Sketches.cmsBuild(Seq.fill(4)("present").toDF("t"), col("t"),
+      width = 1024)
+    val est = Sketches.cmsEstimate(cms,
+        Seq("present", "never-seen").toDF("t"), col("t"), 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("present" -> 4L, "never-seen" -> 0L),
+      "an item with empty cells must estimate through the zero counters")
+  }
+
   // ---- triangle counting ----
 
   test("triangles: K4 gives every node 3, an open wedge gives none") {
