@@ -103,6 +103,7 @@ object SparkEntry {
     "q_triangle_count" -> (GraphQueries.qTriangleCount _),
     "q_skyline_parts" -> (Relational.qSkylineParts _),
     "q_scd2_history" -> (EventQueries.qScd2History _),
+    "q_hll_distinct" -> (Relational.qHllDistinct _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1646,6 +1647,43 @@ object SparkEntry {
         |      AND (b.p_retailprice < a.p_retailprice
         |        OR b.p_size > a.p_size))
         |ORDER BY p_retailprice, p_partkey""".stripMargin,
+    // generated HLL replay: rho chain + α·m²·2^55 constant come from the
+    // same Scala code the engine runs (Sketches.rhoCaseSql / HllAlphaC);
+    // the indicator sum is the exact HUGEINT numerator, mirroring the
+    // engine's DECIMAL(38,0) — the one double division then has
+    // identically-rounded operands in both engines
+    "q_hll_distinct" -> {
+      val rho = graft.ops.Sketches.rhoCaseSql("w")
+      val a = graft.ops.Sketches.HllAlphaC
+      s"""WITH h AS (SELECT event_type AS g,
+         |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS HUGEINT) AS h
+         |  FROM events),
+         |r AS (SELECT g, CAST(h % 1024 AS BIGINT) AS bucket,
+         |    h // 1024 AS w FROM h),
+         |rr AS (SELECT g, bucket, $rho AS rho FROM r),
+         |regs AS (SELECT g, bucket, MAX(rho) AS rho FROM rr GROUP BY g, bucket),
+         |per AS (SELECT g,
+         |    SUM(CAST(1::UBIGINT << (55 - rho) AS HUGEINT)) AS sumterm,
+         |    COUNT(*) AS present
+         |  FROM regs GROUP BY g),
+         |est AS (SELECT g,
+         |    sumterm + (1024 - present) * CAST(1::UBIGINT << 55 AS HUGEINT) AS num,
+         |    1024 - present AS zeros
+         |  FROM per),
+         |fin AS (SELECT g,
+         |    CASE WHEN ($a / CAST(num AS DOUBLE)) <= 2560.0 AND zeros > 0
+         |      THEN floor(1024.0 * ln(1024.0 / CAST(zeros AS DOUBLE)) * 65536.0) / 65536.0
+         |      ELSE floor(($a / CAST(num AS DOUBLE)) * 65536.0) / 65536.0 END
+         |      AS hll_users,
+         |    CASE WHEN ($a / CAST(num AS DOUBLE)) <= 2560.0 AND zeros > 0
+         |      THEN 'linear' ELSE 'raw' END AS est_kind
+         |  FROM est),
+         |base AS (SELECT event_type, COUNT(*) AS n_events,
+         |    COUNT(DISTINCT user_id) AS exact_users FROM events GROUP BY 1)
+         |SELECT base.event_type, n_events, exact_users, hll_users, est_kind
+         |FROM base JOIN fin ON fin.g = base.event_type
+         |ORDER BY base.event_type""".stripMargin
+    },
     // SCD2 windows: change rows by null-safe lag compare, intervals by
     // lead, versions by row_number — all over (ts, event_id) per user
     "q_scd2_history" ->

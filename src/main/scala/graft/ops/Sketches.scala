@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Fixed-size frequency sketches over unbounded streams of items — the
   * Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data
@@ -74,4 +75,88 @@ object Sketches {
       .join(broadcast(cms), Seq("lane", "bucket"), "left")
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
+  // ---- HyperLogLog (Flajolet et al. 2007), oracle-exact variant ----
+  //
+  // Unlike Spark's approx_count_distinct (whose sketch internals are
+  // engine-private — rows-only in the driver check), this HLL is built
+  // from first principles on the md5 lane so EVERY step replays in
+  // DuckDB: bucket = low b bits, rho = leading-zero rank of the
+  // remaining 54-bit window (a generated comparison chain, identical in
+  // both dialects), registers = per-bucket MAX — a mergeable, bounded
+  // (m rows per group) aggregation exactly like any distributed HLL.
+  //
+  // The estimator's indicator sum Σ 2^-M_j is the one place naive
+  // float math breaks bit-replay (adding 2^-55-granular terms to a
+  // 2^10-magnitude sum needs 65 significand bits — reduction order
+  // would matter). It is instead computed EXACTLY as the integer
+  // numerator Σ 2^(55-M_j) (≤ m·2^55 < 10^20, exact in DECIMAL(38,0)
+  // and HUGEINT), with absent buckets contributing 2^55 each; the
+  // single double division α·m²·2^55 / numerator is then one IEEE op
+  // on identically-rounded operands in both engines. Small-range
+  // linear counting (E ≤ 2.5m, V > 0) replays through ln; the final
+  // estimate is floored onto the 2^-16 grid (SURVEY §4) to absorb any
+  // last-ulp ln divergence.
+
+  val HllB = 10
+  val HllM = 1024 // 2^HllB registers per group
+
+  /** rho(w) = position of the highest set bit of the 54-bit window,
+    * counted from the top (1-based); 55 when the window is zero. The
+    * generated descending comparison chain is the same expression the
+    * SQL oracle runs.
+    */
+  private def rhoCol(w: Column): Column = {
+    var e: Column = lit(55)
+    for (k <- 0 to 53) e = when(w >= lit(1L << k), lit(54 - k)).otherwise(e)
+    e
+  }
+
+  /** The same chain as SQL text, for generated oracles. */
+  def rhoCaseSql(w: String): String =
+    (0 to 53).reverse
+      .map(k => s"WHEN $w >= ${1L << k} THEN ${54 - k}")
+      .mkString("CASE ", " ", " ELSE 55 END")
+
+  /** α_m · m² · 2^55 — the raw-estimate numerator constant. Exact
+    * power-of-two scaling of α_m, so the value (and its decimal string,
+    * for the oracle) is one well-defined double in both engines.
+    */
+  val HllAlphaC: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * (1L << 20).toDouble * (1L << 55).toDouble
+
+  /** Per-group HLL distinct estimate of `item`: (g, hll_est, est_kind).
+    * est_kind records which estimator served the group ('linear' below
+    * 2.5m with empty registers, 'raw' otherwise) — the standard HLL
+    * regime split, visible instead of hidden.
+    */
+  def hllDistinct(df: DataFrame, group: Column, item: Column): DataFrame = {
+    val h = graft.functions.text.md5Lanes(item.cast("string"))(0)
+    val regs = df
+      .select(group.as("g"), h.as("__h"))
+      .select(col("g"),
+        col("__h").bitwiseAND(lit((HllM - 1).toLong)).as("__bucket"),
+        shiftrightunsigned(col("__h"), HllB).as("__w"))
+      .select(col("g"), col("__bucket"), rhoCol(col("__w")).as("rho"))
+      .groupBy(col("g"), col("__bucket"))
+      .agg(max(col("rho")).as("rho"))
+    val per = regs
+      .groupBy(col("g"))
+      .agg(
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 55 - rho) AS DECIMAL(38,0))"))
+          .as("__sumterm"),
+        count(lit(1)).as("__present"))
+    val zeros = lit(HllM.toLong) - col("__present")
+    val num = col("__sumterm") +
+      zeros.cast(DecimalType(38, 0)) *
+        lit(1L << 55).cast(DecimalType(38, 0))
+    val raw = lit(HllAlphaC) / num.cast("double")
+    val linearRange = raw <= lit(2.5 * HllM) && zeros > 0
+    val est = when(linearRange,
+        lit(HllM.toDouble) * log(lit(HllM.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    per.select(col("g"),
+      (floor(est * lit(65536.0)) / lit(65536.0)).as("hll_est"),
+      when(linearRange, "linear").otherwise("raw").as("est_kind"))
+  }
 }

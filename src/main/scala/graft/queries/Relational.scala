@@ -603,6 +603,27 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Distinct-user profile via the ORACLE-EXACT HyperLogLog
+    * (ops.Sketches.hllDistinct): where qApproxProfile's engine-private
+    * sketches are rows-only in the driver check, this HLL is built from
+    * first principles on the md5 lane and every step — buckets, rho
+    * ranks, register maxima, the integer-exact indicator sum, the
+    * regime split — replays bit-for-bit in DuckDB. The exact distinct
+    * count sits alongside so the sketch error is visible per group.
+    */
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val base = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("exact_users"))
+    graft.ops.Sketches.hllDistinct(e, col("event_type"), col("user_id"))
+      .withColumnRenamed("g", "event_type")
+      .join(base, "event_type")
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        col("hll_est").as("hll_users"), col("est_kind"))
+      .orderBy(col("event_type"))
+  }
+
   /** Skyline (Pareto frontier) of parts: cheapest-for-their-size — no
     * other part is both ≤ price and ≥ size with one strict. The reference
     * surfaces "opportunities" as below-brand-average price

@@ -49,6 +49,34 @@ class Round7Spec extends SparkSpecBase {
       "an item with empty cells must estimate through the zero counters")
   }
 
+  test("HLL estimate lands within the m=1024 error envelope on real data") {
+    val e = TestSession.spark.read.parquet(s"$sfDir/events.parquet")
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+    val rows = Sketches.hllDistinct(e, col("event_type"), col("user_id"))
+      .withColumnRenamed("g", "event_type")
+      .join(exact, "event_type").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("hll_est")
+      val ex = r.getAs[Long]("exact").toDouble
+      // 1.04/√1024 ≈ 3.25% std error; 15% is > 4 sigma
+      assert(math.abs(est - ex) / ex < 0.15,
+        s"${r.getAs[String]("event_type")}: est $est vs exact $ex")
+    }
+  }
+
+  test("HLL regime split: tiny sets go linear, large sets go raw, both accurate") {
+    val small = (1L to 40L).map(i => ("s", i)).toDF("g", "v")
+    val large = (1L to 50000L).map(i => ("l", i)).toDF("g", "v")
+    val out = Sketches.hllDistinct(small.unionAll(large), col("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getString(2))).toMap
+    assert(out("s")._2 === "linear" && math.abs(out("s")._1 - 40.0) < 5.0)
+    assert(out("l")._2 === "raw" &&
+      math.abs(out("l")._1 - 50000.0) / 50000.0 < 0.15)
+  }
+
   // ---- triangle counting ----
 
   test("triangles: K4 gives every node 3, an open wedge gives none") {
