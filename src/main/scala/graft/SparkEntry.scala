@@ -104,6 +104,8 @@ object SparkEntry {
     "q_skyline_parts" -> (Relational.qSkylineParts _),
     "q_scd2_history" -> (EventQueries.qScd2History _),
     "q_hll_distinct" -> (Relational.qHllDistinct _),
+    "q_hll_union" -> (Relational.qHllUnion _),
+    "q_hist_quantiles" -> (Relational.qHistQuantiles _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1684,6 +1686,68 @@ object SparkEntry {
          |FROM base JOIN fin ON fin.g = base.event_type
          |ORDER BY base.event_type""".stripMargin
     },
+    // mergeability replay: merged (per-type max-of-max) and direct
+    // (all-rows) register paths computed independently, estimated with
+    // the same fragment, equality re-proven engine-side AND oracle-side
+    "q_hll_union" -> {
+      val rho = graft.ops.Sketches.rhoCaseSql("(h // 1024)")
+      val a = graft.ops.Sketches.HllAlphaC
+      def est(per: String, out: String): String =
+        s"""SELECT CASE WHEN ($a / CAST(sumterm + (1024 - present) *
+           |      CAST(1::UBIGINT << 55 AS HUGEINT) AS DOUBLE)) <= 2560.0
+           |      AND present < 1024
+           |    THEN floor(1024.0 * ln(1024.0 / CAST(1024 - present AS DOUBLE))
+           |      * 65536.0) / 65536.0
+           |    ELSE floor(($a / CAST(sumterm + (1024 - present) *
+           |      CAST(1::UBIGINT << 55 AS HUGEINT) AS DOUBLE)) * 65536.0)
+           |      / 65536.0 END AS $out,
+           |  CASE WHEN ($a / CAST(sumterm + (1024 - present) *
+           |      CAST(1::UBIGINT << 55 AS HUGEINT) AS DOUBLE)) <= 2560.0
+           |      AND present < 1024
+           |    THEN 'linear' ELSE 'raw' END AS kind
+           |  FROM $per""".stripMargin
+      s"""WITH rr AS (SELECT event_type AS g,
+         |    CAST(CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS HUGEINT)
+         |      % 1024 AS BIGINT) AS bucket,
+         |    $rho AS rho
+         |  FROM (SELECT event_type, user_id,
+         |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS HUGEINT) AS h
+         |    FROM events)),
+         |regs AS (SELECT g, bucket, MAX(rho) AS rho FROM rr GROUP BY g, bucket),
+         |merged AS (SELECT bucket, MAX(rho) AS rho FROM regs GROUP BY bucket),
+         |direct AS (SELECT bucket, MAX(rho) AS rho FROM rr GROUP BY bucket),
+         |m_per AS (SELECT SUM(CAST(1::UBIGINT << (55 - rho) AS HUGEINT))
+         |    AS sumterm, COUNT(*) AS present FROM merged),
+         |d_per AS (SELECT SUM(CAST(1::UBIGINT << (55 - rho) AS HUGEINT))
+         |    AS sumterm, COUNT(*) AS present FROM direct),
+         |m_fin AS (${est("m_per", "hll_merged")}),
+         |d_fin AS (${est("d_per", "hll_direct")}),
+         |base AS (SELECT COUNT(*) AS n_events,
+         |    COUNT(DISTINCT user_id) AS exact_users FROM events)
+         |SELECT 'all' AS scope, n_events, exact_users, hll_merged,
+         |  hll_direct, hll_merged = hll_direct AS merged_equals_direct,
+         |  d_fin.kind AS est_kind
+         |FROM base, m_fin, d_fin""".stripMargin
+    },
+    // histogram-quantile replay: width-1 buckets, running counts, first
+    // bucket reaching ceil(q*n) — pure arithmetic in both dialects
+    "q_hist_quantiles" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    greatest(0, least(1023, CAST(floor(value) AS BIGINT))) AS bucket
+        |  FROM events WHERE value IS NOT NULL),
+        |hist AS (SELECT g, bucket, COUNT(*) AS cnt FROM b GROUP BY g, bucket),
+        |cum AS (SELECT g, bucket, cnt,
+        |    SUM(cnt) OVER (PARTITION BY g ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY g) AS n
+        |  FROM hist)
+        |SELECT g AS event_type,
+        |  CAST(MIN(CASE WHEN cum >= ceil(0.5 * n) THEN bucket END) AS DOUBLE)
+        |    AS p50_est,
+        |  CAST(MIN(CASE WHEN cum >= ceil(0.95 * n) THEN bucket END) AS DOUBLE)
+        |    AS p95_est,
+        |  CAST(MAX(n) AS BIGINT) AS n_rows
+        |FROM cum GROUP BY g ORDER BY event_type""".stripMargin,
     // SCD2 windows: change rows by null-safe lag compare, intervals by
     // lead, versions by row_number — all over (ts, event_id) per user
     "q_scd2_history" ->

@@ -125,21 +125,28 @@ object Sketches {
   val HllAlphaC: Double =
     0.7213 / (1.0 + 1.079 / HllM) * (1L << 20).toDouble * (1L << 55).toDouble
 
-  /** Per-group HLL distinct estimate of `item`: (g, hll_est, est_kind).
-    * est_kind records which estimator served the group ('linear' below
-    * 2.5m with empty registers, 'raw' otherwise) — the standard HLL
-    * regime split, visible instead of hidden.
+  /** Per-group HLL register table (g, bucket, rho) — ≤ m rows per group.
+    * Registers are the MERGEABLE form of the sketch: per-bucket max is
+    * associative, so registers of a union == cell-wise max of the
+    * per-part registers (pinned by qHllUnion's merged_equals_direct).
     */
-  def hllDistinct(df: DataFrame, group: Column, item: Column): DataFrame = {
+  def hllRegisters(df: DataFrame, group: Column, item: Column): DataFrame = {
     val h = graft.functions.text.md5Lanes(item.cast("string"))(0)
-    val regs = df
-      .select(group.as("g"), h.as("__h"))
+    df.select(group.as("g"), h.as("__h"))
       .select(col("g"),
-        col("__h").bitwiseAND(lit((HllM - 1).toLong)).as("__bucket"),
+        col("__h").bitwiseAND(lit((HllM - 1).toLong)).as("bucket"),
         shiftrightunsigned(col("__h"), HllB).as("__w"))
-      .select(col("g"), col("__bucket"), rhoCol(col("__w")).as("rho"))
-      .groupBy(col("g"), col("__bucket"))
+      .select(col("g"), col("bucket"), rhoCol(col("__w")).as("rho"))
+      .groupBy(col("g"), col("bucket"))
       .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Estimate from a register table: (g, hll_est, est_kind). est_kind
+    * records which estimator served the group ('linear' below 2.5m with
+    * empty registers, 'raw' otherwise) — the standard HLL regime split,
+    * visible instead of hidden.
+    */
+  def hllEstimate(regs: DataFrame): DataFrame = {
     val per = regs
       .groupBy(col("g"))
       .agg(
@@ -158,5 +165,45 @@ object Sketches {
     per.select(col("g"),
       (floor(est * lit(65536.0)) / lit(65536.0)).as("hll_est"),
       when(linearRange, "linear").otherwise("raw").as("est_kind"))
+  }
+
+  /** Per-group HLL distinct estimate of `item`: (g, hll_est, est_kind). */
+  def hllDistinct(df: DataFrame, group: Column, item: Column): DataFrame =
+    hllEstimate(hllRegisters(df, group, item))
+
+  /** Histogram quantiles — the oracle-exact stand-in for a quantile
+    * sketch: fixed-width-1 buckets over [0, 1024) (values clamped into
+    * range, nulls dropped), per-group cumulative counts, and each
+    * requested quantile q answered by the lower bound of the first
+    * bucket whose running count reaches ceil(q·n). Pure integer/IEEE
+    * arithmetic end to end — no transcendentals, no engine-private
+    * sketch state — so every estimate replays bit-for-bit in SQL, and
+    * the sketch error is bounded by the bucket width by construction
+    * (pinned against exact percentiles in Round7Spec). Scale shape: the
+    * histogram is a (g, bucket) aggregation with map-side combine —
+    * ≤ 1024 rows per group through the exchange at any row count — and
+    * the quantile extraction windows over those ≤ 1024 rows only.
+    */
+  def histQuantiles(df: DataFrame, group: Column, value: Column,
+      qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .filter(value.isNotNull)
+      .select(group.as("g"),
+        greatest(lit(0L), least(lit(1023L), floor(value).cast("long")))
+          .as("bucket"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val byG = Window.partitionBy(col("g")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = hist
+      .withColumn("cum", sum(col("cnt")).over(byG))
+      .withColumn("n", sum(col("cnt"))
+        .over(Window.partitionBy(col("g"))))
+    val aggs = qs.map { q =>
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("bucket")))
+        .cast("double").as(f"p${(q * 100).toInt}%d_est")
+    } :+ max(col("n")).as("n_rows")
+    withCum.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -624,6 +624,50 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** HLL MERGEABILITY as a query: global distinct users computed by
+    * merging the per-event-type register tables (cell-wise max — the
+    * union-without-rescan property that makes HLL the 100 TB distinct
+    * counter: per-partition/per-day sketches combine without touching
+    * rows again), next to the direct single-pass estimate over all rows.
+    * Because per-bucket max is associative, the two are EQUAL — the
+    * output's merged_equals_direct column certifies it on every run,
+    * and the oracle re-proves it in DuckDB.
+    */
+  def qHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val e = Tables.events(spark, dir)
+    val merged = Sketches.hllEstimate(
+      Sketches.hllRegisters(e, col("event_type"), col("user_id"))
+        .select(lit("all").as("g"), col("bucket"), col("rho"))
+        .groupBy(col("g"), col("bucket"))
+        .agg(max(col("rho")).as("rho")))
+      .select(col("g"), col("hll_est").as("hll_merged"))
+    val direct = Sketches.hllEstimate(
+        Sketches.hllRegisters(e, lit("all"), col("user_id")))
+      .select(col("g"), col("hll_est").as("hll_direct"), col("est_kind"))
+    val base = e.select(lit("all").as("g"), col("user_id"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("exact_users"))
+    base.join(merged, "g").join(direct, "g")
+      .select(col("g").as("scope"), col("n_events"), col("exact_users"),
+        col("hll_merged"), col("hll_direct"),
+        (col("hll_merged") === col("hll_direct")).as("merged_equals_direct"),
+        col("est_kind"))
+      .orderBy(col("scope"))
+  }
+
+  /** Histogram quantiles per event type (ops.Sketches.histQuantiles):
+    * p50/p95 from fixed-width buckets — the oracle-exact stand-in for
+    * qApproxProfile's engine-private percentile sketch; error bounded by
+    * the bucket width by construction.
+    */
+  def qHistQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.histQuantiles(Tables.events(spark, dir),
+        col("event_type"), col("value"), Seq(0.5, 0.95))
+      .withColumnRenamed("g", "event_type")
+      .orderBy(col("event_type"))
+
   /** Skyline (Pareto frontier) of parts: cheapest-for-their-size — no
     * other part is both ≤ price and ≥ size with one strict. The reference
     * surfaces "opportunities" as below-brand-average price

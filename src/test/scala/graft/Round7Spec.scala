@@ -77,6 +77,46 @@ class Round7Spec extends SparkSpecBase {
       math.abs(out("l")._1 - 50000.0) / 50000.0 < 0.15)
   }
 
+  test("HLL registers merge losslessly: max-merged parts equal the direct sketch") {
+    val e = TestSession.spark.read.parquet(s"$sfDir/events.parquet")
+    val merged = Sketches.hllEstimate(
+      Sketches.hllRegisters(e, col("event_type"), col("user_id"))
+        .select(lit("all").as("g"), col("bucket"), col("rho"))
+        .groupBy(col("g"), col("bucket")).agg(max(col("rho")).as("rho")))
+      .collect().head
+    val direct = Sketches.hllEstimate(
+        Sketches.hllRegisters(e, lit("all"), col("user_id")))
+      .collect().head
+    assert(merged.getDouble(1) === direct.getDouble(1),
+      "register merge must be bit-identical to the single-pass sketch")
+  }
+
+  test("histogram quantile bucket contains the rank-q order statistic exactly") {
+    // rank semantics, not interpolation: the estimate is the lower bound
+    // of the bucket holding the ceil(q*n)-th smallest value (interpolated
+    // percentile can sit a value-GAP away in a sparse tail, so comparing
+    // to it would test the data, not the operator)
+    val e = TestSession.spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("value").isNotNull)
+    val est = Sketches.histQuantiles(e, col("event_type"), col("value"),
+        Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    val vals = e.select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (g, a) => g -> a.map(_._2).sorted }
+    assert(est.keySet === vals.keySet)
+    est.foreach { case (g, (p50, p95)) =>
+      val sorted = vals(g)
+      def orderStat(q: Double): Double =
+        sorted(math.ceil(q * sorted.length).toInt - 1)
+      assert(math.floor(orderStat(0.5)) === p50,
+        s"$g p50 bucket $p50 misses order stat ${orderStat(0.5)}")
+      assert(math.floor(orderStat(0.95)) === p95,
+        s"$g p95 bucket $p95 misses order stat ${orderStat(0.95)}")
+    }
+  }
+
   // ---- triangle counting ----
 
   test("triangles: K4 gives every node 3, an open wedge gives none") {
