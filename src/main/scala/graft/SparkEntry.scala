@@ -106,6 +106,7 @@ object SparkEntry {
     "q_hll_distinct" -> (Relational.qHllDistinct _),
     "q_hll_union" -> (Relational.qHllUnion _),
     "q_hist_quantiles" -> (Relational.qHistQuantiles _),
+    "q_bloom_prune" -> (Relational.qBloomPrune _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1729,6 +1730,47 @@ object SparkEntry {
          |  d_fin.kind AS est_kind
          |FROM base, m_fin, d_fin""".stripMargin
     },
+    // Bloom replay: the same four md5 slices (lower/upper lane, low/high
+    // 32-bit half) masked to 2^17, membership = all four cells present
+    "q_bloom_prune" ->
+      """WITH u AS (SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority LIKE '1-%'),
+        |ub AS (SELECT
+        |    unnest([CAST(CAST(md5_number_lower(CAST(o_orderkey AS VARCHAR)) AS HUGEINT) % 131072 AS BIGINT),
+        |      CAST((CAST(md5_number_lower(CAST(o_orderkey AS VARCHAR)) AS HUGEINT) // 4294967296) % 131072 AS BIGINT),
+        |      CAST(CAST(md5_number_upper(CAST(o_orderkey AS VARCHAR)) AS HUGEINT) % 131072 AS BIGINT),
+        |      CAST((CAST(md5_number_upper(CAST(o_orderkey AS VARCHAR)) AS HUGEINT) // 4294967296) % 131072 AS BIGINT)]) AS bucket,
+        |    unnest([0, 1, 2, 3]) AS lane
+        |  FROM u),
+        |bits AS (SELECT DISTINCT lane, bucket FROM ub),
+        |p AS (SELECT l_orderkey,
+        |    CAST(CAST(md5_number_lower(CAST(l_orderkey AS VARCHAR)) AS HUGEINT) % 131072 AS BIGINT) AS b0,
+        |    CAST((CAST(md5_number_lower(CAST(l_orderkey AS VARCHAR)) AS HUGEINT) // 4294967296) % 131072 AS BIGINT) AS b1,
+        |    CAST(CAST(md5_number_upper(CAST(l_orderkey AS VARCHAR)) AS HUGEINT) % 131072 AS BIGINT) AS b2,
+        |    CAST((CAST(md5_number_upper(CAST(l_orderkey AS VARCHAR)) AS HUGEINT) // 4294967296) % 131072 AS BIGINT) AS b3
+        |  FROM lineitem),
+        |f AS (SELECT
+        |    b0 IN (SELECT bucket FROM bits WHERE lane = 0)
+        |      AND b1 IN (SELECT bucket FROM bits WHERE lane = 1)
+        |      AND b2 IN (SELECT bucket FROM bits WHERE lane = 2)
+        |      AND b3 IN (SELECT bucket FROM bits WHERE lane = 3) AS pass,
+        |    l_orderkey IN (SELECT o_orderkey FROM u) AS hit
+        |  FROM p),
+        |m AS (SELECT COUNT(*) AS probe_rows,
+        |    CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bloom_pass_rows,
+        |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS exact_match_rows,
+        |    CAST(SUM(CASE WHEN pass AND NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS false_positive_rows,
+        |    CAST(SUM(CASE WHEN NOT pass AND hit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS false_negative_rows
+        |  FROM f)
+        |SELECT probe_rows, bloom_pass_rows, exact_match_rows,
+        |  false_positive_rows, false_negative_rows,
+        |  CAST(probe_rows - bloom_pass_rows AS DOUBLE) / probe_rows
+        |    AS pruned_fraction
+        |FROM m""".stripMargin,
     // histogram-quantile replay: width-1 buckets, running counts, first
     // bucket reaching ceil(q*n) — pure arithmetic in both dialects
     "q_hist_quantiles" ->

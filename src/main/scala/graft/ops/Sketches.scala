@@ -76,6 +76,41 @@ object Sketches {
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
+  // ---- Bloom filter (runtime-filter pruning), oracle-exact variant ----
+
+  /** Build-side Bloom bit set: the distinct (lane, bucket) cells of every
+    * build key — k=4 slices of one md5 digest (same layout as the CMS),
+    * ≤ Depth·width rows ≈ a few hundred KB broadcast at width 2^17. The
+    * replayable form of the runtime filters engines push below joins
+    * (Spark's runtime row-group filtering, Trino's dynamic filters).
+    */
+  def bloomBits(build: DataFrame, key: Column, width: Int): DataFrame =
+    build
+      .select(posexplode(buckets(key, width)).as(Seq("lane", "bucket")))
+      .distinct()
+
+  /** Per-row Bloom membership column for `key` against `bits`: true iff
+    * ALL four of the key's cells are set. Implemented as four broadcast
+    * LEFT joins against the per-lane bucket sets — map-side, no shuffle,
+    * no false negatives (a build key's own cells are always set; pinned
+    * in Round7Spec). Appends column `name` to `probe`.
+    */
+  def bloomMember(probe: DataFrame, key: Column, bits: DataFrame,
+      width: Int, name: String): DataFrame = {
+    val b = buckets(key, width)
+    var out = probe.withColumn("__bb", b)
+    for (l <- 0 until Depth) {
+      val lane = bits.filter(col("lane") === l)
+        .select(col("bucket").as(s"__set$l"))
+      out = out.join(broadcast(lane), col("__bb")(l) === col(s"__set$l"),
+        "left")
+    }
+    out
+      .withColumn(name,
+        (0 until Depth).map(l => col(s"__set$l").isNotNull).reduce(_ && _))
+      .drop("__bb" +: (0 until Depth).map(l => s"__set$l"): _*)
+  }
+
   // ---- HyperLogLog (Flajolet et al. 2007), oracle-exact variant ----
   //
   // Unlike Spark's approx_count_distinct (whose sketch internals are

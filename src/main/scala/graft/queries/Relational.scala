@@ -657,6 +657,43 @@ object Relational {
       .orderBy(col("scope"))
   }
 
+  /** Bloom-filter runtime pruning (ops.Sketches.bloomBits/bloomMember):
+    * the replayable form of the dynamic filters engines push below joins
+    * — the urgent-orders key set becomes a ~4·2^17-cell bit set,
+    * broadcast, and the lineitem probe is flagged MAP-SIDE before any
+    * join; the summary row quantifies the prune (false positives cost a
+    * wasted probe row, false negatives are impossible — the
+    * false_negative_rows column certifies 0 on every run).
+    */
+  def qBloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val w = 1 << 17
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority").like("1-%"))
+      .select(col("o_orderkey"))
+    val bits = Sketches.bloomBits(urgent, col("o_orderkey").cast("string"), w)
+    val flagged = Sketches.bloomMember(
+        Tables.lineitem(spark, dir).select(col("l_orderkey")),
+        col("l_orderkey").cast("string"), bits, w, "bloom_pass")
+      .join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"),
+        "left")
+    flagged
+      .agg(
+        count(lit(1)).as("probe_rows"),
+        sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("bloom_pass_rows"),
+        sum(when(col("o_orderkey").isNotNull, 1L).otherwise(0L))
+          .as("exact_match_rows"),
+        sum(when(col("bloom_pass") && col("o_orderkey").isNull, 1L)
+          .otherwise(0L)).as("false_positive_rows"),
+        sum(when(!col("bloom_pass") && col("o_orderkey").isNotNull, 1L)
+          .otherwise(0L)).as("false_negative_rows"))
+      .select(col("probe_rows"), col("bloom_pass_rows"),
+        col("exact_match_rows"), col("false_positive_rows"),
+        col("false_negative_rows"),
+        ((col("probe_rows") - col("bloom_pass_rows")).cast("double") /
+          col("probe_rows")).as("pruned_fraction"))
+  }
+
   /** Histogram quantiles per event type (ops.Sketches.histQuantiles):
     * p50/p95 from fixed-width buckets — the oracle-exact stand-in for
     * qApproxProfile's engine-private percentile sketch; error bounded by

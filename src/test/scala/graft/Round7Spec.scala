@@ -117,6 +117,19 @@ class Round7Spec extends SparkSpecBase {
     }
   }
 
+  test("bloom pruning is sound (no false negatives) and map-side (broadcast only)") {
+    val df = graft.queries.Relational.qBloomPrune(TestSession.spark, sfDir)
+    val r = df.collect().head
+    assert(r.getAs[Long]("false_negative_rows") === 0L,
+      "a bloom filter must NEVER drop a true match")
+    assert(r.getAs[Long]("bloom_pass_rows") >= r.getAs[Long]("exact_match_rows"))
+    assert(r.getAs[Long]("probe_rows") > 0)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("SortMergeJoin"),
+      "membership tests must stay broadcast, never a shuffled join")
+  }
+
   // ---- triangle counting ----
 
   test("triangles: K4 gives every node 3, an open wedge gives none") {
