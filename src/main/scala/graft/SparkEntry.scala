@@ -1660,7 +1660,7 @@ object SparkEntry {
       val a = graft.ops.Sketches.HllAlphaC
       s"""WITH h AS (SELECT event_type AS g,
          |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS HUGEINT) AS h
-         |  FROM events),
+         |  FROM events WHERE user_id IS NOT NULL),
          |r AS (SELECT g, CAST(h % 1024 AS BIGINT) AS bucket,
          |    h // 1024 AS w FROM h),
          |rr AS (SELECT g, bucket, $rho AS rho FROM r),
@@ -1713,7 +1713,7 @@ object SparkEntry {
          |    $rho AS rho
          |  FROM (SELECT event_type, user_id,
          |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS HUGEINT) AS h
-         |    FROM events)),
+         |    FROM events WHERE user_id IS NOT NULL)),
          |regs AS (SELECT g, bucket, MAX(rho) AS rho FROM rr GROUP BY g, bucket),
          |merged AS (SELECT bucket, MAX(rho) AS rho FROM regs GROUP BY bucket),
          |direct AS (SELECT bucket, MAX(rho) AS rho FROM rr GROUP BY bucket),
@@ -1776,7 +1776,8 @@ object SparkEntry {
     "q_hist_quantiles" ->
       """WITH b AS (SELECT event_type AS g,
         |    greatest(0, least(1023, CAST(floor(value) AS BIGINT))) AS bucket
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events WHERE value IS NOT NULL
+        |    AND NOT isnan(value) AND NOT isinf(value)),
         |hist AS (SELECT g, bucket, COUNT(*) AS cnt FROM b GROUP BY g, bucket),
         |cum AS (SELECT g, bucket, cnt,
         |    SUM(cnt) OVER (PARTITION BY g ORDER BY bucket

@@ -260,8 +260,10 @@ object Dedup {
     val packed =
       when(col("doc_id").between(0L, (1L << 43) - 1), col("doc_id"))
         .otherwise(raise_error(concat(
-          lit("exactSubstringSpans: doc_id outside [0, 2^43) "),
-          col("doc_id").cast("string")))) * lit(1048576L) +
+          lit("exactSubstringSpans: doc_id outside [0, 2^43): "),
+          // a null id takes this branch too — coalesce so the error
+          // message itself cannot be null
+          coalesce(col("doc_id").cast("string"), lit("NULL"))))) * lit(1048576L) +
       when(col("pos") < 1048576L, col("pos"))
         .otherwise(raise_error(concat(lit("exactSubstringSpans: pos overflows 20 bits in doc "),
           col("doc_id").cast("string"))))

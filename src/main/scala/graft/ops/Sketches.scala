@@ -98,9 +98,13 @@ object Sketches {
   def bloomMember(probe: DataFrame, key: Column, bits: DataFrame,
       width: Int, name: String): DataFrame = {
     val b = buckets(key, width)
+    // materialize the bit set ONCE: left as a plan, each of the four
+    // broadcast exchanges would independently re-run the build-side scan
+    // and its distinct shuffle (the qHeavyHitters lesson)
+    val bitsCk = bits.localCheckpoint(true)
     var out = probe.withColumn("__bb", b)
     for (l <- 0 until Depth) {
-      val lane = bits.filter(col("lane") === l)
+      val lane = bitsCk.filter(col("lane") === l)
         .select(col("bucket").as(s"__set$l"))
       out = out.join(broadcast(lane), col("__bb")(l) === col(s"__set$l"),
         "left")
@@ -167,7 +171,12 @@ object Sketches {
     */
   def hllRegisters(df: DataFrame, group: Column, item: Column): DataFrame = {
     val h = graft.functions.text.md5Lanes(item.cast("string"))(0)
-    df.select(group.as("g"), h.as("__h"))
+    // a null item must not become a phantom null-bucket register (it
+    // would count as a distinct element COUNT DISTINCT ignores, and a
+    // saturated group would read present=m+1 → zeros=-1): nulls are not
+    // countable, drop them — mirrored in the generated oracles
+    df.filter(item.isNotNull)
+      .select(group.as("g"), h.as("__h"))
       .select(col("g"),
         col("__h").bitwiseAND(lit((HllM - 1).toLong)).as("bucket"),
         shiftrightunsigned(col("__h"), HllB).as("__w"))
@@ -223,7 +232,12 @@ object Sketches {
       qs: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = df
-      .filter(value.isNotNull)
+      // non-finite values are not rankable (and the SQL replay's integer
+      // CAST would error on them where Spark silently buckets) — drop
+      // them on both sides, like nulls
+      .filter(value.isNotNull && !isnan(value) &&
+        value =!= lit(Double.PositiveInfinity) &&
+        value =!= lit(Double.NegativeInfinity))
       .select(group.as("g"),
         greatest(lit(0L), least(lit(1023L), floor(value).cast("long")))
           .as("bucket"))
@@ -237,7 +251,7 @@ object Sketches {
         .over(Window.partitionBy(col("g"))))
     val aggs = qs.map { q =>
       min(when(col("cum") >= ceil(lit(q) * col("n")), col("bucket")))
-        .cast("double").as(f"p${(q * 100).toInt}%d_est")
+        .cast("double").as(s"p${math.round(q * 100)}_est")
     } :+ max(col("n")).as("n_rows")
     withCum.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
   }

@@ -668,9 +668,12 @@ object Relational {
   def qBloomPrune(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Sketches
     val w = 1 << 17
+    // the build keys feed the bit set AND the exact-match join —
+    // materialize once instead of rescanning orders for each
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority").like("1-%"))
       .select(col("o_orderkey"))
+      .localCheckpoint(true)
     val bits = Sketches.bloomBits(urgent, col("o_orderkey").cast("string"), w)
     val flagged = Sketches.bloomMember(
         Tables.lineitem(spark, dir).select(col("l_orderkey")),
