@@ -121,7 +121,15 @@ object ScalingBench {
       ("semantic", nVecs,
         Similarity.clusteredNearDupPairs(embs, cents, tau = -1.0).count(),
         Similarity.clusteredNearDupPairs(embs, cents, tau = 0.35).count(),
-        time(Similarity.clusteredNearDupPairs(embs, cents, tau = 0.35))))
+        time(Similarity.clusteredNearDupPairs(embs, cents, tau = 0.35))),
+      // exact-substring spans: no pair stage at all — "candidates" is the
+      // flagged-window mass (Σ n_windows), the quantity that must stay
+      // ∝ total words under a constant duplicate rate (exponent ~1)
+      ("substring", nDocs,
+        Dedup.exactSubstringSpans(docs, col("doc_id"), col("text"))
+          .agg(coalesce(sum(col("n_windows")), lit(0L))).head().getLong(0),
+        Dedup.exactSubstringSpans(docs, col("doc_id"), col("text")).count(),
+        time(Dedup.exactSubstringSpans(docs, col("doc_id"), col("text")))))
     fams.map { case (fam, n, cand, ver, secs) =>
       s"""{"dir":"$dir","family":"$fam","n":$n,"candidates":$cand,""" +
         s""""verified":$ver,"secs":${f"$secs%.2f"}}"""
