@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Rewrite BASELINE.md's per-query table from a Bench JSON line.
+
+Usage: update_baseline.py <bench.log> <round-label>
+Adds/updates the round column as the per-query seconds from the bench
+run and recomputes baseline = min(previous baseline, new value).
+Queries absent from the table are appended with the new value as their
+baseline. The table is matched by its header row; everything else in
+the file is left untouched.
+"""
+import json
+import re
+import sys
+
+bench_log, label = sys.argv[1], sys.argv[2]
+
+with open(bench_log) as f:
+    line = next(l for l in f if '"metric"' in l)
+bench = json.loads(line[line.index('{'):])
+queries = bench["queries"]
+
+path = "BASELINE.md"
+with open(path) as f:
+    lines = f.read().split("\n")
+
+out = []
+header_i = None
+for i, l in enumerate(lines):
+    if l.startswith("| query |"):
+        header_i = i
+        break
+assert header_i is not None, "table header not found"
+
+header = [c.strip() for c in lines[header_i].strip("|").split("|")]
+have_label = label in header
+if not have_label:
+    header = header[:-1] + [label, header[-1]]
+
+rows = []
+i = header_i + 2
+seen = set()
+while i < len(lines) and lines[i].startswith("|"):
+    cells = [c.strip() for c in lines[i].strip("|").split("|")]
+    name = cells[0].strip("`")
+    old = dict(zip([c.strip() for c in lines[header_i].strip("|").split("|")], cells))
+    newv = queries.get(name)
+    vals = []
+    for col in header[1:-1]:
+        if col == label:
+            vals.append(f"{newv:.2f}" if newv is not None else "—")
+        else:
+            vals.append(old.get(col, "—"))
+    prev_base = old.get(header[-1], "—")
+    try:
+        pb = float(prev_base)
+    except ValueError:
+        pb = None
+    if newv is not None and pb is not None:
+        base = min(pb, newv)
+    elif newv is not None:
+        base = newv
+    else:
+        base = pb
+    vals.append(f"{base:.2f}" if base is not None else "—")
+    rows.append((name, vals))
+    seen.add(name)
+    i += 1
+
+for name in sorted(queries):
+    if name not in seen:
+        vals = []
+        for col in header[1:-1]:
+            vals.append(f"{queries[name]:.2f}" if col == label else "—")
+        vals.append(f"{queries[name]:.2f}")
+        rows.append((name, vals))
+
+table = ["| " + " | ".join(header) + " |",
+         "|" + "---|" * len(header)]
+for name, vals in rows:
+    table.append("| " + " | ".join([name] + vals) + " |")
+
+out = lines[:header_i] + table + lines[i:]
+with open(path, "w") as f:
+    f.write("\n".join(out))
+total = bench["value"]
+print(f"updated {len(rows)} rows; bench total {total}s / {len(queries)} queries")
