@@ -214,6 +214,62 @@ object EventStreams {
       }
   }
 
+  case class ScdState(buf: List[Event], lastAttr: Option[String],
+      nextVersion: Int)
+  case class ScdOut(user_id: Long, event_type: String,
+      valid_from: Timestamp, version: Int)
+
+  /** Streaming twin of EventQueries.qScd2History — the event-time-correct
+    * CDC changelog. SCD2 is order-sensitive in the strongest way: a
+    * late-arriving event can INSERT a change mid-history and renumber
+    * every later version, so events cannot be folded in arrival order.
+    * Same discipline as [[funnelChangelog]]: buffer per key until the
+    * watermark seals an event, fold the ripe prefix in (ts, event_id)
+    * order — the batch op's exact ordering — through O(1) state
+    * (last attribute value + next version number), and emit one
+    * changelog row per CHANGE. Each version row is emitted exactly once
+    * (its opening event folds at the single watermark advance that
+    * seals it) and is FINAL: nothing older than the watermark can
+    * arrive, so no later event can precede it. valid_to deliberately
+    * does not appear in the changelog — it IS the next version's
+    * valid_from (the batch op derives it with lead()), and emitting a
+    * closing row would state the same fact twice.
+    */
+  def scd2Changelog(events: Dataset[Event],
+      watermarkDelay: String = "1 hour"): Dataset[ScdOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, ScdOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[ScdState]) =>
+          val prev = state.getOption.getOrElse(ScdState(Nil, None, 1))
+          val wm = state.getCurrentWatermarkMs
+          val buffered =
+            if (state.hasTimedOut) prev.buf
+            else evs.toList ::: prev.buf
+          val (ripe, rest) = buffered.partition(_.ts.getTime < wm)
+          var lastAttr = prev.lastAttr
+          var version = prev.nextVersion
+          val out = List.newBuilder[ScdOut]
+          ripe.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+            // != on Options, not .contains: Some(null) == Some(null) keeps
+            // the batch op's null-safe compare (consecutive null attrs
+            // collapse into one version)
+            if (lastAttr != Some(e.event_type)) {
+              out += ScdOut(userId, e.event_type, e.ts, version)
+              version += 1
+              lastAttr = Some(e.event_type)
+            }
+          }
+          state.update(ScdState(rest, lastAttr, version))
+          if (rest.nonEmpty || !state.hasTimedOut)
+            state.setTimeoutTimestamp(wm + 1)
+          out.result().iterator
+      }
+  }
+
   case class RetentionState(buf: List[Event], cohortDay: Option[Long])
   case class RetentionActivity(user_id: Long, cohort_day: java.time.LocalDate,
       day: java.time.LocalDate, day_offset: Long)

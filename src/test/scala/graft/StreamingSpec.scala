@@ -303,6 +303,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming SCD2 changelog equals the batch history under out-of-order delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val shifted = disorderedChunks(all, seed = 99)
+    val input = MemoryStream[Event]
+    val q = EventStreams.scd2Changelog(input.toDS())
+      .writeStream.format("memory").queryName("scd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      shifted.foreach { c => input.addData(c); q.processAllAvailable() }
+      // advance the watermark past every real event to seal the tail
+      input.addData(Event(Long.MaxValue,
+        new Timestamp(all.last.ts.getTime + 3L * 3600L * 1000), -1L, "view", 0.0))
+      q.processAllAvailable()
+      val stream = spark.sql(
+          "SELECT user_id, event_type, valid_from, version FROM scd")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2).getTime, r.getInt(3).toLong)).toSet
+      // EVERY change row must match the batch history — content AND
+      // version numbering AND multiplicity (a set compare + size check:
+      // a double emission would collapse in the set, so pin the count)
+      assert(spark.sql("SELECT COUNT(*) FROM scd").head.getLong(0)
+        === stream.size, "a change row was emitted twice")
+      val batch = graft.queries.EventQueries.qScd2History(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2).getTime, r.getLong(4))).toSet
+      assert(stream === batch,
+        s"stream-only=${(stream -- batch).take(3)}, batch-only=${(batch -- stream).take(3)}")
+    } finally q.stop()
+  }
+
   test("built-in session_window agrees with the typed sessionizer's sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
