@@ -107,6 +107,7 @@ object SparkEntry {
     "q_hll_union" -> (Relational.qHllUnion _),
     "q_hist_quantiles" -> (Relational.qHistQuantiles _),
     "q_bloom_prune" -> (Relational.qBloomPrune _),
+    "q_sample_reservoir" -> (CorpusQueries.qSampleReservoir _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1730,6 +1731,22 @@ object SparkEntry {
          |  d_fin.kind AS est_kind
          |FROM base, m_fin, d_fin""".stripMargin
     },
+    // Efraimidis-Spirakis replay: u from the LOW 53 BITS of the md5 lane
+    // (exact in a double on both engines — the full unsigned lane would
+    // double-round in Spark), snapped ln, weight division, top-8 per
+    // source by (key desc, doc_id)
+    "q_sample_reservoir" ->
+      """WITH k AS (SELECT source, doc_id,
+        |    (floor(ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+        |          AS HUGEINT) % 9007199254740992 + 1)
+        |        / 9007199254740992.0) * 65536.0) / 65536.0)
+        |      / CAST(n_chars + 1 AS DOUBLE) AS es_key
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, es_key, row_number() OVER
+        |    (PARTITION BY source ORDER BY es_key DESC, doc_id) AS rn
+        |  FROM k)
+        |SELECT source, doc_id, es_key FROM r WHERE rn <= 8
+        |ORDER BY source, es_key DESC, doc_id""".stripMargin,
     // Bloom replay: the same four md5 slices (lower/upper lane, low/high
     // 32-bit half) masked to 2^17, membership = all four cells present
     "q_bloom_prune" ->

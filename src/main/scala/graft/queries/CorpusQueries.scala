@@ -40,6 +40,38 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted reservoir sampling WITHOUT replacement, exactly k per
+    * source (Efraimidis & Spirakis 2006): each doc draws key =
+    * ln(u)/w with u uniform from its md5 lane and w its length weight,
+    * and the k LARGEST keys per source are the sample — the
+    * exactly-k-per-stratum mixture-sampling primitive qSampleWeighted's
+    * Bernoulli draw (variable sample size) cannot express. Engine shape:
+    * the per-source top-k runs on the bounded-heap topk aggregate — k
+    * rows per source per partition through the exchange, no sort of the
+    * corpus. Determinism: u uses only the LOW 53 BITS of the lane
+    * ((h & (2^53-1)) + 1) / 2^53 — exact in a double on both engines,
+    * where converting the full unsigned 64-bit lane would double-round
+    * in Spark (cast then add 2^64) but single-round in DuckDB; ln is
+    * floored onto the 2^-16 grid before the weight division (ties the
+    * snap introduces break on doc_id, same as the oracle's row_number).
+    */
+  def qSampleReservoir(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.text.md5Lanes(col("doc_id").cast("string"))(0)
+    val u = (h.bitwiseAND(lit((1L << 53) - 1)) + lit(1L)).cast("double") /
+      lit(9007199254740992.0)
+    val key = (floor(log(u) * lit(65536.0)) / lit(65536.0)) /
+      (col("n_chars") + lit(1L)).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), key.as("es_key"))
+      .groupBy(col("source"))
+      .agg(graft.functions.vectors.topk(col("es_key"), col("doc_id"), 8)
+        .as("tk"))
+      .select(col("source"), explode(col("tk")).as("e"))
+      .select(col("source"), col("e.id").as("doc_id"),
+        col("e.score").as("es_key"))
+      .orderBy(col("source"), col("es_key").desc, col("doc_id"))
+  }
+
   /** Stratified deterministic sampling: even-numbered sources keep ~50 %,
     * odd-numbered ~20 %, selected by the md5(text) hex prefix — stable
     * across runs, engines and partitionings.

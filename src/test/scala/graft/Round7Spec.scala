@@ -152,6 +152,24 @@ class Round7Spec extends SparkSpecBase {
     assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("reservoir sample: exactly min(8, |source|) rows per source, partition-invariant") {
+    val got = graft.queries.CorpusQueries
+      .qSampleReservoir(TestSession.spark, sfDir).collect()
+    val perSource = got.groupBy(_.getString(0)).map { case (s, a) => s -> a.length }
+    val sizes = TestSession.spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.keySet === sizes.keySet)
+    perSource.foreach { case (s, n) =>
+      assert(n === math.min(8L, sizes(s)), s"source $s: $n of ${sizes(s)}")
+    }
+    // the selected SET is a pure function of (doc_id, n_chars) — rerun
+    // must reproduce it row for row
+    val again = graft.queries.CorpusQueries
+      .qSampleReservoir(TestSession.spark, sfDir).collect()
+    assert(got.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   // ---- skyline ----
 
   test("skyline matches brute-force strict dominance, any partitioning") {
