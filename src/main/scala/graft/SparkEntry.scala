@@ -108,6 +108,8 @@ object SparkEntry {
     "q_hist_quantiles" -> (Relational.qHistQuantiles _),
     "q_bloom_prune" -> (Relational.qBloomPrune _),
     "q_sample_reservoir" -> (CorpusQueries.qSampleReservoir _),
+    "q_rolling_time" -> (EventQueries.qRollingTime _),
+    "q_quality_report" -> (Relational.qQualityReport _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1731,6 +1733,46 @@ object SparkEntry {
          |  d_fin.kind AS est_kind
          |FROM base, m_fin, d_fin""".stripMargin
     },
+    // RANGE-frame replay: frame key = epoch micros on both engines
+    // (events.ts is micros after the nanos truncation both loaders do)
+    "q_rolling_time" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    value FROM events)
+        |SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // constraint-suite replay: one aggregation pass + NOT IN orphans,
+    // exact-int ratios
+    "q_quality_report" ->
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+        |    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_date,
+        |    COUNT(DISTINCT o_orderkey) AS dk,
+        |    SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000000.0
+        |      THEN 1 ELSE 0 END) AS range_viol,
+        |    SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) AS domain_viol
+        |  FROM orders),
+        |b AS (SELECT COUNT(*) AS orphans FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |SELECT check_name, metric, passed FROM (
+        |  SELECT 'completeness_custkey' AS check_name,
+        |    1.0 - CAST(null_cust AS DOUBLE) / n AS metric,
+        |    null_cust = 0 AS passed FROM a, b
+        |  UNION ALL SELECT 'completeness_orderdate',
+        |    1.0 - CAST(null_date AS DOUBLE) / n, null_date = 0 FROM a, b
+        |  UNION ALL SELECT 'uniqueness_orderkey',
+        |    CAST(dk AS DOUBLE) / n, dk = n FROM a, b
+        |  UNION ALL SELECT 'range_violations_totalprice',
+        |    CAST(range_viol AS DOUBLE), range_viol = 0 FROM a, b
+        |  UNION ALL SELECT 'domain_violations_orderstatus',
+        |    CAST(domain_viol AS DOUBLE), domain_viol = 0 FROM a, b
+        |  UNION ALL SELECT 'referential_orphans_lineitem',
+        |    CAST(orphans AS DOUBLE), orphans = 0 FROM a, b)
+        |ORDER BY check_name""".stripMargin,
     // Efraimidis-Spirakis replay: u from the LOW 53 BITS of the md5 lane
     // (exact in a double on both engines — the full unsigned lane would
     // double-round in Spark), snapped ln, weight division, top-8 per

@@ -130,6 +130,27 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Time-based trailing window — the RANGE-frame sibling of
+    * qRollingFeatures: trailing-ONE-HOUR event count and exact decimal
+    * sum per user, the time-decayed-feature shape a ROWS frame cannot
+    * express (last N events ≠ last hour). Frame key = epoch micros on
+    * both engines; the decimal sum keeps the frame aggregation
+    * order-exact (equal-micros rows share one frame, so a raw double
+    * sum would depend on their sort order). Same single user-keyed
+    * exchange as every other window query.
+    */
+  def qRollingTime(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        decSum2(col("value")).over(w).cast("double").as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
   /** Join-key skew profile: the top-10 heaviest user_id keys with their
     * share of all events — the diagnostic that decides whether a join
     * needs salting/AQE skew handling BEFORE it melts a reducer at 100 TB.

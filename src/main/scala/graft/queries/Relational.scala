@@ -657,6 +657,53 @@ object Relational {
       .orderBy(col("scope"))
   }
 
+  /** Data-quality constraint report — the Deequ / Great-Expectations
+    * shape, in-engine: a whole constraint suite (completeness,
+    * uniqueness, range, categorical domain, referential integrity)
+    * evaluated as ONE aggregation pass over the fact table plus one
+    * anti-join for orphans, emitted as (check_name, metric, passed)
+    * rows. At 100 TB this is the only affordable shape: every
+    * column-level constraint shares the same scan and partial-agg
+    * combine; nothing is checked row-by-row downstream.
+    */
+  def qQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val agg = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_date"),
+      count_distinct(col("o_orderkey")).as("dk"),
+      sum(when(col("o_totalprice") < 0 || col("o_totalprice") > lit(1.0e9),
+        1L).otherwise(0L)).as("range_viol"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("domain_viol"))
+    val orphans = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    def row(name: String, metric: org.apache.spark.sql.Column,
+        passed: org.apache.spark.sql.Column) =
+      struct(lit(name).as("check_name"), metric.as("metric"),
+        passed.as("passed"))
+    agg.crossJoin(orphans)
+      .select(inline(array(
+        row("completeness_custkey",
+          lit(1.0) - col("null_cust").cast("double") / col("n"),
+          col("null_cust") === 0),
+        row("completeness_orderdate",
+          lit(1.0) - col("null_date").cast("double") / col("n"),
+          col("null_date") === 0),
+        row("uniqueness_orderkey",
+          col("dk").cast("double") / col("n"), col("dk") === col("n")),
+        row("range_violations_totalprice",
+          col("range_viol").cast("double"), col("range_viol") === 0),
+        row("domain_violations_orderstatus",
+          col("domain_viol").cast("double"), col("domain_viol") === 0),
+        row("referential_orphans_lineitem",
+          col("orphans").cast("double"), col("orphans") === 0))))
+      .orderBy(col("check_name"))
+  }
+
   /** Bloom-filter runtime pruning (ops.Sketches.bloomBits/bloomMember):
     * the replayable form of the dynamic filters engines push below joins
     * — the urgent-orders key set becomes a ~4·2^17-cell bit set,
