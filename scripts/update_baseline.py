@@ -15,7 +15,8 @@ import sys
 bench_log, label = sys.argv[1], sys.argv[2]
 
 with open(bench_log) as f:
-    line = next(l for l in f if '"metric"' in l)
+    # LAST matching line: a log holding several runs must yield the newest
+    line = [l for l in f if '"metric"' in l][-1]
 bench = json.loads(line[line.index('{'):])
 queries = bench["queries"]
 
@@ -23,7 +24,6 @@ path = "BASELINE.md"
 with open(path) as f:
     lines = f.read().split("\n")
 
-out = []
 header_i = None
 for i, l in enumerate(lines):
     if l.startswith("| query |"):

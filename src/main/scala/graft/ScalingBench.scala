@@ -125,11 +125,14 @@ object ScalingBench {
       // exact-substring spans: no pair stage at all — "candidates" is the
       // flagged-window mass (Σ n_windows), the quantity that must stay
       // ∝ total words under a constant duplicate rate (exponent ~1)
-      ("substring", nDocs,
-        Dedup.exactSubstringSpans(docs, col("doc_id"), col("text"))
-          .agg(coalesce(sum(col("n_windows")), lit(0L))).head().getLong(0),
-        Dedup.exactSubstringSpans(docs, col("doc_id"), col("text")).count(),
-        time(Dedup.exactSubstringSpans(docs, col("doc_id"), col("text")))))
+      {
+        // both stats come from the SAME plan — one aggregation pass
+        val st = Dedup.exactSubstringSpans(docs, col("doc_id"), col("text"))
+          .agg(coalesce(sum(col("n_windows")), lit(0L)), count(lit(1)))
+          .head()
+        ("substring", nDocs, st.getLong(0), st.getLong(1),
+          time(Dedup.exactSubstringSpans(docs, col("doc_id"), col("text"))))
+      })
     fams.map { case (fam, n, cand, ver, secs) =>
       s"""{"dir":"$dir","family":"$fam","n":$n,"candidates":$cand,""" +
         s""""verified":$ver,"secs":${f"$secs%.2f"}}"""

@@ -1744,8 +1744,9 @@ object SparkEntry {
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
-    // constraint-suite replay: one aggregation pass + NOT IN orphans,
-    // exact-int ratios
+    // constraint-suite replay: one aggregation pass + NOT EXISTS orphans
+    // (matching left_anti's null-key semantics, unlike NOT IN), exact-int
+    // ratios
     "q_quality_report" ->
       """WITH a AS (SELECT COUNT(*) AS n,
         |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
@@ -1756,8 +1757,9 @@ object SparkEntry {
         |    SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
         |      THEN 1 ELSE 0 END) AS domain_viol
         |  FROM orders),
-        |b AS (SELECT COUNT(*) AS orphans FROM lineitem
-        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |b AS (SELECT COUNT(*) AS orphans FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey))
         |SELECT check_name, metric, passed FROM (
         |  SELECT 'completeness_custkey' AS check_name,
         |    1.0 - CAST(null_cust AS DOUBLE) / n AS metric,
