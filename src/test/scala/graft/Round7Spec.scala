@@ -10,6 +10,30 @@ import graft.ops.{Graph, Scd, Sketches, Skyline}
 class Round7Spec extends SparkSpecBase {
   import spark.implicits._
 
+  test("sketch plans combine map-side: partial agg BEFORE the counter exchange") {
+    // the 100 TB contract of both sketches is that the shuffle carries
+    // counters, not occurrences: the partial aggregate must sit below the
+    // (lane,bucket)/(g,bucket) exchange so each partition contributes at
+    // most its own fixed-size counter block
+    val toks = TestSession.spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.functions.text.wordShingles(col("text"), 1))
+        .as("t"))
+    val cms = Sketches.cmsBuild(toks, col("t"), width = 256)
+    cms.collect()
+    val cmsPlan = cms.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(cmsPlan.contains("partial_count"),
+      s"CMS build lost its map-side combine:\n$cmsPlan")
+    val regs = Sketches.hllRegisters(
+      TestSession.spark.read.parquet(s"$sfDir/events.parquet"),
+      col("event_type"), col("user_id"))
+    regs.collect()
+    val hllPlan = regs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(hllPlan.contains("partial_max"),
+      s"HLL registers lost their map-side combine:\n$hllPlan")
+  }
+
   // ---- Count-Min sketch ----
 
   test("CMS never undercounts: estimate >= exact for EVERY distinct item") {
