@@ -16,8 +16,11 @@ bench_log, label = sys.argv[1], sys.argv[2]
 
 with open(bench_log) as f:
     # LAST matching line: a log holding several runs must yield the newest
-    line = [l for l in f if '"metric"' in l][-1]
-bench = json.loads(line[line.index('{'):])
+    metric_lines = [l for l in f if '"metric"' in l]
+if not metric_lines:
+    sys.exit(f"ERROR: no bench JSON line (containing '\"metric\"') in {bench_log} "
+             "— did the bench run fail before printing its result?")
+bench = json.loads(metric_lines[-1][metric_lines[-1].index('{'):])
 queries = bench["queries"]
 
 path = "BASELINE.md"
@@ -51,10 +54,17 @@ while i < len(lines) and lines[i].startswith("|"):
         else:
             vals.append(old.get(col, "—"))
     prev_base = old.get(header[-1], "—")
-    try:
-        pb = float(prev_base)
-    except ValueError:
+    if prev_base in ("—", "-", ""):
         pb = None
+    else:
+        try:
+            pb = float(prev_base)
+        except ValueError:
+            # an unparsable NON-EMPTY cell (bold markdown, a note) holds
+            # history we must not silently reset to the new run's value —
+            # fail loudly so the cell gets cleaned up by hand
+            sys.exit(f"ERROR: baseline cell for {name!r} is {prev_base!r} — "
+                     "not a number and not '—'; refusing to overwrite history")
     if newv is not None and pb is not None:
         base = min(pb, newv)
     elif newv is not None:

@@ -9,18 +9,60 @@ import org.apache.spark.sql.SparkSession
   * (every column, every row) is materialized on the executors — `count()`
   * would let Catalyst prune projections and undercount real work.
   *
-  * Each query's recorded time is the MIN of `SPARK_GRAFT_BENCH_PASSES`
+  * Each query's headline time is the MIN of `SPARK_GRAFT_BENCH_PASSES`
   * (default 3) in-process passes: a single timed pass on a shared box
   * records whatever contention spike happened to coincide with it (round 5's
   * artifact carried a 9.1s reading for a query whose steady state is 1.6s),
   * whereas the per-query min over a few passes converges on the plan's real
   * cost — which is what the cluster-capacity question actually needs.
+  *
+  * Decision-grade artifact (round-7 verdict): the min alone can't
+  * distinguish "one good pass among noise" from "stable" — the JSON line
+  * therefore also carries per-query MEDIANS (`queries_median`), the box's
+  * load average before/after, and pass count, so a reader can judge how
+  * contended the run was without re-running it. Solo-run discipline still
+  * applies (BASELINE.md notes); `nice`/`taskset` pinning must wrap the JVM
+  * from the shell — in-process renice needs privileges this sandbox lacks.
   */
 object Bench {
+
+  /** Median over the successful pass times (average-of-middle-two for even
+    * counts — stable and unsurprising for the 3-5 pass runs we do).
+    */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n == 0) Double.NaN
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Round-over-round artifacts must stay comparable: warn loudly (stderr,
+    * plus a field in the JSON line) when the contiguous BENCH_r{N}.json
+    * series on disk has holes — the round-6 gap made the r6/r7 comparison
+    * partially unreconstructable (round-7 verdict #4).
+    */
+  private def missingRounds(): Seq[Int] = {
+    val here = new java.io.File(".").listFiles()
+    if (here == null) return Nil
+    val rounds = here.flatMap { f =>
+      "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName).map(_.group(1).toInt)
+    }.sorted
+    if (rounds.isEmpty) Nil
+    else (rounds.min to rounds.max).filterNot(rounds.contains)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = os.getSystemLoadAverage
+    val gaps = missingRounds()
+    if (gaps.nonEmpty)
+      System.err.println(s"BENCH WARNING: missing round artifacts: " +
+        gaps.map(n => f"BENCH_r$n%02d.json").mkString(", ") +
+        " — round-over-round comparison has holes")
     val spark: SparkSession = GraftSession.get("graft-bench")
     // Untimed warmup at the smallest SF: compiles every plan shape's
     // generated code and initializes shuffle/broadcast/write machinery, so
@@ -47,15 +89,24 @@ object Bench {
       // slowest attempt so the number reads as a penalty, never a win.
       val good = attempts.collect { case (t, true) => t }
       val dt = if (good.nonEmpty) good.min else attempts.map(_._1).max
+      val med = if (good.nonEmpty) median(good) else attempts.map(_._1).max
       System.err.println(
-        f"BENCH $name: $dt%.2fs (${good.length}/${attempts.length} ok, " +
+        f"BENCH $name: $dt%.2fs min / $med%.2fs median " +
+          s"(${good.length}/${attempts.length} ok, " +
           s"of ${attempts.map(a => f"${a._1}%.2f").mkString("/")})")
-      name -> dt
+      (name, dt, med)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val meds = results.map { case (k, _, m) => "\"" + k + "\":" + f"$m%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalMed = results.map(_._3).sum
+    val loadEnd = os.getSystemLoadAverage
+    val meta = f"""{"passes":$passes,"load_avg_start":$loadStart%.2f,""" +
+      f""""load_avg_end":$loadEnd%.2f,"cpus":${os.getAvailableProcessors},""" +
+      s""""missing_artifacts":${gaps.map(n => f""""BENCH_r$n%02d.json"""").mkString("[", ",", "]")}}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$meds,"total_median":$totalMed%.3f,"meta":$meta,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -148,6 +148,65 @@ object SparkEntry {
     s"""WITH $lshPairCtes
        |SELECT id_a, id_b FROM p ORDER BY id_a, id_b""".stripMargin
 
+  /** ONE rendering of the md5-lane HLL estimator CTE chain over `events`
+    * grouped by event_type (h → r → rr → regs → per → est → fin), shared
+    * by q_hll_distinct and q_approx_profile so the estimator replay can't
+    * drift between oracles. `fin` carries (g, `out` — the 2^-16-floored
+    * estimate, est_kind).
+    */
+  private def hllFinCtes(out: String): String = {
+    val rho = graft.ops.Sketches.rhoCaseSql("w")
+    val a = graft.ops.Sketches.HllAlphaC
+    s"""h AS (SELECT event_type AS g,
+       |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS HUGEINT) AS h
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT g, CAST(h % 1024 AS BIGINT) AS bucket,
+       |    h // 1024 AS w FROM h),
+       |rr AS (SELECT g, bucket, $rho AS rho FROM r),
+       |regs AS (SELECT g, bucket, MAX(rho) AS rho FROM rr GROUP BY g, bucket),
+       |per AS (SELECT g,
+       |    SUM(CAST(1::UBIGINT << (55 - rho) AS HUGEINT)) AS sumterm,
+       |    COUNT(*) AS present
+       |  FROM regs GROUP BY g),
+       |est AS (SELECT g,
+       |    sumterm + (1024 - present) * CAST(1::UBIGINT << 55 AS HUGEINT) AS num,
+       |    1024 - present AS zeros
+       |  FROM per),
+       |fin AS (SELECT g,
+       |    CASE WHEN ($a / CAST(num AS DOUBLE)) <= 2560.0 AND zeros > 0
+       |      THEN floor(1024.0 * ln(1024.0 / CAST(zeros AS DOUBLE)) * 65536.0) / 65536.0
+       |      ELSE floor(($a / CAST(num AS DOUBLE)) * 65536.0) / 65536.0 END
+       |      AS $out,
+       |    CASE WHEN ($a / CAST(num AS DOUBLE)) <= 2560.0 AND zeros > 0
+       |      THEN 'linear' ELSE 'raw' END AS est_kind
+       |  FROM est)""".stripMargin
+  }
+
+  /** ONE rendering of the histogram-quantile CTE chain over events.value
+    * grouped by event_type (vb → hist → cum → hq), shared by
+    * q_hist_quantiles and q_approx_profile. `hq` carries
+    * (g, `p50 name`, `p95 name`, n). Width-1 buckets clamped to [0,1023],
+    * nulls/non-finite dropped — pure arithmetic in both dialects.
+    */
+  private def histHqCtes(p50: String, p95: String): String =
+    s"""vb AS (SELECT event_type AS g,
+       |    greatest(0, least(1023, CAST(floor(value) AS BIGINT))) AS bucket
+       |  FROM events WHERE value IS NOT NULL
+       |    AND NOT isnan(value) AND NOT isinf(value)),
+       |hist AS (SELECT g, bucket, COUNT(*) AS cnt FROM vb GROUP BY g, bucket),
+       |cum AS (SELECT g, bucket, cnt,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY bucket
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY g) AS n
+       |  FROM hist),
+       |hq AS (SELECT g,
+       |    CAST(MIN(CASE WHEN cum >= ceil(0.5 * n) THEN bucket END) AS DOUBLE)
+       |      AS $p50,
+       |    CAST(MIN(CASE WHEN cum >= ceil(0.95 * n) THEN bucket END) AS DOUBLE)
+       |      AS $p95,
+       |    MAX(n) AS n
+       |  FROM cum GROUP BY g)""".stripMargin
+
   /** Connected components over the LSH pair graph: min reachable id via a
     * recursive transitive-closure CTE — exact, so it matches the converged
     * min-label propagation regardless of either engine's iteration order.
@@ -1658,38 +1717,24 @@ object SparkEntry {
     // the indicator sum is the exact HUGEINT numerator, mirroring the
     // engine's DECIMAL(38,0) — the one double division then has
     // identically-rounded operands in both engines
-    "q_hll_distinct" -> {
-      val rho = graft.ops.Sketches.rhoCaseSql("w")
-      val a = graft.ops.Sketches.HllAlphaC
-      s"""WITH h AS (SELECT event_type AS g,
-         |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS HUGEINT) AS h
-         |  FROM events WHERE user_id IS NOT NULL),
-         |r AS (SELECT g, CAST(h % 1024 AS BIGINT) AS bucket,
-         |    h // 1024 AS w FROM h),
-         |rr AS (SELECT g, bucket, $rho AS rho FROM r),
-         |regs AS (SELECT g, bucket, MAX(rho) AS rho FROM rr GROUP BY g, bucket),
-         |per AS (SELECT g,
-         |    SUM(CAST(1::UBIGINT << (55 - rho) AS HUGEINT)) AS sumterm,
-         |    COUNT(*) AS present
-         |  FROM regs GROUP BY g),
-         |est AS (SELECT g,
-         |    sumterm + (1024 - present) * CAST(1::UBIGINT << 55 AS HUGEINT) AS num,
-         |    1024 - present AS zeros
-         |  FROM per),
-         |fin AS (SELECT g,
-         |    CASE WHEN ($a / CAST(num AS DOUBLE)) <= 2560.0 AND zeros > 0
-         |      THEN floor(1024.0 * ln(1024.0 / CAST(zeros AS DOUBLE)) * 65536.0) / 65536.0
-         |      ELSE floor(($a / CAST(num AS DOUBLE)) * 65536.0) / 65536.0 END
-         |      AS hll_users,
-         |    CASE WHEN ($a / CAST(num AS DOUBLE)) <= 2560.0 AND zeros > 0
-         |      THEN 'linear' ELSE 'raw' END AS est_kind
-         |  FROM est),
+    "q_hll_distinct" ->
+      s"""WITH ${hllFinCtes("hll_users")},
          |base AS (SELECT event_type, COUNT(*) AS n_events,
          |    COUNT(DISTINCT user_id) AS exact_users FROM events GROUP BY 1)
          |SELECT base.event_type, n_events, exact_users, hll_users, est_kind
          |FROM base JOIN fin ON fin.g = base.event_type
-         |ORDER BY base.event_type""".stripMargin
-    },
+         |ORDER BY base.event_type""".stripMargin,
+    // the sketch PROFILE: the same HLL + histogram replays joined per
+    // event type — the whole approximate dashboard row is hash-exact
+    "q_approx_profile" ->
+      s"""WITH ${hllFinCtes("approx_users")},
+         |${histHqCtes("p50_value", "p95_value")},
+         |base AS (SELECT event_type, COUNT(*) AS n_events
+         |  FROM events GROUP BY 1)
+         |SELECT base.event_type, n_events, approx_users, p50_value, p95_value
+         |FROM base JOIN fin ON fin.g = base.event_type
+         |JOIN hq ON hq.g = base.event_type
+         |ORDER BY base.event_type""".stripMargin,
     // mergeability replay: merged (per-type max-of-max) and direct
     // (all-rows) register paths computed independently, estimated with
     // the same fragment, equality re-proven engine-side AND oracle-side
@@ -1835,23 +1880,10 @@ object SparkEntry {
     // histogram-quantile replay: width-1 buckets, running counts, first
     // bucket reaching ceil(q*n) — pure arithmetic in both dialects
     "q_hist_quantiles" ->
-      """WITH b AS (SELECT event_type AS g,
-        |    greatest(0, least(1023, CAST(floor(value) AS BIGINT))) AS bucket
-        |  FROM events WHERE value IS NOT NULL
-        |    AND NOT isnan(value) AND NOT isinf(value)),
-        |hist AS (SELECT g, bucket, COUNT(*) AS cnt FROM b GROUP BY g, bucket),
-        |cum AS (SELECT g, bucket, cnt,
-        |    SUM(cnt) OVER (PARTITION BY g ORDER BY bucket
-        |      ROWS UNBOUNDED PRECEDING) AS cum,
-        |    SUM(cnt) OVER (PARTITION BY g) AS n
-        |  FROM hist)
-        |SELECT g AS event_type,
-        |  CAST(MIN(CASE WHEN cum >= ceil(0.5 * n) THEN bucket END) AS DOUBLE)
-        |    AS p50_est,
-        |  CAST(MIN(CASE WHEN cum >= ceil(0.95 * n) THEN bucket END) AS DOUBLE)
-        |    AS p95_est,
-        |  CAST(MAX(n) AS BIGINT) AS n_rows
-        |FROM cum GROUP BY g ORDER BY event_type""".stripMargin,
+      s"""WITH ${histHqCtes("p50_est", "p95_est")}
+        |SELECT g AS event_type, p50_est, p95_est,
+        |  CAST(n AS BIGINT) AS n_rows
+        |FROM hq ORDER BY event_type""".stripMargin,
     // SCD2 windows: change rows by null-safe lag compare, intervals by
     // lead, versions by row_number — all over (ts, event_id) per user
     "q_scd2_history" ->

@@ -83,10 +83,10 @@ object Bpe {
         val prev = reps
         reps = reps.withColumn("rep", mergeExpr(col("rep"), a, b))
           .localCheckpoint()
-        prev.unpersist() // superseded checkpoint — the Components discipline
+        Checkpoints.release(prev) // superseded checkpoint — the Components discipline
       }
     }
-    reps.unpersist() // training state is dead once the merges are extracted
+    Checkpoints.release(reps) // training state is dead once the merges are extracted
     merges.toList
   }
 

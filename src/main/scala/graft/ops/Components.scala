@@ -10,6 +10,10 @@ import org.apache.spark.sql.types.DecimalType
   * without this step a trio A~B~C with no direct A~C edge dedups
   * inconsistently.
   *
+  * Lineage mode: every per-round checkpoint goes through ops.Checkpoints —
+  * executor-local by default, lake-backed reliable checkpointing when
+  * `spark.graft.checkpointDir` is set (the dynamic-allocation-safe mode).
+  *
   * Algorithm: iterative min-label propagation (distributed union-find) —
   *   label(v) ← min(label(v), min of neighbors' labels)
   * until a fixpoint. Each iteration is ONE equi-join of the edge list with
@@ -38,18 +42,17 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 25): DataFrame = {
-    // localCheckpoint (not persist): iterative plans grow by one join per
+    // checkpoint (not persist): iterative plans grow by one join per
     // round, and Catalyst re-analyzes the WHOLE lineage on every action —
     // by ~15 rounds the analysis cost dwarfs the data work. Checkpointing
-    // truncates the logical plan each round; on a cluster this would be
-    // reliableCheckpoint to HDFS (localCheckpoint trades executor-loss
-    // tolerance for speed, acceptable for a convergent re-runnable job).
-    val sym = edges.select(col("src"), col("dst"))
+    // truncates the logical plan each round; ops.Checkpoints picks
+    // executor-local (fast, lineage-unsafe under executor loss) or
+    // lake-backed reliable mode per spark.graft.checkpointDir.
+    val sym = Checkpoints.checkpoint(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = nodes.select(col("id"), col("id").cast("long").as("component"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = Checkpoints.checkpoint(
+      nodes.select(col("id"), col("id").cast("long").as("component")))
     // Convergence witness: labels only ever decrease, so Σ component is
     // strictly monotone until the fixpoint. Exact decimal sum — a double
     // sum could miss a small change in a huge total, silently stopping
@@ -59,7 +62,7 @@ object Components {
         .getDecimal(0)
     var prev = witness(labels)
     if (prev == null) { // empty vertex set: sum() is NULL — already done
-      sym.unpersist()
+      Checkpoints.release(sym)
       return labels
     }
     var it = 0
@@ -74,17 +77,17 @@ object Components {
       val jump = labels.as("x").join(labels.as("y"),
           col("x.component") === col("y.id"))
         .select(col("x.id").as("id"), col("y.component").as("component"))
-      val next = labels.unionByName(nbr).unionByName(jump)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(true)
+      val next = Checkpoints.checkpoint(
+        labels.unionByName(nbr).unionByName(jump)
+          .groupBy("id").agg(min("component").as("component")))
       val cur = witness(next)
-      labels.unpersist()
+      Checkpoints.release(labels)
       labels = next
       converged = cur.compareTo(prev) == 0
       prev = cur
       it += 1
     }
-    sym.unpersist()
+    Checkpoints.release(sym)
     require(converged,
       s"connectedComponents: not converged after $maxIters iterations — " +
         "graph diameter exceeds the cap; raise maxIters or switch to " +
@@ -135,12 +138,12 @@ object Components {
     // propagation's symmetrized edge list AND both branches of the vertex
     // set — without it the upstream day-pair derivation (an LSH bucket
     // join in the cluster query) re-executes once per consumer
-    val cEdges = newEdges.select(col("src"), col("dst"))
-      .join(srcLbl, Seq("src"), "left")
-      .join(dstLbl, Seq("dst"), "left")
-      .select(coalesce(col("__csrc"), col("src")).as("src"),
-        coalesce(col("__cdst"), col("dst")).as("dst"))
-      .localCheckpoint(true)
+    val cEdges = Checkpoints.checkpoint(
+      newEdges.select(col("src"), col("dst"))
+        .join(srcLbl, Seq("src"), "left")
+        .join(dstLbl, Seq("dst"), "left")
+        .select(coalesce(col("__csrc"), col("src")).as("src"),
+          coalesce(col("__cdst"), col("dst")).as("dst")))
     // contracted vertex set: every new node (untouched ones stay
     // singletons) plus every rep an edge touches
     val cNodes = newNodes.select(col("id"))

@@ -42,44 +42,114 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** The 2^-52 dyadic grid (see object scaladoc): `snap(x)` floors x onto
+    * it, making distributed sums of snapped values in [0,1] order-exact.
+    */
+  private val Grid = 4503599627370496.0 // 2^52
+  private def snap(c: org.apache.spark.sql.Column) =
+    floor(c * lit(Grid)) / lit(Grid)
+
   /** `iters` power iterations of PageRank with damping 0.85 over a
-    * directed edge list (src, dst). Every node must have outdegree ≥ 1
-    * (feed an undirected graph as both edge directions — the caller's
-    * contract); with that, no dangling-mass correction is needed.
-    * Returns (node, r).
+    * directed edge list (src, dst). Returns (node, r) for every node
+    * appearing as src OR dst.
+    *
+    * Handles general graphs (round-7 verdict #5): a node with no
+    * out-edges (a SINK — real web/citation graphs are full of them)
+    * contributes its rank as dangling mass, redistributed uniformly —
+    * r' = (1-d)/N + d·(inflow + dm/N), the standard correction — and a
+    * node with no in-edges keeps its teleport-floor rank instead of
+    * silently dropping out of the rank table. Both corrections cost
+    * extra per-iteration work (one bounded dangling aggregate; one
+    * nodes-table left join), so they are engaged ONLY when the graph
+    * needs them — detected once, up front, by two bounded counts. A
+    * bidirected graph (the registered q_pagerank) takes the exact fast
+    * path this function always had.
+    *
+    * Determinism under the correction: dangling mass is the sum of
+    * SNAPPED sink ranks (each a multiple of 2^-52, total ≤ 1 → the
+    * distributed sum is exact), its per-node share dm/N is one IEEE
+    * division then snapped back onto the grid, so inflow + share is a
+    * sum of two exact dyadics — the whole update stays a fixed IEEE
+    * expression tree on identically-rounded operands.
+    *
+    * Lineage: every iteration is eagerly checkpointed through
+    * ops.Checkpoints — executor-local by default, lake-backed reliable
+    * checkpointing when `spark.graft.checkpointDir` is set (the 100 TB
+    * mode: localCheckpoint dies with a lost executor under dynamic
+    * allocation; GraphSpec proves both modes converge identically).
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ed = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bounded model step (1 value): counting nodes THROUGH ed both warms
-    // the cache and pins the count to the exact table iterations read
-    val nd = ed.select(col("src")).distinct().count()
+    // node universe: src ∪ dst — a sink never appears as src. Static
+    // across iterations, so checkpoint it once (the edge-table
+    // discipline); the general path below re-reads it every round.
+    val nodes = Checkpoints.checkpoint(
+      edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .distinct())
+    // bounded model steps (1 value each): N, and the two degeneracy
+    // detectors — does any node lack out-edges (dangling mass exists) or
+    // lack in-edges (groupBy(dst) would lose it)? Counting srcs THROUGH
+    // ed also warms its cache before the loop.
+    val nd = nodes.count()
+    val nSrc = ed.select(col("src")).distinct().count()
+    val hasDangling = nSrc < nd
+    val needNodeJoin = hasDangling ||
+      edges.select(col("dst")).distinct().count() < nd
+    // static sink set for the per-iteration dangling aggregate
+    val sinks =
+      if (hasDangling)
+        Checkpoints.checkpoint(nodes.join(
+          ed.select(col("src").as("node")).distinct(), Seq("node"), "left_anti"))
+      else null
     // same IEEE divisions the oracle runs engine-side on the same value
     val r0 = lit(1.0) / lit(nd.toDouble)
     val teleport = lit(0.15) / lit(nd.toDouble)
-    // each iteration is eagerly localCheckpointed and the superseded rank
+    // each iteration is eagerly checkpointed and the superseded rank
     // table released (the ops.Components fixpoint discipline): lineage
     // stays one iteration deep, and when the loop ends the cached edge
     // table can be dropped too — only the final rank checkpoint remains
-    var ranks = ed.select(col("src").as("node")).distinct()
-      .select(col("node"), r0.as("r"))
-      .localCheckpoint(true)
+    var ranks = Checkpoints.checkpoint(
+      nodes.select(col("node"), r0.as("r")))
     for (_ <- 1 to iters) {
       val prev = ranks
-      ranks = ed.join(prev, ed("src") === prev("node"))
-        .select(ed("dst"),
-          (floor((col("r") / col("deg")) * lit(4503599627370496.0)) /
-            lit(4503599627370496.0)).as("c"))
+      val inflow = ed.join(prev, ed("src") === prev("node"))
+        .select(ed("dst"), snap(col("r") / col("deg")).as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s")) // exact: dyadic summands
-        .select(col("dst").as("node"),
-          (teleport + lit(0.85) * col("s")).as("r"))
-        .localCheckpoint(true)
-      prev.unpersist()
+      val next =
+        if (!needNodeJoin)
+          // fast path (every node has in- and out-edges, e.g. bidirected
+          // graphs): inflow covers all nodes, no dangling term
+          inflow.select(col("dst").as("node"),
+            (teleport + lit(0.85) * col("s")).as("r"))
+        else {
+          val withAll = nodes.join(inflow, col("node") === col("dst"), "left")
+            .select(col("node"), coalesce(col("s"), lit(0.0)).as("s"))
+          if (!hasDangling)
+            withAll.select(col("node"),
+              (teleport + lit(0.85) * col("s")).as("r"))
+          else {
+            // one bounded aggregate: exact sum of snapped sink ranks
+            val dm = prev.join(sinks, Seq("node"), "leftsemi")
+              .agg(coalesce(sum(snap(col("r"))), lit(0.0)).as("dm"))
+            withAll.crossJoin(broadcast(dm))
+              .select(col("node"),
+                (teleport + lit(0.85) *
+                  (col("s") + snap(col("dm") / lit(nd.toDouble)))).as("r"))
+          }
+        }
+      ranks = Checkpoints.checkpoint(next)
+      Checkpoints.release(prev)
     }
-    ed.unpersist()
+    // blocking: the leak contract (GraphSpec) counts persistent RDDs
+    // right after return — async unpersist races that read
+    ed.unpersist(blocking = true) // a real persist — CacheManager handles it
+    if (sinks != null) Checkpoints.release(sinks)
+    Checkpoints.release(nodes)
     ranks
   }
 
@@ -117,20 +187,19 @@ object Graph {
     // (the pageRank edge-table discipline), and checkpoint the small
     // result so the working table can be unpersisted before returning —
     // one invocation leaves exactly one persistent RDD, the result.
-    val ori = withDeg.select(
+    val ori = Checkpoints.checkpoint(withDeg.select(
         when(fwd, col("u")).otherwise(col("v")).as("s"),
-        when(fwd, col("v")).otherwise(col("u")).as("t"))
-      .localCheckpoint(true)
+        when(fwd, col("v")).otherwise(col("u")).as("t")))
     val e1 = ori.select(col("s").as("a"), col("t").as("b"))
     val e2 = ori.select(col("s").as("b"), col("t").as("c"))
     val e3 = ori.select(col("s").as("a"), col("t").as("c"))
-    val res = e1.join(e2, "b")   // wedges a→b→c
-      .join(e3, Seq("a", "c"))   // closed ⇔ triangle {a,b,c}
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_tri"))
-      .localCheckpoint(true)
-    ori.unpersist()
+    val res = Checkpoints.checkpoint(
+      e1.join(e2, "b")           // wedges a→b→c
+        .join(e3, Seq("a", "c")) // closed ⇔ triangle {a,b,c}
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_tri")))
+    Checkpoints.release(ori)
     res
   }
 }

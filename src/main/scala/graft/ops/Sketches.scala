@@ -70,6 +70,12 @@ object Sketches {
   def cmsEstimate(cms: DataFrame, queries: DataFrame, item: Column,
       width: Int): DataFrame =
     queries
+      // a NULL query item is not a countable item (cmsBuild's md5 lanes
+      // are null for it too, so it was never inserted) — drop it HERE,
+      // explicitly: left implicit, posexplode of the null bucket array
+      // silently removed the row, which contradicted the documented
+      // "every query item gets an estimate" reading of this API
+      .filter(item.isNotNull)
       .select(item.as("item"),
         posexplode(buckets(item, width)).as(Seq("lane", "bucket")))
       .join(broadcast(cms), Seq("lane", "bucket"), "left")
@@ -94,17 +100,21 @@ object Sketches {
     * LEFT joins against the per-lane bucket sets — map-side, no shuffle,
     * no false negatives (a build key's own cells are always set; pinned
     * in Round7Spec). Appends column `name` to `probe`.
+    *
+    * CALLER CONTRACT: pass `bits` already materialized (localCheckpoint
+    * or cached) — left as a plan, each of the four broadcast exchanges
+    * independently re-runs the build-side scan and its distinct shuffle
+    * (the qHeavyHitters lesson). The checkpoint lives at the CALL SITE so
+    * the caller can unpersist it after its terminal action — an internal
+    * checkpoint here had no release hook and accumulated one working
+    * table per invocation until the ContextCleaner got around to it.
     */
   def bloomMember(probe: DataFrame, key: Column, bits: DataFrame,
       width: Int, name: String): DataFrame = {
     val b = buckets(key, width)
-    // materialize the bit set ONCE: left as a plan, each of the four
-    // broadcast exchanges would independently re-run the build-side scan
-    // and its distinct shuffle (the qHeavyHitters lesson)
-    val bitsCk = bits.localCheckpoint(true)
     var out = probe.withColumn("__bb", b)
     for (l <- 0 until Depth) {
-      val lane = bitsCk.filter(col("lane") === l)
+      val lane = bits.filter(col("lane") === l)
         .select(col("bucket").as(s"__set$l"))
       out = out.join(broadcast(lane), col("__bb")(l) === col(s"__set$l"),
         "left")

@@ -586,20 +586,30 @@ object Relational {
   }
 
   /** Sketch-based profile (the approximate path for interactive dashboards
-    * over 100 TB): HyperLogLog distinct users + t-digest-style percentile
-    * per event type. Both sketches are mergeable partial aggregates — one
-    * shuffle of sketch bytes, never of rows. Rows-only check (sketch
-    * internals differ across engines); relative error vs exact is asserted
-    * in ApproxSpec.
+    * over 100 TB): HyperLogLog distinct users + histogram percentiles per
+    * event type. Both sketches are mergeable partial aggregates — one
+    * shuffle of sketch state (≤ m register rows / ≤ 1024 histogram rows
+    * per group), never of rows. Built on the ORACLE-EXACT kernels
+    * (ops.Sketches.hllDistinct / histQuantiles) rather than
+    * approx_count_distinct / percentile_approx: the engine-private
+    * sketches give the same answer quality but can't be driver-checked —
+    * these replay bit-for-bit in DuckDB, so the profile is hash-exact in
+    * the correctness gate while staying a true sketch path (error vs
+    * exact pinned ≤5% in ApproxSpec).
     */
   def qApproxProfile(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_value"))
+    import graft.ops.Sketches
+    val e = Tables.events(spark, dir)
+    val base = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    val hll = Sketches.hllDistinct(e, col("event_type"), col("user_id"))
+      .withColumnRenamed("g", "event_type")
+      .select(col("event_type"), col("hll_est").as("approx_users"))
+    val hist = Sketches.histQuantiles(e, col("event_type"), col("value"),
+        Seq(0.5, 0.95))
+      .withColumnRenamed("g", "event_type")
+      .select(col("event_type"), col("p50_est").as("p50_value"),
+        col("p95_est").as("p95_value"))
+    base.join(hll, "event_type").join(hist, "event_type")
       .orderBy(col("event_type"))
   }
 
@@ -721,13 +731,19 @@ object Relational {
       .filter(col("o_orderpriority").like("1-%"))
       .select(col("o_orderkey"))
       .localCheckpoint(true)
+    // materialized per bloomMember's caller contract (four broadcast
+    // exchanges read it); released below with the other working tables
     val bits = Sketches.bloomBits(urgent, col("o_orderkey").cast("string"), w)
+      .localCheckpoint(true)
     val flagged = Sketches.bloomMember(
         Tables.lineitem(spark, dir).select(col("l_orderkey")),
         col("l_orderkey").cast("string"), bits, w, "bloom_pass")
       .join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"),
         "left")
-    flagged
+    // checkpoint the 1-row summary eagerly so the working tables can be
+    // released before returning (the triangleCounts discipline): one
+    // invocation leaves exactly one persistent RDD — the result
+    val res = flagged
       .agg(
         count(lit(1)).as("probe_rows"),
         sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("bloom_pass_rows"),
@@ -742,6 +758,10 @@ object Relational {
         col("false_negative_rows"),
         ((col("probe_rows") - col("bloom_pass_rows")).cast("double") /
           col("probe_rows")).as("pruned_fraction"))
+      .localCheckpoint(true)
+    graft.ops.Checkpoints.release(urgent)
+    graft.ops.Checkpoints.release(bits)
+    res
   }
 
   /** Histogram quantiles per event type (ops.Sketches.histQuantiles):

@@ -35,7 +35,18 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Exact all-pairs near-duplicates at cosine ≥ 0.4 (brute baseline). */
+  /** Exact all-pairs near-duplicates at cosine ≥ 0.4 — the GUARDED
+    * exactness baseline (Similarity.bruteForcePairs refuses a corpus past
+    * its row guard with a loud error, so this registration cannot
+    * silently become a 100 TB cartesian). Why it stays registered as
+    * brute force rather than a bucketed re-registration: measured on this
+    * corpus, every sublinear blocking scheme (hyperplane LSH at three
+    * operating points, multi-probe √n-cell semantic blocking) either
+    * misses ≥15% of the τ=0.4 pairs or generates ≥ brute-force candidate
+    * mass — the pair population sits barely above threshold, where
+    * blocking cannot win. The REGISTERED scale paths for production
+    * near-dup are q_ann_lsh / q_semantic_dedup / q_minhash_neardup.
+    */
   def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForcePairs(corpus(spark, dir), tau = 0.4)
       .orderBy(col("id_a"), col("id_b"))

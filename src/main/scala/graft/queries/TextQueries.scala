@@ -230,12 +230,17 @@ object TextQueries {
       .orderBy(col("exact_cnt").desc, col("t"))
       .limit(20)
       .localCheckpoint(true)
-    exact
+    // checkpoint the 20-row result eagerly and release the working table
+    // (the triangleCounts discipline) — one persistent RDD per invocation
+    val res = exact
       .join(Sketches.cmsEstimate(cms, exact.select(col("t")), col("t"),
         width = 1024).withColumnRenamed("item", "t"), Seq("t"))
       .select(col("t").as("token"), col("exact_cnt"), col("cms_est"),
         (col("cms_est") - col("exact_cnt")).as("overcount"))
       .orderBy(col("exact_cnt").desc, col("token"))
+      .localCheckpoint(true)
+    graft.ops.Checkpoints.release(exact)
+    res
   }
 
   /** In-engine trained multinomial Naive Bayes language classifier

@@ -35,6 +35,67 @@ class GraphSpec extends SparkSpecBase {
       s"supplier floor $minSupp should exceed customer ceiling $maxCust")
   }
 
+  test("pagerank with sinks: dangling mass redistributes, matches reference, mass conserved") {
+    // chain 1→2→3: node 3 is a SINK (no out-edges), node 1 has no
+    // in-edges — both degeneracies the general path must handle. The
+    // reference is the standard dangling-mass recurrence computed in
+    // plain Scala; snapping bias is ~2^-52 per term, so 1e-9 tolerance.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 5)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Double]("r")).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "sink and source nodes must stay ranked")
+    val n = 3.0
+    var r = Map(1L -> 1 / n, 2L -> 1 / n, 3L -> 1 / n)
+    for (_ <- 1 to 5) {
+      val dm = r(3L) // node 3 is the only sink
+      r = Map(
+        1L -> (0.15 / n + 0.85 * (dm / n)),
+        2L -> (0.15 / n + 0.85 * (r(1L) + dm / n)),
+        3L -> (0.15 / n + 0.85 * (r(2L) + dm / n)))
+    }
+    got.foreach { case (node, v) =>
+      assert(math.abs(v - r(node)) < 1e-9, s"node $node: $v vs ${r(node)}")
+    }
+    // with redistribution the total mass stays 1 (up to snapping bias)
+    val mass = got.values.sum
+    assert(mass > 0.9999 && mass <= 1.0001, s"mass with sinks drifted: $mass")
+    // determinism: the snapped reduction is order-exact on re-run
+    val again = Graph.pageRank(edges, iters = 5)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Double]("r")).toMap
+    assert(again === got)
+  }
+
+  test("reliable-checkpoint mode converges identically to localCheckpoint mode") {
+    // spark.graft.checkpointDir switches every iterative operator to
+    // lake-backed reliable checkpoints (the dynamic-allocation-safe 100 TB
+    // mode; executor-local checkpoints die with a lost executor). Results
+    // must be bit-identical in both modes.
+    val pairs = Seq((1L, 2L), (10L, 11L), (10L, 12L), (2L, 3L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val local = Graph.pageRank(edges, iters = 3).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Double]("r")).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(graft.ops.Checkpoints.ConfKey, dir)
+    try {
+      val reliable = Graph.pageRank(edges, iters = 3).collect()
+        .map(x => x.getAs[Long]("node") -> x.getAs[Double]("r")).toMap
+      assert(reliable === local)
+      // components take the same switch
+      val comps = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+      val nodesDf = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
+      val viaReliable = graft.ops.Components
+        .connectedComponents(nodesDf, comps).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaReliable === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L, 99L -> 99L))
+      // reliable checkpoint files actually landed in the lake dir
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
+    } finally {
+      spark.conf.unset(graft.ops.Checkpoints.ConfKey)
+    }
+  }
+
   test("pagerank releases its working storage: only the result survives") {
     // the edge cache and every superseded rank checkpoint must be
     // unpersisted by the time the query returns — one invocation may leave
@@ -61,7 +122,11 @@ class GraphSpec extends SparkSpecBase {
       after - before <= 1
     }
     assert(ok, "pagerank leaked cached state on 5 consecutive attempts")
-    assert(deltas.sum <= deltas.length + 3,
+    // each clean invocation adds exactly 1 (its checkpointed result), so
+    // the cumulative growth over n attempts is n when clean — a bound of
+    // sum <= n leaves no room for a recurring 2-3 RDD leak to hide behind
+    // one lucky clean attempt (round-7 ADVICE: len+3 admitted [3,3,0])
+    assert(deltas.sum <= deltas.length,
       s"cumulative cached-RDD growth too high across attempts: $deltas")
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)

@@ -148,10 +148,49 @@ class Round7Spec extends SparkSpecBase {
       "a bloom filter must NEVER drop a true match")
     assert(r.getAs[Long]("bloom_pass_rows") >= r.getAs[Long]("exact_match_rows"))
     assert(r.getAs[Long]("probe_rows") > 0)
-    val plan = df.queryExecution.executedPlan.toString
+    // the query checkpoints its 1-row summary (leak discipline), so ITS
+    // executedPlan is a checkpoint scan — pin the join shape on the
+    // membership construction itself
+    val spark = TestSession.spark
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val urgent = orders.filter(col("o_orderpriority").like("1-%"))
+      .select(col("o_orderkey"))
+    val bits = graft.ops.Sketches
+      .bloomBits(urgent, col("o_orderkey").cast("string"), 1 << 17)
+      .localCheckpoint(true)
+    val member = graft.ops.Sketches.bloomMember(
+      spark.read.parquet(s"$sfDir/lineitem.parquet").select(col("l_orderkey")),
+      col("l_orderkey").cast("string"), bits, 1 << 17, "bloom_pass")
+    val plan = member.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    assert(!plan.contains("SortMergeJoin"),
+    bits.unpersist()
+    assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
       "membership tests must stay broadcast, never a shuffled join")
+  }
+
+  test("bloom and heavy-hitter queries release their working storage") {
+    // the qPagerank leak discipline extended to the other checkpointing
+    // queries (round-7 ADVICE): one invocation may leave exactly ONE
+    // persistent RDD — its checkpointed result. Retried because suites
+    // share the SparkContext (cache/unpersist races inflate one reading).
+    for ((name, run) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "q_bloom_prune" ->
+          (() => graft.queries.Relational.qBloomPrune(TestSession.spark, sfDir)),
+        "q_heavy_hitters" ->
+          (() => graft.queries.TextQueries.qHeavyHitters(TestSession.spark, sfDir)))) {
+      val deltas = scala.collection.mutable.ListBuffer.empty[Int]
+      val ok = (1 to 5).exists { _ =>
+        val before = TestSession.spark.sparkContext.getPersistentRDDs.size
+        run().collect()
+        val after = TestSession.spark.sparkContext.getPersistentRDDs.size
+        deltas += (after - before)
+        after - before <= 1
+      }
+      assert(ok, s"$name leaked cached state on 5 consecutive attempts: $deltas")
+      assert(deltas.sum <= deltas.length,
+        s"$name cumulative cached-RDD growth too high: $deltas")
+    }
   }
 
   // ---- triangle counting ----

@@ -145,6 +145,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(exchanges <= 2, s"cell self-join should shuffle each side once:\n$plan")
   }
 
+  test("brute-force pair scan refuses a corpus past its row guard, loudly") {
+    // the registered q_embed_neardup is the guarded exactness baseline:
+    // an all-pairs plan must REFUSE big inputs rather than schedule an
+    // O(n²) job no cluster can finish (round-7 verdict #2)
+    val corpus = spark.range(0, 64).select(col("id"),
+      array((0 until 4).map(i => lit(0.1f * i)): _*).as("emb"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForcePairs(corpus, tau = 0.4, maxRows = 63L)
+    }
+    assert(e.getMessage.contains("all-pairs") &&
+      e.getMessage.contains("hyperplaneLshPairs"),
+      s"guard message must name the scale paths: ${e.getMessage}")
+    // under the guard the exact scan still runs
+    assert(Similarity.bruteForcePairs(corpus, tau = -1.0, maxRows = 64L)
+      .count() === 64L * 63 / 2)
+  }
+
   test("topk aggregate: bounded buffer, duplicate merges, fewer rows than k") {
     val df = Seq(
       (1L, 5.0, 10L), (1L, 9.0, 11L), (1L, 7.0, 12L), (1L, 9.0, 13L),
