@@ -1029,12 +1029,23 @@ object SparkEntry {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    // real-codec round-trip replay: the engine encodes the UTF-8 bytes as
+    // a 32-wide zero-padded grayscale PNG and decodes it back through
+    // javax.imageio; PNG losslessness means the decoded pixel stats ARE
+    // the byte stats, which this SQL computes from the hex of the blob —
+    // any decode defect (color transform, padding, truncation) hash-fails
     "q_multimodal_features" ->
-      """SELECT doc_id,
-        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |  hex(substr(text, 1, 8)) AS header_hex,
-        |  CAST((CAST(strlen(text) AS BIGINT) * 2654435761) % 1000 AS DOUBLE)/1000.0 AS fake_brightness
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH b AS (SELECT doc_id, encode(text) AS bl FROM documents),
+        |s AS (SELECT doc_id, CAST(octet_length(bl) AS BIGINT) AS n,
+        |    greatest(1, CAST(ceil(octet_length(bl) / 32.0) AS BIGINT)) AS h,
+        |    list_transform(range(CAST(octet_length(bl) AS INT)),
+        |      i -> CAST(('0x' || substr(hex(bl), CAST(i*2+1 AS INT), 2)) AS INT))
+        |      AS bs
+        |  FROM b)
+        |SELECT doc_id, n AS n_bytes, CAST(32 AS BIGINT) AS img_w, h AS img_h,
+        |  CAST(coalesce(list_sum(bs), 0) AS DOUBLE) / (32 * h) AS mean_px,
+        |  CAST(coalesce(list_max(bs), 0) AS BIGINT) AS max_px
+        |FROM s ORDER BY doc_id""".stripMargin,
     // frame fan-out: every-2nd 64-byte frame of the payload, emitted as
     // uppercase hex in both engines (docs are ASCII so VARCHAR slicing =
     // byte slicing; the driver's checker cannot sort raw binary)

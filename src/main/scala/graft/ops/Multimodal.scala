@@ -8,14 +8,23 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` payloads + typed
   * metadata, decoded per-partition.
   *
-  * The decode itself is STUBBED (no image/audio codecs in this container):
-  * [[decodeStub]] produces a deterministic fake feature vector from the
-  * bytes. Everything around it is the real 100 TB design and is what the
-  * spec tests:
+  * IMAGE decode is REAL since round 8: the JDK ships PNG/JPEG codecs in
+  * `javax.imageio` — no container library needed — so PNG/JPEG payloads
+  * go through an actual codec to pooled-pixel features
+  * ([[decodeImageFeatures]]) and the registered query round-trips every
+  * document's bytes through a real PNG encode → decode
+  * ([[pngRoundTripStats]]; PNG is lossless, so the decoded pixel
+  * statistics replay arithmetically in the DuckDB oracle). Only VIDEO
+  * demux remains a documented stub ([[sampleFrames]] — no container
+  * codec exists in the JDK); audio decode would follow the same
+  * mapPartitions shape via javax.sound.
+  *
+  * The surrounding plumbing is the 100 TB design and is what the spec
+  * tests:
   *  - payloads travel as parquet binary (no base64 blow-up, scan-prunable
   *    metadata columns next to them);
-  *  - decode runs via mapPartitions so a real codec would amortize its init
-  *    (model load, JNI handles) once per partition, not per row;
+  *  - decode runs via mapPartitions so the codec init amortizes once per
+  *    partition, not per row;
   *  - output schema is fixed (id, n_bytes, feature vector) so downstream
   *    similarity/dedup ops compose directly.
   */
@@ -28,9 +37,147 @@ object Multimodal {
     StructField("n_bytes", LongType, nullable = false),
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  /** STUB decode: a real implementation would hand `bytes` to a codec and
-    * produce e.g. a pooled image embedding. The fake is a byte-histogram
-    * moment vector — deterministic, shape-identical to the real thing.
+  // ---- real image codec path (JDK javax.imageio) ----
+
+  private[graft] def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 &&
+      b(1) == 'P'.toByte && b(2) == 'N'.toByte && b(3) == 'G'.toByte
+
+  private[graft] def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+  /** Encode raw bytes as an 8-bit grayscale PNG, `width` pixels wide,
+    * row-major, zero-padded to fill the last row — the deterministic
+    * image constructor behind [[pngRoundTripStats]] and the specs (the
+    * testdata carries no real media; this manufactures real PNGs from
+    * it so the DECODE side exercises the actual codec).
+    */
+  private[graft] def encodeGrayPng(bytes: Array[Byte], width: Int): Array[Byte] = {
+    require(width > 0)
+    val h = math.max(1, (bytes.length + width - 1) / width)
+    val img = new java.awt.image.BufferedImage(
+      width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val ras = img.getRaster
+    var i = 0
+    val n = width * h
+    while (i < n) {
+      ras.setSample(i % width, i / width, 0,
+        if (i < bytes.length) bytes(i) & 0xff else 0)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: PNG/JPEG bytes → pooled-pixel feature vector through
+    * the JDK codec. Features (all in [0,1]): mean R, mean G, mean B,
+    * mean luma, and the four quadrant mean lumas — the classic cheap
+    * pooled-image descriptor. Pixels are read from the RASTER (raw
+    * samples), not getRGB: gray images would otherwise pass through a
+    * linear-gray → sRGB color transform and the values would no longer
+    * be the encoded bytes. Sums accumulate in exact integer arithmetic;
+    * each feature is one IEEE division — deterministic on any executor.
+    * Returns None when the payload is not a decodable image (caller
+    * falls back to [[decodeStub]]).
+    */
+  private[graft] def decodeImageFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (!isPng(bytes) && !isJpeg(bytes)) return None
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return None
+    val ras = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    val bands = ras.getNumBands
+    val chSum = new Array[Long](3)
+    val quad = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // gray images replicate their single band across R/G/B
+        val r = ras.getSample(x, y, 0)
+        val g = if (bands >= 3) ras.getSample(x, y, 1) else r
+        val b = if (bands >= 3) ras.getSample(x, y, 2) else r
+        chSum(0) += r; chSum(1) += g; chSum(2) += b
+        quad((if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)) +=
+          (r + g + b)
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val wl = (w + 1) / 2; val ht = (h + 1) / 2
+    val qn = Array[Long](wl.toLong * ht, (w - wl).toLong * ht,
+      wl.toLong * (h - ht), (w - wl).toLong * (h - ht))
+    val f = new Array[Float](featureDim)
+    f(0) = (chSum(0).toDouble / (n * 255.0)).toFloat
+    f(1) = (chSum(1).toDouble / (n * 255.0)).toFloat
+    f(2) = (chSum(2).toDouble / (n * 255.0)).toFloat
+    f(3) = ((chSum(0) + chSum(1) + chSum(2)).toDouble / (n * 765.0)).toFloat
+    var q = 0
+    while (q < 4) {
+      f(4 + q) =
+        if (qn(q) == 0L) 0.0f
+        else (quad(q).toDouble / (qn(q) * 765.0)).toFloat
+      q += 1
+    }
+    Some(f)
+  }
+
+  val imageStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("img_w", LongType, nullable = false),
+    StructField("img_h", LongType, nullable = false),
+    StructField("mean_px", DoubleType, nullable = false),
+    StructField("max_px", LongType, nullable = false)))
+
+  /** The REGISTERED image path: each payload is encoded as a real
+    * grayscale PNG and decoded back through the JDK codec, emitting the
+    * decoded image's pixel statistics. Because PNG is lossless and the
+    * image is constructed from the payload bytes, the decoded statistics
+    * equal the byte statistics — which is exactly what makes a real
+    * codec round-trip DRIVER-CHECKABLE: the DuckDB oracle replays the
+    * stats arithmetically from the bytes, and any decode defect
+    * (color-space transform, padding bug, truncation) breaks the hash.
+    * Per-partition mapPartitions, no shuffle; sums exact integers, one
+    * IEEE division per row.
+    */
+  def pngRoundTripStats(df: DataFrame, idCol: String, width: Int = 32): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageStatsSchema)
+    df.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val png = encodeGrayPng(bytes, width)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val ras = img.getRaster
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var max = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ras.getSample(x, y, 0)
+              sum += v
+              if (v > max) max = v
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, bytes.length.toLong, w.toLong, h.toLong,
+            sum.toDouble / (w.toLong * h), max)
+        }
+      }(enc)
+  }
+
+  /** STUB decode (non-image payloads only — real images go through
+    * [[decodeImageFeatures]]): a deterministic byte-histogram moment
+    * vector, shape-identical to the codec output.
     */
   private[graft] def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](featureDim)
@@ -54,17 +201,21 @@ object Multimodal {
     df.withColumn("payload", encode(col(textCol), "UTF-8"))
 
   /** Decode payloads per-partition: (media_id, payload) → decodedSchema.
-    * One pass, no shuffle; codec init would happen once per partition here.
+    * One pass, no shuffle. PNG/JPEG payloads decode through the REAL JDK
+    * codec ([[decodeImageFeatures]] — magic-sniffed); anything else falls
+    * back to the deterministic stub so mixed-media batches never throw.
     */
   def decodeFeatures(df: DataFrame, idCol: String): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     df.select(col(idCol).cast("long"), col("payload"))
       .mapPartitions { rows =>
-        // per-partition init for a real codec would go here
+        // codec instances are JVM-static (ImageIO registry) — the
+        // per-partition init a heavier codec would need goes here
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          Row(id, bytes.length.toLong, decodeStub(bytes).toSeq)
+          val feats = decodeImageFeatures(bytes).getOrElse(decodeStub(bytes))
+          Row(id, bytes.length.toLong, feats.toSeq)
         }
       }(enc)
   }

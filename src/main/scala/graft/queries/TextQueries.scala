@@ -255,15 +255,19 @@ object TextQueries {
         col("doc_id"), col("text"), col("lang"), col("doc_id") % 10 === 0)
       .orderBy(col("doc_id"))
 
-  def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    d.select(
-        col("doc_id"),
-        octet_length(col("text")).cast("long").as("n_bytes"),
-        hex(substring(col("text"), 1, 8)).as("header_hex"),
-        // STUB decode: deterministic fake of a decoded-image statistic.
-        ((octet_length(col("text")).cast("long") * lit(2654435761L)) % 1000)
-          .cast("double").divide(lit(1000.0)).as("fake_brightness"))
+  /** REAL image decode (round-8): every document's bytes become an
+    * actual grayscale PNG, decoded back through the JDK's PNG codec
+    * (javax.imageio), emitting the decoded pixel statistics. PNG is
+    * lossless, so the stats replay arithmetically from the bytes in the
+    * DuckDB oracle — a real codec in the loop, hash-checked every round
+    * (ops.Multimodal.pngRoundTripStats for the full argument). Replaces
+    * the round-2 `fake_brightness` stub; only video demux remains
+    * stubbed (no container codec in the JDK).
+    */
+  def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.pngRoundTripStats(
+        graft.ops.Multimodal.withPayload(Tables.documents(spark, dir), "text"),
+        "doc_id")
+      .withColumnRenamed("media_id", "doc_id")
       .orderBy(col("doc_id"))
-  }
 }

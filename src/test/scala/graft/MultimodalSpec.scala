@@ -26,6 +26,82 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows.forall(_.getSeq[Float](2).length === Multimodal.featureDim))
   }
 
+  test("real PNG decode: known 2x2 pixels give exact pooled features") {
+    // hand-built 2x2 gray PNG: pixels 0, 255, 100, 200 (row-major) —
+    // every feature is an exact rational of those values
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 0)
+    img.getRaster.setSample(1, 0, 0, 255)
+    img.getRaster.setSample(0, 1, 0, 100)
+    img.getRaster.setSample(1, 1, 0, 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(Multimodal.isPng(png))
+    val f = Multimodal.decodeImageFeatures(png).get
+    val mean = (0 + 255 + 100 + 200) / (4.0 * 255.0)
+    assert(math.abs(f(0) - mean) < 1e-6 && f(0) === f(1) && f(1) === f(2),
+      "gray replicates across channels")
+    assert(math.abs(f(3) - mean) < 1e-6)
+    // quadrants of a 2x2 are the four pixels themselves
+    assert(math.abs(f(4) - 0.0) < 1e-6)
+    assert(math.abs(f(5) - 255 / 255.0) < 1e-6)
+    assert(math.abs(f(6) - 100 / 255.0) < 1e-6)
+    assert(math.abs(f(7) - 200 / 255.0) < 1e-6)
+  }
+
+  test("real JPEG decode goes through the codec (lossy: approximate means)") {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpg = bos.toByteArray
+    assert(Multimodal.isJpeg(jpg))
+    val f = Multimodal.decodeImageFeatures(jpg).get
+    // a uniform mid-gray survives JPEG within a few levels
+    assert(math.abs(f(3) - 128 / 255.0) < 0.05, s"luma ${f(3)}")
+  }
+
+  test("decodeFeatures routes images to the codec and other bytes to the stub") {
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 10)
+    img.getRaster.setSample(1, 0, 0, 30)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val rows = Multimodal.decodeFeatures(
+        Seq((1L, png), (2L, "plain text".getBytes("UTF-8")))
+          .toDF("doc_id", "payload"), "doc_id")
+      .orderBy("media_id").collect()
+    assert(math.abs(rows(0).getSeq[Float](2).head - (10 + 30) / (2 * 255.0f)) < 1e-6,
+      "image payload must use the real decode")
+    assert(rows(1).getSeq[Float](2).toArray.toSeq ===
+      Multimodal.decodeStub("plain text".getBytes("UTF-8")).toSeq,
+      "non-image payload must fall back to the stub")
+  }
+
+  test("PNG round-trip stats equal direct byte statistics (losslessness)") {
+    // bytes with every edge: >width, exact multiple, empty-ish
+    val texts = Seq((1L, "a" * 100), (2L, "b" * 32), (3L, "c"))
+    val got = Multimodal.pngRoundTripStats(
+        Multimodal.withPayload(texts.toDF("doc_id", "text"), "text"),
+        "doc_id", width = 32)
+      .orderBy("media_id").collect()
+    texts.zip(got).foreach { case ((id, t), r) =>
+      val bytes = t.getBytes("UTF-8")
+      val h = math.max(1, (bytes.length + 31) / 32)
+      assert(r.getLong(0) === id)
+      assert(r.getLong(1) === bytes.length.toLong)
+      assert(r.getLong(2) === 32L && r.getLong(3) === h.toLong)
+      val sum = bytes.map(_ & 0xff).map(_.toLong).sum
+      assert(r.getDouble(4) === sum.toDouble / (32L * h), "decoded mean == byte mean")
+      assert(r.getLong(5) === bytes.map(_ & 0xff).max.toLong)
+    }
+  }
+
   test("payload column is real binary, not base64 text") {
     val docs = Seq((1L, "abc")).toDF("doc_id", "text")
     val schema = Multimodal.withPayload(docs, "text").schema
