@@ -139,6 +139,97 @@ object ScalingBench {
     }
   }
 
+  /** Skewed-join evidence (round-7 verdict #7): a fact table whose hottest
+    * key holds 50% of all rows, shuffle-hash-joined against a keyed side
+    * that must not broadcast — the pathological shape where one reducer
+    * gets half the data. Three variants, each measured by wall time and
+    * the per-task duration SPREAD (max/median over the job's tasks — the
+    * straggler factor that sets cluster wall-clock):
+    *   1. unsalted with AQE skew-split OFF  — the naive plan, one hot task;
+    *   2. unsalted with AQE skew-split ON   — Spark's runtime mitigation;
+    *   3. Salting.saltedJoin ×8, AQE OFF    — the explicit fix for cases
+    *      AQE can't touch (its splitting works per shuffle block; a single
+    *      mapper-side giant key is still one block sequence).
+    * Emits one JSON line per variant; the observed spread reduction goes
+    * into BASELINE.md as the skew-evidence row.
+    */
+  def skewBench(spark: SparkSession, n: Long = 4000000L,
+      keys: Int = 1000, salts: Int = 8): Seq[String] = {
+    val fact = spark.range(n).select(
+      when(col("id") % 2 === 0, lit(0L))
+        .otherwise(pmod(hash(col("id")), lit(keys)).cast("long")).as("key"),
+      col("id").as("v"))
+    val dim = spark.range(keys).select(col("id").as("key"),
+      (col("id") * 7).as("w"))
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) durations.add(te.taskInfo.duration)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val aqeSkewKey = "spark.sql.adaptive.skewJoin.enabled"
+    // AQE only splits a partition past skewedPartitionThresholdInBytes
+    // (default 256 MB — sized for real clusters); at bench scale the hot
+    // partition is tens of MB, so the threshold must come down for the
+    // AQE variant to demonstrate the mechanism at all. That asymmetry IS
+    // the finding: AQE skew-split needs its thresholds tuned to the
+    // workload, salting works at any scale.
+    val aqeThreshKey = "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    val aqeAdvisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prevSkew = spark.conf.get(aqeSkewKey)
+    val prevThresh = spark.conf.getOption(aqeThreshKey)
+    val prevAdvisory = spark.conf.getOption(aqeAdvisoryKey)
+    def run(variant: String, aqeSkew: Boolean)(df: => DataFrame): String = {
+      spark.conf.set(aqeSkewKey, aqeSkew.toString)
+      if (aqeSkew) {
+        spark.conf.set(aqeThreshKey, "4MB")
+        spark.conf.set(aqeAdvisoryKey, "4MB")
+      } else {
+        prevThresh.fold(spark.conf.unset(aqeThreshKey))(
+          spark.conf.set(aqeThreshKey, _))
+        prevAdvisory.fold(spark.conf.unset(aqeAdvisoryKey))(
+          spark.conf.set(aqeAdvisoryKey, _))
+      }
+      // warm pass compiles codegen; measured pass starts with a clean
+      // task-duration buffer
+      df.write.format("noop").mode("overwrite").save()
+      durations.clear()
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val ds = durations.toArray(Array.empty[java.lang.Long])
+        .map(_.longValue).sorted
+      val p50 = if (ds.nonEmpty) ds(ds.length / 2) else 0L
+      val mx = if (ds.nonEmpty) ds.last else 0L
+      val spread = if (p50 > 0) mx.toDouble / p50 else 0.0
+      s"""{"variant":"$variant","n":$n,"hot_share":0.5,"salts":$salts,""" +
+        f""""wall_s":$wall%.2f,"task_p50_ms":$p50,"task_max_ms":$mx,""" +
+        f""""spread":$spread%.1f,"tasks":${ds.length}}"""
+    }
+    try {
+      // shuffle_hash hint keeps the tiny side from broadcasting — a
+      // broadcast join would hide the skew entirely (and IS the first fix
+      // when the side fits; this bench models the case where it doesn't)
+      val out = Seq(
+        run("unsalted_noaqe", aqeSkew = false)(
+          fact.join(dim.hint("shuffle_hash"), "key")),
+        run("unsalted_aqe_skew", aqeSkew = true)(
+          fact.join(dim.hint("shuffle_hash"), "key")),
+        run(s"salted_x$salts", aqeSkew = false)(
+          graft.ops.Salting.saltedJoin(fact, dim.hint("shuffle_hash"),
+            "key", salts)))
+      out
+    } finally {
+      spark.conf.set(aqeSkewKey, prevSkew)
+      prevThresh.fold(spark.conf.unset(aqeThreshKey))(
+        spark.conf.set(aqeThreshKey, _))
+      prevAdvisory.fold(spark.conf.unset(aqeAdvisoryKey))(
+        spark.conf.set(aqeAdvisoryKey, _))
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("graft-scaling")
     args.toList match {
@@ -148,8 +239,13 @@ object ScalingBench {
         println(s"""{"generated":"$outDir","replicas":$Replicas}""")
       case "run" :: dirs if dirs.nonEmpty =>
         dirs.foreach(d => measure(spark, d).foreach(println))
+      case "skew" :: rest =>
+        val n = rest.headOption.map(_.toLong).getOrElse(4000000L)
+        val salts = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+        skewBench(spark, n, salts = salts).foreach(println)
       case _ =>
-        System.err.println("usage: ScalingBench gen <outDir> [srcDir] | run <dir>...")
+        System.err.println(
+          "usage: ScalingBench gen <outDir> [srcDir] | run <dir>... | skew [n]")
         sys.exit(2)
     }
     spark.stop()

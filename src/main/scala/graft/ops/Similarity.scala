@@ -373,6 +373,38 @@ object Similarity {
       .select(col("query_id"), col("q_emb"), col("__probe.cell").as("cell"))
   }
 
+  /** Quantized-store row projection: (id, qemb struct<scale,q>, cell) —
+    * the persisted form of the 100 TB serving index. Quantize and cell
+    * assignment are both map-side (no shuffle); the cell is assigned on
+    * the DEQUANTIZED vector, the same expression the serve path uses, so
+    * a store built here and a corpus assigned at serve time can never
+    * disagree. This is also the streaming ingest projection
+    * (streaming.IndexStreams folds each micro-batch of new embeddings
+    * through it into an epoch-versioned store).
+    */
+  def ivfQuantizedStoreRows(vecs: DataFrame,
+      cents: Array[Array[Float]]): DataFrame =
+    quantizeCorpus(vecs)
+      .withColumn("cell",
+        org.apache.spark.sql.graft.VectorColumns.ivfCell(
+          graft.functions.vectors.dequantize(col("qemb")),
+          cents.flatten, cents.length))
+
+  /** Serve top-k from a PERSISTED quantized store (rows from
+    * [[ivfQuantizedStoreRows]]): the stored cell replaces the on-the-fly
+    * assignment — the scan inside probed cells reads (id, qemb, cell)
+    * only, dequantizes, and feeds the shared bounded-heap tail. Because
+    * the stored cell was assigned by the same expression
+    * [[ivfFlatKnnQuantized]] applies, results are IDENTICAL to assigning
+    * at serve time (pinned in CorpusStreamSpec via the streamed store).
+    */
+  def ivfKnnFromStore(store: DataFrame, queries: DataFrame,
+      cents: Array[Array[Float]], k: Int, nProbe: Int): DataFrame =
+    topkServe(
+      store.withColumn("__emb", graft.functions.vectors.dequantize(col("qemb")))
+        .join(broadcast(probeCells(queries, cents, nProbe)), "cell"),
+      cosineSim(col("q_emb"), col("__emb")), k)
+
   /** Shared IVF serve over any corpus-side embedding EXPRESSION (float
     * column or on-the-fly dequantize) — one definition, so the float and
     * quantized paths cannot drift.

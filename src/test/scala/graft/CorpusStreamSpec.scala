@@ -187,6 +187,74 @@ class CorpusStreamSpec extends SparkSpecBase {
         s"batch-only=${once.toSet -- streamed.toSet}")
   }
 
+  test("streaming IVF ingest: folded store equals batch store, serving equals the batch serve") {
+    import graft.ops.Similarity
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val c = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val hist = c.filter(col("id") % 5 =!= 4)
+    // the frozen coarse quantizer: trained offline, exactly as the
+    // registered q_ann_ivf_quantized trains it (same params → same model)
+    val cents = Similarity.trainCentroids(c,
+      Similarity.cellsFor(c.count()), iters = 2)
+    // "yesterday's" base store
+    val baseDir = Files.createTempDirectory("graft-ivf-base").resolve("s").toString
+    graft.sources.Datalake.writeParquet(
+      Similarity.ivfQuantizedStoreRows(hist, cents), baseDir)
+    // today's embeddings arrive as TWO drops → two stateless epoch folds
+    def land(df: DataFrame, dir: java.nio.file.Path, name: String): Unit = {
+      val stage = Files.createTempDirectory("graft-ivf-stage").resolve("out")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, dir.resolve(name))
+    }
+    val dropDir = Files.createTempDirectory("graft-ivf-drops")
+    val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    land(src.filter(col("vec_id") % 5 === 4 && col("vec_id") % 2 === 0),
+      dropDir, "drop1.parquet")
+    land(src.filter(col("vec_id") % 5 === 4 && col("vec_id") % 2 === 1),
+      dropDir, "drop2.parquet")
+    val incDir = Files.createTempDirectory("graft-ivf-inc").toString
+    val q = graft.streaming.IndexStreams.ivfStoreStream(
+      CorpusStreams.readDocFiles(spark, dropDir.toString, embSchema, 1)
+        .select(col("vec_id").as("id"), col("embedding").as("emb")),
+      cents, incDir,
+      Files.createTempDirectory("graft-ivf-ckpt").toString)
+    try {
+      assert(q.awaitTermination(120000),
+        "AvailableNow query did not drain the drops in 120s")
+    } finally if (q.isActive) q.stop()
+    // store equality: base + streamed increments == one batch build over
+    // the full corpus, row for row (cell assignment AND quantized bytes)
+    def storeSet(df: DataFrame) = df
+      .select(col("id"), col("cell"), col("qemb.scale"), hex(col("qemb.q")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getFloat(2), r.getString(3)))
+      .toSet
+    val live = graft.streaming.IndexStreams.liveStore(
+      spark, spark.read.parquet(baseDir), incDir)
+    val streamedStore = storeSet(live)
+    val batchStore = storeSet(Similarity.ivfQuantizedStoreRows(c, cents))
+    assert(streamedStore === batchStore,
+      s"stream-only=${(streamedStore -- batchStore).take(3)}, " +
+        s"batch-only=${(batchStore -- streamedStore).take(3)}")
+    // serving equality: top-k from the streamed store (stored cells)
+    // equals the on-the-fly quantized serve the registered
+    // q_ann_ivf_quantized runs — whose DuckDB oracle re-proves it exact
+    // every round
+    val queries = c.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    def served(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(
+      served(Similarity.ivfKnnFromStore(live, queries, cents, k = 5, nProbe = 4)) ===
+        served(Similarity.ivfFlatKnnQuantized(Similarity.quantizeCorpus(c),
+          queries, cents, k = 5, nProbe = 4)),
+      "serving from the streamed store must equal the batch quantized serve")
+  }
+
   test("cluster fold replay is idempotent: re-running an epoch lands on identical stores") {
     import graft.ops.{Components, Similarity}
     val c = spark.read.parquet(s"$sfDir/embeddings.parquet")
