@@ -110,6 +110,10 @@ object SparkEntry {
     "q_sample_reservoir" -> (CorpusQueries.qSampleReservoir _),
     "q_rolling_time" -> (EventQueries.qRollingTime _),
     "q_quality_report" -> (Relational.qQualityReport _),
+    "q_concurrency" -> (EventQueries.qConcurrency _),
+    "q_mv_incremental" -> (DatalakeQueries.qMvIncremental _),
+    "q_bfs_distance" -> (GraphQueries.qBfsDistance _),
+    "q_setjoin_prefix" -> (SimilarityQueries.qSetjoinPrefix _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -602,6 +606,25 @@ object SparkEntry {
   private def staticOracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,
     "q_pagerank" -> pagerankOracle(5),
+    // BFS distances: min hop count over paths of <= 6 hops via recursive
+    // CTE — integer arithmetic, exact in both engines; same edge CTE as
+    // the pagerank oracle, source = lowest-keyed supplier node
+    "q_bfs_distance" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |s0 AS (SELECT MIN(s_suppkey)*2+1 AS n FROM supplier),
+        |reach(node, d) AS (
+        |  SELECT n, 0 FROM s0
+        |  UNION
+        |  SELECT e.dst, reach.d + 1 FROM reach JOIN e ON reach.node = e.src
+        |  WHERE reach.d < 6)
+        |SELECT node,
+        |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        |  node >> 1 AS entity_key, CAST(MIN(d) AS BIGINT) AS dist
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
     // two-phase curriculum enumeration == ONE window ordered globally by
     // (tier, subbucket, key, doc_id) — the same replay shape as
     // q_shard_shuffle; quality fragment = the proven q_quality_score CTE
@@ -1335,6 +1358,26 @@ object SparkEntry {
         |GROUP BY a.doc_id, b.doc_id, a.n, b.n
         |HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.03
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // prefix-filter completeness proof: the oracle is the FULL exact
+    // Jaccard join (no prefix filter) — hash equality every round means
+    // the prefix candidate set missed nothing. Jaccard emitted as the
+    // same single double division of exact integers on both sides.
+    "q_setjoin_prefix" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(1, len(ws) - 2),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS sg
+        |  FROM w),
+        |p AS (SELECT doc_id, len(sg) AS n, unnest(sg) AS s FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) AS jaccard
+        |FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        |HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // ExactSubstr span replay: positioned word-8-gram md5-lane hashes
     // (md5_number_lower = TextSketch.shingleLanes' lower lane), canonical
     // occurrence = min packed (doc_id*2^20 + pos), flagged positions merged
@@ -1895,6 +1938,33 @@ object SparkEntry {
         |SELECT g AS event_type, p50_est, p95_est,
         |  CAST(n AS BIGINT) AS n_rows
         |FROM hq ORDER BY event_type""".stripMargin,
+    // sweep-line concurrency: closed-open [s, s+30min) intervals, boundary
+    // rows combined per (type, t), running sum = count(start<=t)-count(end<=t)
+    // — equal-timestamp order can't matter, so both engines agree exactly
+    "q_concurrency" ->
+      """WITH iv AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS s,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS en FROM events),
+        |b AS (SELECT event_type, s AS t, 1 AS d FROM iv
+        |  UNION ALL SELECT event_type, en, -1 FROM iv),
+        |g AS (SELECT event_type, t, SUM(d) AS net FROM b GROUP BY 1, 2),
+        |r AS (SELECT event_type, t,
+        |    SUM(net) OVER (PARTITION BY event_type ORDER BY t) AS active
+        |  FROM g),
+        |m AS (SELECT event_type, MAX(active) AS mx FROM r GROUP BY 1),
+        |base AS (SELECT event_type, COUNT(*) AS n_intervals
+        |  FROM events GROUP BY 1)
+        |SELECT base.event_type, n_intervals,
+        |  CAST(m.mx AS BIGINT) AS max_concurrent, MIN(r.t) AS peak_ts
+        |FROM base JOIN m USING (event_type) JOIN r USING (event_type)
+        |WHERE r.active = m.mx
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // incremental == full recompute: the oracle is the ONE-PASS aggregate,
+    // so the driver re-proves the store+delta merge exact every round
+    "q_mv_incremental" ->
+      """SELECT o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // SCD2 windows: change rows by null-safe lag compare, intervals by
     // lead, versions by row_number — all over (ts, event_id) per user
     "q_scd2_history" ->

@@ -153,6 +153,57 @@ object Graph {
     ranks
   }
 
+  /** Multi-source BFS hop distances over a directed edge list: dist(v) =
+    * minimum hops from any row of `sources` (node), bounded by `maxHops`.
+    * Nodes unreachable within the bound are absent from the result.
+    *
+    * Plan shape per round: ONE equi-join of the edge list with the
+    * current distance table plus ONE groupBy-min — the min-label
+    * propagation skeleton of ops.Components with labels = distances.
+    * Distances only decrease and the reached set only grows, so the
+    * (reached count, exact Σdist) pair is a monotone convergence witness:
+    * equality across a round means fixpoint, and the loop stops early on
+    * graphs whose diameter is under the bound. Each round checkpoints
+    * through ops.Checkpoints (local or lake-backed reliable mode) and
+    * releases its predecessor. A production variant on a deep graph would
+    * propagate only the FRONTIER (nodes whose distance changed last
+    * round) — per-round join cost drops from O(reached) to O(frontier);
+    * the union-min form here keeps the plan identical to the components
+    * fixpoint and is what the recursive-CTE oracle replays exactly.
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    import org.apache.spark.sql.types.DecimalType
+    val ed = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = Checkpoints.checkpoint(
+      sources.select(col("node"), lit(0L).as("dist")))
+    def witness(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("dist").cast(DecimalType(38, 0)))).head()
+      (r.getLong(0), String.valueOf(r.getDecimal(1)))
+    }
+    var prev = witness(dist)
+    var hops = 0
+    var converged = prev._1 == 0L // empty source set: nothing to propagate
+    while (!converged && hops < maxHops) {
+      val nbr = ed.join(dist, ed("src") === dist("node"))
+        .select(ed("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
+      val next = Checkpoints.checkpoint(
+        dist.unionByName(nbr)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      val cur = witness(next)
+      Checkpoints.release(dist)
+      dist = next
+      converged = cur == prev
+      prev = cur
+      hops += 1
+    }
+    ed.unpersist(blocking = true)
+    dist
+  }
+
   /** Per-node triangle counts over an undirected graph, by degree-ordered
     * edge orientation ("compact-forward", Latapy 2008; the MapReduce form
     * is Suri & Vassilvitskii 2011's "Counting triangles and the curse of

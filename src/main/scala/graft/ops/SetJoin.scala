@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity join by prefix filtering (the PPJoin family —
+  * Chaudhuri et al. 2006 "A primitive operator for similarity joins",
+  * Xiao et al. 2008): all document pairs whose shingle-set Jaccard is
+  * ≥ τ, with NO approximation — the candidate set provably contains
+  * every qualifying pair.
+  *
+  * Why this matters next to the sketch families: minhash/simhash/LSH
+  * trade recall for speed; this operator shows the EXACT high-τ join
+  * also has a sublinear scale path. Order every document's shingles by
+  * ascending global document frequency (rarest first); a document of
+  * set size s indexes only its first p = s − ⌈τ·s⌉ + 1 shingles (its
+  * "prefix"). Completeness: for a qualifying pair (J ≥ τ implies, with
+  * the length filter τ·max(sa,sb) ≤ min(sa,sb), overlap ≥ ⌈τ·sa⌉): if
+  * the globally-smallest common shingle t sat outside A's prefix, all
+  * p shingles before it would be A-only, capping the overlap at
+  * sa − p = ⌈τ·sa⌉ − 1 — contradiction. So t lies in BOTH prefixes and
+  * the prefix-shingle equi-join finds the pair. Rare-first ordering
+  * makes prefix postings the LOW-df shingles, so candidate join mass is
+  * a small fraction of the full inverted index (measured in Round8Spec;
+  * the driver oracle — a full exact Jaccard join in DuckDB — re-proves
+  * completeness empirically every round).
+  *
+  * τ is a RATIONAL num/den so every prefix length and length-filter
+  * bound is exact integer arithmetic — no float-boundary ⌈⌉ drift
+  * between prefix sizing and the verification threshold.
+  *
+  * Plan shape: shingle+hash one codegen pass (the ngram kernel); ONE
+  * shingle-keyed shuffle serves the df window and the prefix equi-join;
+  * one doc-keyed window ranks shingles rarest-first; candidates verify
+  * with an exact intersection count restricted to the candidate set —
+  * work ∝ candidates × set size, never n². At 100 TB hot shingles are
+  * AQE-split like any bucketed family.
+  */
+object SetJoin {
+
+  /** Exact Jaccard ≥ tauNum/tauDen pairs over word-3-gram shingle sets.
+    * Returns (doc_a, doc_b, jaccard). */
+  def prefixJaccardPairs(df: DataFrame, id: Column, text: Column,
+      tauNum: Int, tauDen: Int): DataFrame =
+    core(df, id, text, tauNum, tauDen, verify = true)
+
+  /** The CANDIDATE pairs the prefix admits (verification disabled) — the
+    * join-mass evidence for Round8Spec: |prefix candidates| must be well
+    * under the full inverted index's pair count at the same τ.
+    */
+  private[graft] def prefixCandidates(df: DataFrame, id: Column,
+      text: Column, tauNum: Int, tauDen: Int): DataFrame =
+    core(df, id, text, tauNum, tauDen, verify = false)
+
+  private def core(df: DataFrame, id: Column, text: Column,
+      tauNum: Int, tauDen: Int, verify: Boolean): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be in (0, 1]: $tauNum/$tauDen")
+    val postings = df.select(id.as("doc_id"),
+        graft.functions.text.wordShingleHashes(text, 3).as("__sh"))
+      .select(col("doc_id"), size(col("__sh")).cast("long").as("n"),
+        explode(col("__sh")).as("shingle"))
+    // global df per shingle as a count-over-window: one shingle-keyed
+    // shuffle serves both the df and the prefix equi-join below
+    val wDf = Window.partitionBy(col("shingle"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__df"), col("shingle"))
+    val ranked = postings
+      .withColumn("__df", count(lit(1)).over(wDf))
+      .withColumn("__rn", row_number().over(wDoc))
+    // prefix length p = n − ⌈τ·n⌉ + 1, in exact integer arithmetic
+    val ceilTauN = (lit(tauNum.toLong) * col("n") + lit(tauDen.toLong - 1L))
+      .divide(lit(tauDen.toLong)).cast("long")
+    val prefix = ranked.filter(col("__rn") <= col("n") - ceilTauN + lit(1L))
+      .select(col("doc_id"), col("n"), col("shingle"))
+    val a = prefix.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+      col("shingle"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+      col("shingle").as("__shingle_b"))
+    // candidates: shared prefix shingle + the length filter
+    // τ·max ≤ min ⟺ tauNum·n_a ≤ tauDen·n_b ∧ tauNum·n_b ≤ tauDen·n_a
+    val cand = a.join(b, col("shingle") === col("__shingle_b") &&
+        col("doc_a") < col("doc_b") &&
+        lit(tauNum.toLong) * col("n_a") <= lit(tauDen.toLong) * col("n_b") &&
+        lit(tauNum.toLong) * col("n_b") <= lit(tauDen.toLong) * col("n_a"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .distinct()
+    if (!verify) cand.select(col("doc_a"), col("doc_b"))
+    else {
+      // exact intersection count restricted to the candidate set:
+      // cand ⋈ A-postings on doc_a, then ⋈ B-postings on the COMPOSITE
+      // (doc_b, shingle) key — the shingle must be part of the join key,
+      // or the per-pair cost would be n_a × n_b instead of the match count
+      val ta = postings.select(col("doc_id").as("doc_a"), col("shingle"))
+      val tb = postings.select(col("doc_id").as("__db"),
+        col("shingle").as("__sb"))
+      cand.join(ta, "doc_a")
+        .join(tb, col("doc_b") === col("__db") &&
+          col("shingle") === col("__sb"))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("__inter"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("__inter").cast("double") /
+            (col("n_a") + col("n_b") - col("__inter"))).as("jaccard"))
+        .filter(col("jaccard") >= lit(tauNum.toDouble / tauDen))
+    }
+  }
+}

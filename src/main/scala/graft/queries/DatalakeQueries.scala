@@ -286,4 +286,45 @@ object DatalakeQueries {
         countDistinct(col("user_id")).as("n_users"),
         sum(col("value_clean").cast(DecimalType(18, 2)))
           .cast("double").as("total_value"))
+
+  /** Incremental MATERIALIZED-VIEW maintenance (round 8) — the warehouse
+    * shape every daily pipeline runs: a persisted aggregate view (daily
+    * order revenue) is maintained by folding ONLY the day's delta, never
+    * rescanning the base. "Yesterday's" job aggregates history
+    * (o_orderkey % 5 ≠ 4 — the qDedupIncremental generation split) and
+    * persists the view in the lake's usage layer; "today's" job
+    * aggregates the delta alone and MERGES the two pre-aggregated tables
+    * by key (union → re-aggregate: shuffled rows = |store keys| +
+    * |delta keys|, never base rows; at scale the store is written
+    * bucketed on the key so only the delta moves). Sums stay in the
+    * exact decimal domain through BOTH aggregation levels — decimal
+    * addition is associative, so (hist-sum + delta-sum) equals the
+    * one-pass sum bit-for-bit — and the final projection casts to
+    * DOUBLE once.
+    *
+    * The ORACLE is the full recompute over all orders: the driver
+    * hash-compare re-proves incremental == from-scratch on every round
+    * (the q_dedup_clusters_incremental contract, applied to aggregates).
+    */
+  def qMvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val o = Tables.orders(spark, dir)
+    val hist = o.filter(col("o_orderkey") % 5 =!= 4)
+    val delta = o.filter(col("o_orderkey") % 5 === 4)
+    def view(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderdate"))
+        .agg(decSum2(col("o_totalprice")).as("rev"),
+          count(lit(1)).as("n_orders"))
+    val root = tempLakeRoot()
+    val storePath = Datalake.path(root, Datalake.Usage, "mv", "daily_revenue")
+    Datalake.writeParquet(view(hist), storePath)
+    spark.read.parquet(storePath)
+      .unionByName(view(delta))
+      .groupBy(col("o_orderdate"))
+      .agg(sum(col("rev")).as("rev"),
+        sum(col("n_orders")).cast("long").as("n_orders"))
+      .select(col("o_orderdate"), col("rev").cast("double").as("revenue"),
+        col("n_orders"))
+      .orderBy(col("o_orderdate"))
+  }
 }

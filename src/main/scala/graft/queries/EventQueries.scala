@@ -242,4 +242,42 @@ object EventQueries {
         col("valid_from"), col("valid_to"),
         col("version").cast("long").as("version"), col("is_current"))
       .orderBy(col("user_id"), col("version"))
+
+  /** Interval concurrency profile by SWEEP-LINE (round 8): each event
+    * opens a 30-minute activity interval [ts, ts+30min); the query finds
+    * the peak number of simultaneously open intervals per event type and
+    * when it first occurs — the "max concurrent sessions" question every
+    * capacity dashboard asks, answered without materializing any
+    * point-in-time state. Plan: each interval emits two boundary rows
+    * (+1 at start, −1 at end), boundaries combine per (type, timestamp)
+    * map-side, and ONE type-keyed window computes the running active
+    * count — concurrency at t is exactly count(start ≤ t) − count(end ≤
+    * t) under the closed-open convention, so equal-timestamp ordering
+    * can't introduce nondeterminism. Both window passes (running sum,
+    * max) share the one exchange. At 100 TB: 2 boundary rows per event,
+    * partial-aggregated to ≤ distinct timestamps per type before the
+    * shuffle; the window runs over boundary rows, never events.
+    */
+  def qConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val iv = e.select(col("event_type"), col("ts").as("s"),
+      (col("ts") + expr("INTERVAL 30 MINUTES")).as("en"))
+    val bounds = iv.select(col("event_type"), col("s").as("t"), lit(1L).as("d"))
+      .unionByName(iv.select(col("event_type"), col("en").as("t"),
+        lit(-1L).as("d")))
+      .groupBy(col("event_type"), col("t"))
+      .agg(sum(col("d")).as("net"))
+    val byType = Window.partitionBy(col("event_type"))
+    val run = bounds
+      .withColumn("active", sum(col("net")).over(byType.orderBy(col("t"))))
+      .withColumn("mx", max(col("active")).over(byType))
+    val peaks = run.filter(col("active") === col("mx"))
+      .groupBy(col("event_type"))
+      .agg(max(col("mx")).as("max_concurrent"), min(col("t")).as("peak_ts"))
+    e.groupBy(col("event_type")).agg(count(lit(1)).as("n_intervals"))
+      .join(peaks, "event_type")
+      .select(col("event_type"), col("n_intervals"), col("max_concurrent"),
+        col("peak_ts"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -39,6 +39,39 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  /** BFS hop distances from the lowest-keyed supplier over the bidirected
+    * trade graph (round 8) — "how far is every entity from this anchor",
+    * the reachability question underneath influence radius, blast-radius
+    * and fraud-ring analyses. The graph is bipartite
+    * (customer ↔ supplier), so distances alternate parity: suppliers sit
+    * at even hops, customers at odd. Source resolved as a bounded
+    * 1-value model step; the propagation is ops.Graph.bfsDistances
+    * (join + groupBy-min per round, early-converging, checkpointed).
+    * Oracle: recursive CTE over the same edge construction — min d per
+    * node over paths of ≤ maxHops hops, exact in both engines since hop
+    * counts are integers.
+    */
+  def qBfsDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e0 = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    val srcNode = Tables.supplier(spark, dir)
+      .agg(min(col("s_suppkey"))).head().getLong(0) * 2 + 1
+    Graph.bfsDistances(edges, Seq(srcNode).toDF("node"), maxHops = 6)
+      .select(col("node"),
+        when(col("node") % 2 === 0, "customer").otherwise("supplier")
+          .as("kind"),
+        shiftright(col("node"), 1).as("entity_key"),
+        col("dist"))
+      .orderBy(col("node"))
+  }
+
   /** Per-part triangle counts over the co-purchase graph. The graph is the
     * scale-robust kNN form of co-occurrence: edge strength = how many
     * orders contain both parts, each part keeps its top-8 strongest

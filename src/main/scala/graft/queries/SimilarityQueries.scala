@@ -427,4 +427,20 @@ object SimilarityQueries {
         col("doc_id"), col("text"), minJaccard = 0.03)
       .select(col("doc_a"), col("doc_b"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** EXACT high-τ set-similarity join via PREFIX FILTERING (round 8,
+    * ops.SetJoin — the PPJoin family): every pair at 3-gram Jaccard
+    * ≥ 1/2, provably complete, with only each document's rarest
+    * p = n − ⌈n/2⌉ + 1 shingles indexed. The contrast row to the sketch
+    * families: where minhash/LSH buy speed with recall, the exact high-τ
+    * join has its own sublinear path — and where the dense-vector
+    * q_embed_neardup must stay a guarded brute force (no lossless
+    * blocking exists for cosine), SET similarity admits one. The oracle
+    * is the FULL exact Jaccard join in DuckDB, so the driver hash-check
+    * re-proves the prefix filter's completeness on every round.
+    */
+  def qSetjoinPrefix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SetJoin.prefixJaccardPairs(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), tauNum = 1, tauDen = 2)
+      .orderBy(col("doc_a"), col("doc_b"))
 }
