@@ -25,15 +25,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanos timestamp
-    * type, so the session reads it as a nanos long
-    * (spark.sql.legacy.parquet.nanosAsLong) and we truncate to microseconds
-    * here, matching DuckDB's TIMESTAMP_NS→TIMESTAMP cast.
+  /** events.ts has shipped in two parquet encodings across driver data drops:
+    * TIMESTAMP(NANOS) — which Spark can only read as a nanos long via
+    * spark.sql.legacy.parquet.nanosAsLong — and TIMESTAMP(MICROS, NTZ).
+    * Branch on the arrived type and normalize both to a session-zone
+    * TimestampType column (session tz is pinned to UTC, so the wall-clock
+    * values match DuckDB's naive TIMESTAMP either way).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(load(s, d, "events"))
+
+  /** Normalize an events-shaped frame's `ts` column to TimestampType from
+    * whichever encoding it arrived in (nanos long / NTZ micros / already
+    * session-zone). Shared by the batch loader and the streaming specs.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -80,8 +80,7 @@ class CorpusSpec extends SparkSpecBase {
       .orderBy("user_id").limit(1).collect().head.getLong(0)
     val rows = graft.queries.EventQueries.qRollingFeatures(spark, sfDir)
       .filter(col("user_id") === uid).orderBy(col("event_id")).collect()
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = graft.sources.Tables.events(spark, sfDir)
       .filter(col("user_id") === uid)
       // sort on raw MICROS, not Timestamp.getTime (millis) — sub-milli ties
       // would order differently from the query's microsecond window order

@@ -20,7 +20,13 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _
 
   override def beforeAll(): Unit = {
-    prior = SparkSession.getDefaultSession
+    // Initialize the shared suite session FIRST: suites run in parallel, and
+    // if this suite's extension session (built without the nanosAsLong read
+    // conf) exists when TestSession's lazy getOrCreate fires, it gets captured
+    // as the shared session and every events-table suite fails on
+    // TIMESTAMP_NTZ columns. Forcing the lazy val here makes the order
+    // deterministic.
+    prior = Some(TestSession.spark)
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
     spark = SparkSession.builder()
@@ -28,6 +34,7 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -46,19 +46,17 @@ class FileStreamSpec extends SparkSpecBase {
   }
 
   test("file-source stream of events matches the batch windowed aggregation") {
-    // nanosAsLong session conf → ts arrives as LongType nanos
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // the stream must declare a schema up front — take whatever encoding the
+    // driver's parquet drop uses from a batch read, then normalize ts the
+    // same way the batch loader does
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file source wants a directory of files
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q = EventStreams.windowedCounts(stream)
       .writeStream.format("memory").queryName("fs_wc")
       .outputMode(OutputMode.Complete()).start()

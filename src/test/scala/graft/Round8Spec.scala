@@ -14,10 +14,10 @@ class Round8Spec extends SparkSpecBase {
       .map(r => r.getString(0) -> r).toMap
     // brute force: for every interval start t, count intervals with
     // s <= t < e (peaks occur at starts under the closed-open convention)
-    val iv = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_type"), col("ts"))
+    val iv = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1) / 1000)) // ns → µs
+      .map(r => r.getString(0) -> r.getLong(1))
       .groupBy(_._1).map { case (et, a) =>
         et -> a.map(_._2 ).sorted
       }

@@ -17,6 +17,11 @@ object TestSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
       .getOrCreate()
+    // getOrCreate() can return a session another suite built first (suites run
+    // in parallel); builder configs are then only best-effort. The nanos read
+    // conf is load-bearing for every events-table suite, so pin it on whatever
+    // session we actually got.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.sparkContext.setLogLevel("ERROR")
     s
   }
