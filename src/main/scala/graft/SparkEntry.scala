@@ -114,6 +114,11 @@ object SparkEntry {
     "q_mv_incremental" -> (DatalakeQueries.qMvIncremental _),
     "q_bfs_distance" -> (GraphQueries.qBfsDistance _),
     "q_setjoin_prefix" -> (SimilarityQueries.qSetjoinPrefix _),
+    "q_fuzzy_join" -> (SimilarityQueries.qFuzzyJoin _),
+    "q_table_diff" -> (DatalakeQueries.qTableDiff _),
+    "q_merge_upsert" -> (DatalakeQueries.qMergeUpsert _),
+    "q_markov_transitions" -> (JourneyQueries.qMarkovTransitions _),
+    "q_pmi_collocations" -> (TextQueries.qPmiCollocations _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1378,6 +1383,96 @@ object SparkEntry {
         |GROUP BY a.doc_id, b.doc_id, a.n, b.n
         |HAVING CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the neighborhood join's completeness proof: DuckDB brute-forces
+    // levenshtein over all pairs, Spark only meets candidates that share a
+    // deletion key — a hash mismatch here would mean a missed pair
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |  a.c_name AS name1, b.c_name AS name2,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id1, id2""".stripMargin,
+    // presence markers, not value-null checks; +5.0 is an exact IEEE add
+    // so changed-ness is bit-decidable in both engines
+    "q_table_diff" ->
+      """WITH old AS (SELECT o_orderkey, 1 AS in_old,
+        |    o_totalprice AS old_price
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |new AS (SELECT o_orderkey, 1 AS in_new,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5.0
+        |      ELSE o_totalprice END AS new_price
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+        |    old_price, new_price,
+        |    CASE WHEN in_old IS NULL THEN 'added'
+        |      WHEN in_new IS NULL THEN 'removed'
+        |      WHEN old_price IS DISTINCT FROM new_price THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
+        |SELECT o_orderkey, status, old_price, new_price FROM d
+        |WHERE status <> 'unchanged' ORDER BY o_orderkey""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, 1 AS in_base, o_custkey,
+        |    o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |delta AS (SELECT o_orderkey, 1 AS in_delta,
+        |    o_custkey AS d_custkey, o_totalprice + 10.0 AS d_price,
+        |    'MERGED' AS d_priority
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(base.o_orderkey, delta.o_orderkey) AS o_orderkey,
+        |  COALESCE(d_custkey, o_custkey) AS o_custkey,
+        |  CASE WHEN in_delta IS NOT NULL THEN d_price
+        |    ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN in_delta IS NOT NULL THEN d_priority
+        |    ELSE o_orderpriority END AS o_orderpriority,
+        |  CASE WHEN in_base IS NULL THEN 'inserted'
+        |    WHEN in_delta IS NULL THEN 'kept'
+        |    ELSE 'updated' END AS action
+        |FROM base FULL OUTER JOIN delta ON base.o_orderkey = delta.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // null event types filtered BEFORE the lead window on both sides;
+    // p = int/int in double — no snapping needed
+    "q_markov_transitions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type AS cur_type
+        |  FROM events WHERE event_type IS NOT NULL),
+        |s AS (SELECT cur_type, lead(cur_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM e),
+        |c AS (SELECT cur_type, next_type, COUNT(*) AS n FROM s
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur_type, next_type, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER
+        |    (PARTITION BY cur_type) AS DOUBLE) AS p
+        |FROM c ORDER BY cur_type, next_type""".stripMargin,
+    // same shingling CTE as q_lm_score; marginals are the bigram table's
+    // own left/right totals; ln snapped to the 2^-16 grid
+    "q_pmi_collocations" ->
+      """WITH wr AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |bg AS (SELECT unnest(CASE WHEN len(ws) < 2
+        |    THEN [array_to_string(ws, ' ')]
+        |    ELSE list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i]||' '||ws[i+1]) END) AS g
+        |  FROM wr),
+        |b2 AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+        |  FROM bg WHERE g LIKE '% %'),
+        |cxy AS (SELECT w1, w2, COUNT(*) AS n_xy FROM b2 GROUP BY 1, 2),
+        |cl AS (SELECT w1, CAST(SUM(n_xy) AS BIGINT) AS n_left FROM cxy
+        |  GROUP BY 1),
+        |cr AS (SELECT w2, CAST(SUM(n_xy) AS BIGINT) AS n_right FROM cxy
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS total FROM cxy)
+        |SELECT w1, w2, n_xy,
+        |  floor(ln((CAST(n_xy AS DOUBLE) * CAST(total AS DOUBLE)) /
+        |      (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)))
+        |    * 65536.0) / 65536.0 AS pmi
+        |FROM cxy JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN t
+        |WHERE n_xy >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
     // ExactSubstr span replay: positioned word-8-gram md5-lane hashes
     // (md5_number_lower = TextSketch.shingleLanes' lower lane), canonical
     // occurrence = min packed (doc_id*2^20 + pos), flagged positions merged

@@ -327,4 +327,81 @@ object DatalakeQueries {
         col("n_orders"))
       .orderBy(col("o_orderdate"))
   }
+
+  /** Snapshot table diff (round 8): classify every key as added / removed /
+    * changed between two deterministic snapshots of `orders` (old = keys
+    * not ≡ 0 mod 7; new = keys not ≡ 0 mod 5, with keys ≡ 0 mod 3 price-
+    * bumped by +5.0 — an exact IEEE add, so "changed" is bit-decidable).
+    * ONE co-partitioned full-outer join on the snapshot key; presence is
+    * tracked with explicit marker columns, never by value-null checks, so
+    * rows whose payload is legitimately NULL still classify correctly, and
+    * "changed" uses null-safe inequality (IS DISTINCT FROM).
+    *
+    * Scale: both sides shuffle once on the same key (or not at all when
+    * the snapshots are bucketed by key, the lakehouse layout this models);
+    * unchanged rows — the overwhelming mass in a real diff — are dropped
+    * before the sort. No window, no collect, no skew risk beyond the
+    * key's own distribution.
+    */
+  def qTableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val old = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), lit(1).as("in_old"),
+        col("o_totalprice").as("old_price"))
+    val nu = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"), lit(1).as("in_new"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(5.0))
+          .otherwise(col("o_totalprice")).as("new_price"))
+    // full-outer can't broadcast; without a hint it falls to SortMergeJoin —
+    // the shuffled hash join does the same one-shuffle-per-side without the
+    // two per-partition sorts (registry plans stay SMJ-free)
+    old.join(nu.hint("shuffle_hash"), Seq("o_orderkey"), "full_outer")
+      .withColumn("status",
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(!(col("old_price") <=> col("new_price")), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("o_orderkey"), col("status"), col("old_price"),
+        col("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** MERGE INTO semantics as one full-outer join (round 8): upsert a delta
+    * feed into a base table — matched keys take the delta's values
+    * ("updated"), unmatched delta keys insert ("inserted"), untouched base
+    * rows carry through ("kept"). Base = orders keys not ≡ 0 mod 3; delta
+    * = even keys with price +10.0 and priority 'MERGED'. The classic
+    * lakehouse MERGE is exactly this plan plus a partition-overwrite
+    * write; presence markers (not value nulls) drive the action column so
+    * NULL payloads merge correctly.
+    *
+    * Scale: one shuffle per side on the merge key — and none at all when
+    * base and delta are bucketed by it; delta is typically small, so AQE
+    * broadcasts it and the base table never moves.
+    */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val base = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), lit(1).as("in_base"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+    val delta = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit(1).as("in_delta"),
+        col("o_custkey").as("d_custkey"),
+        (col("o_totalprice") + lit(10.0)).as("d_price"),
+        lit("MERGED").as("d_priority"))
+    // delta is the natural hash build side (small in a real merge); the
+    // hint keeps the full-outer off SortMergeJoin
+    base.join(delta.hint("shuffle_hash"), Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("d_custkey"), col("o_custkey")).as("o_custkey"),
+        when(col("in_delta").isNotNull, col("d_price"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(col("in_delta").isNotNull, col("d_priority"))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"),
+        when(col("in_base").isNull, lit("inserted"))
+          .when(col("in_delta").isNull, lit("kept"))
+          .otherwise(lit("updated")).as("action"))
+      .orderBy(col("o_orderkey"))
+  }
 }

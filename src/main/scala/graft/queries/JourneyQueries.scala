@@ -174,4 +174,33 @@ object JourneyQueries {
         (col("k") - (col("k") % lit(10))).as("k_decade"))
       .orderBy(col("event_id"))
   }
+
+  /** First-order Markov transition matrix over event types (round 8):
+    * P(next | current) per user journey. One `lead` window on the family's
+    * shared user_id partitioning (ordered by ts, event_id — the unique
+    * deterministic order), then a groupBy onto the tiny (#types²)-row
+    * transition table; the row-normalizing total is a second window over
+    * THAT table, so the only corpus-sized exchange is the user_id shuffle
+    * every Journey query already pays (zero with a user_id-bucketed
+    * table). Null event types are filtered before the window on BOTH
+    * engines — a typed transition out of an untyped event is undefined.
+    * p = exact-int / exact-int in double: reduction-order-free, so the
+    * driver hash-checks it without any snapping.
+    */
+  def qMarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur_type"))
+      .withColumn("next_type", lead(col("cur_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = steps.groupBy(col("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("cur_type"))).cast("double"))
+      .orderBy(col("cur_type"), col("next_type"))
+  }
 }

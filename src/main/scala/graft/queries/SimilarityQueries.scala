@@ -443,4 +443,18 @@ object SimilarityQueries {
     graft.ops.SetJoin.prefixJaccardPairs(Tables.documents(spark, dir),
         col("doc_id"), col("text"), tauNum = 1, tauDen = 2)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** SymSpell deletion-neighborhood fuzzy join (round 8, ops.FuzzyJoin):
+    * every customer-name pair at Levenshtein distance ≤ 1 through a keyed
+    * shuffle join on single-deletion variants — complete by construction,
+    * verified by the codegen `levenshtein` built-in. The STRING-distance
+    * sibling of q_setjoin_prefix: edit distance also admits a lossless
+    * sublinear blocking, unlike dense cosine. The oracle is DuckDB's own
+    * brute-force `levenshtein` cross join, so the driver re-proves the
+    * neighborhood argument's completeness on every round.
+    */
+  def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.FuzzyJoin.edit1Pairs(Tables.customer(spark, dir),
+        col("c_custkey"), col("c_name"))
+      .orderBy(col("id1"), col("id2"))
 }

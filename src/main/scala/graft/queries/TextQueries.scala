@@ -270,4 +270,55 @@ object TextQueries {
         "doc_id")
       .withColumnRenamed("media_id", "doc_id")
       .orderBy(col("doc_id"))
+
+  /** PMI collocations (round 8): top-100 word pairs by pointwise mutual
+    * information over adjacent bigrams — the classic collocation-mining
+    * pass of corpus construction (phrase detection à la word2vec's phrase
+    * pass). Self-contained convention: marginals are the bigram table's
+    * own left/right totals, so ONE codegen shingling scan feeds
+    * everything and the whole computation after it runs on the tiny
+    * (distinct-bigram)-sized table. PMI's ln is snapped to the 2^-16 grid
+    * (the q_lm_score discipline) so the score is reduction-order-exact
+    * and the driver hash-checks it; min support n_xy ≥ 5 kills the
+    * noise floor, (pmi DESC, w1, w2) is a total order.
+    *
+    * Scale: corpus scan → (w1,w2) groupBy is the only corpus-sized
+    * exchange; marginals and the 1-row total are aggregates OF the
+    * transition table (vocab-sized), and the top-100 is a TakeOrdered,
+    * never a global sort.
+    */
+  def qPmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(explode(graft.functions.text.wordShingles(col("text"), 2)).as("g"))
+      // wordShingles(_, 2) emits the whole (single-word) text for <2-word
+      // docs — a true bigram always has exactly one space
+      .filter(col("g").contains(" "))
+      .select(substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+    // checkpoint the bigram table: marginals, the 1-row total, AND the main
+    // join all read it — without materialization each subtree re-runs the
+    // corpus scan + shingle + shuffle (4 corpus passes at 100 TB)
+    val cxy = graft.ops.Checkpoints.checkpoint(
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy")))
+    val cl = cxy.groupBy(col("w1")).agg(sum(col("n_xy")).as("n_left"))
+    val cr = cxy.groupBy(col("w2")).agg(sum(col("n_xy")).as("n_right"))
+    val total = cxy.agg(sum(col("n_xy")).as("total"))
+    val res = graft.ops.Checkpoints.checkpoint(
+      cxy.filter(col("n_xy") >= 5)
+        .join(cl, Seq("w1"))
+        .join(cr, Seq("w2"))
+        .crossJoin(broadcast(total))
+        .select(col("w1"), col("w2"), col("n_xy"),
+          (floor(log(
+            (col("n_xy").cast("double") * col("total").cast("double")) /
+              (col("n_left").cast("double") * col("n_right").cast("double")))
+            * lit(65536.0)) / lit(65536.0)).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(100))
+    // the ≤100-row result is materialized — release the working bigram
+    // table now (the q_heavy_hitters discipline: one persistent RDD per
+    // invocation, the result)
+    graft.ops.Checkpoints.release(cxy)
+    res
+  }
 }

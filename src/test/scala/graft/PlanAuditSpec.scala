@@ -190,4 +190,18 @@ class PlanAuditSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("diff/merge full-outer joins stay shuffled-hash, never sort-merge") {
+    // full-outer can't broadcast; without the shuffle_hash hint Spark falls
+    // back to SortMergeJoin — the one join shape banned from the registry
+    Seq[DataFrame](
+      graft.queries.DatalakeQueries.qTableDiff(spark, sfDir),
+      graft.queries.DatalakeQueries.qMergeUpsert(spark, sfDir)
+    ).foreach { df =>
+      val plan = executed(df)
+      assert(plan.contains("ShuffledHashJoin"), s"no hash join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"full-outer fell back to sort-merge:\n$plan")
+    }
+  }
 }
