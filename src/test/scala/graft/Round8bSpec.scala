@@ -129,4 +129,55 @@ class Round8bSpec extends SparkSpecBase {
     val key = rows.map(r => (-r.getDouble(3), r.getString(0), r.getString(1)))
     assert(key.sameElements(key.sorted), "output must be a total order")
   }
+
+  test("co-occurrence: counts and cosine replay from driver-side baskets") {
+    val rows = graft.queries.Relational.qCooccurrence(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val baskets = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val marg = baskets.groupBy(_._2).map { case (p, v) => p -> v.length.toLong }
+    val want = baskets.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(x => x).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 3L)
+    // access by field name: the join order decides the physical column order
+    val byName = rows.map { r =>
+      (r.getAs[Long]("p_a"), r.getAs[Long]("p_b")) ->
+        (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("cosine"))
+    }.toMap
+    assert(byName.keySet === want.keySet,
+      s"missing=${(want.keySet -- byName.keySet).take(5)}, " +
+        s"extra=${(byName.keySet -- want.keySet).take(5)}")
+    byName.foreach { case ((pa, pb), (nab, na, nb, cos)) =>
+      assert(nab === want((pa, pb)))
+      assert(na === marg(pa) && nb === marg(pb))
+      assert(cos === nab.toDouble / math.sqrt(na.toDouble * nb.toDouble))
+    }
+  }
+
+  test("source entropy: snapped-term sum replays from driver-side counts") {
+    val rows = graft.queries.TextQueries.qSourceEntropy(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.toLowerCase.split("\\s+")
+        .map(t => (r.getString(0), t)))
+    val bySource = toks.groupBy(_._1)
+    rows.foreach { r =>
+      val (src, n, v, h) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val counts = bySource(src).groupBy(_._2).map(_._2.length.toLong)
+      assert(n === counts.sum && v === counts.size.toLong)
+      val want = -counts.map { c =>
+        val p = c.toDouble / n.toDouble
+        math.floor(p * math.log(p) * 65536.0) / 65536.0
+      }.sum
+      assert(h === want, s"$src entropy")
+      assert(h >= 0.0 && h <= math.log(v.toDouble) + 1e-4,
+        s"$src entropy $h outside [0, ln vocab]")
+    }
+  }
 }
