@@ -270,6 +270,55 @@ object EventStreams {
       }
   }
 
+  case class TransState(buf: List[Event], lastType: Option[String])
+  case class TransOut(user_id: Long, cur_type: String, next_type: String,
+      ts: Timestamp)
+
+  /** Streaming twin of JourneyQueries.qMarkovTransitions: the per-user
+    * (current → next) event-type transition feed. A transition is
+    * order-DEFINED — "next" means next in event time, not next to arrive —
+    * so arrival-order folding would fabricate transitions that never
+    * happened and lose ones that did. Same discipline as
+    * [[funnelChangelog]]/[[scd2Changelog]]: buffer per user until the
+    * watermark seals an event, fold the ripe prefix in (ts, event_id)
+    * order through O(1) state (the last sealed event type), and emit one
+    * row per consumed transition — exactly once and final, since nothing
+    * older than the watermark can arrive to change what "next" was. The
+    * transition MATRIX is then a plain count aggregate of this changelog
+    * (q_markov_transitions' groupBy), maintained incrementally by any
+    * downstream sink; null event types are dropped up front, mirroring
+    * the batch filter (a typed transition out of an untyped event is
+    * undefined).
+    */
+  def transitionChangelog(events: Dataset[Event],
+      watermarkDelay: String = "1 hour"): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.event_type != null)
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[TransState]) =>
+          val prev = state.getOption.getOrElse(TransState(Nil, None))
+          val wm = state.getCurrentWatermarkMs
+          val buffered =
+            if (state.hasTimedOut) prev.buf
+            else evs.toList ::: prev.buf
+          val (ripe, rest) = buffered.partition(_.ts.getTime < wm)
+          var last = prev.lastType
+          val out = List.newBuilder[TransOut]
+          ripe.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+            last.foreach(l => out += TransOut(userId, l, e.event_type, e.ts))
+            last = Some(e.event_type)
+          }
+          state.update(TransState(rest, last))
+          if (rest.nonEmpty || !state.hasTimedOut)
+            state.setTimeoutTimestamp(wm + 1)
+          out.result().iterator
+      }
+  }
+
   case class RetentionState(buf: List[Event], cohortDay: Option[Long])
   case class RetentionActivity(user_id: Long, cohort_day: java.time.LocalDate,
       day: java.time.LocalDate, day_offset: Long)

@@ -212,6 +212,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming transition changelog converges to the batch Markov counts under out-of-order delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val shifted = disorderedChunks(all, seed = 21)
+    val input = MemoryStream[Event]
+    val q = EventStreams.transitionChangelog(input.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      shifted.foreach { c => input.addData(c); q.processAllAvailable() }
+      // advance the watermark past every real event so the tail folds
+      input.addData(Event(Long.MaxValue,
+        new Timestamp(all.last.ts.getTime + 3L * 3600L * 1000), -1L, "view", 0.0))
+      q.processAllAvailable()
+      // each transition is emitted exactly once -> the matrix is a plain
+      // count aggregate of the changelog
+      val stream = spark.sql(
+        """SELECT cur_type, next_type, COUNT(*) AS n FROM transitions
+          |WHERE user_id >= 0 GROUP BY 1, 2""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.queries.JourneyQueries.qMarkovTransitions(spark, sfDir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(stream === batch,
+        s"matrix mismatch: stream-only=${stream.toSet -- batch.toSet}, " +
+          s"batch-only=${batch.toSet -- stream.toSet}")
+    } finally q.stop()
+  }
+
   test("streaming retention activity converges to the batch cohort matrix under out-of-order delivery") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
