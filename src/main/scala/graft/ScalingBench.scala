@@ -206,13 +206,29 @@ object ScalingBench {
         prevAdvisory.fold(spark.conf.unset(aqeAdvisoryKey))(
           spark.conf.set(aqeAdvisoryKey, _))
       }
+      // TaskEnd events arrive on the ASYNC listener bus — a save() can
+      // return while its events are still queued, so both the clear and
+      // the read must wait for quiescence or warm-pass stragglers
+      // contaminate the measured buffer / measured tasks go missing.
+      // There is no public drain API; poll until the buffer stops growing.
+      def drained(): Unit = {
+        var prev = -1L
+        var spins = 0
+        while (prev != durations.size.toLong && spins < 50) {
+          prev = durations.size.toLong
+          Thread.sleep(100)
+          spins += 1
+        }
+      }
       // warm pass compiles codegen; measured pass starts with a clean
       // task-duration buffer
       df.write.format("noop").mode("overwrite").save()
+      drained()
       durations.clear()
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
+      drained()
       val ds = durations.toArray(Array.empty[java.lang.Long])
         .map(_.longValue).sorted
       val p50 = if (ds.nonEmpty) ds(ds.length / 2) else 0L

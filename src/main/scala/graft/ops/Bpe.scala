@@ -62,9 +62,11 @@ object Bpe {
     */
   def train(wordCounts: DataFrame, nMerges: Int): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    var reps = wordCounts
-      .select(col("word"), wrapExpr(col("word")).as("rep"), col("wn"))
-      .localCheckpoint()
+    // Checkpoints.checkpoint, not bare localCheckpoint: the one-switch
+    // reliable-mode contract (spark.graft.checkpointDir) must cover every
+    // iterative operator, BPE training included
+    var reps = Checkpoints.checkpoint(wordCounts
+      .select(col("word"), wrapExpr(col("word")).as("rep"), col("wn")))
     val merges = ListBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
@@ -81,8 +83,8 @@ object Bpe {
         val Array(a, b) = best(0).getAs[String]("p").split(Sep)
         merges += ((a, b))
         val prev = reps
-        reps = reps.withColumn("rep", mergeExpr(col("rep"), a, b))
-          .localCheckpoint()
+        reps = Checkpoints.checkpoint(
+          reps.withColumn("rep", mergeExpr(col("rep"), a, b)))
         Checkpoints.release(prev) // superseded checkpoint — the Components discipline
       }
     }

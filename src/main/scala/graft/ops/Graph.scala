@@ -97,8 +97,11 @@ object Graph {
     val nd = nodes.count()
     val nSrc = ed.select(col("src")).distinct().count()
     val hasDangling = nSrc < nd
+    // read dst THROUGH the persisted ed (the deg inner join keeps every
+    // edge row) — the raw `edges` plan can be a full upstream derivation
+    // and re-scanning it here would pay one extra corpus pass per call
     val needNodeJoin = hasDangling ||
-      edges.select(col("dst")).distinct().count() < nd
+      ed.select(col("dst")).distinct().count() < nd
     // static sink set for the per-iteration dangling aggregate
     val sinks =
       if (hasDangling)

@@ -83,7 +83,13 @@ object Multimodal {
     */
   private[graft] def decodeImageFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
     if (!isPng(bytes) && !isJpeg(bytes)) return None
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // a payload can pass the magic sniff and still be undecodable (truncated
+    // IDAT, CMYK JPEG the JDK reader rejects) — ImageIO then THROWS rather
+    // than returning null; the never-throw fallback contract means that too
+    // must become a stub fallback, not a task failure
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
     if (img == null) return None
     val ras = img.getRaster
     val w = img.getWidth

@@ -57,10 +57,16 @@ object SetJoin {
       tauNum: Int, tauDen: Int, verify: Boolean): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be in (0, 1]: $tauNum/$tauDen")
-    val postings = df.select(id.as("doc_id"),
-        graft.functions.text.wordShingleHashes(text, 3).as("__sh"))
-      .select(col("doc_id"), size(col("__sh")).cast("long").as("n"),
-        explode(col("__sh")).as("shingle"))
+    // checkpoint the postings: ranked/prefix AND the verify path's ta/tb
+    // all read them — without materialization each subtree re-runs the
+    // corpus scan + shingle + hash (~4 corpus passes at 100 TB), breaking
+    // the one-codegen-pass claim above. Released after the (small) result
+    // materializes, the q_pmi_collocations discipline.
+    val postings = graft.ops.Checkpoints.checkpoint(
+      df.select(id.as("doc_id"),
+          graft.functions.text.wordShingleHashes(text, 3).as("__sh"))
+        .select(col("doc_id"), size(col("__sh")).cast("long").as("n"),
+          explode(col("__sh")).as("shingle")))
     // global df per shingle as a count-over-window: one shingle-keyed
     // shuffle serves both the df and the prefix equi-join below
     val wDf = Window.partitionBy(col("shingle"))
@@ -86,7 +92,7 @@ object SetJoin {
         lit(tauNum.toLong) * col("n_b") <= lit(tauDen.toLong) * col("n_a"))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .distinct()
-    if (!verify) cand.select(col("doc_a"), col("doc_b"))
+    val result = if (!verify) cand.select(col("doc_a"), col("doc_b"))
     else {
       // exact intersection count restricted to the candidate set:
       // cand ⋈ A-postings on doc_a, then ⋈ B-postings on the COMPOSITE
@@ -105,5 +111,10 @@ object SetJoin {
             (col("n_a") + col("n_b") - col("__inter"))).as("jaccard"))
         .filter(col("jaccard") >= lit(tauNum.toDouble / tauDen))
     }
+    // materialize the (threshold-pruned, small) result, then release the
+    // corpus-sized postings — one persistent RDD per invocation survives
+    val res = graft.ops.Checkpoints.checkpoint(result)
+    graft.ops.Checkpoints.release(postings)
+    res
   }
 }

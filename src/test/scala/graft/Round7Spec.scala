@@ -163,7 +163,9 @@ class Round7Spec extends SparkSpecBase {
       col("l_orderkey").cast("string"), bits, 1 << 17, "bloom_pass")
     val plan = member.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    bits.unpersist()
+    // Dataset.unpersist is a silent no-op for checkpoint-backed frames
+    // (blocks live at the RDD level) — release the backing RDD properly
+    graft.ops.Checkpoints.release(bits)
     assert(!plan.contains("SortMergeJoin") &&
         !plan.contains("ShuffledHashJoin"),
       "membership tests must stay broadcast, never a shuffled join")
