@@ -58,6 +58,22 @@ object Sketches {
       .groupBy(col("lane"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Build the sketch from PRE-AGGREGATED (item, count) rows: identical
+    * counters by CMS linearity (the sum over occurrences equals the sum
+    * over distinct items weighted by their counts), but the input is the
+    * vocab-sized count table instead of the corpus-sized occurrence
+    * stream — so a caller that already aggregates exact counts (heavy
+    * hitters) shares ONE corpus scan between the exact side and the
+    * sketch instead of paying a second one.
+    */
+  def cmsBuildWeighted(counts: DataFrame, item: Column, weight: Column,
+      width: Int): DataFrame =
+    counts
+      .select(weight.as("__w"),
+        posexplode(buckets(item, width)).as(Seq("lane", "bucket")))
+      .groupBy(col("lane"), col("bucket"))
+      .agg(sum(col("__w")).as("cnt"))
+
   /** Point-frequency estimates for `queries` (one row per distinct item in
     * column `item`): min over the item's d counters. The sketch side is
     * tiny (≤ Depth × width rows) and broadcasts; estimates never

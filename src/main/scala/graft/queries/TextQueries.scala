@@ -220,26 +220,25 @@ object TextQueries {
     val toks = Tables.documents(spark, dir)
       .select(explode(graft.functions.text.wordShingles(col("text"), 1))
         .as("t"))
-    val cms = Sketches.cmsBuild(toks, col("t"), width = 1024)
-    // the exact top-20 (a full-scan aggregation + total sort) feeds BOTH
-    // the output's left side and the estimate's query set — checkpoint the
-    // 20 rows so the corpus is scanned once for the sketch and once for
-    // the exact side, never a third time
-    val exact = toks.groupBy(col("t"))
-      .agg(count(lit(1)).as("exact_cnt"))
+    // ONE corpus scan: the exact per-token counts feed the top-20 exact
+    // side AND (by CMS linearity, cmsBuildWeighted) the sketch counters —
+    // the occurrence-stream build would re-scan the corpus for the same
+    // cells. The vocab-sized count table is checkpointed and released
+    // after the 20-row result materializes.
+    val counts = graft.ops.Checkpoints.checkpoint(
+      toks.groupBy(col("t")).agg(count(lit(1)).as("exact_cnt")))
+    val cms = Sketches.cmsBuildWeighted(counts, col("t"), col("exact_cnt"),
+      width = 1024)
+    val exact = counts
       .orderBy(col("exact_cnt").desc, col("t"))
       .limit(20)
-      .localCheckpoint(true)
-    // checkpoint the 20-row result eagerly and release the working table
-    // (the triangleCounts discipline) — one persistent RDD per invocation
-    val res = exact
+    val res = graft.ops.Checkpoints.checkpoint(exact
       .join(Sketches.cmsEstimate(cms, exact.select(col("t")), col("t"),
         width = 1024).withColumnRenamed("item", "t"), Seq("t"))
       .select(col("t").as("token"), col("exact_cnt"), col("cms_est"),
         (col("cms_est") - col("exact_cnt")).as("overcount"))
-      .orderBy(col("exact_cnt").desc, col("token"))
-      .localCheckpoint(true)
-    graft.ops.Checkpoints.release(exact)
+      .orderBy(col("exact_cnt").desc, col("token")))
+    graft.ops.Checkpoints.release(counts)
     res
   }
 
