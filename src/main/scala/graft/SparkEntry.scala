@@ -121,6 +121,7 @@ object SparkEntry {
     "q_pmi_collocations" -> (TextQueries.qPmiCollocations _),
     "q_cooccurrence" -> (Relational.qCooccurrence _),
     "q_source_entropy" -> (TextQueries.qSourceEntropy _),
+    "q_time_travel" -> (DatalakeQueries.qTimeTravel _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1493,6 +1494,27 @@ object SparkEntry {
         |JOIN marg ma ON pairs.p_a = ma.pkey
         |JOIN marg mb ON pairs.p_b = mb.pkey
         |ORDER BY p_a, p_b""".stripMargin,
+    // the oracle replays the SNAPSHOT RULES directly — the Spark side must
+    // round-trip them through publish/readVersion/readPublished to match,
+    // so a wrong manifest resolution or version bleed hash-fails here
+    "q_time_travel" ->
+      """WITH old AS (SELECT o_orderkey, 1 AS in_old,
+        |    o_totalprice AS old_price
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |new AS (SELECT o_orderkey, 1 AS in_new,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5.0
+        |      ELSE o_totalprice END AS new_price
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (SELECT CASE WHEN in_old IS NULL THEN 'added'
+        |      WHEN in_new IS NULL THEN 'removed'
+        |      WHEN old_price IS DISTINCT FROM new_price THEN 'changed'
+        |      ELSE 'unchanged' END AS status, old_price, new_price
+        |  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
+        |SELECT status, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(old_price AS DECIMAL(18,2))) AS DOUBLE) AS sum_old,
+        |  CAST(SUM(CAST(new_price AS DECIMAL(18,2))) AS DOUBLE) AS sum_new
+        |FROM d WHERE status <> 'unchanged'
+        |GROUP BY status ORDER BY status""".stripMargin,
     // p·ln p snapped to the 2^-16 grid per term → the entropy sum is
     // exact dyadic arithmetic, order-free on both engines
     "q_source_entropy" ->

@@ -404,4 +404,51 @@ object DatalakeQueries {
           .otherwise(lit("updated")).as("action"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** Time travel through the manifest protocol (round 8): publish two
+    * versioned snapshots of orders into a lake table, then read version 1
+    * AS OF (Datalake.readVersion — immutable version dirs, the
+    * Iceberg/Delta snapshot-read shape on plain storage) against the
+    * manifest's current version (Datalake.readPublished must resolve v2),
+    * and emit the per-status drift summary: row counts and exact-decimal
+    * revenue totals per added/removed/changed class. The query EXERCISES
+    * the atomic-publish protocol inside the driver's oracle gate — the
+    * published parquet round-trips through the lake and a wrong manifest
+    * resolution or version bleed hash-fails the row counts.
+    *
+    * Scale: same single co-partitioned full-outer join as q_table_diff,
+    * then an aggregate onto ≤3 rows; publish writes are the lakehouse
+    * commit itself.
+    */
+  def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val root = tempLakeRoot() + "/orders_versioned"
+    Datalake.publish(o.filter(col("o_orderkey") % 7 =!= 0), root, "1")
+    Datalake.publish(
+      o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(5.0))
+            .otherwise(col("o_totalprice")).as("o_totalprice")),
+      root, "2")
+    val asOf1 = Datalake.readVersion(spark, root, "1")
+      .select(col("o_orderkey"), lit(1).as("in_old"),
+        col("o_totalprice").as("old_price"))
+    val current = Datalake.readPublished(spark, root)
+      .select(col("o_orderkey"), lit(1).as("in_new"),
+        col("o_totalprice").as("new_price"))
+    asOf1.join(current.hint("shuffle_hash"), Seq("o_orderkey"), "full_outer")
+      .withColumn("status",
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(!(col("old_price") <=> col("new_price")), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        decSum2(col("old_price")).cast("double").as("sum_old"),
+        decSum2(col("new_price")).cast("double").as("sum_new"))
+      .orderBy(col("status"))
+  }
 }

@@ -157,6 +157,15 @@ object Datalake {
       .rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** TIME TRAVEL: read a specific published version directly, bypassing
+    * the manifest — version directories are immutable once published, so
+    * any historical version stays readable until retention deletes it
+    * (the Iceberg/Delta snapshot-read shape on plain object storage).
+    */
+  def readVersion(spark: SparkSession, tableRoot: String,
+      version: String): DataFrame =
+    spark.read.parquet(s"$tableRoot/v=$version")
+
   /** Read the currently-published version via the manifest. */
   def readPublished(spark: SparkSession, tableRoot: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(tableRoot)

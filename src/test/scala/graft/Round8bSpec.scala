@@ -130,6 +130,31 @@ class Round8bSpec extends SparkSpecBase {
     assert(key.sameElements(key.sorted), "output must be a total order")
   }
 
+  test("time travel: manifest resolves the latest version, old versions stay readable") {
+    import graft.sources.Datalake
+    val root = java.nio.file.Files.createTempDirectory("graft-tt").toString + "/t"
+    import spark.implicits._
+    Datalake.publish(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "1")
+    Datalake.publish(Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), root, "2")
+    assert(Datalake.readPublished(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "a2"), (3L, "c")),
+      "the manifest must resolve to the LATEST published version")
+    assert(Datalake.readVersion(spark, root, "1").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "a"), (2L, "b")),
+      "version 1 must stay readable AS OF after version 2 publishes")
+    // the registered drift summary classifies against the mod-rules
+    val got = graft.queries.DatalakeQueries.qTimeTravel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    assert(got.getOrElse("added", 0L) ===
+      keys.count(k => k % 7 == 0 && k % 5 != 0).toLong)
+    assert(got.getOrElse("removed", 0L) ===
+      keys.count(k => k % 7 != 0 && k % 5 == 0).toLong)
+    assert(got.getOrElse("changed", 0L) <=
+      keys.count(k => k % 7 != 0 && k % 5 != 0 && k % 3 == 0).toLong)
+  }
+
   test("co-occurrence: counts and cosine replay from driver-side baskets") {
     val rows = graft.queries.Relational.qCooccurrence(spark, sfDir).collect()
     assert(rows.nonEmpty)
