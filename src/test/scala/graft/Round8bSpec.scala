@@ -183,6 +183,32 @@ class Round8bSpec extends SparkSpecBase {
     }
   }
 
+  test("round-8 checkpointing queries release their working storage") {
+    // the Round7Spec leak discipline extended to this round's
+    // checkpoint-using queries: one invocation may leave exactly ONE
+    // persistent RDD — its checkpointed result. Retried because suites
+    // share the SparkContext (cache/unpersist races inflate one reading).
+    for ((name, run) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "q_pmi_collocations" ->
+          (() => graft.queries.TextQueries.qPmiCollocations(TestSession.spark, sfDir)),
+        "q_cooccurrence" ->
+          (() => graft.queries.Relational.qCooccurrence(TestSession.spark, sfDir)),
+        "q_setjoin_prefix" ->
+          (() => graft.queries.SimilarityQueries.qSetjoinPrefix(TestSession.spark, sfDir)))) {
+      val deltas = scala.collection.mutable.ListBuffer.empty[Int]
+      val ok = (1 to 5).exists { _ =>
+        val before = TestSession.spark.sparkContext.getPersistentRDDs.size
+        run().collect()
+        val after = TestSession.spark.sparkContext.getPersistentRDDs.size
+        deltas += (after - before)
+        after - before <= 1
+      }
+      assert(ok, s"$name leaked cached state on 5 consecutive attempts: $deltas")
+      assert(deltas.sum <= deltas.length,
+        s"$name cumulative cached-RDD growth too high: $deltas")
+    }
+  }
+
   test("source entropy: snapped-term sum replays from driver-side counts") {
     val rows = graft.queries.TextQueries.qSourceEntropy(spark, sfDir).collect()
     assert(rows.nonEmpty)
