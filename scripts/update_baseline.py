@@ -54,11 +54,18 @@ while i < len(lines) and lines[i].startswith("|"):
         else:
             vals.append(old.get(col, "—"))
     prev_base = old.get(header[-1], "—")
-    if prev_base in ("—", "-", ""):
+    # a trailing footnote marker (e.g. '2.01†' — the multimodal baseline
+    # reset) is part of the format: parse the number, keep the marker
+    marker = ""
+    base_num = prev_base
+    m = re.fullmatch(r"([0-9.]+)([^0-9.]+)", prev_base)
+    if m:
+        base_num, marker = m.group(1), m.group(2)
+    if base_num in ("—", "-", ""):
         pb = None
     else:
         try:
-            pb = float(prev_base)
+            pb = float(base_num)
         except ValueError:
             # an unparsable NON-EMPTY cell (bold markdown, a note) holds
             # history we must not silently reset to the new run's value —
@@ -71,7 +78,7 @@ while i < len(lines) and lines[i].startswith("|"):
         base = newv
     else:
         base = pb
-    vals.append(f"{base:.2f}" if base is not None else "—")
+    vals.append(f"{base:.2f}{marker}" if base is not None else "—")
     rows.append((name, vals))
     seen.add(name)
     i += 1
