@@ -55,10 +55,12 @@ while i < len(lines) and lines[i].startswith("|"):
             vals.append(old.get(col, "—"))
     prev_base = old.get(header[-1], "—")
     # a trailing footnote marker (e.g. '2.01†' — the multimodal baseline
-    # reset) is part of the format: parse the number, keep the marker
+    # reset) is part of the format: parse the number, keep the marker.
+    # ONLY the known footnote glyphs qualify — any other suffix (bold
+    # markdown, a hand note) must still hit the refuse-to-overwrite guard
     marker = ""
     base_num = prev_base
-    m = re.fullmatch(r"([0-9.]+)([^0-9.]+)", prev_base)
+    m = re.fullmatch(r"([0-9.]+)([†‡*])", prev_base)
     if m:
         base_num, marker = m.group(1), m.group(2)
     if base_num in ("—", "-", ""):

@@ -212,13 +212,22 @@ object ScalingBench {
       // contaminate the measured buffer / measured tasks go missing.
       // There is no public drain API; poll until the buffer stops growing.
       def drained(): Unit = {
+        // require THREE consecutive stable readings: a single 100ms-stable
+        // sample can coincide with a bus-thread stall and declare
+        // quiescence while warm-pass events are still queued
+        var stable = 0
         var prev = -1L
         var spins = 0
-        while (prev != durations.size.toLong && spins < 50) {
-          prev = durations.size.toLong
+        while (stable < 3 && spins < 50) {
+          val cur = durations.size.toLong
+          stable = if (cur == prev) stable + 1 else 0
+          prev = cur
           Thread.sleep(100)
           spins += 1
         }
+        if (stable < 3)
+          System.err.println(
+            "SKEW WARNING: listener bus not quiescent after 5s — task stats may mix passes")
       }
       // warm pass compiles codegen; measured pass starts with a clean
       // task-duration buffer

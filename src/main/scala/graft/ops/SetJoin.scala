@@ -57,16 +57,22 @@ object SetJoin {
       tauNum: Int, tauDen: Int, verify: Boolean): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be in (0, 1]: $tauNum/$tauDen")
-    // checkpoint the postings: ranked/prefix AND the verify path's ta/tb
-    // all read them — without materialization each subtree re-runs the
-    // corpus scan + shingle + hash (~4 corpus passes at 100 TB), breaking
-    // the one-codegen-pass claim above. Released after the (small) result
-    // materializes, the q_pmi_collocations discipline.
-    val postings = graft.ops.Checkpoints.checkpoint(
-      df.select(id.as("doc_id"),
-          graft.functions.text.wordShingleHashes(text, 3).as("__sh"))
-        .select(col("doc_id"), size(col("__sh")).cast("long").as("n"),
-          explode(col("__sh")).as("shingle")))
+    // the PRODUCTION (verify) path checkpoints the postings: ranked/prefix
+    // AND ta/tb all read them — without materialization each subtree
+    // re-runs the corpus scan + shingle + hash (~4 corpus passes at
+    // 100 TB), breaking the one-codegen-pass claim above. Released after
+    // the (threshold-pruned, small) result materializes, the
+    // q_pmi_collocations discipline. The DIAGNOSTIC candidates path
+    // (verify=false) stays lazy and un-checkpointed: its output IS the
+    // un-pruned candidate mass, which must not be block-cached eagerly
+    // just to be counted.
+    val rawPostings = df.select(id.as("doc_id"),
+        graft.functions.text.wordShingleHashes(text, 3).as("__sh"))
+      .select(col("doc_id"), size(col("__sh")).cast("long").as("n"),
+        explode(col("__sh")).as("shingle"))
+    val postings =
+      if (verify) graft.ops.Checkpoints.checkpoint(rawPostings)
+      else rawPostings
     // global df per shingle as a count-over-window: one shingle-keyed
     // shuffle serves both the df and the prefix equi-join below
     val wDf = Window.partitionBy(col("shingle"))
@@ -111,10 +117,13 @@ object SetJoin {
             (col("n_a") + col("n_b") - col("__inter"))).as("jaccard"))
         .filter(col("jaccard") >= lit(tauNum.toDouble / tauDen))
     }
-    // materialize the (threshold-pruned, small) result, then release the
-    // corpus-sized postings — one persistent RDD per invocation survives
-    val res = graft.ops.Checkpoints.checkpoint(result)
-    graft.ops.Checkpoints.release(postings)
-    res
+    if (!verify) result
+    else {
+      // materialize the (threshold-pruned, small) result, then release the
+      // corpus-sized postings — one persistent RDD per invocation survives
+      val res = graft.ops.Checkpoints.checkpoint(result)
+      graft.ops.Checkpoints.release(postings)
+      res
+    }
   }
 }

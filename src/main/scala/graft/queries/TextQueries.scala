@@ -229,15 +229,19 @@ object TextQueries {
       toks.groupBy(col("t")).agg(count(lit(1)).as("exact_cnt")))
     val cms = Sketches.cmsBuildWeighted(counts, col("t"), col("exact_cnt"),
       width = 1024)
-    val exact = counts
+    // the top-20 appears TWICE in the result plan (join left side + the
+    // estimate's query set) and Spark has no cross-subtree reuse —
+    // checkpoint the 20 rows so the vocab-wide TakeOrdered runs once
+    val exact = graft.ops.Checkpoints.checkpoint(counts
       .orderBy(col("exact_cnt").desc, col("t"))
-      .limit(20)
+      .limit(20))
     val res = graft.ops.Checkpoints.checkpoint(exact
       .join(Sketches.cmsEstimate(cms, exact.select(col("t")), col("t"),
         width = 1024).withColumnRenamed("item", "t"), Seq("t"))
       .select(col("t").as("token"), col("exact_cnt"), col("cms_est"),
         (col("cms_est") - col("exact_cnt")).as("overcount"))
       .orderBy(col("exact_cnt").desc, col("token")))
+    graft.ops.Checkpoints.release(exact)
     graft.ops.Checkpoints.release(counts)
     res
   }

@@ -159,59 +159,39 @@ object EventStreams {
   def funnelChangelog(events: Dataset[Event],
       watermarkDelay: String = "1 hour"): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
-    events
-      .withWatermark("ts", watermarkDelay)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunnelState, FunnelOut](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (userId, evs, state: GroupState[FunnelState]) =>
-          val prev = state.getOption
-            .getOrElse(FunnelState(Nil, None, None, None))
-          val wm = state.getCurrentWatermarkMs
-          val buffered =
-            if (state.hasTimedOut) prev.buf
-            // prepend (the fold sorts anyway): appending is O(buf) per
-            // batch and O(buf²) across a watermark window
-            else evs.toList ::: prev.buf
-          // fold every buffered event STRICTLY older than the watermark
-          // (an event in the watermark's own millisecond could still be
-          // followed by a same-millisecond earlier-micros arrival), in
-          // event-time order — the batch semantics exactly
-          val (ripe, rest) = buffered.partition(_.ts.getTime < wm)
-          var (su, cl, pu) = (prev.signup, prev.click, prev.purchase)
-          // batch's chained `>=` comparisons are order-insensitive within
-          // one timestamp (a click AT the signup's ts counts), so the
-          // fold must see equal-ts events in stage order, not id order
-          def prio(t: String): Int = t match {
-            case "signup" => 0; case "click" => 1; case "purchase" => 2
-            case _ => 3
-          }
-          ripe.sortBy(e => (usOf(e.ts), prio(e.event_type), e.event_id))
-            .foreach { e =>
-              val t = usOf(e.ts)
-              e.event_type match {
-                case "signup" if su.isEmpty => su = Some(t)
-                case "click" if cl.isEmpty && su.exists(t >= _) => cl = Some(t)
-                case "purchase" if pu.isEmpty && cl.exists(t >= _) => pu = Some(t)
-                case _ => ()
-              }
+    foldRipeEvents[FunnelState, FunnelOut](events, watermarkDelay,
+      FunnelState(Nil, None, None, None), _.buf, (s, b) => s.copy(buf = b),
+      (userId, st, ripe) => {
+        var (su, cl, pu) = (st.signup, st.click, st.purchase)
+        // batch's chained `>=` comparisons are order-insensitive within
+        // one timestamp (a click AT the signup's ts counts), so the
+        // fold must see equal-ts events in stage order, not id order
+        def prio(t: String): Int = t match {
+          case "signup" => 0; case "click" => 1; case "purchase" => 2
+          case _ => 3
+        }
+        ripe.sortBy(e => (usOf(e.ts), prio(e.event_type), e.event_id))
+          .foreach { e =>
+            val t = usOf(e.ts)
+            e.event_type match {
+              case "signup" if su.isEmpty => su = Some(t)
+              case "click" if cl.isEmpty && su.exists(t >= _) => cl = Some(t)
+              case "purchase" if pu.isEmpty && cl.exists(t >= _) => pu = Some(t)
+              case _ => ()
             }
-          state.update(FunnelState(rest, su, cl, pu))
-          // fire on the next watermark advance while anything is pending;
-          // never at/behind the current watermark
-          if (rest.nonEmpty || !state.hasTimedOut)
-            state.setTimeoutTimestamp(wm + 1)
-          // emit only when the fold CHANGED the triple — identical
-          // snapshots would otherwise re-emit on every watermark advance
-          val changed = (su, cl, pu) != ((prev.signup, prev.click, prev.purchase))
-          if (changed) su.map { s =>
-            FunnelOut(userId, tsOf(s),
-              cl.map(tsOf), pu.map(tsOf),
-              if (pu.isDefined) "purchased"
-              else if (cl.isDefined) "clicked" else "signed_up")
-          }.iterator
-          else Iterator.empty
-      }
+          }
+        // emit only when the fold CHANGED the triple — identical
+        // snapshots would otherwise re-emit on every watermark advance
+        val changed = (su, cl, pu) != ((st.signup, st.click, st.purchase))
+        val out = if (changed) su.map { s =>
+          FunnelOut(userId, tsOf(s),
+            cl.map(tsOf), pu.map(tsOf),
+            if (pu.isDefined) "purchased"
+            else if (cl.isDefined) "clicked" else "signed_up")
+        }.iterator
+        else Iterator.empty
+        (st.copy(signup = su, click = cl, purchase = pu), out)
+      })
   }
 
   case class ScdState(buf: List[Event], lastAttr: Option[String],
@@ -238,36 +218,25 @@ object EventStreams {
   def scd2Changelog(events: Dataset[Event],
       watermarkDelay: String = "1 hour"): Dataset[ScdOut] = {
     import events.sparkSession.implicits._
-    events
-      .withWatermark("ts", watermarkDelay)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[ScdState, ScdOut](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (userId, evs, state: GroupState[ScdState]) =>
-          val prev = state.getOption.getOrElse(ScdState(Nil, None, 1))
-          val wm = state.getCurrentWatermarkMs
-          val buffered =
-            if (state.hasTimedOut) prev.buf
-            else evs.toList ::: prev.buf
-          val (ripe, rest) = buffered.partition(_.ts.getTime < wm)
-          var lastAttr = prev.lastAttr
-          var version = prev.nextVersion
-          val out = List.newBuilder[ScdOut]
-          ripe.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
-            // != on Options, not .contains: Some(null) == Some(null) keeps
-            // the batch op's null-safe compare (consecutive null attrs
-            // collapse into one version)
-            if (lastAttr != Some(e.event_type)) {
-              out += ScdOut(userId, e.event_type, e.ts, version)
-              version += 1
-              lastAttr = Some(e.event_type)
-            }
+    foldRipeEvents[ScdState, ScdOut](events, watermarkDelay,
+      ScdState(Nil, None, 1), _.buf, (s, b) => s.copy(buf = b),
+      (userId, st, ripe) => {
+        var lastAttr = st.lastAttr
+        var version = st.nextVersion
+        val out = List.newBuilder[ScdOut]
+        ripe.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+          // != on Options, not .contains: Some(null) == Some(null) keeps
+          // the batch op's null-safe compare (consecutive null attrs
+          // collapse into one version)
+          if (lastAttr != Some(e.event_type)) {
+            out += ScdOut(userId, e.event_type, e.ts, version)
+            version += 1
+            lastAttr = Some(e.event_type)
           }
-          state.update(ScdState(rest, lastAttr, version))
-          if (rest.nonEmpty || !state.hasTimedOut)
-            state.setTimeoutTimestamp(wm + 1)
-          out.result().iterator
-      }
+        }
+        (st.copy(lastAttr = lastAttr, nextVersion = version),
+          out.result().iterator)
+      })
   }
 
   case class TransState(buf: List[Event], lastType: Option[String])
@@ -293,30 +262,18 @@ object EventStreams {
   def transitionChangelog(events: Dataset[Event],
       watermarkDelay: String = "1 hour"): Dataset[TransOut] = {
     import events.sparkSession.implicits._
-    events
-      .filter(_.event_type != null)
-      .withWatermark("ts", watermarkDelay)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[TransState, TransOut](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (userId, evs, state: GroupState[TransState]) =>
-          val prev = state.getOption.getOrElse(TransState(Nil, None))
-          val wm = state.getCurrentWatermarkMs
-          val buffered =
-            if (state.hasTimedOut) prev.buf
-            else evs.toList ::: prev.buf
-          val (ripe, rest) = buffered.partition(_.ts.getTime < wm)
-          var last = prev.lastType
-          val out = List.newBuilder[TransOut]
-          ripe.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
-            last.foreach(l => out += TransOut(userId, l, e.event_type, e.ts))
-            last = Some(e.event_type)
-          }
-          state.update(TransState(rest, last))
-          if (rest.nonEmpty || !state.hasTimedOut)
-            state.setTimeoutTimestamp(wm + 1)
-          out.result().iterator
-      }
+    foldRipeEvents[TransState, TransOut](
+      events.filter(_.event_type != null), watermarkDelay,
+      TransState(Nil, None), _.buf, (s, b) => s.copy(buf = b),
+      (userId, st, ripe) => {
+        var last = st.lastType
+        val out = List.newBuilder[TransOut]
+        ripe.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+          last.foreach(l => out += TransOut(userId, l, e.event_type, e.ts))
+          last = Some(e.event_type)
+        }
+        (st.copy(lastType = last), out.result().iterator)
+      })
   }
 
   case class RetentionState(buf: List[Event], cohortDay: Option[Long])
@@ -337,8 +294,22 @@ object EventStreams {
     * and returns the updated state + emissions; the timeout re-arm and
     * buffer plumbing live here, once.
     */
-  private def foldSealedDays[S, O](events: Dataset[Event],
-      watermarkDelay: String, empty: S, buf: S => List[Event],
+  /** THE one copy of the buffer-until-watermark mechanics every
+    * order-sensitive changelog op here shares: buffer per user (prepend —
+    * appending is O(buf) per batch and O(buf²) across a watermark
+    * window), partition on the op's ripeness rule at every invocation
+    * (data batches INCLUDED — Spark never fires a timeout for a key that
+    * just received data, so a key folding only on timeout would starve),
+    * fold the ripe slice through the op's state, and re-arm the
+    * event-time timeout one past the watermark while anything is pending.
+    * Day-sealed ops ([[foldSealedDays]]) ripen whole days; event-level
+    * ops ([[foldRipeEvents]]) ripen events strictly older than the
+    * watermark (an event in the watermark's own millisecond could still
+    * be followed by a same-millisecond earlier-micros arrival).
+    */
+  private def foldBuffered[S, O](events: Dataset[Event],
+      watermarkDelay: String, isRipe: (Event, Long) => Boolean,
+      empty: S, buf: S => List[Event],
       withBuf: (S, List[Event]) => S,
       fold: (Long, S, List[Event]) => (S, Iterator[O]))(
       implicit se: org.apache.spark.sql.Encoder[S],
@@ -355,8 +326,7 @@ object EventStreams {
           val buffered =
             if (state.hasTimedOut) buf(prev)
             else evs.toList ::: buf(prev)
-          val (ripe, rest) =
-            buffered.partition(e => (epochDayOf(e) + 1) * DayMs <= wm)
+          val (ripe, rest) = buffered.partition(e => isRipe(e, wm))
           val (next, out) =
             if (ripe.isEmpty) (withBuf(prev, rest), Iterator.empty[O])
             else fold(userId, withBuf(prev, rest), ripe)
@@ -366,6 +336,25 @@ object EventStreams {
           out
       }
   }
+
+  private def foldSealedDays[S, O](events: Dataset[Event],
+      watermarkDelay: String, empty: S, buf: S => List[Event],
+      withBuf: (S, List[Event]) => S,
+      fold: (Long, S, List[Event]) => (S, Iterator[O]))(
+      implicit se: org.apache.spark.sql.Encoder[S],
+      oe: org.apache.spark.sql.Encoder[O]): Dataset[O] =
+    foldBuffered(events, watermarkDelay,
+      (e, wm) => (epochDayOf(e) + 1) * DayMs <= wm,
+      empty, buf, withBuf, fold)
+
+  private def foldRipeEvents[S, O](events: Dataset[Event],
+      watermarkDelay: String, empty: S, buf: S => List[Event],
+      withBuf: (S, List[Event]) => S,
+      fold: (Long, S, List[Event]) => (S, Iterator[O]))(
+      implicit se: org.apache.spark.sql.Encoder[S],
+      oe: org.apache.spark.sql.Encoder[O]): Dataset[O] =
+    foldBuffered(events, watermarkDelay, (e, wm) => e.ts.getTime < wm,
+      empty, buf, withBuf, fold)
 
   /** Streaming twin of JourneyQueries.qRetentionCohort — the second
     * operator on the buffer-until-watermark pattern [[funnelChangelog]]
