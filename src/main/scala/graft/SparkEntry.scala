@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusQueries, DatalakeQueries, EventQueries, GraphQueries, JourneyQueries, LayoutQueries, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{CorpusQueries, DatalakeQueries, EventQueries, GraphQueries, JourneyQueries, LayoutQueries, Relational, SimilarityQueries, StreamQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -122,6 +122,9 @@ object SparkEntry {
     "q_cooccurrence" -> (Relational.qCooccurrence _),
     "q_source_entropy" -> (TextQueries.qSourceEntropy _),
     "q_time_travel" -> (DatalakeQueries.qTimeTravel _),
+    "q_stream_retention" -> (StreamQueries.qStreamRetention _),
+    "q_stream_scd2" -> (StreamQueries.qStreamScd2 _),
+    "q_stream_markov" -> (StreamQueries.qStreamMarkov _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -609,7 +612,14 @@ object SparkEntry {
       graft.queries.SimilarityQueries.lastSemModel
         .map { case (_, c) => "q_semantic_dedup" -> semOracle(c) } ++
       graft.queries.TextQueries.lastBpeModel
-        .map { case (_, m) => "q_bpe_tokenize" -> bpeOracle(m) }
+        .map { case (_, m) => "q_bpe_tokenize" -> bpeOracle(m) } ++
+      // The streaming replay rows share their batch twins' oracles
+      // VERBATIM — stream==batch over the same input is exactly the
+      // equality the driver re-proves by hash every round.
+      Map(
+        "q_stream_retention" -> staticOracleSql("q_retention_cohort"),
+        "q_stream_scd2" -> staticOracleSql("q_scd2_history"),
+        "q_stream_markov" -> staticOracleSql("q_markov_transitions"))
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{EventStreams, StreamReplay}
+
+/** Driver-checkable rows for the streaming changelog surface: each query
+  * runs the REAL Structured Streaming operator (file source → stateful
+  * fold → file sink, `Trigger.AvailableNow`) over the batch events table
+  * via [[graft.streaming.StreamReplay]], then finishes with the plain
+  * batch aggregate its changelog was designed to feed. The DuckDB oracle
+  * is the BATCH twin's oracle verbatim — so the stream==batch equality
+  * StreamingSpec proves in sbt is now re-proven by the driver's hash gate
+  * every round, on a real file-backed stream rather than a MemoryStream.
+  *
+  * Exactness: every changelog emission is exactly-once and final (the
+  * watermark-sealing arguments in EventStreams' scaladoc), so the
+  * downstream aggregate over the materialized changelog equals the batch
+  * query bit-for-bit — including the doubles, which are single IEEE
+  * divisions of exact integers on both engines.
+  */
+object StreamQueries {
+
+  /** q_retention_cohort's matrix, rebuilt from the streamed
+    * [[EventStreams.retentionActivity]] changelog: each (user, cohort,
+    * day) cell arrives exactly once, so n_active is a plain count and
+    * cohort_size is the count of the users' own offset-0 cells (every
+    * user's first active day is their cohort day).
+    */
+  def qStreamRetention(spark: SparkSession, dir: String): DataFrame = {
+    val cells = StreamReplay.replayEvents(spark, dir)(
+        EventStreams.retentionActivity(_))
+      .filter(col("user_id") >= 0)
+    val act = cells
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter(col("day_offset") === 0)
+      .groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    act.join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** q_scd2_history from the streamed [[EventStreams.scd2Changelog]]:
+    * the stream emits one FINAL row per version (no valid_to — that fact
+    * IS the next version's valid_from), so the interval close and
+    * is_current flag are a lead() over the materialized changelog,
+    * ordered by the version numbers the fold assigned in (ts, event_id)
+    * order.
+    */
+  def qStreamScd2(spark: SparkSession, dir: String): DataFrame = {
+    val ch = StreamReplay.replayEvents(spark, dir)(
+        EventStreams.scd2Changelog(_))
+      .filter(col("user_id") >= 0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    ch.select(col("user_id"), col("event_type"), col("valid_from"),
+        lead(col("valid_from"), 1).over(w).as("valid_to"),
+        col("version").cast("long").as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** q_markov_transitions from the streamed
+    * [[EventStreams.transitionChangelog]]: each (cur → next) step is
+    * emitted exactly once, so the transition matrix is a plain count
+    * aggregate with the same int÷int probability.
+    */
+  def qStreamMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val counts = StreamReplay.replayEvents(spark, dir)(
+        EventStreams.transitionChangelog(_))
+      .filter(col("user_id") >= 0)
+      .groupBy(col("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("cur_type"))).cast("double"))
+      .orderBy(col("cur_type"), col("next_type"))
+  }
+}

@@ -283,17 +283,6 @@ object EventStreams {
   private val DayMs = 86400000L
   private def epochDayOf(e: Event): Long = math.floorDiv(e.ts.getTime, DayMs)
 
-  /** ONE copy of the day-sealed buffer-until-watermark mechanics shared by
-    * [[retentionActivity]] and [[gapFillChangelog]] (the funnel keeps its
-    * own loop — it seals per EVENT, not per day). Events buffer per key
-    * until their whole DAY is sealed (end-of-day at or behind the
-    * watermark) — day-level finality is what makes every (user, day)
-    * emission exactly-once: all of a day's events ripen in one fold, and
-    * nothing of that day can arrive later (the late filter drops it).
-    * `fold(key, stateWithRestBuffer, ripeEvents)` sees the sealed events
-    * and returns the updated state + emissions; the timeout re-arm and
-    * buffer plumbing live here, once.
-    */
   /** THE one copy of the buffer-until-watermark mechanics every
     * order-sensitive changelog op here shares: buffer per user (prepend —
     * appending is O(buf) per batch and O(buf²) across a watermark

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.sources.Tables
+import graft.streaming.EventStreams.Event
+
+/** Bounded replay harness: runs a REAL Structured Streaming query (file
+  * source → stateful fold → file sink, `Trigger.AvailableNow`) over the
+  * batch `events` table INSIDE a registered query, so the streaming
+  * changelog operators get driver-checkable correctness rows against the
+  * SAME DuckDB oracles as their batch twins — the reference's hourly
+  * Airflow poll (dags/DAG_Project.py:18-26, lbc_fetcher.py's state file)
+  * re-run as the idempotent backfill pattern.
+  *
+  * Replay contract — why this reproduces the batch answer EXACTLY:
+  *  - The feed is the events table written as `chunks` range-partitioned
+  *    parquet files on (ts, event_id), with strictly increasing file
+  *    modification times in range order. The file source (sorted by
+  *    modtime, `maxFilesPerTrigger=1`) therefore replays in event-time
+  *    order with file-level granularity: WITHIN a micro-batch order is
+  *    arbitrary (the folds sort their ripe slice), and ACROSS batches
+  *    nothing ever arrives behind the watermark (batch N's minimum ts ≥
+  *    batch N−1's maximum by the range bounds), so the late-event filter
+  *    provably drops nothing. This is the contract a production feed
+  *    (Kafka, landing files) is ASSUMED to satisfy; the harness
+  *    manufactures it from data at rest.
+  *  - Two far-future sentinel files (user_id = −1, ts = max+3d and
+  *    max+6d) land LAST, each its own micro-batch. During the second
+  *    sentinel's DATA batch the watermark is already sentinel-1 − delay —
+  *    past every real day's end — so every buffered key's event-time
+  *    timeout has expired and Spark folds it in that same trigger: the
+  *    flush is deterministic and does not depend on trailing no-data
+  *    batches. Callers filter `user_id >= 0` to drop sentinel output.
+  *
+  * Scale notes: staging is one distributed range-shuffle write; the
+  * stream itself is the production plan (per-key state in the state
+  * store, one shuffle on user_id per batch). `maxFilesPerTrigger=1`
+  * serializes batches — that is the point (bounded-backlog backfill, the
+  * CorpusStreams discipline), and each batch is internally parallel. At
+  * 100 TB the same query runs off the live landing dir with the staging
+  * step deleted.
+  */
+object StreamReplay {
+
+  /** Stage `events(dir)` as an event-time-ordered feed, run `op` over it
+    * as a stream to completion, and return the materialized output
+    * (sentinel rows still present — filter `user_id >= 0`).
+    */
+  def replayEvents[O](spark: SparkSession, dir: String, chunks: Int = 4)(
+      op: Dataset[Event] => Dataset[O]): DataFrame = {
+    import spark.implicits._
+    val src = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+    val root = Files.createTempDirectory("graft-replay")
+    val feed = root.resolve("feed").toString
+    // ONE range-shuffle pass stages the feed; the sentinel timestamps
+    // come from a max() over the staged files (footer-stat cheap), not a
+    // second scan of the source table.
+    src.repartitionByRange(chunks, col("ts"), col("event_id"))
+      .write.parquet(feed)
+    val maxTs = spark.read.parquet(feed).agg(max(col("ts")))
+      .head.getTimestamp(0)
+    val parts = listParts(Paths.get(feed))
+    val base = (System.currentTimeMillis() / 2000L) * 2000L - 7200000L
+    parts.zipWithIndex.foreach { case (p, i) =>
+      p.toFile.setLastModified(base + i * 2000L)
+    }
+    Seq(3L, 6L).zipWithIndex.foreach { case (days, i) =>
+      val sDir = root.resolve(s"s$i")
+      spark.createDataset(Seq(Event(Long.MaxValue - i,
+          new java.sql.Timestamp(maxTs.getTime + days * 86400000L),
+          -1L, "view", 0.0)))
+        .coalesce(1).write.parquet(sDir.toString)
+      val part = listParts(sDir).head
+      val dst = Paths.get(feed, s"zz-sentinel-$i.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(base + (parts.length + i) * 2000L)
+    }
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+      .as[Event]
+    val out = root.resolve("out").toString
+    val q = op(stream).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  private def listParts(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+    } finally s.close()
+  }
+}

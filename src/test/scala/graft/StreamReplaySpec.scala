@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.queries.{EventQueries, JourneyQueries, StreamQueries}
+
+/** The registered streaming replay rows (q_stream_retention / q_stream_scd2
+  * / q_stream_markov) equal their batch twins bit-for-bit: the file-source
+  * replay harness (StreamReplay) must seal EVERY real event — a single
+  * dropped-as-late or never-flushed buffer row would change a count — so
+  * this is simultaneously the harness's determinism proof and the
+  * stream==batch equality the driver re-checks by hash.
+  */
+class StreamReplaySpec extends SparkSpecBase {
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("replayed retention changelog rebuilds the batch cohort matrix exactly") {
+    assert(rowsOf(StreamQueries.qStreamRetention(spark, sfDir)) ===
+      rowsOf(JourneyQueries.qRetentionCohort(spark, sfDir)))
+  }
+
+  test("replayed SCD2 changelog rebuilds the batch history exactly") {
+    assert(rowsOf(StreamQueries.qStreamScd2(spark, sfDir)) ===
+      rowsOf(EventQueries.qScd2History(spark, sfDir)))
+  }
+
+  test("replayed transition changelog rebuilds the batch Markov matrix exactly") {
+    assert(rowsOf(StreamQueries.qStreamMarkov(spark, sfDir)) ===
+      rowsOf(JourneyQueries.qMarkovTransitions(spark, sfDir)))
+  }
+}
