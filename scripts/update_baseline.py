@@ -76,6 +76,10 @@ while i < len(lines) and lines[i].startswith("|"):
                      "not a number and not '—'; refusing to overwrite history")
     if newv is not None and pb is not None:
         base = min(pb, newv)
+        if base != pb:
+            # the footnote described the superseded measurement (e.g. a
+            # baseline-reset note) — it must not annotate the new number
+            marker = ""
     elif newv is not None:
         base = newv
     else:

@@ -100,34 +100,13 @@ class GraphSpec extends SparkSpecBase {
     // the edge cache and every superseded rank checkpoint must be
     // unpersisted by the time the query returns — one invocation may leave
     // exactly ONE persistent RDD behind (the returned checkpointed ranks)
-    // Other suites share this SparkContext and cache/unpersist
-    // concurrently, so a single before/after count races with them. Retry
-    // bounds the race: a REAL leak (edge cache or superseded checkpoint
-    // kept) adds >= 2 RDDs on EVERY attempt, while cross-suite noise has
-    // to land inside the measurement window five times in a row.
-    // The retry is deliberately insensitive to sub-deterministic leaks
-    // (a leak on SOME code path could pass via one clean attempt): the
-    // unpersist calls under test are unconditional straight-line code, so
-    // a regression there leaks on EVERY attempt; the cumulative bound
-    // below additionally catches a leak that fires on most-but-not-all
-    // attempts before a clean one ends the loop.
-    var df: org.apache.spark.sql.DataFrame = null
-    val deltas = scala.collection.mutable.ListBuffer.empty[Int]
-    val ok = (1 to 5).exists { _ =>
-      val before = spark.sparkContext.getPersistentRDDs.size
-      df = GraphQueries.qPagerank(spark, "/root/testdata/sf0.01")
-      df.collect()
-      val after = spark.sparkContext.getPersistentRDDs.size
-      deltas += (after - before)
-      after - before <= 1
-    }
-    assert(ok, "pagerank leaked cached state on 5 consecutive attempts")
-    // each clean invocation adds exactly 1 (its checkpointed result), so
-    // the cumulative growth over n attempts is n when clean — a bound of
-    // sum <= n leaves no room for a recurring 2-3 RDD leak to hide behind
-    // one lucky clean attempt (round-7 ADVICE: len+3 admitted [3,3,0])
-    assert(deltas.sum <= deltas.length,
-      s"cumulative cached-RDD growth too high across attempts: $deltas")
+    // Shared mechanics + the confirming-attempt tightening live in
+    // SparkSpecBase.assertReleasesStorage; slack 0 here — the unpersist
+    // calls under test are unconditional straight-line code, so a
+    // regression leaks on EVERY attempt and no racy-reading allowance is
+    // needed (round-7 ADVICE: len+3 admitted [3,3,0]).
+    val df = assertReleasesStorage("q_pagerank",
+      () => GraphQueries.qPagerank(spark, "/root/testdata/sf0.01"), slack = 0)
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     assert(!plan.contains("CartesianProduct"))

@@ -181,20 +181,7 @@ class Round7Spec extends SparkSpecBase {
           (() => graft.queries.Relational.qBloomPrune(TestSession.spark, sfDir)),
         "q_heavy_hitters" ->
           (() => graft.queries.TextQueries.qHeavyHitters(TestSession.spark, sfDir)))) {
-      val deltas = scala.collection.mutable.ListBuffer.empty[Int]
-      val ok = (1 to 5).exists { _ =>
-        val before = TestSession.spark.sparkContext.getPersistentRDDs.size
-        run().collect()
-        val after = TestSession.spark.sparkContext.getPersistentRDDs.size
-        deltas += (after - before)
-        after - before <= 1
-      }
-      assert(ok, s"$name leaked cached state on 5 consecutive attempts: $deltas")
-      // +1 slack: ONE transient cache/unpersist race from the shared
-      // SparkContext may inflate a reading (the reason the retry exists);
-      // a systematic leak still fails — every attempt would read +2
-      assert(deltas.sum <= deltas.length + 1,
-        s"$name cumulative cached-RDD growth too high: $deltas")
+      assertReleasesStorage(name, run)
     }
   }
 
