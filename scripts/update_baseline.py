@@ -15,8 +15,10 @@ import sys
 bench_log, label = sys.argv[1], sys.argv[2]
 
 with open(bench_log) as f:
-    # LAST matching line: a log holding several runs must yield the newest
-    metric_lines = [l for l in f if '"metric"' in l]
+    # LAST matching line: a log holding several runs must yield the newest.
+    # Key on '"queries"' too — the bench also prints a compact summary line
+    # (for the driver's 2,000-char tail capture) that has no per-query map.
+    metric_lines = [l for l in f if '"metric"' in l and '"queries"' in l]
 if not metric_lines:
     sys.exit(f"ERROR: no bench JSON line (containing '\"metric\"') in {bench_log} "
              "— did the bench run fail before printing its result?")

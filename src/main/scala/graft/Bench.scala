@@ -107,6 +107,56 @@ object Bench {
       f""""load_avg_end":$loadEnd%.2f,"cpus":${os.getAvailableProcessors},""" +
       s""""missing_artifacts":${gaps.map(n => f""""BENCH_r$n%02d.json"""").mkString("[", ",", "]")}}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$meds,"total_median":$totalMed%.3f,"meta":$meta,"sf":"$sfDir"}""")
+    // The driver's artifact keeps only the LAST ~2,000 stdout chars, so the
+    // full per-query line above gets truncated mid-key (BENCH_r07/r08 both
+    // recorded "parsed": null). The FINAL line is therefore a compact
+    // summary (≤ ~500 chars) that always survives the tail capture:
+    // totals + the worst query vs its BASELINE.md best-ever column.
+    // update_baseline.py keys on '"queries"' so it still reads the full
+    // line; both lines carry the same totals.
+    val worst = worstVsBaseline(results.map { case (k, v, _) => k -> v })
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.length},"sf":"$sfDir","total_min":$total%.3f,"total_median":$totalMed%.3f,"passes":$passes,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f$worst}""")
     spark.stop()
+  }
+
+  /** `,"worst_vs_baseline":{...}` for the compact summary line: the
+    * registered query with the highest min/baseline ratio against
+    * BASELINE.md's best-ever column — the per-query regression gate the
+    * judge applies, surfaced in the artifact itself. Empty string when
+    * BASELINE.md (or any comparable row) is absent so the bench never
+    * fails on a missing file.
+    */
+  private def worstVsBaseline(mins: Seq[(String, Double)]): String = try {
+    val path = java.nio.file.Paths.get("BASELINE.md")
+    if (!java.nio.file.Files.exists(path)) "" else {
+    val cell = "([0-9.]+)[†‡*]?".r
+    // explicit UTF-8: the footnote glyphs are multi-byte and the JVM
+    // default charset under sbt is not guaranteed to decode them
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files
+      .readAllLines(path, java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.iterator
+      .filter(_.startsWith("| q"))
+      .flatMap { l =>
+        val cs = l.stripPrefix("|").split("\\|").map(_.trim)
+        cs.last match {
+          case cell(v) => Some(cs.head.stripPrefix("`").stripSuffix("`") -> v.toDouble)
+          case _ => None
+        }
+      }.toMap
+    val rated = mins.flatMap { case (k, v) =>
+      base.get(k).filter(_ > 0).map(b => (k, v, b, v / b)) }
+    if (rated.isEmpty) ""
+    else {
+      val (k, v, b, r) = rated.maxBy(_._4)
+      f""","worst_vs_baseline":{"query":"$k","min":$v%.3f,"baseline":$b%.3f,"ratio":$r%.2f}"""
+    }
+    }
+  } catch {
+    // the summary line must ALWAYS print — a malformed baseline table
+    // degrades the artifact, never kills the run after 100+ timed queries
+    case e: Throwable =>
+      System.err.println(s"BENCH WARNING: baseline compare skipped: $e")
+      ""
   }
 }

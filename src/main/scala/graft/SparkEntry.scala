@@ -122,6 +122,7 @@ object SparkEntry {
     "q_cooccurrence" -> (Relational.qCooccurrence _),
     "q_source_entropy" -> (TextQueries.qSourceEntropy _),
     "q_time_travel" -> (DatalakeQueries.qTimeTravel _),
+    "q_video_frames" -> (TextQueries.qVideoFrames _),
     "q_stream_retention" -> (StreamQueries.qStreamRetention _),
     "q_stream_scd2" -> (StreamQueries.qStreamScd2 _),
     "q_stream_markov" -> (StreamQueries.qStreamMarkov _),
@@ -1098,6 +1099,29 @@ object SparkEntry {
         |SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
         |  hex(substring(text, CAST(frame_idx*64 + 1 AS BIGINT), 64)) AS frame
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    // real MJPEG demux + JDK decode on the Spark side; the oracle replays
+    // the REPLAYABLE facts — frame geometry (w fixed, h = ceil(slice/16),
+    // both produced by the actual decoder engine-side) and source-slice
+    // brightness; the lossy decoded brightness is spec-pinned, not hashed
+    "q_video_frames" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS bl FROM documents),
+        |f AS (SELECT doc_id, bl, CAST(octet_length(bl) AS BIGINT) AS len,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(octet_length(bl)/64.0) AS BIGINT) - 1, 2)) AS fi
+        |  FROM b),
+        |c AS (SELECT doc_id, fi,
+        |    least(CAST(64 AS BIGINT), len - fi*64) AS clen,
+        |    list_transform(range(CAST(least(CAST(64 AS BIGINT), len - fi*64) AS INT)),
+        |      i -> CAST(('0x' || substr(hex(bl), CAST((fi*64 + i)*2 + 1 AS INT), 2)) AS INT))
+        |      AS bs
+        |  FROM f)
+        |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(16 AS BIGINT) AS frame_w,
+        |  greatest(1, CAST(ceil(clen/16.0) AS BIGINT)) AS frame_h,
+        |  clen AS n_src_bytes,
+        |  CAST(coalesce(list_sum(bs), 0) AS DOUBLE) /
+        |    (16 * greatest(1, CAST(ceil(clen/16.0) AS BIGINT))) AS mean_src_px
+        |FROM c ORDER BY media_id, frame_idx""".stripMargin,
     "q_corpus_funnel" ->
       """WITH s AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS s_en,

@@ -14,10 +14,11 @@ import org.apache.spark.sql.types._
   * ([[decodeImageFeatures]]) and the registered query round-trips every
   * document's bytes through a real PNG encode → decode
   * ([[pngRoundTripStats]]; PNG is lossless, so the decoded pixel
-  * statistics replay arithmetically in the DuckDB oracle). Only VIDEO
-  * demux remains a documented stub ([[sampleFrames]] — no container
-  * codec exists in the JDK); audio decode would follow the same
-  * mapPartitions shape via javax.sound.
+  * statistics replay arithmetically in the DuckDB oracle). VIDEO is
+  * real since round 9: MJPEG streams (concatenated baseline JPEGs — the
+  * IP-camera wire format) demux by SOI/EOI marker scan and decode
+  * per-frame through the same JDK codec ([[mjpegFrameStats]]); audio
+  * decode would follow the same mapPartitions shape via javax.sound.
   *
   * The surrounding plumbing is the 100 TB design and is what the spec
   * tests:
@@ -46,13 +47,15 @@ object Multimodal {
   private[graft] def isJpeg(b: Array[Byte]): Boolean =
     b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
 
-  /** Encode raw bytes as an 8-bit grayscale PNG, `width` pixels wide,
-    * row-major, zero-padded to fill the last row — the deterministic
-    * image constructor behind [[pngRoundTripStats]] and the specs (the
-    * testdata carries no real media; this manufactures real PNGs from
-    * it so the DECODE side exercises the actual codec).
+  /** Encode raw bytes as an 8-bit grayscale image in `format`, `width`
+    * pixels wide, row-major, zero-padded to fill the last row — the
+    * deterministic image constructor behind [[pngRoundTripStats]],
+    * [[encodeMjpeg]] and the specs (the testdata carries no real media;
+    * this manufactures real PNGs/JPEGs from it so the DECODE side
+    * exercises the actual codec).
     */
-  private[graft] def encodeGrayPng(bytes: Array[Byte], width: Int): Array[Byte] = {
+  private[graft] def encodeGray(bytes: Array[Byte], width: Int,
+      format: String): Array[Byte] = {
     require(width > 0)
     val h = math.max(1, (bytes.length + width - 1) / width)
     val img = new java.awt.image.BufferedImage(
@@ -66,8 +69,138 @@ object Multimodal {
       i += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
+  }
+
+  private[graft] def encodeGrayPng(bytes: Array[Byte], width: Int): Array[Byte] =
+    encodeGray(bytes, width, "png")
+
+  // ---- real video path: MJPEG demux + per-frame JDK decode ----
+
+  /** Manufacture an MJPEG-style stream: each `frameBytes` slice of the
+    * payload becomes one REAL baseline grayscale JPEG (JDK codec), frames
+    * concatenated back-to-back — the motion-JPEG layout IP cameras and
+    * `multipart/x-mixed-replace` HTTP streams emit (sans the HTTP part
+    * boundaries, which carry no video semantics).
+    */
+  private[graft] def encodeMjpeg(bytes: Array[Byte], width: Int,
+      frameBytes: Int): Array[Byte] = {
+    require(frameBytes > 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    var from = 0
+    while (from < bytes.length) {
+      val until = math.min(from + frameBytes, bytes.length)
+      bos.write(encodeGray(
+        java.util.Arrays.copyOfRange(bytes, from, until), width, "jpg"))
+      from = until
+    }
+    bos.toByteArray
+  }
+
+  /** REAL demux: split a concatenated-JPEG stream into frames on SOI
+    * (FF D8) / EOI (FF D9) marker pairs — the same marker scan real
+    * MJPEG demuxers perform. Sound because within a baseline JPEG's
+    * entropy-coded data every 0xFF is byte-stuffed (FF 00) or a restart
+    * marker (FF D0-D7), so EOI cannot occur mid-frame; table/header
+    * segments are length-prefixed structures the JDK writer never fills
+    * with marker sequences. A truncated trailing frame (no EOI) is
+    * dropped — the standard salvage behavior for a cut-off stream.
+    */
+  private[graft] def demuxMjpeg(stream: Array[Byte]): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    var i = 0
+    while (i + 1 < stream.length) {
+      if ((stream(i) & 0xff) == 0xff && (stream(i + 1) & 0xff) == 0xd8) {
+        var j = i + 2
+        var end = -1
+        while (end < 0 && j + 1 < stream.length) {
+          if ((stream(j) & 0xff) == 0xff && (stream(j + 1) & 0xff) == 0xd9)
+            end = j + 2
+          j += 1
+        }
+        if (end < 0) i = stream.length // truncated tail: drop
+        else { out += java.util.Arrays.copyOfRange(stream, i, end); i = end }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  val videoFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_w", LongType, nullable = false),
+    StructField("frame_h", LongType, nullable = false),
+    StructField("n_src_bytes", LongType, nullable = false),
+    StructField("mean_src_px", DoubleType, nullable = false),
+    StructField("decoded_mean_px", DoubleType, nullable = false)))
+
+  /** The REAL video path (closes the last round-8 stub): every payload
+    * becomes a true MJPEG stream ([[encodeMjpeg]]), is demuxed back into
+    * frames by marker scan ([[demuxMjpeg]]), and every `everyN`-th frame
+    * is decoded through the JDK JPEG codec — demux, frame sampling and
+    * decode are all real; only the stream itself is manufactured (the
+    * testdata has no media column).
+    *
+    * Oracle-checkable vs spec-pinned columns, deliberately split:
+    * `frame_w`/`frame_h` come from the DECODED image — a demux boundary
+    * bug or codec defect changes them (or kills the frame count), so the
+    * driver hash re-proves the real decode every round; they replay in
+    * SQL as (width, ceil(sliceLen/width)). `mean_src_px` is the ideal
+    * (lossless) frame brightness from the SOURCE slice — replayable
+    * arithmetic. `decoded_mean_px` is the ACTUAL decoded brightness:
+    * JPEG is lossy, so it is NOT SQL-replayable and the registered query
+    * must drop it; MultimodalSpec pins |decoded − src| instead (the
+    * fidelity argument a lossless PNG gets for free in
+    * [[pngRoundTripStats]]).
+    *
+    * Scale shape: mapPartitions, zero shuffle; codec state is JVM-static;
+    * each frame's work is O(frameBytes). A row fans out to its sampled
+    * frames only — the everyN sampling cuts decode cost, not demux cost,
+    * exactly like real frame-sampled video ingestion.
+    */
+  def mjpegFrameStats(df: DataFrame, idCol: String, width: Int = 16,
+      frameBytes: Int = 64, everyN: Int = 2): DataFrame = {
+    require(everyN > 0)
+    val enc = RowEncoder.encoderFor(videoFrameSchema)
+    df.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val frames = demuxMjpeg(encodeMjpeg(bytes, width, frameBytes))
+          // the demux must recover EXACTLY the encoded frame count — a
+          // boundary bug surfaces as a loud task failure, never as
+          // silently shifted frames
+          val expect = (bytes.length + frameBytes - 1) / frameBytes
+          require(frames.length == expect,
+            s"mjpeg demux recovered ${frames.length} of $expect frames " +
+              s"for media $id")
+          (0 until frames.length by everyN).iterator.map { fi =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frames(fi)))
+            require(img != null, s"frame $fi of media $id failed to decode")
+            val w = img.getWidth
+            val h = img.getHeight
+            val from = fi * frameBytes
+            val until = math.min(from + frameBytes, bytes.length)
+            var srcSum = 0L
+            var k = from
+            while (k < until) { srcSum += bytes(k) & 0xff; k += 1 }
+            val ras = img.getRaster
+            var decSum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { decSum += ras.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            val nPx = w.toLong * h
+            Row(id, fi, w.toLong, h.toLong, (until - from).toLong,
+              srcSum.toDouble / nPx, decSum.toDouble / nPx)
+          }
+        }
+      }(enc)
   }
 
   /** REAL decode: PNG/JPEG bytes → pooled-pixel feature vector through
@@ -256,12 +389,13 @@ object Multimodal {
     StructField("frame_idx", IntegerType, nullable = false),
     StructField("frame", BinaryType, nullable = false)))
 
-  /** STUB frame sampling: a real implementation demuxes a video and keeps
-    * every Nth frame; the fake treats each `frameBytes` slice of the payload
-    * as one "frame". The plumbing is the real design: one media row fans out
+  /** GENERIC byte-slice frame sampling: treats each `frameBytes` slice of
+    * the payload as one "frame" — the container-agnostic slicer for
+    * fixed-record media (raw video, PCM audio); container formats go
+    * through the real demux ([[mjpegFrameStats]]). One media row fans out
     * to per-frame rows (media_id, frame_idx, frame) inside mapPartitions —
-    * no shuffle, no driver involvement — and each frame row then composes
-    * with decodeFeatures / similarity / dedup like any other payload.
+    * no shuffle, no driver involvement — and each frame row composes with
+    * decodeFeatures / similarity / dedup like any other payload.
     */
   def sampleFrames(df: DataFrame, idCol: String, everyN: Int,
       frameBytes: Int = 1024): DataFrame = {

@@ -46,7 +46,7 @@ object GraphQueries {
     * (customer ↔ supplier), so distances alternate parity: suppliers sit
     * at even hops, customers at odd. Source resolved as a bounded
     * 1-value model step; the propagation is ops.Graph.bfsDistances
-    * (join + groupBy-min per round, early-converging, checkpointed).
+    * (frontier-only edge join per round, early-converging, checkpointed).
     * Oracle: recursive CTE over the same edge construction — min d per
     * node over paths of ≤ maxHops hops, exact in both engines since hop
     * counts are integers.

@@ -264,8 +264,7 @@ object TextQueries {
     * lossless, so the stats replay arithmetically from the bytes in the
     * DuckDB oracle — a real codec in the loop, hash-checked every round
     * (ops.Multimodal.pngRoundTripStats for the full argument). Replaces
-    * the round-2 `fake_brightness` stub; only video demux remains
-    * stubbed (no container codec in the JDK).
+    * the round-2 `fake_brightness` stub.
     */
   def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.pngRoundTripStats(
@@ -273,6 +272,23 @@ object TextQueries {
         "doc_id")
       .withColumnRenamed("media_id", "doc_id")
       .orderBy(col("doc_id"))
+
+  /** REAL video demux + decode (round 9 — closes the last stub): each
+    * document's payload becomes a true MJPEG stream, demuxed back into
+    * frames by SOI/EOI marker scan, every 2nd frame decoded through the
+    * JDK JPEG codec (ops.Multimodal.mjpegFrameStats for the full
+    * argument). The hash-checked columns are the decode-derived frame
+    * geometry (any demux/codec defect changes them or the row count) and
+    * the source-slice brightness; the decoded brightness itself is lossy
+    * (JPEG) and therefore spec-pinned, not oracle-hashed — dropped here.
+    */
+  def qVideoFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.mjpegFrameStats(
+        graft.ops.Multimodal.withPayload(Tables.documents(spark, dir), "text"),
+        "doc_id", width = 16, frameBytes = 64, everyN = 2)
+      .select(col("media_id"), col("frame_idx"), col("frame_w"),
+        col("frame_h"), col("n_src_bytes"), col("mean_src_px"))
+      .orderBy(col("media_id"), col("frame_idx"))
 
   /** PMI collocations (round 8): top-100 word pairs by pointwise mutual
     * information over adjacent bigrams — the classic collocation-mining

@@ -96,6 +96,32 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("frontier BFS equals the union-min fixpoint on a deep chain with a shortcut") {
+    // 0→1→…→40 chain, bidirected, plus shortcut 0↔25: the shortcut makes
+    // frontier-settling CONTESTED (node 24 is reachable at hop 2 via the
+    // shortcut AND hop 24 along the chain — the min must win), and the
+    // 40-deep chain is exactly the shape where the frontier variant's
+    // per-round edge join must stay O(1)-ish while reached grows. The
+    // reference is the union-min fixpoint (distances only decrease),
+    // folded in plain Scala to the same maxHops bound.
+    val base = (0L until 40L).map(i => (i, i + 1)) :+ (0L, 25L)
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val adj = (base ++ base.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    for (bound <- Seq(3, 12, 60)) {
+      var ref = Map(0L -> 0L)
+      for (_ <- 1 to bound) {
+        val relaxed = ref.toSeq.flatMap { case (n, d) =>
+          adj.getOrElse(n, Nil).map(_ -> (d + 1)) }
+        ref = (ref.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
+      }
+      val got = Graph.bfsDistances(edges, Seq(0L).toDF("node"), bound)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === ref, s"bound $bound: frontier BFS diverged from union-min")
+    }
+  }
+
   test("pagerank releases its working storage: only the result survives") {
     // the edge cache and every superseded rank checkpoint must be
     // unpersisted by the time the query returns — one invocation may leave

@@ -129,4 +129,53 @@ class MultimodalSpec extends SparkSpecBase {
       Seq("abcd", "ijkl", "q"))
     assert(frames.forall(_.getLong(0) === 7L))
   }
+
+  test("mjpeg demux recovers exactly the encoded frames, bytes intact") {
+    val payload = (0 until 1000).map(i => ((i * 37 + 11) % 256).toByte).toArray
+    val stream = Multimodal.encodeMjpeg(payload, width = 16, frameBytes = 64)
+    val frames = Multimodal.demuxMjpeg(stream)
+    assert(frames.length === 16, "ceil(1000/64) frames expected")
+    // marker-scan boundaries must hit the writer's exact frame bytes:
+    // re-encoding each source slice reproduces each demuxed frame
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val slice = java.util.Arrays.copyOfRange(payload,
+        i * 64, math.min((i + 1) * 64, payload.length))
+      assert(f.toSeq === Multimodal.encodeGray(slice, 16, "jpg").toSeq,
+        s"frame $i bytes differ from the encoder's output")
+    }
+    // every frame actually decodes through the JDK codec
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth === 16)
+    }
+    // a truncated stream (cut mid-frame) salvages the complete prefix
+    val cut = java.util.Arrays.copyOf(stream, stream.length - 10)
+    assert(Multimodal.demuxMjpeg(cut).length === 15)
+    assert(Multimodal.demuxMjpeg(Array.emptyByteArray).isEmpty)
+  }
+
+  test("mjpeg frame stats: real decode geometry + lossy-bounded brightness") {
+    val docs = Seq((1L, "x" * 200), (2L, "ab"), (3L, "")).toDF("doc_id", "text")
+    val rows = Multimodal.mjpegFrameStats(
+        Multimodal.withPayload(docs, "text"), "doc_id",
+        width = 16, frameBytes = 64, everyN = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    // doc 1: ceil(200/64)=4 frames, sampled 0 and 2; doc 2: one 2-byte
+    // frame; doc 3: empty payload → no frames
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((1L, 0), (1L, 2), (2L, 0)))
+    rows.foreach { r =>
+      val (w, h, n) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(w === 16L && h === math.max(1L, (n + 15) / 16))
+      // JPEG is lossy but the frame MEAN (DC-dominated) stays close to
+      // the ideal lossless brightness of the zero-padded source slice
+      assert(math.abs(r.getDouble(5) - r.getDouble(6)) <= 24.0,
+        s"decoded brightness drifted: $r")
+    }
+    // uniform payload ('x'*200): source mean of a full frame is exactly
+    // 120; the decoded mean of a uniform image must be within a few units
+    val full = rows.head
+    assert(full.getDouble(5) === 120.0)
+    assert(math.abs(full.getDouble(6) - 120.0) <= 4.0)
+  }
 }
