@@ -122,6 +122,7 @@ object SparkEntry {
     "q_cooccurrence" -> (Relational.qCooccurrence _),
     "q_source_entropy" -> (TextQueries.qSourceEntropy _),
     "q_time_travel" -> (DatalakeQueries.qTimeTravel _),
+    "q_vacuum" -> (DatalakeQueries.qVacuum _),
     "q_video_frames" -> (TextQueries.qVideoFrames _),
     "q_stream_retention" -> (StreamQueries.qStreamRetention _),
     "q_stream_scd2" -> (StreamQueries.qStreamScd2 _),
@@ -1549,6 +1550,25 @@ object SparkEntry {
         |  CAST(SUM(CAST(new_price AS DECIMAL(18,2))) AS DOUBLE) AS sum_new
         |FROM d WHERE status <> 'unchanged'
         |GROUP BY status ORDER BY status""".stripMargin,
+    // post-vacuum facts only: v1 rows appearing, a drifted retained sum,
+    // a misread evolved schema (v2 priority non-null) or a wrong surviving
+    // directory count would each break the hash
+    "q_vacuum" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p, o_orderpriority
+        |  FROM orders),
+        |v2 AS (SELECT '2' AS version, COUNT(*) AS n_rows,
+        |    CAST(SUM(p) AS DOUBLE) AS sum_price,
+        |    CAST(0 AS BIGINT) AS n_with_priority
+        |  FROM o WHERE o_orderkey % 5 <> 0),
+        |v3 AS (SELECT '3' AS version, COUNT(*) AS n_rows,
+        |    CAST(SUM(p) AS DOUBLE) AS sum_price,
+        |    COUNT(o_orderpriority) AS n_with_priority
+        |  FROM o WHERE o_orderkey % 3 <> 0)
+        |SELECT version, n_rows, sum_price, n_with_priority,
+        |  CAST(2 AS BIGINT) AS n_versions_left
+        |FROM (SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+        |ORDER BY version""".stripMargin,
     // p·ln p snapped to the 2^-16 grid per term → the entropy sum is
     // exact dyadic arithmetic, order-free on both engines
     "q_source_entropy" ->

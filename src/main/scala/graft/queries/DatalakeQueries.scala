@@ -420,6 +420,47 @@ object DatalakeQueries {
     * then an aggregate onto ≤3 rows; publish writes are the lakehouse
     * commit itself.
     */
+  /** Vacuum + cross-version schema evolution (round 9 — completes the
+    * lakehouse story): publish THREE versioned snapshots of orders —
+    * v3 ADDS a column (o_orderpriority, the schema-evolution event) —
+    * vacuum with keepLast=2, then read the RETAINED versions through one
+    * mergeSchema frame and aggregate per version. Everything the driver
+    * hashes is a post-vacuum fact: v1's rows appearing would mean vacuum
+    * did not delete (extra output rows → hash fail), a changed retained
+    * sum would mean vacuum touched immutable version dirs, a non-zero
+    * v2 priority count would mean the evolved schema misread old files,
+    * and n_versions_left re-counts the directories on disk. The
+    * keep-current safety rule (vacuum never deletes the manifest target)
+    * is spec-pinned in DatalakeSpec with a manifest pinned to an old
+    * version.
+    *
+    * Scale: publishes are the lakehouse commit writes; vacuum is a
+    * catalog-sized listing + recursive deletes; the audit read is one
+    * scan of the retained versions with footer-merged schemas.
+    */
+  def qVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val root = tempLakeRoot() + "/orders_vacuum"
+    Datalake.publish(o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice")), root, "1")
+    Datalake.publish(o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice")), root, "2")
+    Datalake.publish(o.filter(col("o_orderkey") % 3 =!= 0), root, "3")
+    Datalake.vacuum(spark, root, keepLast = 2)
+    val left = Datalake.listVersions(spark, root)
+    Datalake.readVersionsMerged(spark, root, left)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "v=([^/]+)/", 1))
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_rows"),
+        decSum2(col("o_totalprice")).cast("double").as("sum_price"),
+        count(col("o_orderpriority")).as("n_with_priority"))
+      .withColumn("n_versions_left", lit(left.length.toLong))
+      .orderBy(col("version"))
+  }
+
   def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Agg.decSum2
     val o = Tables.orders(spark, dir)

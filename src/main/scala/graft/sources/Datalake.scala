@@ -175,6 +175,80 @@ object Datalake {
     spark.read.parquet(s"$tableRoot/$v")
   }
 
+  /** The manifest-current version name, if a manifest exists. */
+  def currentVersion(spark: SparkSession, tableRoot: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = new org.apache.hadoop.fs.Path(root, "MANIFEST")
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val v = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      Some(v.stripPrefix("v="))
+    }
+  }
+
+  /** Published version names under `tableRoot`, oldest → newest. Numeric
+    * versions order numerically (so "10" is newer than "9" — epoch or
+    * counter versioning both work); non-numeric ones lexicographically
+    * after them. One driver-side directory listing — version counts are
+    * catalog-sized, never data-sized.
+    */
+  def listVersions(spark: SparkSession, tableRoot: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v="))
+      .sortBy(v =>
+        (if (v.nonEmpty && v.forall(_.isDigit) && v.length <= 18) 0 else 1,
+          if (v.nonEmpty && v.forall(_.isDigit) && v.length <= 18) v.toLong
+          else 0L, v))
+  }
+
+  /** VACUUM — version retention for the manifest protocol: delete every
+    * published version directory except the newest `keepLast` and —
+    * always, regardless of age — the manifest-current version (a vacuum
+    * must never be able to break the reader the manifest is pointing
+    * at, even one pinned to an old version for reproducibility). Version
+    * dirs are immutable, so retained readers are untouched by
+    * construction; expired time-travel reads fail fast on a missing
+    * path instead of returning partial data. Returns the versions
+    * deleted, oldest → newest. The deletes are recursive directory
+    * removals — object-store deployments fan the per-file deletes out,
+    * but the PROTOCOL stays this: retention is a lake-side GC decision,
+    * never a reader-side one (the Iceberg `expire_snapshots` shape).
+    */
+  def vacuum(spark: SparkSession, tableRoot: String,
+      keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val versions = listVersions(spark, tableRoot)
+    val keep = versions.takeRight(keepLast).toSet ++
+      currentVersion(spark, tableRoot)
+    val drop = versions.filterNot(keep)
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
+    }
+    drop
+  }
+
+  /** Schema-evolution read ACROSS versions: one frame over the given
+    * version directories with their schemas UNIONED (mergeSchema) —
+    * columns added in later versions come back null for earlier files.
+    * This is the cross-snapshot audit read (diff two eras of a table,
+    * backfill a new column) that plain per-version reads can't express
+    * when the schema moved between them.
+    */
+  def readVersionsMerged(spark: SparkSession, tableRoot: String,
+      versions: Seq[String]): DataFrame = {
+    require(versions.nonEmpty, "no versions to read")
+    spark.read.option("mergeSchema", "true")
+      .parquet(versions.map(v => s"$tableRoot/v=$v"): _*)
+  }
+
   /** Persist as a bucketed+sorted table: two fact tables bucketed on their
     * join key with the same bucket count join with NO exchange and NO sort —
     * the shuffle is paid once at write time instead of on every join. This

@@ -227,4 +227,48 @@ class DatalakeSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters") && plan.contains("ingest_date"),
       s"no partition pruning:\n$plan")
   }
+
+  test("vacuum keeps the newest k AND the manifest-current version; retained reads unchanged") {
+    val root = Files.createTempDirectory("graft-vacuum").toString + "/t"
+    Datalake.publish(Seq((1L, "a")).toDF("id", "s"), root, "1")
+    Datalake.publish(Seq((2L, "b")).toDF("id", "s"), root, "2")
+    Datalake.publish(Seq((3L, "c")).toDF("id", "s"), root, "3")
+    // pin the manifest back to v1 (a reader pinned for reproducibility):
+    // vacuum must NOT delete the version the manifest points at, however
+    // old — only v2, outside both keepLast=1 and the manifest, may go
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "MANIFEST"), true)
+    try out.write("v=1\n".getBytes("UTF-8")) finally out.close()
+    val dropped = Datalake.vacuum(spark, root, keepLast = 1)
+    assert(dropped === Seq("2"))
+    assert(Datalake.listVersions(spark, root) === Seq("1", "3"))
+    // retained version dirs are untouched: both the pinned current and
+    // the newest read back their exact content
+    assert(Datalake.readPublished(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a")))
+    assert(Datalake.readVersion(spark, root, "3").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((3L, "c")))
+    // the expired version fails fast, not partially
+    intercept[Exception] {
+      Datalake.readVersion(spark, root, "2").collect()
+    }
+  }
+
+  test("versions order numerically (10 > 9) and merged reads union schemas across versions") {
+    val root = Files.createTempDirectory("graft-vacuum-num").toString + "/t"
+    Datalake.publish(Seq((9L, "i")).toDF("id", "s"), root, "9")
+    // v10 ADDS a column — the schema-evolution event across versions
+    Datalake.publish(Seq((10L, "j", 0.5)).toDF("id", "s", "score"), root, "10")
+    assert(Datalake.listVersions(spark, root) === Seq("9", "10"),
+      "numeric versions must order numerically, not lexicographically")
+    val merged = Datalake.readVersionsMerged(spark, root, Seq("9", "10"))
+    assert(merged.columns.toSet === Set("id", "s", "score"))
+    val byId = merged.collect().map(r => r.getAs[Long]("id") ->
+      Option(r.getAs[Any]("score"))).toMap
+    assert(byId === Map(9L -> None, 10L -> Some(0.5)),
+      "old files must read null for columns added later")
+    // keepLast=1 must keep "10" (the numeric max), not "9"
+    assert(Datalake.vacuum(spark, root, keepLast = 1) === Seq("9"))
+  }
 }

@@ -204,4 +204,67 @@ class PlanAuditSpec extends SparkSpecBase {
         s"full-outer fell back to sort-merge:\n$plan")
     }
   }
+
+  /** Jobs submitted by `run` — the ACTION count a multi-step pipeline
+    * pays. Listener events post asynchronously, so after the run the
+    * count is polled until it stays stable; other suites share the
+    * SparkContext, which is why each pipeline is measured inline (their
+    * jobs would inflate a global counter only if interleaved — the pin
+    * has headroom for that, see below).
+    */
+  private def countJobs(run: () => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      run()
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val c = counter.get
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    counter.get
+  }
+
+  test("multi-action pipelines keep their job-submission budgets") {
+    // BASELINE.md names action-count growth the regression signal for the
+    // iterative/bounded-model pipelines: a new unchecked .head()/.count()
+    // or a lost checkpoint fuse shows up HERE as extra submitted jobs long
+    // before it shows up as seconds. Budgets are the measured counts at
+    // pin time plus ~30% headroom (AQE re-optimization and listener races
+    // with concurrently running suites can add a few) — growth beyond
+    // that is structural, not noise.
+    val budgets = Seq[(String, Int, () => Unit)](
+      ("q_pagerank", 48,
+        () => graft.queries.GraphQueries.qPagerank(spark, sfDir).collect()),
+      ("q_bfs_distance", 52,
+        () => graft.queries.GraphQueries.qBfsDistance(spark, sfDir).collect()),
+      ("q_dedup_clusters_incremental", 115,
+        () => SimilarityQueries.qDedupClustersIncremental(spark, sfDir).collect()),
+      ("q_datalake_pipeline", 24,
+        () => graft.queries.DatalakeQueries.qDatalakePipeline(spark, sfDir).collect()),
+      ("q_datalake_dual", 23,
+        () => graft.queries.DatalakeQueries.qDatalakeDual(spark, sfDir).collect()))
+    val measured = budgets.map { case (name, budget, run) =>
+      val jobs = countJobs(run)
+      info(s"$name: $jobs jobs (budget $budget)")
+      (name, budget, jobs)
+    }
+    measured.foreach { case (name, budget, jobs) =>
+      assert(jobs > 0, s"$name: listener saw no jobs — measurement broken")
+      assert(jobs <= budget,
+        s"$name submitted $jobs jobs, budget $budget — a new driver-side " +
+          "action crept into the pipeline " +
+          s"(all: ${measured.map(m => s"${m._1}=${m._3}").mkString(", ")})")
+    }
+  }
 }
