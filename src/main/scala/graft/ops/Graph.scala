@@ -80,28 +80,43 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "src")
+    // The raw `edges` plan can be a FULL upstream derivation (the
+    // registered query's orders⋈lineitem + distinct) — cache it for the
+    // construction phase so the derivation runs exactly ONCE: before
+    // round 9 it ran three times (deg's aggregate, the join's probe side,
+    // and the node-universe union) and those passes, not the iterations,
+    // dominated q_pagerank's cost trend (round-8 verdict).
+    val e0 = edges
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // node universe: src ∪ dst — a sink never appears as src. Static
-    // across iterations, so checkpoint it once (the edge-table
-    // discipline); the general path below re-reads it every round.
-    val nodes = Checkpoints.checkpoint(
-      edges.select(col("src").as("node"))
-        .unionByName(edges.select(col("dst").as("node")))
-        .distinct())
-    // bounded model steps (1 row each): N, then BOTH degeneracy
-    // detectors — does any node lack out-edges (dangling mass exists) or
-    // lack in-edges (groupBy(dst) would lose it)? — fused into ONE
-    // aggregate over the persisted ed (round-8 verdict: the two separate
-    // distinct-counts cost q_pagerank an extra full pass). Reading
-    // THROUGH ed (the deg inner join keeps every edge row) also warms
-    // its cache before the loop; the raw `edges` plan can be a full
-    // upstream derivation and re-scanning it would pay a corpus pass.
-    val nd = nodes.count()
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // hash-partition the edge table on src ONCE, before caching: the
+    // cached InMemoryRelation then exposes HashPartitioning(src) and
+    // every iteration's edge⋈ranks join exchanges only the NODE-sized
+    // rank table — without it the deg join's broadcast left ed
+    // unpartitioned and all |E| edge rows reshuffled per iteration (the
+    // real q_pagerank cost trend, round-8 verdict). This is the paid-
+    // once shuffle discipline every iterative 100 TB job needs.
+    val ed = e0.join(deg, "src").repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE fused aggregate materializes ed (deriving e0 once, warming both
+    // caches) and answers BOTH degeneracy detectors — does any node lack
+    // out-edges (dangling mass exists) or lack in-edges (groupBy(dst)
+    // would lose it)?
     val detect = ed.agg(
       count_distinct(col("src")).as("n_src"),
       count_distinct(col("dst")).as("n_dst")).head()
+    // node universe: src ∪ dst — a sink never appears as src. Static
+    // across iterations, so checkpoint it once (the edge-table
+    // discipline), reading the warmed ed cache, never the raw plan.
+    val nodes = Checkpoints.checkpoint(
+      ed.select(col("src").as("node"))
+        .unionByName(ed.select(col("dst").as("node")))
+        .distinct())
+    val nd = nodes.count()
+    // construction done: everything below reads ed/nodes, so the
+    // raw-edge cache can go before the loop (leak contract: one
+    // persistent RDD survives the call — the returned ranks)
+    e0.unpersist(blocking = true)
     val hasDangling = detect.getLong(0) < nd
     val needNodeJoin = hasDangling || detect.getLong(1) < nd
     // static sink set for the per-iteration dangling aggregate
@@ -119,9 +134,28 @@ object Graph {
     // table can be dropped too — only the final rank checkpoint remains
     var ranks = Checkpoints.checkpoint(
       nodes.select(col("node"), r0.as("r")))
+    // AQE OFF for the refinement loop only: every stage here has a
+    // KNOWN shape (cached pre-partitioned edges ⋈ node-sized ranks →
+    // node-sized aggregate), so adaptive re-planning can't improve the
+    // plan — it only splits each tiny iteration into extra per-stage
+    // jobs whose scheduling dominates wall-clock on short iterations
+    // (and at 100 TB adds driver latency per round for nothing: the
+    // shuffles AQE would tune are the paid-once construction ones above,
+    // which keep it). Restored in the finally — callers' queries and
+    // concurrent sessions see their conf unchanged.
+    val spark = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrior = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
     for (_ <- 1 to iters) {
       val prev = ranks
-      val inflow = ed.join(prev, ed("src") === prev("node"))
+      // shuffle_hash pinned (AQE is off here and the static planner
+      // would otherwise SMJ): build side = the node-sized rank table,
+      // stream side = the cached pre-partitioned edges, which then
+      // never sort and never re-shuffle
+      val inflow = ed.join(prev.hint("shuffle_hash"),
+          ed("src") === prev("node"))
         .select(ed("dst"), snap(col("r") / col("deg")).as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s")) // exact: dyadic summands
@@ -132,14 +166,16 @@ object Graph {
           inflow.select(col("dst").as("node"),
             (teleport + lit(0.85) * col("s")).as("r"))
         else {
-          val withAll = nodes.join(inflow, col("node") === col("dst"), "left")
+          val withAll = nodes.join(inflow.hint("shuffle_hash"),
+              col("node") === col("dst"), "left")
             .select(col("node"), coalesce(col("s"), lit(0.0)).as("s"))
           if (!hasDangling)
             withAll.select(col("node"),
               (teleport + lit(0.85) * col("s")).as("r"))
           else {
             // one bounded aggregate: exact sum of snapped sink ranks
-            val dm = prev.join(sinks, Seq("node"), "leftsemi")
+            val dm = prev.join(sinks.hint("shuffle_hash"), Seq("node"),
+                "leftsemi")
               .agg(coalesce(sum(snap(col("r"))), lit(0.0)).as("dm"))
             withAll.crossJoin(broadcast(dm))
               .select(col("node"),
@@ -149,6 +185,12 @@ object Graph {
         }
       ranks = Checkpoints.checkpoint(next)
       Checkpoints.release(prev)
+    }
+    } finally {
+      aqePrior match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
     }
     // blocking: the leak contract (GraphSpec) counts persistent RDDs
     // right after return — async unpersist races that read
@@ -190,7 +232,10 @@ object Graph {
   def bfsDistances(edges: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val ed = edges.select(col("src"), col("dst"))
+    // paid-once shuffle discipline (same as pageRank): cache the edge
+    // table hash-partitioned on src so each round's frontier join
+    // exchanges only the frontier, never the |E| edge rows
+    val ed = edges.select(col("src"), col("dst")).repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = Checkpoints.checkpoint(
       sources.select(col("node"), lit(0L).as("dist")))

@@ -244,7 +244,7 @@ class PlanAuditSpec extends SparkSpecBase {
     // with concurrently running suites can add a few) — growth beyond
     // that is structural, not noise.
     val budgets = Seq[(String, Int, () => Unit)](
-      ("q_pagerank", 48,
+      ("q_pagerank", 33,
         () => graft.queries.GraphQueries.qPagerank(spark, sfDir).collect()),
       ("q_bfs_distance", 52,
         () => graft.queries.GraphQueries.qBfsDistance(spark, sfDir).collect()),
