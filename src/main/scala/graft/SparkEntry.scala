@@ -127,6 +127,8 @@ object SparkEntry {
     "q_stream_retention" -> (StreamQueries.qStreamRetention _),
     "q_stream_scd2" -> (StreamQueries.qStreamScd2 _),
     "q_stream_markov" -> (StreamQueries.qStreamMarkov _),
+    "q_stream_funnel" -> (StreamQueries.qStreamFunnel _),
+    "q_audio_features" -> (TextQueries.qAudioFeatures _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -621,7 +623,8 @@ object SparkEntry {
       Map(
         "q_stream_retention" -> staticOracleSql("q_retention_cohort"),
         "q_stream_scd2" -> staticOracleSql("q_scd2_history"),
-        "q_stream_markov" -> staticOracleSql("q_markov_transitions"))
+        "q_stream_markov" -> staticOracleSql("q_markov_transitions"),
+        "q_stream_funnel" -> staticOracleSql("q_funnel_steps"))
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,
@@ -1100,6 +1103,21 @@ object SparkEntry {
         |SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
         |  hex(substring(text, CAST(frame_idx*64 + 1 AS BIGINT), 64)) AS frame
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    // real WAV PCM round-trip engine-side (javax.sound); PCM is lossless,
+    // so the decoded sample stats replay arithmetically from the bytes —
+    // n_samples/sample_rate are the DECODER's container view
+    "q_audio_features" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS bl FROM documents),
+        |s AS (SELECT doc_id, CAST(octet_length(bl) AS BIGINT) AS n,
+        |    list_transform(range(CAST(octet_length(bl) AS INT)),
+        |      i -> CAST(('0x' || substr(hex(bl), CAST(i*2+1 AS INT), 2)) AS INT))
+        |      AS bs
+        |  FROM b)
+        |SELECT doc_id, n AS n_bytes, n AS n_samples,
+        |  CAST(8000 AS DOUBLE) AS sample_rate,
+        |  CAST(coalesce(list_sum(bs), 0) AS DOUBLE) / greatest(1, n) AS mean_amp,
+        |  CAST(coalesce(list_max(bs), 0) AS BIGINT) AS max_amp
+        |FROM s ORDER BY doc_id""".stripMargin,
     // real MJPEG demux + JDK decode on the Spark side; the oracle replays
     // the REPLAYABLE facts — frame geometry (w fixed, h = ceil(slice/16),
     // both produced by the actual decoder engine-side) and source-slice

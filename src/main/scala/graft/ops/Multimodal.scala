@@ -314,6 +314,71 @@ object Multimodal {
       }(enc)
   }
 
+  // ---- real audio path: WAV PCM through javax.sound ----
+
+  /** Encode raw bytes as an 8-bit unsigned mono PCM WAV at `sampleRate` —
+    * the audio sibling of [[encodeGray]]: the testdata carries no media,
+    * so the payload bytes BECOME the PCM samples and the real JDK codec
+    * (javax.sound.sampled) does the container work both ways.
+    */
+  private[graft] def encodePcmWav(bytes: Array[Byte],
+      sampleRate: Float = 8000f): Array[Byte] = {
+    // 8-bit unsigned, mono, frame = 1 byte: samples are exactly the bytes
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 8, 1,
+      false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sample_rate", DoubleType, nullable = false),
+    StructField("mean_amp", DoubleType, nullable = false),
+    StructField("max_amp", LongType, nullable = false)))
+
+  /** REAL audio decode: each payload becomes a true PCM WAV
+    * ([[encodePcmWav]]) and is decoded back through javax.sound's WAV
+    * parser, emitting the decoded sample statistics. PCM is LOSSLESS, so
+    * — exactly like [[pngRoundTripStats]] — the decoded stats replay
+    * arithmetically from the source bytes in the DuckDB oracle, and any
+    * container-parse defect (header offset, sample width, rate) breaks
+    * the hash: `n_samples` and `sample_rate` come from the DECODER's
+    * view of the file, not from the inputs. mapPartitions, no shuffle,
+    * exact integer sums, one IEEE division per row.
+    */
+  def wavRoundTripStats(df: DataFrame, idCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioStatsSchema)
+    df.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(encodePcmWav(bytes)))
+          val fmt = ais.getFormat
+          val samples = ais.readAllBytes()
+          var sum = 0L
+          var max = 0L
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i) & 0xff
+            sum += v
+            if (v > max) max = v
+            i += 1
+          }
+          Row(id, bytes.length.toLong, samples.length.toLong,
+            fmt.getSampleRate.toDouble,
+            sum.toDouble / math.max(1L, samples.length), max)
+        }
+      }(enc)
+  }
+
   /** STUB decode (non-image payloads only — real images go through
     * [[decodeImageFeatures]]): a deterministic byte-histogram moment
     * vector, shape-identical to the codec output.

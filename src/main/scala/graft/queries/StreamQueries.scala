@@ -65,6 +65,26 @@ object StreamQueries {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q_funnel_steps from the streamed [[EventStreams.funnelChangelog]]:
+    * snapshots per user are MONOTONE (each step timestamp is set at most
+    * once, the stage only advances), so the most-advanced stage is the
+    * user's final funnel row — picked with one row_number over the
+    * changelog; at most three rows exist per user, the window is cheap.
+    */
+  def qStreamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ch = StreamReplay.replayEvents(spark, dir)(
+        EventStreams.funnelChangelog(_))
+      .filter(col("user_id") >= 0)
+    val prio = when(col("stage") === "purchased", 2)
+      .when(col("stage") === "clicked", 1).otherwise(0)
+    val w = Window.partitionBy(col("user_id")).orderBy(prio.desc)
+    ch.withColumn("pick", row_number().over(w))
+      .filter(col("pick") === 1)
+      .select(col("user_id"), col("signup_ts"), col("first_click_ts"),
+        col("first_purchase_ts"), col("stage"))
+      .orderBy(col("user_id"))
+  }
+
   /** q_markov_transitions from the streamed
     * [[EventStreams.transitionChangelog]]: each (cur → next) step is
     * emitted exactly once, so the transition matrix is a plain count

@@ -282,6 +282,20 @@ object TextQueries {
     * the source-slice brightness; the decoded brightness itself is lossy
     * (JPEG) and therefore spec-pinned, not oracle-hashed — dropped here.
     */
+  /** REAL audio decode (round 9): every document's bytes become a true
+    * 8-bit mono PCM WAV, parsed back through javax.sound's codec
+    * (ops.Multimodal.wavRoundTripStats). PCM is lossless, so the decoded
+    * sample statistics replay arithmetically from the bytes in the
+    * DuckDB oracle — n_samples and sample_rate are the DECODER's view of
+    * the container, so a header/width/rate parse defect hash-fails.
+    */
+  def qAudioFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.wavRoundTripStats(
+        graft.ops.Multimodal.withPayload(Tables.documents(spark, dir), "text"),
+        "doc_id")
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy(col("doc_id"))
+
   def qVideoFrames(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.mjpegFrameStats(
         graft.ops.Multimodal.withPayload(Tables.documents(spark, dir), "text"),

@@ -30,4 +30,9 @@ class StreamReplaySpec extends SparkSpecBase {
     assert(rowsOf(StreamQueries.qStreamMarkov(spark, sfDir)) ===
       rowsOf(JourneyQueries.qMarkovTransitions(spark, sfDir)))
   }
+
+  test("replayed funnel changelog rebuilds the batch funnel exactly") {
+    assert(rowsOf(StreamQueries.qStreamFunnel(spark, sfDir)) ===
+      rowsOf(JourneyQueries.qFunnelSteps(spark, sfDir)))
+  }
 }
