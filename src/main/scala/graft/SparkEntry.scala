@@ -128,6 +128,7 @@ object SparkEntry {
     "q_stream_scd2" -> (StreamQueries.qStreamScd2 _),
     "q_stream_markov" -> (StreamQueries.qStreamMarkov _),
     "q_stream_funnel" -> (StreamQueries.qStreamFunnel _),
+    "q_stream_gapfill" -> (StreamQueries.qStreamGapfill _),
     "q_audio_features" -> (TextQueries.qAudioFeatures _),
   )
 
@@ -624,7 +625,14 @@ object SparkEntry {
         "q_stream_retention" -> staticOracleSql("q_retention_cohort"),
         "q_stream_scd2" -> staticOracleSql("q_scd2_history"),
         "q_stream_markov" -> staticOracleSql("q_markov_transitions"),
-        "q_stream_funnel" -> staticOracleSql("q_funnel_steps"))
+        "q_stream_funnel" -> staticOracleSql("q_funnel_steps"),
+        // q_gap_fill's oracle over the COALESCED value frame — the
+        // streaming Event schema is primitive-Double, so the replay feed
+        // coalesces NULL values to 0.0 before the fold (the documented
+        // gapFillChangelog value contract)
+        "q_stream_gapfill" -> staticOracleSql("q_gap_fill").replace(
+          "SUM(CAST(value AS DECIMAL(18,2)))",
+          "SUM(CAST(coalesce(value, 0) AS DECIMAL(18,2)))"))
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,

@@ -85,6 +85,24 @@ object StreamQueries {
       .orderBy(col("user_id"))
   }
 
+  /** The gap-fill changelog replayed the same way: the streamed rows ARE
+    * the dense calendar rows (activity and gap days alike, each emitted
+    * exactly once as its day seals), so no downstream aggregate is needed
+    * — just ordering. Value contract: Event.value is primitive, so the
+    * replay feed coalesces NULL values to 0.0; the oracle is therefore
+    * q_gap_fill's SQL over the COALESCED frame (an all-NULL activity day
+    * sums to 0.0 instead of carrying the previous fill — the one
+    * documented divergence from the raw-null batch row, see
+    * EventStreams.gapFillChangelog).
+    */
+  def qStreamGapfill(spark: SparkSession, dir: String): DataFrame =
+    StreamReplay.replayEvents(spark, dir)(
+        EventStreams.gapFillChangelog(_))
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("day"), col("n_events"),
+        col("filled_total"), col("days_since_active"), col("is_active"))
+      .orderBy(col("user_id"), col("day"))
+
   /** q_markov_transitions from the streamed
     * [[EventStreams.transitionChangelog]]: each (cur → next) step is
     * emitted exactly once, so the transition matrix is a plain count

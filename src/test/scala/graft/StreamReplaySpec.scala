@@ -35,4 +35,14 @@ class StreamReplaySpec extends SparkSpecBase {
     assert(rowsOf(StreamQueries.qStreamFunnel(spark, sfDir)) ===
       rowsOf(JourneyQueries.qFunnelSteps(spark, sfDir)))
   }
+
+  test("replayed gap-fill changelog rebuilds the batch densify over the coalesced frame") {
+    import org.apache.spark.sql.functions._
+    val coalesced = graft.sources.Tables.events(spark, sfDir)
+      .withColumn("value", coalesce(col("value"), lit(0.0)))
+    val batch = JourneyQueries.gapFill(coalesced)
+      .orderBy(col("user_id"), col("day"))
+    assert(rowsOf(StreamQueries.qStreamGapfill(spark, sfDir)) ===
+      rowsOf(batch))
+  }
 }
