@@ -134,6 +134,19 @@ object Graph {
     // table can be dropped too — only the final rank checkpoint remains
     var ranks = Checkpoints.checkpoint(
       nodes.select(col("node"), r0.as("r")))
+    // Checkpoint every CpEvery-th iteration, not every one: lineage depth
+    // stays ≤ CpEvery join+agg layers (the analysis blow-up needs ~15),
+    // each materialization covers CpEvery iterations in ONE scheduled
+    // job, and the arithmetic is identical — the same IEEE expression
+    // tree evaluates whether its inputs come from a cached table or a
+    // chained plan. release() only ever targets the superseded
+    // CHECKPOINT (releasing a chained plan would free the live base).
+    // DANGLING graphs keep per-iteration checkpoints: their update
+    // references prev TWICE (inflow + the dm aggregate), so a chained
+    // layer would re-execute the chain per reference — 2^k work for k
+    // chained layers. The fast and no-dangling paths reference prev once
+    // (linear), so chaining is safe there.
+    val CpEvery = if (hasDangling) 1 else 3
     // AQE OFF for the refinement loop only: every stage here has a
     // KNOWN shape (cached pre-partitioned edges ⋈ node-sized ranks →
     // node-sized aggregate), so adaptive re-planning can't improve the
@@ -148,7 +161,8 @@ object Graph {
     val aqePrior = spark.conf.getOption(aqeKey)
     spark.conf.set(aqeKey, "false")
     try {
-    for (_ <- 1 to iters) {
+    var lastCp = ranks
+    for (i <- 1 to iters) {
       val prev = ranks
       // shuffle_hash pinned (AQE is off here and the static planner
       // would otherwise SMJ): build side = the node-sized rank table,
@@ -183,9 +197,14 @@ object Graph {
                   (col("s") + snap(col("dm") / lit(nd.toDouble)))).as("r"))
           }
         }
-      ranks = Checkpoints.checkpoint(next)
-      Checkpoints.release(prev)
+      if (i % CpEvery == 0 || i == iters) {
+        val cp = Checkpoints.checkpoint(next)
+        Checkpoints.release(lastCp)
+        lastCp = cp
+        ranks = cp
+      } else ranks = next
     }
+    ranks = lastCp
     } finally {
       aqePrior match {
         case Some(v) => spark.conf.set(aqeKey, v)
