@@ -57,6 +57,8 @@ object SparkEntry {
     "q_asof_attribution" -> (EventQueries.qAsofAttribution _),
     "q_asof_tolerance" -> (EventQueries.qAsofTolerance _),
     "q_range_join" -> (EventQueries.qRangeJoin _),
+    "q_attribution_linear" -> (EventQueries.qAttributionLinear _),
+    "q_top_paths" -> (JourneyQueries.qTopPaths _),
     "q_salted_join" -> (EventQueries.qSaltedJoin _),
     "q_lead_lag" -> (EventQueries.qLeadLag _),
     "q_rolling_features" -> (EventQueries.qRollingFeatures _),
@@ -129,6 +131,9 @@ object SparkEntry {
     "q_stream_markov" -> (StreamQueries.qStreamMarkov _),
     "q_stream_funnel" -> (StreamQueries.qStreamFunnel _),
     "q_stream_gapfill" -> (StreamQueries.qStreamGapfill _),
+    "q_stream_sessionize" -> (StreamQueries.qStreamSessionize _),
+    "q_stream_window" -> (StreamQueries.qStreamWindow _),
+    "q_stream_attribution" -> (StreamQueries.qStreamAttribution _),
     "q_audio_features" -> (TextQueries.qAudioFeatures _),
   )
 
@@ -632,7 +637,18 @@ object SparkEntry {
         // gapFillChangelog value contract)
         "q_stream_gapfill" -> staticOracleSql("q_gap_fill").replace(
           "SUM(CAST(value AS DECIMAL(18,2)))",
-          "SUM(CAST(coalesce(value, 0) AS DECIMAL(18,2)))"))
+          "SUM(CAST(coalesce(value, 0) AS DECIMAL(18,2)))"),
+        // same COALESCE note as q_stream_gapfill: the replay feed's Event
+        // schema is primitive-Double (all-NULL sessions would sum to 0.0,
+        // not NULL) — the events table has no NULL values at any shipped
+        // SF, so the twin oracle applies verbatim-with-coalesce either way
+        "q_stream_sessionize" -> staticOracleSql("q_sessionize").replace(
+          "SUM(CAST(value AS DECIMAL(18,2)))",
+          "SUM(CAST(coalesce(value, 0) AS DECIMAL(18,2)))"),
+        "q_stream_window" -> staticOracleSql("q_window_tumbling").replace(
+          "SUM(CAST(value AS DECIMAL(18,2)))",
+          "SUM(CAST(coalesce(value, 0) AS DECIMAL(18,2)))"),
+        "q_stream_attribution" -> staticOracleSql("q_range_join"))
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,
@@ -1246,6 +1262,36 @@ object SparkEntry {
         |FROM c JOIN p ON user_id = p_user
         |  AND click_ts >= p_ts - INTERVAL 1 HOUR AND click_ts < p_ts
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "q_attribution_linear" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |    CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, value AS p_value,
+        |    CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT click_id, purchase_id, user_id, p_value
+        |  FROM c JOIN p ON user_id = p_user
+        |    AND click_ts >= p_ts - INTERVAL 1 HOUR AND click_ts < p_ts)
+        |SELECT click_id, purchase_id, user_id,
+        |  p_value / COUNT(*) OVER (PARTITION BY purchase_id) AS credit
+        |FROM j ORDER BY click_id, purchase_id""".stripMargin,
+    "q_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |f AS (SELECT *, CASE
+        |    WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |    WHEN lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |n AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM f),
+        |c AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+        |    ORDER BY ts_us, event_id) AS pos FROM n),
+        |p AS (SELECT user_id, session_seq,
+        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        |  FROM c WHERE pos <= 64 AND event_type IS NOT NULL
+        |  GROUP BY user_id, session_seq)
+        |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q_lead_lag" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |  FROM events)

@@ -82,6 +82,37 @@ object EventQueries {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Linear multi-touch attribution: each purchase's value split EQUALLY
+    * across its in-window clicks (the q_range_join pairs) — the standard
+    * upgrade from last-touch (q_asof_attribution) when several touchpoints
+    * share credit. One count-window partitioned by purchase_id over the
+    * bucketized range join assigns the denominator; credit stays a SINGLE
+    * IEEE division of the exact 2-decimal purchase value by an exact int,
+    * so the driver hash-checks it with no snapping. Emitted at pair grain
+    * (click, purchase, credit): per-click credit SUMS are deliberately NOT
+    * aggregated here — summing inexact quotients is reduction-order-
+    * dependent; a consumer rolls up in whatever decimal policy it owns.
+    */
+  def qAttributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("value").as("p_value"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("win_start"),
+        col("ts").as("win_end"))
+    val pairs = graft.ops.RangeJoin.pointInInterval(clicks, purchases,
+      "user_id", col("click_ts"), col("win_start"), col("win_end"))
+    val perPurchase = Window.partitionBy(col("purchase_id"))
+    pairs
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("p_value") / count(lit(1)).over(perPurchase).cast("double"))
+          .as("credit"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** Per-user event-sequence features: lead/lag gaps, running rank
     * position, quartile bucket — the standard window-function toolbox in
     * one pass. ONE shuffle on user_id serves every window (same

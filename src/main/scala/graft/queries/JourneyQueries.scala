@@ -203,4 +203,37 @@ object JourneyQueries {
         sum(col("n")).over(Window.partitionBy(col("cur_type"))).cast("double"))
       .orderBy(col("cur_type"), col("next_type"))
   }
+
+  /** Top-20 session journeys: gap-30min sessions (the shared
+    * [[graft.ops.Sessionize]] numbering), each session's ordered
+    * event-type sequence joined into a path string, ranked by session
+    * count. The session window, the per-session position cap, and the
+    * ordered path collect all ride the ONE user_id exchange; the path
+    * count is a second (tiny — #distinct paths) shuffle, and the top-20 is
+    * TakeOrderedAndProject, never a global sort.
+    *
+    * Scale honesty: paths are capped at the first 64 events per session
+    * (mirrored in the oracle) — bot sessions are unbounded, and an uncapped
+    * collect_list is exactly the skew trap the 100 TB design must refuse.
+    */
+  def qTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val sess = graft.ops.Sessionize
+      .withSessionSeq(e, col("user_id"), col("ts"), col("event_id"))
+    val bySess = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val paths = sess
+      .withColumn("pos", row_number().over(bySess))
+      .filter(col("pos") <= 64 && col("event_type").isNotNull)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(unix_micros(col("ts")).as("u"),
+            col("event_id").as("i"), col("event_type").as("t")))),
+          s => s.getField("t")), ">").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
 }

@@ -103,6 +103,65 @@ object StreamQueries {
         col("filled_total"), col("days_since_active"), col("is_active"))
       .orderBy(col("user_id"), col("day"))
 
+  /** q_sessionize from the streamed [[EventStreams.sessionize]]
+    * flatMapGroupsWithState fold: sessions close exactly once (gap-advance
+    * or event-time timeout), micros-exact boundaries, cents-exact totals
+    * (EventStreams.sessionize scaladoc). session_seq is not streaming
+    * state — sessions of one user are disjoint intervals, so numbering is
+    * a row_number over session_start on the materialized output.
+    */
+  def qStreamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val sess = StreamReplay.replayEvents(spark, dir)(
+        EventStreams.sessionize(_))
+      .filter(col("user_id") >= 0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
+    sess.select(col("user_id"),
+        row_number().over(w).cast("long").as("session_seq"),
+        col("n_events"), col("session_start"), col("session_end"),
+        col("total_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** q_window_tumbling from the streamed
+    * [[EventStreams.windowedUserCells]]: the built-in watermarked window
+    * aggregate in append mode, at (window, type, user) grain so that
+    * n_users (no streaming countDistinct) and the order-independent
+    * decimal sum both reduce exactly downstream — each cell arrives
+    * exactly once, so n_events is a sum of counts, n_users a count of
+    * cells, total_value a sum of decimal partials cast once.
+    */
+  def qStreamWindow(spark: SparkSession, dir: String): DataFrame =
+    StreamReplay.replayEvents(spark, dir)(s =>
+        EventStreams.windowedUserCells(s.toDF()))
+      .filter(col("user_id") >= 0)
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        sum(col("v")).cast("double").as("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** q_range_join as a STREAM-STREAM interval join
+    * ([[EventStreams.attributionJoin]]): both sides are unbounded streams
+    * derived from the same replayed feed; the watermark + interval bound
+    * lets Spark evict a buffered click once no future purchase can reach
+    * it. Inner-join matches emit as they occur, so the result needs no
+    * sealing argument — and the event-time-ordered replay guarantees
+    * eviction never races a future match (a purchase landing after a
+    * click's eviction is > 1h past it by the range-chunk bounds).
+    */
+  def qStreamAttribution(spark: SparkSession, dir: String): DataFrame =
+    StreamReplay.replayEvents(spark, dir) { s =>
+      val clicks = s.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = s.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+      EventStreams.attributionJoin(clicks, purchases)
+    }
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+      .orderBy(col("click_id"), col("purchase_id"))
+
   /** q_markov_transitions from the streamed
     * [[EventStreams.transitionChangelog]]: each (cur → next) step is
     * emitted exactly once, so the transition matrix is a plain count

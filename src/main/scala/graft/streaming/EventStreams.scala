@@ -33,6 +33,29 @@ object EventStreams {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** The DRIVER-CHECKABLE form of the windowed aggregate
+    * (q_stream_window): per-(window, event_type, user_id) cells instead of
+    * the display-level rollup, because the two things the batch twin
+    * computes that a streaming agg cannot — `countDistinct(user_id)` and a
+    * double sum independent of accumulation order — both fall out of the
+    * finer grain: each cell is exactly-once-and-final under append mode
+    * (it seals when the watermark passes its window end), so downstream
+    * n_users is a plain COUNT of cells and the decimal(18,2) partial sums
+    * re-aggregate exactly (decimal addition is associative — same
+    * linearity argument as the CMS merge). At 100 TB this is also the
+    * shape you'd persist: the cells are the reusable cube, the rollup is a
+    * cheap batch read over them.
+    */
+  def windowedUserCells(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("v"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("user_id"), col("n"), col("v"))
+
   /** Stream-stream attribution join: clicks within the hour before each
     * purchase of the same user, both sides unbounded streams. The
     * time-interval join condition + watermarks let Spark BOUND the join
@@ -109,7 +132,7 @@ object EventStreams {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
-  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class SessionState(start: Long, last: Long, n: Long, totalCents: Long)
   case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, total_value: Double)
 
@@ -471,44 +494,60 @@ object EventStreams {
     * timeout — deterministic under replay/backfill, unlike wall-clock
     * timeouts, and it lets the engine reach quiescence between triggers).
     * Memory is bounded by active users, not history.
+    *
+    * Exactness (the q_stream_sessionize contract): all arithmetic runs in
+    * the domains the batch twin proves hash-exact in DuckDB — gap checks
+    * and boundaries in MICROS (`getTime` is millis and truncates the
+    * microsecond part the events carry, which can flip a gap decision that
+    * straddles a millisecond edge), totals in integer CENTS (the events'
+    * values are 2-decimal; the emitted double is one IEEE division of an
+    * exact integer — bit-identical to the batch side's
+    * decimal(18,2)-sum-then-cast on both engines).
     */
   def sessionize(events: Dataset[Event],
       gapMs: Long = 30L * 60 * 1000,
       watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, evs, state: GroupState[SessionState]) =>
+          def close(s: SessionState): SessionOut =
+            SessionOut(userId, tsOf(s.start), tsOf(s.last), s.n,
+              s.totalCents / 100.0)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(userId, new Timestamp(s.start),
-              new Timestamp(s.last), s.n, s.total))
+            Iterator(close(s))
           } else {
-            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = evs.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
             var cur = state.getOption
             val out = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = usOf(e.ts)
+              val cents = math.rint(e.value * 100).toLong
               cur match {
-                case Some(s) if t - s.last > gapMs =>
-                  out += SessionOut(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) if t - s.last > gapUs =>
+                  out += close(s)
+                  cur = Some(SessionState(t, t, 1, cents))
                 case Some(s) =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                  cur = Some(s.copy(last = t, n = s.n + 1,
+                    totalCents = s.totalCents + cents))
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, cents))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              // must stay ahead of the watermark or Spark rejects it
+              // must stay ahead of the watermark or Spark rejects it; the
+              // +1999 ceil keeps the millis timeout at-or-after the micros
+              // session end + gap, so a timeout can never fire early
               state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
+                math.max((s.last + gapUs + 1999L) / 1000L,
+                  state.getCurrentWatermarkMs + 1))
             }
             out.result().iterator
           }

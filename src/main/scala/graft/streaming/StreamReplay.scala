@@ -47,6 +47,24 @@ import graft.streaming.EventStreams.Event
   */
 object StreamReplay {
 
+  // The returned DataFrame reads the staged sink LAZILY, so the temp tree
+  // must outlive this call — repeated invocations in one JVM (bench passes,
+  // the spec suite) would otherwise accumulate feeds forever. One shutdown
+  // hook reaps every root this JVM created.
+  private val roots = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val reaper: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      roots.forEach { r =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val walk = Files.walk(r)
+          try walk.iterator().asScala.toSeq.reverse.foreach(p =>
+            try Files.deleteIfExists(p) catch { case _: Exception => () })
+          finally walk.close()
+        } catch { case _: Exception => () }
+      }
+    }))
+
   /** Stage `events(dir)` as an event-time-ordered feed, run `op` over it
     * as a stream to completion, and return the materialized output
     * (sentinel rows still present — filter `user_id >= 0`).
@@ -58,6 +76,8 @@ object StreamReplay {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         coalesce(col("value"), lit(0.0)).as("value"))
     val root = Files.createTempDirectory("graft-replay")
+    reaper
+    roots.add(root)
     val feed = root.resolve("feed").toString
     // ONE range-shuffle pass stages the feed; the sentinel timestamps
     // come from a max() over the staged files (footer-stat cheap), not a

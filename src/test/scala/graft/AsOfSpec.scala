@@ -80,4 +80,23 @@ class AsOfSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), s"union form must not plan a join:\n$plan")
     assert(plan.contains("Window"))
   }
+
+  test("linear attribution splits each purchase's value equally over its range-join pairs") {
+    import graft.queries.EventQueries
+    val pairs = EventQueries.qAttributionLinear(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    // pair set == the range join's pair set (attribution adds credit, never pairs)
+    val rj = EventQueries.qRangeJoin(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+    assert(pairs.map(r => (r.getAs[Long]("click_id"),
+      r.getAs[Long]("purchase_id"))).toSet === rj)
+    // per purchase: equal shares that sum back to one purchase value
+    pairs.groupBy(_.getAs[Long]("purchase_id")).foreach { case (_, ps) =>
+      val credits = ps.map(_.getAs[Double]("credit"))
+      assert(credits.toSet.size === 1, "shares of one purchase must be equal")
+      val total = credits.head * credits.length
+      assert(total > 0 && math.abs(total - math.rint(total * 100) / 100) < 1e-9,
+        s"credits must reassemble a 2-decimal purchase value, got $total")
+    }
+  }
 }

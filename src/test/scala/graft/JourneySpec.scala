@@ -161,4 +161,29 @@ class JourneySpec extends SparkSpecBase {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"projection query must not shuffle:\n$plan")
   }
+
+  test("top paths: ranked journeys are well-formed and the plan stays on two exchanges") {
+    val df = JourneyQueries.qTopPaths(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val counts = rows.map(_.getAs[Long]("n_sessions"))
+    assert(counts.forall(_ > 0))
+    assert(counts.sameElements(counts.sorted.reverse), "must rank by count desc")
+    val types = Set("signup", "click", "view", "purchase", "error")
+    rows.foreach { r =>
+      val steps = r.getAs[String]("path").split(">")
+      assert(steps.nonEmpty && steps.length <= 64 && steps.forall(types))
+    }
+    // sessionize window, position cap, and ordered path collect all ride
+    // the user_id exchange ((user, seq) clustering is satisfied by the
+    // user hash); the path count is the only second shuffle, and top-20
+    // must be TakeOrderedAndProject, never a global sort. AQE's string
+    // repeats the whole tree under "== Initial Plan ==" — count the final
+    // section only.
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 2, s"expected 2 keyed exchanges, got $exchanges:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$plan")
+  }
 }

@@ -36,6 +36,21 @@ class StreamReplaySpec extends SparkSpecBase {
       rowsOf(JourneyQueries.qFunnelSteps(spark, sfDir)))
   }
 
+  test("replayed sessionize fold rebuilds the batch sessions exactly") {
+    assert(rowsOf(StreamQueries.qStreamSessionize(spark, sfDir)) ===
+      rowsOf(EventQueries.qSessionize(spark, sfDir)))
+  }
+
+  test("replayed windowed-agg cells rebuild the batch tumbling rollup exactly") {
+    assert(rowsOf(StreamQueries.qStreamWindow(spark, sfDir)) ===
+      rowsOf(EventQueries.qWindowTumbling(spark, sfDir)))
+  }
+
+  test("replayed stream-stream interval join rebuilds the batch range join exactly") {
+    assert(rowsOf(StreamQueries.qStreamAttribution(spark, sfDir)) ===
+      rowsOf(EventQueries.qRangeJoin(spark, sfDir)))
+  }
+
   test("replayed gap-fill changelog rebuilds the batch densify over the coalesced frame") {
     import org.apache.spark.sql.functions._
     val coalesced = graft.sources.Tables.events(spark, sfDir)
