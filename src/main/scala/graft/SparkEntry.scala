@@ -134,6 +134,9 @@ object SparkEntry {
     "q_stream_sessionize" -> (StreamQueries.qStreamSessionize _),
     "q_stream_window" -> (StreamQueries.qStreamWindow _),
     "q_stream_attribution" -> (StreamQueries.qStreamAttribution _),
+    "q_stream_heavy_hitters" -> (StreamQueries.qStreamHeavyHitters _),
+    "q_stream_dedup_incremental" -> (StreamQueries.qStreamDedupIncremental _),
+    "q_stream_ivf_ingest" -> (SimilarityQueries.qStreamIvfIngest _),
     "q_audio_features" -> (TextQueries.qAudioFeatures _),
   )
 
@@ -611,7 +614,12 @@ object SparkEntry {
       graft.queries.SimilarityQueries.lastIvfModel
         .map { case (_, c) => "q_ann_ivf" -> ivfOracle(c) } ++
       graft.queries.SimilarityQueries.lastIvfQModel
-        .map { case (_, c) => "q_ann_ivf_quantized" -> ivfQuantOracle(c) } ++
+        .toSeq.flatMap { case (_, c) => Seq(
+          "q_ann_ivf_quantized" -> ivfQuantOracle(c),
+          // store-served row: the serve equals the on-the-fly quantized
+          // serve (CorpusStreamSpec), so the trained-centroid replay
+          // oracle is verbatim
+          "q_stream_ivf_ingest" -> ivfQuantOracle(c)) } ++
       graft.queries.SimilarityQueries.lastPqModel
         .map { case (_, mdl) => "q_ann_pq" -> pqOracle(mdl) } ++
       graft.queries.SimilarityQueries.lastIvfPqModel
@@ -648,7 +656,14 @@ object SparkEntry {
         "q_stream_window" -> staticOracleSql("q_window_tumbling").replace(
           "SUM(CAST(value AS DECIMAL(18,2)))",
           "SUM(CAST(coalesce(value, 0) AS DECIMAL(18,2)))"),
-        "q_stream_attribution" -> staticOracleSql("q_range_join"))
+        "q_stream_attribution" -> staticOracleSql("q_range_join"),
+        // CMS linearity: the epoch-folded store's cells equal the batch
+        // build's cells exactly, so the estimates — and the oracle — are
+        // the batch row's verbatim
+        "q_stream_heavy_hitters" -> staticOracleSql("q_heavy_hitters"),
+        // new-vs-history-only dedup: the union of per-epoch streamed
+        // results equals one batch run, so the batch oracle is verbatim
+        "q_stream_dedup_incremental" -> staticOracleSql("q_dedup_incremental"))
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,

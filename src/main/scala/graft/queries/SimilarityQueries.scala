@@ -203,6 +203,43 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q_ann_ivf_quantized SERVED FROM THE STREAM-MAINTAINED STORE
+    * (driver-checkable form of IndexStreams, r9): the corpus embeddings
+    * arrive as a chunked file stream, each micro-batch folded into the
+    * epoch-keyed quantized IVF store by the FROZEN coarse quantizer
+    * (stateless fold — assignment and int8 quantization are per-row, so
+    * no ordering contract is needed), then the queries are answered from
+    * the live store (base ∪ increments) via the same serving tail as the
+    * on-the-fly path. Store == batch build row-for-row and serve == the
+    * registered quantized serve (CorpusStreamSpec); the DuckDB oracle is
+    * q_ann_ivf_quantized's trained-centroid replay verbatim.
+    */
+  def qStreamIvfIngest(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val c = corpus(spark, dir)
+    val queries = c.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val cents = centroidsFor(spark, dir)
+    lastIvfQModel = Some((dir, cents))
+    val root = Files.createTempDirectory("graft-ivf-replay")
+    graft.streaming.StreamReplay.track(root)
+    val feed = root.resolve("feed").toString
+    c.repartitionByRange(2, col("id")).write.parquet(feed)
+    val sq = spark.newSession()
+    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    graft.streaming.IndexStreams.ivfStoreStream(
+        graft.streaming.CorpusStreams.readDocFiles(sq, feed, c.schema,
+          maxFilesPerTrigger = 1),
+        cents, root.resolve("inc").toString, root.resolve("ck").toString)
+      .awaitTermination()
+    val live = graft.streaming.IndexStreams.liveStore(spark,
+      Similarity.ivfQuantizedStoreRows(c.limit(0), cents),
+      root.resolve("inc").toString)
+    Similarity.ivfKnnFromStore(live, queries, cents,
+        k = IvfK, nProbe = IvfNProbe)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Trained PQ codebook of the LAST qAnnPq invocation — same
     * oracle-generation contract as [[lastIvfModel]]. */
   @volatile private[graft] var lastPqModel: Option[(String, graft.ops.Pq.PqModel)] = None

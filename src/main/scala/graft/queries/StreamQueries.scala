@@ -162,6 +162,92 @@ object StreamQueries {
       .select(col("click_id"), col("purchase_id"), col("user_id"))
       .orderBy(col("click_id"), col("purchase_id"))
 
+  /** q_heavy_hitters over a STREAM-MAINTAINED Count-Min store: the
+    * documents table is staged as ranged chunks and streamed
+    * (Trigger.AvailableNow, one file per micro-batch) through
+    * [[graft.streaming.CorpusStreams.cmsStream]] — each batch's sketch
+    * lands as an epoch-keyed store increment, exactly the continuous-
+    * ingest shape — then the live sketch (cell-wise sum over epochs,
+    * EXACT by CMS linearity) answers the same top-20 estimate join as the
+    * batch row. No ordering contract is needed at all: CMS folding is
+    * commutative, so this row's sealing argument is simply linearity.
+    */
+  def qStreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.sources.Tables
+    import graft.streaming.CorpusStreams
+    val root = Files.createTempDirectory("graft-cms-replay")
+    StreamReplay.track(root)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val feed = root.resolve("feed").toString
+    docs.repartitionByRange(2, col("doc_id")).write.parquet(feed)
+    val sq = spark.newSession()
+    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = CorpusStreams.readDocFiles(sq, feed, docs.schema,
+      maxFilesPerTrigger = 1)
+    CorpusStreams.cmsStream(stream, root.resolve("store").toString,
+      root.resolve("ck").toString, width = 1024).awaitTermination()
+    val cms = CorpusStreams.cmsRead(spark, root.resolve("store").toString)
+    // exact side: the same one-scan count table as the batch row
+    val counts = graft.ops.Checkpoints.checkpoint(
+      Tables.documents(spark, dir)
+        .select(explode(graft.functions.text.wordShingles(col("text"), 1))
+          .as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("exact_cnt")))
+    val res = TextQueries.heavyHittersResult(counts, cms)
+    graft.ops.Checkpoints.release(counts)
+    res
+  }
+
+  /** q_dedup_incremental with TODAY'S batch arriving as a stream: the
+    * history store is built exactly like the batch row ("yesterday's"
+    * job), then the day's documents stream through
+    * [[graft.streaming.CorpusStreams.incrementalDedupStream]] — each
+    * micro-batch sketched once, landed as an epoch-keyed store increment,
+    * and statused against the PERSISTED history inside foreachBatch. The
+    * union of per-epoch results equals one batch run EXACTLY because the
+    * operator is new-vs-history only (batch-internal duplicates are the
+    * classic jobs' business) — the chunking can't change any doc's
+    * status. No ordering contract, no watermark: zero streaming state.
+    */
+  def qStreamDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.Dedup
+    import graft.sources.{Datalake, Tables}
+    import graft.streaming.CorpusStreams
+    val docs = Tables.documents(spark, dir)
+    val hist = docs.filter(col("doc_id") % 5 =!= 4)
+    val today = docs.filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-dedup-replay")
+    StreamReplay.track(root)
+    // "yesterday's" job: sketch history once, persist the store
+    val histSk = Dedup.minhashSketch(hist, col("doc_id"), col("text"))
+    val exactPath = root.resolve("exact_fp").toString
+    val bandsPath = root.resolve("bands").toString
+    Datalake.writeParquet(
+      histSk.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id")),
+      exactPath)
+    Datalake.writeParquet(
+      Dedup.bandRows(histSk.select(col("doc_id"), col("__sig")), 32, 8),
+      bandsPath)
+    // today's docs arrive as a 2-chunk file stream
+    val feed = root.resolve("feed").toString
+    today.repartitionByRange(2, col("doc_id")).write.parquet(feed)
+    val sq = spark.newSession()
+    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    CorpusStreams.incrementalDedupStream(
+        CorpusStreams.readDocFiles(sq, feed, today.schema,
+          maxFilesPerTrigger = 1),
+        spark.read.parquet(exactPath), spark.read.parquet(bandsPath),
+        root.resolve("inc").toString, root.resolve("res").toString,
+        root.resolve("ck").toString)
+      .awaitTermination()
+    spark.read.parquet(root.resolve("res").toString)
+      .drop("epoch")
+      .orderBy(col("doc_id"))
+  }
+
   /** q_markov_transitions from the streamed
     * [[EventStreams.transitionChangelog]]: each (cur → next) step is
     * emitted exactly once, so the transition matrix is a plain count

@@ -229,6 +229,20 @@ object TextQueries {
       toks.groupBy(col("t")).agg(count(lit(1)).as("exact_cnt")))
     val cms = Sketches.cmsBuildWeighted(counts, col("t"), col("exact_cnt"),
       width = 1024)
+    val res = heavyHittersResult(counts, cms)
+    graft.ops.Checkpoints.release(counts)
+    res
+  }
+
+  /** Shared tail of the heavy-hitters rows: exact top-20 from the
+    * checkpointed per-token `counts` joined with each token's estimate
+    * from `cms` — which may be the batch-built sketch (qHeavyHitters) or
+    * the cell-wise-summed streaming store (qStreamHeavyHitters); CMS
+    * linearity makes both the SAME counters, so the result is identical.
+    */
+  private[graft] def heavyHittersResult(counts: DataFrame,
+      cms: DataFrame): DataFrame = {
+    import graft.ops.Sketches
     // the top-20 appears TWICE in the result plan (join left side + the
     // estimate's query set) and Spark has no cross-subtree reuse —
     // checkpoint the 20 rows so the vocab-wide TakeOrdered runs once
@@ -242,7 +256,6 @@ object TextQueries {
         (col("cms_est") - col("exact_cnt")).as("overcount"))
       .orderBy(col("exact_cnt").desc, col("token")))
     graft.ops.Checkpoints.release(exact)
-    graft.ops.Checkpoints.release(counts)
     res
   }
 

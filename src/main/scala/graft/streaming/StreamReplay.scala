@@ -52,6 +52,11 @@ object StreamReplay {
   // the spec suite) would otherwise accumulate feeds forever. One shutdown
   // hook reaps every root this JVM created.
   private val roots = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+
+  /** Register a replay temp tree for deletion at JVM exit (shared by the
+    * other replay-style queries, e.g. the CMS store replay). */
+  def track(root: Path): Unit = { reaper; roots.add(root) }
+
   private lazy val reaper: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       roots.forEach { r =>
@@ -82,8 +87,7 @@ object StreamReplay {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         coalesce(col("value"), lit(0.0)).as("value"))
     val root = Files.createTempDirectory("graft-replay")
-    reaper
-    roots.add(root)
+    track(root)
     val feed = root.resolve("feed").toString
     // ONE range-shuffle pass stages the feed; the sentinel timestamps
     // come from a max() over the staged files (footer-stat cheap), not a

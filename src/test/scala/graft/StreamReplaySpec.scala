@@ -51,6 +51,21 @@ class StreamReplaySpec extends SparkSpecBase {
       rowsOf(EventQueries.qRangeJoin(spark, sfDir)))
   }
 
+  test("stream-maintained CMS store answers the batch heavy-hitters row exactly") {
+    assert(rowsOf(StreamQueries.qStreamHeavyHitters(spark, sfDir)) ===
+      rowsOf(graft.queries.TextQueries.qHeavyHitters(spark, sfDir)))
+  }
+
+  test("streamed incremental dedup equals the batch day-job exactly") {
+    assert(rowsOf(StreamQueries.qStreamDedupIncremental(spark, sfDir)) ===
+      rowsOf(graft.queries.SimilarityQueries.qDedupIncremental(spark, sfDir)))
+  }
+
+  test("stream-ingested IVF store serves the registered quantized query exactly") {
+    assert(rowsOf(graft.queries.SimilarityQueries.qStreamIvfIngest(spark, sfDir)) ===
+      rowsOf(graft.queries.SimilarityQueries.qAnnIvfQuantized(spark, sfDir)))
+  }
+
   test("replayed gap-fill changelog rebuilds the batch densify over the coalesced frame") {
     import org.apache.spark.sql.functions._
     val coalesced = graft.sources.Tables.events(spark, sfDir)
