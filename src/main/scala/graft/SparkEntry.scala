@@ -137,6 +137,8 @@ object SparkEntry {
     "q_stream_heavy_hitters" -> (StreamQueries.qStreamHeavyHitters _),
     "q_stream_dedup_incremental" -> (StreamQueries.qStreamDedupIncremental _),
     "q_stream_ivf_ingest" -> (SimilarityQueries.qStreamIvfIngest _),
+    "q_stream_datalake" -> (StreamQueries.qStreamDatalake _),
+    "q_stream_clusters" -> (StreamQueries.qStreamClusters _),
     "q_audio_features" -> (TextQueries.qAudioFeatures _),
   )
 
@@ -663,7 +665,14 @@ object SparkEntry {
         "q_stream_heavy_hitters" -> staticOracleSql("q_heavy_hitters"),
         // new-vs-history-only dedup: the union of per-epoch streamed
         // results equals one batch run, so the batch oracle is verbatim
-        "q_stream_dedup_incremental" -> staticOracleSql("q_dedup_incremental"))
+        "q_stream_dedup_incremental" -> staticOracleSql("q_dedup_incremental"),
+        // keep-last dedup is a pure function of the accumulated raw rows:
+        // the drained stream's usage layer == the batch DAG's
+        "q_stream_datalake" -> staticOracleSql("q_datalake_pipeline"),
+        // the component labeling is canonical (min label per component of
+        // the accumulated graph) — fold order can't change it, so the
+        // from-scratch CTE re-proves the streamed fold too
+        "q_stream_clusters" -> staticOracleSql("q_dedup_clusters_incremental"))
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,

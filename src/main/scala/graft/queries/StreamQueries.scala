@@ -248,6 +248,92 @@ object StreamQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The reference's COMPOSED DAG as a micro-batch stream, driver-checked
+    * (r9): the raw JSONL feed is staged as three fetch drops and drained
+    * through [[graft.streaming.DatalakeStreams.runBackfill]] — each
+    * micro-batch appends its coerced increment to the formatted layer and
+    * rebuilds the usage layer with dedup-at-read. After the backlog
+    * drains, usage == the batch pipeline over the union (keep-last dedup
+    * is a pure function of the accumulated formatted rows — per-batch
+    * rebuilds make every intermediate state consistent and the final one
+    * exact), so q_datalake_pipeline's oracle applies verbatim.
+    */
+  def qStreamDatalake(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.sources.Tables
+    import graft.streaming.DatalakeStreams
+    val root = Files.createTempDirectory("graft-lake-replay")
+    StreamReplay.track(root)
+    val bulkDir = root.resolve("raw").toString
+    graft.sources.Datalake.writeJsonl(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+        .repartition(3),
+      bulkDir)
+    val sq = spark.newSession()
+    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    val usagePath = root.resolve("usage").toString
+    DatalakeStreams.runBackfill(
+        DatalakeStreams.readRawStream(sq, bulkDir, maxFilesPerTrigger = 1),
+        root.resolve("fmt").toString, usagePath,
+        root.resolve("ck").toString)
+      .awaitTermination()
+    spark.read.parquet(usagePath)
+      .orderBy(col("event_type"), col("event_date"))
+  }
+
+  /** q_dedup_clusters_incremental with the day's vectors arriving as a
+    * stream (r9): yesterday's label + bucket stores are built exactly like
+    * the batch row, then today's embeddings stream through
+    * [[graft.streaming.ClusterStreams.incrementalClusterStream]] — each
+    * micro-batch's buckets landed as an epoch increment, its pairs folded
+    * into an epoch-versioned labeling by contracted propagation. The final
+    * epoch's labeling equals the batch fold (and the from-scratch
+    * components) because the labeling is CANONICAL — min label per
+    * connected component of the accumulated graph — so the fold order
+    * cannot change it; the oracle is the batch row's from-scratch
+    * recursive CTE verbatim.
+    */
+  def qStreamClusters(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.ops.{Components, Similarity}
+    import graft.sources.{Datalake, Tables}
+    import graft.streaming.{ClusterStreams, CorpusStreams}
+    val c = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val hist = c.filter(col("id") % 5 =!= 4)
+    val today = c.filter(col("id") % 5 === 4)
+    val root = Files.createTempDirectory("graft-cluster-replay")
+    StreamReplay.track(root)
+    // "yesterday's" stores — identical to the batch row
+    val labelsPath = root.resolve("labels").toString
+    val bucketsPath = root.resolve("buckets").toString
+    Datalake.writeParquet(
+      Components.connectedComponents(hist.select(col("id")),
+        Similarity.hyperplaneLshPairs(hist)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))),
+      labelsPath)
+    Datalake.writeParquet(Similarity.lshBuckets(hist), bucketsPath)
+    // today's vectors as a 2-chunk stream
+    val feed = root.resolve("feed").toString
+    today.repartitionByRange(2, col("id")).write.parquet(feed)
+    val sq = spark.newSession()
+    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    val labelsDir = root.resolve("labels_inc").toString
+    ClusterStreams.incrementalClusterStream(
+        CorpusStreams.readDocFiles(sq, feed, today.schema,
+          maxFilesPerTrigger = 1),
+        spark.read.parquet(labelsPath), spark.read.parquet(bucketsPath),
+        root.resolve("buckets_inc").toString, labelsDir,
+        root.resolve("ck").toString)
+      .awaitTermination()
+    val folded = spark.read.parquet(labelsDir)
+    val lastEpoch = folded.agg(max(col("epoch"))).head.get(0)
+    folded.filter(col("epoch") === lastEpoch).drop("epoch")
+      .orderBy(col("id"))
+  }
+
   /** q_markov_transitions from the streamed
     * [[EventStreams.transitionChangelog]]: each (cur → next) step is
     * emitted exactly once, so the transition matrix is a plain count

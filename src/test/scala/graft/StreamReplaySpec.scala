@@ -66,6 +66,16 @@ class StreamReplaySpec extends SparkSpecBase {
       rowsOf(graft.queries.SimilarityQueries.qAnnIvfQuantized(spark, sfDir)))
   }
 
+  test("streamed datalake DAG's drained usage layer equals the batch pipeline") {
+    assert(rowsOf(StreamQueries.qStreamDatalake(spark, sfDir)) ===
+      rowsOf(graft.queries.DatalakeQueries.qDatalakePipeline(spark, sfDir)))
+  }
+
+  test("streamed cluster fold lands on the batch incremental labeling") {
+    assert(rowsOf(StreamQueries.qStreamClusters(spark, sfDir)) ===
+      rowsOf(graft.queries.SimilarityQueries.qDedupClustersIncremental(spark, sfDir)))
+  }
+
   test("replayed gap-fill changelog rebuilds the batch densify over the coalesced frame") {
     import org.apache.spark.sql.functions._
     val coalesced = graft.sources.Tables.events(spark, sfDir)
