@@ -67,19 +67,29 @@ object EventQueries {
     * bucketized equi-join form — see ops.RangeJoin for why the naive
     * inequality join degenerates to a nested loop.
     */
-  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinPairs(spark, dir)
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+      .orderBy(col("click_id"), col("purchase_id"))
+
+  /** The ONE definition of the pre-purchase-hour pair set (clicks within
+    * the hour before each same-user purchase, `>= start && < end`) —
+    * shared by q_range_join and q_attribution_linear so the window
+    * convention cannot drift between them. Carries `p_value` for the
+    * attribution row; q_range_join projects it away.
+    */
+  private def rangeJoinPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("value").as("p_value"),
         (col("ts") - expr("INTERVAL 1 HOUR")).as("win_start"),
         col("ts").as("win_end"))
     graft.ops.RangeJoin.pointInInterval(clicks, purchases, "user_id",
-        col("click_ts"), col("win_start"), col("win_end"))
-      .select(col("click_id"), col("purchase_id"), col("user_id"))
-      .orderBy(col("click_id"), col("purchase_id"))
+      col("click_ts"), col("win_start"), col("win_end"))
   }
 
   /** Linear multi-touch attribution: each purchase's value split EQUALLY
@@ -94,19 +104,8 @@ object EventQueries {
     * dependent; a consumer rolls up in whatever decimal policy it owns.
     */
   def qAttributionLinear(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("click_ts"))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("value").as("p_value"),
-        (col("ts") - expr("INTERVAL 1 HOUR")).as("win_start"),
-        col("ts").as("win_end"))
-    val pairs = graft.ops.RangeJoin.pointInInterval(clicks, purchases,
-      "user_id", col("click_ts"), col("win_start"), col("win_end"))
     val perPurchase = Window.partitionBy(col("purchase_id"))
-    pairs
+    rangeJoinPairs(spark, dir)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         (col("p_value") / count(lit(1)).over(perPurchase).cast("double"))
           .as("credit"))

@@ -20,9 +20,46 @@ import graft.ops.{Dedup, Similarity}
   */
 object SimilarityQueries {
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
+
+  /** The shared "yesterday / today" split (4-in-5 history) used by every
+    * incremental store row — one definition so the batch rows and their
+    * streamed twins (StreamQueries) cannot drift.
+    */
+  private[graft] def daySplit(df: DataFrame, key: String): (DataFrame, DataFrame) =
+    (df.filter(col(key) % 5 =!= 4), df.filter(col(key) % 5 === 4))
+
+  /** "Yesterday's" dedup store build (exact-fp keep-mins + LSH band rows),
+    * shared by q_dedup_incremental and q_stream_dedup_incremental.
+    */
+  private[graft] def writeDedupHistoryStore(hist: DataFrame,
+      exactPath: String, bandsPath: String): Unit = {
+    import graft.sources.Datalake
+    val histSk = Dedup.minhashSketch(hist, col("doc_id"), col("text"))
+    Datalake.writeParquet(
+      histSk.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id")),
+      exactPath)
+    Datalake.writeParquet(
+      Dedup.bandRows(histSk.select(col("doc_id"), col("__sig")), 32, 8),
+      bandsPath)
+  }
+
+  /** "Yesterday's" cluster store build (converged history labels +
+    * history bucket rows), shared by q_dedup_clusters_incremental and
+    * q_stream_clusters.
+    */
+  private[graft] def writeClusterHistoryStore(hist: DataFrame,
+      labelsPath: String, bucketsPath: String): Unit = {
+    import graft.sources.Datalake
+    Datalake.writeParquet(
+      graft.ops.Components.connectedComponents(hist.select(col("id")),
+        Similarity.hyperplaneLshPairs(hist)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))),
+      labelsPath)
+    Datalake.writeParquet(Similarity.lshBuckets(hist), bucketsPath)
+  }
 
   /** Exact top-5 cosine neighbors for the first 10 vectors, via the
     * bounded-heap topk aggregate (shuffle ≤ k per query per partition).
@@ -92,19 +129,13 @@ object SimilarityQueries {
   def qDedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Datalake
     val c = corpus(spark, dir)
-    val hist = c.filter(col("id") % 5 =!= 4)
-    val batch = c.filter(col("id") % 5 === 4)
+    val (hist, batch) = daySplit(c, "id")
     val root = DatalakeQueries.tempLakeRoot()
     // "yesterday's" job: converged labels over history-internal pairs +
     // history's bucket rows, both persisted in the lake's formatted layer
     val labelsPath = Datalake.path(root, Datalake.Formatted, "clusters", "labels")
     val bucketsPath = Datalake.path(root, Datalake.Formatted, "clusters", "buckets")
-    Datalake.writeParquet(
-      graft.ops.Components.connectedComponents(hist.select(col("id")),
-        Similarity.hyperplaneLshPairs(hist)
-          .select(col("id_a").as("src"), col("id_b").as("dst"))),
-      labelsPath)
-    Datalake.writeParquet(Similarity.lshBuckets(hist), bucketsPath)
+    writeClusterHistoryStore(hist, labelsPath, bucketsPath)
     // "today's" job: bucket ONLY the batch. The batch's bucket rows are
     // WRITTEN FIRST (the qDedupIncremental batch-sketch pattern): they are
     // both the join input — read back once, so the pair join's two
@@ -416,19 +447,12 @@ object SimilarityQueries {
   def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Datalake
     val docs = Tables.documents(spark, dir)
-    val hist = docs.filter(col("doc_id") % 5 =!= 4)
-    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val (hist, batch) = daySplit(docs, "doc_id")
     val root = DatalakeQueries.tempLakeRoot()
     // "yesterday's" job: sketch history once, persist the store
-    val histSk = Dedup.minhashSketch(hist, col("doc_id"), col("text"))
     val exactPath = Datalake.path(root, Datalake.Formatted, "dedup", "exact_fp")
     val bandsPath = Datalake.path(root, Datalake.Formatted, "dedup", "bands")
-    Datalake.writeParquet(
-      histSk.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id")),
-      exactPath)
-    Datalake.writeParquet(
-      Dedup.bandRows(histSk.select(col("doc_id"), col("__sig")), 32, 8),
-      bandsPath)
+    writeDedupHistoryStore(hist, exactPath, bandsPath)
     // "today's" job: the batch sketch is WRITTEN FIRST — it is both the
     // join input and the store increment the next generation appends
     // (sketch each doc exactly once, ever). Reading it back also stops

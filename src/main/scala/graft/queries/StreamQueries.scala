@@ -213,39 +213,47 @@ object StreamQueries {
   def qStreamDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     import graft.ops.Dedup
-    import graft.sources.{Datalake, Tables}
+    import graft.sources.Tables
     import graft.streaming.CorpusStreams
     val docs = Tables.documents(spark, dir)
-    val hist = docs.filter(col("doc_id") % 5 =!= 4)
-    val today = docs.filter(col("doc_id") % 5 === 4)
-      .select(col("doc_id"), col("text"))
+    val (hist, todayAll) = SimilarityQueries.daySplit(docs, "doc_id")
+    val today = todayAll.select(col("doc_id"), col("text"))
     val root = Files.createTempDirectory("graft-dedup-replay")
     StreamReplay.track(root)
-    // "yesterday's" job: sketch history once, persist the store
-    val histSk = Dedup.minhashSketch(hist, col("doc_id"), col("text"))
+    // "yesterday's" job — the batch row's store builder verbatim
     val exactPath = root.resolve("exact_fp").toString
     val bandsPath = root.resolve("bands").toString
-    Datalake.writeParquet(
-      histSk.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id")),
-      exactPath)
-    Datalake.writeParquet(
-      Dedup.bandRows(histSk.select(col("doc_id"), col("__sig")), 32, 8),
-      bandsPath)
+    SimilarityQueries.writeDedupHistoryStore(hist, exactPath, bandsPath)
     // today's docs arrive as a 2-chunk file stream
     val feed = root.resolve("feed").toString
     today.repartitionByRange(2, col("doc_id")).write.parquet(feed)
     val sq = spark.newSession()
     sq.conf.set("spark.sql.shuffle.partitions", "8")
+    val resDir = root.resolve("res").toString
     CorpusStreams.incrementalDedupStream(
         CorpusStreams.readDocFiles(sq, feed, today.schema,
           maxFilesPerTrigger = 1),
         spark.read.parquet(exactPath), spark.read.parquet(bandsPath),
-        root.resolve("inc").toString, root.resolve("res").toString,
+        root.resolve("inc").toString, resDir,
         root.resolve("ck").toString)
       .awaitTermination()
-    spark.read.parquet(root.resolve("res").toString)
-      .drop("epoch")
-      .orderBy(col("doc_id"))
+    // an empty "today" split drains zero epochs and never creates resDir
+    // — match the batch twin (its incrementalDedup over an empty batch is
+    // an empty frame) instead of throwing on the missing path
+    if (!hadoopExists(spark, resDir))
+      Dedup.incrementalDedup(
+          Dedup.minhashSketch(today.limit(0), col("doc_id"), col("text")),
+          spark.read.parquet(exactPath), spark.read.parquet(bandsPath))
+        .orderBy(col("doc_id"))
+    else
+      spark.read.parquet(resDir)
+        .drop("epoch")
+        .orderBy(col("doc_id"))
+  }
+
+  private def hadoopExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** The reference's COMPOSED DAG as a micro-batch stream, driver-checked
@@ -297,24 +305,15 @@ object StreamQueries {
     */
   def qStreamClusters(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    import graft.ops.{Components, Similarity}
-    import graft.sources.{Datalake, Tables}
     import graft.streaming.{ClusterStreams, CorpusStreams}
-    val c = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("id"), col("embedding").as("emb"))
-    val hist = c.filter(col("id") % 5 =!= 4)
-    val today = c.filter(col("id") % 5 === 4)
+    val c = SimilarityQueries.corpus(spark, dir)
+    val (hist, today) = SimilarityQueries.daySplit(c, "id")
     val root = Files.createTempDirectory("graft-cluster-replay")
     StreamReplay.track(root)
-    // "yesterday's" stores — identical to the batch row
+    // "yesterday's" stores — the batch row's store builder verbatim
     val labelsPath = root.resolve("labels").toString
     val bucketsPath = root.resolve("buckets").toString
-    Datalake.writeParquet(
-      Components.connectedComponents(hist.select(col("id")),
-        Similarity.hyperplaneLshPairs(hist)
-          .select(col("id_a").as("src"), col("id_b").as("dst"))),
-      labelsPath)
-    Datalake.writeParquet(Similarity.lshBuckets(hist), bucketsPath)
+    SimilarityQueries.writeClusterHistoryStore(hist, labelsPath, bucketsPath)
     // today's vectors as a 2-chunk stream
     val feed = root.resolve("feed").toString
     today.repartitionByRange(2, col("id")).write.parquet(feed)
@@ -328,10 +327,17 @@ object StreamQueries {
         root.resolve("buckets_inc").toString, labelsDir,
         root.resolve("ck").toString)
       .awaitTermination()
-    val folded = spark.read.parquet(labelsDir)
-    val lastEpoch = folded.agg(max(col("epoch"))).head.get(0)
-    folded.filter(col("epoch") === lastEpoch).drop("epoch")
-      .orderBy(col("id"))
+    // an empty "today" split drains zero epochs and never versions the
+    // label store — the history labeling IS the current labeling then
+    // (the batch twin's fold over an empty batch returns it unchanged)
+    if (!hadoopExists(spark, labelsDir))
+      spark.read.parquet(labelsPath).orderBy(col("id"))
+    else {
+      val folded = spark.read.parquet(labelsDir)
+      val lastEpoch = folded.agg(max(col("epoch"))).head.get(0)
+      folded.filter(col("epoch") === lastEpoch).drop("epoch")
+        .orderBy(col("id"))
+    }
   }
 
   /** q_markov_transitions from the streamed

@@ -114,10 +114,11 @@ object StreamReplay {
     }
     // The stream runs on a SUB-SESSION with a smaller shuffle width: a
     // stateful micro-batch pays per-partition state-store open/commit on
-    // EVERY batch, so 32 partitions × 6 serialized batches is ~200 state
-    // commits for node-sized state — 8 partitions cuts that 4× with the
-    // same semantics (state is keyed; width only shards it). The caller's
-    // session and conf are untouched; the production form of this knob is
+    // EVERY batch (4 serialized batches at the default chunks=2), and at
+    // 32 partitions that is ~128 state commits for node-sized state — 8
+    // partitions cuts it 4× with the same semantics (state is keyed;
+    // width only shards it). The caller's session and conf are untouched;
+    // the production form of this knob is
     // spark.sql.streaming.statefulOperator.* sizing on the live job.
     val sq = spark.newSession()
     sq.conf.set("spark.sql.shuffle.partitions", "8")
