@@ -139,6 +139,8 @@ object SparkEntry {
     "q_stream_ivf_ingest" -> (SimilarityQueries.qStreamIvfIngest _),
     "q_stream_datalake" -> (StreamQueries.qStreamDatalake _),
     "q_stream_clusters" -> (StreamQueries.qStreamClusters _),
+    "q_bucketed_join" -> (LayoutQueries.qBucketedJoin _),
+    "q_orc_roundtrip" -> (LayoutQueries.qOrcRoundtrip _),
     "q_audio_features" -> (TextQueries.qAudioFeatures _),
   )
 
@@ -1354,6 +1356,19 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING)
         |ORDER BY event_id""".stripMargin,
     // oracle = the UNSALTED join: salting must be invisible in the result
+    // bucketing / storage format are invisible in results (the
+    // q_salted_join pattern): the oracles are the plain join + aggregate
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_salted_join" ->
       """WITH stats AS (SELECT event_type,
         |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS type_avg

@@ -64,4 +64,28 @@ class LayoutSpec extends SparkSpecBase {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"),
       s"scan not pruned to the two keys:\n$plan")
   }
+
+  test("bucketed join row: no exchange below the aggregate, bucketed scans") {
+    val df = graft.queries.LayoutQueries.qBucketedJoin(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly ONE exchange in the whole plan: the tiny per-priority
+    // aggregate's — the join itself rides the bucket co-location
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected only the aggregate exchange:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"join strategy not pinned:\n$plan")
+    assert(plan.toLowerCase.contains("bucket"), s"scans not bucketed:\n$plan")
+  }
+
+  test("orc roundtrip row: filter and projection reach the ORC scan") {
+    val df = graft.queries.LayoutQueries.qOrcRoundtrip(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan orc"), s"must read from ORC:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"quantity filter not pushed to the ORC reader:\n$plan")
+    assert(!plan.contains("l_orderkey"),
+      s"unused column must be pruned from the ORC scan:\n$plan")
+  }
 }
