@@ -20,7 +20,9 @@ with open(bench_log) as f:
     # (for the driver's 2,000-char tail capture) that has no per-query map.
     metric_lines = [l for l in f if '"metric"' in l and '"queries"' in l]
 if not metric_lines:
-    sys.exit(f"ERROR: no bench JSON line (containing '\"metric\"') in {bench_log} "
+    sys.exit("ERROR: no bench JSON line with the per-query map (containing "
+             f"both '\"metric\"' and '\"queries\"') in {bench_log} — the "
+             "compact tail-capture summary line alone is not enough "
              "— did the bench run fail before printing its result?")
 bench = json.loads(metric_lines[-1][metric_lines[-1].index('{'):])
 queries = bench["queries"]

@@ -207,7 +207,8 @@ object Graph {
         ranks = cp
       } else ranks = next
     }
-    ranks = lastCp
+    // (the i == iters arm guarantees the loop exits checkpointed:
+    // ranks == lastCp here for every iters >= 1)
     // blocking: the leak contract (GraphSpec) counts persistent RDDs
     // right after return — async unpersist races that read
     ed0.unpersist(blocking = true)
@@ -260,8 +261,11 @@ object Graph {
     // exchanges only the frontier, never the |E| edge rows
     val ed = edges.select(col("src"), col("dst")).repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distinct: a caller-supplied source set may repeat a node — the old
+    // union-min fixpoint absorbed that in its groupBy, but the append-only
+    // settled table would carry the duplicate (node, 0) rows forever
     var dist = Checkpoints.checkpoint(
-      sources.select(col("node"), lit(0L).as("dist")))
+      sources.select(col("node"), lit(0L).as("dist")).distinct())
     var frontier = dist // hop 0: every source is newly settled
     var fsize = frontier.count()
     var hops = 0

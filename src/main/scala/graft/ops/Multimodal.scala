@@ -18,7 +18,8 @@ import org.apache.spark.sql.types._
   * real since round 9: MJPEG streams (concatenated baseline JPEGs — the
   * IP-camera wire format) demux by SOI/EOI marker scan and decode
   * per-frame through the same JDK codec ([[mjpegFrameStats]]); audio
-  * decode would follow the same mapPartitions shape via javax.sound.
+  * decode is real 8-bit PCM WAV through javax.sound
+  * ([[wavRoundTripStats]], q_audio_features).
   *
   * The surrounding plumbing is the 100 TB design and is what the spec
   * tests:

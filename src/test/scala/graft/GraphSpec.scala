@@ -116,9 +116,15 @@ class GraphSpec extends SparkSpecBase {
         ref = (ref.toSeq ++ relaxed).groupBy(_._1)
           .map { case (k, vs) => k -> vs.map(_._2).min }
       }
-      val got = Graph.bfsDistances(edges, Seq(0L).toDF("node"), bound)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === ref, s"bound $bound: frontier BFS diverged from union-min")
+      // duplicate source row on purpose: the append-only settled table
+      // must dedup it at init (one (0, 0) row, not two) — the contract
+      // the old union-min groupBy gave for free
+      val got = Graph.bfsDistances(edges, Seq(0L, 0L).toDF("node"), bound)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(got.length === got.toMap.size,
+        s"bound $bound: duplicate source produced duplicate result rows")
+      assert(got.toMap === ref,
+        s"bound $bound: frontier BFS diverged from union-min")
     }
   }
 
