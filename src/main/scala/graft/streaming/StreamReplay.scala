@@ -80,13 +80,57 @@ object StreamReplay {
    * the buffer-sorts to fix); each extra micro-batch costs a ~0.6s
    * listing+state-commit+sink-commit floor regardless of data size, so
    * the registered rows keep the count low. */
+  // Staged-feed memo: eleven registered rows replay the SAME events table
+  // with the same chunking, and the feed is read-only input (every query
+  // keeps its own sink + checkpoint), so staging once per (dir, chunks)
+  // per JVM is sound and removes a repeated range-shuffle write + modtime
+  // dance from every bench pass and the driver's Verify loop.
+  private val feeds =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
   def replayEvents[O](spark: SparkSession, dir: String, chunks: Int = 2)(
       op: Dataset[Event] => Dataset[O]): DataFrame = {
+    val feed = feeds.computeIfAbsent((dir, chunks), _ =>
+      stageFeed(spark, dir, chunks))
+    val root = Files.createTempDirectory("graft-replay")
+    track(root)
+    // The stream runs on a SUB-SESSION with a smaller shuffle width: a
+    // stateful micro-batch pays per-partition state-store open/commit on
+    // EVERY batch (4 serialized batches at the default chunks=2), and at
+    // 32 partitions that is ~128 state commits for node-sized state — 8
+    // partitions cuts it 4× with the same semantics (state is keyed;
+    // width only shards it). The caller's session and conf are untouched;
+    // the production form of this knob is
+    // spark.sql.streaming.statefulOperator.* sizing on the live job.
+    val sq = spark.newSession()
+    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    import sq.implicits._
+    val stream = sq.readStream.schema(implicitly[
+        org.apache.spark.sql.Encoder[Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+      .as[Event]
+    val out = root.resolve("out").toString
+    val q = op(stream).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  /** One-time staging of `events(dir)` as the modtime-ordered chunked
+    * feed + the two sentinel files (see the replay contract above).
+    */
+  private def stageFeed(spark: SparkSession, dir: String,
+      chunks: Int): String = {
     import spark.implicits._
     val src = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         coalesce(col("value"), lit(0.0)).as("value"))
-    val root = Files.createTempDirectory("graft-replay")
+    val root = Files.createTempDirectory("graft-replay-feed")
     track(root)
     val feed = root.resolve("feed").toString
     // ONE range-shuffle pass stages the feed; the sentinel timestamps
@@ -112,29 +156,7 @@ object StreamReplay {
       Files.move(part, dst)
       dst.toFile.setLastModified(base + (parts.length + i) * 2000L)
     }
-    // The stream runs on a SUB-SESSION with a smaller shuffle width: a
-    // stateful micro-batch pays per-partition state-store open/commit on
-    // EVERY batch (4 serialized batches at the default chunks=2), and at
-    // 32 partitions that is ~128 state commits for node-sized state — 8
-    // partitions cuts it 4× with the same semantics (state is keyed;
-    // width only shards it). The caller's session and conf are untouched;
-    // the production form of this knob is
-    // spark.sql.streaming.statefulOperator.* sizing on the live job.
-    val sq = spark.newSession()
-    sq.conf.set("spark.sql.shuffle.partitions", "8")
-    val stream = sq.readStream.schema(src.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(feed)
-      .as[Event]
-    val out = root.resolve("out").toString
-    val q = op(stream).writeStream
-      .format("parquet").option("path", out)
-      .option("checkpointLocation", root.resolve("ck").toString)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(out)
+    feed
   }
 
   private def listParts(dir: Path): Seq[Path] = {
