@@ -108,6 +108,7 @@ object SparkEntry {
     "q_hll_distinct" -> (Relational.qHllDistinct _),
     "q_hll_union" -> (Relational.qHllUnion _),
     "q_hist_quantiles" -> (Relational.qHistQuantiles _),
+    "q_exact_quantiles" -> (Relational.qExactQuantiles _),
     "q_bloom_prune" -> (Relational.qBloomPrune _),
     "q_sample_reservoir" -> (CorpusQueries.qSampleReservoir _),
     "q_rolling_time" -> (EventQueries.qRollingTime _),
@@ -2257,6 +2258,16 @@ object SparkEntry {
         |SELECT g AS event_type, p50_est, p95_est,
         |  CAST(n AS BIGINT) AS n_rows
         |FROM hq ORDER BY event_type""".stripMargin,
+    // exact quantiles: DuckDB's quantile_cont interpolates the same
+    // type-7 CONVEX expression (lower*(1-frac) + higher*frac at p*(n-1))
+    // Spark's percentile evaluates — identical IEEE result, no snapping
+    "q_exact_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // sweep-line concurrency: closed-open [s, s+30min) intervals, boundary
     // rows combined per (type, t), running sum = count(start<=t)-count(end<=t)
     // — equal-timestamp order can't matter, so both engines agree exactly

@@ -769,6 +769,32 @@ object Relational {
     * qApproxProfile's engine-private percentile sketch; error bounded by
     * the bucket width by construction.
     */
+  /** EXACT per-group quantiles (r9) — the precise sibling of
+    * q_hist_quantiles' bounded-state sketch: Spark's `percentile`
+    * aggregate sorts each group's value multiset and interpolates the
+    * CONVEX form `lower·(1-frac) + higher·frac` at pos = p·(n-1) — the
+    * SAME type-7 expression DuckDB's quantile_cont evaluates (verified
+    * bit-for-bit; the algebraically equal `lower + (higher-lower)·frac`
+    * rounds differently), on the same exact-2-decimal doubles, so the
+    * interpolated doubles hash-match with no snapping. Scale note: exact quantiles need the group's
+    * value MULTISET — Spark aggregates it as counts-per-distinct-value,
+    * so state is O(distinct values per group) (here bounded by the
+    * 2-decimal price grid), not O(rows); when even that is too wide,
+    * q_hist_quantiles is the bounded-state answer — keeping both is the
+    * engine trade-off made explicit.
+    */
+  def qExactQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val q = percentile(col("l_extendedprice"),
+      array(lit(0.25), lit(0.5), lit(0.75)))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), q.as("__q"))
+      .select(col("l_returnflag"), col("n_items"),
+        col("__q")(0).as("p25"), col("__q")(1).as("p50"),
+        col("__q")(2).as("p75"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def qHistQuantiles(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.histQuantiles(Tables.events(spark, dir),
         col("event_type"), col("value"), Seq(0.5, 0.95))

@@ -224,4 +224,32 @@ class RelationalSpec extends SparkSpecBase {
       .filter(col("count") > 1).count()
     assert(dupKeys === 0)
   }
+
+  test("exact quantiles: type-7 interpolation replayed bit-exact in plain Scala") {
+    val rows = Relational.qExactQuantiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val vals = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    def t7(xs: Array[Double], p: Double): Double = {
+      val pos = p * (xs.length - 1)
+      val lo = math.floor(pos).toInt
+      val frac = pos - lo
+      if (lo == xs.length - 1) xs(lo)
+      // the CONVEX form lower*(1-frac) + higher*frac — what both Spark's
+      // Percentile and DuckDB's quantile_cont evaluate; the algebraically
+      // equal lo + (hi-lo)*frac rounds differently (caught here)
+      else xs(lo) * (1 - frac) + xs(lo + 1) * frac
+    }
+    rows.foreach { r =>
+      val xs = vals(r.getString(0))
+      assert(r.getLong(1) === xs.length.toLong)
+      // bit-exact (no tolerance): the aggregate must evaluate the same
+      // IEEE expression the reference fold — and DuckDB — evaluate
+      assert(r.getDouble(2) === t7(xs, 0.25), s"p25 ${r.getString(0)}")
+      assert(r.getDouble(3) === t7(xs, 0.5), s"p50 ${r.getString(0)}")
+      assert(r.getDouble(4) === t7(xs, 0.75), s"p75 ${r.getString(0)}")
+    }
+  }
 }
