@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round bench artifact is parsed from the LAST stdout line of
+// `sbt "runMain graft.Bench"`; sbt's own `[success] Total time: …`
+// trailer printed after the forked JVM exits was shadowing the compact
+// summary line every round (BENCH_r07–r09 all recorded "parsed": null).
+// Suppress the trailer globally — nothing in the gate or the driver
+// keys on it (errors still surface via exit code and [error] lines).
+Global / showSuccess := false
+// …and pass the forked runMain's stdout through UNPREFIXED (no "[info] "
+// logger decoration): the compact bench summary must be parseable as the
+// raw final line, not as a log-framed one. (Verify's gate tag "[verify]"
+// is printed by Verify itself on stderr, so the gate grep is unaffected.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

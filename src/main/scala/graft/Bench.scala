@@ -115,7 +115,15 @@ object Bench {
     // update_baseline.py keys on '"queries"' so it still reads the full
     // line; both lines carry the same totals.
     val worst = worstVsBaseline(results.map { case (k, v, _) => k -> v })
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.length},"sf":"$sfDir","total_min":$total%.3f,"total_median":$totalMed%.3f,"passes":$passes,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f$worst}""")
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.length},"sf":"$sfDir","total_min":$total%.3f,"total_median":$totalMed%.3f,"passes":$passes,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f$worst}"""
+    println(summary)
+    // Belt-and-braces for the stdout parse (round-9 verdict #2): the same
+    // summary lands on disk, so even a future harness change that trails
+    // extra stdout after the run leaves a machine-readable artifact.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH WARNING: BENCH_SUMMARY.json not written: $e") }
     spark.stop()
   }
 
