@@ -18,6 +18,7 @@ run / fork := true
 // Suppress the trailer globally — nothing in the gate or the driver
 // keys on it (errors still surface via exit code and [error] lines).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // …and pass the forked runMain's stdout through UNPREFIXED (no "[info] "
 // logger decoration): the compact bench summary must be parseable as the
 // raw final line, not as a log-framed one. (Verify's gate tag "[verify]"

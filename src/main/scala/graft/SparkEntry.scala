@@ -120,6 +120,8 @@ object SparkEntry {
     "q_fuzzy_join" -> (SimilarityQueries.qFuzzyJoin _),
     "q_table_diff" -> (DatalakeQueries.qTableDiff _),
     "q_merge_upsert" -> (DatalakeQueries.qMergeUpsert _),
+    "q_merge_delete" -> (DatalakeQueries.qMergeDelete _),
+    "q_change_feed" -> (DatalakeQueries.qChangeFeed _),
     "q_markov_transitions" -> (JourneyQueries.qMarkovTransitions _),
     "q_pmi_collocations" -> (TextQueries.qPmiCollocations _),
     "q_cooccurrence" -> (Relational.qCooccurrence _),
@@ -143,6 +145,7 @@ object SparkEntry {
     "q_bucketed_join" -> (LayoutQueries.qBucketedJoin _),
     "q_orc_roundtrip" -> (LayoutQueries.qOrcRoundtrip _),
     "q_audio_features" -> (TextQueries.qAudioFeatures _),
+    "q_image_thumbnail" -> (TextQueries.qImageThumbnail _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1192,6 +1195,37 @@ object SparkEntry {
         |  CAST(coalesce(list_sum(bs), 0) AS DOUBLE) /
         |    (16 * greatest(1, CAST(ceil(clen/16.0) AS BIGINT))) AS mean_src_px
         |FROM c ORDER BY media_id, frame_idx""".stripMargin,
+    // real resize replay: the engine encodes the bytes as a 32-wide gray
+    // PNG, decodes it, area-mean ÷2 downsamples (floor of each 2×2 block
+    // mean; odd-height images end with clipped 2×1 blocks), re-encodes
+    // PNG, decodes AGAIN, and emits the thumbnail's pixel stats. All
+    // exact integer arithmetic → this SQL replays the thumbnail pixels
+    // from the blob's hex; any kernel/codec defect hash-fails.
+    "q_image_thumbnail" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS bl FROM documents),
+        |s AS (SELECT doc_id, CAST(octet_length(bl) AS BIGINT) AS n,
+        |    greatest(1, CAST(ceil(octet_length(bl) / 32.0) AS BIGINT)) AS h,
+        |    list_transform(range(CAST(octet_length(bl) AS INT)),
+        |      i -> CAST(('0x' || substr(hex(bl), CAST(i*2+1 AS INT), 2)) AS INT))
+        |      AS bs
+        |  FROM b),
+        |t AS (SELECT doc_id, n, h, CAST(ceil(h / 2.0) AS BIGINT) AS th,
+        |    list_transform(range(CAST(16 * ceil(h / 2.0) AS INT)), q ->
+        |      CASE WHEN (q // 16) * 2 + 1 < h THEN
+        |        (coalesce(bs[CAST((q//16)*64 + (q%16)*2 + 1 AS INT)], 0)
+        |       + coalesce(bs[CAST((q//16)*64 + (q%16)*2 + 2 AS INT)], 0)
+        |       + coalesce(bs[CAST((q//16)*64 + 32 + (q%16)*2 + 1 AS INT)], 0)
+        |       + coalesce(bs[CAST((q//16)*64 + 32 + (q%16)*2 + 2 AS INT)], 0)) // 4
+        |      ELSE
+        |        (coalesce(bs[CAST((q//16)*64 + (q%16)*2 + 1 AS INT)], 0)
+        |       + coalesce(bs[CAST((q//16)*64 + (q%16)*2 + 2 AS INT)], 0)) // 2
+        |      END) AS tp
+        |  FROM s)
+        |SELECT doc_id, n AS n_bytes, CAST(32 AS BIGINT) AS src_w, h AS src_h,
+        |  CAST(16 AS BIGINT) AS thumb_w, th AS thumb_h,
+        |  CAST(coalesce(list_sum(tp), 0) AS DOUBLE) / (16 * th) AS mean_thumb_px,
+        |  CAST(coalesce(list_max(tp), 0) AS BIGINT) AS max_thumb_px
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_corpus_funnel" ->
       """WITH s AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|is)\b')) AS BIGINT) AS s_en,
@@ -1582,6 +1616,58 @@ object SparkEntry {
         |    ELSE 'updated' END AS action
         |FROM base FULL OUTER JOIN delta ON base.o_orderkey = delta.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+    // MERGE with the DELETE arm: matched deletes (key ≡ 0 mod 10) drop
+    // the base row, unmatched deletes are no-ops — the WHERE clause after
+    // the full outer join IS the delete arm
+    "q_merge_delete" ->
+      """WITH base AS (SELECT o_orderkey, 1 AS in_base, o_custkey,
+        |    o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |delta AS (SELECT o_orderkey, 1 AS in_delta,
+        |    o_custkey AS d_custkey, o_totalprice + 10.0 AS d_price,
+        |    'MERGED' AS d_priority,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'delete'
+        |      ELSE 'upsert' END AS d_op
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(base.o_orderkey, delta.o_orderkey) AS o_orderkey,
+        |  COALESCE(d_custkey, o_custkey) AS o_custkey,
+        |  CASE WHEN in_delta IS NOT NULL THEN d_price
+        |    ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN in_delta IS NOT NULL THEN d_priority
+        |    ELSE o_orderpriority END AS o_orderpriority,
+        |  CASE WHEN in_base IS NULL THEN 'inserted'
+        |    WHEN in_delta IS NULL THEN 'kept'
+        |    ELSE 'updated' END AS action
+        |FROM base FULL OUTER JOIN delta ON base.o_orderkey = delta.o_orderkey
+        |WHERE d_op IS NULL OR d_op <> 'delete'
+        |ORDER BY o_orderkey""".stripMargin,
+    // CDF replay: insert/delete one row each, updates emit PRE+POST image
+    // pairs; unchanged keys emit nothing. The engine runs this through a
+    // real publish → version-read round trip; the oracle replays the
+    // feed classes from the same filters over orders.
+    "q_change_feed" ->
+      """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders
+        |    WHERE o_orderkey % 7 <> 0),
+        |nu AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5.0
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+        |    o.o_orderkey AS ko, n.o_orderkey AS kn,
+        |    o.o_totalprice AS po, n.o_totalprice AS pn
+        |  FROM old o FULL OUTER JOIN nu n ON o.o_orderkey = n.o_orderkey)
+        |SELECT k AS o_orderkey, pn AS o_totalprice,
+        |    'insert' AS _change_type, '1' AS _from_version,
+        |    '2' AS _to_version
+        |  FROM j WHERE ko IS NULL
+        |UNION ALL SELECT k, po, 'delete', '1', '2' FROM j WHERE kn IS NULL
+        |UNION ALL SELECT k, po, 'update_preimage', '1', '2' FROM j
+        |  WHERE ko IS NOT NULL AND kn IS NOT NULL
+        |    AND po IS DISTINCT FROM pn
+        |UNION ALL SELECT k, pn, 'update_postimage', '1', '2' FROM j
+        |  WHERE ko IS NOT NULL AND kn IS NOT NULL
+        |    AND po IS DISTINCT FROM pn
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
     // null event types filtered BEFORE the lead window on both sides;
     // p = int/int in double — no snapping needed
     "q_markov_transitions" ->

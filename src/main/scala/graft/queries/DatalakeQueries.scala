@@ -405,6 +405,75 @@ object DatalakeQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** MERGE with a WHEN-MATCHED-DELETE arm (round 10 — the one MERGE arm
+    * q_merge_upsert lacked; reference analog: the validation drops in
+    * raw_to_fmt_lbc.py:49-56, where a feed row RETRACTS a bad base row
+    * instead of updating it). Delta rows carry an op column: keys ≡ 0
+    * (mod 10) are deletions, the rest upserts. Semantics follow ANSI
+    * MERGE exactly: WHEN MATCHED AND op='delete' THEN DELETE (base row
+    * dropped); WHEN NOT MATCHED AND op='delete' → no-op (a delete never
+    * inserts); matched upserts update, unmatched upserts insert.
+    * Deleted keys are therefore ABSENT from the output — a failed
+    * delete arm shows up as extra rows and hash-fails at the driver.
+    *
+    * Scale: identical single full-outer shuffle-hash join as
+    * q_merge_upsert (delete is a filter on the joined stream, zero extra
+    * exchanges); none at all when base and delta are bucketed by key.
+    */
+  def qMergeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val base = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), lit(1).as("in_base"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+    val delta = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit(1).as("in_delta"),
+        col("o_custkey").as("d_custkey"),
+        (col("o_totalprice") + lit(10.0)).as("d_price"),
+        lit("MERGED").as("d_priority"),
+        when(col("o_orderkey") % 10 === 0, lit("delete"))
+          .otherwise(lit("upsert")).as("d_op"))
+    base.join(delta.hint("shuffle_hash"), Seq("o_orderkey"), "full_outer")
+      // the DELETE arm: matched deletes drop the base row, unmatched
+      // deletes produce nothing (kept rows have d_op NULL and pass)
+      .filter(col("d_op").isNull || col("d_op") =!= "delete")
+      .select(col("o_orderkey"),
+        coalesce(col("d_custkey"), col("o_custkey")).as("o_custkey"),
+        when(col("in_delta").isNotNull, col("d_price"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(col("in_delta").isNotNull, col("d_priority"))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"),
+        when(col("in_base").isNull, lit("inserted"))
+          .when(col("in_delta").isNull, lit("kept"))
+          .otherwise(lit("updated")).as("action"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** CHANGE DATA FEED read (round 10): publish two versions of orders
+    * through the manifest protocol, then emit the row-level feed that
+    * replays v1 → v2 (Datalake.changeFeed — insert/delete rows plus
+    * pre+post image pairs for updates, Delta `table_changes` shape).
+    * q_table_diff is the snapshot summary of the same drift; this is the
+    * REPLAYABLE form, and DatalakeSpec pins the algebra: v1 + feed = v2.
+    * The publish→read round trip runs inside the oracle gate, so a
+    * manifest/version bleed or a missed change class hash-fails.
+    *
+    * Scale: one full-outer shuffle-hash join on the key over the two
+    * version scans, single-pass conditional explode — unchanged rows
+    * (the mass of a real table) never leave the join.
+    */
+  def qChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val root = tempLakeRoot() + "/orders_cdf"
+    Datalake.publish(o.filter(col("o_orderkey") % 7 =!= 0), root, "1")
+    Datalake.publish(o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(5.0))
+          .otherwise(col("o_totalprice")).as("o_totalprice")), root, "2")
+    Datalake.changeFeed(spark, root, "1", "2", Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"), col("_change_type"))
+  }
+
   /** Time travel through the manifest protocol (round 8): publish two
     * versioned snapshots of orders into a lake table, then read version 1
     * AS OF (Datalake.readVersion — immutable version dirs, the

@@ -187,17 +187,12 @@ object TextQueries {
       .orderBy(col("pack_id"))
   }
 
-  /** Multimodal plumbing: treat the payload as opaque bytes with typed
-    * metadata. Size/header come from real byte ops; `fake_brightness` is
-    * the clearly-marked decode STUB (image/audio libs absent here) — the
-    * schema, batching and partition behavior are what this validates.
-    * See ops.Multimodal for the mapPartitions decode path.
-    */
   /** Frame fan-out as a first-class query: one media row (payload bytes)
     * becomes every-2nd-64-byte-frame rows via ops.Multimodal.sampleFrames —
-    * mapPartitions fan-out, no shuffle, no driver. The frame SLICING is
-    * real byte plumbing (only the demux that would precede it on real video
-    * is the documented stub); the oracle replays the slicing in SQL.
+    * mapPartitions fan-out, no shuffle, no driver. This is the
+    * container-AGNOSTIC fixed-record slicer (raw video, PCM); the real
+    * container demux + codec path is q_video_frames (MJPEG marker scan +
+    * JDK JPEG decode). The oracle replays the slicing in SQL.
     */
   def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.sampleFrames(
@@ -302,6 +297,23 @@ object TextQueries {
     * DuckDB oracle — n_samples and sample_rate are the DECODER's view of
     * the container, so a header/width/rate parse defect hash-fails.
     */
+  /** REAL image resize (round 10 — retires the last stub): payload →
+    * real grayscale PNG → JDK decode → area-mean ÷2 resize → PNG
+    * re-encode → JDK decode again → thumbnail pixel stats
+    * (ops.Multimodal.thumbnailStats / resizeImage for the full
+    * argument). Every stage is exact integer arithmetic on the bytes,
+    * so the DuckDB oracle replays the thumbnail stats from the blob and
+    * a defect anywhere in the two codec round-trips or the resize
+    * kernel (edge clipping included — odd-height images exercise the
+    * clipped 2×1 bottom blocks) hash-fails at the driver.
+    */
+  def qImageThumbnail(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.thumbnailStats(
+        graft.ops.Multimodal.withPayload(Tables.documents(spark, dir), "text"),
+        "doc_id")
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy(col("doc_id"))
+
   def qAudioFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.wavRoundTripStats(
         graft.ops.Multimodal.withPayload(Tables.documents(spark, dir), "text"),

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
 import org.apache.spark.sql.types.StructType
 
 /** Layered datalake IO, mirroring the reference's raw/formatted/usage tree
@@ -247,6 +248,68 @@ object Datalake {
     require(versions.nonEmpty, "no versions to read")
     spark.read.option("mergeSchema", "true")
       .parquet(versions.map(v => s"$tableRoot/v=$v"): _*)
+  }
+
+  /** CHANGE DATA FEED between two published versions (round 10): the
+    * row-level delta a downstream consumer replays to go from `fromV` to
+    * `toV` — Delta Lake's `table_changes` shape on the manifest protocol.
+    * Emits one row per insert/delete and TWO rows per update (pre- and
+    * post-image, the CDC convention that lets consumers retract the old
+    * row before applying the new), each with `_change_type`,
+    * `_from_version`, `_to_version` metadata columns; unchanged rows
+    * (the overwhelming mass of a real diff) never leave the join.
+    *
+    * q_table_diff is the SNAPSHOT form of this read (status summary, one
+    * row per key); this is the REPLAYABLE form — `readVersion(toV)` must
+    * equal `readVersion(fromV)` + applying this feed, which DatalakeSpec
+    * pins as an algebraic property.
+    *
+    * Plan shape: ONE full-outer hash join on the key (shuffle_hash hint:
+    * full-outer can't broadcast, and without the hint it falls to
+    * SortMergeJoin), then a single-pass conditional array-explode that
+    * emits 0/1/2 change rows per joined key — the three change classes
+    * do NOT re-scan the join (a union of three filters over it would run
+    * the join thrice). Scale: one shuffle per side, or none when the
+    * snapshots are bucketed by key; null-safe (<=>) per-column compare so
+    * NULL payloads diff correctly.
+    */
+  def changeFeed(spark: SparkSession, tableRoot: String, fromV: String,
+      toV: String, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changeFeed needs at least one key column")
+    val a0 = readVersion(spark, tableRoot, fromV)
+    val b0 = readVersion(spark, tableRoot, toV)
+    require(a0.columns.sorted.sameElements(b0.columns.sorted),
+      s"changeFeed requires identical schemas; use readVersionsMerged for " +
+        s"cross-schema audits (v$fromV: ${a0.columns.mkString(",")} vs " +
+        s"v$toV: ${b0.columns.mkString(",")})")
+    val payload = a0.columns.filterNot(keys.contains).toSeq
+    val va = a0.select(keys.map(col) ++
+      payload.map(c => col(c).as(s"_a_$c")) :+ lit(1).as("_in_a"): _*)
+    val vb = b0.select(keys.map(col) ++
+      payload.map(c => col(c).as(s"_b_$c")) :+ lit(1).as("_in_b"): _*)
+    val j = va.join(vb.hint("shuffle_hash"), keys, "full_outer")
+    val pre = struct(payload.map(c => col(s"_a_$c").as(c)): _*)
+    val post = struct(payload.map(c => col(s"_b_$c").as(c)): _*)
+    val same = payload.map(c => col(s"_a_$c") <=> col(s"_b_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    // unchanged rows exit before the explode; the when-chain deliberately
+    // has NO otherwise — a row somehow slipping through yields NULL, and
+    // non-outer explode emits zero rows for it (fail-quiet is correct:
+    // "no change" is its semantic meaning)
+    val changes =
+      when(col("_in_a").isNull,
+        array(struct(lit("insert").as("_change_type"), post.as("img"))))
+      .when(col("_in_b").isNull,
+        array(struct(lit("delete").as("_change_type"), pre.as("img"))))
+      .when(!same, array(
+        struct(lit("update_preimage").as("_change_type"), pre.as("img")),
+        struct(lit("update_postimage").as("_change_type"), post.as("img"))))
+    j.filter(col("_in_a").isNull || col("_in_b").isNull || !same)
+      .select(keys.map(col) :+ explode(changes).as("_c"): _*)
+      .select(keys.map(col) ++
+        payload.map(c => col(s"_c.img.`$c`").as(c)) ++ Seq(
+          col("_c._change_type").as("_change_type"),
+          lit(fromV).as("_from_version"), lit(toV).as("_to_version")): _*)
   }
 
   /** Persist as a bucketed+sorted table: two fact tables bucketed on their

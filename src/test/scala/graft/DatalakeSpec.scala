@@ -271,4 +271,43 @@ class DatalakeSpec extends SparkSpecBase {
     // keepLast=1 must keep "10" (the numeric max), not "9"
     assert(Datalake.vacuum(spark, root, keepLast = 1) === Seq("9"))
   }
+
+  test("change feed replays v1 to v2 exactly (inserts, deletes, null-safe updates)") {
+    val root = Files.createTempDirectory("graft-cdf").toString + "/t"
+    // key 1: deleted; key 2: value updated; key 3: NULL -> value (a
+    // null-unsafe compare would miss it); key 4: value -> NULL; key 5:
+    // unchanged (must emit nothing); key 6: unchanged NULL (ditto);
+    // key 7: inserted
+    val v1 = Seq((1L, Option("a")), (2L, Option("b")), (3L, None),
+      (4L, Option("d")), (5L, Option("e")), (6L, None)).toDF("id", "s")
+    val v2 = Seq((2L, Option("B")), (3L, Option("c")), (4L, None),
+      (5L, Option("e")), (6L, None), (7L, Option("g"))).toDF("id", "s")
+    Datalake.publish(v1, root, "1")
+    Datalake.publish(v2, root, "2")
+    val feed = Datalake.changeFeed(spark, root, "1", "2", Seq("id"))
+    val rows = feed.collect().map(r => (r.getAs[Long]("id"),
+      Option(r.getAs[String]("s")), r.getAs[String]("_change_type"))).toSet
+    assert(rows === Set(
+      (1L, Some("a"), "delete"),
+      (2L, Some("b"), "update_preimage"), (2L, Some("B"), "update_postimage"),
+      (3L, None, "update_preimage"), (3L, Some("c"), "update_postimage"),
+      (4L, Some("d"), "update_preimage"), (4L, None, "update_postimage"),
+      (7L, Some("g"), "insert")))
+    assert(feed.columns.toSeq ===
+      Seq("id", "s", "_change_type", "_from_version", "_to_version"))
+    // THE algebra that makes a feed a feed: v1 + feed == v2. Apply =
+    // drop keys with delete/update_preimage rows, add insert/postimage
+    // images.
+    val applied = Datalake.readVersion(spark, root, "1")
+      .join(feed.filter(col("_change_type").isin("delete", "update_preimage"))
+        .select(col("id")), Seq("id"), "left_anti")
+      .unionByName(feed
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(col("id"), col("s")))
+    val got = applied.collect().map(r =>
+      (r.getAs[Long]("id"), Option(r.getAs[String]("s")))).toSet
+    val want = Datalake.readVersion(spark, root, "2").collect().map(r =>
+      (r.getAs[Long]("id"), Option(r.getAs[String]("s")))).toSet
+    assert(got === want, "v1 + feed must equal v2")
+  }
 }

@@ -7,11 +7,11 @@ class MultimodalSpec extends SparkSpecBase {
   import spark.implicits._
 
   test("decode stub is deterministic and shape-stable") {
-    val a = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
-    val b = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    val a = Multimodal.byteMomentFeatures("hello world".getBytes("UTF-8"))
+    val b = Multimodal.byteMomentFeatures("hello world".getBytes("UTF-8"))
     assert(a.toSeq === b.toSeq)
     assert(a.length === Multimodal.featureDim)
-    assert(Multimodal.decodeStub(Array.emptyByteArray).toSeq ===
+    assert(Multimodal.byteMomentFeatures(Array.emptyByteArray).toSeq ===
       Seq.fill(Multimodal.featureDim)(0.0f))
   }
 
@@ -79,7 +79,7 @@ class MultimodalSpec extends SparkSpecBase {
     assert(math.abs(rows(0).getSeq[Float](2).head - (10 + 30) / (2 * 255.0f)) < 1e-6,
       "image payload must use the real decode")
     assert(rows(1).getSeq[Float](2).toArray.toSeq ===
-      Multimodal.decodeStub("plain text".getBytes("UTF-8")).toSeq,
+      Multimodal.byteMomentFeatures("plain text".getBytes("UTF-8")).toSeq,
       "non-image payload must fall back to the stub")
   }
 
@@ -108,13 +108,61 @@ class MultimodalSpec extends SparkSpecBase {
     assert(schema("payload").dataType.typeName === "binary")
   }
 
-  test("resize caps payload size and never pads") {
-    val docs = Seq((1L, "x" * 100), (2L, "y")).toDF("doc_id", "text")
+  test("real resize: area-mean kernel, edge clipping, PNG round-trip") {
+    // 4×3 gray image with known pixels → ÷2 resize must be 2×2 with
+    // floor(block-mean) values; the bottom row blocks are CLIPPED (2×1)
+    val src = Array[Byte](
+      10, 20, 30, 40,
+      50, 60, 70, 80,
+      90, 100, 110, 120).map(_.toByte)
+    val png = Multimodal.encodeGrayPng(src, 4)
+    val thumbBytes = Multimodal.resizeImage(png, 2).get
+    assert(Multimodal.isPng(thumbBytes), "re-encode is a real PNG")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumbBytes))
+    assert(img.getWidth === 2 && img.getHeight === 2)
+    val ras = img.getRaster
+    assert(ras.getSample(0, 0, 0) === (10 + 20 + 50 + 60) / 4)
+    assert(ras.getSample(1, 0, 0) === (30 + 40 + 70 + 80) / 4)
+    assert(ras.getSample(0, 1, 0) === (90 + 100) / 2) // clipped 2x1 block
+    assert(ras.getSample(1, 1, 0) === (110 + 120) / 2)
+    // deterministic: byte-identical re-encode on a second invocation
+    assert(Multimodal.resizeImage(png, 2).get.toSeq === thumbBytes.toSeq)
+  }
+
+  test("resize passes non-image payloads through untouched") {
+    val docs = Seq((1L, "not an image"), (2L, "y")).toDF("doc_id", "text")
     val out = Multimodal.withResizedPayload(
-        Multimodal.withPayload(docs, "text"), maxBytes = 10)
+        Multimodal.withPayload(docs, "text"), factor = 2)
       .orderBy("doc_id").collect()
-    assert(out(0).getAs[Array[Byte]]("payload").length === 10)
-    assert(out(1).getAs[Array[Byte]]("payload").length === 1)
+    assert(out(0).getAs[Array[Byte]]("payload").toSeq ===
+      "not an image".getBytes("UTF-8").toSeq)
+    assert(out(1).getAs[Array[Byte]]("payload").toSeq ===
+      "y".getBytes("UTF-8").toSeq)
+  }
+
+  test("thumbnailStats replays arithmetically from the payload bytes") {
+    // 70 bytes at width 32 → 32×3 source (2 pad bytes), thumb 16×2 with a
+    // clipped bottom row; recompute the expected stats directly
+    val text = ('A' to 'Z').mkString * 3 // 78 chars
+    val docs = Seq((5L, text)).toDF("doc_id", "text")
+    val r = Multimodal.thumbnailStats(
+      Multimodal.withPayload(docs, "text"), "doc_id").collect().head
+    val bytes = text.getBytes("UTF-8")
+    val h = (bytes.length + 31) / 32
+    val th = (h + 1) / 2
+    def px(x: Int, y: Int): Int =
+      if (y * 32 + x < bytes.length) bytes(y * 32 + x) & 0xff else 0
+    val thumb = for (ty <- 0 until th; tx <- 0 until 16) yield {
+      val ys = (ty * 2) until math.min(ty * 2 + 2, h)
+      val vals = for (y <- ys; x <- (tx * 2) until (tx * 2 + 2)) yield px(x, y)
+      vals.sum / vals.length
+    }
+    assert(r.getLong(1) === bytes.length.toLong)
+    assert(r.getLong(2) === 32L && r.getLong(3) === h.toLong)
+    assert(r.getLong(4) === 16L && r.getLong(5) === th.toLong)
+    assert(r.getDouble(6) === thumb.sum.toDouble / (16 * th))
+    assert(r.getLong(7) === thumb.max.toLong)
   }
 
   test("frame sampling fans one media row into every-Nth frame rows") {
