@@ -37,7 +37,12 @@ for r in runs:
 
 qs = {k: min(r["queries"][k] for r in runs if k in r["queries"])
       for k in sorted(names)}
-meds = {k: min(r["queries_median"][k] for r in runs if k in r["queries_median"])
+# a query can exist in some run's "queries" but in NO run's
+# "queries_median" (older artifact shape) — fall back to its min so the
+# generator is never empty. Note the merged medians are best-of-runs
+# per query, not a single run's median (BASELINE.md labels them so).
+meds = {k: min((r["queries_median"][k] for r in runs
+                if k in r.get("queries_median", {})), default=qs[k])
         for k in sorted(names)}
 merged = {
     "metric": "total", "value": round(sum(qs.values()), 3), "unit": "sec",

@@ -130,6 +130,7 @@ object SparkEntry {
     "q_vacuum" -> (DatalakeQueries.qVacuum _),
     "q_video_frames" -> (TextQueries.qVideoFrames _),
     "q_stream_retention" -> (StreamQueries.qStreamRetention _),
+    "q_stream_recovery" -> (StreamQueries.qStreamRecovery _),
     "q_stream_scd2" -> (StreamQueries.qStreamScd2 _),
     "q_stream_markov" -> (StreamQueries.qStreamMarkov _),
     "q_stream_funnel" -> (StreamQueries.qStreamFunnel _),
@@ -644,6 +645,9 @@ object SparkEntry {
       // equality the driver re-proves by hash every round.
       Map(
         "q_stream_retention" -> staticOracleSql("q_retention_cohort"),
+        // crash recovery: two incarnations against one checkpoint must
+        // still reproduce the batch matrix bit-for-bit
+        "q_stream_recovery" -> staticOracleSql("q_retention_cohort"),
         "q_stream_scd2" -> staticOracleSql("q_scd2_history"),
         "q_stream_markov" -> staticOracleSql("q_markov_transitions"),
         "q_stream_funnel" -> staticOracleSql("q_funnel_steps"),

@@ -120,8 +120,13 @@ object LayoutQueries {
   private def recreateBucketed(spark: SparkSession, df: DataFrame,
       table: String, bucketCol: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // resolve the managed-table location from the CATALOG, not by string
+    // concatenation of warehouse.dir (round-9 ADVICE: a non-default
+    // database or custom catalog would resolve elsewhere, and deleting a
+    // rebuilt path would nuke the wrong dir / leave the real stale one)
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     graft.sources.Datalake.writeBucketed(df, table, bucketCol, 8)

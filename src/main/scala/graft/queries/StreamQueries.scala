@@ -46,6 +46,36 @@ object StreamQueries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** CRASH RECOVERY as a driver row (round 10): the retention fold run as
+    * TWO incarnations against one checkpoint — incarnation 1 commits only
+    * the first feed chunk and dies with its cohort state held ONLY in the
+    * checkpointed RocksDB store, incarnation 2 restarts from the offset
+    * WAL, restores state, and seals every day
+    * ([[StreamReplay.replayEventsWithRestart]] for the full argument).
+    * The matrix below aggregates the union the sink's exactly-once
+    * metadata admits across both incarnations; the oracle is
+    * q_retention_cohort's SQL verbatim, so a lost state entry, replayed
+    * emission, or post-restart watermark regression hash-fails at the
+    * driver. The mid-enqueue kill variant with duplicate-delivery
+    * assertions stays pinned in StreamingSpec.
+    */
+  def qStreamRecovery(spark: SparkSession, dir: String): DataFrame = {
+    val cells = StreamReplay.replayEventsWithRestart(spark, dir)(
+        EventStreams.retentionActivity(_))
+      .filter(col("user_id") >= 0)
+    val act = cells
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter(col("day_offset") === 0)
+      .groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    act.join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** q_scd2_history from the streamed [[EventStreams.scd2Changelog]]:
     * the stream emits one FINAL row per version (no valid_to — that fact
     * IS the next version's valid_from), so the interval close and

@@ -80,45 +80,134 @@ object StreamReplay {
    * the buffer-sorts to fix); each extra micro-batch costs a ~0.6s
    * listing+state-commit+sink-commit floor regardless of data size, so
    * the registered rows keep the count low. */
-  // Staged-feed memo: eleven registered rows replay the SAME events table
-  // with the same chunking, and the feed is read-only input (every query
-  // keeps its own sink + checkpoint), so staging once per (dir, chunks)
-  // per JVM is sound and removes a repeated range-shuffle write + modtime
-  // dance from every bench pass and the driver's Verify loop.
+  // Staged-feed memo: the replay rows re-read the SAME events table with
+  // the same chunking, and the feed is read-only input (every query
+  // keeps its own sink + checkpoint), so staging once per source
+  // SNAPSHOT per JVM is sound and removes a repeated range-shuffle write
+  // + modtime dance from every bench pass and the driver's Verify loop.
+  // The memo key carries a cheap content fingerprint of the source dir
+  // (file count + total bytes + max modtime — round-9 ADVICE): if the
+  // events table is regenerated in this JVM's lifetime, the fingerprint
+  // moves and the feed re-stages instead of silently replaying the
+  // stale snapshot while batch twins read fresh data.
   private val feeds =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String), String]()
+
+  /** (nFiles, totalBytes, maxModtime) of the events source files — the
+    * staleness witness for the feed memo. Driver-side listing of one
+    * directory: catalog-sized, never data-sized.
+    */
+  private def sourceFingerprint(dir: String): String = {
+    val p = Paths.get(dir, "events.parquet")
+    if (!Files.exists(p)) return "absent"
+    val s = Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      val fs = s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      s"${fs.length}:${fs.map(Files.size).sum}:" +
+        s"${fs.map(Files.getLastModifiedTime(_).toMillis).maxOption.getOrElse(0L)}"
+    } finally s.close()
+  }
 
   def replayEvents[O](spark: SparkSession, dir: String, chunks: Int = 2)(
       op: Dataset[Event] => Dataset[O]): DataFrame = {
-    val feed = feeds.computeIfAbsent((dir, chunks), _ =>
-      stageFeed(spark, dir, chunks))
+    val feed = feeds.computeIfAbsent((dir, chunks, sourceFingerprint(dir)),
+      _ => stageFeed(spark, dir, chunks))
     val root = Files.createTempDirectory("graft-replay")
     track(root)
-    // The stream runs on a SUB-SESSION with a smaller shuffle width: a
-    // stateful micro-batch pays per-partition state-store open/commit on
-    // EVERY batch (4 serialized batches at the default chunks=2), and at
-    // 32 partitions that is ~128 state commits for node-sized state — 8
-    // partitions cuts it 4× with the same semantics (state is keyed;
-    // width only shards it). The caller's session and conf are untouched;
-    // the production form of this knob is
-    // spark.sql.streaming.statefulOperator.* sizing on the live job.
+    runIncarnation(spark, feed, root, op)
+    spark.read.parquet(root.resolve("out").toString)
+  }
+
+  /** One streaming incarnation: run `op` over `feedPath` to completion
+    * (Trigger.AvailableNow) against root/ck + root/out. Calling it AGAIN
+    * with the same root is a RESTART: everything the new incarnation
+    * knows is the checkpoint (offset WAL + state store) and the sink's
+    * _spark_metadata — exactly what survives a crash.
+    *
+    * The stream runs on a SUB-SESSION with a smaller shuffle width: a
+    * stateful micro-batch pays per-partition state-store open/commit on
+    * EVERY batch (4 serialized batches at the default chunks=2), and at
+    * 32 partitions that is ~128 state commits for node-sized state — 8
+    * partitions cuts it 4× with the same semantics (state is keyed;
+    * width only shards it). The caller's session and conf are untouched;
+    * the production form of this knob is
+    * spark.sql.streaming.statefulOperator.* sizing on the live job.
+    */
+  private def runIncarnation[O](spark: SparkSession, feedPath: String,
+      root: Path, op: Dataset[Event] => Dataset[O],
+      rocksDb: Boolean = false): Unit = {
     val sq = spark.newSession()
     sq.conf.set("spark.sql.shuffle.partitions", "8")
+    if (rocksDb) sq.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import sq.implicits._
     val stream = sq.readStream.schema(implicitly[
         org.apache.spark.sql.Encoder[Event]].schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(feed)
+      .parquet(feedPath)
       .as[Event]
-    val out = root.resolve("out").toString
     val q = op(stream).writeStream
-      .format("parquet").option("path", out)
+      .format("parquet").option("path", root.resolve("out").toString)
       .option("checkpointLocation", root.resolve("ck").toString)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(out)
+  }
+
+  /** Crash-recovery replay (round-9 verdict #5 — the one streaming proof
+    * that was sbt-only): the SAME stateful fold, run as TWO incarnations
+    * against one checkpoint + one sink.
+    *
+    * Incarnation 1 sees only the feed's FIRST data chunk and terminates
+    * with every cohort/day learned from it held ONLY in the checkpointed
+    * state store (RocksDB — the production provider the sbt spec uses)
+    * and nothing flushed (no sentinel has arrived, so no day is sealed).
+    * The remaining chunks + sentinels then land, and incarnation 2 —
+    * a FRESH query against the same checkpoint — must resume from the
+    * offset WAL, restore the state, process the tail, and seal every
+    * day. From the engine's standpoint a restart after clean stop and
+    * after a kill are the same code path: the checkpoint and the sink's
+    * _spark_metadata are the ONLY carry-over either way (the
+    * mid-enqueue kill variant with duplicate-delivery assertions stays
+    * pinned in StreamingSpec). The caller gets the UNION the sink's
+    * metadata log admits — exactly-once across incarnations — and the
+    * driver hashes it against the batch twin's oracle: a lost state
+    * entry, a replayed emission, or a watermark regression after
+    * restart all change the matrix and hash-fail.
+    *
+    * Unlike the memoized plain replay, the live feed dir is PRIVATE to
+    * the invocation (the staged feed is copied file-by-file, modtimes
+    * preserved) because the visibility dance is part of the semantics.
+    */
+  def replayEventsWithRestart[O](spark: SparkSession, dir: String,
+      chunks: Int = 2)(op: Dataset[Event] => Dataset[O]): DataFrame = {
+    val feed = feeds.computeIfAbsent((dir, chunks, sourceFingerprint(dir)),
+      _ => stageFeed(spark, dir, chunks))
+    val root = Files.createTempDirectory("graft-replay-rec")
+    track(root)
+    val live = Files.createDirectory(root.resolve("live"))
+    val staged = {
+      val s = Files.list(Paths.get(feed))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq
+          .sortBy(p => (p.toFile.lastModified, p.getFileName.toString))
+      } finally s.close()
+    }
+    require(staged.length >= 3, s"need >=2 data chunks + sentinels, got $staged")
+    def admit(p: Path): Unit = {
+      val dst = live.resolve(p.getFileName.toString)
+      Files.copy(p, dst)
+      dst.toFile.setLastModified(p.toFile.lastModified)
+    }
+    admit(staged.head)
+    runIncarnation(spark, live.toString, root, op, rocksDb = true)
+    staged.tail.foreach(admit)
+    runIncarnation(spark, live.toString, root, op, rocksDb = true)
+    spark.read.parquet(root.resolve("out").toString)
   }
 
   /** One-time staging of `events(dir)` as the modtime-ordered chunked
