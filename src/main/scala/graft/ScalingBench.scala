@@ -154,6 +154,121 @@ object ScalingBench {
     }
   }
 
+  /** 5× corpus for the GRAPH + STREAM families (round-9 verdict #6): the
+    * relational tables the graph queries derive edges from, and the
+    * events table the stream folds replay, replicated with DISJOINT key
+    * spaces (every key shifted by r·10⁷ per replica) — the production
+    * assumption: a growing business adds customers/suppliers/users, it
+    * does not densify the existing ones. Per-replica subgraphs are
+    * disjoint, so per-round graph cost and stream fold mass must scale
+    * ∝ data (exponent ≈ 1); super-linear growth would mean a stage whose
+    * cost depends on the whole reached/settled set rather than the
+    * frontier/batch — exactly the regression these rows exist to catch.
+    */
+  def generateGraph(spark: SparkSession, srcDir: String,
+      outDir: String): Unit = {
+    val shift = 10000000L
+    def reps(df: DataFrame, cols: Seq[String]): DataFrame =
+      (0 until Replicas).map { r =>
+        cols.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(r * shift)))
+      }.reduce(_ unionByName _)
+    reps(spark.read.parquet(s"$srcDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey")),
+      Seq("o_orderkey", "o_custkey"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/orders.parquet")
+    reps(spark.read.parquet(s"$srcDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey")),
+      Seq("l_orderkey", "l_suppkey", "l_partkey"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/lineitem.parquet")
+    reps(spark.read.parquet(s"$srcDir/supplier.parquet")
+        .select(col("s_suppkey")), Seq("s_suppkey"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/supplier.parquet")
+    reps(graft.sources.Tables.events(spark, srcDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")),
+      Seq("event_id", "user_id"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
+    println(s"""{"generated":"$outDir","replicas":$Replicas,"tables":["orders","lineitem","supplier","events"]}""")
+  }
+
+  /** (family, n, mass, wall) rows for the graph + stream families over
+    * one dir. `mass` is the family's SCALING OBSERVABLE — the quantity
+    * whose exponent proves the per-round cost model:
+    *  - pagerank: |E| (the one per-iteration shuffle's input mass);
+    *  - bfs: settled nodes within the hop bound from one spread source
+    *    per ~replica (frontier-only rounds ⇒ Σ frontier-edge work ∝
+    *    reached subgraph, which is what "settled" counts);
+    *  - triangle: Σ n_tri over the degree-bounded co-purchase graph
+    *    (top-8 kNN edges — the capped-degree design means wedge and
+    *    triangle mass must track nodes, not density);
+    *  - stream_retention: changelog cells emitted by the day-sealed
+    *    fold (state + emission mass, the thing a stream's memory and
+    *    sink cost scale with).
+    * Wall times are best-of-`passes` and carry the usual multi-action
+    * job-floor caveat (BASELINE.md's timing-regime notes); the exponent
+    * argument rests on the masses, which are deterministic.
+    */
+  def measureGraphStream(spark: SparkSession, dir: String,
+      passes: Int = 2): Seq[String] = {
+    import graft.ops.{Checkpoints, Graph}
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    val e0 = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    val nE = edges.count()
+    def timeRelease(mk: => DataFrame): (Double, Long) =
+      (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val r = mk
+        val n = r.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Checkpoints.release(r)
+        (dt, n)
+      }.minBy(_._1)
+    val (prSecs, _) = timeRelease(Graph.pageRank(edges, 5))
+    // one spread source per ~replica: suppliers are keyed per replica
+    // (disjoint shifts), so the reached mass scales with the corpus
+    val suppliers = spark.read.parquet(s"$dir/supplier.parquet")
+    val srcs = suppliers
+      .select((floor(col("s_suppkey") / lit(10000000L))).as("rep"),
+        col("s_suppkey"))
+      .groupBy(col("rep")).agg(min(col("s_suppkey")).as("k"))
+      .select((col("k") * 2 + 1).as("node"))
+    val (bfsSecs, bfsSettled) =
+      timeRelease(Graph.bfsDistances(edges, srcs, maxHops = 6))
+    // degree-bounded co-purchase graph: the registered q_triangle_count
+    // construction (top-8 strongest partners per part)
+    val tri = graft.queries.GraphQueries.copurchaseEdges(spark, lineitem)
+    val (triSecs, _) = timeRelease(Graph.triangleCounts(tri))
+    val triMass = {
+      val r = Graph.triangleCounts(tri)
+      val m = r.agg(coalesce(sum(col("n_tri")), lit(0L))).head.getLong(0)
+      Checkpoints.release(r)
+      m
+    }
+    val (stSecs, stCells) = (1 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      val cells = graft.streaming.StreamReplay.replayEvents(spark, dir)(
+        graft.streaming.EventStreams.retentionActivity(_))
+        .filter(col("user_id") >= 0).count()
+      ((System.nanoTime() - t0) / 1e9, cells)
+    }.minBy(_._1)
+    Seq(
+      s"""{"dir":"$dir","family":"pagerank","n":$nE,"mass":$nE,"secs":${f"$prSecs%.2f"}}""",
+      s"""{"dir":"$dir","family":"bfs","n":$nE,"mass":$bfsSettled,"secs":${f"$bfsSecs%.2f"}}""",
+      s"""{"dir":"$dir","family":"triangle","n":$nE,"mass":$triMass,"secs":${f"$triSecs%.2f"}}""",
+      s"""{"dir":"$dir","family":"stream_retention","n":$stCells,"mass":$stCells,"secs":${f"$stSecs%.2f"}}""")
+  }
+
   /** Skewed-join evidence (round-7 verdict #7): a fact table whose hottest
     * key holds 50% of all rows, shuffle-hash-joined against a keyed side
     * that must not broadcast — the pathological shape where one reducer
@@ -279,13 +394,19 @@ object ScalingBench {
         println(s"""{"generated":"$outDir","replicas":$Replicas}""")
       case "run" :: dirs if dirs.nonEmpty =>
         dirs.foreach(d => measure(spark, d).foreach(println))
+      case "gen-graph" :: outDir :: rest =>
+        val src = rest.headOption.getOrElse("/root/testdata/sf0.1")
+        generateGraph(spark, src, outDir)
+      case "run-graph" :: dirs if dirs.nonEmpty =>
+        dirs.foreach(d => measureGraphStream(spark, d).foreach(println))
       case "skew" :: rest =>
         val n = rest.headOption.map(_.toLong).getOrElse(4000000L)
         val salts = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
         skewBench(spark, n, salts = salts).foreach(println)
       case _ =>
         System.err.println(
-          "usage: ScalingBench gen <outDir> [srcDir] | run <dir>... | skew [n]")
+          "usage: ScalingBench gen <outDir> [srcDir] | run <dir>... | " +
+            "gen-graph <outDir> [srcDir] | run-graph <dir>... | skew [n]")
         sys.exit(2)
     }
     spark.stop()

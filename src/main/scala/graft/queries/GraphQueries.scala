@@ -88,7 +88,17 @@ object GraphQueries {
     // the set is tiny and collect_set's dedup replaces a separate
     // distinct exchange), then the ordered pairs explode map-side —
     // per-order C(parts,2) fan-out, bounded by order size at any SF
-    val pairs = Tables.lineitem(spark, dir)
+    Graph.triangleCounts(copurchaseEdges(spark, Tables.lineitem(spark, dir)))
+      .orderBy(col("node"))
+  }
+
+  /** The degree-bounded co-purchase edge construction behind
+    * qTriangleCount, factored out so ScalingBench can measure its
+    * triangle mass on the 5× replica corpus with the same plan.
+    */
+  private[graft] def copurchaseEdges(spark: SparkSession,
+      lineitem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pairs = lineitem
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
       .select(explode(col("ps")).as("u"), col("ps"))
@@ -101,7 +111,7 @@ object GraphQueries {
     // 8·partitions rows per node instead of sorting the full O(pairs)
     // candidate mass (the count fits a double exactly — ≤ 2^53; heap
     // tie-break is (w desc, v asc), identical to the oracle's row_number)
-    val edges = pairs
+    pairs
       .groupBy(col("u"))
       .agg(graft.functions.vectors.topk(col("w").cast("double"), col("v"), 8)
         .as("tk"))
@@ -109,6 +119,5 @@ object GraphQueries {
       .select(least(col("u"), col("e.id")).as("u"),
         greatest(col("u"), col("e.id")).as("v"))
       .distinct()
-    Graph.triangleCounts(edges).orderBy(col("node"))
   }
 }
