@@ -130,6 +130,31 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.resizeImage(png, 2).get.toSeq === thumbBytes.toSeq)
   }
 
+  test("real resize: color images stay color, per-band area means") {
+    // 2×2 RGB image → ÷2 resize must be 1×1 whose R/G/B are the floors
+    // of the per-band means (exercises the TYPE_3BYTE_BGR output path)
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val px = Array(
+      (10, 100, 200), (20, 110, 210),
+      (30, 120, 220), (40, 130, 230))
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val (r, g, b) = px(y * 2 + x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val thumb = Multimodal.resizeImage(bos.toByteArray, 2).get
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumb))
+    assert(dec.getWidth === 1 && dec.getHeight === 1)
+    assert(dec.getRaster.getNumBands >= 3, "color must stay color")
+    val rgb = dec.getRGB(0, 0)
+    assert(((rgb >> 16) & 0xff) === (10 + 20 + 30 + 40) / 4)
+    assert(((rgb >> 8) & 0xff) === (100 + 110 + 120 + 130) / 4)
+    assert((rgb & 0xff) === (200 + 210 + 220 + 230) / 4)
+  }
+
   test("resize passes non-image payloads through untouched") {
     val docs = Seq((1L, "not an image"), (2L, "y")).toDF("doc_id", "text")
     val out = Multimodal.withResizedPayload(
