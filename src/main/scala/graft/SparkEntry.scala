@@ -147,6 +147,7 @@ object SparkEntry {
     "q_orc_roundtrip" -> (LayoutQueries.qOrcRoundtrip _),
     "q_audio_features" -> (TextQueries.qAudioFeatures _),
     "q_image_thumbnail" -> (TextQueries.qImageThumbnail _),
+    "q_source_quota" -> (CorpusQueries.qSourceQuota _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1858,6 +1859,18 @@ object SparkEntry {
         |  (CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 2 = 0
         |    THEN '800' ELSE '333' END)
         |ORDER BY doc_id""".stripMargin,
+    // domain-quota pass: the engine runs the bounded-heap topk aggregate
+    // (k·partitions rows per source through the exchange); the oracle is
+    // the WINDOW form — heap == window semantics incl. tie order
+    // (n_chars DESC, doc_id ASC) is re-proven by hash every round
+    "q_source_quota" ->
+      """WITH r AS (SELECT source, doc_id, length(text) AS n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY length(text) DESC, doc_id) AS rank
+        |  FROM documents)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM r WHERE rank <= 50 ORDER BY source, rank""".stripMargin,
     "q_source_mix" ->
       """WITH per AS (SELECT source, COUNT(*) AS n_docs,
         |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens

@@ -96,6 +96,35 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  /** Per-source document QUOTA (round 10 — the domain-quota pass of
+    * corpus construction, C4/Dolma style: no single domain may dominate
+    * the mix): keep each source's top-`quota` documents by content
+    * length (ties to the smaller doc_id), with their quota rank.
+    *
+    * Scale shape — the reason this is an operator and not a window:
+    * `ROW_NUMBER() OVER (PARTITION BY source ORDER BY …) <= k` sorts and
+    * shuffles EVERY corpus row; the bounded-heap topk aggregate's
+    * partial buffers cap at k entries per source per partition, so the
+    * exchange carries ≤ k·partitions rows per source regardless of
+    * corpus size — the difference between shuffling 100 TB and shuffling
+    * k·partitions·|sources| rows. The oracle IS the window form, so the
+    * driver re-proves heap == window semantics (including tie order) by
+    * hash every round.
+    */
+  def qSourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    val quota = 50
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), length(col("text")).as("n_chars"))
+      .groupBy(col("source"))
+      .agg(graft.functions.vectors.topk(
+        col("n_chars").cast("double"), col("doc_id"), quota).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"),
+        col("col.score").cast("long").as("n_chars"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Chunk every document into 64-token windows with stride 48 (16-token
     * overlap) — the LM pretraining window shape.
     */
