@@ -148,6 +148,7 @@ object SparkEntry {
     "q_audio_features" -> (TextQueries.qAudioFeatures _),
     "q_image_thumbnail" -> (TextQueries.qImageThumbnail _),
     "q_source_quota" -> (CorpusQueries.qSourceQuota _),
+    "q_pca_project" -> (SimilarityQueries.qPcaProject _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -391,6 +392,28 @@ object SparkEntry {
        |  WHERE a.id <> p.query_id)
        |SELECT query_id, id AS neighbor_id, rank FROM cand WHERE rank <= $IvfK
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** PCA projection replay from the trained model: per component a sum of
+    * per-dimension terms each floored onto the 2⁻²⁰ grid — multiples of
+    * 2⁻²⁰ sum EXACTLY in any association, so the chain is portable even
+    * though DuckDB reassociates long `+` chains (measured: a strict
+    * left-assoc replay diverged ~100 ulps under cancellation). Mean and
+    * axes inlined as shortest-round-trip double literals; the single
+    * multiply-subtract inside each floor is one IEEE op sequence in both
+    * engines.
+    */
+  private def pcaOracle(m: graft.ops.Pca.PcaModel): String = {
+    val cols = m.comps.zipWithIndex.map { case (p, j) =>
+      val terms = (0 until m.dim).map(i =>
+        s"floor((embd[${i + 1}] - ${m.mean(i)}) * ${p(i)} * 1048576.0) / 1048576.0")
+      s"0.0 + ${terms.mkString(" + ")} AS pc${j + 1}"
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embd
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |  ${cols.mkString(",\n  ")}
+       |FROM e ORDER BY vec_id""".stripMargin
   }
 
   private def ivfOracle(cents: Array[Array[Float]]): String =
@@ -639,6 +662,8 @@ object SparkEntry {
           "q_ann_ivfpq_residual" -> ivfpqResidualOracle(cm._1, cm._2) } ++
       graft.queries.SimilarityQueries.lastSemModel
         .map { case (_, c) => "q_semantic_dedup" -> semOracle(c) } ++
+      graft.queries.SimilarityQueries.lastPcaModel
+        .map { case (_, m) => "q_pca_project" -> pcaOracle(m) } ++
       graft.queries.TextQueries.lastBpeModel
         .map { case (_, m) => "q_bpe_tokenize" -> bpeOracle(m) } ++
       // The streaming replay rows share their batch twins' oracles

@@ -172,7 +172,41 @@ object SimilarityQueries {
       lastPqModel.iterator.map(_._1) ++
       lastIvfPqModel.iterator.map(_._1) ++
       lastIvfPqResModel.iterator.map(_._1) ++
-      lastSemModel.iterator.map(_._1)).forall(_ == dir)
+      lastSemModel.iterator.map(_._1) ++
+      lastPcaModel.iterator.map(_._1)).forall(_ == dir)
+
+  /** PCA model of the LAST qPcaProject invocation — same oracle-generation
+    * contract as [[lastIvfModel]]. */
+  @volatile private[graft] var lastPcaModel:
+    Option[(String, graft.ops.Pca.PcaModel)] = None
+
+  /** Trained-PCA memo per sfDir (the centroidCache discipline: the model
+    * is a pure function of the dir's corpus, training is two aggregate
+    * jobs + a bounded eigen step — once per JVM is enough).
+    */
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ops.Pca.PcaModel]()
+
+  /** PCA projection of the embedding corpus onto its top-4 principal
+    * axes (round 10 — the dimensionality-reduction pass: compress a
+    * stored embedding column, decorrelate before clustering, 2-D corpus
+    * maps). Training is the deterministic two-pass mean/scatter
+    * aggregation (one d(d+1)/2 buffer per partition — ops.Pca scaladoc
+    * for the 100 TB argument) + cyclic Jacobi on the driver; the
+    * projection is a pure codegen scan whose 64-term left-associated
+    * multiply-add chains render IDENTICALLY in the generated DuckDB
+    * oracle with the trained model inlined as literals — trained-model
+    * hash-exactness, the q_ann_ivf pattern.
+    */
+  def qPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val model = pcaCache.computeIfAbsent(dir,
+      _ => graft.ops.Pca.train(embs, "embedding", dim = 64, k = 4))
+    lastPcaModel = Some((dir, model))
+    embs.select(col("vec_id") +:
+        graft.ops.Pca.projectionCols(col("embedding"), model): _*)
+      .orderBy(col("vec_id"))
+  }
 
   val IvfK = 5
   val IvfNProbe = 4

@@ -1,0 +1,123 @@
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** `centeredGram(vec, mean)`: the upper-triangle centered Gram (scatter)
+  * matrix Σ (x−μ)(x−μ)ᵀ over an `array<float>` column, as ONE
+  * d(d+1)/2-double aggregation buffer — the covariance-accumulation shape
+  * of MLlib's RowMatrix.computeCovariance (a public, standard design):
+  * each partition folds its rows into a single dim²-sized buffer map-side,
+  * the shuffle carries one buffer per partition, and only the d×d model
+  * reaches the driver. This is the 100 TB way to train a PCA — the
+  * alternative (explode to (i, j, xᵢxⱼ) rows and groupBy) multiplies the
+  * corpus by d² before the exchange.
+  *
+  * Determinism contract (the graft snapping discipline, SURVEY §4): each
+  * element is first floored onto the 2⁻²⁰ dyadic grid, and each centered
+  * product is floored onto the same grid before accumulating. Every
+  * buffer entry is therefore a sum of multiples of 2⁻²⁰ with |term| ≤ 4 —
+  * exactly representable in a double up to ~2³¹ rows — so partial sums
+  * merge EXACTLY regardless of partition order and the trained model is
+  * bit-reproducible (which is what lets the driver's oracle inline it as
+  * literals). The snapping bias per element is < 2⁻²⁰ ≈ 1e-6 — far below
+  * any covariance structure worth a principal component.
+  *
+  * The mean is passed as a constructor constant (a bounded model step
+  * computed in a prior pass), not an expression — two-pass mean-then-
+  * scatter keeps both passes' sums exact on the grid.
+  */
+case class CenteredGramAgg(child: Expression, mean: Seq[Double],
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] with ExpectsInputTypes {
+
+  private val d = mean.length
+  require(d > 0, "mean must be non-empty")
+  @transient private lazy val mu = mean.toArray
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private val Grid = 1048576.0 // 2^20
+
+  override def createAggregationBuffer(): Array[Double] =
+    new Array[Double](d * (d + 1) / 2)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val a = child.eval(input)
+    if (a == null) return buf
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(arr.numElements() == d,
+      s"expected dim $d, got ${arr.numElements()}")
+    val c = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      c(i) = math.floor(arr.getFloat(i) * Grid) / Grid - mu(i)
+      i += 1
+    }
+    var idx = 0
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        buf(idx) += math.floor(c(i) * c(j) * Grid) / Grid
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 } // exact: dyadics
+    buf
+  }
+
+  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.length * 8)
+    bb.putInt(buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putDouble(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new Array[Double](n)
+    var i = 0
+    while (i < n) { buf(i) = bb.getDouble(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CenteredGramAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CenteredGramAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CenteredGramAgg =
+    copy(child = newChildren(0))
+}
+
+object GramColumns {
+  /** `centeredGram(vec, mean)` as an aggregate Column (upper triangle,
+    * row-major, d(d+1)/2 doubles).
+    */
+  def centeredGram(vec: Column, mean: Seq[Double]): Column =
+    ExpressionUtils.column(CenteredGramAgg(
+      ExpressionUtils.expression(vec), mean).toAggregateExpression())
+}
