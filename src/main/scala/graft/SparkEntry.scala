@@ -149,6 +149,7 @@ object SparkEntry {
     "q_image_thumbnail" -> (TextQueries.qImageThumbnail _),
     "q_source_quota" -> (CorpusQueries.qSourceQuota _),
     "q_pca_project" -> (SimilarityQueries.qPcaProject _),
+    "q_quantize_roundtrip" -> (SimilarityQueries.qQuantizeRoundtrip _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1896,6 +1897,30 @@ object SparkEntry {
         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
         |  CAST(n_chars AS BIGINT) AS n_chars
         |FROM r WHERE rank <= 50 ORDER BY source, rank""".stripMargin,
+    // int8 quantize→dequantize kernel replay (the quantCorpusCtes
+    // rounding identity), error terms floored onto the 2^-40 grid before
+    // the 64-term sum (§4: many-term cross-engine float sums snap),
+    // then one correctly-rounded sqrt
+    "q_quantize_roundtrip" -> {
+      val g = "1099511627776.0"
+      val terms = (1 to 64).map { i =>
+        val d = s"(CAST(embf[$i] AS DOUBLE) - CAST(deqf[$i] AS DOUBLE))"
+        s"floor($d * $d * $g) / $g"
+      }.mkString(" + ")
+      s"""WITH eq AS (SELECT vec_id AS id, embedding AS embf FROM embeddings),
+         |sc AS (SELECT id, embf,
+         |    list_max(list_transform(embf, x -> abs(x))) / CAST(127 AS FLOAT)
+         |      AS scale
+         |  FROM eq),
+         |dq AS (SELECT id, embf, scale, CASE WHEN scale > 0 THEN
+         |      list_transform(embf, x ->
+         |        CAST(CAST(floor(CAST(x/scale AS DOUBLE) + 0.5) AS INT) AS FLOAT) * scale)
+         |    ELSE list_transform(embf, x -> CAST(0 AS FLOAT)) END AS deqf
+         |  FROM sc)
+         |SELECT id AS vec_id, CAST(scale AS DOUBLE) AS scale,
+         |  sqrt(0.0 + $terms) AS l2_err
+         |FROM dq ORDER BY vec_id""".stripMargin
+    },
     "q_source_mix" ->
       """WITH per AS (SELECT source, COUNT(*) AS n_docs,
         |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens

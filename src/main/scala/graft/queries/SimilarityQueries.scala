@@ -198,6 +198,36 @@ object SimilarityQueries {
     * oracle with the trained model inlined as literals — trained-model
     * hash-exactness, the q_ann_ivf pattern.
     */
+  /** INT8 quantization as a DRIVER row (round 10 — closes §2's last
+    * spec-only entry): every embedding goes through the real codegen
+    * kernels `vec_quantize` → `vec_dequantize` (VectorExprs), emitting
+    * the per-vector scale and the L2 reconstruction error. The oracle
+    * replays the whole kernel in SQL — max-abs/127 scale, the
+    * float-domain `floor(x/scale + 0.5)` rounding (the Math.round
+    * identity the ivf_quantized oracle documents), the q·scale
+    * dequantize — so a rounding-mode or saturation defect hash-fails.
+    * Error terms are squared deltas floored onto the 2⁻⁴⁰ grid before
+    * the 64-term sum (the §4 rule: many-term cross-engine float sums go
+    * through a dyadic grid; 2⁻⁴⁰ because the squares live at ~1e-8),
+    * then one correctly-rounded sqrt. Pure codegen scan, no shuffle.
+    */
+  def qQuantizeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.vectors
+    val G = 1099511627776.0 // 2^40
+    val embs = Tables.embeddings(spark, dir)
+    val deq = vectors.dequantize(vectors.quantize(col("embedding")))
+    val err2 = (0 until 64).foldLeft(lit(0.0)) { (acc, i) =>
+      val dlt = col("embedding").getItem(i).cast("double") -
+        deq.getItem(i).cast("double")
+      acc + floor(dlt * dlt * lit(G)) / lit(G)
+    }
+    embs.select(col("vec_id"),
+        vectors.quantize(col("embedding")).getField("scale").cast("double")
+          .as("scale"),
+        sqrt(err2).as("l2_err"))
+      .orderBy(col("vec_id"))
+  }
+
   def qPcaProject(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(spark, dir)
     val model = pcaCache.computeIfAbsent(dir,
