@@ -208,9 +208,13 @@ object Graph {
         }
       if (i % CpEvery == 0 || i == iters) {
         val cp = Checkpoints.checkpoint(next)
-        if (lastCp != null) Checkpoints.release(lastCp)
+        // adopt-before-release (see bfsDistances): if releasing the
+        // superseded frame throws, the finally block must already be
+        // guarding the freshly persisted checkpoint.
+        val prevCp = lastCp
         lastCp = cp
         ranks = cp
+        if (prevCp != null) Checkpoints.release(prevCp)
       } else ranks = next
     }
     // (the i == iters arm guarantees the loop exits checkpointed:
@@ -330,8 +334,14 @@ object Graph {
           .select(col("node"), lit((hops + 1).toLong).as("dist"))
           .observe(obs, count(lit(1)).as("n_settled"))
         val next = Checkpoints.checkpoint(dist.unionByName(fresh))
-        Checkpoints.release(dist)
+        // adopt the fresh checkpoint BEFORE releasing the superseded one:
+        // if release (or the observation read below) throws, the finally
+        // block must release the frame that is actually persisted — the
+        // old order left `next` unguarded in that window (round-10
+        // ADVICE).
+        val prev = dist
         dist = next
+        Checkpoints.release(prev)
         hops += 1
         // harvested from the checkpoint's own action — no second job
         fsize = obs.get("n_settled").asInstanceOf[Long]

@@ -57,6 +57,19 @@ object Pca {
       .head()
     val n = sums.getLong(0)
     require(n > 1, s"need >1 rows to train a PCA, got $n")
+    // Determinism contract enforcement (round-10 ADVICE): CenteredGramAgg's
+    // exact-merge guarantee holds while every partial sum of 2^-20-grid
+    // dyadics stays below 2^53 in magnitude — |term| ≤ 16 per row (|c_i|,
+    // |c_j| ≤ 4 for unit-ish embeddings) gives n·16·2^20 < 2^53 ⇔
+    // n < 2^29. Beyond that the gram sums can become partition-order
+    // dependent and the trained model (and its literal-inlined oracle)
+    // nondeterministic — fail LOUDLY here instead. Past this bound, train
+    // on a uniform sample (a 2^29-row sample estimates a covariance far
+    // beyond float precision anyway) or switch the buffer to Long grid
+    // units.
+    require(n < (1L << 29),
+      s"PCA gram determinism bound exceeded: n=$n >= 2^29 rows — train on " +
+        "a sample or use a Long-unit gram buffer")
     val mean = Array.tabulate(dim)(i => sums.getDouble(i + 1) / n)
     val upper = embs.agg(org.apache.spark.sql.graft.GramColumns
         .centeredGram(col(vecCol), mean.toSeq).as("g"))

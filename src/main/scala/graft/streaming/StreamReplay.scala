@@ -109,10 +109,38 @@ object StreamReplay {
     } finally s.close()
   }
 
+  /** Memo lookup with eviction (round-10 ADVICE): when the source
+    * fingerprint has moved, the superseded entry for the same (dir,
+    * chunks) is dropped AND its staged temp tree deleted now — not at JVM
+    * exit — so a long-lived session that regenerates its source doesn't
+    * accumulate dead feed snapshots on disk for its whole lifetime.
+    */
+  private def stagedFeed(spark: SparkSession, dir: String,
+      chunks: Int): String = {
+    val fp = sourceFingerprint(dir)
+    val feed = feeds.computeIfAbsent((dir, chunks, fp),
+      _ => stageFeed(spark, dir, chunks))
+    import scala.jdk.CollectionConverters._
+    feeds.keySet.asScala.toSeq
+      .filter(k => k._1 == dir && k._2 == chunks && k._3 != fp)
+      .foreach { k =>
+        val stale = feeds.remove(k)
+        if (stale != null) {
+          val root = Paths.get(stale).getParent
+          try {
+            val walk = Files.walk(root)
+            try walk.iterator().asScala.toSeq.reverse.foreach(p =>
+              try Files.deleteIfExists(p) catch { case _: Exception => () })
+            finally walk.close()
+          } catch { case _: Exception => () }
+        }
+      }
+    feed
+  }
+
   def replayEvents[O](spark: SparkSession, dir: String, chunks: Int = 2)(
       op: Dataset[Event] => Dataset[O]): DataFrame = {
-    val feed = feeds.computeIfAbsent((dir, chunks, sourceFingerprint(dir)),
-      _ => stageFeed(spark, dir, chunks))
+    val feed = stagedFeed(spark, dir, chunks)
     val root = Files.createTempDirectory("graft-replay")
     track(root)
     runIncarnation(spark, feed, root, op)
@@ -184,20 +212,30 @@ object StreamReplay {
     */
   def replayEventsWithRestart[O](spark: SparkSession, dir: String,
       chunks: Int = 2)(op: Dataset[Event] => Dataset[O]): DataFrame = {
-    val feed = feeds.computeIfAbsent((dir, chunks, sourceFingerprint(dir)),
-      _ => stageFeed(spark, dir, chunks))
+    val feed = stagedFeed(spark, dir, chunks)
     val root = Files.createTempDirectory("graft-replay-rec")
     track(root)
     val live = Files.createDirectory(root.resolve("live"))
+    // DATA files only (part-* chunks + zz-sentinel-*): the raw listing
+    // also contains bookkeeping (_SUCCESS, Hadoop .crc siblings) whose
+    // modtimes are NOT back-dated, so including them would (a) let the
+    // >=3 check pass without 2 real data chunks and (b) make "head is
+    // the first chunk" an accident of write times (round-10 ADVICE).
     val staged = {
       val s = Files.list(Paths.get(feed))
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.toSeq
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("part-") || n.startsWith("zz-sentinel-")
+          }
           .sortBy(p => (p.toFile.lastModified, p.getFileName.toString))
       } finally s.close()
     }
-    require(staged.length >= 3, s"need >=2 data chunks + sentinels, got $staged")
+    val dataParts = staged.count(_.getFileName.toString.startsWith("part-"))
+    require(dataParts >= 2 && staged.length >= dataParts + 2,
+      s"need >=2 data chunks + 2 sentinels, got $staged")
     def admit(p: Path): Unit = {
       val dst = live.resolve(p.getFileName.toString)
       Files.copy(p, dst)
