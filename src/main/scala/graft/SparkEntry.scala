@@ -150,6 +150,8 @@ object SparkEntry {
     "q_source_quota" -> (CorpusQueries.qSourceQuota _),
     "q_pca_project" -> (SimilarityQueries.qPcaProject _),
     "q_quantize_roundtrip" -> (SimilarityQueries.qQuantizeRoundtrip _),
+    "q_manifest_skipping" -> (LayoutQueries.qManifestSkipping _),
+    "q_optimize" -> (DatalakeQueries.qOptimize _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -2133,6 +2135,37 @@ object SparkEntry {
          |      AND max_y >= 128 AND min_y <= 255 THEN n_rows ELSE 0 END) AS BIGINT)
          |    AS rows_scanned
          |FROM f GROUP BY layout ORDER BY layout""".stripMargin,
+    // OPTIMIZE evidence: the aggregate is the plain orders query (the
+    // rewrite must be invisible in values); file counts are deterministic
+    // (round-robin 64 → range 4, one file per non-empty partition)
+    "q_optimize" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(64 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // Manifest stats-pruning replay: files are one-per-contiguous-16-wide
+    // key range by construction, so per-file envelopes (and the pruning
+    // decision) are a pure function of the data — the oracle rebuilds
+    // them from the same masked key the engine's footer sweep recorded
+    "q_manifest_skipping" ->
+      """WITH m AS (SELECT l_orderkey & 1023 AS ok_m, l_extendedprice
+        |    FROM lineitem),
+        |f AS (SELECT ok_m >> 4 AS bucket, COUNT(*) AS n_rows,
+        |    min(ok_m) AS mn, max(ok_m) AS mx FROM m GROUP BY 1),
+        |p AS (SELECT * FROM (VALUES ('ok_128_255', 128, 255),
+        |    ('ok_512_543', 512, 543)) AS t(predicate, lo, hi))
+        |SELECT p.predicate,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS files_total,
+        |  CAST((SELECT COUNT(*) FROM f WHERE f.mx >= p.lo AND f.mn <= p.hi)
+        |    AS BIGINT) AS files_scanned,
+        |  CAST((SELECT COALESCE(SUM(f.n_rows), 0) FROM f
+        |    WHERE f.mx >= p.lo AND f.mn <= p.hi) AS BIGINT) AS rows_in_files,
+        |  CAST((SELECT COUNT(*) FROM m
+        |    WHERE m.ok_m BETWEEN p.lo AND p.hi) AS BIGINT) AS n_rows,
+        |  (SELECT CAST(SUM(CAST(m.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    FROM m WHERE m.ok_m BETWEEN p.lo AND p.hi) AS revenue
+        |FROM p ORDER BY p.predicate""".stripMargin,
     // Count-Min replay: ONE md5 digest per token occurrence sliced into
     // four 32-bit bucket words (lower/upper lane, low/high half) — the
     // same slices Sketches.buckets masks engine-side; arithmetic stays in

@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names — dev-loop filter for
+    // checking one new query without dumping all 135 (the driver always
+    // passes exactly two args, so its contract is unchanged)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o) => (s, o, None)
+      case Array(s, o, names) => (s, o, Some(names.split(",").toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,10 +34,14 @@ object Verify {
     // manifest, so check_oracle's missing-output check catches the partial
     // snapshot — written after, the same death leaves no manifest and the
     // oracle-keys-only fallback would silently pass over the missing dirs
+    val selected = only match {
+      case None => SparkEntry.queries
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+    }
     Files.writeString(Paths.get(s"$outDir/queries.txt"),
-      SparkEntry.queries.keys.toSeq.sorted.mkString("", "\n", "\n"))
+      selected.keys.toSeq.sorted.mkString("", "\n", "\n"))
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -561,4 +561,41 @@ object DatalakeQueries {
         decSum2(col("new_price")).cast("double").as("sum_new"))
       .orderBy(col("status"))
   }
+
+  /** OPTIMIZE as a versioned lakehouse operation (round 11): publish
+    * orders deliberately fragmented into 64 small files (the classic
+    * many-small-writers symptom), run `Datalake.optimize` — which
+    * rewrites the current version into 4 range-clustered files WITH a
+    * stats sidecar and publishes the rewrite as a NEW atomic manifest
+    * version — then aggregate through `readPublished`, which now
+    * resolves the optimized version. The aggregate's oracle is the plain
+    * orders query VERBATIM: a rewrite that loses/duplicates a row, a
+    * manifest that still points at the old version, or a botched
+    * clustering shuffle all hash-fail. files_before/files_after carry
+    * the compaction evidence (64 → 4, both deterministic: round-robin
+    * and range repartition write exactly one file per non-empty
+    * partition).
+    *
+    * Scale: OPTIMIZE is one table shuffle, paid once, that every later
+    * read amortizes (fewer tasks, fewer footers, working stats
+    * envelopes); the old version stays for time travel until vacuum.
+    */
+  def qOptimize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val root = tempLakeRoot() + "/orders_optimize"
+    Datalake.publish(o.repartition(64), root, "1")
+    val before = Datalake.dataFiles(spark, root, "1").length
+    val newV = Datalake.optimize(spark, root, nFiles = 4,
+      clusterBy = Seq("o_orderkey"), statsCols = Seq("o_orderkey"))
+    val after = Datalake.dataFiles(spark, root, newV).length
+    Datalake.readPublished(spark, root)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum2(col("o_totalprice")).cast("double").as("revenue"))
+      .withColumn("files_before", lit(before.toLong))
+      .withColumn("files_after", lit(after.toLong))
+      .orderBy(col("o_orderpriority"))
+  }
 }

@@ -78,6 +78,61 @@ object LayoutQueries {
       .orderBy(col("layout"))
   }
 
+  /** MANIFEST-LEVEL data skipping (round-11 — the Delta/Iceberg
+    * stats-in-manifest read path on the plain-storage publish protocol):
+    * lineitem's masked order key is clustered into 64 files (one per
+    * contiguous key range), PUBLISHED with per-file min/max statistics
+    * harvested from the parquet footers into the version's
+    * `_FILESTATS.tsv` sidecar, and then read back through
+    * `Datalake.readPublishedPruned`, which opens ONLY the files whose
+    * recorded envelope intersects the predicate. Unlike q_zorder_skipping
+    * — which COMPUTES what a pruning reader would do — this row runs the
+    * real machinery end-to-end: real files, real footers, a real pruned
+    * scan; per probe it emits the pruning evidence (files_total,
+    * files_scanned, rows_in_files) plus an exact aggregate over the
+    * pruned scan, so a pruner that drops a needed file (or reads a stale
+    * stats sidecar) hash-fails against the whole-table oracle.
+    *
+    * Scale: stats collection is one footer read per file (catalog-sized,
+    * no data scan — at production file counts it distributes as
+    * write-task-collected stats); the pruned read's planning cost is the
+    * sidecar parse, and its IO is proportional to files_scanned, not
+    * files_total — the property that makes selective reads on a 100 TB
+    * table affordable.
+    */
+  def qManifestSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    import graft.sources.Datalake
+    val mask = (1L << Bits) - 1
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").bitwiseAND(lit(mask)).as("ok_m"),
+      col("l_extendedprice"))
+    // one file per contiguous 16-wide key range: bucket = ok_m >> 4, one
+    // hash partition per bucket value → the writer emits exactly one file
+    // per bucket dir, so the layout (and with it files_total/scanned) is
+    // a pure function of the data — replayable by the oracle
+    val layout = li.withColumn("bucket",
+      shiftright(col("ok_m"), Bits - Log2Files).cast("int"))
+      .repartition(col("bucket"))
+    val root = DatalakeQueries.tempLakeRoot() + "/li_stats"
+    Datalake.publish(layout, root, "1", Seq("bucket"), Seq("ok_m"))
+    def probe(tag: String, lo: Long, hi: Long): DataFrame = {
+      val s = Datalake.readPublishedPruned(spark, root, "ok_m",
+        lo.toDouble, hi.toDouble)
+      s.df.filter(col("ok_m").between(lo, hi))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          decSum2(col("l_extendedprice")).cast("double").as("revenue"))
+        .select(lit(tag).as("predicate"),
+          lit(s.filesTotal).as("files_total"),
+          lit(s.filesScanned).as("files_scanned"),
+          lit(s.rowsInScannedFiles).as("rows_in_files"),
+          col("n_rows"), col("revenue"))
+    }
+    probe("ok_128_255", 128, 255)
+      .unionByName(probe("ok_512_543", 512, 543))
+      .orderBy(col("predicate"))
+  }
+
   /** The CO-BUCKETED fact⋈fact join made driver-checkable (r9): orders
     * and lineitem are written as bucketed+sorted tables on the join key
     * (Datalake.writeBucketed — the shuffle paid ONCE at write time), then

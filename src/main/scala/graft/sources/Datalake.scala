@@ -123,11 +123,32 @@ object Datalake {
     * the manifest write is a single small PUT, the closest thing to atomic
     * an object store offers.
     */
-  def publish(df: DataFrame, tableRoot: String, version: String): Unit = {
+  def publish(df: DataFrame, tableRoot: String, version: String): Unit =
+    publish(df, tableRoot, version, Nil, Nil)
+
+  /** Publish with optional Hive-style partitioning and FILE STATISTICS
+    * (round-10 verdict #3): when `statsCols` is non-empty, the per-file
+    * min/max envelope of each listed (numeric) column is recorded as a
+    * `_FILESTATS.tsv` sidecar INSIDE the version directory — written
+    * BEFORE the manifest swap, so stats are part of the immutable,
+    * atomically-published version (the Delta/Iceberg stats-in-manifest
+    * shape on plain object storage). [[readPublishedPruned]] consults
+    * them to open only the files whose envelope can satisfy a predicate.
+    *
+    * The stats here come from the parquet FOOTERS the write already
+    * produced — no second data scan; one footer read per file,
+    * catalog-sized driver work (at production file counts this sweep
+    * distributes as write-task-collected stats, same protocol).
+    */
+  def publish(df: DataFrame, tableRoot: String, version: String,
+      partitionBy: Seq[String], statsCols: Seq[String]): Unit = {
     val dataPath = s"$tableRoot/v=$version"
-    df.write.mode(SaveMode.Overwrite)
+    val w0 = df.write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
+    (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
       .parquet(dataPath)
+    if (statsCols.nonEmpty)
+      writeFileStats(df.sparkSession, dataPath, statsCols)
     // manifest IO goes through the Hadoop FileSystem of tableRoot, same as
     // the data (java.nio would silently write a LOCAL file for an
     // hdfs://-or-s3a:// root). Rename atomicity is the underlying FS's:
@@ -310,6 +331,225 @@ object Datalake {
         payload.map(c => col(s"_c.img.`$c`").as(c)) ++ Seq(
           col("_c._change_type").as("_change_type"),
           lit(fromV).as("_from_version"), lit(toV).as("_to_version")): _*)
+  }
+
+  /** OPTIMIZE as a versioned operation (round-10 verdict #4): rewrite the
+    * manifest-current version's data into a NEW version with `nFiles`
+    * well-sized files — optionally range-clustered on `clusterBy`, so the
+    * rewrite doubles as the re-cluster maintenance pass — and publish it
+    * through the same atomic manifest swap as any write. The data is
+    * byte-identical by construction (a repartition moves rows, never
+    * changes them); the old version dir stays behind for time travel /
+    * rollback until vacuum retires it, which is what makes OPTIMIZE safe
+    * to run concurrently with readers: they hold the old version, the
+    * swap is atomic, nothing is deleted.
+    *
+    * Returns the new version name (numeric successor of the newest
+    * numeric version, so epoch/counter versioning keeps working).
+    *
+    * Scale: one shuffle of the table (range or round-robin) — the price
+    * of fixing the small-files problem once instead of paying a task +
+    * footer read + object-store request per tiny file on EVERY read.
+    * With `clusterBy` + `statsCols` the new version's stats sidecar makes
+    * [[readPublishedPruned]] effective again after the rewrite.
+    */
+  def optimize(spark: SparkSession, tableRoot: String, nFiles: Int,
+      clusterBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): String = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val cur = currentVersion(spark, tableRoot).getOrElse(
+      throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+    val df0 = readVersion(spark, tableRoot, cur)
+    val df =
+      if (clusterBy.nonEmpty)
+        df0.repartitionByRange(nFiles, clusterBy.map(org.apache.spark.sql
+          .functions.col): _*)
+      else df0.repartition(nFiles)
+    val versions = listVersions(spark, tableRoot)
+    val numeric = versions.filter(v =>
+      v.nonEmpty && v.forall(_.isDigit) && v.length <= 18).map(_.toLong)
+    val newV =
+      if (numeric.nonEmpty) (numeric.max + 1).toString else s"$cur-optimized"
+    publish(df, tableRoot, newV, Nil, statsCols)
+    newV
+  }
+
+  /** Data files of one published version (relative paths) — the OPTIMIZE
+    * evidence listing. One recursive catalog-sized listing.
+    */
+  def dataFiles(spark: SparkSession, tableRoot: String,
+      version: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(s"$tableRoot/v=$version")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Nil
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.startsWith("part-") && name.endsWith(".parquet"))
+        out += st.getPath.toUri.getPath
+          .stripPrefix(base.toUri.getPath.stripSuffix("/") + "/")
+    }
+    out.result().sorted
+  }
+
+  /** Per-file statistics of one published file: path relative to the
+    * version dir, row count, and [min, max] per tracked numeric column.
+    * Columns a file has no stats for (all-null chunk, column absent)
+    * simply don't appear — [[readPublishedPruned]] then keeps the file,
+    * because pruning may only drop a file it can PROVE irrelevant.
+    */
+  case class FileStat(file: String, rows: Long,
+      cols: Map[String, (Double, Double)])
+
+  /** A stats-pruned scan: the frame over the kept files plus the pruning
+    * evidence (how many files the manifest lists vs how many the scan
+    * opens, and the row mass inside the opened ones).
+    */
+  case class PrunedScan(df: DataFrame, filesTotal: Long, filesScanned: Long,
+      rowsInScannedFiles: Long)
+
+  private val StatsFile = "_FILESTATS.tsv"
+
+  /** Harvest per-file min/max envelopes for `statsCols` from the parquet
+    * FOOTERS under `dataPath` and write the `_FILESTATS.tsv` sidecar.
+    * Footer metadata is already exact per row group (parquet writers
+    * maintain it unconditionally); this just lifts it one level up so a
+    * reader can prune without touching any footer. Format: one
+    * `file \t rows \t col \t min \t max` line per (file, column) — a
+    * deliberate zero-dependency format (no JSON parser in the read path).
+    * Only numeric (int/long/float/double) columns are recorded; others
+    * are skipped, which degrades to "never pruned", not wrong results.
+    */
+  private def writeFileStats(spark: SparkSession, dataPath: String,
+      statsCols: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = base.getFileSystem(conf)
+    val want = statsCols.toSet
+    val sb = new StringBuilder
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.startsWith("part-") && name.endsWith(".parquet")) {
+        // string-prefix relativization: URI.relativize needs a trailing
+        // slash on the base to treat it as a directory, so it would hand
+        // back the ABSOLUTE path here
+        val rel = st.getPath.toUri.getPath
+          .stripPrefix(base.toUri.getPath.stripSuffix("/") + "/")
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = reader.getFooter.getBlocks.asScala
+          val rows = blocks.map(_.getRowCount).sum
+          val agg = scala.collection.mutable.Map[String, (Double, Double)]()
+          var complete = Set.empty[String] // cols with stats in EVERY block
+          var first = true
+          blocks.foreach { b =>
+            val inBlock = scala.collection.mutable.Set[String]()
+            b.getColumns.asScala.foreach { c =>
+              val cn = c.getPath.toDotString
+              if (want.contains(cn)) {
+                val s = c.getStatistics
+                if (s != null && s.hasNonNullValue) numeric(s.genericGetMin)
+                  .zip(numeric(s.genericGetMax)).foreach { case (mn, mx) =>
+                    inBlock += cn
+                    agg.get(cn) match {
+                      case Some((m0, m1)) =>
+                        agg(cn) = (math.min(m0, mn), math.max(m1, mx))
+                      case None => agg(cn) = (mn, mx)
+                    }
+                  }
+              }
+            }
+            complete = if (first) inBlock.toSet else complete.intersect(inBlock.toSet)
+            first = false
+          }
+          // a column missing stats in ANY row group has an unknown
+          // envelope for part of the file — recording the partial one
+          // would prune rows that exist. Drop it for this file.
+          val safe = agg.filter { case (k, _) => complete.contains(k) }
+          if (rows > 0 || safe.nonEmpty) {
+            sb.append(s"$rel\t$rows")
+            if (safe.isEmpty) sb.append("\t-\t-\t-")
+            else // one line per column, repeating the file/rows prefix
+              safe.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, (mn, mx)), i) =>
+                if (i > 0) sb.append(s"\n$rel\t$rows")
+                sb.append(s"\t$c\t$mn\t$mx")
+              }
+            sb.append("\n")
+          }
+        } finally reader.close()
+      }
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(base, StatsFile), true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def numeric(v: Comparable[_]): Option[Double] = v match {
+    case n: java.lang.Long => Some(n.toDouble)
+    case n: java.lang.Integer => Some(n.toDouble)
+    case n: java.lang.Double => Some(n.toDouble)
+    case n: java.lang.Float => Some(n.toDouble)
+    case _ => None
+  }
+
+  /** The `_FILESTATS.tsv` of one version dir, if published with stats. */
+  def readFileStats(spark: SparkSession, dataPath: String): Seq[FileStat] = {
+    val base = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(base, StatsFile)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    txt.split("\n").iterator.filter(_.nonEmpty).toSeq
+      .map { l =>
+        val f = l.split("\t")
+        (f(0), f(1).toLong,
+          if (f(2) == "-") None else Some(f(2) -> (f(3).toDouble, f(4).toDouble)))
+      }
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((file, rows), lines) =>
+        FileStat(file, rows, lines.flatMap(_._3).toMap)
+      }
+      .sortBy(_.file)
+  }
+
+  /** STATS-PRUNED read of the published version (round-10 verdict #3 —
+    * the highest-frequency 100 TB read-path feature): resolve the
+    * manifest, load the version's file statistics, and open ONLY the
+    * files whose [min, max] envelope on `column` intersects [lo, hi].
+    * Files with no recorded envelope for `column` are always kept —
+    * pruning may drop a file only when the stats PROVE it has no
+    * matching row, so the result equals the unpruned scan + predicate by
+    * construction (the caller still applies the exact predicate; this
+    * eliminates IO, not filter work — same division of labor as parquet
+    * row-group skipping, one level up).
+    */
+  def readPublishedPruned(spark: SparkSession, tableRoot: String,
+      column: String, lo: Double, hi: Double): PrunedScan = {
+    val v = currentVersion(spark, tableRoot).getOrElse(
+      throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+    val dataPath = s"$tableRoot/v=$v"
+    val stats = readFileStats(spark, dataPath)
+    require(stats.nonEmpty,
+      s"no $StatsFile under $dataPath — publish with statsCols to prune")
+    val keep = stats.filter { f =>
+      f.cols.get(column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    val df =
+      if (keep.isEmpty)
+        spark.read.parquet(dataPath).filter(org.apache.spark.sql.functions
+          .lit(false))
+      else spark.read.option("basePath", dataPath)
+        .parquet(keep.map(f => s"$dataPath/${f.file}"): _*)
+    PrunedScan(df, stats.length, keep.length, keep.map(_.rows).sum)
   }
 
   /** Persist as a bucketed+sorted table: two fact tables bucketed on their

@@ -310,4 +310,63 @@ class DatalakeSpec extends SparkSpecBase {
       (r.getAs[Long]("id"), Option(r.getAs[String]("s")))).toSet
     assert(got === want, "v1 + feed must equal v2")
   }
+
+  test("stats-pruned read equals unpruned read and opens fewer files") {
+    val root = s"${Files.createTempDirectory("graft-stats")}/t"
+    // 8 contiguous key ranges, one file each (repartition on the bucket →
+    // every bucket lands in exactly one task's partition)
+    val df = spark.range(0, 800)
+      .select(col("id").as("k"), (col("id") % 7).cast("double").as("v"),
+        (col("id") / 100).cast("int").as("b"))
+      .repartition(col("b"))
+    Datalake.publish(df, root, "1", Seq("b"), Seq("k", "v"))
+    val stats = Datalake.readFileStats(spark, s"$root/v=1")
+    assert(stats.length === 8, s"expected 8 files, got $stats")
+    assert(stats.map(_.rows).sum === 800)
+    assert(stats.forall(f => f.cols.contains("k") && f.cols.contains("v")))
+
+    val s = Datalake.readPublishedPruned(spark, root, "k", 150, 349)
+    assert(s.filesTotal === 8 && s.filesScanned === 3,
+      s"expected 3/8 files, got ${s.filesScanned}/${s.filesTotal}")
+    assert(s.rowsInScannedFiles === 300)
+    // pruned + exact predicate == unpruned + exact predicate, value-exact
+    val pruned = s.df.filter(col("k").between(150, 349))
+      .select("k", "v").orderBy("k").collect().map(_.toSeq).toSeq
+    val full = Datalake.readPublished(spark, root)
+      .filter(col("k").between(150, 349))
+      .select("k", "v").orderBy("k").collect().map(_.toSeq).toSeq
+    assert(pruned === full && pruned.length === 200)
+
+    // a column with NO recorded stats can never prune: every file is kept
+    val noStats = Datalake.readPublishedPruned(spark, root, "nope", 0, 1)
+    assert(noStats.filesScanned === noStats.filesTotal)
+
+    // a predicate outside every envelope opens zero files, returns empty
+    val none = Datalake.readPublishedPruned(spark, root, "k", 5000, 6000)
+    assert(none.filesScanned === 0 && none.df.count() === 0)
+  }
+
+  test("optimize republishes identical data in fewer clustered files; old version retained") {
+    val root = s"${Files.createTempDirectory("graft-opt")}/t"
+    val df = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") * 3 % 11).as("v"))
+    Datalake.publish(df.repartition(16), root, "7")
+    assert(Datalake.dataFiles(spark, root, "7").length === 16)
+    val newV = Datalake.optimize(spark, root, nFiles = 2,
+      clusterBy = Seq("k"), statsCols = Seq("k"))
+    assert(newV === "8", s"numeric successor expected, got $newV")
+    assert(Datalake.currentVersion(spark, root) === Some("8"))
+    assert(Datalake.dataFiles(spark, root, "8").length === 2)
+    // byte-identical row set through the manifest
+    val got = Datalake.readPublished(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = df.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+    // old version still time-travels; stats sidecar works on the rewrite
+    assert(Datalake.readVersion(spark, root, "7").count() === 1000)
+    val s = Datalake.readPublishedPruned(spark, root, "k", 0, 100)
+    assert(s.filesTotal === 2 && s.filesScanned === 1,
+      s"range clustering should prune to 1/2 files, got ${s.filesScanned}")
+  }
 }
