@@ -152,6 +152,7 @@ object SparkEntry {
     "q_quantize_roundtrip" -> (SimilarityQueries.qQuantizeRoundtrip _),
     "q_manifest_skipping" -> (LayoutQueries.qManifestSkipping _),
     "q_optimize" -> (DatalakeQueries.qOptimize _),
+    "q_stream_publish" -> (StreamQueries.qStreamPublish _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -711,7 +712,15 @@ object SparkEntry {
         // the component labeling is canonical (min label per component of
         // the accumulated graph) — fold order can't change it, so the
         // from-scratch CTE re-proves the streamed fold too
-        "q_stream_clusters" -> staticOracleSql("q_dedup_clusters_incremental"))
+        "q_stream_clusters" -> staticOracleSql("q_dedup_clusters_incremental"),
+        // the manifest-published final epoch == the batch pipeline's usage
+        // layer; n_versions = one published version per micro-batch (3
+        // staged drops × maxFilesPerTrigger=1)
+        "q_stream_publish" ->
+          s"""SELECT event_type, event_date, n_events, total_value,
+             |  CAST(3 AS BIGINT) AS n_versions
+             |FROM (${staticOracleSql("q_datalake_pipeline")})
+             |ORDER BY event_type, event_date""".stripMargin)
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,

@@ -321,6 +321,45 @@ object StreamQueries {
       .orderBy(col("event_type"), col("event_date"))
   }
 
+  /** STREAMING PUBLISH (round 11): the composed micro-batch DAG of
+    * q_stream_datalake, but every epoch lands the refreshed usage
+    * aggregate as an atomic MANIFEST version
+    * ([[graft.streaming.DatalakeStreams.runPublishingBackfill]] —
+    * epoch-keyed `Datalake.publish`, so crash-replay republishes the same
+    * version idempotently and concurrent readers only ever resolve a
+    * complete snapshot). After the 3-drop backlog drains, the manifest
+    * must point at the final epoch, whose content equals the batch
+    * pipeline over the whole feed — q_datalake_pipeline's oracle —
+    * and n_versions carries the epoch-history evidence (one published,
+    * time-travelable version per micro-batch).
+    */
+  def qStreamPublish(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.sources.{Datalake, Tables}
+    import graft.streaming.DatalakeStreams
+    val root = Files.createTempDirectory("graft-pub-replay")
+    StreamReplay.track(root)
+    val bulkDir = root.resolve("raw").toString
+    Datalake.writeJsonl(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+        .repartition(3),
+      bulkDir)
+    val sq = spark.newSession()
+    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    val tableRoot = root.resolve("usage_table").toString
+    DatalakeStreams.runPublishingBackfill(
+        DatalakeStreams.readRawStream(sq, bulkDir, maxFilesPerTrigger = 1),
+        root.resolve("fmt").toString, tableRoot,
+        root.resolve("ck").toString)
+      .awaitTermination()
+    val versions = Datalake.listVersions(spark, tableRoot)
+    Datalake.readPublished(spark, tableRoot)
+      .withColumn("n_versions", lit(versions.length.toLong))
+      .orderBy(col("event_type"), col("event_date"))
+  }
+
   /** q_dedup_clusters_incremental with the day's vectors arriving as a
     * stream (r9): yesterday's label + bucket stores are built exactly like
     * the batch row, then today's embeddings stream through

@@ -45,6 +45,45 @@ class FileStreamSpec extends SparkSpecBase {
       "stream-computed usage == batch usage despite the overlapping replay")
   }
 
+  test("publishing backfill lands one manifest version per epoch; epochs time-travel") {
+    import graft.sources.Datalake
+    import graft.streaming.DatalakeStreams
+    val root = java.nio.file.Files.createTempDirectory("graft-spub")
+    val rawDir = s"$root/raw"; val fmt = s"$root/formatted"
+    val table = s"$root/usage_table"; val ckpt = s"$root/ckpt"
+    val src = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+    src.filter(col("event_id") % 2 === 0).coalesce(1).write.json(s"$rawDir/d1")
+    src.filter(col("event_id") % 2 =!= 0).coalesce(1).write.json(s"$rawDir/d2")
+    val raw = DatalakeStreams.readRawStream(spark, s"$rawDir/d*/",
+      maxFilesPerTrigger = 1)
+    val q = DatalakeStreams.runPublishingBackfill(raw, fmt, table, ckpt)
+    try { q.awaitTermination() } finally q.stop()
+    // one published, immutable version per micro-batch epoch
+    assert(Datalake.listVersions(spark, table) === Seq("0", "1"))
+    assert(Datalake.currentVersion(spark, table) === Some("1"))
+    // epoch 0 time-travels to the FIRST increment's usage alone
+    val v0 = spark.read.parquet(s"$table/v=0")
+      .agg(sum("n_events")).head.getLong(0)
+    val even = graft.queries.DatalakeQueries.usageStats(
+        graft.queries.DatalakeQueries.dedupKeepLast(
+          graft.queries.DatalakeQueries.coerceRaw(
+            src.filter(col("event_id") % 2 === 0))))
+      .agg(sum("n_events")).head.getLong(0)
+    assert(v0 === even, "epoch-0 snapshot == batch over first drop")
+    // the manifest-current epoch equals the batch truth over everything
+    val fin = Datalake.readPublished(spark, table)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val batchUsage = graft.queries.DatalakeQueries.usageStats(
+        graft.queries.DatalakeQueries.dedupKeepLast(
+          graft.queries.DatalakeQueries.coerceRaw(src)))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(fin === batchUsage)
+  }
+
   test("file-source stream of events matches the batch windowed aggregation") {
     // the stream must declare a schema up front — take whatever encoding the
     // driver's parquet drop uses from a batch read, then normalize ts the
