@@ -153,6 +153,7 @@ object SparkEntry {
     "q_manifest_skipping" -> (LayoutQueries.qManifestSkipping _),
     "q_optimize" -> (DatalakeQueries.qOptimize _),
     "q_stream_publish" -> (StreamQueries.qStreamPublish _),
+    "q_ann_opq" -> (SimilarityQueries.qAnnOpq _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -537,6 +538,41 @@ object SparkEntry {
        |${pqRerankTail(model, PqK)}""".stripMargin
   }
 
+  /** The OPQ oracle (q_ann_opq): the plain-PQ replay over the ROTATED
+    * corpus. The rotation replays exactly because each rotated component
+    * is a snapped-grid sum (the Pca.projectionCols discipline — every
+    * term a dyadic multiple of 2⁻²⁰, order-independent in any
+    * association) cast to FLOAT (= the kernel's `acc.toFloat`) and then
+    * widened back to DOUBLE for the shared encode/LUT/ADC/rerank
+    * fragments, exactly as PqKernels widens its float input per element.
+    */
+  private def opqOracle(r: graft.ops.Opq.Rotation,
+      model: graft.ops.Pq.PqModel): String = {
+    import graft.queries.SimilarityQueries.{PqK, PqShortlist}
+    val dims = (0 until r.dim).map { j =>
+      val terms = (0 until r.dim).map(i =>
+        s"floor((x[${i + 1}] - ${r.mean(i)}) * ${r.rot(j * r.dim + i)} * 1048576.0) / 1048576.0")
+      s"CAST(CAST(0.0 + ${terms.mkString(" + ")} AS FLOAT) AS DOUBLE)"
+    }
+    s"""WITH e0 AS (SELECT vec_id AS id,
+       |    CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |e AS (SELECT id,
+       |    [${dims.mkString(",\n     ")}] AS embd
+       |  FROM e0),
+       |q AS (SELECT id AS query_id, embd AS q_embd FROM e WHERE id < 10),
+       |${pqEncodeLutCtes(model)},
+       |adcl AS (SELECT l.query_id, enc.id,
+       |    list(CAST(l.lv AS DOUBLE) ORDER BY l.mi) AS ls
+       |  FROM enc JOIN lut l ON enc.mi = l.mi AND enc.cell = l.cell
+       |  WHERE enc.id <> l.query_id
+       |  GROUP BY l.query_id, enc.id),
+       |shortlist AS (SELECT query_id, id FROM (
+       |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY (${pqAdcSum(model)}) ASC, id ASC) AS rn
+       |    FROM adcl) WHERE rn <= $PqShortlist),
+       |${pqRerankTail(model, PqK)}""".stripMargin
+  }
+
   /** The residual IVFADC oracle (q_ann_ivfpq_residual): like
     * [[ivfpqOracle]] but encode/LUT run on RESIDUALS. The residual
     * subtraction happens in FLOAT (ef.embf FLOAT[] minus the FLOAT[]
@@ -659,6 +695,8 @@ object SparkEntry {
           "q_stream_ivf_ingest" -> ivfQuantOracle(c)) } ++
       graft.queries.SimilarityQueries.lastPqModel
         .map { case (_, mdl) => "q_ann_pq" -> pqOracle(mdl) } ++
+      graft.queries.SimilarityQueries.lastOpqModel
+        .map { case (_, rm) => "q_ann_opq" -> opqOracle(rm._1, rm._2) } ++
       graft.queries.SimilarityQueries.lastIvfPqModel
         .map { case (_, cm) => "q_ann_ivfpq" -> ivfpqOracle(cm._1, cm._2) } ++
       graft.queries.SimilarityQueries.lastIvfPqResModel

@@ -173,7 +173,8 @@ object SimilarityQueries {
       lastIvfPqModel.iterator.map(_._1) ++
       lastIvfPqResModel.iterator.map(_._1) ++
       lastSemModel.iterator.map(_._1) ++
-      lastPcaModel.iterator.map(_._1)).forall(_ == dir)
+      lastPcaModel.iterator.map(_._1) ++
+      lastOpqModel.iterator.map(_._1)).forall(_ == dir)
 
   /** PCA model of the LAST qPcaProject invocation — same oracle-generation
     * contract as [[lastIvfModel]]. */
@@ -370,6 +371,64 @@ object SimilarityQueries {
     val queries = c.filter(col("id") < 10)
       .select(col("id").as("query_id"), col("emb").as("q_emb"))
     Pq.searchPqRerank(encoded, c, queries, model, k = PqK,
+        shortlist = PqShortlist)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Model of the LAST qAnnOpq invocation (rotation + codebook trained in
+    * the rotated space) — same oracle-generation contract as
+    * [[lastIvfModel]]. */
+  @volatile private[graft] var lastOpqModel:
+    Option[(String, (graft.ops.Opq.Rotation, graft.ops.Pq.PqModel))] = None
+
+  /** Per-dir OPQ memo: the rotation is a pure function of the corpus
+    * (distributed PCA + deterministic allocation), and the codebook is
+    * the SAME deterministic Lloyd as pqModelFor run on the rotated
+    * column — one (rotation, codebook) pair per dir, shared between the
+    * query and its generated oracle.
+    */
+  private val opqModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.ops.Opq.Rotation, graft.ops.Pq.PqModel)]()
+
+  private def opqModelFor(spark: SparkSession,
+      dir: String): (graft.ops.Opq.Rotation, graft.ops.Pq.PqModel) =
+    opqModelCache.computeIfAbsent(dir, _ => {
+      val c = corpus(spark, dir)
+      val r = graft.ops.Opq.trainRotationNP(c, "emb", dim = 64, m = 8)
+      val rotated = c.select(col("id"),
+        org.apache.spark.sql.graft.VectorColumns
+          .opqRotate(col("emb"), r.mean, r.rot).as("emb"))
+      (r, graft.ops.Pq.train(rotated, col("emb"), m = 8, ksub = 16,
+        iters = 2))
+    })
+
+  /** OPQ-rotated product quantization (round 11 — makes the r10 PCA
+    * machinery load-bearing): rotate the space with the trained
+    * non-parametric OPQ rotation (ops/Opq — PCA-allocated init, then
+    * alternating Lloyd/Procrustes, Ge et al. 2013; measured ~15%
+    * distortion cut on this corpus where the parametric solution gains
+    * nothing), then run the UNCHANGED PQ stack in the rotated space:
+    * encode to 8-byte codes, ADC-shortlist, exact-L2 rerank (rotation is
+    * orthogonal, so rotated-space L2 ranks like original-space L2 up to
+    * the 2⁻²⁰ grid). The rotation is one extra map-side codegen pass at
+    * write/query time — same scan cost as plain PQ, better code-budget
+    * use. Exact-oracled: the rotation replays as snapped-grid sums
+    * (SparkEntry.opqOracle), then the shared encode/LUT/ADC/rerank
+    * fragments run on the rotated corpus; distortion-vs-plain-PQ is
+    * pinned in SimilaritySpec.
+    */
+  def qAnnOpq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Pq
+    val c = corpus(spark, dir)
+    val (r, model) = opqModelFor(spark, dir)
+    lastOpqModel = Some((dir, (r, model)))
+    val rotated = c.select(col("id"),
+      org.apache.spark.sql.graft.VectorColumns
+        .opqRotate(col("emb"), r.mean, r.rot).as("emb"))
+    val encoded = Pq.encodeCorpus(rotated, col("emb"), model).drop("emb")
+    val queries = rotated.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    Pq.searchPqRerank(encoded, rotated, queries, model, k = PqK,
         shortlist = PqShortlist)
       .orderBy(col("query_id"), col("rank"))
   }

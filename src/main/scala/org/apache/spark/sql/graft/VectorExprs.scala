@@ -305,6 +305,63 @@ object PqKernels {
     new GenericArrayData(out)
   }
 
+  /** Codebook reconstruction: codes → the concatenated sub-centroids.
+    * The training-loop inverse of [[encode]] (Procrustes needs the
+    * reconstruction each iteration); at serving time ADC makes decoding
+    * unnecessary.
+    */
+  def decode(codes: Array[Byte], cb: Array[Float], m: Int,
+      ksub: Int): ArrayData = {
+    require(codes.length == m && cb.length % (ksub * m) == 0,
+      s"PQ decode mismatch: ${codes.length}-byte codes vs m=$m, " +
+        s"codebook ${cb.length} (ksub=$ksub)")
+    val sub = cb.length / (ksub * m)
+    val out = new Array[Any](m * sub)
+    var mi = 0
+    while (mi < m) {
+      val base = (mi * ksub + (codes(mi) & 0xff)) * sub
+      var d = 0
+      while (d < sub) {
+        out(mi * sub + d) = cb(base + d)
+        d += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** OPQ rotation kernel: out[j] = float32 of the snapped-grid inner
+    * product Σ_i floor((x_i − mean_j?i) · R_{j,i} · 2²⁰)/2²⁰. Each term is
+    * a dyadic multiple of 2⁻²⁰ with |term| ≤ 2, so the 64-term sum is
+    * EXACT in any association — the Pca.projectionCols discipline, which
+    * is what lets the rotated vectors (and everything PQ computes from
+    * them) replay bit-for-bit in the DuckDB oracle. `rot` is row-major
+    * [outDim][inDim]; orthogonality is the trainer's contract, not
+    * checked here.
+    */
+  def opqRotate(arr: ArrayData, mean: Array[Double],
+      rot: Array[Double]): ArrayData = {
+    val d = arr.numElements()
+    require(mean.length == d && rot.length == d.toLong * d,
+      s"OPQ shape mismatch: vector dim $d vs mean ${mean.length} / " +
+        s"rot ${rot.length} — corrupt embedding or wrong model")
+    val out = new Array[Any](d)
+    var j = 0
+    while (j < d) {
+      var acc = 0.0
+      val base = j * d
+      var i = 0
+      while (i < d) {
+        acc += math.floor((arr.getFloat(i).toDouble - mean(i)) *
+          rot(base + i) * 1048576.0) / 1048576.0
+        i += 1
+      }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Asymmetric distance computation: Σ_m lut[m·ksub + code[m]] ≈ squared
     * L2(query, vector) — M lookups, no float math per corpus row.
     */
@@ -485,6 +542,53 @@ case class PqEncode(child: Expression, cb: FloatModel, m: Int, ksub: Int)
     copy(child = newChild)
 }
 
+/** `pq_decode(codes)`: codebook reconstruction of an M-byte code — the
+  * OPQ training loop's inverse of [[PqEncode]].
+  */
+case class PqDecode(child: Expression, cb: FloatModel, m: Int, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    PqKernels.decode(a.asInstanceOf[Array[Byte]], cb.data, m, ksub)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb.data, "float[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.PqKernels.decode($c, $cbRef, $m, $ksub)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDecode =
+    copy(child = newChild)
+}
+
+/** `opq_rotate(emb)`: snapped-grid orthogonal rotation of a float vector
+  * (parametric OPQ, Ge et al. 2013) — mean and rotation ride as codegen
+  * reference objects, so the generated code is one static call over the
+  * unsafe array, same discipline as [[PqEncode]].
+  */
+case class OpqRotate(child: Expression, mean: DoubleModel, rot: DoubleModel)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    PqKernels.opqRotate(a.asInstanceOf[ArrayData], mean.data, rot.data)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val meanRef = ctx.addReferenceObj("opqMean", mean.data, "double[]")
+    val rotRef = ctx.addReferenceObj("opqRot", rot.data, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.PqKernels.opqRotate($c, $meanRef, $rotRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OpqRotate =
+    copy(child = newChild)
+}
+
 /** `pq_lut(q_emb)`: the query's M·ksub squared-distance lookup table. */
 case class PqLut(child: Expression, cb: FloatModel, m: Int, ksub: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -646,6 +750,14 @@ object VectorColumns {
   def pqEncode(emb: Column, cb: Array[Float], m: Int, ksub: Int): Column =
     ExpressionUtils.column(PqEncode(
       ExpressionUtils.expression(emb), new FloatModel(cb), m, ksub))
+
+  def pqDecode(codes: Column, cb: Array[Float], m: Int, ksub: Int): Column =
+    ExpressionUtils.column(PqDecode(
+      ExpressionUtils.expression(codes), new FloatModel(cb), m, ksub))
+
+  def opqRotate(emb: Column, mean: Array[Double], rot: Array[Double]): Column =
+    ExpressionUtils.column(OpqRotate(
+      ExpressionUtils.expression(emb), new DoubleModel(mean), new DoubleModel(rot)))
 
   def pqLut(emb: Column, cb: Array[Float], m: Int, ksub: Int): Column =
     ExpressionUtils.column(PqLut(

@@ -242,6 +242,74 @@ class SimilaritySpec extends SparkSpecBase {
     assert(reranked.size === exact.size)
   }
 
+  test("OPQ rotation cuts quantization distortion vs plain PQ; recall holds") {
+    import graft.ops.{Opq, Pq}
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val r = Opq.trainRotationNP(corpus, "emb", dim = 64, m = 8)
+    // rotation rows are orthonormal (PCA basis, permuted)
+    for (a <- 0 until 64 by 17; b <- 0 until 64 by 17) {
+      val dot = (0 until 64).map(i => r.rot(a * 64 + i) * r.rot(b * 64 + i)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9,
+        s"rot rows $a,$b not orthonormal: $dot")
+    }
+    val rotated = corpus.select(col("id"),
+      org.apache.spark.sql.graft.VectorColumns
+        .opqRotate(col("emb"), r.mean, r.rot).as("emb"))
+    val pq = Pq.train(corpus, col("emb"), m = 8, ksub = 16, iters = 2)
+    val opq = Pq.train(rotated, col("emb"), m = 8, ksub = 16, iters = 2)
+    // quantization distortion = mean squared L2 between a vector and its
+    // code's reconstruction — the objective OPQ's allocation minimizes
+    def distortion(df: org.apache.spark.sql.DataFrame,
+        model: Pq.PqModel): Double = {
+      val rows = Pq.encodeCorpus(df, col("emb"), model)
+        .select(col("emb"), col("pq_codes")).collect()
+      rows.map { row =>
+        val v = row.getSeq[Float](0)
+        val codes = row.getAs[Array[Byte]](1)
+        (0 until model.m).map { mi =>
+          val c = model.centroid(mi, codes(mi) & 0xff)
+          (0 until model.sub).map { d =>
+            val diff = v(mi * model.sub + d).toDouble - c(d)
+            diff * diff
+          }.sum
+        }.sum
+      }.sum / rows.length
+    }
+    val dPq = distortion(corpus, pq)
+    val dOpq = distortion(rotated, opq)
+    info(f"distortion: pq=$dPq%.5f opq=$dOpq%.5f (ratio ${dOpq / dPq}%.3f)")
+    assert(dOpq < 0.95 * dPq,
+      s"OPQ distortion $dOpq must beat plain PQ $dPq by >=5% — the " +
+        "Lloyd/Procrustes alternation exists precisely to cut this " +
+        "(measured ~15% on this corpus)")
+    // serving recall vs the ORIGINAL-space exact top-5 (rotation is
+    // orthogonal: rotated-space L2 ranks like original-space L2)
+    import graft.functions.vectors._
+    val queries = corpus.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val exact = corpus.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(topk(-l2Dist(col("q_emb"), col("emb")), col("id"), 5).as("t"))
+      .select(col("query_id"), explode(col("t.id")).as("neighbor_id"))
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame, model: Pq.PqModel): Double = {
+      val qs = df.filter(col("id") < 10)
+        .select(col("id").as("query_id"), col("emb").as("q_emb"))
+      val got = Pq.searchPqRerank(
+          Pq.encodeCorpus(df, col("emb"), model).drop("emb"),
+          df, qs, model, 5, shortlist = 64)
+        .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val recPq = recallOf(corpus, pq)
+    val recOpq = recallOf(rotated, opq)
+    info(f"rerank recall: pq=$recPq%.3f opq=$recOpq%.3f")
+    assert(recOpq >= recPq,
+      s"OPQ recall $recOpq fell below plain PQ $recPq")
+  }
+
   test("cellsFor scales cells with √n and keeps cell population bounded") {
     import graft.ops.Similarity.cellsFor
     // clamps: tiny corpora don't degenerate to one cell per point; the
