@@ -154,6 +154,7 @@ object SparkEntry {
     "q_optimize" -> (DatalakeQueries.qOptimize _),
     "q_stream_publish" -> (StreamQueries.qStreamPublish _),
     "q_ann_opq" -> (SimilarityQueries.qAnnOpq _),
+    "q_ann_ivf_pca" -> (SimilarityQueries.qAnnIvfPca _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -538,6 +539,57 @@ object SparkEntry {
        |${pqRerankTail(model, PqK)}""".stripMargin
   }
 
+  /** Snapped-grid projection of the corpus CTE: `e(id, embd)` where embd
+    * is the k-dim projection of `embeddings` under (mean, proj) —
+    * each component a grid-exact sum cast to FLOAT (the kernel's
+    * `acc.toFloat`) and widened back to DOUBLE. Shared by the OPQ and
+    * PCA-IVF oracles so the rotation rendering cannot drift.
+    */
+  private def projectedCorpusCtes(mean: Array[Double], proj: Array[Double],
+      inDim: Int): String = {
+    val outDim = proj.length / inDim
+    val dims = (0 until outDim).map { j =>
+      val terms = (0 until inDim).map(i =>
+        s"floor((x[${i + 1}] - ${mean(i)}) * ${proj(j * inDim + i)} * 1048576.0) / 1048576.0")
+      s"CAST(CAST(0.0 + ${terms.mkString(" + ")} AS FLOAT) AS DOUBLE)"
+    }
+    s"""e0 AS (SELECT vec_id AS id,
+       |    CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |e AS (SELECT id,
+       |    [${dims.mkString(",\n     ")}] AS embd
+       |  FROM e0)""".stripMargin
+  }
+
+  /** The PCA-compressed IVF oracle (q_ann_ivf_pca): assignment, probes,
+    * and the within-cell shortlist run over the 16-dim projected corpus
+    * (16-dim trained centroids inlined); the rerank tail re-scores the
+    * shortlist with full-dim cosine on the ORIGINAL vectors (`e0`), ties
+    * to the smaller id — exactly the engine's rerankCosine.
+    */
+  private def ivfPcaOracle(mean: Array[Double], proj: Array[Double],
+      cents: Array[Array[Float]]): String = {
+    import graft.queries.SimilarityQueries.{IvfK, PcaShortlist}
+    s"""WITH ${centroidAssignCtes(cents, projectedCorpusCtes(mean, proj, 64))},
+       |q AS (SELECT id AS query_id, embd AS q_embd FROM e WHERE id < 10),
+       |${probesCte(withQEmbd = true)},
+       |shortlist AS (SELECT query_id, id FROM (
+       |    SELECT p.query_id, a.id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY list_cosine_similarity(p.q_embd, a.embd) DESC, a.id)
+       |        AS rn
+       |    FROM probes p JOIN assigned a ON a.cell = p.cell
+       |    WHERE a.id <> p.query_id) WHERE rn <= $PcaShortlist),
+       |rr AS (SELECT s.query_id, s.id,
+       |    CAST(row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY list_cosine_similarity(qa.x, b.x) DESC, s.id ASC)
+       |      AS BIGINT) AS rank
+       |  FROM shortlist s
+       |  JOIN e0 qa ON qa.id = s.query_id
+       |  JOIN e0 b ON b.id = s.id)
+       |SELECT query_id, id AS neighbor_id, rank FROM rr WHERE rank <= $IvfK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** The OPQ oracle (q_ann_opq): the plain-PQ replay over the ROTATED
     * corpus. The rotation replays exactly because each rotated component
     * is a snapped-grid sum (the Pca.projectionCols discipline — every
@@ -549,16 +601,7 @@ object SparkEntry {
   private def opqOracle(r: graft.ops.Opq.Rotation,
       model: graft.ops.Pq.PqModel): String = {
     import graft.queries.SimilarityQueries.{PqK, PqShortlist}
-    val dims = (0 until r.dim).map { j =>
-      val terms = (0 until r.dim).map(i =>
-        s"floor((x[${i + 1}] - ${r.mean(i)}) * ${r.rot(j * r.dim + i)} * 1048576.0) / 1048576.0")
-      s"CAST(CAST(0.0 + ${terms.mkString(" + ")} AS FLOAT) AS DOUBLE)"
-    }
-    s"""WITH e0 AS (SELECT vec_id AS id,
-       |    CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-       |e AS (SELECT id,
-       |    [${dims.mkString(",\n     ")}] AS embd
-       |  FROM e0),
+    s"""WITH ${projectedCorpusCtes(r.mean, r.rot, r.dim)},
        |q AS (SELECT id AS query_id, embd AS q_embd FROM e WHERE id < 10),
        |${pqEncodeLutCtes(model)},
        |adcl AS (SELECT l.query_id, enc.id,
@@ -697,6 +740,9 @@ object SparkEntry {
         .map { case (_, mdl) => "q_ann_pq" -> pqOracle(mdl) } ++
       graft.queries.SimilarityQueries.lastOpqModel
         .map { case (_, rm) => "q_ann_opq" -> opqOracle(rm._1, rm._2) } ++
+      graft.queries.SimilarityQueries.lastIvfPcaModel
+        .map { case (_, m) =>
+          "q_ann_ivf_pca" -> ivfPcaOracle(m._1, m._2, m._3) } ++
       graft.queries.SimilarityQueries.lastIvfPqModel
         .map { case (_, cm) => "q_ann_ivfpq" -> ivfpqOracle(cm._1, cm._2) } ++
       graft.queries.SimilarityQueries.lastIvfPqResModel

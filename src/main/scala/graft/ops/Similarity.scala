@@ -54,6 +54,19 @@ object Similarity {
       .select(col("query_id"), col("__e.id").as("neighbor_id"),
         (col("__pos") + 1).cast("long").as("rank"))
 
+  /** Full-precision cosine rerank of a (query_id, neighbor_id) shortlist —
+    * the exact tail of every compressed-index serve (the Pq.rerankExact
+    * shape, cosine flavor): |Q|·shortlist point lookups joined back to
+    * the float store, never a second corpus scan.
+    */
+  def rerankCosine(short: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame =
+    topkServe(
+      short.join(corpus.select(col("id"), col("emb")),
+          short("neighbor_id") === col("id"))
+        .join(broadcast(queries), "query_id"),
+      cosineSim(col("q_emb"), col("emb")), k)
+
   /** Same result as [[knnBruteForce]] via the custom bounded-heap `topk`
     * aggregate: partial aggregation keeps ≤ k candidates per query per
     * partition, so the shuffle moves k·partitions rows per query instead of

@@ -174,7 +174,8 @@ object SimilarityQueries {
       lastIvfPqResModel.iterator.map(_._1) ++
       lastSemModel.iterator.map(_._1) ++
       lastPcaModel.iterator.map(_._1) ++
-      lastOpqModel.iterator.map(_._1)).forall(_ == dir)
+      lastOpqModel.iterator.map(_._1) ++
+      lastIvfPcaModel.iterator.map(_._1)).forall(_ == dir)
 
   /** PCA model of the LAST qPcaProject invocation — same oracle-generation
     * contract as [[lastIvfModel]]. */
@@ -372,6 +373,75 @@ object SimilarityQueries {
       .select(col("id").as("query_id"), col("emb").as("q_emb"))
     Pq.searchPqRerank(encoded, c, queries, model, k = PqK,
         shortlist = PqShortlist)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Model of the LAST qAnnIvfPca invocation (PCA mean + k×d projection +
+    * centroids trained on the projected vectors) — same oracle-generation
+    * contract as [[lastIvfModel]]. */
+  @volatile private[graft] var lastIvfPcaModel: Option[(String,
+    (Array[Double], Array[Double], Array[Array[Float]]))] = None
+
+  /** Serving dimensionality of the PCA-compressed IVF path. */
+  val PcaServeDims = 16
+
+  /** Shortlist width of the PCA-compressed IVF path's full-dim rerank. */
+  val PcaShortlist = 32
+
+  /** Per-dir PCA-compressed-IVF memo: the 64→16 projection is the trained
+    * PCA's top axes (pure function of the corpus), and the coarse
+    * quantizer is the SAME deterministic Lloyd as centroidsFor run on the
+    * projected column.
+    */
+  private val ivfPcaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Double], Array[Double], Array[Array[Float]])]()
+
+  private def ivfPcaModelFor(spark: SparkSession, dir: String)
+      : (Array[Double], Array[Double], Array[Array[Float]]) =
+    ivfPcaCache.computeIfAbsent(dir, _ => {
+      val c = corpus(spark, dir)
+      val p = graft.ops.Pca.train(c, "emb", dim = 64, k = PcaServeDims)
+      val proj = p.comps.flatten // row-major k×64
+      val reduced = c.select(col("id"),
+        org.apache.spark.sql.graft.VectorColumns
+          .opqRotate(col("emb"), p.mean, proj).as("emb"))
+      val cents = Similarity.trainCentroids(reduced,
+        nCells = Similarity.cellsFor(c.count()), iters = 2)
+      (p.mean, proj, cents)
+    })
+
+  /** PCA-COMPRESSED IVF serving (round 11 — the q_pca_project model as a
+    * pipeline stage, the standard dimensionality step before clustering
+    * at 100 TB): project the corpus 64→16 dims onto the trained principal
+    * axes (one map-side codegen pass — the snapped-grid kernel that also
+    * powers OPQ), build the IVF index and run the candidate scan entirely
+    * in the reduced space (4× smaller stored rows, 16-mul distances for
+    * assignment/probe/scan), then rerank ONLY the 32-candidate shortlist
+    * with full-precision 64-dim cosine — the compressed-index + exact-
+    * rerank division of labor every production ANN stack uses (same tail
+    * as PQ). The two-stage shape is load-bearing here: this corpus is
+    * near-isotropic (top-16 axes ≈ 38% variance), so a reduced-space-only
+    * serve measures recall ~0.16 vs full-dim IVF while shortlist+rerank
+    * restores it (PcaSpec pins the floor) — the projection's job is
+    * CANDIDATE GENERATION, the floats' job is ranking. Exact-oracled:
+    * snapped-grid projection replay + shared IVF fragments + full-dim
+    * rerank tail (SparkEntry.ivfPcaOracle).
+    */
+  def qAnnIvfPca(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val (mean, proj, cents) = ivfPcaModelFor(spark, dir)
+    lastIvfPcaModel = Some((dir, (mean, proj, cents)))
+    val reduced = c.select(col("id"),
+      org.apache.spark.sql.graft.VectorColumns
+        .opqRotate(col("emb"), mean, proj).as("emb"))
+    val qReduced = reduced.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val short = Similarity.ivfFlatKnnWith(reduced, qReduced, cents,
+        k = PcaShortlist, nProbe = IvfNProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val qFull = c.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    Similarity.rerankCosine(short, c, qFull, k = IvfK)
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -336,18 +336,22 @@ object PqKernels {
     * EXACT in any association — the Pca.projectionCols discipline, which
     * is what lets the rotated vectors (and everything PQ computes from
     * them) replay bit-for-bit in the DuckDB oracle. `rot` is row-major
-    * [outDim][inDim]; orthogonality is the trainer's contract, not
-    * checked here.
+    * [outDim][inDim] — RECTANGULAR matrices are allowed (outDim =
+    * rot.length / inDim), so the same kernel serves the square OPQ
+    * rotation and the k×d PCA projection-to-serving-dims;
+    * orthonormality of the rows is the trainer's contract, not checked
+    * here.
     */
   def opqRotate(arr: ArrayData, mean: Array[Double],
       rot: Array[Double]): ArrayData = {
     val d = arr.numElements()
-    require(mean.length == d && rot.length == d.toLong * d,
+    require(mean.length == d && rot.length % d == 0 && rot.length > 0,
       s"OPQ shape mismatch: vector dim $d vs mean ${mean.length} / " +
         s"rot ${rot.length} — corrupt embedding or wrong model")
-    val out = new Array[Any](d)
+    val outDim = rot.length / d
+    val out = new Array[Any](outDim)
     var j = 0
-    while (j < d) {
+    while (j < outDim) {
       var acc = 0.0
       val base = j * d
       var i = 0

@@ -65,4 +65,56 @@ class PcaSpec extends SparkSpecBase {
     assert(math.abs(proj.getDouble(2)) < 1e-3,
       s"projected components must decorrelate, covar=${proj.getDouble(2)}")
   }
+
+  test("PCA-compressed IVF (64->16) holds recall-vs-exact near the full-dim IVF at 4x compression") {
+    import graft.functions.vectors._
+    import graft.ops.Similarity
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val n = corpus.count()
+    val queries = corpus.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    // ground truth: exact cosine top-5 — BOTH indexes are approximate,
+    // so index-vs-index agreement conflates projection loss with
+    // ordinary IVF probe loss; recall-vs-exact separates them
+    val exact = Similarity.knnBruteForceTopK(corpus, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.trainCentroids(corpus,
+      nCells = Similarity.cellsFor(n), iters = 2)
+    val full = Similarity.ivfFlatKnnWith(corpus, queries, cents, 5, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallFull = (exact intersect full).size.toDouble / exact.size
+
+    val p = Pca.train(corpus, "emb", dim = 64, k = 16)
+    val varShare = p.eigvals.sum /
+      Pca.train(corpus, "emb", dim = 64, k = 64).eigvals.sum
+    val reduced = corpus.select(col("id"),
+      org.apache.spark.sql.graft.VectorColumns
+        .opqRotate(col("emb"), p.mean, p.comps.flatten).as("emb"))
+    assert(reduced.select(size(col("emb"))).head.getInt(0) === 16)
+    val centsR = Similarity.trainCentroids(reduced,
+      nCells = Similarity.cellsFor(n), iters = 2)
+    val qR = reduced.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    // reduced-space-only serve ranks poorly on this near-isotropic corpus
+    // (top-16 axes ≈ 38% variance) — which is WHY the registered path is
+    // two-stage: 16-dim shortlist, full-dim rerank
+    val redOnly = Similarity.ivfFlatKnnWith(reduced, qR, centsR, 5, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallOnly = (exact intersect redOnly).size.toDouble / exact.size
+    val short = Similarity.ivfFlatKnnWith(reduced, qR, centsR, 32, 4)
+      .select(col("query_id"), col("neighbor_id"))
+    val reranked = Similarity.rerankCosine(short, corpus, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect reranked).size.toDouble / exact.size
+    info(f"top-16 variance share $varShare%.3f; recall vs exact: " +
+      f"full-dim IVF $recallFull%.3f, reduced-only $recallOnly%.3f, " +
+      f"reduced+rerank $recall%.3f")
+    assert(recall >= recallOnly,
+      "the full-dim rerank must not lose candidates the projection found")
+    assert(recall >= 0.7 * recallFull,
+      s"64->16 two-stage recall $recall fell below 70% of the full-dim " +
+        s"IVF's $recallFull — too much neighborhood structure lost for " +
+        "the 4x compression to be worth it")
+  }
 }
