@@ -41,12 +41,21 @@ object ScalingBench {
   private def permuted(seed: Int, xs: IndexedSeq[Char]): String =
     new scala.util.Random(seed).shuffle(xs).mkString
 
-  def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+  def generate(spark: SparkSession, srcDir: String, outDir: String): Unit =
+    generate(spark, srcDir, outDir, Replicas)
+
+  /** `replicas` parameterized (round-10 verdict #7): the third scale
+    * point (×10 ≈ 50k docs / 20k vecs over sf0.1) re-measures the
+    * wall-time-heavy families far enough out to see an exponent BEND if
+    * one exists — two scale points fit any power law, three falsify it.
+    */
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+      replicas: Int): Unit = {
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val lower = ('a' to 'z').toIndexedSeq
     val upper = ('A' to 'Z').toIndexedSeq
-    val docReps = (0 until Replicas).map { r =>
+    val docReps = (0 until replicas).map { r =>
       val shifted = docs.withColumn("doc_id",
         col("doc_id") + lit(r.toLong * 10000000L))
       if (r == 0) shifted
@@ -60,7 +69,7 @@ object ScalingBench {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
     val dim = embs.select(size(col("embedding"))).head().getInt(0)
-    val embReps = (0 until Replicas).map { r =>
+    val embReps = (0 until replicas).map { r =>
       val shifted = embs.withColumn("vec_id",
         col("vec_id") + lit(r.toLong * 10000000L))
       if (r == 0) shifted
@@ -122,6 +131,18 @@ object ScalingBench {
         Similarity.clusteredNearDupPairs(embs, cents, tau = -1.0).count(),
         Similarity.clusteredNearDupPairs(embs, cents, tau = 0.35).count(),
         time(Similarity.clusteredNearDupPairs(embs, cents, tau = 0.35))),
+      // prefix-filter set join (round-10 verdict #7 adds this family):
+      // candidates = the pairs the PPJoin prefix index admits at τ=1/2
+      // (verification off), verified/timed = the production exact join —
+      // the df-ordered prefix bounds per-shingle fan-out, so the
+      // exponent must stay ~1 under a constant duplicate rate
+      ("setjoin", nDocs,
+        graft.ops.SetJoin.prefixCandidates(docs, col("doc_id"),
+          col("text"), tauNum = 1, tauDen = 2).count(),
+        graft.ops.SetJoin.prefixJaccardPairs(docs, col("doc_id"),
+          col("text"), tauNum = 1, tauDen = 2).count(),
+        time(graft.ops.SetJoin.prefixJaccardPairs(docs, col("doc_id"),
+          col("text"), tauNum = 1, tauDen = 2))),
       // fuzzy join: names synthesized from doc_ids (Item#%09d over a
       // growing id space) — candidates = distinct deletion-key-sharing
       // pairs, the mass the SymSpell index admits; neighbors per id are
@@ -166,10 +187,13 @@ object ScalingBench {
     * frontier/batch — exactly the regression these rows exist to catch.
     */
   def generateGraph(spark: SparkSession, srcDir: String,
-      outDir: String): Unit = {
+      outDir: String): Unit = generateGraph(spark, srcDir, outDir, Replicas)
+
+  def generateGraph(spark: SparkSession, srcDir: String,
+      outDir: String, replicas: Int): Unit = {
     val shift = 10000000L
     def reps(df: DataFrame, cols: Seq[String]): DataFrame =
-      (0 until Replicas).map { r =>
+      (0 until replicas).map { r =>
         cols.foldLeft(df)((d, c) =>
           d.withColumn(c, col(c) + lit(r * shift)))
       }.reduce(_ unionByName _)
@@ -193,7 +217,7 @@ object ScalingBench {
       Seq("event_id", "user_id"))
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/events.parquet")
-    println(s"""{"generated":"$outDir","replicas":$Replicas,"tables":["orders","lineitem","supplier","events"]}""")
+    println(s"""{"generated":"$outDir","replicas":$replicas,"tables":["orders","lineitem","supplier","events"]}""")
   }
 
   /** (family, n, mass, wall) rows for the graph + stream families over
@@ -390,13 +414,15 @@ object ScalingBench {
     args.toList match {
       case "gen" :: outDir :: rest =>
         val src = rest.headOption.getOrElse("/root/testdata/sf0.1")
-        generate(spark, src, outDir)
-        println(s"""{"generated":"$outDir","replicas":$Replicas}""")
+        val reps = rest.lift(1).map(_.toInt).getOrElse(Replicas)
+        generate(spark, src, outDir, reps)
+        println(s"""{"generated":"$outDir","replicas":$reps}""")
       case "run" :: dirs if dirs.nonEmpty =>
         dirs.foreach(d => measure(spark, d).foreach(println))
       case "gen-graph" :: outDir :: rest =>
         val src = rest.headOption.getOrElse("/root/testdata/sf0.1")
-        generateGraph(spark, src, outDir)
+        val reps = rest.lift(1).map(_.toInt).getOrElse(Replicas)
+        generateGraph(spark, src, outDir, reps)
       case "run-graph" :: dirs if dirs.nonEmpty =>
         dirs.foreach(d => measureGraphStream(spark, d).foreach(println))
       case "skew" :: rest =>
@@ -405,8 +431,9 @@ object ScalingBench {
         skewBench(spark, n, salts = salts).foreach(println)
       case _ =>
         System.err.println(
-          "usage: ScalingBench gen <outDir> [srcDir] | run <dir>... | " +
-            "gen-graph <outDir> [srcDir] | run-graph <dir>... | skew [n]")
+          "usage: ScalingBench gen <outDir> [srcDir] [replicas] | " +
+            "run <dir>... | gen-graph <outDir> [srcDir] [replicas] | " +
+            "run-graph <dir>... | skew [n]")
         sys.exit(2)
     }
     spark.stop()

@@ -164,6 +164,40 @@ class PlanAuditSpec extends SparkSpecBase {
       }
   }
 
+  test("r10/r11 rows: source_quota uses the topk agg (no Window), pca scan is exchange-free, pca-IVF keeps the IVF shape") {
+    // q_source_quota's 100 TB point: per-source caps via the bounded-heap
+    // topk AGGREGATE (≤ k·partitions rows/source through the exchange),
+    // never a window sort over every row
+    val quota = graft.queries.CorpusQueries.qSourceQuota(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!quota.contains("Window"),
+      s"q_source_quota fell back to a window sort:\n$quota")
+    assert(quota.contains("topk"),
+      s"q_source_quota must rank via the topk aggregate:\n$quota")
+    // q_pca_project: the projection is a pure codegen scan — the ONLY
+    // exchange is the final presentation sort's range partitioning
+    val pca = SimilarityQueries.qPcaProject(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!pca.contains("Exchange hashpartitioning"),
+      s"q_pca_project projection must not hash-shuffle:\n$pca")
+    assert("Exchange rangepartitioning".r.findAllIn(pca).length <= 1,
+      s"q_pca_project: one presentation sort only:\n$pca")
+    // q_ann_ivf_pca inherits the IVF scale contract in the REDUCED space,
+    // plus the rerank tail: shortlist/query sides broadcast, so the hash
+    // exchanges are exactly the two bounded-heap aggs (16-dim shortlist +
+    // full-dim rerank), and nothing sort-merges
+    val plan = SimilarityQueries.qAnnIvfPca(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hashExch = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExch <= 2,
+      s"q_ann_ivf_pca: expected <=2 hash exchanges (shortlist + rerank " +
+        s"top-k aggs), got $hashExch:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"q_ann_ivf_pca: probe/shortlist sides must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_ann_ivf_pca must not sort-merge:\n$plan")
+  }
+
   test("IVF+PQ composed path: the two bounded-heap aggs are the only hash exchanges") {
     // the IVFADC scale contract: cell assignment + PQ encode are map-side,
     // probes (with their LUTs) broadcast, and the ONLY hash exchange is
