@@ -155,6 +155,7 @@ object SparkEntry {
     "q_stream_publish" -> (StreamQueries.qStreamPublish _),
     "q_ann_opq" -> (SimilarityQueries.qAnnOpq _),
     "q_ann_ivf_pca" -> (SimilarityQueries.qAnnIvfPca _),
+    "q_hybrid_search" -> (TextQueries.qHybridSearch _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -808,6 +809,70 @@ object SparkEntry {
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,
+    // RRF hybrid retrieval: the bm25 replay with each query DOC's distinct
+    // unigrams as the query set, the knn cosine replay, then the pure
+    // rank-arithmetic fusion 1/(60+r_lex) + 1/(60+r_vec) — two IEEE
+    // divides + one fixed-order add, bit-identical across engines.
+    // Lexical ranks keep the self-doc's slot (ranked before the self
+    // filter); vector ranks exclude self before ranking — both mirror
+    // the engine exactly.
+    "q_hybrid_search" ->
+      """WITH qd AS (SELECT doc_id AS query_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    FROM documents WHERE doc_id < 5)
+        |  WHERE term <> '' GROUP BY query_id, term),
+        |w AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term, max(dl) AS dl, COUNT(*) AS tf FROM w
+        |  WHERE term <> '' AND term IN (SELECT term FROM qd)
+        |  GROUP BY doc_id, term),
+        |d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+        |n AS (SELECT COUNT(*) AS nd,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sumdl
+        |  FROM documents),
+        |s AS (SELECT qd.query_id, t.doc_id,
+        |    floor((ln(1.0 + (CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * 2.2)
+        |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |          * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / nd))))))
+        |      * 65536.0) / 65536.0 AS ts
+        |  FROM t JOIN qd USING (term) JOIN d USING (term) CROSS JOIN n),
+        |sc AS (SELECT query_id, doc_id, SUM(ts) AS score FROM s
+        |  GROUP BY query_id, doc_id),
+        |lexall AS (SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS lex_rank
+        |  FROM sc),
+        |lex AS (SELECT query_id, doc_id, lex_rank FROM lexall
+        |  WHERE lex_rank <= 20 AND doc_id <> query_id),
+        |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embd
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, embd AS q_embd
+        |  FROM ed WHERE vec_id < 5),
+        |vecall AS (SELECT q.query_id, e.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.q_embd, e.embd) DESC, e.vec_id)
+        |      AS vec_rank
+        |  FROM qv q CROSS JOIN ed e WHERE e.vec_id <> q.query_id),
+        |vec AS (SELECT query_id, doc_id, vec_rank FROM vecall
+        |  WHERE vec_rank <= 20),
+        |fused AS (SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+        |    COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+        |    COALESCE(1.0/(60.0 + lex.lex_rank), 0.0)
+        |      + COALESCE(1.0/(60.0 + vec.vec_rank), 0.0) AS rrf,
+        |    lex.lex_rank, vec.vec_rank
+        |  FROM lex FULL OUTER JOIN vec
+        |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id),
+        |r AS (SELECT query_id, doc_id, rrf, lex_rank, vec_rank,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf,
+        |  CAST(lex_rank AS BIGINT) AS lex_rank,
+        |  CAST(vec_rank AS BIGINT) AS vec_rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_pagerank" -> pagerankOracle(5),
     // BFS distances: min hop count over paths of <= 6 hops via recursive
     // CTE — integer arithmetic, exact in both engines; same edge CTE as

@@ -86,6 +86,64 @@ object TextQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** HYBRID retrieval with reciprocal-rank fusion (round 11 — the
+    * standard RAG serving pattern: lexical and vector rankers disagree
+    * usefully, and RRF (Cormack et al. 2009, k₀=60) fuses them on RANKS
+    * alone, so no score calibration is needed between BM25 logs and
+    * cosine): the first 5 documents act as "more-like-this" queries —
+    * the lexical leg is BM25 with each query doc's distinct unigrams as
+    * the query (top-20), the vector leg is exact cosine kNN over the
+    * embedding column (top-20), and the fused score is
+    * 1/(60+lex_rank) + 1/(60+vec_rank) with absent legs contributing 0.
+    *
+    * Determinism: both legs' ranks are already oracle-exact machinery;
+    * the fusion is two IEEE divides + one fixed-order add per row —
+    * bit-identical in DuckDB — and ties break on doc_id. The lexical
+    * ranks keep the self-doc's slot (bm25TopK ranks all docs, self
+    * filtered after), mirrored by the oracle.
+    *
+    * Scale: each leg is its own bounded top-k (broadcast query set, heap
+    * aggregates); the fusion joins two ≤ 20-row-per-query lists — a
+    * window over ≤ 40 fused rows per query, negligible at any corpus
+    * size because the INPUTS are already rank-truncated. At 100 TB the
+    * legs run against their serving indexes (inverted / IVF) with this
+    * same fusion tail.
+    */
+  def qHybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val queryTerms = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        explode(graft.functions.text.wordShingles(col("text"), 1)).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val lex = graft.ops.Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+        queryTerms, k = 20)
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("lex_rank"))
+    val embs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val qv = embs.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("emb").as("q_emb"))
+    val vec = graft.ops.Similarity.knnBruteForceTopK(embs, qv, 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0)))
+          .as("rrf"),
+        col("lex_rank"), col("vec_rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Bigram-LM quality scoring: every 10th doc trains the reference LM,
     * all docs scored by cross-entropy under it (ops.LanguageModel — the
     * in-engine KenLM-filter shape). tau = 6 nats ≈ perplexity 400.

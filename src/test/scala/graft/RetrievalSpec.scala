@@ -60,4 +60,38 @@ class RetrievalSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), "query-term restriction must broadcast")
     assert(plan.contains("topk"), "bounded-heap topk aggregate must serve the cut")
   }
+
+  test("hybrid RRF: both-leg hits dominate single-leg hits; scores are exact rank arithmetic") {
+    val rows = graft.queries.TextQueries.qHybridSearch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // dense ranks 1..n per query, n <= 10
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.toSeq === (1L to ranks.length).toSeq, s"query $q ranks $ranks")
+      assert(ranks.length <= 10)
+    }
+    rows.foreach { r =>
+      val (rrf, lex, vec) = (r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))
+      // the fused score is exactly the rank arithmetic — no calibration
+      val expect = lex.map(l => 1.0 / (60.0 + l)).getOrElse(0.0) +
+        vec.map(v => 1.0 / (60.0 + v)).getOrElse(0.0)
+      assert(rrf === expect, s"rrf $rrf != $expect for $r")
+      assert(lex.isDefined || vec.isDefined)
+    }
+    // a provable RRF property at k0=60, k=20: min both-leg score
+    // 2/(60+20) = 0.025 exceeds max single-leg score 1/(60+1) ≈ 0.0164,
+    // so every doc found by BOTH rankers outranks every single-leg doc
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val both = rs.filter(r => !r.isNullAt(4) && !r.isNullAt(5))
+      val single = rs.filter(r => r.isNullAt(4) || r.isNullAt(5))
+      if (both.nonEmpty && single.nonEmpty) {
+        val worstBoth = both.map(_.getLong(1)).max
+        val bestSingle = single.map(_.getLong(1)).min
+        assert(worstBoth < bestSingle,
+          s"query $q: a single-leg doc outranked a both-leg doc")
+      }
+    }
+  }
 }
