@@ -156,6 +156,7 @@ object SparkEntry {
     "q_ann_opq" -> (SimilarityQueries.qAnnOpq _),
     "q_ann_ivf_pca" -> (SimilarityQueries.qAnnIvfPca _),
     "q_hybrid_search" -> (TextQueries.qHybridSearch _),
+    "q_index_serve" -> (TextQueries.qIndexServe _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -809,6 +810,11 @@ object SparkEntry {
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,
+    // stored-index serve == from-text serve, bit-for-bit: the build's
+    // tf/dl are the same integers the on-the-fly path derives and the
+    // scoring tail is shared code — so the oracle is bm25's VERBATIM,
+    // and the publish→merge→read round trip is what the hash proves
+    "q_index_serve" -> bm25Oracle,
     // RRF hybrid retrieval: the bm25 replay with each query DOC's distinct
     // unigrams as the query set, the knn cosine replay, then the pure
     // rank-arithmetic fusion 1/(60+r_lex) + 1/(60+r_vec) — two IEEE

@@ -58,12 +58,40 @@ object Retrieval {
     val tf = terms.join(broadcast(qt), Seq("term"), "leftsemi")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    // document frequency over the restricted tf table: ≤ |query terms| rows
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // corpus-size model: 1 row (N, Σdl) — exact integers
     val n = docs.agg(
       count(lit(1)).as("nd"),
       sum(TextAnalysis.wsTokenCount(text).cast("long")).as("sumdl"))
+    bm25Serve(tf, n, queryTerms, k)
+  }
+
+  /** BM25 from an inverted INDEX: `postings` is the stored
+    * (term, doc_id, tf, dl) table an index build wrote (see
+    * q_index_serve — the build's tf/dl are the exact integers the
+    * on-the-fly path derives, so serving from the store is
+    * bit-identical to scoring from raw text), `docStats` the stored
+    * 1-row-per-doc (doc_id, dl) table. The serve restricts the postings
+    * scan to query terms map-side and reuses the one scoring tail.
+    */
+  def bm25TopKFromIndex(postings: DataFrame, docStats: DataFrame,
+      queryTerms: DataFrame, k: Int): DataFrame = {
+    val qt = queryTerms.select(col("term")).distinct()
+    val tf = postings.join(broadcast(qt), Seq("term"), "leftsemi")
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val n = docStats.agg(
+      count(lit(1)).as("nd"), sum(col("dl")).as("sumdl"))
+    bm25Serve(tf, n, queryTerms, k)
+  }
+
+  /** The ONE scoring tail both paths share — df from the restricted tf
+    * table, the snapped per-term partial, per-(query, doc) exact sum,
+    * bounded-heap top-k. A single definition so the stored-index serve
+    * and the from-text serve cannot drift on literals or association.
+    */
+  private def bm25Serve(tf: DataFrame, n: DataFrame,
+      queryTerms: DataFrame, k: Int): DataFrame = {
+    // document frequency over the restricted tf table: ≤ |query terms| rows
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     // per-term BM25 partial — the expression tree mirrors the oracle SQL
     // token for token (same literals, same association) so both engines

@@ -144,6 +144,64 @@ object TextQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** BM25 served from a PUBLISHED, INCREMENTALLY-BUILT inverted index
+    * (round 11 — the reference's actual indexing shape: index_to_es.py
+    * ships documents to Elasticsearch in incremental batches and QUERIES
+    * hit the stored index, never the raw text): the expensive build (the
+    * one wide (term, doc) shuffle) runs per increment — version 1 indexes
+    * the 4-in-5 history slice, version 2 appends the day's delta postings
+    * (doc slices are disjoint, so the per-(term, doc) merge is a pure
+    * union) — and each lands as an atomic manifest version with doc
+    * stats alongside. Serving reads the manifest-current postings,
+    * restricts to the query terms map-side, and reuses the EXACT scoring
+    * tail of q_bm25_search (ops.Retrieval.bm25Serve — stored tf/dl are
+    * the same integers the from-text path derives, df/N/Σdl recompute
+    * from the store), so the oracle is q_bm25_search's VERBATIM: a lost
+    * delta row, a stale manifest, or any build/serve drift hash-fails.
+    *
+    * Scale: this is the retrieval answer at 100 TB — pay the corpus
+    * tokenization + shuffle ONCE per increment at index time (bucketed
+    * by term in a real deployment so the serve's term restriction
+    * becomes a pruned scan), then serve any number of query batches from
+    * the compact store without touching raw text.
+    */
+  def qIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Datalake
+    val docs = Tables.documents(spark, dir)
+    def postings(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"),
+          graft.ops.TextAnalysis.wsTokenCount(col("text")).cast("long")
+            .as("dl"),
+          explode(graft.functions.text.wordShingles(col("text"), 1))
+            .as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    def stats(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"),
+        graft.ops.TextAnalysis.wsTokenCount(col("text")).cast("long")
+          .as("dl"))
+    val root = graft.queries.DatalakeQueries.tempLakeRoot() + "/bm25_index"
+    val hist = docs.filter(col("doc_id") % 5 =!= 4)
+    val delta = docs.filter(col("doc_id") % 5 === 4)
+    Datalake.publish(postings(hist), s"$root/postings", "1")
+    Datalake.publish(stats(hist), s"$root/docstats", "1")
+    // incremental maintenance: v2 = stored v1 ∪ the delta's increment —
+    // the index build only ever tokenizes NEW documents
+    Datalake.publish(
+      Datalake.readVersion(spark, s"$root/postings", "1")
+        .unionByName(postings(delta)), s"$root/postings", "2")
+    Datalake.publish(
+      Datalake.readVersion(spark, s"$root/docstats", "1")
+        .unionByName(stats(delta)), s"$root/docstats", "2")
+    val q = bm25Queries.toDF("query_id", "term")
+    graft.ops.Retrieval.bm25TopKFromIndex(
+        Datalake.readPublished(spark, s"$root/postings"),
+        Datalake.readPublished(spark, s"$root/docstats"), q, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Bigram-LM quality scoring: every 10th doc trains the reference LM,
     * all docs scored by cross-entropy under it (ops.LanguageModel — the
     * in-engine KenLM-filter shape). tau = 6 nats ≈ perplexity 400.

@@ -61,6 +61,19 @@ class RetrievalSpec extends SparkSpecBase {
     assert(plan.contains("topk"), "bounded-heap topk aggregate must serve the cut")
   }
 
+  test("incrementally-built index == full rebuild; stored-index serve == from-text serve") {
+    import graft.queries.TextQueries
+    val got = TextQueries.qIndexServe(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val direct = TextQueries.qBm25Search(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === direct,
+      "serving from the published incremental index must be bit-identical " +
+        "to scoring from raw text")
+  }
+
   test("hybrid RRF: both-leg hits dominate single-leg hits; scores are exact rank arithmetic") {
     val rows = graft.queries.TextQueries.qHybridSearch(spark, sfDir).collect()
     assert(rows.nonEmpty)
