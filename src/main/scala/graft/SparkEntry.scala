@@ -157,6 +157,8 @@ object SparkEntry {
     "q_ann_ivf_pca" -> (SimilarityQueries.qAnnIvfPca _),
     "q_hybrid_search" -> (TextQueries.qHybridSearch _),
     "q_index_serve" -> (TextQueries.qIndexServe _),
+    "q_outlier_mad" -> (Relational.qOutlierMad _),
+    "q_entity_resolution" -> (SimilarityQueries.qEntityResolution _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1767,6 +1769,37 @@ object SparkEntry {
     // the neighborhood join's completeness proof: DuckDB brute-forces
     // levenshtein over all pairs, Spark only meets candidates that share a
     // deletion key — a hash mismatch here would mean a missed pair
+    // entity resolution: dirty-mention construction (every 10th customer
+    // gets a C→K typo duplicate), brute-force levenshtein × exact-balance
+    // pairs (re-proving the deletion-neighborhood blocking complete) →
+    // the q_dedup_clusters recursive min-label CTE → field survivorship
+    "q_entity_resolution" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT c_custkey*2 AS m_id, c_name AS m_name, c_acctbal
+        |    FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey*2+1, replace(c_name, 'C', 'K'), c_acctbal
+        |    FROM customer WHERE c_custkey % 10 = 0),
+        |p AS (SELECT a.m_id AS src, b.m_id AS dst
+        |  FROM m a JOIN m b ON a.m_id < b.m_id
+        |    AND a.c_acctbal = b.c_acctbal
+        |    AND levenshtein(a.m_name, b.m_name) <= 1),
+        |ed AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |reach(id, r) AS (
+        |  SELECT m_id, m_id FROM m
+        |  UNION
+        |  SELECT reach.id, ed.dst FROM reach JOIN ed ON reach.r = ed.src),
+        |lab AS (SELECT id, CAST(MIN(r) AS BIGINT) AS component
+        |  FROM reach GROUP BY id)
+        |SELECT lab.component, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  MIN(m.m_name) AS canonical_name,
+        |  CAST(MAX(CAST(m.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS best_acctbal,
+        |  string_agg(CAST(m.m_id AS VARCHAR), ','
+        |    ORDER BY m.m_id) AS member_keys
+        |FROM lab JOIN m ON m.m_id = lab.id
+        |GROUP BY lab.component HAVING COUNT(*) > 1
+        |ORDER BY lab.component""".stripMargin,
     "q_fuzzy_join" ->
       """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
         |  a.c_name AS name1, b.c_name AS name2,
@@ -2611,6 +2644,26 @@ object SparkEntry {
     // exact quantiles: DuckDB's quantile_cont interpolates the same
     // type-7 CONVEX expression (lower*(1-frac) + higher*frac at p*(n-1))
     // Spark's percentile evaluates — identical IEEE result, no snapping
+    // robust MAD anomaly scores: both medians are quantile_cont (the
+    // q_exact_quantiles type-7 pin), the modified z a fixed IEEE op
+    // sequence; MAD=0 groups NULL the score (the zscore guard pattern)
+    "q_outlier_mad" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_retailprice FROM part
+        |  WHERE p_retailprice IS NOT NULL),
+        |m AS (SELECT p_brand, quantile_cont(p_retailprice, 0.5) AS med
+        |  FROM p GROUP BY p_brand),
+        |d AS (SELECT p.p_partkey, p.p_brand, p.p_retailprice, m.med,
+        |    abs(p.p_retailprice - m.med) AS dev
+        |  FROM p JOIN m USING (p_brand)),
+        |md AS (SELECT p_brand, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY p_brand)
+        |SELECT d.p_partkey, d.p_brand, d.p_retailprice, d.med, md.mad,
+        |  CASE WHEN md.mad > 0
+        |    THEN 0.6745 * (d.p_retailprice - d.med) / md.mad END AS mz,
+        |  COALESCE(CASE WHEN md.mad > 0
+        |    THEN abs(0.6745 * (d.p_retailprice - d.med) / md.mad) > 3.5 END,
+        |    FALSE) AS is_outlier
+        |FROM d JOIN md USING (p_brand) ORDER BY d.p_partkey""".stripMargin,
     "q_exact_quantiles" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
         |  quantile_cont(l_extendedprice, 0.25) AS p25,

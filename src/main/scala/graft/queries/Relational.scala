@@ -502,6 +502,45 @@ object Relational {
       .orderBy(col("p_partkey"))
   }
 
+  /** Robust anomaly detection via the MEDIAN absolute deviation (round
+    * 11 — the robust sibling of q_outlier_zscore: mean/stddev are
+    * themselves dragged by the outliers they're meant to find, while the
+    * breakdown point of the median is 50%): per brand, med =
+    * median(price), MAD = median(|price − med|), and the modified
+    * z-score 0.6745·(price − med)/MAD flags |Mz| > 3.5 (Iglewicz &
+    * Hoaglin 1993 — 0.6745 = Φ⁻¹(0.75) rescales MAD to σ under
+    * normality). Both medians are Spark's exact `percentile` aggregate,
+    * whose type-7 convex interpolation is bit-for-bit DuckDB's
+    * quantile_cont (the q_exact_quantiles pin); the score is a fixed
+    * IEEE op sequence, and the MAD=0 degenerate group (over half the
+    * brand at one price) NULLs the score rather than dividing by zero —
+    * same explicit guard discipline as the zscore row.
+    *
+    * Scale: two bounded per-brand aggregations (percentile state is
+    * counts-per-distinct-value) + broadcast joins back — no window over
+    * the fact table, no global sort except the presentation orderBy.
+    */
+  def qOutlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_retailprice").isNotNull)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+    val med = p.groupBy(col("p_brand").as("m_brand"))
+      .agg(percentile(col("p_retailprice"), lit(0.5)).as("med"))
+    val d = p.join(broadcast(med), col("p_brand") === col("m_brand"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        col("med"), abs(col("p_retailprice") - col("med")).as("dev"))
+    val mad = d.groupBy(col("p_brand").as("d_brand"))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    val mz = lit(0.6745) * (col("p_retailprice") - col("med")) / col("mad")
+    val ok = col("mad") > 0
+    d.join(broadcast(mad), col("p_brand") === col("d_brand"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        col("med"), col("mad"),
+        when(ok, mz).as("mz"),
+        coalesce(when(ok, abs(mz) > lit(3.5)), lit(false)).as("is_outlier"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** PIVOT: revenue by nation × order status reshaped to one column per
     * status. With explicit pivot values Spark plans ONE aggregation pass
     * (no per-value scans, no second shuffle) — the dashboard crosstab at

@@ -575,6 +575,71 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ENTITY RESOLUTION (round 11 — the record-linkage composition the
+    * fuzzy join exists for): resolve a deliberately DIRTY mention table —
+    * every customer plus, for each 10th one, a typo'd duplicate mention
+    * (its one 'C' swapped for 'K': a deterministic single-char edit) —
+    * back to canonical entities. An edge links two mentions when their
+    * names sit within edit distance 1 (SymSpell deletion-neighborhood
+    * blocking — FuzzyJoin.edit1Pairs, complete by construction) AND their
+    * account balances agree exactly: the strong-field agreement is the
+    * BLOCKING KEY real linkage pipelines pair with fuzzy names (match on
+    * exact DOB + fuzzy name), and here it is load-bearing — the corpus's
+    * sequential names put every record within one digit of its
+    * neighbors, so fuzzy-name-alone chains the whole table into one blob
+    * (measured: a single 15,000-member component). Clusters then come
+    * from min-label connected components (ops.Components) with
+    * field-level SURVIVORSHIP per cluster: canonical_name = lexical min
+    * (the clean mention — 'C' < 'K'), best_acctbal = max in the exact
+    * decimal domain, and the sorted member list as the merge audit
+    * trail. Only multi-member clusters surface.
+    *
+    * Oracle: DuckDB's own brute-force levenshtein × balance-equality
+    * join feeds the same recursive-CTE min-label components (the
+    * q_dedup_clusters pattern) — so BOTH the blocking's completeness and
+    * the clustering's fixpoint are re-proven by hash every round.
+    *
+    * Scale: blocking is the keyed deletion-neighborhood join (bounded
+    * fan-out, e≈1.07 measured) post-filtered by the strong field;
+    * components the bounded-round contracted propagation; survivorship
+    * one aggregate over cluster-sized groups.
+    */
+  def qEntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val mentions = cust.select((col("c_custkey") * 2).as("m_id"),
+        col("c_name").as("m_name"), col("c_acctbal"))
+      .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") * 2 + 1).as("m_id"),
+          translate(col("c_name"), "C", "K").as("m_name"),
+          col("c_acctbal")))
+    val bal = mentions.select(col("m_id"), col("c_acctbal"))
+    val pairs = graft.ops.FuzzyJoin.edit1Pairs(mentions, col("m_id"),
+        col("m_name"))
+      .join(bal.select(col("m_id").as("id1"), col("c_acctbal").as("__ba")),
+        "id1")
+      .join(bal.select(col("m_id").as("id2"), col("c_acctbal").as("__bb")),
+        "id2")
+      .filter(col("__ba") === col("__bb"))
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val labels = graft.ops.Components.connectedComponents(
+      mentions.select(col("m_id").as("id")), pairs)
+    mentions.join(labels, mentions("m_id") === labels("id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("m_name")).as("canonical_name"),
+        max(col("c_acctbal").cast(DecimalType(12, 2))).cast("double")
+          .as("best_acctbal"),
+        // driver-safe scalar rendering: numeric sort FIRST, then stringify
+        // (a string sort would order "10" before "9"); the transform runs
+        // on cluster-sized arrays, not corpus-sized ones
+        array_join(transform(sort_array(collect_list(col("m_id"))),
+          _.cast("string")), ",").as("member_keys"))
+      .filter(col("n_members") > 1)
+      .orderBy(col("component"))
+  }
+
   /** Centroid model of the LAST qSemanticDedup invocation — same
     * oracle-generation contract as [[lastIvfModel]]. */
   @volatile private[graft] var lastSemModel: Option[(String, Array[Array[Float]])] = None
