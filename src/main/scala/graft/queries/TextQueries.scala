@@ -129,7 +129,11 @@ object TextQueries {
     val vec = graft.ops.Similarity.knnBruteForceTopK(embs, qv, 20)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("vec_rank"))
-    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+    // full-outer can't broadcast; without the hint it falls to
+    // SortMergeJoin (the q_table_diff discipline — registry plans stay
+    // SMJ-free; both sides are ≤20-row-per-query rank lists anyway)
+    val fused = lex.join(vec.hint("shuffle_hash"),
+      Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         (coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0)))
