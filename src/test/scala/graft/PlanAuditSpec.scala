@@ -295,7 +295,15 @@ class PlanAuditSpec extends SparkSpecBase {
       // batch a handful of jobs) plus staging — a new chunk, sentinel, or
       // driver-side action in the harness shows up here first
       ("q_stream_retention", 28,
-        () => graft.queries.StreamQueries.qStreamRetention(spark, sfDir).collect()))
+        () => graft.queries.StreamQueries.qStreamRetention(spark, sfDir).collect()),
+      // r11 composed rows — BASELINE.md names the action count as their
+      // regression signal, so it is pinned here: index serve = 4 publish
+      // writes + reads + the serve; entity resolution = blocking +
+      // the components fixpoint's checkpointed rounds + survivorship
+      ("q_index_serve", 30, // measured 23 at pin time
+        () => graft.queries.TextQueries.qIndexServe(spark, sfDir).collect()),
+      ("q_entity_resolution", 37, // measured 28 at pin time
+        () => SimilarityQueries.qEntityResolution(spark, sfDir).collect()))
     val measured = budgets.map { case (name, budget, run) =>
       val jobs = countJobs(run)
       info(s"$name: $jobs jobs (budget $budget)")
