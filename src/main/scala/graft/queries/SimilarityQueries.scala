@@ -216,16 +216,21 @@ object SimilarityQueries {
   def qQuantizeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.vectors
     val G = 1099511627776.0 // 2^40
-    val embs = Tables.embeddings(spark, dir)
-    val deq = vectors.dequantize(vectors.quantize(col("embedding")))
+    // quantize ONCE in its own projection (r10 verdict nit: evaluating
+    // vectors.quantize twice in one select leaned on codegen
+    // subexpression elimination to not pay the kernel twice — an aliased
+    // intermediate column makes single evaluation structural)
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        vectors.quantize(col("embedding")).as("__q"))
+    val deq = vectors.dequantize(col("__q"))
     val err2 = (0 until 64).foldLeft(lit(0.0)) { (acc, i) =>
       val dlt = col("embedding").getItem(i).cast("double") -
         deq.getItem(i).cast("double")
       acc + floor(dlt * dlt * lit(G)) / lit(G)
     }
-    embs.select(col("vec_id"),
-        vectors.quantize(col("embedding")).getField("scale").cast("double")
-          .as("scale"),
+    q.select(col("vec_id"),
+        col("__q").getField("scale").cast("double").as("scale"),
         sqrt(err2).as("l2_err"))
       .orderBy(col("vec_id"))
   }
@@ -776,4 +781,20 @@ object SimilarityQueries {
     graft.ops.FuzzyJoin.edit1Pairs(Tables.customer(spark, dir),
         col("c_custkey"), col("c_name"))
       .orderBy(col("id1"), col("id2"))
+
+  /** EXACT asymmetric CONTAINMENT join at τ = 2/3 (round 11,
+    * ops.SetJoin.containmentPairs): directed pairs where ≥ 2/3 of doc_a's
+    * distinct word-3-gram shingles also occur in doc_b — the
+    * quote/partial-copy detector Jaccard structurally misses (a short doc
+    * embedded in a long one drowns in the union). Only the probe side is
+    * prefix-pruned (rarest-first); the indexed side posts everything, and
+    * the one admissible length filter is one-sided (n_b can only be too
+    * SMALL). The oracle is the FULL exact containment join in DuckDB with
+    * the τ test in integer form (3·|∩| ≥ 2·n_a), so the driver re-proves
+    * the asymmetric prefix filter's completeness by hash every round.
+    */
+  def qContainment(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SetJoin.containmentPairs(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), tauNum = 2, tauDen = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
 }
