@@ -159,6 +159,9 @@ object SparkEntry {
     "q_index_serve" -> (TextQueries.qIndexServe _),
     "q_outlier_mad" -> (Relational.qOutlierMad _),
     "q_entity_resolution" -> (SimilarityQueries.qEntityResolution _),
+    "q_assoc_rules" -> (Relational.qAssocRules _),
+    "q_containment" -> (SimilarityQueries.qContainment _),
+    "q_drift_psi" -> (EventQueries.qDriftPsi _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1800,6 +1803,78 @@ object SparkEntry {
         |FROM lab JOIN m ON m.m_id = lab.id
         |GROUP BY lab.component HAVING COUNT(*) > 1
         |ORDER BY lab.component""".stripMargin,
+    // Apriori rules: the oracle prunes at the same absolute supports and
+    // replays confidence/lift as the same exact-int IEEE divisions; a
+    // missed pair (broken prune) or swapped direction hash-fails
+    "q_assoc_rules" ->
+      """WITH basket AS (SELECT DISTINCT l_orderkey AS okey,
+        |    l_partkey AS pkey FROM lineitem),
+        |marg AS (SELECT pkey, COUNT(*) AS n_item FROM basket GROUP BY 1),
+        |no AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM basket),
+        |fb AS (SELECT b.okey, b.pkey, m.n_item FROM basket b
+        |  JOIN marg m USING (pkey) WHERE m.n_item >= 25),
+        |pairs AS (SELECT a.pkey AS p_a, b.pkey AS p_b,
+        |    a.n_item AS n_a, b.n_item AS n_b, COUNT(*) AS n_ab
+        |  FROM fb a JOIN fb b ON a.okey = b.okey AND a.pkey < b.pkey
+        |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 3),
+        |rules AS (
+        |  SELECT p_a AS antecedent, p_b AS consequent,
+        |    n_a AS n_ant, n_b AS n_cons, n_ab FROM pairs
+        |  UNION ALL
+        |  SELECT p_b, p_a, n_b, n_a, n_ab FROM pairs)
+        |SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(n_ant AS BIGINT) AS n_ant, CAST(n_cons AS BIGINT) AS n_cons,
+        |  CAST(n_ab AS DOUBLE) / n_ant AS confidence,
+        |  CAST(n_ab * no.n_orders AS DOUBLE) / (n_ant * n_cons) AS lift
+        |FROM rules, no
+        |ORDER BY antecedent, consequent""".stripMargin,
+    // full exact containment join — completeness proof for the asymmetric
+    // prefix filter; τ in integer form so no float threshold boundary
+    "q_containment" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(1, len(ws) - 2),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS sg
+        |  FROM w),
+        |p AS (SELECT doc_id, len(sg) AS n, unnest(sg) AS s FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS DOUBLE) / a.n AS containment
+        |FROM p a JOIN p b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |GROUP BY a.doc_id, b.doc_id, a.n
+        |HAVING 3 * COUNT(*) >= 2 * a.n
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // PSI terms snapped to the 2^-16 grid pre-sum (the BM25 ln
+    // discipline); binning is IEEE divide+floor, identical both engines
+    "q_drift_psi" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS cohort,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16' AND event_type = 'purchase'
+        |      THEN value * 1.5 ELSE value END AS v
+        |  FROM events),
+        |b AS (SELECT event_type, cohort,
+        |    CAST(least(floor(v / 50.0), 9) AS BIGINT) AS bin FROM e),
+        |bins AS (SELECT DISTINCT event_type, unnest(range(10)) AS bin FROM b),
+        |c AS (SELECT event_type, bin,
+        |    COUNT(*) FILTER (cohort = 0) AS n0,
+        |    COUNT(*) FILTER (cohort = 1) AS n1
+        |  FROM b GROUP BY 1, 2),
+        |f AS (SELECT bins.event_type, bins.bin,
+        |    coalesce(c.n0, 0) AS n0, coalesce(c.n1, 0) AS n1
+        |  FROM bins LEFT JOIN c
+        |    ON bins.event_type = c.event_type AND bins.bin = c.bin),
+        |tot AS (SELECT event_type, SUM(n0) AS t0, SUM(n1) AS t1
+        |  FROM f GROUP BY 1),
+        |terms AS (SELECT f.event_type, tot.t0, tot.t1,
+        |    CAST(f.n0 + 1 AS DOUBLE) / (tot.t0 + 10) AS p,
+        |    CAST(f.n1 + 1 AS DOUBLE) / (tot.t1 + 10) AS q
+        |  FROM f JOIN tot USING (event_type))
+        |SELECT event_type, CAST(max(t0) AS BIGINT) AS n_before,
+        |  CAST(max(t1) AS BIGINT) AS n_after,
+        |  SUM(floor((p - q) * ln(p / q) * 65536.0) / 65536.0) AS psi
+        |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_fuzzy_join" ->
       """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
         |  a.c_name AS name1, b.c_name AS name2,

@@ -139,4 +139,84 @@ object SetJoin {
       res
     }
   }
+
+  /** EXACT asymmetric CONTAINMENT join: every DIRECTED pair (a, b),
+    * a ≠ b, with |S_a ∩ S_b| / |S_a| ≥ τ over word-3-gram shingle sets —
+    * "document a is mostly contained in b". The quote/partial-copy
+    * detector of the dedup family (Broder 1997 calls this resemblance's
+    * asymmetric sibling): Jaccard misses a short doc embedded in a long
+    * one (the union is dominated by the long side), containment is
+    * exactly the measure that catches it.
+    *
+    * Asymmetric prefix filter: only the PROBE side (a) can be prefix-
+    * pruned. Rank a's shingles by ascending global df (rarest first,
+    * ties by shingle value — a deterministic total order); a indexes its
+    * first p = n_a − ⌈τ·n_a⌉ + 1 shingles, the INDEXED side (b) posts
+    * ALL its shingles. Completeness: for a qualifying pair let t be the
+    * minimum common shingle in that total order; if t sat outside a's
+    * prefix, every prefix shingle of a would sort before t and hence be
+    * a-only (t is the minimum COMMON one), capping the overlap at
+    * n_a − p = ⌈τ·n_a⌉ − 1 — contradiction. So t is in a's prefix AND
+    * (trivially) in b's full postings, and the shingle equi-join finds
+    * the pair. The only admissible length filter is one-sided:
+    * overlap ≤ n_b forces tauDen·n_b ≥ tauNum·n_a; nothing bounds n_b
+    * from above — b MAY be arbitrarily larger, that's the point.
+    *
+    * τ is rational (num/den) so prefix sizing, the length filter and the
+    * acceptance threshold are all exact integer arithmetic; the reported
+    * containment is the single exact-int double division |∩|/n_a.
+    *
+    * Plan/scale: same one-shuffle posting spine as the Jaccard join
+    * (shingle-keyed exchange serves df window + equi-join), candidate
+    * mass = Σ_s df(s)·|prefix postings of s| — rare-first ranking keeps
+    * the probe prefixes on the LOW-df end of the index; verification
+    * moves candidate ROWS with in-row `array_intersect` (never the
+    * candidates × set-size posting join). Hot shingles AQE-split at
+    * 100 TB like every bucketed family.
+    */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be in (0, 1]: $tauNum/$tauDen")
+    val postings = graft.ops.Checkpoints.checkpoint(
+      df.select(id.as("doc_id"),
+          graft.functions.text.wordShingleHashes(text, 3).as("__sh"))
+        .select(col("doc_id"), size(col("__sh")).cast("long").as("n"),
+          explode(col("__sh")).as("shingle")))
+    val wDf = Window.partitionBy(col("shingle"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__df"), col("shingle"))
+    val ranked = postings
+      .withColumn("__df", count(lit(1)).over(wDf))
+      .withColumn("__rn", row_number().over(wDoc))
+    val ceilTauN = (lit(tauNum.toLong) * col("n") + lit(tauDen.toLong - 1L))
+      .divide(lit(tauDen.toLong)).cast("long")
+    val probe = ranked.filter(col("__rn") <= col("n") - ceilTauN + lit(1L))
+      .select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("shingle"))
+    val indexed = postings.select(col("doc_id").as("doc_b"),
+      col("n").as("n_b"), col("shingle").as("__shingle_b"))
+    val cand = probe.join(indexed,
+        col("shingle") === col("__shingle_b") &&
+        col("doc_a") =!= col("doc_b") &&
+        lit(tauDen.toLong) * col("n_b") >= lit(tauNum.toLong) * col("n_a"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"))
+      .distinct()
+    val sets = df.select(id.cast("long").as("__sid"),
+      graft.functions.text.wordShingleHashes(text, 3).as("__set"))
+    val result = cand
+      .join(sets.select(col("__sid").as("doc_a"), col("__set").as("__set_a")),
+        "doc_a")
+      .join(sets.select(col("__sid").as("doc_b"), col("__set").as("__set_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_a"),
+        size(array_intersect(col("__set_a"), col("__set_b")))
+          .cast("long").as("__inter"))
+      .filter(lit(tauDen.toLong) * col("__inter") >=
+        lit(tauNum.toLong) * col("n_a"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__inter").cast("double") / col("n_a")).as("containment"))
+    val res = graft.ops.Checkpoints.checkpoint(result)
+    graft.ops.Checkpoints.release(postings)
+    res
+  }
 }

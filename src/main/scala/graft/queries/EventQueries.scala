@@ -310,4 +310,65 @@ object EventQueries {
         col("peak_ts"))
       .orderBy(col("event_type"))
   }
+
+  /** DISTRIBUTION-DRIFT monitor: Population Stability Index per event
+    * type between a baseline cohort (first half of the month) and a
+    * current cohort (second half), the standard pre-training gate on a
+    * refreshed data snapshot ("did this source's value distribution move
+    * since the last crawl?"). To make detection demonstrable on the
+    * drift-free synthetic feed, the current cohort is CONSTRUCTED with a
+    * deliberate shift (the q_entity_resolution dirty-input pattern):
+    * purchase values inflate ×1.5 — the monitor must read ≈0.15
+    * ("moderate drift" on the standard PSI scale) for purchase and the
+    * ~0.006 noise floor elsewhere, and the oracle hash-pins both.
+    *
+    * Numerics: values bin into 10 fixed-width buckets (floor(v/50),
+    * clamped — binning via IEEE divide+floor is bit-deterministic across
+    * engines); +1 Laplace smoothing keeps every bin's ln finite; each
+    * PSI term (p−q)·ln(p/q) snaps to the 2^-16 dyadic grid BEFORE the
+    * sum (the BM25 ln discipline — the snap makes the 10-term sum exact
+    * order-free arithmetic, cross-engine ln agreement is the ~2^-35
+    * residual risk). All divisions are exact-int-over-exact-int single
+    * IEEE ops. Plan: one scan, one (type, bin)-keyed partial-aggregated
+    * shuffle, a 50-row bins×counts join — nothing scales with rows but
+    * the first aggregate; at 100 TB per-bin counts partial-combine
+    * map-side and only type×bin×2 cells cross the wire.
+    */
+  def qDriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val nBins = 10
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), 0L)
+          .otherwise(1L).as("cohort"), col("value"))
+      .select(col("event_type"), col("cohort"),
+        when(col("cohort") === 1L && col("event_type") === "purchase",
+          col("value") * 1.5).otherwise(col("value")).as("v"))
+    val binned = e.select(col("event_type"), col("cohort"),
+      least(floor(col("v") / 50.0), lit(9.0)).cast("long").as("bin"))
+    val counts = binned.groupBy(col("event_type"), col("bin"))
+      .agg(count(when(col("cohort") === 0L, 1)).as("n0"),
+        count(when(col("cohort") === 1L, 1)).as("n1"))
+    // dense bin frame: empty bins still carry their smoothed mass
+    val bins = binned.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"))
+    val f = bins.join(counts, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("n0"), lit(0L)).as("n0"),
+        coalesce(col("n1"), lit(0L)).as("n1"))
+    val tot = f.groupBy(col("event_type"))
+      .agg(sum(col("n0")).as("t0"), sum(col("n1")).as("t1"))
+    val G = 65536.0 // 2^16
+    val terms = f.join(tot, "event_type")
+      .select(col("event_type"), col("t0"), col("t1"),
+        ((col("n0") + 1L).cast("double") / (col("t0") + lit(nBins.toLong)))
+          .as("p"),
+        ((col("n1") + 1L).cast("double") / (col("t1") + lit(nBins.toLong)))
+          .as("q"))
+    terms.groupBy(col("event_type"))
+      .agg(max(col("t0")).as("n_before"), max(col("t1")).as("n_after"),
+        sum(floor((col("p") - col("q")) * log(col("p") / col("q")) * G) / G)
+          .as("psi"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -894,4 +894,62 @@ object Relational {
     graft.ops.Checkpoints.release(basket)
     res
   }
+
+  /** Association RULES (round 11 — Apriori step 2 over the q_cooccurrence
+    * pair table, Agrawal & Srikant 1994): directed rules antecedent ⇒
+    * consequent with confidence n_ab / n_ant and lift
+    * n_ab·N / (n_ant·n_cons). Two things distinguish this from the
+    * symmetric co-occurrence row: (1) the APRIORI ITEM PRUNE — items
+    * below min support (25 orders) are dropped by a broadcast semi-join
+    * BEFORE the order-key self-join, which is the step that matters at
+    * 100 TB: the candidate pair mass is quadratic in basket size only
+    * over FREQUENT items, and the long tail (here 16% of the catalog)
+    * never enters the shuffle; (2) DIRECTION — each surviving pair emits
+    * both rules, whose confidences differ (the marginals do) while lift
+    * is shared. All three scores are single IEEE divisions of exact
+    * integer products (n_ab·N ≤ 2^40 at sf0.1), so no snapping is needed
+    * and the oracle replays them bit-for-bit. N (total baskets) rides in
+    * as a broadcast 1-row cross join, never a driver collect.
+    */
+  def qAssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val minItemSupport = 25L
+    val minPairSupport = 3L
+    val basket = graft.ops.Checkpoints.checkpoint(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+        .distinct())
+    val marg = basket.groupBy(col("pkey")).agg(count(lit(1)).as("n_item"))
+    val freq = marg.filter(col("n_item") >= minItemSupport)
+    val nOrders = basket.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("__n_orders"))
+    // Apriori prune: infrequent items leave the baskets BEFORE the
+    // quadratic pair stage — freq is catalog-sized, broadcast it
+    val fb = basket.join(broadcast(freq), Seq("pkey"))
+      .select(col("okey"), col("pkey"), col("n_item"))
+    val a = fb.select(col("okey"), col("pkey").as("p_a"),
+      col("n_item").as("n_a"))
+    val b = fb.select(col("okey"), col("pkey").as("p_b"),
+      col("n_item").as("n_b"))
+    val pairs = a.join(b, Seq("okey"))
+      .filter(col("p_a") < col("p_b"))
+      .groupBy(col("p_a"), col("p_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairSupport)
+    val rules = pairs.select(col("p_a").as("antecedent"),
+        col("p_b").as("consequent"), col("n_a").as("n_ant"),
+        col("n_b").as("n_cons"), col("n_ab"))
+      .unionByName(pairs.select(col("p_b").as("antecedent"),
+        col("p_a").as("consequent"), col("n_b").as("n_ant"),
+        col("n_a").as("n_cons"), col("n_ab")))
+    val res = graft.ops.Checkpoints.checkpoint(
+      rules.crossJoin(broadcast(nOrders))
+        .select(col("antecedent"), col("consequent"), col("n_ab"),
+          col("n_ant"), col("n_cons"),
+          (col("n_ab").cast("double") / col("n_ant")).as("confidence"),
+          ((col("n_ab") * col("__n_orders")).cast("double") /
+            (col("n_ant") * col("n_cons"))).as("lift"))
+        .orderBy(col("antecedent"), col("consequent")))
+    graft.ops.Checkpoints.release(basket)
+    res
+  }
 }
