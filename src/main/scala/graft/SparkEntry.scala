@@ -162,6 +162,7 @@ object SparkEntry {
     "q_assoc_rules" -> (Relational.qAssocRules _),
     "q_containment" -> (SimilarityQueries.qContainment _),
     "q_drift_psi" -> (EventQueries.qDriftPsi _),
+    "q_stream_outer_join" -> (StreamQueries.qStreamOuterJoin _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -790,6 +791,21 @@ object SparkEntry {
           "SUM(CAST(value AS DECIMAL(18,2)))",
           "SUM(CAST(coalesce(value, 0) AS DECIMAL(18,2)))"),
         "q_stream_attribution" -> staticOracleSql("q_range_join"),
+        // LEFT OUTER stream-stream join: the oracle is the batch LEFT
+        // JOIN on the same interval — a null row emitted early (before
+        // its seal), dropped (state evicted under a future match), or
+        // duplicated (match + spurious null) each hash-fail
+        "q_stream_outer_join" ->
+          """WITH c AS (SELECT event_id AS click_id, user_id,
+            |    CAST(ts AS TIMESTAMP) AS click_ts
+            |  FROM events WHERE event_type = 'click'),
+            |p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+            |    CAST(ts AS TIMESTAMP) AS p_ts
+            |  FROM events WHERE event_type = 'purchase')
+            |SELECT click_id, purchase_id, user_id
+            |FROM c LEFT JOIN p ON user_id = p_user
+            |  AND click_ts >= p_ts - INTERVAL 1 HOUR AND click_ts < p_ts
+            |ORDER BY click_id, purchase_id""".stripMargin,
         // CMS linearity: the epoch-folded store's cells equal the batch
         // build's cells exactly, so the estimates — and the oracle — are
         // the batch row's verbatim

@@ -192,6 +192,40 @@ object StreamQueries {
       .select(col("click_id"), col("purchase_id"), col("user_id"))
       .orderBy(col("click_id"), col("purchase_id"))
 
+  /** q_range_join's LEFT OUTER form as a stream-stream join
+    * ([[EventStreams.attributionJoinOuter]]): clicks with no in-window
+    * purchase emit (click, NULL) — and ONLY once the watermark passes
+    * click_ts + 1h, because a null row is a claim about the whole future
+    * ("no purchase will ever match") that inner-join emission never has
+    * to make. That sealing need changes the feed contract: the inner row
+    * filters the far-future sentinels out of both branches (matches
+    * don't care about eviction), but here BOTH branches pass sentinel
+    * rows through (user_id < 0, type 'view' — they match nothing: the
+    * two sentinels sit 3 days apart so their own interval test fails),
+    * so the per-branch watermarks keep advancing after the last real
+    * event and every real unmatched click provably flushes during the
+    * second sentinel's batch (watermark by then = sentinel1 − 1h, past
+    * every real click_ts + 1h). Sentinel output — matched or sealed-null
+    * — is dropped by the user_id >= 0 filter either way, so whether the
+    * engine flushes the sentinels' OWN state before termination is
+    * immaterial. The oracle is the batch LEFT JOIN twin.
+    */
+  def qStreamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    StreamReplay.replayEvents(spark, dir) { s =>
+      val clicks = s.filter(col("event_type") === "click" ||
+          col("user_id") < 0)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = s.filter(col("event_type") === "purchase" ||
+          col("user_id") < 0)
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+      EventStreams.attributionJoinOuter(clicks, purchases)
+    }
+      .filter(col("user_id") >= 0)
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+      .orderBy(col("click_id"), col("purchase_id"))
+
   /** q_heavy_hitters over a STREAM-MAINTAINED Count-Min store: the
     * documents table is staged as ranged chunks and streamed
     * (Trigger.AvailableNow, one file per micro-batch) through

@@ -76,6 +76,27 @@ object EventStreams {
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         col("click_ts"), col("p_ts"))
 
+  /** LEFT OUTER stream-stream interval join — the semantics the inner
+    * join above cannot express: every click emits, and a click with NO
+    * in-window purchase emits (click, NULL) — but only once the
+    * watermark proves the negative ("no purchase can ever arrive for
+    * this click"), i.e. when it passes click_ts + 1h and the buffered
+    * click's state evicts. Inner matches still emit as they occur; the
+    * null rows are the part that needs a SEALING argument, which is why
+    * this row's feed must keep advancing the watermark after the last
+    * real click (the sentinel-passthrough note on the registered query).
+    * The streaming twin of a batch LEFT JOIN on the same interval.
+    */
+  def attributionJoinOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("click_ts", "1 hour")
+      .join(purchases.withWatermark("p_ts", "1 hour"),
+        expr("""user_id = p_user
+               |AND click_ts >= p_ts - INTERVAL 1 HOUR
+               |AND click_ts < p_ts""".stripMargin),
+        "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("p_ts"))
+
   /** Incremental JSONL bulk export — the streaming form of the reference's
     * Elasticsearch `_bulk` indexing (index_to_es.py): each micro-batch is
     * written as JSONL under `outDir/batch=<epoch>/` by every executor in

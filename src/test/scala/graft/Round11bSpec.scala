@@ -94,6 +94,34 @@ class Round11bSpec extends SparkSpecBase {
       "a rule touched an item the Apriori prune should have dropped")
   }
 
+  test("stream outer join: sealed nulls equal the batch left join") {
+    val got = graft.queries.StreamQueries.qStreamOuterJoin(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+    // batch twin computed in-process (the driver re-proves it vs DuckDB)
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val want = c.join(p, col("user_id") === col("p_user") &&
+        col("click_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") < col("p_ts"), "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+    assert(got.sorted.toSeq === want.sorted.toSeq)
+    // the rows that make this an OUTER join must actually occur: sealed
+    // nulls AND genuine matches both present, no sentinel leakage
+    assert(got.count(_._2.isEmpty) > 0, "no sealed null rows — degenerated")
+    assert(got.count(_._2.isDefined) > 0, "no matches — join broke")
+    assert(got.forall(_._3 >= 0L), "sentinel leaked through the filter")
+  }
+
   test("drift psi: the injected shift is detected, the floor stays quiet") {
     val got = EventQueries.qDriftPsi(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
