@@ -163,6 +163,7 @@ object SparkEntry {
     "q_containment" -> (SimilarityQueries.qContainment _),
     "q_drift_psi" -> (EventQueries.qDriftPsi _),
     "q_stream_outer_join" -> (StreamQueries.qStreamOuterJoin _),
+    "q_shallow_clone" -> (DatalakeQueries.qShallowClone _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -2069,6 +2070,26 @@ object SparkEntry {
         |  CAST(SUM(CAST(new_price AS DECIMAL(18,2))) AS DOUBLE) AS sum_new
         |FROM d WHERE status <> 'unchanged'
         |GROUP BY status ORDER BY status""".stripMargin,
+    // the oracle replays all three clone-lifecycle snapshots from orders:
+    // a broken ref pointer (clone_at_clone), a lost/duplicated divergence
+    // row (clone_after), or source mutation (src_after) each hash-fail;
+    // the n_own_versions literals pin zero-copy + exactly-one-new-version
+    "q_shallow_clone" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |s0 AS (SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price FROM o),
+        |s1 AS (SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(CASE WHEN o_orderkey % 3 = 0
+        |        THEN o_totalprice + 5.0 ELSE o_totalprice END
+        |      AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM o)
+        |SELECT 'clone_after' AS snapshot, n_rows, sum_price,
+        |  CAST(1 AS BIGINT) AS n_own_versions FROM s1
+        |UNION ALL SELECT 'clone_at_clone', n_rows, sum_price,
+        |  CAST(0 AS BIGINT) FROM s0
+        |UNION ALL SELECT 'src_after', n_rows, sum_price,
+        |  CAST(1 AS BIGINT) FROM s0
+        |ORDER BY snapshot""".stripMargin,
     // post-vacuum facts only: v1 rows appearing, a drifted retained sum,
     // a misread evolved schema (v2 priority non-null) or a wrong surviving
     // directory count would each break the hash

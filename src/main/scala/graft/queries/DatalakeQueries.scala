@@ -598,4 +598,54 @@ object DatalakeQueries {
       .withColumn("files_after", lit(after.toLong))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** SHALLOW CLONE as a driver row (round 11 — Datalake.shallowClone):
+    * publish orders as a source table, clone it (one manifest PUT, ZERO
+    * data copied — n_own_versions = 0 at clone time proves the clone has
+    * no version dirs of its own yet still serves every source row), then
+    * DIVERGE the clone with its own publish (+5.0 on every third order)
+    * and re-read both tables. The three snapshot rows hash-pin the whole
+    * contract: clone_at_clone must equal the source (a broken ref
+    * pointer or partial copy changes n_rows/sum), clone_after must carry
+    * the modification with exactly ONE own version (copy-on-write: the
+    * divergence wrote one new version dir, nothing else), and src_after
+    * must be UNCHANGED by the clone's entire lifecycle (isolation). The
+    * oracle reconstructs all three from the orders table with the same
+    * exact-decimal sums.
+    *
+    * Scale: clone is O(1) in table size — the entire point; at 100 TB a
+    * deep copy is a day of cluster IO, a shallow clone is one PUT. The
+    * vacuum hazard (source retention can break undiverged clones) is
+    * documented on shallowClone and spec-pinned in DatalakeSpec.
+    */
+  def qShallowClone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val base = tempLakeRoot()
+    val src = base + "/orders_clone_src"
+    val dst = base + "/orders_clone_dst"
+    Datalake.publish(o, src, "1")
+    Datalake.shallowClone(spark, src, dst)
+    val ownAtClone = Datalake.listVersions(spark, dst).length
+    def snap(df: DataFrame, name: String, own: Int): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          decSum2(col("o_totalprice")).cast("double").as("sum_price"))
+        .select(lit(name).as("snapshot"), col("n_rows"), col("sum_price"),
+          lit(own.toLong).as("n_own_versions"))
+    val atClone = snap(Datalake.readPublished(spark, dst),
+      "clone_at_clone", ownAtClone)
+    Datalake.publish(
+      Datalake.readPublished(spark, dst)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(5.0))
+            .otherwise(col("o_totalprice")).as("o_totalprice")),
+      dst, "2")
+    val after = snap(Datalake.readPublished(spark, dst), "clone_after",
+      Datalake.listVersions(spark, dst).length)
+    val srcAfter = snap(Datalake.readPublished(spark, src), "src_after",
+      Datalake.listVersions(spark, src).length)
+    atClone.unionByName(after).unionByName(srcAfter)
+      .orderBy(col("snapshot"))
+  }
 }

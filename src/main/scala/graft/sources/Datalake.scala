@@ -154,9 +154,19 @@ object Datalake {
     // hdfs://-or-s3a:// root). Rename atomicity is the underlying FS's:
     // true on HDFS/local; object stores need their conditional-put — the
     // protocol still guarantees readers never resolve a partial directory.
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    swapManifest(df.sparkSession, tableRoot, s"v=$version")
+  }
+
+  /** Atomically point `tableRoot`'s MANIFEST at `token` — the one-small-
+    * PUT commit both [[publish]] (token `v=<name>`) and [[shallowClone]]
+    * (token `ref=<absolute data path>`) share.
+    */
+  private def swapManifest(spark: SparkSession, tableRoot: String,
+      token: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tableRoot)
     val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
     // rename-atomicity is the FS's, not ours: on object stores (s3a/gs/...)
     // rename is copy+delete, so a reader can hit a missing/partial MANIFEST
     // window. Warn loudly rather than silently weakening the old-or-new
@@ -168,15 +178,57 @@ object Datalake {
           "atomic rename — the manifest swap is NOT old-or-new atomic here; " +
           "use a conditional-put manifest implementation for object stores")
     }
-    val tmp = new org.apache.hadoop.fs.Path(root, s".MANIFEST.$version.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".MANIFEST.${token.hashCode.toHexString}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"v=$version\n".getBytes("UTF-8")) finally out.close()
+    try out.write(s"$token\n".getBytes("UTF-8")) finally out.close()
     val manifest = new org.apache.hadoop.fs.Path(root, "MANIFEST")
     // FileContext rename+OVERWRITE is the atomic-replace primitive
     // (plain FileSystem.rename won't overwrite; delete-then-rename would
     // open a window with no manifest at all)
     org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
       .rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Resolve a manifest token to the data directory it names: `v=<name>`
+    * is a version dir under this root, `ref=<path>` an absolute pointer
+    * into ANOTHER table's version dir (a shallow clone before its first
+    * own publish).
+    */
+  private def resolveToken(tableRoot: String, token: String): String =
+    if (token.startsWith("ref=")) token.stripPrefix("ref=")
+    else s"$tableRoot/$token"
+
+  /** SHALLOW CLONE (the Delta `CLONE ... SHALLOW` shape): make `dstRoot`
+    * a published table whose manifest points at `srcRoot`'s CURRENT data
+    * directory — zero data copied, one small manifest PUT, O(1) regardless
+    * of table size. Copy-on-write divergence is free: the clone's next
+    * [[publish]] writes its own `v=` dir and swaps its manifest, after
+    * which the two tables share history but not future. The source is
+    * never modified. The shallow-clone hazard is the real one: version
+    * dirs are immutable but not permanent — a [[vacuum]] on the SOURCE
+    * can delete the dir an undiverged clone still references (exactly
+    * Delta's documented caveat); clones that must outlive source
+    * retention should diverge (or deep-copy) first. Returns the absolute
+    * data path the clone now serves.
+    */
+  def shallowClone(spark: SparkSession, srcRoot: String,
+      dstRoot: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(srcRoot)
+    val fs = root.getFileSystem(conf)
+    val m = new org.apache.hadoop.fs.Path(root, "MANIFEST")
+    if (!fs.exists(m))
+      throw new IllegalStateException(s"no MANIFEST under $srcRoot")
+    val in = fs.open(m)
+    val token = try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+    // qualify to an absolute URI so the pointer survives any working-dir
+    // or default-FS difference between writer and reader
+    val abs = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(resolveToken(srcRoot, token))).toString
+    swapManifest(spark, dstRoot, s"ref=$abs")
+    abs
   }
 
   /** TIME TRAVEL: read a specific published version directly, bypassing
@@ -188,16 +240,25 @@ object Datalake {
       version: String): DataFrame =
     spark.read.parquet(s"$tableRoot/v=$version")
 
-  /** Read the currently-published version via the manifest. */
+  /** Read the currently-published version via the manifest (a local
+    * `v=` dir, or — for an undiverged shallow clone — the `ref=` pointer
+    * into the source's version dir).
+    */
   def readPublished(spark: SparkSession, tableRoot: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(tableRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new org.apache.hadoop.fs.Path(root, "MANIFEST"))
     val v = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-    spark.read.parquet(s"$tableRoot/$v")
+    spark.read.parquet(resolveToken(tableRoot, v))
   }
 
-  /** The manifest-current version name, if a manifest exists. */
+  /** The manifest-current version name, if a manifest exists. For an
+    * UNDIVERGED shallow clone the manifest holds a `ref=` pointer, not a
+    * local version — this returns that raw token, and version-dir-building
+    * callers (optimize, pruned reads) then fail fast on the nonexistent
+    * `v=ref=...` path rather than silently operating on the wrong dir;
+    * publish once (diverge) to give a clone local versions.
+    */
   def currentVersion(spark: SparkSession, tableRoot: String): Option[String] = {
     val root = new org.apache.hadoop.fs.Path(tableRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -369,4 +369,41 @@ class DatalakeSpec extends SparkSpecBase {
     assert(s.filesTotal === 2 && s.filesScanned === 1,
       s"range clustering should prune to 1/2 files, got ${s.filesScanned}")
   }
+
+  test("shallow clone: zero-copy serve, copy-on-write divergence, vacuum hazard") {
+    val base = Files.createTempDirectory("graft-clone").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val df = spark.range(100).select(col("id").as("k"),
+      (col("id") * 2).as("v"))
+    Datalake.publish(df, src, "1")
+    Datalake.shallowClone(spark, src, dst)
+    // zero copy: the clone has NO version dirs of its own...
+    assert(Datalake.listVersions(spark, dst).isEmpty)
+    // ...yet serves the full source row set through its own manifest
+    assert(Datalake.readPublished(spark, dst).count() === 100)
+    assert(Datalake.readPublished(spark, dst).agg(sum(col("v")))
+      .head.getLong(0) === 9900L)
+    // copy-on-write divergence: the clone's own publish rewires only the
+    // clone; the source is untouched by the clone's whole lifecycle
+    Datalake.publish(
+      Datalake.readPublished(spark, dst).filter(col("k") < 50), dst, "2")
+    assert(Datalake.listVersions(spark, dst) === Seq("2"))
+    assert(Datalake.readPublished(spark, dst).count() === 50)
+    assert(Datalake.readPublished(spark, src).count() === 100)
+    assert(Datalake.currentVersion(spark, src) === Some("1"))
+    // the documented hazard, pinned: source vacuum can strand an
+    // UNDIVERGED clone (Delta's caveat). Publish v2 to src, vacuum
+    // keepLast=1: a fresh clone made before the vacuum that still refs
+    // v1 must now fail loudly on read, not return partial data
+    val dst2 = s"$base/dst2"
+    Datalake.shallowClone(spark, src, dst2) // refs src v1
+    Datalake.publish(df.filter(col("k") >= 10), src, "2")
+    Datalake.vacuum(spark, src, keepLast = 1)
+    intercept[Exception] {
+      Datalake.readPublished(spark, dst2).count()
+    }
+    // a DIVERGED clone survives source vacuum by construction
+    assert(Datalake.readPublished(spark, dst).count() === 50)
+  }
 }
