@@ -164,6 +164,7 @@ object SparkEntry {
     "q_drift_psi" -> (EventQueries.qDriftPsi _),
     "q_stream_outer_join" -> (StreamQueries.qStreamOuterJoin _),
     "q_shallow_clone" -> (DatalakeQueries.qShallowClone _),
+    "q_stream_drift" -> (StreamQueries.qStreamDrift _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -811,6 +812,9 @@ object SparkEntry {
         // build's cells exactly, so the estimates — and the oracle — are
         // the batch row's verbatim
         "q_stream_heavy_hitters" -> staticOracleSql("q_heavy_hitters"),
+        // histogram-store fold == batch counts by count linearity, PSI
+        // tail shared verbatim → the batch oracle applies unchanged
+        "q_stream_drift" -> staticOracleSql("q_drift_psi"),
         // new-vs-history-only dedup: the union of per-epoch streamed
         // results equals one batch run, so the batch oracle is verbatim
         "q_stream_dedup_incremental" -> staticOracleSql("q_dedup_incremental"),

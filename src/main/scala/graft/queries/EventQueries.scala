@@ -334,22 +334,38 @@ object EventQueries {
     * the first aggregate; at 100 TB per-bin counts partial-combine
     * map-side and only type×bin×2 cells cross the wire.
     */
-  def qDriftPsi(spark: SparkSession, dir: String): DataFrame = {
-    val nBins = 10
-    val e = Tables.events(spark, dir)
-      .select(col("event_type"),
+  def qDriftPsi(spark: SparkSession, dir: String): DataFrame =
+    driftPsiFromCounts(
+      driftBinned(Tables.events(spark, dir))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(when(col("cohort") === 0L, 1)).as("n0"),
+          count(when(col("cohort") === 1L, 1)).as("n1")))
+
+  /** The drift monitor's BINNING head — (event_type, cohort, bin) per
+    * event, shared verbatim by the batch row and the streaming store
+    * builder so the two can't drift: cohort by the cutoff timestamp,
+    * the constructed ×1.5 purchase shift on the current cohort, then
+    * the fixed-width IEEE divide+floor bin.
+    */
+  private[graft] def driftBinned(e: DataFrame): DataFrame =
+    e.select(col("event_type"),
         when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), 0L)
           .otherwise(1L).as("cohort"), col("value"))
       .select(col("event_type"), col("cohort"),
         when(col("cohort") === 1L && col("event_type") === "purchase",
           col("value") * 1.5).otherwise(col("value")).as("v"))
-    val binned = e.select(col("event_type"), col("cohort"),
-      least(floor(col("v") / 50.0), lit(9.0)).cast("long").as("bin"))
-    val counts = binned.groupBy(col("event_type"), col("bin"))
-      .agg(count(when(col("cohort") === 0L, 1)).as("n0"),
-        count(when(col("cohort") === 1L, 1)).as("n1"))
+      .select(col("event_type"), col("cohort"),
+        least(floor(col("v") / 50.0), lit(9.0)).cast("long").as("bin"))
+
+  /** The drift monitor's PSI TAIL over a (event_type, bin, n0, n1)
+    * counts table — dense bins, Laplace smoothing, snapped ln terms
+    * (numerics documented on [[qDriftPsi]]). Shared by the batch row and
+    * the streaming fold, whose counts are equal by count linearity.
+    */
+  private[graft] def driftPsiFromCounts(counts: DataFrame): DataFrame = {
+    val nBins = 10
     // dense bin frame: empty bins still carry their smoothed mass
-    val bins = binned.select(col("event_type")).distinct()
+    val bins = counts.select(col("event_type")).distinct()
       .select(col("event_type"),
         explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"))
     val f = bins.join(counts, Seq("event_type", "bin"), "left")

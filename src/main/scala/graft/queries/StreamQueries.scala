@@ -263,6 +263,49 @@ object StreamQueries {
     res
   }
 
+  /** q_drift_psi over a STREAM-MAINTAINED histogram store: events stream
+    * through in micro-batches and each batch's (type, bin, cohort)
+    * partial counts land as an epoch-keyed store increment (overwrite-
+    * on-replay = idempotent, the CMS-store pattern) — the continuous
+    * form of the drift gate, where the monitor's histograms accrete as
+    * the snapshot arrives instead of in one pass. The live fold is a
+    * cell-wise sum over increments, EXACT by count linearity (no
+    * ordering contract, no watermark, zero streaming state), and the PSI
+    * tail is [[EventQueries.driftPsiFromCounts]] — the batch row's code
+    * shared verbatim, so stream and batch cannot disagree on smoothing
+    * or snapping. Oracle = q_drift_psi's verbatim.
+    */
+  def qStreamDrift(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.sources.{Datalake, Tables}
+    import graft.streaming.CorpusStreams
+    val root = Files.createTempDirectory("graft-drift-replay")
+    StreamReplay.track(root)
+    val e = Tables.events(spark, dir)
+    val feed = root.resolve("feed").toString
+    e.repartitionByRange(2, col("ts"), col("event_id")).write.parquet(feed)
+    val sq = spark.newSession()
+    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = CorpusStreams.readDocFiles(sq, feed, e.schema,
+      maxFilesPerTrigger = 1)
+    stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        Datalake.writeParquet(
+          EventQueries.driftBinned(batch)
+            .groupBy(col("event_type"), col("bin"))
+            .agg(count(when(col("cohort") === 0L, 1)).as("n0"),
+              count(when(col("cohort") === 1L, 1)).as("n1")),
+          s"${root.resolve("store")}/epoch=$epoch")
+      }
+      .start().awaitTermination()
+    val folded = spark.read.parquet(root.resolve("store").toString)
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("n0")).as("n0"), sum(col("n1")).as("n1"))
+    EventQueries.driftPsiFromCounts(folded)
+  }
+
   /** q_dedup_incremental with TODAY'S batch arriving as a stream: the
     * history store is built exactly like the batch row ("yesterday's"
     * job), then the day's documents stream through
