@@ -143,6 +143,18 @@ object ScalingBench {
           col("text"), tauNum = 1, tauDen = 2).count(),
         time(graft.ops.SetJoin.prefixJaccardPairs(docs, col("doc_id"),
           col("text"), tauNum = 1, tauDen = 2))),
+      // asymmetric containment (r11): candidates = probe-prefix ×
+      // FULL-index admitted DIRECTED pairs at τ=2/3 — the indexed side
+      // posts everything, so candidate mass rides the full inverted
+      // index like ngram (e≈1 expected under a constant dup rate), while
+      // the probe prefix keeps it a fraction of the ngram row's
+      ("containment", nDocs,
+        graft.ops.SetJoin.containmentCandidates(docs, col("doc_id"),
+          col("text"), tauNum = 2, tauDen = 3).count(),
+        graft.ops.SetJoin.containmentPairs(docs, col("doc_id"),
+          col("text"), tauNum = 2, tauDen = 3).count(),
+        time(graft.ops.SetJoin.containmentPairs(docs, col("doc_id"),
+          col("text"), tauNum = 2, tauDen = 3))),
       // fuzzy join: names synthesized from doc_ids (Item#%09d over a
       // growing id space) — candidates = distinct deletion-key-sharing
       // pairs, the mass the SymSpell index admits; neighbors per id are

@@ -165,6 +165,7 @@ object SparkEntry {
     "q_stream_outer_join" -> (StreamQueries.qStreamOuterJoin _),
     "q_shallow_clone" -> (DatalakeQueries.qShallowClone _),
     "q_stream_drift" -> (StreamQueries.qStreamDrift _),
+    "q_image_phash" -> (TextQueries.qImagePhash _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -2074,6 +2075,42 @@ object SparkEntry {
         |  CAST(SUM(CAST(new_price AS DECIMAL(18,2))) AS DOUBLE) AS sum_new
         |FROM d WHERE status <> 'unchanged'
         |GROUP BY status ORDER BY status""".stripMargin,
+    // image aHash replay in byte arithmetic: pixel (r,c) of the 32-wide
+    // pad-0 gray image IS byte r*32+c, samples at the 8×8 cell centers,
+    // bit = v*64 >= Σv (ties set), chunk keys + bit-list hamming exactly
+    // as the q_simhash oracle — a codec defect on the Spark side flips
+    // bits and hash-fails here
+    "q_image_phash" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS bl FROM documents),
+        |s AS (SELECT doc_id,
+        |    greatest(1, CAST(ceil(octet_length(bl) / 32.0) AS BIGINT)) AS h,
+        |    list_transform(range(CAST(octet_length(bl) AS INT)),
+        |      i -> CAST(('0x' || substr(hex(bl), CAST(i*2+1 AS INT), 2)) AS INT))
+        |      AS bs
+        |  FROM b),
+        |v AS (SELECT doc_id,
+        |    list_transform(range(64), q ->
+        |      coalesce(bs[CAST(((2*(q//8)+1)*h)//16 * 32
+        |        + (2*(q%8)+1)*2 + 1 AS INT)], 0)) AS vq
+        |  FROM s),
+        |bits AS (SELECT doc_id,
+        |    list_transform(vq, x ->
+        |      CASE WHEN x * 64 >= list_sum(vq) THEN 1 ELSE 0 END) AS bl
+        |  FROM v),
+        |bk AS (SELECT doc_id, bl, c,
+        |    list_sum(list_transform(range(16),
+        |      i -> bl[CAST(c*16+i+1 AS INT)] * (1 << i))) AS ckey
+        |  FROM bits CROSS JOIN (SELECT unnest(range(4)) AS c)),
+        |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.bl AS ba, b.bl AS bb
+        |  FROM bk a JOIN bk b
+        |    ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id),
+        |hm AS (SELECT doc_a, doc_b,
+        |    CAST(len(list_filter(range(64), i -> ba[i+1] <> bb[i+1]))
+        |      AS BIGINT) AS hamming
+        |  FROM pr)
+        |SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // the oracle replays all three clone-lifecycle snapshots from orders:
     // a broken ref pointer (clone_at_clone), a lost/duplicated divergence
     // row (clone_after), or source mutation (src_after) each hash-fail;

@@ -165,13 +165,25 @@ object Dedup {
     * interesting pairs sit well below hamming 4 anyway.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 12): DataFrame = {
-    val sh = withSimhash(df.select(id.as("doc_id"), text.as("__text")), col("__text"))
-      .select(col("doc_id"), col("simhash"))
-    val buckets = sh.select(col("doc_id"), col("simhash"),
+      maxHamming: Int = 12): DataFrame =
+    hammingPairs64(
+      withSimhash(df.select(id.as("doc_id"), text.as("__text")), col("__text"))
+        .select(col("doc_id"), col("simhash")),
+      col("doc_id"), col("simhash"), maxHamming)
+
+  /** Hamming-ball candidate join over ANY 64-bit fingerprint column —
+    * the bucket/verify spine simhashPairs always used, factored out so
+    * other 64-bit signatures (the image aHash) share it: bucket on the
+    * four 16-bit chunks (pigeonhole-complete below hamming 4), verify
+    * with exact bit_count(xor). One shuffle on the chunk key.
+    */
+  def hammingPairs64(sh: DataFrame, id: Column, hash: Column,
+      maxHamming: Int): DataFrame = {
+    val buckets = sh.select(id.as("doc_id"), hash.as("__h"))
+      .select(col("doc_id"), col("__h"),
         explode(expr("transform(sequence(0, 3), c -> " +
-          "struct(c AS chunk, CAST(shiftright(simhash, c*16) & 65535 AS INT) AS ckey))")).as("bk"))
-      .select(col("doc_id"), col("simhash"),
+          "struct(c AS chunk, CAST(shiftright(__h, c*16) & 65535 AS INT) AS ckey))")).as("bk"))
+      .select(col("doc_id"), col("__h"),
         col("bk.chunk").as("chunk"), col("bk.ckey").as("ckey"))
     val a = buckets.as("a")
     val b = buckets.as("b")
@@ -179,7 +191,7 @@ object Dedup {
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+        expr("bit_count(a.__h ^ b.__h)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(min(col("hamming")).as("hamming"))

@@ -315,6 +315,54 @@ object Multimodal {
       }(enc)
   }
 
+  /** 64-bit perceptual AVERAGE HASH (aHash) per image: payload → real PNG
+    * encode → real JDK decode → 8×8 nearest-neighbor downsample of the
+    * decoded raster (sample at the cell centers — never-empty even for
+    * images shorter than 8 rows, which this corpus's 2-19-row images
+    * are) → one bit per sample, set iff sample ≥ the 64-sample mean
+    * (compared as v·64 ≥ Σv: exact integers, ties set the bit — the same
+    * rule the oracle replays). The standard image-dedup fingerprint
+    * (aHash; pHash's DCT sibling) with the codec step REAL: a decode
+    * defect — color transform, padding, truncation — flips bits and
+    * hash-fails downstream. mapPartitions, no shuffle, one pass.
+    */
+  def pngAHash64(df: DataFrame, idCol: String, width: Int = 32): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val png = encodeGrayPng(bytes, width)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          val ras = img.getRaster
+          val w = img.getWidth
+          val h = img.getHeight
+          val v = new Array[Long](64)
+          var tot = 0L
+          var q = 0
+          while (q < 64) {
+            val rr = (((2 * (q / 8) + 1) * h) / 16).toInt
+            val cc = ((2 * (q % 8) + 1) * w) / 16
+            v(q) = ras.getSample(cc, rr, 0).toLong
+            tot += v(q)
+            q += 1
+          }
+          var hash = 0L
+          q = 0
+          while (q < 64) {
+            if (v(q) * 64L >= tot) hash |= (1L << q)
+            q += 1
+          }
+          Row(id, hash)
+        }
+      }(enc)
+  }
+
   // ---- real audio path: WAV PCM through javax.sound ----
 
   /** Encode raw bytes as an 8-bit unsigned mono PCM WAV at `sampleRate` —

@@ -175,14 +175,31 @@ object SetJoin {
     * 100 TB like every bucketed family.
     */
   def containmentPairs(df: DataFrame, id: Column, text: Column,
-      tauNum: Int, tauDen: Int): DataFrame = {
+      tauNum: Int, tauDen: Int): DataFrame =
+    containmentCore(df, id, text, tauNum, tauDen, verify = true)
+
+  /** The CANDIDATE pairs the asymmetric prefix admits (verification
+    * disabled) — the join-mass evidence for the scaling table, the
+    * [[prefixCandidates]] twin.
+    */
+  private[graft] def containmentCandidates(df: DataFrame, id: Column,
+      text: Column, tauNum: Int, tauDen: Int): DataFrame =
+    containmentCore(df, id, text, tauNum, tauDen, verify = false)
+
+  private def containmentCore(df: DataFrame, id: Column, text: Column,
+      tauNum: Int, tauDen: Int, verify: Boolean): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be in (0, 1]: $tauNum/$tauDen")
-    val postings = graft.ops.Checkpoints.checkpoint(
-      df.select(id.as("doc_id"),
-          graft.functions.text.wordShingleHashes(text, 3).as("__sh"))
-        .select(col("doc_id"), size(col("__sh")).cast("long").as("n"),
-          explode(col("__sh")).as("shingle")))
+    // same checkpoint discipline as the Jaccard core: the production path
+    // materializes the postings (ranked/prefix AND the full indexed side
+    // read them), the diagnostic candidates path stays lazy
+    val rawPostings = df.select(id.as("doc_id"),
+        graft.functions.text.wordShingleHashes(text, 3).as("__sh"))
+      .select(col("doc_id"), size(col("__sh")).cast("long").as("n"),
+        explode(col("__sh")).as("shingle"))
+    val postings =
+      if (verify) graft.ops.Checkpoints.checkpoint(rawPostings)
+      else rawPostings
     val wDf = Window.partitionBy(col("shingle"))
     val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("__df"), col("shingle"))
@@ -201,22 +218,25 @@ object SetJoin {
         lit(tauDen.toLong) * col("n_b") >= lit(tauNum.toLong) * col("n_a"))
       .select(col("doc_a"), col("doc_b"), col("n_a"))
       .distinct()
-    val sets = df.select(id.cast("long").as("__sid"),
-      graft.functions.text.wordShingleHashes(text, 3).as("__set"))
-    val result = cand
-      .join(sets.select(col("__sid").as("doc_a"), col("__set").as("__set_a")),
-        "doc_a")
-      .join(sets.select(col("__sid").as("doc_b"), col("__set").as("__set_b")),
-        "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("n_a"),
-        size(array_intersect(col("__set_a"), col("__set_b")))
-          .cast("long").as("__inter"))
-      .filter(lit(tauDen.toLong) * col("__inter") >=
-        lit(tauNum.toLong) * col("n_a"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("__inter").cast("double") / col("n_a")).as("containment"))
-    val res = graft.ops.Checkpoints.checkpoint(result)
-    graft.ops.Checkpoints.release(postings)
-    res
+    if (!verify) cand.select(col("doc_a"), col("doc_b"))
+    else {
+      val sets = df.select(id.cast("long").as("__sid"),
+        graft.functions.text.wordShingleHashes(text, 3).as("__set"))
+      val result = cand
+        .join(sets.select(col("__sid").as("doc_a"), col("__set").as("__set_a")),
+          "doc_a")
+        .join(sets.select(col("__sid").as("doc_b"), col("__set").as("__set_b")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_a"),
+          size(array_intersect(col("__set_a"), col("__set_b")))
+            .cast("long").as("__inter"))
+        .filter(lit(tauDen.toLong) * col("__inter") >=
+          lit(tauNum.toLong) * col("n_a"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("__inter").cast("double") / col("n_a")).as("containment"))
+      val res = graft.ops.Checkpoints.checkpoint(result)
+      graft.ops.Checkpoints.release(postings)
+      res
+    }
   }
 }

@@ -441,6 +441,30 @@ object TextQueries {
       .withColumnRenamed("media_id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** IMAGE near-dup pairs by perceptual hash (round 11 — the image-dedup
+    * shape of every multimodal training pipeline): each document's
+    * payload round-trips through a REAL PNG encode → JDK decode, the
+    * decoded raster yields a 64-bit average hash
+    * (ops.Multimodal.pngAHash64 — 8×8 center-sample downsample, bit =
+    * sample ≥ mean in exact integers), and pairs come from the SHARED
+    * hamming-ball bucket join (Dedup.hammingPairs64 — the simhash
+    * spine over a different signature). Hamming ≤ 8 keeps true visual
+    * near-dups; identical payloads land at hamming 0. Exact-oracled:
+    * DuckDB replays pixel sampling from the raw bytes (pad-0, the
+    * q_image_thumbnail byte-arithmetic discipline), the threshold rule
+    * v·64 ≥ Σv, the four 16-bit bucket keys and the bit-list hamming —
+    * so BOTH the codec round-trip and the banding completeness are
+    * hash-proven every round. Scale: decode is a linear shuffle-free
+    * scan; the pair stage is bucketed, never all-pairs.
+    */
+  def qImagePhash(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.hammingPairs64(
+        graft.ops.Multimodal.pngAHash64(
+          graft.ops.Multimodal.withPayload(Tables.documents(spark, dir),
+            "text"), "doc_id"),
+        col("doc_id"), col("ahash"), maxHamming = 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   def qVideoFrames(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.mjpegFrameStats(
         graft.ops.Multimodal.withPayload(Tables.documents(spark, dir), "text"),

@@ -273,4 +273,49 @@ class MultimodalSpec extends SparkSpecBase {
     assert(full.getDouble(5) === 120.0)
     assert(math.abs(full.getDouble(6) - 120.0) <= 4.0)
   }
+
+  test("aHash: equals the byte-arithmetic reference; near-dups land close") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val base = ("The quick brown fox jumps over the lazy dog. " * 8).trim
+    // doc 2 = doc 1 verbatim; doc 3 = one flipped char (near-dup image);
+    // doc 4 = unrelated
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, base.updated(10, 'X')),
+      (4L, ("Entirely different pixels here! " * 12).trim))
+      .toDF("doc_id", "text")
+    val got = Multimodal.pngAHash64(
+        Multimodal.withPayload(docs, "text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // byte-arithmetic reference: decode must reproduce the source bytes,
+    // so the hash is a pure function of them (the round-trip proof at
+    // the hash level)
+    def ref(text: String): Long = {
+      val bytes = text.getBytes("UTF-8")
+      val h = math.max(1, (bytes.length + 31) / 32)
+      val v = (0 until 64).map { q =>
+        val rr = ((2 * (q / 8) + 1) * h) / 16
+        val cc = (2 * (q % 8) + 1) * 2
+        val i = rr * 32 + cc
+        if (i < bytes.length) (bytes(i) & 0xff).toLong else 0L
+      }
+      val tot = v.sum
+      v.zipWithIndex.foldLeft(0L) { case (acc, (x, q)) =>
+        if (x * 64L >= tot) acc | (1L << q) else acc
+      }
+    }
+    assert(got(1L) === ref(base))
+    assert(got(4L) === ref(("Entirely different pixels here! " * 12).trim))
+    // identical payloads → identical hashes (hamming 0)
+    assert(got(1L) === got(2L))
+    // a one-char edit moves at most a couple of sampled cells
+    assert(java.lang.Long.bitCount(got(1L) ^ got(3L)) <= 4)
+    // the pair stage finds the dup pair at hamming 0 through the buckets
+    val pairs = graft.ops.Dedup.hammingPairs64(
+        Multimodal.pngAHash64(Multimodal.withPayload(docs, "text"), "doc_id"),
+        col("doc_id"), col("ahash"), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 === 1L && p._2 === 2L && p._3 === 0L))
+  }
 }
