@@ -448,14 +448,20 @@ object TextQueries {
     * (ops.Multimodal.pngAHash64 — 8×8 center-sample downsample, bit =
     * sample ≥ mean in exact integers), and pairs come from the SHARED
     * hamming-ball bucket join (Dedup.hammingPairs64 — the simhash
-    * spine over a different signature). Hamming ≤ 8 keeps true visual
-    * near-dups; identical payloads land at hamming 0. Exact-oracled:
-    * DuckDB replays pixel sampling from the raw bytes (pad-0, the
-    * q_image_thumbnail byte-arithmetic discipline), the threshold rule
-    * v·64 ≥ Σv, the four 16-bit bucket keys and the bit-list hamming —
-    * so BOTH the codec round-trip and the banding completeness are
-    * hash-proven every round. Scale: decode is a linear shuffle-free
-    * scan; the pair stage is bucketed, never all-pairs.
+    * spine over a different signature). Identical payloads land at
+    * hamming 0. Recall contract is the banding's, stated honestly (the
+    * simhashPairs doc): the four 16-bit chunks are pigeonhole-COMPLETE
+    * only below hamming 4; pairs at 4..8 surface iff their flipped bits
+    * leave some chunk untouched — the interesting visual dups sit well
+    * below 4 anyway, and hamming-0 exact copies always bucket together.
+    * Exact-oracled: DuckDB replays pixel sampling from the raw bytes
+    * (pad-0, the q_image_thumbnail byte-arithmetic discipline), the
+    * threshold rule v·64 ≥ Σv, the same four bucket keys and the
+    * bit-list hamming — the hash proves the codec round-trip and
+    * cross-engine CONSISTENCY of the banding (both engines admit the
+    * same candidate set), not completeness beyond the pigeonhole radius.
+    * Scale: decode is a linear shuffle-free scan; the pair stage is
+    * bucketed, never all-pairs.
     */
   def qImagePhash(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.hammingPairs64(

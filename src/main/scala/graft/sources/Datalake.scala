@@ -178,8 +178,13 @@ object Datalake {
           "atomic rename — the manifest swap is NOT old-or-new atomic here; " +
           "use a conditional-put manifest implementation for object stores")
     }
+    // per-attempt unique tmp name: a token-derived name (32-bit hashCode,
+    // or even the raw version) lets two concurrent writers of COLLIDING
+    // names create/overwrite each other's tmp before the rename, silently
+    // installing the wrong token — a UUID makes cross-writer tmp
+    // interference impossible and the rename below stays the only commit
     val tmp = new org.apache.hadoop.fs.Path(root,
-      s".MANIFEST.${token.hashCode.toHexString}.tmp")
+      s".MANIFEST.${java.util.UUID.randomUUID().toString}.tmp")
     val out = fs.create(tmp, true)
     try out.write(s"$token\n".getBytes("UTF-8")) finally out.close()
     val manifest = new org.apache.hadoop.fs.Path(root, "MANIFEST")
@@ -254,22 +259,34 @@ object Datalake {
 
   /** The manifest-current version name, if a manifest exists. For an
     * UNDIVERGED shallow clone the manifest holds a `ref=` pointer, not a
-    * local version — this returns that raw token, and version-dir-building
-    * callers (optimize, pruned reads) then fail fast on the nonexistent
-    * `v=ref=...` path rather than silently operating on the wrong dir;
-    * publish once (diverge) to give a clone local versions.
+    * local version — this returns that raw token (callers that need the
+    * DATA directory should use [[currentDataPath]], which resolves both
+    * forms).
     */
-  def currentVersion(spark: SparkSession, tableRoot: String): Option[String] = {
+  def currentVersion(spark: SparkSession, tableRoot: String): Option[String] =
+    manifestToken(spark, tableRoot).map(_.stripPrefix("v="))
+
+  /** The raw manifest token (`v=<name>` or `ref=<path>`), if a manifest
+    * exists. */
+  private def manifestToken(spark: SparkSession,
+      tableRoot: String): Option[String] = {
     val root = new org.apache.hadoop.fs.Path(tableRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m = new org.apache.hadoop.fs.Path(root, "MANIFEST")
     if (!fs.exists(m)) None
     else {
       val in = fs.open(m)
-      val v = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-      Some(v.stripPrefix("v="))
+      Some(try new String(in.readAllBytes(), "UTF-8").trim finally in.close())
     }
   }
+
+  /** The data directory the manifest currently serves — resolves BOTH
+    * token forms, so version-dir-consuming operations (pruned reads,
+    * OPTIMIZE) work on an undiverged shallow clone too, instead of
+    * failing on a fabricated `v=ref=...` path.
+    */
+  def currentDataPath(spark: SparkSession, tableRoot: String): Option[String] =
+    manifestToken(spark, tableRoot).map(resolveToken(tableRoot, _))
 
   /** Published version names under `tableRoot`, oldest → newest. Numeric
     * versions order numerically (so "10" is newer than "9" — epoch or
@@ -419,7 +436,11 @@ object Datalake {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val cur = currentVersion(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
-    val df0 = readVersion(spark, tableRoot, cur)
+    // currentDataPath, not a hand-built v= dir: on an UNDIVERGED shallow
+    // clone the manifest is a ref= pointer and OPTIMIZE-on-clone is that
+    // clone's first divergence (a compacted local v1; the source stays
+    // untouched)
+    val df0 = spark.read.parquet(currentDataPath(spark, tableRoot).get)
     val df =
       if (clusterBy.nonEmpty)
         df0.repartitionByRange(nFiles, clusterBy.map(org.apache.spark.sql
@@ -429,7 +450,9 @@ object Datalake {
     val numeric = versions.filter(v =>
       v.nonEmpty && v.forall(_.isDigit) && v.length <= 18).map(_.toLong)
     val newV =
-      if (numeric.nonEmpty) (numeric.max + 1).toString else s"$cur-optimized"
+      if (numeric.nonEmpty) (numeric.max + 1).toString
+      else if (cur.startsWith("ref=")) "1" // clone's first own version
+      else s"$cur-optimized"
     publish(df, tableRoot, newV, Nil, statsCols)
     newV
   }
@@ -592,9 +615,11 @@ object Datalake {
     */
   def readPublishedPruned(spark: SparkSession, tableRoot: String,
       column: String, lo: Double, hi: Double): PrunedScan = {
-    val v = currentVersion(spark, tableRoot).getOrElse(
+    // resolves ref= tokens too: an undiverged shallow clone prunes with
+    // the SOURCE version's stats sidecar (stats live inside the version
+    // dir, so the pointer carries them along for free)
+    val dataPath = currentDataPath(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
-    val dataPath = s"$tableRoot/v=$v"
     val stats = readFileStats(spark, dataPath)
     require(stats.nonEmpty,
       s"no $StatsFile under $dataPath — publish with statsCols to prune")

@@ -392,6 +392,26 @@ class DatalakeSpec extends SparkSpecBase {
     assert(Datalake.readPublished(spark, dst).count() === 50)
     assert(Datalake.readPublished(spark, src).count() === 100)
     assert(Datalake.currentVersion(spark, src) === Some("1"))
+    // version-dir consumers resolve the ref= token too: an UNDIVERGED
+    // clone of a stats-published table prunes with the source's sidecar,
+    // and OPTIMIZE-on-clone is that clone's first divergence (local v1;
+    // source untouched)
+    val src3 = s"$base/src3"
+    val dst3 = s"$base/dst3"
+    Datalake.publish(df.repartitionByRange(2, col("k")), src3, "1",
+      Nil, Seq("k"))
+    Datalake.shallowClone(spark, src3, dst3)
+    val pruned = Datalake.readPublishedPruned(spark, dst3, "k", 0, 10)
+    assert(pruned.filesTotal === 2 && pruned.filesScanned === 1,
+      s"undiverged clone must prune via the source sidecar, " +
+        s"got ${pruned.filesScanned}/${pruned.filesTotal}")
+    val newV = Datalake.optimize(spark, dst3, nFiles = 1)
+    assert(newV === "1", s"clone's first own version expected, got $newV")
+    assert(Datalake.listVersions(spark, dst3) === Seq("1"))
+    assert(Datalake.readPublished(spark, dst3).count() === 100)
+    assert(Datalake.currentVersion(spark, src3) === Some("1") &&
+      Datalake.listVersions(spark, src3) === Seq("1"),
+      "optimize-on-clone must not touch the source")
     // the documented hazard, pinned: source vacuum can strand an
     // UNDIVERGED clone (Delta's caveat). Publish v2 to src, vacuum
     // keepLast=1: a fresh clone made before the vacuum that still refs
