@@ -152,7 +152,11 @@ object Bench {
     */
   private def streamHygiene(spark: SparkSession, after: String): Unit = {
     if (!after.startsWith("q_stream")) return
-    val active = spark.streams.active
+    // across ALL sessions: StreamingQueryManager is per-session state and
+    // every stream row runs on a StreamReplay.subSession — the root
+    // session's `streams.active` is empty BY CONSTRUCTION and auditing
+    // only it made this check dead code (review finding)
+    val active = graft.streaming.StreamReplay.activeStreamsAnywhere(spark)
     if (active.nonEmpty) {
       System.err.println(
         s"BENCH HYGIENE VIOLATION after $after: ${active.length} stream(s) " +

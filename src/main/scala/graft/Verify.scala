@@ -36,7 +36,15 @@ object Verify {
     // oracle-keys-only fallback would silently pass over the missing dirs
     val selected = only match {
       case None => SparkEntry.queries
-      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case Some(names) =>
+        // loud on typos: a silently-empty selection writes an empty
+        // manifest, dumps nothing, and exits clean — the developer
+        // concludes the query verified when nothing ran (review finding)
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+            s"— check SparkEntry.queries")
+        SparkEntry.queries.view.filterKeys(names).toMap
     }
     Files.writeString(Paths.get(s"$outDir/queries.txt"),
       selected.keys.toSeq.sorted.mkString("", "\n", "\n"))

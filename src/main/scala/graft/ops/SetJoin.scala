@@ -114,9 +114,13 @@ object SetJoin {
       // codegen'd hash-set probe per pair, O(n_a + n_b). The sets frame
       // is doc-sized (one array per doc): AQE broadcasts it at bench
       // scale; at 100 TB it shuffle-joins on the doc key, rows still
-      // ∝ candidates, never candidates × set size.
-      val sets = df.select(id.cast("long").as("__sid"),
-        graft.functions.text.wordShingleHashes(text, 3).as("__set"))
+      // ∝ candidates, never candidates × set size. Rebuilt FROM THE
+      // CHECKPOINTED POSTINGS (one doc-keyed fold) — deriving it from
+      // the raw corpus would re-run the scan+shingle+hash twice more,
+      // exactly the re-derivation the checkpoint above exists to
+      // prevent (review finding).
+      val sets = postings.groupBy(col("doc_id").as("__sid"))
+        .agg(collect_list(col("shingle")).as("__set"))
       cand
         .join(sets.select(col("__sid").as("doc_a"), col("__set").as("__set_a")),
           "doc_a")
@@ -220,8 +224,10 @@ object SetJoin {
       .distinct()
     if (!verify) cand.select(col("doc_a"), col("doc_b"))
     else {
-      val sets = df.select(id.cast("long").as("__sid"),
-        graft.functions.text.wordShingleHashes(text, 3).as("__set"))
+      // sets from the checkpointed postings, not the raw corpus — the
+      // same no-re-derivation rule as the Jaccard core
+      val sets = postings.groupBy(col("doc_id").as("__sid"))
+        .agg(collect_list(col("shingle")).as("__set"))
       val result = cand
         .join(sets.select(col("__sid").as("doc_a"), col("__set").as("__set_a")),
           "doc_a")

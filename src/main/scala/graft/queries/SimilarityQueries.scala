@@ -327,8 +327,7 @@ object SimilarityQueries {
     graft.streaming.StreamReplay.track(root)
     val feed = root.resolve("feed").toString
     c.repartitionByRange(2, col("id")).write.parquet(feed)
-    val sq = spark.newSession()
-    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    val sq = graft.streaming.StreamReplay.subSession(spark)
     graft.streaming.IndexStreams.ivfStoreStream(
         graft.streaming.CorpusStreams.readDocFiles(sq, feed, c.schema,
           maxFilesPerTrigger = 1),

@@ -245,8 +245,7 @@ object StreamQueries {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val feed = root.resolve("feed").toString
     docs.repartitionByRange(2, col("doc_id")).write.parquet(feed)
-    val sq = spark.newSession()
-    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    val sq = StreamReplay.subSession(spark)
     val stream = CorpusStreams.readDocFiles(sq, feed, docs.schema,
       maxFilesPerTrigger = 1)
     CorpusStreams.cmsStream(stream, root.resolve("store").toString,
@@ -284,8 +283,7 @@ object StreamQueries {
     val e = Tables.events(spark, dir)
     val feed = root.resolve("feed").toString
     e.repartitionByRange(2, col("ts"), col("event_id")).write.parquet(feed)
-    val sq = spark.newSession()
-    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    val sq = StreamReplay.subSession(spark)
     val stream = CorpusStreams.readDocFiles(sq, feed, e.schema,
       maxFilesPerTrigger = 1)
     stream.writeStream
@@ -334,8 +332,7 @@ object StreamQueries {
     // today's docs arrive as a 2-chunk file stream
     val feed = root.resolve("feed").toString
     today.repartitionByRange(2, col("doc_id")).write.parquet(feed)
-    val sq = spark.newSession()
-    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    val sq = StreamReplay.subSession(spark)
     val resDir = root.resolve("res").toString
     CorpusStreams.incrementalDedupStream(
         CorpusStreams.readDocFiles(sq, feed, today.schema,
@@ -386,8 +383,7 @@ object StreamQueries {
           col("value"), unix_micros(col("ts")).as("ts_us"))
         .repartition(3),
       bulkDir)
-    val sq = spark.newSession()
-    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    val sq = StreamReplay.subSession(spark)
     val usagePath = root.resolve("usage").toString
     DatalakeStreams.runBackfill(
         DatalakeStreams.readRawStream(sq, bulkDir, maxFilesPerTrigger = 1),
@@ -423,8 +419,7 @@ object StreamQueries {
           col("value"), unix_micros(col("ts")).as("ts_us"))
         .repartition(3),
       bulkDir)
-    val sq = spark.newSession()
-    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    val sq = StreamReplay.subSession(spark)
     val tableRoot = root.resolve("usage_table").toString
     DatalakeStreams.runPublishingBackfill(
         DatalakeStreams.readRawStream(sq, bulkDir, maxFilesPerTrigger = 1),
@@ -463,8 +458,7 @@ object StreamQueries {
     // today's vectors as a 2-chunk stream
     val feed = root.resolve("feed").toString
     today.repartitionByRange(2, col("id")).write.parquet(feed)
-    val sq = spark.newSession()
-    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    val sq = StreamReplay.subSession(spark)
     val labelsDir = root.resolve("labels_inc").toString
     ClusterStreams.incrementalClusterStream(
         CorpusStreams.readDocFiles(sq, feed, today.schema,

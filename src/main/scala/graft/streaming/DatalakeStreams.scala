@@ -51,16 +51,31 @@ object DatalakeStreams {
     */
   def runBackfill(raw: DataFrame, fmtPath: String, usagePath: String,
       checkpoint: String): StreamingQuery =
+    backfill(raw, fmtPath, checkpoint) { (usage, _) =>
+      Datalake.writeParquet(usage, usagePath)
+    }
+
+  /** The ONE micro-batch DAG body (coerce → append formatted → read-back
+    * keep-last dedup → usage aggregate) with the per-epoch usage SINK as
+    * the only variation point — runBackfill overwrites a plain path,
+    * runPublishingBackfill publishes an epoch-named manifest version.
+    * Hand-copying the chain into each variant is how the batch-stream
+    * agreement contract desynchronizes silently (review finding): a new
+    * coercion step or dedup key added to one body would quietly fork
+    * "formatted" semantics between the two.
+    */
+  private def backfill(raw: DataFrame, fmtPath: String, checkpoint: String)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (increment: Dataset[Row], _: Long) =>
+      .foreachBatch { (increment: Dataset[Row], batchId: Long) =>
         val spark = increment.sparkSession
         DatalakeQueries.coerceRaw(increment).drop("value")
           .write.mode(SaveMode.Append)
           .option("compression", "snappy").parquet(fmtPath)
         val fmt = DatalakeQueries.dedupKeepLast(spark.read.parquet(fmtPath))
-        Datalake.writeParquet(DatalakeQueries.usageStats(fmt), usagePath)
+        sink(DatalakeQueries.usageStats(fmt), batchId)
         ()
       }
       .start()
@@ -84,18 +99,7 @@ object DatalakeStreams {
     */
   def runPublishingBackfill(raw: DataFrame, fmtPath: String,
       tableRoot: String, checkpoint: String): StreamingQuery =
-    raw.writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (increment: Dataset[Row], batchId: Long) =>
-        val spark = increment.sparkSession
-        DatalakeQueries.coerceRaw(increment).drop("value")
-          .write.mode(SaveMode.Append)
-          .option("compression", "snappy").parquet(fmtPath)
-        val fmt = DatalakeQueries.dedupKeepLast(spark.read.parquet(fmtPath))
-        Datalake.publish(DatalakeQueries.usageStats(fmt), tableRoot,
-          batchId.toString)
-        ()
-      }
-      .start()
+    backfill(raw, fmtPath, checkpoint) { (usage, batchId) =>
+      Datalake.publish(usage, tableRoot, batchId.toString)
+    }
 }

@@ -57,6 +57,35 @@ object StreamReplay {
     * other replay-style queries, e.g. the CMS store replay). */
   def track(root: Path): Unit = { reaper; roots.add(root) }
 
+  // Every streaming sub-session this JVM created. StreamingQueryManager
+  // is PER-SESSION state (SparkSession.streams = its SessionState's
+  // manager), so a hygiene check on the root session's `streams.active`
+  // can never see a stream started here — the round-10 bench hygiene
+  // feature was dead code until it enumerated these too.
+  private val subSessions =
+    new java.util.concurrent.ConcurrentLinkedQueue[SparkSession]()
+
+  /** The one way the engine makes a streaming sub-session: smaller
+    * shuffle width (the state-store-commit argument on
+    * [[runIncarnation]]) and REGISTERED, so [[activeStreamsAnywhere]]
+    * can audit it later.
+    */
+  def subSession(spark: SparkSession): SparkSession = {
+    val sq = spark.newSession()
+    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    subSessions.add(sq)
+    sq
+  }
+
+  /** Active StreamingQueries across the root session AND every
+    * registered sub-session — the set a leak check must actually look
+    * at. */
+  def activeStreamsAnywhere(root: SparkSession)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    import scala.jdk.CollectionConverters._
+    (root +: subSessions.asScala.toSeq).flatMap(_.streams.active).distinct
+  }
+
   private lazy val reaper: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       roots.forEach { r =>
@@ -165,8 +194,7 @@ object StreamReplay {
   private def runIncarnation[O](spark: SparkSession, feedPath: String,
       root: Path, op: Dataset[Event] => Dataset[O],
       rocksDb: Boolean = false): Unit = {
-    val sq = spark.newSession()
-    sq.conf.set("spark.sql.shuffle.partitions", "8")
+    val sq = subSession(spark)
     if (rocksDb) sq.conf.set(
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

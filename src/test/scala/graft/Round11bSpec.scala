@@ -122,6 +122,34 @@ class Round11bSpec extends SparkSpecBase {
     assert(got.forall(_._3 >= 0L), "sentinel leaked through the filter")
   }
 
+  test("stream hygiene sees sub-session streams the root session cannot") {
+    import java.nio.file.Files
+    import graft.streaming.StreamReplay
+    val root = Files.createTempDirectory("graft-hygiene")
+    StreamReplay.track(root)
+    val feed = root.resolve("feed")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.parquet(feed.toString)
+    val sq = StreamReplay.subSession(spark)
+    val q = sq.readStream.schema("id LONG, v STRING").parquet(feed.toString)
+      .writeStream.format("noop")
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .start()
+    try {
+      // the defect this pins: StreamingQueryManager is per-session, so a
+      // leak check on the ROOT session's manager is blind to every stream
+      // the engine actually starts (all run on subSessions)
+      assert(!spark.streams.active.map(_.id).contains(q.id),
+        "root manager unexpectedly sees the sub-session stream — if Spark " +
+          "changed this, simplify activeStreamsAnywhere")
+      assert(StreamReplay.activeStreamsAnywhere(spark).map(_.id)
+        .contains(q.id),
+        "activeStreamsAnywhere must see the sub-session stream")
+    } finally q.stop()
+    assert(!StreamReplay.activeStreamsAnywhere(spark).map(_.id)
+      .contains(q.id))
+  }
+
   test("drift psi: the injected shift is detected, the floor stays quiet") {
     val got = EventQueries.qDriftPsi(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
