@@ -114,13 +114,17 @@ object SetJoin {
       // codegen'd hash-set probe per pair, O(n_a + n_b). The sets frame
       // is doc-sized (one array per doc): AQE broadcasts it at bench
       // scale; at 100 TB it shuffle-joins on the doc key, rows still
-      // ∝ candidates, never candidates × set size. Rebuilt FROM THE
-      // CHECKPOINTED POSTINGS (one doc-keyed fold) — deriving it from
-      // the raw corpus would re-run the scan+shingle+hash twice more,
-      // exactly the re-derivation the checkpoint above exists to
-      // prevent (review finding).
-      val sets = postings.groupBy(col("doc_id").as("__sid"))
-        .agg(collect_list(col("shingle")).as("__set"))
+      // ∝ candidates, never candidates × set size. Derived from the RAW
+      // CORPUS deliberately, not folded off the checkpointed postings:
+      // the obvious "reuse the checkpoint" refactor (groupBy(doc_id)
+      // .collect_list over the exploded postings) replaces one cheap
+      // shuffle-FREE codegen scan (shingle arrays materialize in the
+      // scan itself) with a full postings-mass shuffle — measured 2.98s
+      // → 9.51s on this family at the ×10 corpus. The checkpoint's job
+      // is de-duplicating the EXPLODED-posting subtrees (ranked/prefix/
+      // indexed); the array-per-doc frame was never exploded.
+      val sets = df.select(id.cast("long").as("__sid"),
+        graft.functions.text.wordShingleHashes(text, 3).as("__set"))
       cand
         .join(sets.select(col("__sid").as("doc_a"), col("__set").as("__set_a")),
           "doc_a")
@@ -224,10 +228,11 @@ object SetJoin {
       .distinct()
     if (!verify) cand.select(col("doc_a"), col("doc_b"))
     else {
-      // sets from the checkpointed postings, not the raw corpus — the
-      // same no-re-derivation rule as the Jaccard core
-      val sets = postings.groupBy(col("doc_id").as("__sid"))
-        .agg(collect_list(col("shingle")).as("__set"))
+      // raw-corpus sets, same reasoning as the Jaccard core: the shingle
+      // arrays materialize shuffle-free in a codegen scan; folding them
+      // off the checkpointed postings costs a postings-mass shuffle
+      val sets = df.select(id.cast("long").as("__sid"),
+        graft.functions.text.wordShingleHashes(text, 3).as("__set"))
       val result = cand
         .join(sets.select(col("__sid").as("doc_a"), col("__set").as("__set_a")),
           "doc_a")

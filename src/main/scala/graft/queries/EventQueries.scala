@@ -368,14 +368,18 @@ object EventQueries {
     val bins = counts.select(col("event_type")).distinct()
       .select(col("event_type"),
         explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"))
-    val f = bins.join(counts, Seq("event_type", "bin"), "left")
+    // both joins are bookkeeping-sized (types × bins cells) but sit
+    // downstream of aggregates whose size estimates are unknown — without
+    // the explicit hints a narrow session plans them sort-merge (caught by
+    // the PlanAuditSpec pin)
+    val f = bins.join(broadcast(counts), Seq("event_type", "bin"), "left")
       .select(col("event_type"), col("bin"),
         coalesce(col("n0"), lit(0L)).as("n0"),
         coalesce(col("n1"), lit(0L)).as("n1"))
     val tot = f.groupBy(col("event_type"))
       .agg(sum(col("n0")).as("t0"), sum(col("n1")).as("t1"))
     val G = 65536.0 // 2^16
-    val terms = f.join(tot, "event_type")
+    val terms = f.join(broadcast(tot), "event_type")
       .select(col("event_type"), col("t0"), col("t1"),
         ((col("n0") + 1L).cast("double") / (col("t0") + lit(nBins.toLong)))
           .as("p"),

@@ -225,6 +225,34 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("r11 back-half rows: drift joins broadcast, phash pairs hash-join, containment candidates never sort-merge") {
+    // drift monitor: after the one real (type, bin) aggregate everything is
+    // 50-row bookkeeping — the dense-bins/totals joins must broadcast and
+    // no window may appear (the whole tail is aggregates + tiny joins)
+    val drift = executed(graft.queries.EventQueries.qDriftPsi(spark, sfDir))
+    assert(!drift.contains("SortMergeJoin"), s"drift SMJ:\n$drift")
+    assert(!drift.contains("Window"), s"drift planned a window:\n$drift")
+    assert(drift.contains("BroadcastHashJoin"),
+      s"drift tiny joins not broadcast:\n$drift")
+    // image phash pair stage: equi-join on the 16-bit chunk key — a hash
+    // join, never nested-loop/cartesian/sort-merge
+    val phash = executed(TextQueries.qImagePhash(spark, sfDir))
+    assert(!phash.contains("SortMergeJoin") &&
+      !phash.contains("BroadcastNestedLoopJoin") &&
+      !phash.contains("CartesianProduct"), s"phash pair join shape:\n$phash")
+    // containment candidates (the un-checkpointed diagnostic exposes the
+    // real join shape the production path shares): shingle equi-join with
+    // the one-sided length filter as a join condition — hash join only
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cand = graft.ops.SetJoin.containmentCandidates(docs,
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"), 2, 3)
+    val cplan = executed(cand)
+    assert(!cplan.contains("SortMergeJoin") &&
+      !cplan.contains("CartesianProduct"),
+      s"containment candidate join shape:\n$cplan")
+  }
+
   test("diff/merge full-outer joins stay shuffled-hash, never sort-merge") {
     // full-outer can't broadcast; without the shuffle_hash hint Spark falls
     // back to SortMergeJoin — the one join shape banned from the registry
