@@ -168,9 +168,12 @@ object Bench {
     // is legitimate. What indicates a leak is GROWTH: every stream query
     // adding threads that never retire. Track the high-water mark and flag
     // only increases beyond it.
-    val threads = new Array[Thread](Thread.activeCount() * 2 + 16)
-    val n = Thread.enumerate(threads)
-    val maint = threads.take(n).count { t =>
+    // Thread.getAllStackTraces.keySet sees EVERY live thread; Thread
+    // .enumerate only walks the calling thread's group and subgroups, so
+    // state-store pools created in other groups were invisible and the
+    // high-water comparison could under-count (round-11 ADVICE).
+    import scala.jdk.CollectionConverters._
+    val maint = Thread.getAllStackTraces.keySet.asScala.count { t =>
       t != null && t.isAlive && {
         val nm = t.getName.toLowerCase
         nm.contains("state-store-maintenance") || nm.contains("rocksdb")

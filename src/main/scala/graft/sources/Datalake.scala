@@ -432,7 +432,8 @@ object Datalake {
     * [[readPublishedPruned]] effective again after the rewrite.
     */
   def optimize(spark: SparkSession, tableRoot: String, nFiles: Int,
-      clusterBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): String = {
+      clusterBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      partitionBy: Option[Seq[String]] = None): String = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val cur = currentVersion(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
@@ -440,11 +441,22 @@ object Datalake {
     // clone the manifest is a ref= pointer and OPTIMIZE-on-clone is that
     // clone's first divergence (a compacted local v1; the source stays
     // untouched)
-    val df0 = spark.read.parquet(currentDataPath(spark, tableRoot).get)
+    val dataPath = currentDataPath(spark, tableRoot).get
+    // partitionBy=None PRESERVES the current version's Hive layout
+    // (round-11 ADVICE: an OPTIMIZE that silently flattened a partitioned
+    // table kept the rows but destroyed partition-directory pruning for
+    // every later reader); Some(Nil) is the explicit flatten.
+    val parts = partitionBy.getOrElse(detectPartitionColumns(spark, dataPath))
+    val df0 = spark.read.parquet(dataPath)
+    val cf = org.apache.spark.sql.functions.col _
     val df =
       if (clusterBy.nonEmpty)
-        df0.repartitionByRange(nFiles, clusterBy.map(org.apache.spark.sql
-          .functions.col): _*)
+        df0.repartitionByRange(nFiles, clusterBy.map(cf): _*)
+      else if (parts.nonEmpty)
+        // co-locate each partition value so every output file is
+        // single-valued; the writer's partitionBy then splits by dir
+        // without a per-task file explosion (nFiles tasks × values files)
+        df0.repartition(nFiles, parts.map(cf): _*)
       else df0.repartition(nFiles)
     val versions = listVersions(spark, tableRoot)
     val numeric = versions.filter(v =>
@@ -453,8 +465,36 @@ object Datalake {
       if (numeric.nonEmpty) (numeric.max + 1).toString
       else if (cur.startsWith("ref=")) "1" // clone's first own version
       else s"$cur-optimized"
-    publish(df, tableRoot, newV, Nil, statsCols)
+    publish(df, tableRoot, newV, parts, statsCols)
     newV
+  }
+
+  /** Hive-style partition columns of a data directory, outermost first —
+    * detected from the first `name=value` directory chain (every sibling
+    * carries the same column name by the Hive layout contract, so one
+    * chain suffices). One driver listing per level: catalog-sized.
+    */
+  def detectPartitionColumns(spark: SparkSession,
+      dataPath: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Nil
+    val out = Seq.newBuilder[String]
+    var descend = true
+    while (descend) {
+      val dirs = fs.listStatus(p).filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && n.contains("=") &&
+          !n.startsWith(".") && !n.startsWith("_")
+      }
+      if (dirs.isEmpty) descend = false
+      else {
+        out += dirs.head.getPath.getName.takeWhile(_ != '=')
+        p = dirs.head.getPath
+      }
+    }
+    out.result()
   }
 
   /** Data files of one published version (relative paths) — the OPTIMIZE

@@ -140,9 +140,13 @@ object StreamReplay {
 
   /** Memo lookup with eviction (round-10 ADVICE): when the source
     * fingerprint has moved, the superseded entry for the same (dir,
-    * chunks) is dropped AND its staged temp tree deleted now — not at JVM
-    * exit — so a long-lived session that regenerates its source doesn't
-    * accumulate dead feed snapshots on disk for its whole lifetime.
+    * chunks) is dropped from the memo so no NEW replay can pick it up —
+    * but its staged temp tree is handed to the shutdown reaper instead of
+    * deleted eagerly (round-11 ADVICE): the memo is a shared
+    * ConcurrentHashMap, and another thread in this JVM could still be
+    * mid-replay from the stale feed; deleting under it would rip the
+    * files out of a running streaming read. Disk cost is one dead
+    * snapshot per source regeneration (rare), reclaimed at JVM exit.
     */
   private def stagedFeed(spark: SparkSession, dir: String,
       chunks: Int): String = {
@@ -154,15 +158,7 @@ object StreamReplay {
       .filter(k => k._1 == dir && k._2 == chunks && k._3 != fp)
       .foreach { k =>
         val stale = feeds.remove(k)
-        if (stale != null) {
-          val root = Paths.get(stale).getParent
-          try {
-            val walk = Files.walk(root)
-            try walk.iterator().asScala.toSeq.reverse.foreach(p =>
-              try Files.deleteIfExists(p) catch { case _: Exception => () })
-            finally walk.close()
-          } catch { case _: Exception => () }
-        }
+        if (stale != null) track(Paths.get(stale).getParent)
       }
     feed
   }

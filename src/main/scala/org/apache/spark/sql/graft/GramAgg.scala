@@ -141,13 +141,19 @@ case class CrossGramAgg(left: Expression, right: Expression,
 
   private val Grid = 1048576.0 // 2^20
 
+  // buffer = d*d gram cells + ONE trailing row counter, so the same
+  // n < 2^29 determinism bound Pca.train enforces (exact dyadic merge
+  // needs every partial sum below 2^53) is checked HERE too — a future
+  // standalone crossGram call past the bound must fail loudly instead of
+  // going silently partition-order-dependent (round-11 ADVICE).
   override def createAggregationBuffer(): Array[Double] =
-    new Array[Double](d * d)
+    new Array[Double](d * d + 1)
 
   override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
     val a = left.eval(input)
     val b = right.eval(input)
     if (a == null || b == null) return buf
+    buf(d * d) += 1.0 // exact: integer counts are dyadic
     val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val ba = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     require(aa.numElements() == d && ba.numElements() == d,
@@ -179,7 +185,13 @@ case class CrossGramAgg(left: Expression, right: Expression,
     buf
   }
 
-  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Double]): Any = {
+    val n = buf(d * d).toLong
+    require(n < (1L << 29),
+      s"crossGram determinism bound exceeded: n=$n >= 2^29 rows — train on " +
+        "a sample or use a Long-unit gram buffer")
+    new GenericArrayData(java.util.Arrays.copyOf(buf, d * d))
+  }
 
   override def serialize(buf: Array[Double]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + buf.length * 8)
