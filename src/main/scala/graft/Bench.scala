@@ -52,6 +52,12 @@ object Bench {
     else (rounds.min to rounds.max).filterNot(rounds.contains)
   }
 
+  /** Name prefix for the floor-calibration probes interleaved into each
+    * round-robin pass; excluded from `queries` totals, aggregated into the
+    * `floor` field instead.
+    */
+  private val CalibPrefix = "_calib_"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -64,14 +70,24 @@ object Bench {
         gaps.map(n => f"BENCH_r$n%02d.json").mkString(", ") +
         " — round-over-round comparison has holes")
     val spark: SparkSession = GraftSession.get("graft-bench")
+    org.apache.spark.sql.graft.JobCounter.install(spark.sparkContext)
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run for local perf
+    // iteration on specific queries; the driver never sets it, so round
+    // artifacts always cover the full registry.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val base = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Untimed warmup at the smallest SF: compiles every plan shape's
     // generated code and initializes shuffle/broadcast/write machinery, so
     // the timed passes below measure steady-state throughput (what a long-
     // running cluster job sees), not one-time JVM costs.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    base.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    try calibFn(spark, warmDir).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // Round-robin pass interleaving (round-10 verdict #1): run pass 1 of
     // EVERY query, then pass 2 of every query, and so on — instead of a
     // query's N passes back-to-back. A box-level contention window (or a
@@ -81,10 +97,24 @@ object Bench {
     // that happened to run inside it (r9/r10 both produced spurious ≥2×
     // outliers in the alphabetical tail right after the 13-query
     // q_stream_* block for exactly this reason).
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    //
+    // Floor calibration (round-11 verdict #1): the driver box intermittently
+    // adds a fixed ~0.2s tax to EVERY job submission, which reads as a 2×
+    // "regression" on sub-second queries while the plans are unchanged. To
+    // let the artifact itself separate the two, a trivial probe (range(1)
+    // through the same noop sink — one job, near-zero work) is interleaved
+    // every ~25 queries of every pass, timed exactly like a query. Its
+    // per-job median IS the floor under the run's actual conditions, and
+    // each query's measured job-submission count then yields a
+    // floor-adjusted time: max(0, min − jobs×floor).
+    val ordered = base.zipWithIndex.flatMap { case (q, i) =>
+      if (i % 25 == 0) Seq(f"$CalibPrefix$i%03d" -> calibFn, q) else Seq(q)
+    }
     val attemptsByQuery =
-      Array.fill(ordered.length)(Vector.empty[(Double, Boolean)])
+      Array.fill(ordered.length)(Vector.empty[(Double, Boolean, Long)])
+    val sc = spark.sparkContext
     for (pass <- 1 to passes; (((name, fn), i)) <- ordered.zipWithIndex) {
+      val j0 = org.apache.spark.sql.graft.JobCounter.settledCount(sc)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -92,44 +122,75 @@ object Bench {
           System.err.println(s"BENCH FAIL $name (pass $pass): ${e.getMessage}")
           false
         }
-      attemptsByQuery(i) = attemptsByQuery(i) :+ (((System.nanoTime() - t0) / 1e9, ok))
+      val dt = (System.nanoTime() - t0) / 1e9
+      val jobs = org.apache.spark.sql.graft.JobCounter.settledCount(sc) - j0
+      attemptsByQuery(i) = attemptsByQuery(i) :+ ((dt, ok, jobs))
       streamHygiene(spark, name)
     }
-    val results = ordered.zipWithIndex.map { case ((name, _), i) =>
+    // Floor = median over all calibration samples of (probe time / probe
+    // jobs). Median, not min: the floor is an ADDITIVE tax whose typical
+    // (not best-case) value is what inflates every other query's reading.
+    val calibSamples = ordered.zipWithIndex.collect {
+      case ((name, _), i) if name.startsWith(CalibPrefix) =>
+        attemptsByQuery(i).collect { case (t, true, j) => t / j.max(1L) }
+    }.flatten
+    val floor = if (calibSamples.nonEmpty) median(calibSamples) else 0.0
+    val results = ordered.zipWithIndex.collect {
+      case ((name, _), i) if !name.startsWith(CalibPrefix) =>
       val attempts = attemptsByQuery(i)
       // only SUCCESSFUL passes compete for the min: a fast-failing pass
       // (say 0.05s on a transient error) must not record an artificially
       // small time no honest run can match. All passes failed → record the
       // slowest attempt so the number reads as a penalty, never a win.
-      val good = attempts.collect { case (t, true) => t }
+      val good = attempts.collect { case (t, true, _) => t }
       val dt = if (good.nonEmpty) good.min else attempts.map(_._1).max
       val med = if (good.nonEmpty) median(good) else attempts.map(_._1).max
+      // jobs from the pass that achieved the min (job counts are stable
+      // across passes; the min pass is the one the headline time describes)
+      val jobs =
+        attempts.collect { case (t, true, j) => (t, j) }
+          .sortBy(_._1).headOption.map(_._2).getOrElse(0L)
+      val adj = (dt - jobs * floor).max(0.0)
       System.err.println(
-        f"BENCH $name: $dt%.2fs min / $med%.2fs median " +
-          s"(${good.length}/${attempts.length} ok, " +
+        f"BENCH $name: $dt%.2fs min / $med%.2fs median / $adj%.2fs floor-adj " +
+          s"($jobs jobs, ${good.length}/${attempts.length} ok, " +
           s"of ${attempts.map(a => f"${a._1}%.2f").mkString("/")})")
-      (name, dt, med)
+      (name, dt, med, jobs, adj)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val meds = results.map { case (k, _, m) => "\"" + k + "\":" + f"$m%.3f" }
+    val meds = results.map { case (k, _, m, _, _) => "\"" + k + "\":" + f"$m%.3f" }
+      .mkString("{", ",", "}")
+    val jobsJson = results.map { case (k, _, _, j, _) => "\"" + k + "\":" + j }
+      .mkString("{", ",", "}")
+    val adjs = results.map { case (k, _, _, _, a) => "\"" + k + "\":" + f"$a%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalMed = results.map(_._3).sum
+    val totalAdj = results.map(_._5).sum
     val loadEnd = os.getSystemLoadAverage
+    val floorMeta = f""""floor":{"sec_per_job":$floor%.4f,""" +
+      f""""samples":${calibSamples.length},""" +
+      f""""min":${if (calibSamples.nonEmpty) calibSamples.min else 0.0}%.4f,""" +
+      f""""max":${if (calibSamples.nonEmpty) calibSamples.max else 0.0}%.4f}"""
     val meta = f"""{"passes":$passes,"load_avg_start":$loadStart%.2f,""" +
       f""""load_avg_end":$loadEnd%.2f,"cpus":${os.getAvailableProcessors},""" +
+      floorMeta + "," +
       s""""missing_artifacts":${gaps.map(n => f""""BENCH_r$n%02d.json"""").mkString("[", ",", "]")}}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$meds,"total_median":$totalMed%.3f,"meta":$meta,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$meds,"queries_jobs":$jobsJson,"queries_floor_adj":$adjs,"total_median":$totalMed%.3f,"total_floor_adj":$totalAdj%.3f,"meta":$meta,"sf":"$sfDir"}""")
     // The driver's artifact keeps only the LAST ~2,000 stdout chars, so the
     // full per-query line above gets truncated mid-key (BENCH_r07/r08 both
     // recorded "parsed": null). The FINAL line is therefore a compact
     // summary (≤ ~500 chars) that always survives the tail capture:
-    // totals + the worst query vs its BASELINE.md best-ever column.
+    // totals + the worst query vs its BASELINE.md best-ever column, both
+    // raw and floor-adjusted.
     // update_baseline.py keys on '"queries"' so it still reads the full
     // line; both lines carry the same totals.
-    val worst = worstVsBaseline(results.map { case (k, v, _) => k -> v })
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.length},"sf":"$sfDir","total_min":$total%.3f,"total_median":$totalMed%.3f,"passes":$passes,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f$worst}"""
+    val worst = worstVsBaseline(
+      results.map { case (k, v, _, _, _) => k -> v }, "worst_vs_baseline")
+    val worstAdj = worstVsBaseline(
+      results.map { case (k, _, _, _, a) => k -> a }, "worst_vs_baseline_adj")
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.length},"sf":"$sfDir","total_min":$total%.3f,"total_median":$totalMed%.3f,"total_floor_adj":$totalAdj%.3f,"floor_sec_per_job":$floor%.4f,"passes":$passes,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f$worst$worstAdj}"""
     println(summary)
     // Belt-and-braces for the stdout parse (round-9 verdict #2): the same
     // summary lands on disk, so even a future harness change that trails
@@ -191,14 +252,22 @@ object Bench {
     */
   private var maintHighWater = 0
 
-  /** `,"worst_vs_baseline":{...}` for the compact summary line: the
-    * registered query with the highest min/baseline ratio against
-    * BASELINE.md's best-ever column — the per-query regression gate the
-    * judge applies, surfaced in the artifact itself. Empty string when
-    * BASELINE.md (or any comparable row) is absent so the bench never
-    * fails on a missing file.
+  /** The trivial floor probe: one job submission, near-zero work, through
+    * the SAME noop sink as every real query — so its time is the fixed
+    * per-job-submission cost under the run's actual conditions.
     */
-  private def worstVsBaseline(mins: Seq[(String, Double)]): String = try {
+  private val calibFn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, _) => s.range(1).toDF("calib")
+
+  /** `,"<key>":{...}` for the compact summary line: the registered query
+    * with the highest value/baseline ratio against BASELINE.md's best-ever
+    * column — the per-query regression gate the judge applies, surfaced in
+    * the artifact itself. Called twice: raw mins (`worst_vs_baseline`) and
+    * floor-adjusted (`worst_vs_baseline_adj`). Empty string when BASELINE.md
+    * (or any comparable row) is absent so the bench never fails on a
+    * missing file.
+    */
+  private def worstVsBaseline(mins: Seq[(String, Double)], key: String): String = try {
     val path = java.nio.file.Paths.get("BASELINE.md")
     if (!java.nio.file.Files.exists(path)) "" else {
     val cell = "([0-9.]+)[†‡*]?".r
@@ -221,7 +290,7 @@ object Bench {
     if (rated.isEmpty) ""
     else {
       val (k, v, b, r) = rated.maxBy(_._4)
-      f""","worst_vs_baseline":{"query":"$k","min":$v%.3f,"baseline":$b%.3f,"ratio":$r%.2f}"""
+      f""","$key":{"query":"$k","min":$v%.3f,"baseline":$b%.3f,"ratio":$r%.2f}"""
     }
     }
   } catch {
