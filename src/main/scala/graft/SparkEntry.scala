@@ -166,6 +166,7 @@ object SparkEntry {
     "q_shallow_clone" -> (DatalakeQueries.qShallowClone _),
     "q_stream_drift" -> (StreamQueries.qStreamDrift _),
     "q_image_phash" -> (TextQueries.qImagePhash _),
+    "q_concurrent_publish" -> (DatalakeQueries.qConcurrentPublish _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -2111,6 +2112,19 @@ object SparkEntry {
         |  FROM pr)
         |SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // CAS-publish race: whichever writer wins the first commit, the final
+    // table is even-keys ∪ odd-keys exactly once — so the oracle is the
+    // plain per-half aggregate; the commit-count and abort literals pin
+    // "2 commits, no lost version, stale single-shot refused"
+    "q_concurrent_publish" ->
+      """SELECT CAST(o_orderkey % 2 AS BIGINT) AS writer,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(2 AS BIGINT) AS n_commits,
+        |  CAST(1 AS BIGINT) AS stale_publish_aborted
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the oracle replays all three clone-lifecycle snapshots from orders:
     // a broken ref pointer (clone_at_clone), a lost/duplicated divergence
     // row (clone_after), or source mutation (src_after) each hash-fail;

@@ -618,6 +618,64 @@ object DatalakeQueries {
     * vacuum hazard (source retention can break undiverged clones) is
     * documented on shallowClone and spec-pinned in DatalakeSpec.
     */
+  /** CONCURRENT-WRITER publish (round 12 — verdict #2, the last lakehouse
+    * protocol piece): two writers RACE to append disjoint halves of orders
+    * (even / odd keys) to the same table through `Datalake.transact` — the
+    * optimistic read-modify-write loop over the CAS commit log. A real
+    * barrier starts both threads together, so whichever interleaving the
+    * scheduler picks, exactly one writer loses the first commit race,
+    * re-reads the winner's state and re-derives — the final table contains
+    * BOTH writers' rows exactly once (n_rows == n_distinct per writer
+    * pins it; a lost update would drop a whole half, a blind double-apply
+    * would double rows) and the log holds exactly 2 commits regardless of
+    * schedule (losing claims create no record). The conflict-ABORT arm is
+    * exercised deterministically: a single-shot `publishCas` against a
+    * stale snapshot (expectedSeq=0 when the log is at 2) must refuse with
+    * ConcurrentCommitException and roll back its staged files —
+    * stale_publish_aborted carries that evidence into the hash.
+    *
+    * Scale: the commit step is O(1) (one record create + one manifest
+    * PUT) regardless of table size; conflict cost is per-writer restaging,
+    * never per-row. DatalakeSpec pins the abort and crash-repair paths.
+    */
+  def qConcurrentPublish(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val root = tempLakeRoot() + "/orders_cas"
+    def slice(par: Int): DataFrame = o.filter(col("o_orderkey") % 2 === par)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(par: Int): Thread = {
+      val t = new Thread(() => {
+        try {
+          barrier.await()
+          Datalake.transact(spark, root, {
+            case Some(cur) => cur.unionByName(slice(par))
+            case None => slice(par)
+          })
+          ()
+        } catch { case e: Throwable => errs.add(e); () }
+      }, s"graft-cas-writer-$par")
+      t.start(); t
+    }
+    val threads = Seq(writer(0), writer(1))
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+    val aborted =
+      try { Datalake.publishCas(o.limit(1), root, expectedSeq = 0L); 0L }
+      catch { case _: Datalake.ConcurrentCommitException => 1L }
+    val commits = Datalake.latestCommitSeq(spark, root)
+    Datalake.readPublished(spark, root)
+      .groupBy((col("o_orderkey") % 2).cast("long").as("writer"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_distinct"),
+        decSum2(col("o_totalprice")).cast("double").as("sum_price"))
+      .withColumn("n_commits", lit(commits))
+      .withColumn("stale_publish_aborted", lit(aborted))
+      .orderBy(col("writer"))
+  }
+
   def qShallowClone(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Agg.decSum2
     val o = Tables.orders(spark, dir)

@@ -426,4 +426,85 @@ class DatalakeSpec extends SparkSpecBase {
     // a DIVERGED clone survives source vacuum by construction
     assert(Datalake.readPublished(spark, dst).count() === 50)
   }
+
+  test("CAS publish: stale snapshot aborts loudly and rolls back its staged files") {
+    val root = s"${Files.createTempDirectory("graft-cas")}/t"
+    val (s1, _) = Datalake.publishCas(Seq((1L, "a")).toDF("id", "v"), root, 0L)
+    assert(s1 === 1L)
+    assert(Datalake.latestCommitSeq(spark, root) === 1L)
+    assert(Datalake.readPublished(spark, root).count() === 1)
+    // a second writer that read BEFORE commit 1 (expectedSeq=0) must be
+    // refused — last-writer-wins here would silently drop commit 1
+    val before = Datalake.listVersions(spark, root).toSet
+    intercept[Datalake.ConcurrentCommitException] {
+      Datalake.publishCas(Seq((2L, "b")).toDF("id", "v"), root, 0L)
+    }
+    assert(Datalake.listVersions(spark, root).toSet === before,
+      "losing claimant must remove its staged version dir")
+    assert(Datalake.readPublished(spark, root).count() === 1,
+      "aborted publish must not change the table")
+    // with the CURRENT snapshot the same write commits as seq 2
+    val (s2, _) = Datalake.publishCas(Seq((2L, "b")).toDF("id", "v"), root, 1L)
+    assert(s2 === 2L && Datalake.readPublished(spark, root).count() === 1,
+      "seq-2 publish replaces the snapshot (full-state semantics)")
+  }
+
+  test("CAS transact: conflicting appends serialize with no lost update") {
+    val root = s"${Files.createTempDirectory("graft-cas-tx")}/t"
+    def append(rows: Seq[(Long, String)]) =
+      Datalake.transact(spark, root, {
+        case Some(cur) => cur.unionByName(rows.toDF("id", "v"))
+        case None => rows.toDF("id", "v")
+      })
+    // sequential baseline: two appends = two commits, union content
+    append(Seq((1L, "a")))
+    append(Seq((2L, "b")))
+    assert(Datalake.latestCommitSeq(spark, root) === 2L)
+    assert(Datalake.readPublished(spark, root).orderBy("id")
+      .collect().map(_.getString(1)).toSeq === Seq("a", "b"))
+    // racing appends from two threads: both must land exactly once
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(3L -> "c", 4L -> "d").map { kv =>
+      val t = new Thread(() => {
+        try { barrier.await(); append(Seq(kv)); () }
+        catch { case e: Throwable => errs.add(e); () }
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    assert(errs.isEmpty, s"racing transact failed: ${errs.peek()}")
+    assert(Datalake.latestCommitSeq(spark, root) === 4L,
+      "each racing writer claims exactly one commit")
+    assert(Datalake.readPublished(spark, root).orderBy("id")
+      .collect().map(_.getString(1)).toSeq === Seq("a", "b", "c", "d"),
+      "no lost update, no double-apply")
+  }
+
+  test("CAS repair: a crash between claim and manifest swap is healed from the log") {
+    val root = s"${Files.createTempDirectory("graft-cas-rep")}/t"
+    Datalake.publishCas(Seq((1L, "a")).toDF("id", "v"), root, 0L)
+    // simulate the crash: write commit 2's data + record directly, but
+    // DON'T swap the manifest (exactly what a writer dying between
+    // claimCommit and swapManifest leaves behind)
+    val v2 = "c2-deadbeef"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$root/v=$v2")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rec = new org.apache.hadoop.fs.Path(root, f"_commits/${2L}%020d")
+    val out = fs.create(rec, false)
+    out.write(s"v=$v2\n".getBytes("UTF-8")); out.close()
+    assert(Datalake.readPublished(spark, root).count() === 1,
+      "manifest still serves commit 1 before repair")
+    Datalake.repairManifest(spark, root)
+    assert(Datalake.readPublished(spark, root).count() === 2,
+      "repair must sync the manifest to the newest commit record")
+    // transact snapshots from the LOG, so even a stale manifest cannot
+    // fork history: next transact sees commit 2's rows
+    Datalake.transact(spark, root, {
+      case Some(cur) => cur.unionByName(Seq((3L, "c")).toDF("id", "v"))
+      case None => Seq((3L, "c")).toDF("id", "v")
+    })
+    assert(Datalake.readPublished(spark, root).count() === 3)
+  }
 }
