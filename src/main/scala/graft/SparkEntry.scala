@@ -167,6 +167,8 @@ object SparkEntry {
     "q_stream_drift" -> (StreamQueries.qStreamDrift _),
     "q_image_phash" -> (TextQueries.qImagePhash _),
     "q_concurrent_publish" -> (DatalakeQueries.qConcurrentPublish _),
+    "q_entity_resolution_incremental" ->
+      (SimilarityQueries.qEntityResolutionIncremental _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1800,6 +1802,36 @@ object SparkEntry {
     // pairs (re-proving the deletion-neighborhood blocking complete) →
     // the q_dedup_clusters recursive min-label CTE → field survivorship
     "q_entity_resolution" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT c_custkey*2 AS m_id, c_name AS m_name, c_acctbal
+        |    FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey*2+1, replace(c_name, 'C', 'K'), c_acctbal
+        |    FROM customer WHERE c_custkey % 10 = 0),
+        |p AS (SELECT a.m_id AS src, b.m_id AS dst
+        |  FROM m a JOIN m b ON a.m_id < b.m_id
+        |    AND a.c_acctbal = b.c_acctbal
+        |    AND levenshtein(a.m_name, b.m_name) <= 1),
+        |ed AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |reach(id, r) AS (
+        |  SELECT m_id, m_id FROM m
+        |  UNION
+        |  SELECT reach.id, ed.dst FROM reach JOIN ed ON reach.r = ed.src),
+        |lab AS (SELECT id, CAST(MIN(r) AS BIGINT) AS component
+        |  FROM reach GROUP BY id)
+        |SELECT lab.component, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  MIN(m.m_name) AS canonical_name,
+        |  CAST(MAX(CAST(m.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS best_acctbal,
+        |  string_agg(CAST(m.m_id AS VARCHAR), ','
+        |    ORDER BY m.m_id) AS member_keys
+        |FROM lab JOIN m ON m.m_id = lab.id
+        |GROUP BY lab.component HAVING COUNT(*) > 1
+        |ORDER BY lab.component""".stripMargin,
+    // incremental entity resolution: the oracle is the FROM-SCRATCH
+    // recursive CTE above VERBATIM — the driver hash re-proves
+    // incremental == batch on the full linkage pipeline every round
+    "q_entity_resolution_incremental" ->
       """WITH RECURSIVE m AS (
         |  SELECT c_custkey*2 AS m_id, c_name AS m_name, c_acctbal
         |    FROM customer

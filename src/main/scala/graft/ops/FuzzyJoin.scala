@@ -80,4 +80,30 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("name1"), col("name2"), 1))
       .filter(col("dist") >= 0)
       .distinct()
+
+  /** INCREMENTAL form of [[edit1Pairs]] — the daily-linkage shape: every
+    * dist ≤ 1 pair that TOUCHES the probe side (probe-internal plus
+    * probe-vs-index; index-internal pairs were resolved in an earlier
+    * generation and must not be re-derived). Both inputs are persisted
+    * [[deletionKeys]] rows (`id, name, key`) — the index side is the
+    * blocking store a real pipeline keeps in the lake (bucketed by key at
+    * scale, so only the day's probe keys shuffle), the probe side is
+    * written once per batch and read back (key each mention exactly once,
+    * ever). Pairs are normalized to id1 < id2 so probe-internal pairs
+    * meeting in both orders collapse in the distinct.
+    */
+  def edit1IncrementalPairs(probeKeys: DataFrame,
+      indexKeys: DataFrame): DataFrame = {
+    val a = probeKeys.select(col("id").as("id1"), col("name").as("name1"),
+      col("key"))
+    val b = indexKeys.unionByName(probeKeys)
+      .select(col("id").as("id2"), col("name").as("name2"), col("key"))
+    a.join(b, Seq("key"))
+      .filter(col("id1") =!= col("id2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2"), 1))
+      .filter(col("dist") >= 0)
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"), col("dist"))
+      .distinct()
+  }
 }

@@ -609,26 +609,51 @@ object SimilarityQueries {
     * one aggregate over cluster-sized groups.
     */
   def qEntityResolution(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+    val mentions = erMentions(spark, dir)
+    val edges = erStrongEdges(mentions,
+      graft.ops.FuzzyJoin.edit1Pairs(mentions, col("m_id"), col("m_name")))
+    val labels = graft.ops.Components.connectedComponents(
+      mentions.select(col("m_id").as("id")), edges)
+    erSurvivorship(mentions, labels)
+  }
+
+  /** The dirty-mention table both entity-resolution rows resolve: every
+    * customer plus a C→K typo'd duplicate mention for each 10th one.
+    */
+  private def erMentions(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-    val mentions = cust.select((col("c_custkey") * 2).as("m_id"),
+    cust.select((col("c_custkey") * 2).as("m_id"),
         col("c_name").as("m_name"), col("c_acctbal"))
       .unionByName(cust.filter(col("c_custkey") % 10 === 0)
         .select((col("c_custkey") * 2 + 1).as("m_id"),
           translate(col("c_name"), "C", "K").as("m_name"),
           col("c_acctbal")))
+  }
+
+  /** Strong-field agreement post-filter on fuzzy-name candidate pairs
+    * (`id1`, `id2`): keep only pairs whose balances agree exactly, as
+    * (src, dst) edges. The two lookups key on the PAIR list (small side);
+    * at scale the mention store is bucketed by id.
+    */
+  private def erStrongEdges(mentions: DataFrame, pairs: DataFrame): DataFrame = {
     val bal = mentions.select(col("m_id"), col("c_acctbal"))
-    val pairs = graft.ops.FuzzyJoin.edit1Pairs(mentions, col("m_id"),
-        col("m_name"))
+    pairs
       .join(bal.select(col("m_id").as("id1"), col("c_acctbal").as("__ba")),
         "id1")
       .join(bal.select(col("m_id").as("id2"), col("c_acctbal").as("__bb")),
         "id2")
       .filter(col("__ba") === col("__bb"))
       .select(col("id1").as("src"), col("id2").as("dst"))
-    val labels = graft.ops.Components.connectedComponents(
-      mentions.select(col("m_id").as("id")), pairs)
+  }
+
+  /** Per-cluster field survivorship: canonical name = lexical min (the
+    * clean mention — 'C' < 'K'), best balance = exact-decimal max, sorted
+    * member list as the merge audit trail; only multi-member clusters
+    * surface.
+    */
+  private def erSurvivorship(mentions: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     mentions.join(labels, mentions("m_id") === labels("id"))
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"),
@@ -642,6 +667,59 @@ object SimilarityQueries {
           _.cast("string")), ",").as("member_keys"))
       .filter(col("n_members") > 1)
       .orderBy(col("component"))
+  }
+
+  /** INCREMENTAL entity resolution (round 12 — verdict #3): resolve a
+    * daily mention batch against a PERSISTED cluster store instead of
+    * recomputing the full linkage graph per run (what q_entity_resolution
+    * still does, and what no real daily pipeline can afford).
+    * "Yesterday's" job resolves history from scratch and persists BOTH
+    * stores a linkage deployment keeps in the lake: the converged
+    * (id, component) labels and the deletion-neighborhood blocking keys.
+    * "Today's" job keys ONLY the batch (written first — the rows are both
+    * the join input and the store increment the next generation appends:
+    * key each mention exactly once, ever), derives the dist ≤ 1 pairs
+    * that TOUCH the batch via FuzzyJoin.edit1IncrementalPairs, applies
+    * the same strong-field balance agreement, folds them into the store
+    * with Components.incrementalComponents (per-day propagation work is
+    * O(batch pairs + touched components), never O(corpus)), and re-folds
+    * survivorship over the merged labeling.
+    *
+    * The ORACLE is q_entity_resolution's from-scratch recursive CTE
+    * VERBATIM — the driver hash-compare re-proves incremental ==
+    * from-scratch every round (the q_dedup_clusters_incremental
+    * contract, applied to record linkage end-to-end).
+    *
+    * Scale: blocking store bucketed by key → only the day's probe keys
+    * shuffle; the contracted propagation touches |batch| + touched
+    * components; survivorship is one aggregate over cluster-sized groups.
+    */
+  def qEntityResolutionIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Datalake
+    val mentions = erMentions(spark, dir)
+    val (hist, batch) = daySplit(mentions, "m_id")
+    val root = DatalakeQueries.tempLakeRoot()
+    val labelsPath = Datalake.path(root, Datalake.Formatted, "er", "labels")
+    val keysPath = Datalake.path(root, Datalake.Formatted, "er", "keys")
+    // "yesterday's" job: from-scratch resolve of history + its key store
+    val histEdges = erStrongEdges(mentions,
+      graft.ops.FuzzyJoin.edit1Pairs(hist, col("m_id"), col("m_name")))
+    Datalake.writeParquet(graft.ops.Components.connectedComponents(
+      hist.select(col("m_id").as("id")), histEdges), labelsPath)
+    Datalake.writeParquet(graft.ops.FuzzyJoin.deletionKeys(
+      hist, col("m_id"), col("m_name")), keysPath)
+    // "today's" job: O(batch) keying, pairs touching the batch only
+    val batchKeysPath =
+      Datalake.path(root, Datalake.Formatted, "er", "batch_keys")
+    Datalake.writeParquet(graft.ops.FuzzyJoin.deletionKeys(
+      batch, col("m_id"), col("m_name")), batchKeysPath)
+    val newEdges = erStrongEdges(mentions,
+      graft.ops.FuzzyJoin.edit1IncrementalPairs(
+        spark.read.parquet(batchKeysPath), spark.read.parquet(keysPath)))
+    val labels = graft.ops.Components.incrementalComponents(
+      spark.read.parquet(labelsPath), batch.select(col("m_id").as("id")),
+      newEdges)
+    erSurvivorship(mentions, labels)
   }
 
   /** Centroid model of the LAST qSemanticDedup invocation — same

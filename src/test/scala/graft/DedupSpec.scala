@@ -251,6 +251,28 @@ class DedupSpec extends SparkSpecBase {
       s"no join in the fold's output plan may shuffle the store:\n$plan")
   }
 
+  test("edit1 incremental pairs: probe-touching set completes the index-internal set") {
+    import graft.ops.FuzzyJoin
+    val rows = Seq((1L, "alpha"), (2L, "alphb"), (3L, "beta"), (4L, "betas"),
+      (5L, "alphc"), (6L, "gamma")).toDF("m_id", "m_name")
+    val index = rows.filter(col("m_id") <= 3) // "history"
+    val probe = rows.filter(col("m_id") > 3) // "today's batch"
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      FuzzyJoin.deletionKeys(df, col("m_id"), col("m_name"))
+    val inc = FuzzyJoin.edit1IncrementalPairs(keys(probe), keys(index))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = FuzzyJoin.edit1Pairs(rows, col("m_id"), col("m_name"))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexInternal = FuzzyJoin.edit1Pairs(index, col("m_id"), col("m_name"))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly the pairs that touch the probe: full minus index-internal
+    assert(inc === (full -- indexInternal))
+    // and the batch-vs-history + batch-internal shapes are both present
+    assert(inc.contains((1L, 5L)) && inc.contains((2L, 5L)),
+      "batch mention must link to its historical near-duplicates")
+    assert(inc.contains((3L, 4L)), "probe-vs-index insert/delete pair")
+  }
+
   test("IVF-flat knn recalls most of the exact brute-force neighbors") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
