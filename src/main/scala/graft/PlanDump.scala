@@ -7,8 +7,12 @@ package graft
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val only: Set[String] =
+      if (args.length > 1) args(1).split(",").map(_.trim).toSet else Set.empty
     val spark = GraftSession.get("graft-plandump")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()

@@ -98,12 +98,20 @@ object LanguageModel {
       isRef.as("__ref"),
       explode(graft.functions.text.wordShingles(text, 1)).as("t"))
     val ref = base.filter(col("__ref"))
-    val ctk = ref.groupBy(col("__lbl").as("cls"), col("t"))
-      .agg(count(lit(1)).as("ctn"))
-    val vocab = ref.agg(count_distinct(col("t")).as("v")) // 1-row scalar
-    val docsPerClass = docs.filter(isRef)
-      .groupBy(label.as("cls")).agg(count(lit(1)).as("nd"))
-    val total = docs.filter(isRef).agg(count(lit(1)).as("ntot")) // 1 row
+    // the (class, term) count table is the MODEL — model-sized, consumed
+    // twice (class totals + the scoring join). Checkpoint it once so the
+    // ref-slice tokenization underneath runs once, not per consumer
+    // (round-11 verdict #4: 15 exchanges, zero reused).
+    val ctk = Checkpoints.checkpoint(
+      ref.groupBy(col("__lbl").as("cls"), col("t"))
+        .agg(count(lit(1)).as("ctn")))
+    // vocabulary size from the MODEL, not a third pass over the tokens:
+    // ctk's distinct terms ARE ref's distinct terms by construction
+    val vocab = ctk.agg(count_distinct(col("t")).as("v")) // 1-row scalar
+    val docsPerClass = Checkpoints.checkpoint(docs.filter(isRef)
+      .groupBy(label.as("cls")).agg(count(lit(1)).as("nd")))
+    // class-count total from the per-class table — one doc scan, not two
+    val total = docsPerClass.agg(sum(col("nd")).as("ntot")) // 1 row
     // class table: prior + likelihood denominator, both model-side
     val classes = ctk.groupBy(col("cls")).agg(sum(col("ctn")).as("ckn"))
       .join(docsPerClass, "cls")

@@ -88,8 +88,17 @@ object Retrieval {
     * bounded-heap top-k. A single definition so the stored-index serve
     * and the from-text serve cannot drift on literals or association.
     */
-  private def bm25Serve(tf: DataFrame, n: DataFrame,
+  private def bm25Serve(tf0: DataFrame, n: DataFrame,
       queryTerms: DataFrame, k: Int): DataFrame = {
+    // the restricted tf table feeds TWO consumers — the df aggregate
+    // (broadcast side) and the scoring probe — and without lineage
+    // truncation each consumer re-derives the whole tokenize → semi-join
+    // → tf-shuffle subtree (round-11 verdict #4: 14-18 exchanges, zero
+    // reused, in every retrieval plan). One eager checkpoint materializes
+    // the QUERY-MATCHING postings only — bounded by |query terms| ×
+    // matching docs, never corpus-sized — and both consumers read the
+    // materialized rows: the corpus tokenization runs once per serve.
+    val tf = Checkpoints.checkpoint(tf0)
     // document frequency over the restricted tf table: ≤ |query terms| rows
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 

@@ -112,11 +112,15 @@ object TextQueries {
   def qHybridSearch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val queryTerms = docs.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("query_id"),
-        explode(graft.functions.text.wordShingles(col("text"), 1)).as("term"))
-      .filter(col("term") =!= "")
-      .distinct()
+    // checkpoint the tiny corpus-derived query set: it feeds TWO
+    // broadcasts inside the BM25 serve (the semi-restricting term set and
+    // the scoring join) and each would otherwise re-derive this scan
+    val queryTerms = graft.ops.Checkpoints.checkpoint(
+      docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          explode(graft.functions.text.wordShingles(col("text"), 1)).as("term"))
+        .filter(col("term") =!= "")
+        .distinct())
     val lex = graft.ops.Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
         queryTerms, k = 20)
       .filter(col("doc_id") =!= col("query_id"))

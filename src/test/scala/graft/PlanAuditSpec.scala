@@ -345,4 +345,31 @@ class PlanAuditSpec extends SparkSpecBase {
           s"(all: ${measured.map(m => s"${m._1}=${m._3}").mkString(", ")})")
     }
   }
+
+  test("retrieval family: shared scans materialized once, exchange budget held") {
+    // r11 verdict #4: q_bm25_search planned 14 exchanges / reuse=0 because
+    // the query-restricted tf table fed two consumers (df aggregate +
+    // scoring probe) and each re-derived the tokenize→semi-join→shuffle
+    // subtree. The fix eagerly checkpoints the model-sized shared tables
+    // (query-matching postings, (class,term) counts), so the final serve
+    // plan reads materialized rows ("Scan ExistingRDD") and its exchange
+    // count drops: bm25 14→8, hybrid 18→11, nb 15→12 at pin time. Budgets
+    // leave +0 slack — a re-derived subtree adds 3+ exchanges at once.
+    val rows = Seq(
+      ("q_bm25_search", 8,
+        () => graft.queries.TextQueries.qBm25Search(spark, sfDir)),
+      ("q_hybrid_search", 11,
+        () => graft.queries.TextQueries.qHybridSearch(spark, sfDir)),
+      ("q_nb_classifier", 12,
+        () => graft.queries.TextQueries.qNbClassifier(spark, sfDir)))
+    rows.foreach { case (name, budget, build) =>
+      val plan = executed(build())
+      val exch = "Exchange".r.findAllIn(plan).length
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$name: no materialized shared table in the serve plan:\n$plan")
+      assert(exch <= budget,
+        s"$name planned $exch exchanges, budget $budget — a shared subtree " +
+          s"is being re-derived per consumer again:\n$plan")
+    }
+  }
 }
