@@ -72,8 +72,9 @@ object Bench {
     val spark: SparkSession = GraftSession.get("graft-bench")
     org.apache.spark.sql.graft.JobCounter.install(spark.sparkContext)
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run for local perf
-    // iteration on specific queries; the driver never sets it, so round
-    // artifacts always cover the full registry.
+    // iteration on specific queries. A restricted run writes its summary
+    // to BENCH_SUMMARY_PARTIAL.json (see below) so it can never replace
+    // the full-registry round artifact.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val base = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -169,10 +170,17 @@ object Bench {
     val totalMed = results.map(_._3).sum
     val totalAdj = results.map(_._5).sum
     val loadEnd = os.getSystemLoadAverage
+    // drain_timeouts: settledCount's listener-bus drain fell back to a
+    // sleep-and-read N times — per-query job counts (and thus the
+    // floor-adjusted column) from such a run are lower-confidence, and the
+    // artifact must say so rather than let a degraded-box reading pass as
+    // clean evidence (r12 ADVICE).
+    val drainTimeouts = org.apache.spark.sql.graft.JobCounter.drainTimeouts
     val floorMeta = f""""floor":{"sec_per_job":$floor%.4f,""" +
       f""""samples":${calibSamples.length},""" +
       f""""min":${if (calibSamples.nonEmpty) calibSamples.min else 0.0}%.4f,""" +
-      f""""max":${if (calibSamples.nonEmpty) calibSamples.max else 0.0}%.4f}"""
+      f""""max":${if (calibSamples.nonEmpty) calibSamples.max else 0.0}%.4f,""" +
+      f""""drain_timeouts":$drainTimeouts}"""
     val meta = f"""{"passes":$passes,"load_avg_start":$loadStart%.2f,""" +
       f""""load_avg_end":$loadEnd%.2f,"cpus":${os.getAvailableProcessors},""" +
       floorMeta + "," +
@@ -195,10 +203,19 @@ object Bench {
     // Belt-and-braces for the stdout parse (round-9 verdict #2): the same
     // summary lands on disk, so even a future harness change that trails
     // extra stdout after the run leaves a machine-readable artifact.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+    // A RESTRICTED run (SPARK_GRAFT_BENCH_ONLY set) must never overwrite
+    // the round artifact: an n=4 summary replacing the 150-query one makes
+    // every round-over-round total comparison meaningless (r12 ADVICE) —
+    // partial runs land in a clearly-named side file instead.
+    val summaryFile =
+      if (only.isDefined) "BENCH_SUMMARY_PARTIAL.json" else "BENCH_SUMMARY.json"
+    if (only.isDefined)
+      System.err.println("BENCH NOTE: restricted run (SPARK_GRAFT_BENCH_ONLY)" +
+        s" — summary written to $summaryFile, round artifact untouched")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(summaryFile),
       (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
-      System.err.println(s"BENCH WARNING: BENCH_SUMMARY.json not written: $e") }
+      System.err.println(s"BENCH WARNING: $summaryFile not written: $e") }
     spark.stop()
   }
 

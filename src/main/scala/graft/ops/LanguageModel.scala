@@ -110,8 +110,13 @@ object LanguageModel {
     val vocab = ctk.agg(count_distinct(col("t")).as("v")) // 1-row scalar
     val docsPerClass = Checkpoints.checkpoint(docs.filter(isRef)
       .groupBy(label.as("cls")).agg(count(lit(1)).as("nd")))
-    // class-count total from the per-class table — one doc scan, not two
-    val total = docsPerClass.agg(sum(col("nd")).as("ntot")) // 1 row
+    // class-count total from the per-class table — one doc scan, not two.
+    // coalesce: sum() over an EMPTY ref slice is NULL where the previous
+    // count(*) form was 0; without it ntot=null would propagate nulls
+    // through every log(nd/ntot) instead of the deterministic empty-model
+    // result (r12 ADVICE).
+    val total = docsPerClass.agg(
+      coalesce(sum(col("nd")), lit(0L)).as("ntot")) // 1 row
     // class table: prior + likelihood denominator, both model-side
     val classes = ctk.groupBy(col("cls")).agg(sum(col("ctn")).as("ckn"))
       .join(docsPerClass, "cls")

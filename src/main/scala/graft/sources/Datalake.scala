@@ -302,6 +302,32 @@ object Datalake {
     won
   }
 
+  /** Sync the MANIFEST to `token` ONLY while commit `seq` is still the
+    * newest record in the log — the ordering step the plain swap lacks.
+    * Without the check, a writer that claims seq N, stalls, and wakes
+    * after another writer committed N+1 and synced would regress the
+    * reader-facing pointer to N's token (a superseded snapshot missing
+    * the newer writer's rows). The check-and-swap runs under the same
+    * per-root stripe as [[claimCommit]], so in-process swappers are fully
+    * serialized against claims; cross-process the re-check shrinks the
+    * stale-swap window to check→rename, and [[repairManifest]] (run by
+    * the winner's next operation or any reader-side repair) heals it —
+    * among CAS writers the log, not the manifest, stays authoritative.
+    * A claimed-but-not-newest writer skips the swap entirely: the newer
+    * writer owns the manifest.
+    */
+  private[graft] def syncManifestIfNewest(spark: SparkSession,
+      tableRoot: String, seq: Long, token: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = commitLocks.computeIfAbsent(
+      fs.makeQualified(root).toString, _ => new Object)
+    lock.synchronized {
+      if (latestCommitSeq(spark, tableRoot) == seq)
+        swapManifest(spark, tableRoot, token)
+    }
+  }
+
   /** Sync the MANIFEST to the newest commit record — the recovery step for
     * a writer that crashed between claiming its commit and swapping the
     * manifest. Only repairs when the manifest token is absent or is itself
@@ -362,7 +388,7 @@ object Datalake {
         s"commit $nextSeq at $tableRoot was taken by a concurrent writer " +
           s"(snapshot was $expectedSeq) — re-read the table and retry")
     }
-    swapManifest(spark, tableRoot, s"v=$version")
+    syncManifestIfNewest(spark, tableRoot, nextSeq, s"v=$version")
     (nextSeq, version)
   }
 
@@ -650,7 +676,15 @@ object Datalake {
     val cf = org.apache.spark.sql.functions.col _
     val df =
       if (clusterBy.nonEmpty)
-        df0.repartitionByRange(nFiles, clusterBy.map(cf): _*)
+        // range over parts FIRST, then the cluster keys: ranging over
+        // clusterBy alone on a Hive-partitioned table lets every one of
+        // the nFiles range tasks see every partition value, and the
+        // writer's partitionBy then splits each task per value — the
+        // nFiles × values small-file explosion the detected-partition
+        // branch exists to avoid. Leading with parts keeps each task
+        // (near-)single-valued in the partition dirs while still
+        // clustering by the requested keys within them.
+        df0.repartitionByRange(nFiles, (parts ++ clusterBy).map(cf): _*)
       else if (parts.nonEmpty)
         // co-locate each partition value so every output file is
         // single-valued; the writer's partitionBy then splits by dir

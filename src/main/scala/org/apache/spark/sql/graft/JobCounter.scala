@@ -23,6 +23,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   */
 object JobCounter {
   private val count = new AtomicLong(0L)
+  private val drainTimeoutCount = new AtomicLong(0L)
   @volatile private var installed = false
 
   /** Idempotent: one listener per JVM no matter how often the bench calls. */
@@ -44,7 +45,21 @@ object JobCounter {
     */
   def settledCount(sc: SparkContext): Long = {
     try sc.listenerBus.waitUntilEmpty()
-    catch { case _: Throwable => Thread.sleep(100) }
+    catch { case _: Throwable =>
+      // the fallback read can attribute a query's trailing job-start
+      // events to the NEXT query — silent skew in exactly the degraded
+      // regimes the floor calibration targets. Count every timeout so the
+      // bench can surface it in the floor meta (r12 ADVICE): a
+      // floor-adjusted reading from a run with drain timeouts is
+      // lower-confidence and must say so in the artifact.
+      drainTimeoutCount.incrementAndGet()
+      Thread.sleep(100)
+    }
     count.get()
   }
+
+  /** How many [[settledCount]] calls fell back on a drain timeout since
+    * JVM start — 0 on a healthy run.
+    */
+  def drainTimeouts: Long = drainTimeoutCount.get()
 }

@@ -507,4 +507,24 @@ class DatalakeSpec extends SparkSpecBase {
     })
     assert(Datalake.readPublished(spark, root).count() === 3)
   }
+
+  test("CAS swap ordering: a stalled writer's late sync cannot regress the manifest") {
+    val root = s"${Files.createTempDirectory("graft-cas-ord")}/t"
+    // writer A commits seq 1, writer B commits seq 2 (manifest now at B)
+    Datalake.publishCas(Seq((1L, "a")).toDF("id", "v"), root, 0L)
+    Datalake.publishCas(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, 1L)
+    assert(Datalake.readPublished(spark, root).count() === 2)
+    val v2 = Datalake.currentVersion(spark, root).get
+    // replay writer A waking up AFTER B's commit+sync and re-attempting its
+    // manifest sync for seq 1 (the r12 ADVICE lost-update window): the
+    // newest-commit check must skip the swap, so readers never see the
+    // superseded snapshot with B's rows missing
+    Datalake.syncManifestIfNewest(spark, root, 1L, "v=c1-stale")
+    assert(Datalake.currentVersion(spark, root).get === v2,
+      "a sync for a superseded commit must not regress the manifest")
+    assert(Datalake.readPublished(spark, root).count() === 2)
+    // and the newest committer's own sync still goes through
+    Datalake.syncManifestIfNewest(spark, root, 2L, s"v=$v2")
+    assert(Datalake.readPublished(spark, root).count() === 2)
+  }
 }
