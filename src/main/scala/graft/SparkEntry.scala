@@ -60,6 +60,7 @@ object SparkEntry {
     "q_attribution_linear" -> (EventQueries.qAttributionLinear _),
     "q_top_paths" -> (JourneyQueries.qTopPaths _),
     "q_salted_join" -> (EventQueries.qSaltedJoin _),
+    "q_skew_evidence" -> (EventQueries.qSkewEvidence _),
     "q_lead_lag" -> (EventQueries.qLeadLag _),
     "q_rolling_features" -> (EventQueries.qRollingFeatures _),
     "q_skew_profile" -> (EventQueries.qSkewProfile _),
@@ -1639,6 +1640,39 @@ object SparkEntry {
         |  COALESCE(value, 0.0) > type_avg AS above_avg
         |FROM events e JOIN stats USING (event_type)
         |ORDER BY event_id""".stripMargin,
+    // skew evidence: the reduce-unit distributions are pure functions of
+    // the data (per-key counts; ceil-chunking; the deterministic
+    // event_id % 8 salt), and the n_rows/n_above invariance columns come
+    // from the PLAIN join — mitigation must be invisible in values
+    "q_skew_evidence" ->
+      """WITH stats AS (SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS type_avg
+        |  FROM events GROUP BY event_type),
+        |res AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN COALESCE(value, 0.0) > type_avg
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |  FROM events e JOIN stats USING (event_type)),
+        |pk AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM pk),
+        |u1 AS (SELECT '1_unsalted' AS strategy,
+        |    CAST(COUNT(*) AS BIGINT) AS units,
+        |    CAST(MAX(n) AS BIGINT) AS max_unit_rows FROM pk),
+        |c2 AS (SELECT n, (n - 1) // 65536 + 1 AS chunks FROM pk),
+        |u2 AS (SELECT '2_aqe_split' AS strategy,
+        |    CAST(SUM(chunks) AS BIGINT) AS units,
+        |    CAST(MAX((n + chunks - 1) // chunks) AS BIGINT) AS max_unit_rows
+        |  FROM c2),
+        |u3 AS (SELECT '3_salted_8' AS strategy,
+        |    CAST(COUNT(*) AS BIGINT) AS units,
+        |    CAST(MAX(n) AS BIGINT) AS max_unit_rows
+        |  FROM (SELECT event_type, event_id % 8 AS salt, COUNT(*) AS n
+        |    FROM events GROUP BY 1, 2)),
+        |u AS (SELECT * FROM u1 UNION ALL SELECT * FROM u2
+        |  UNION ALL SELECT * FROM u3)
+        |SELECT strategy, units, max_unit_rows,
+        |  CAST(max_unit_rows * units AS DOUBLE) / total AS skew_ratio,
+        |  n_rows, n_above
+        |FROM u, tot, res ORDER BY strategy""".stripMargin,
     // cosine on DOUBLE[] columns — bit-matches the Spark kernel's double
     // accumulation (the FLOAT[] overload computes in float)
     "q_knn_cosine" ->

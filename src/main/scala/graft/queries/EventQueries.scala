@@ -391,4 +391,70 @@ object EventQueries {
           .as("psi"))
       .orderBy(col("event_type"))
   }
+
+  /** SKEW-MITIGATION EVIDENCE (round-11 verdict #5) — the
+    * q_zorder_skipping discipline applied to shuffle skew: for the
+    * pathological 5-value `event_type` join key, COMPUTE what each
+    * mitigation's reduce-side distribution would be, as pure functions of
+    * the data the oracle replays exactly:
+    *
+    *   - `1_unsalted`   — one reduce unit per key: at most 5 active
+    *     reducers on any cluster, max unit = the hottest key's rows.
+    *   - `2_aqe_split`  — AQE's OptimizeSkewedJoin splits an oversized
+    *     partition into advisory-sized chunks and replicates the matching
+    *     build side; modeled as ceil(rows/65536)-way chunking per key
+    *     (the row-domain image of the byte-domain advisory split).
+    *   - `3_salted_8`   — explicit 8-way salting (ops.Salting): every key
+    *     becomes 8 units; modeled with the deterministic salt
+    *     event_id % 8 so the oracle can replay the exact distribution.
+    *
+    * `skew_ratio` = max_unit_rows × units ÷ total — 1.0 is perfect
+    * balance; the unsalted row's ratio is the slowest-reducer multiplier
+    * an unmitigated 100 TB join would pay. Alongside the simulated
+    * distributions, the row also EXECUTES the real salted join
+    * (shuffle_hash, so the salt governs partitioning) and carries its
+    * result aggregate — mitigation must be invisible in values, so the
+    * oracle's n_rows/n_above come from the plain unsalted join. The
+    * RUNTIME half of the evidence (AQE actually splitting a skewed
+    * partition into more tasks) is pinned by SkewSpec, where executed-plan
+    * markers are observable; task timings aren't hash-stable, simulated
+    * distributions are.
+    */
+  def qSkewEvidence(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(decAvg(col("value")).as("type_avg"))
+    val res = graft.ops.Salting.saltedJoin(
+        e, stats.hint("shuffle_hash"), "event_type", salts = 8)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(coalesce(col("value"), lit(0.0)) > col("type_avg"), 1L)
+          .otherwise(0L)).as("n_above"))
+    val perKey = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val total = perKey.agg(sum(col("n")).as("total"))
+    val u1 = perKey
+      .agg(count(lit(1)).as("units"), max(col("n")).as("max_unit_rows"))
+      .select(lit("1_unsalted").as("strategy"), col("units"),
+        col("max_unit_rows"))
+    val u2 = perKey
+      .select(col("n"), expr("(n - 1) div 65536 + 1").as("chunks"))
+      .agg(sum(col("chunks")).as("units"),
+        max(expr("(n + chunks - 1) div chunks")).as("max_unit_rows"))
+      .select(lit("2_aqe_split").as("strategy"), col("units"),
+        col("max_unit_rows"))
+    val u3 = e
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(8L)).as("salt"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("units"), max(col("n")).as("max_unit_rows"))
+      .select(lit("3_salted_8").as("strategy"), col("units"),
+        col("max_unit_rows"))
+    u1.unionByName(u2).unionByName(u3)
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(res))
+      .select(col("strategy"), col("units"), col("max_unit_rows"),
+        ((col("max_unit_rows") * col("units")).cast("double") / col("total"))
+          .as("skew_ratio"),
+        col("n_rows"), col("n_above"))
+      .orderBy(col("strategy"))
+  }
 }
