@@ -152,6 +152,7 @@ object SparkEntry {
     "q_pca_project" -> (SimilarityQueries.qPcaProject _),
     "q_quantize_roundtrip" -> (SimilarityQueries.qQuantizeRoundtrip _),
     "q_manifest_skipping" -> (LayoutQueries.qManifestSkipping _),
+    "q_optimize_zorder" -> (LayoutQueries.qOptimizeZorder _),
     "q_optimize" -> (DatalakeQueries.qOptimize _),
     "q_stream_publish" -> (StreamQueries.qStreamPublish _),
     "q_ann_opq" -> (SimilarityQueries.qAnnOpq _),
@@ -2596,6 +2597,46 @@ object SparkEntry {
         |  (SELECT CAST(SUM(CAST(m.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |    FROM m WHERE m.ok_m BETWEEN p.lo AND p.hi) AS revenue
         |FROM p ORDER BY p.predicate""".stripMargin,
+    // OPTIMIZE ZORDER replay: both layouts' per-file envelopes are pure
+    // functions of the data (one file per x>>4 range / per z>>14 range);
+    // the aggregate columns are the plain whole-table rectangle query —
+    // identical for both rows, which is the rewrite-invisibility proof
+    "q_optimize_zorder" ->
+      s"""WITH m AS (SELECT l_partkey & 1023 AS x, l_orderkey & 1023 AS y,
+         |    l_extendedprice FROM lineitem),
+         |res AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         |      AS revenue
+         |  FROM m WHERE x BETWEEN 128 AND 255 AND y BETWEEN 128 AND 255),
+         |lf AS (SELECT x >> 4 AS fid, COUNT(*) AS n,
+         |    min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+         |  FROM m GROUP BY 1),
+         |zf AS (SELECT (${zExprSql("x", "y", 10)}) >> 14 AS fid,
+         |    COUNT(*) AS n,
+         |    min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+         |  FROM m GROUP BY 1),
+         |l AS (SELECT '1_linear' AS layout,
+         |    CAST(COUNT(*) AS BIGINT) AS files_total,
+         |    CAST(SUM(CASE WHEN mxx >= 128 AND mnx <= 255
+         |        AND mxy >= 128 AND mny <= 255 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS files_scanned,
+         |    CAST(SUM(CASE WHEN mxx >= 128 AND mnx <= 255
+         |        AND mxy >= 128 AND mny <= 255 THEN n ELSE 0 END) AS BIGINT)
+         |      AS rows_in_files
+         |  FROM lf),
+         |z AS (SELECT '2_zorder' AS layout,
+         |    CAST(COUNT(*) AS BIGINT) AS files_total,
+         |    CAST(SUM(CASE WHEN mxx >= 128 AND mnx <= 255
+         |        AND mxy >= 128 AND mny <= 255 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS files_scanned,
+         |    CAST(SUM(CASE WHEN mxx >= 128 AND mnx <= 255
+         |        AND mxy >= 128 AND mny <= 255 THEN n ELSE 0 END) AS BIGINT)
+         |      AS rows_in_files
+         |  FROM zf),
+         |u AS (SELECT * FROM l UNION ALL SELECT * FROM z)
+         |SELECT layout, files_total, files_scanned, rows_in_files,
+         |  n_rows, revenue
+         |FROM u, res ORDER BY layout""".stripMargin,
     // Count-Min replay: ONE md5 digest per token occurrence sliced into
     // four 32-bit bucket words (lower/upper lane, low/high half) — the
     // same slices Sketches.buckets masks engine-side; arithmetic stays in

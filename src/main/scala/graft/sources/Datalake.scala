@@ -702,6 +702,66 @@ object Datalake {
     newV
   }
 
+  /** OPTIMIZE ZORDER (the Delta `OPTIMIZE ... ZORDER BY (x, y)` shape,
+    * round-11 verdict #6): rewrite the manifest-current version into a
+    * NEW version clustered on the Morton interleaving of TWO keys, so
+    * every output file gets a tight min/max envelope on BOTH columns and
+    * a rectangle predicate prunes through [[readPublishedPrunedMulti]]
+    * on both dimensions at once — the re-cluster maintenance pass for
+    * 2-dimensional access patterns, versioned and atomic like any
+    * publish (old version retained for time travel until vacuum).
+    *
+    * File assignment is the EXPLICIT fixed-width z-range `z >> shift`
+    * (ops.Layout semantics): `nFiles` must be a power of two ≤ 4^bits,
+    * each of the nFiles z-ranges becomes one Hive partition dir holding
+    * exactly one file (the z-range id is materialized as partition
+    * column `zfile` — derived bit arithmetic over the keys, so it adds
+    * no information; readers wanting the original schema drop it). The
+    * explicit assignment (vs a sampled repartitionByRange) makes the
+    * layout a pure function of the data — replayable by an oracle and
+    * identical on every cluster size. Stats sidecar: both z keys plus
+    * `extraStatsCols`.
+    *
+    * Scale: one shuffle of the table hash-keyed on zfile (map-side
+    * z-value is codegen bit arithmetic); a production writer with
+    * skewed z-cells would follow the fixed-width ranges with AQE
+    * coalescing or sampled boundaries — the z expression is identical
+    * either way. Returns the new version name.
+    */
+  def optimizeZorder(spark: SparkSession, tableRoot: String,
+      xCol: String, yCol: String, bits: Int, nFiles: Int,
+      extraStatsCols: Seq[String] = Nil): String = {
+    val cur = currentVersion(spark, tableRoot).getOrElse(
+      throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+    val dataPath = currentDataPath(spark, tableRoot).get
+    val log2Files = java.lang.Integer.numberOfTrailingZeros(nFiles)
+    require(nFiles >= 1 && (nFiles & (nFiles - 1)) == 0 &&
+      log2Files <= 2 * bits,
+      s"nFiles must be a power of two <= 4^bits, got $nFiles (bits=$bits)")
+    val mask = (1L << bits) - 1
+    val z = graft.ops.Layout.zValue(
+      org.apache.spark.sql.functions.col(xCol).bitwiseAND(
+        org.apache.spark.sql.functions.lit(mask)),
+      org.apache.spark.sql.functions.col(yCol).bitwiseAND(
+        org.apache.spark.sql.functions.lit(mask)), bits)
+    val zfile = org.apache.spark.sql.functions
+      .shiftright(z, 2 * bits - log2Files).cast("int")
+    val df = spark.read.parquet(dataPath)
+      .withColumn("zfile", zfile)
+      // one partition per z-range → exactly one file per zfile dir
+      .repartition(org.apache.spark.sql.functions.col("zfile"))
+    val versions = listVersions(spark, tableRoot)
+    val numeric = versions.filter(v =>
+      v.nonEmpty && v.forall(_.isDigit) && v.length <= 18).map(_.toLong)
+    val newV =
+      if (numeric.nonEmpty) (numeric.max + 1).toString
+      else if (cur.startsWith("ref=")) "1"
+      else s"$cur-zordered"
+    publish(df, tableRoot, newV, Seq("zfile"),
+      (Seq(xCol, yCol) ++ extraStatsCols).distinct)
+    newV
+  }
+
   /** Hive-style partition columns of a data directory, outermost first —
     * detected from the first `name=value` directory chain (every sibling
     * carries the same column name by the Hive layout contract, so one
@@ -887,7 +947,20 @@ object Datalake {
     * row-group skipping, one level up).
     */
   def readPublishedPruned(spark: SparkSession, tableRoot: String,
-      column: String, lo: Double, hi: Double): PrunedScan = {
+      column: String, lo: Double, hi: Double): PrunedScan =
+    readPublishedPrunedMulti(spark, tableRoot, Seq((column, lo, hi)))
+
+  /** Multi-predicate stats-pruned read — the 2+-dimensional companion to
+    * [[readPublishedPruned]] (and the read path Z-order clustering
+    * exists for): a file is opened only when its envelope intersects
+    * EVERY `(column, lo, hi)` interval; a single missing envelope keeps
+    * the file (prune only on proof). Conjunction is the right monotone
+    * composition: each predicate can only shrink the kept set, never
+    * wrongly drop a file another predicate would keep.
+    */
+  def readPublishedPrunedMulti(spark: SparkSession, tableRoot: String,
+      preds: Seq[(String, Double, Double)]): PrunedScan = {
+    require(preds.nonEmpty, "at least one (column, lo, hi) predicate")
     // resolves ref= tokens too: an undiverged shallow clone prunes with
     // the SOURCE version's stats sidecar (stats live inside the version
     // dir, so the pointer carries them along for free)
@@ -897,9 +970,11 @@ object Datalake {
     require(stats.nonEmpty,
       s"no $StatsFile under $dataPath — publish with statsCols to prune")
     val keep = stats.filter { f =>
-      f.cols.get(column) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
+      preds.forall { case (column, lo, hi) =>
+        f.cols.get(column) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
       }
     }
     val df =
