@@ -167,6 +167,7 @@ object SparkEntry {
     "q_stream_outer_join" -> (StreamQueries.qStreamOuterJoin _),
     "q_shallow_clone" -> (DatalakeQueries.qShallowClone _),
     "q_stream_drift" -> (StreamQueries.qStreamDrift _),
+    "q_stream_drift_windows" -> (StreamQueries.qStreamDriftWindows _),
     "q_image_phash" -> (TextQueries.qImagePhash _),
     "q_concurrent_publish" -> (DatalakeQueries.qConcurrentPublish _),
     "q_entity_resolution_incremental" ->
@@ -821,6 +822,52 @@ object SparkEntry {
         // histogram-store fold == batch counts by count linearity, PSI
         // tail shared verbatim → the batch oracle applies unchanged
         "q_stream_drift" -> staticOracleSql("q_drift_psi"),
+        // watermark-sealed daily cohorts: day windows never straddle the
+        // midnight cutoff, so summing sealed window cells per cohort
+        // equals the per-event cutoff flag by count linearity; the
+        // n_windows_* columns replay as distinct active days per type —
+        // a window the watermark failed to seal would be missing and
+        // hash-fail here
+        "q_stream_drift_windows" ->
+          """WITH e AS (SELECT event_type, ts,
+            |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+            |      AS cohort,
+            |    CASE WHEN ts >= TIMESTAMP '2024-01-16'
+            |        AND event_type = 'purchase'
+            |      THEN value * 1.5 ELSE value END AS v
+            |  FROM events),
+            |b AS (SELECT event_type, ts, cohort,
+            |    CAST(least(floor(v / 50.0), 9) AS BIGINT) AS bin FROM e),
+            |w AS (SELECT event_type,
+            |    CAST(COUNT(DISTINCT date_trunc('day', ts))
+            |      FILTER (cohort = 0) AS BIGINT) AS n_windows_before,
+            |    CAST(COUNT(DISTINCT date_trunc('day', ts))
+            |      FILTER (cohort = 1) AS BIGINT) AS n_windows_after
+            |  FROM b GROUP BY 1),
+            |bins AS (SELECT DISTINCT event_type, unnest(range(10)) AS bin
+            |  FROM b),
+            |c AS (SELECT event_type, bin,
+            |    COUNT(*) FILTER (cohort = 0) AS n0,
+            |    COUNT(*) FILTER (cohort = 1) AS n1
+            |  FROM b GROUP BY 1, 2),
+            |f AS (SELECT bins.event_type, bins.bin,
+            |    coalesce(c.n0, 0) AS n0, coalesce(c.n1, 0) AS n1
+            |  FROM bins LEFT JOIN c
+            |    ON bins.event_type = c.event_type AND bins.bin = c.bin),
+            |tot AS (SELECT event_type, SUM(n0) AS t0, SUM(n1) AS t1
+            |  FROM f GROUP BY 1),
+            |terms AS (SELECT f.event_type, tot.t0, tot.t1,
+            |    CAST(f.n0 + 1 AS DOUBLE) / (tot.t0 + 10) AS p,
+            |    CAST(f.n1 + 1 AS DOUBLE) / (tot.t1 + 10) AS q
+            |  FROM f JOIN tot USING (event_type)),
+            |p AS (SELECT event_type, CAST(max(t0) AS BIGINT) AS n_before,
+            |    CAST(max(t1) AS BIGINT) AS n_after,
+            |    SUM(floor((p - q) * ln(p / q) * 65536.0) / 65536.0) AS psi
+            |  FROM terms GROUP BY 1)
+            |SELECT p.event_type, w.n_windows_before, w.n_windows_after,
+            |  n_before, n_after, psi
+            |FROM p JOIN w USING (event_type)
+            |ORDER BY event_type""".stripMargin,
         // new-vs-history-only dedup: the union of per-epoch streamed
         // results equals one batch run, so the batch oracle is verbatim
         "q_stream_dedup_incremental" -> staticOracleSql("q_dedup_incremental"),

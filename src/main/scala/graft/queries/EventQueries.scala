@@ -348,14 +348,27 @@ object EventQueries {
     * the fixed-width IEEE divide+floor bin.
     */
   private[graft] def driftBinned(e: DataFrame): DataFrame =
-    e.select(col("event_type"),
+    driftBinnedTs(e).drop("ts")
+
+  /** [[driftBinned]] keeping the event timestamp — the form the
+    * WATERMARKED drift monitor needs, where the cohorts are event-time
+    * windows rather than a per-row cutoff flag. One definition serves
+    * both so batch and stream cannot disagree on the shift or the bin
+    * grid.
+    */
+  private[graft] def driftBinnedTs(e: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = carry.map(col)
+    e.select(Seq(col("ts"), col("event_type"),
         when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), 0L)
-          .otherwise(1L).as("cohort"), col("value"))
-      .select(col("event_type"), col("cohort"),
+          .otherwise(1L).as("cohort"), col("value")) ++ keep: _*)
+      .select(Seq(col("ts"), col("event_type"), col("cohort"),
         when(col("cohort") === 1L && col("event_type") === "purchase",
-          col("value") * 1.5).otherwise(col("value")).as("v"))
-      .select(col("event_type"), col("cohort"),
-        least(floor(col("v") / 50.0), lit(9.0)).cast("long").as("bin"))
+          col("value") * 1.5).otherwise(col("value")).as("v")) ++ keep: _*)
+      .select(Seq(col("ts"), col("event_type"), col("cohort"),
+        least(floor(col("v") / 50.0), lit(9.0)).cast("long").as("bin")) ++
+        keep: _*)
+  }
 
   /** The drift monitor's PSI TAIL over a (event_type, bin, n0, n1)
     * counts table — dense bins, Laplace smoothing, snapped ln terms
