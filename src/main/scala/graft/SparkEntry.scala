@@ -129,6 +129,7 @@ object SparkEntry {
     "q_source_entropy" -> (TextQueries.qSourceEntropy _),
     "q_time_travel" -> (DatalakeQueries.qTimeTravel _),
     "q_vacuum" -> (DatalakeQueries.qVacuum _),
+    "q_deletion_vectors" -> (DatalakeQueries.qDeletionVectors _),
     "q_video_frames" -> (TextQueries.qVideoFrames _),
     "q_stream_retention" -> (StreamQueries.qStreamRetention _),
     "q_stream_recovery" -> (StreamQueries.qStreamRecovery _),
@@ -2262,6 +2263,16 @@ object SparkEntry {
     // post-vacuum facts only: v1 rows appearing, a drifted retained sum,
     // a misread evolved schema (v2 priority non-null) or a wrong surviving
     // directory count would each break the hash
+    // deletion vectors: visibility is NOT(p1) AND NOT(p2) over the base
+    // table regardless of physical layout; the 8/8 file-count evidence
+    // pins that neither delete rewrote a data file
+    "q_deletion_vectors" ->
+      """SELECT o_orderpriority, CAST(8 AS BIGINT) AS files_before,
+        |  CAST(8 AS BIGINT) AS files_after, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 0) AND NOT (o_totalprice > 200000.0)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_vacuum" ->
       """WITH o AS (SELECT o_orderkey,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p, o_orderpriority

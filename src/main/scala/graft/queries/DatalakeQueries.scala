@@ -507,6 +507,41 @@ object DatalakeQueries {
     * catalog-sized listing + recursive deletes; the audit read is one
     * scan of the retained versions with footer-merged schemas.
     */
+  /** DELETION VECTORS end-to-end (r13 — the Delta/Iceberg row-level
+    * delete without rewriting data files): orders is published as 8
+    * files, then TWO accumulating `Datalake.deleteWhere` commits mark
+    * every 10th key and every high-value order deleted — each commit
+    * writes only a small `_dv/` position sidecar and a manifest swap.
+    * The readback aggregates the surviving rows per priority through the
+    * DV-aware `readPublished`; the files_before/files_after evidence
+    * columns pin that the delete touched ZERO data files (both 8 — the
+    * whole point: a 0.1% delete on a 100 TB table is a seconds-scale
+    * sidecar commit, not an hours-scale rewrite). A resurrected or
+    * over-deleted row hash-fails against the oracle's plain
+    * NOT(p1) AND NOT(p2) aggregate. DatalakeSpec pins the protocol
+    * edges: accumulation, OPTIMIZE folding the vector into its rewrite,
+    * vacuum retiring only unreferenced vectors.
+    */
+  def qDeletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val root = tempLakeRoot() + "/orders_dv"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .repartition(8) // deterministic file count for the evidence columns
+    Datalake.publish(o, root, "1")
+    val filesBefore = Datalake.dataFiles(spark, root, "1").length.toLong
+    Datalake.deleteWhere(spark, root, col("o_orderkey") % 10 === 0)
+    Datalake.deleteWhere(spark, root, col("o_totalprice") > 200000.0)
+    val filesAfter = Datalake.dataFiles(spark, root, "1").length.toLong
+    Datalake.readPublished(spark, root)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        decSum2(col("o_totalprice")).cast("double").as("revenue"))
+      .select(col("o_orderpriority"), lit(filesBefore).as("files_before"),
+        lit(filesAfter).as("files_after"), col("n_rows"), col("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def qVacuum(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Agg.decSum2
     val o = Tables.orders(spark, dir)

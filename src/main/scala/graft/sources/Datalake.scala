@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+import org.apache.spark.sql.functions.{array, col, explode, expr, lit, struct, when}
 import org.apache.spark.sql.types.StructType
 
 /** Layered datalake IO, mirroring the reference's raw/formatted/usage tree
@@ -201,8 +201,118 @@ object Datalake {
     * own publish).
     */
   private def resolveToken(tableRoot: String, token: String): String =
-    if (token.startsWith("ref=")) token.stripPrefix("ref=")
-    else s"$tableRoot/$token"
+    parseDvToken(token) match {
+      case Some((base, _)) => resolveToken(tableRoot, base)
+      case None =>
+        if (token.startsWith("ref=")) token.stripPrefix("ref=")
+        else s"$tableRoot/$token"
+    }
+
+  // ==================== deletion vectors ====================
+  //
+  // Row-level DELETE without rewriting any data file (the Delta/Iceberg
+  // deletion-vector shape): a delete publishes a small sidecar of
+  // (file, row_index) positions under `_dv/` and swaps the manifest to a
+  // `dv=<base token>;<dv dir>` token. Readers resolve the base version and
+  // anti-join the positions — O(deleted) extra IO instead of O(table)
+  // rewrite, which is what makes a 0.1% delete on a 100 TB table a
+  // seconds-scale commit instead of an hours-scale rewrite. Deletes
+  // ACCUMULATE (each new DV is merged with the current one against the
+  // same immutable base), and OPTIMIZE folds the vector into its rewrite,
+  // returning the table to a plain `v=` token — exactly Delta's
+  // compaction contract. Production encoding would be a roaring bitmap
+  // per file; parquet (file, pos) pairs keep the sidecar engine-readable
+  // here and the anti-join co-partitions on file either way.
+
+  private val DvDir = "_dv"
+
+  /** `dv=<base token>;<relative dv dir>` → (base, dvRel). */
+  private def parseDvToken(token: String): Option[(String, String)] =
+    if (!token.startsWith("dv=")) None
+    else {
+      val body = token.stripPrefix("dv=")
+      val i = body.lastIndexOf(';')
+      if (i < 0) None else Some((body.substring(0, i), body.substring(i + 1)))
+    }
+
+  /** Fully-qualified data dir, for relativizing `_metadata.file_path`
+    * (which Spark reports as a fully-qualified URI).
+    */
+  private def qualifiedPath(spark: SparkSession, dataPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  /** Position columns (__file relative to the version dir, __pos) for
+    * every row of `scan` — the parquet `_metadata` hidden columns, so a
+    * row's identity is (file, row ordinal) with zero bookkeeping columns
+    * stored in the data.
+    */
+  private def withRowPosition(spark: SparkSession, scan: DataFrame,
+      dataPath: String): DataFrame = {
+    val base = qualifiedPath(spark, dataPath)
+    scan.select(col("*"),
+      expr(s"substring(_metadata.file_path, ${base.length + 2})")
+        .as("__file"),
+      col("_metadata.row_index").as("__pos"))
+  }
+
+  /** The base scan minus the DV's positions. Plain (non-broadcast-forced)
+    * left-anti: AQE broadcasts a small vector, and a huge one
+    * co-partitions on (__file, __pos) — either way no row of the base
+    * table is read twice.
+    */
+  private def applyDv(spark: SparkSession, dataPath: String,
+      dvPath: String): DataFrame =
+    withRowPosition(spark, spark.read.parquet(dataPath), dataPath)
+      .join(spark.read.parquet(dvPath), Seq("__file", "__pos"), "left_anti")
+      .drop("__file", "__pos")
+
+  /** Resolve a manifest token to a readable frame — DV tokens apply
+    * their vector, everything else is a plain scan of the resolved dir.
+    */
+  private def readToken(spark: SparkSession, tableRoot: String,
+      token: String): DataFrame =
+    parseDvToken(token) match {
+      case Some((base, dvRel)) =>
+        applyDv(spark, resolveToken(tableRoot, base), s"$tableRoot/$dvRel")
+      case None => spark.read.parquet(resolveToken(tableRoot, token))
+    }
+
+  /** DELETE WHERE as a deletion-vector commit: positions of the base
+    * version's rows matching `predicate` are merged with the current
+    * vector (if any) into a fresh immutable `_dv/` dir, and the manifest
+    * swaps to the `dv=` token — no data file is touched. The predicate
+    * is evaluated against the BASE scan; re-matching an already-deleted
+    * row is harmless (the merge is a distinct union). Returns the number
+    * of distinct positions in the new vector.
+    *
+    * Time travel by version name still reads the physical (undeleted)
+    * snapshot — the vector is manifest-level state, exactly like Delta,
+    * where DVs belong to a commit, not to the parquet files.
+    */
+  def deleteWhere(spark: SparkSession, tableRoot: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val token = manifestToken(spark, tableRoot).getOrElse(
+      throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+    val (baseToken, existingDv) = parseDvToken(token) match {
+      case Some((b, d)) => (b, Some(s"$tableRoot/$d"))
+      case None => (token, None)
+    }
+    val dataPath = resolveToken(tableRoot, baseToken)
+    val scan = spark.read.parquet(dataPath)
+    val newDel = withRowPosition(spark, scan.filter(predicate), dataPath)
+      .select(col("__file"), col("__pos"))
+    val merged = existingDv
+      .map(p => spark.read.parquet(p).unionByName(newDel).distinct())
+      .getOrElse(newDel.distinct())
+    val rel = s"$DvDir/dv-${java.util.UUID.randomUUID().toString.take(8)}"
+    merged.write.parquet(s"$tableRoot/$rel")
+    val n = spark.read.parquet(s"$tableRoot/$rel").count()
+    swapManifest(spark, tableRoot, s"dv=$baseToken;$rel")
+    n
+  }
 
   // ==================== optimistic concurrency (CAS) ====================
   //
@@ -479,7 +589,7 @@ object Datalake {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new org.apache.hadoop.fs.Path(root, "MANIFEST"))
     val v = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-    spark.read.parquet(resolveToken(tableRoot, v))
+    readToken(spark, tableRoot, v)
   }
 
   /** The manifest-current version name, if a manifest exists. For an
@@ -489,7 +599,12 @@ object Datalake {
     * forms).
     */
   def currentVersion(spark: SparkSession, tableRoot: String): Option[String] =
-    manifestToken(spark, tableRoot).map(_.stripPrefix("v="))
+    manifestToken(spark, tableRoot).map { t =>
+      // a dv= token resolves to its BASE version: that dir is what vacuum
+      // must protect (deleting it would orphan the live vector) and what
+      // version-naming successors count from
+      parseDvToken(t).map(_._1).getOrElse(t).stripPrefix("v=")
+    }
 
   /** The raw manifest token (`v=<name>` or `ref=<path>`), if a manifest
     * exists. */
@@ -556,6 +671,15 @@ object Datalake {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     drop.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
+    }
+    // deletion-vector dirs are commit-level state: only the CURRENT
+    // manifest token can reference one (each delete writes a fresh merged
+    // dir), so every other _dv/ dir is retired garbage
+    val dvKeep = manifestToken(spark, tableRoot).flatMap(parseDvToken)
+      .map { case (_, rel) => rel.stripPrefix(s"$DvDir/") }.toSet
+    val dvBase = new org.apache.hadoop.fs.Path(root, DvDir)
+    if (fs.exists(dvBase)) fs.listStatus(dvBase).foreach { s =>
+      if (!dvKeep.contains(s.getPath.getName)) fs.delete(s.getPath, true)
     }
     drop
   }
@@ -672,7 +796,13 @@ object Datalake {
     // table kept the rows but destroyed partition-directory pruning for
     // every later reader); Some(Nil) is the explicit flatten.
     val parts = partitionBy.getOrElse(detectPartitionColumns(spark, dataPath))
-    val df0 = spark.read.parquet(dataPath)
+    // token-aware read, NOT a raw dir scan: on a deletion-vector table a
+    // raw scan would resurrect every deleted row into the rewrite.
+    // OPTIMIZE instead FOLDS the vector (the rewrite contains only live
+    // rows) and the new plain v= token retires it — Delta's compaction
+    // contract.
+    val df0 = readToken(spark, tableRoot,
+      manifestToken(spark, tableRoot).get)
     val cf = org.apache.spark.sql.functions.col _
     val df =
       if (clusterBy.nonEmpty)
@@ -746,7 +876,9 @@ object Datalake {
         org.apache.spark.sql.functions.lit(mask)), bits)
     val zfile = org.apache.spark.sql.functions
       .shiftright(z, 2 * bits - log2Files).cast("int")
-    val df = spark.read.parquet(dataPath)
+    // token-aware read (see optimize): a z-order rewrite folds any live
+    // deletion vector instead of resurrecting its rows
+    val df = readToken(spark, tableRoot, manifestToken(spark, tableRoot).get)
       .withColumn("zfile", zfile)
       // one partition per z-range → exactly one file per zfile dir
       .repartition(org.apache.spark.sql.functions.col("zfile"))
@@ -977,12 +1109,23 @@ object Datalake {
         }
       }
     }
-    val df =
+    val raw =
       if (keep.isEmpty)
         spark.read.parquet(dataPath).filter(org.apache.spark.sql.functions
           .lit(false))
       else spark.read.option("basePath", dataPath)
         .parquet(keep.map(f => s"$dataPath/${f.file}"): _*)
+    // a live deletion vector still applies to a pruned scan (pruning
+    // narrows IO, never visibility); rows/files evidence stays PHYSICAL —
+    // it measures what the scan opens, and DV rows are still read
+    val df = manifestToken(spark, tableRoot).flatMap(parseDvToken) match {
+      case Some((_, dvRel)) =>
+        withRowPosition(spark, raw, dataPath)
+          .join(spark.read.parquet(s"$tableRoot/$dvRel"),
+            Seq("__file", "__pos"), "left_anti")
+          .drop("__file", "__pos")
+      case None => raw
+    }
     PrunedScan(df, stats.length, keep.length, keep.map(_.rows).sum)
   }
 

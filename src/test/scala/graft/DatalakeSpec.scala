@@ -508,6 +508,58 @@ class DatalakeSpec extends SparkSpecBase {
     assert(Datalake.readPublished(spark, root).count() === 3)
   }
 
+  test("deletion vectors: accumulate, fold into OPTIMIZE, vacuum retires stale ones") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = s"${Files.createTempDirectory("graft-dv")}/t"
+    val base = spark.range(0, 100).select(col("id"),
+      (col("id") * 2).as("v")).repartition(4)
+    Datalake.publish(base.toDF(), root, "1", Nil, Seq("id"))
+    val files1 = Datalake.dataFiles(spark, root, "1")
+
+    // two accumulating deletes, zero data files touched
+    val n1 = Datalake.deleteWhere(spark, root, col("id") < 10)
+    assert(n1 === 10)
+    val n2 = Datalake.deleteWhere(spark, root, col("id") >= 90)
+    assert(n2 === 20, "second vector must merge with the first")
+    assert(Datalake.dataFiles(spark, root, "1") === files1,
+      "delete must not rewrite any data file")
+    val visible = Datalake.readPublished(spark, root)
+    assert(visible.count() === 80)
+    assert(visible.agg(org.apache.spark.sql.functions.min(col("id")))
+      .head.getLong(0) === 10)
+    // deleting an already-deleted row is a no-op in the merged vector
+    val n3 = Datalake.deleteWhere(spark, root, col("id") < 10)
+    assert(n3 === 20)
+
+    // a stats-pruned read applies the vector too
+    val pruned = Datalake.readPublishedPruned(spark, root, "id", 0.0, 20.0)
+    assert(pruned.df.filter(col("id") <= 20).count() === 11,
+      "pruned scan must not resurrect deleted rows") // ids 10..20
+
+    // OPTIMIZE folds the vector: rewrite holds only live rows, token is
+    // plain v= again, and the old vector becomes vacuum-retirable garbage
+    val v2 = Datalake.optimize(spark, root, 2, statsCols = Seq("id"))
+    assert(Datalake.currentVersion(spark, root).contains(v2))
+    assert(Datalake.readPublished(spark, root).count() === 80)
+    assert(Datalake.readVersion(spark, root, v2).count() === 80,
+      "the rewrite itself must contain only live rows")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvDir = new org.apache.hadoop.fs.Path(root, "_dv")
+    assert(fs.listStatus(dvDir).nonEmpty)
+    Datalake.vacuum(spark, root, keepLast = 2)
+    assert(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty,
+      "vacuum must retire vectors the manifest no longer references")
+
+    // vacuum PROTECTS the base of a live vector: delete again on v2,
+    // then vacuum — v2 (the dv base) must survive even beyond keepLast
+    Datalake.deleteWhere(spark, root, col("id") === lit(50L))
+    assert(Datalake.readPublished(spark, root).count() === 79)
+    Datalake.vacuum(spark, root, keepLast = 1)
+    assert(Datalake.readPublished(spark, root).count() === 79,
+      "vacuum deleted the base version of a live deletion vector")
+  }
+
   test("CAS swap ordering: a stalled writer's late sync cannot regress the manifest") {
     val root = s"${Files.createTempDirectory("graft-cas-ord")}/t"
     // writer A commits seq 1, writer B commits seq 2 (manifest now at B)
