@@ -150,6 +150,7 @@ object SparkEntry {
     "q_audio_features" -> (TextQueries.qAudioFeatures _),
     "q_image_thumbnail" -> (TextQueries.qImageThumbnail _),
     "q_source_quota" -> (CorpusQueries.qSourceQuota _),
+    "q_token_budget" -> (CorpusQueries.qTokenBudget _),
     "q_pca_project" -> (SimilarityQueries.qPcaProject _),
     "q_quantize_roundtrip" -> (SimilarityQueries.qQuantizeRoundtrip _),
     "q_manifest_skipping" -> (LayoutQueries.qManifestSkipping _),
@@ -2388,6 +2389,22 @@ object SparkEntry {
         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
         |  CAST(n_chars AS BIGINT) AS n_chars
         |FROM r WHERE rank <= 50 ORDER BY source, rank""".stripMargin,
+    // the NAIVE per-row running-sum window — the engine's histogram-window
+    // fill must equal it exactly (keep while tokens-before < budget, the
+    // crossing doc kept)
+    "q_token_budget" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |w AS (SELECT source, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY n_tokens DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM d)
+        |SELECT source, doc_id, n_tokens FROM w WHERE cum_before < 800
+        |ORDER BY source, n_tokens DESC, doc_id""".stripMargin,
     // int8 quantize→dequantize kernel replay (the quantCorpusCtes
     // rounding identity), error terms floored onto the 2^-40 grid before
     // the 64-term sum (§4: many-term cross-engine float sums snap),

@@ -156,4 +156,50 @@ object Corpus {
         (col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
           .as("top_bigram_frac"))
   }
+
+  /** TOKEN-BUDGET FILL — the data-mixing primitive: per source, keep
+    * documents in priority order (most tokens first, doc_id tie-break)
+    * until the cumulative token count reaches `budget`; the document that
+    * crosses the line is KEPT (keep while tokens-before < budget), and
+    * everything after it is dropped. This is how a mixture spec
+    * ("300B web tokens, 50B code, ...") becomes a concrete document set.
+    *
+    * Scale shape — the naive form is a per-source running-sum window,
+    * i.e. ONE sorted reducer per source, which melts on a 100 TB web
+    * crawl. This implementation runs the window over the (source,
+    * token-count) HISTOGRAM instead: group counts + sums per exact token
+    * count (histogram-sized, bounded by distinct document lengths, not
+    * documents), a cumulative sum over that to find each group's
+    * remaining budget, keep-all for interior groups, and a per-doc rank
+    * ONLY inside the single boundary group (documents sharing one exact
+    * token count). Equivalence to the per-row window is re-proven every
+    * round: the DuckDB oracle IS the naive window form.
+    */
+  def tokenBudgetFill(docs: DataFrame, source: Column, id: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val d = docs.select(source.as("source"), id.as("doc_id"),
+      tokens.cast("long").as("n_tokens"))
+    val h = d.groupBy(col("source"), col("n_tokens"))
+      .agg(count(lit(1)).as("g_cnt"), sum(col("n_tokens")).as("g_sum"))
+    val hw = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cut = h
+      .withColumn("cum_before", coalesce(sum(col("g_sum")).over(hw), lit(0L)))
+      .withColumn("br", lit(budget) - col("cum_before"))
+      .filter(col("br") > 0L)
+      // boundary group: k = ceil(remaining / t); t > 0 here because a
+      // zero-token group has g_sum = 0 <= br and takes the keep-all arm
+      .withColumn("k_keep", when(col("g_sum") <= col("br"), col("g_cnt"))
+        .otherwise(expr("(br + n_tokens - 1) div n_tokens")))
+    val bw = Window.partitionBy(col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+    d.join(cut.select(col("source"), col("n_tokens"), col("k_keep")),
+        Seq("source", "n_tokens"))
+      .withColumn("rn", row_number().over(bw))
+      .filter(col("rn") <= col("k_keep"))
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+  }
 }

@@ -125,6 +125,19 @@ object CorpusQueries {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Token-budget fill (r13): per source, keep documents most-tokens-
+    * first until 800 cumulative tokens (the crossing document is kept).
+    * The engine runs ops.Corpus.tokenBudgetFill's histogram-window form
+    * (no per-source row sort); the oracle is the naive per-row
+    * running-sum window — the two are re-proven equivalent by hash every
+    * round.
+    */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Corpus.tokenBudgetFill(Tables.documents(spark, dir), col("source"),
+        col("doc_id"), graft.ops.TextAnalysis.wsTokenCount(col("text")),
+        budget = 800L)
+      .orderBy(col("source"), col("n_tokens").desc, col("doc_id"))
+
   /** Chunk every document into 64-token windows with stride 48 (16-token
     * overlap) — the LM pretraining window shape.
     */
