@@ -130,6 +130,7 @@ object SparkEntry {
     "q_time_travel" -> (DatalakeQueries.qTimeTravel _),
     "q_vacuum" -> (DatalakeQueries.qVacuum _),
     "q_deletion_vectors" -> (DatalakeQueries.qDeletionVectors _),
+    "q_partition_overwrite" -> (DatalakeQueries.qPartitionOverwrite _),
     "q_video_frames" -> (TextQueries.qVideoFrames _),
     "q_stream_retention" -> (StreamQueries.qStreamRetention _),
     "q_stream_recovery" -> (StreamQueries.qStreamRecovery _),
@@ -2274,6 +2275,24 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT (o_orderkey % 10 = 0) AND NOT (o_totalprice > 200000.0)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // partition-overwrite replay: final state = untouched days + the
+    // restated day's clicks only + the shifted backfill day
+    "q_partition_overwrite" ->
+      """WITH e AS (SELECT event_id, ts, event_type, value,
+        |    CAST(ts AS DATE) AS day FROM events),
+        |final AS (
+        |  SELECT * FROM e WHERE day <> DATE '2024-01-10'
+        |    AND day <> DATE '2024-02-01'
+        |  UNION ALL
+        |  SELECT * FROM e
+        |  WHERE day = DATE '2024-01-10' AND event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL 31 DAY, event_type, value,
+        |    CAST(ts + INTERVAL 31 DAY AS DATE)
+        |  FROM e WHERE day = DATE '2024-01-01')
+        |SELECT day, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_types
+        |FROM final GROUP BY day ORDER BY day""".stripMargin,
     "q_vacuum" ->
       """WITH o AS (SELECT o_orderkey,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p, o_orderpriority

@@ -507,6 +507,37 @@ object DatalakeQueries {
     * catalog-sized listing + recursive deletes; the audit read is one
     * scan of the retained versions with footer-merged schemas.
     */
+  /** DYNAMIC PARTITION OVERWRITE end-to-end (r13 — the daily-restatement
+    * op): events published day-partitioned, then one batch RESTATES
+    * 2024-01-10 (re-sending only its click events — replacement
+    * semantics: the day's other event types must vanish) and BACKFILLS a
+    * partition the table has never seen (2024-01-01 shifted +31 days →
+    * 2024-02-01). `Datalake.overwritePartitions` carries every untouched
+    * day forward via a broadcast anti-join on the batch's distinct
+    * partition tuples and publishes the result as a new atomic version.
+    * The per-day readback hash-fails on a leaked non-click row in the
+    * restated day, a lost untouched day, or a missing backfill day.
+    */
+  def qPartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("day", to_date(col("ts")))
+    val root = tempLakeRoot() + "/events_po"
+    Datalake.publish(e, root, "1", Seq("day"), Nil)
+    val restated = e.filter(col("day") === lit("2024-01-10").cast("date") &&
+      col("event_type") === "click")
+    val backfill = e.filter(col("day") === lit("2024-01-01").cast("date"))
+      .withColumn("ts", col("ts") + expr("INTERVAL 31 DAYS"))
+      .withColumn("day", to_date(col("ts")))
+    Datalake.overwritePartitions(spark, root,
+      restated.unionByName(backfill), Seq("day"))
+    Datalake.readPublished(spark, root)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("event_type")).as("n_types"))
+      .orderBy(col("day"))
+  }
+
   /** DELETION VECTORS end-to-end (r13 — the Delta/Iceberg row-level
     * delete without rewriting data files): orders is published as 8
     * files, then TWO accumulating `Datalake.deleteWhere` commits mark

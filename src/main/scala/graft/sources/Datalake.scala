@@ -280,6 +280,44 @@ object Datalake {
       case None => spark.read.parquet(resolveToken(tableRoot, token))
     }
 
+  /** DYNAMIC PARTITION OVERWRITE as a versioned commit (Hive's
+    * `INSERT OVERWRITE ... PARTITION` with partitionOverwriteMode=dynamic
+    * / Delta's `replaceWhere` on partition columns — the daily-restatement
+    * and backfill op): the next version REPLACES exactly the partitions
+    * present in `batch` (untouched partitions carried forward, new
+    * partition values inserted) and publishes through the same atomic
+    * manifest swap as any write. Replacement, not merge: a base row of a
+    * restated partition survives only if the batch re-sends it.
+    *
+    * The batch's distinct partition tuples are catalog-sized →
+    * broadcast anti-join, so untouched data streams through map-side.
+    * This materializes the full next version (the repo's version-dir
+    * model, same as MERGE); the file-granularity production form — new
+    * version references untouched files instead of copying them — drops
+    * in behind the same manifest token without changing this contract.
+    * Returns the new version name.
+    */
+  def overwritePartitions(spark: SparkSession, tableRoot: String,
+      batch: DataFrame, partCols: Seq[String],
+      statsCols: Seq[String] = Nil): String = {
+    require(partCols.nonEmpty, "overwritePartitions needs partition columns")
+    val token = manifestToken(spark, tableRoot).getOrElse(
+      throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+    val cur = readToken(spark, tableRoot, token)
+    val parts = batch.select(partCols.map(col): _*).distinct()
+    val untouched = cur.join(
+      org.apache.spark.sql.functions.broadcast(parts), partCols, "left_anti")
+    val next = untouched.unionByName(batch.select(cur.columns.map(col): _*))
+    val versions = listVersions(spark, tableRoot)
+    val numeric = versions.filter(v =>
+      v.nonEmpty && v.forall(_.isDigit) && v.length <= 18).map(_.toLong)
+    val newV =
+      if (numeric.nonEmpty) (numeric.max + 1).toString
+      else "1"
+    publish(next, tableRoot, newV, partCols, statsCols)
+    newV
+  }
+
   /** DELETE WHERE as a deletion-vector commit: positions of the base
     * version's rows matching `predicate` are merged with the current
     * vector (if any) into a fresh immutable `_dv/` dir, and the manifest

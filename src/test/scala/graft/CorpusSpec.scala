@@ -236,4 +236,24 @@ class CorpusSpec extends SparkSpecBase {
     assert(again.toSeq === out.toSeq,
       "output must be pos-ordered and bit-identical across runs")
   }
+
+  test("tokenBudgetFill: boundary arithmetic, zero-token docs, oversized budget") {
+    // src a: docs of 10 tokens each under budget 35 → keep while
+    // cum_before < 35: 4 docs (ids 1..4), ceil(35/10)=4 through the
+    // boundary-group arm (all five docs share one token count)
+    val d = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L), ("a", 4L, 10L),
+      ("a", 5L, 10L),
+      // src b: exact-divisible boundary — 20+15 = 35 = budget, doc 13
+      // (cum_before=35) dropped; zero-token docs sort last and drop
+      ("b", 11L, 20L), ("b", 12L, 15L), ("b", 13L, 5L), ("b", 14L, 0L),
+      // src c: total below budget → everything kept incl the 0-token doc
+      ("c", 21L, 30L), ("c", 22L, 0L))
+      .toDF("source", "doc_id", "n_tokens")
+    val kept = Corpus.tokenBudgetFill(d, col("source"), col("doc_id"),
+        col("n_tokens"), budget = 35L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(kept === Seq("a" -> 1L, "a" -> 2L, "a" -> 3L, "a" -> 4L,
+      "b" -> 11L, "b" -> 12L, "c" -> 21L, "c" -> 22L))
+  }
 }
