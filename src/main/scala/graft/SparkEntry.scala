@@ -171,6 +171,7 @@ object SparkEntry {
     "q_shallow_clone" -> (DatalakeQueries.qShallowClone _),
     "q_stream_drift" -> (StreamQueries.qStreamDrift _),
     "q_stream_drift_windows" -> (StreamQueries.qStreamDriftWindows _),
+    "q_stream_session_window" -> (StreamQueries.qStreamSessionWindow _),
     "q_image_phash" -> (TextQueries.qImagePhash _),
     "q_concurrent_publish" -> (DatalakeQueries.qConcurrentPublish _),
     "q_entity_resolution_incremental" ->
@@ -825,6 +826,27 @@ object SparkEntry {
         // histogram-store fold == batch counts by count linearity, PSI
         // tail shared verbatim → the batch oracle applies unchanged
         "q_stream_drift" -> staticOracleSql("q_drift_psi"),
+        // native session_window semantics: end-exclusive gap windows →
+        // split on >= gap (one tick stricter than the lag-based batch
+        // row's >), session_end = last event + gap by definition
+        "q_stream_session_window" ->
+          """WITH e AS (SELECT user_id, event_id,
+            |    CAST(ts AS TIMESTAMP) AS ts, value,
+            |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+            |f AS (SELECT *, CASE
+            |    WHEN lag(ts_us) OVER w IS NULL THEN 1
+            |    WHEN ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1
+            |    ELSE 0 END AS is_new
+            |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            |n AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+            |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+            |    AS session_seq FROM f)
+            |SELECT user_id, MIN(ts) AS session_start,
+            |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+            |  COUNT(*) AS n_events,
+            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            |FROM n GROUP BY user_id, session_seq
+            |ORDER BY user_id, session_start""".stripMargin,
         // watermark-sealed daily cohorts: day windows never straddle the
         // midnight cutoff, so summing sealed window cells per cohort
         // equals the per-event cutoff flag by count linearity; the

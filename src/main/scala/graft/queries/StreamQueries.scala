@@ -152,6 +152,24 @@ object StreamQueries {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Sessionization through the BUILT-IN streaming `session_window`
+    * aggregate (r13) — where [[qStreamSessionize]] proves the custom
+    * flatMapGroupsWithState operator, this proves the native one: the
+    * state store merges gap-bounded windows per user and append mode
+    * seals a session when the watermark passes last-event + 30 min.
+    * session_end is definitionally last event + gap (the eviction
+    * deadline), so the oracle replays MAX(ts) + 30 min — and the split
+    * rule is `>=` gap (end-exclusive windows), one tick stricter than
+    * the lag-based batch row's `>`.
+    */
+  def qStreamSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    StreamReplay.replayEvents(spark, dir)(s =>
+        EventStreams.sessionWindowCells(s.toDF()))
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("v").cast("double").as("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** q_window_tumbling from the streamed
     * [[EventStreams.windowedUserCells]]: the built-in watermarked window
     * aggregate in append mode, at (window, type, user) grain so that
