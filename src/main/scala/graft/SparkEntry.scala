@@ -172,6 +172,7 @@ object SparkEntry {
     "q_stream_drift" -> (StreamQueries.qStreamDrift _),
     "q_stream_drift_windows" -> (StreamQueries.qStreamDriftWindows _),
     "q_stream_session_window" -> (StreamQueries.qStreamSessionWindow _),
+    "q_stream_dedup_ttl" -> (StreamQueries.qStreamDedupTtl _),
     "q_image_phash" -> (TextQueries.qImagePhash _),
     "q_concurrent_publish" -> (DatalakeQueries.qConcurrentPublish _),
     "q_entity_resolution_incremental" ->
@@ -826,6 +827,11 @@ object SparkEntry {
         // histogram-store fold == batch counts by count linearity, PSI
         // tail shared verbatim → the batch oracle applies unchanged
         "q_stream_drift" -> staticOracleSql("q_drift_psi"),
+        // TTL dedup of the doubled feed = the plain table: every distinct
+        // event exactly once
+        "q_stream_dedup_ttl" ->
+          """SELECT event_id, event_type, value FROM events
+            |ORDER BY event_id""".stripMargin,
         // native session_window semantics: end-exclusive gap windows →
         // split on >= gap (one tick stricter than the lag-based batch
         // row's >), session_end = last event + gap by definition

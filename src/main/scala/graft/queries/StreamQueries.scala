@@ -152,6 +152,30 @@ object StreamQueries {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Exactly-once ingest from an AT-LEAST-ONCE feed via the built-in
+    * `dropDuplicatesWithinWatermark` (r13): every third event is
+    * re-delivered (the retry/redelivery shape of real ingestion), and
+    * the native TTL-deduplicating state operator keeps first-seen rows,
+    * expiring its keys once the watermark passes their event time — the
+    * state stays bounded by the watermark horizon instead of growing
+    * with the stream (what plain dropDuplicates would do). Output =
+    * every distinct event exactly once; a missed duplicate or an evicted-
+    * too-early key hash-fails against the plain-table oracle.
+    */
+  def qStreamDedupTtl(spark: SparkSession, dir: String): DataFrame =
+    StreamReplay.replayEvents(spark, dir) { s =>
+      s.toDF()
+        .withColumn("__copy",
+          explode(when(col("event_id") % 3 === 0, array(lit(0), lit(1)))
+            .otherwise(array(lit(0)))))
+        .drop("__copy")
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+    }
+      .filter(col("user_id") >= 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
   /** Sessionization through the BUILT-IN streaming `session_window`
     * aggregate (r13) — where [[qStreamSessionize]] proves the custom
     * flatMapGroupsWithState operator, this proves the native one: the
