@@ -61,6 +61,8 @@ object SparkEntry {
     "q_top_paths" -> (JourneyQueries.qTopPaths _),
     "q_salted_join" -> (EventQueries.qSaltedJoin _),
     "q_skew_evidence" -> (EventQueries.qSkewEvidence _),
+    "q_window_sliding" -> (EventQueries.qWindowSliding _),
+    "q_drift_ks" -> (EventQueries.qDriftKs _),
     "q_lead_lag" -> (EventQueries.qLeadLag _),
     "q_rolling_features" -> (EventQueries.qRollingFeatures _),
     "q_skew_profile" -> (EventQueries.qSkewProfile _),
@@ -2043,6 +2045,49 @@ object SparkEntry {
         |  CAST(max(t1) AS BIGINT) AS n_after,
         |  SUM(floor((p - q) * ln(p / q) * 65536.0) / 65536.0) AS psi
         |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // sliding windows: each event expands to its two hour-aligned
+    // 2h-window starts
+    "q_window_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |    FROM events),
+        |b AS (SELECT unnest([date_trunc('hour', ts),
+        |    date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS bucket,
+        |    event_type, value FROM e)
+        |SELECT bucket, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // binned-ECDF KS: every CDF value is one long/long IEEE division
+    // (correctly rounded both engines), diff and max exact — no snapping
+    "q_drift_ks" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS cohort,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16' AND event_type = 'purchase'
+        |      THEN value * 1.5 ELSE value END AS v
+        |  FROM events),
+        |b AS (SELECT event_type, cohort,
+        |    CAST(least(floor(v / 50.0), 9) AS BIGINT) AS bin FROM e),
+        |bins AS (SELECT DISTINCT event_type, unnest(range(10)) AS bin FROM b),
+        |c AS (SELECT event_type, bin,
+        |    COUNT(*) FILTER (cohort = 0) AS n0,
+        |    COUNT(*) FILTER (cohort = 1) AS n1
+        |  FROM b GROUP BY 1, 2),
+        |f AS (SELECT bins.event_type, bins.bin,
+        |    coalesce(c.n0, 0) AS n0, coalesce(c.n1, 0) AS n1
+        |  FROM bins LEFT JOIN c
+        |    ON bins.event_type = c.event_type AND bins.bin = c.bin),
+        |cum AS (SELECT event_type, bin, n0, n1,
+        |    SUM(n0) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS c0,
+        |    SUM(n1) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS c1
+        |  FROM f),
+        |tot AS (SELECT event_type, CAST(SUM(n0) AS BIGINT) AS t0,
+        |    CAST(SUM(n1) AS BIGINT) AS t1 FROM f GROUP BY 1)
+        |SELECT cum.event_type, CAST(max(t0) AS BIGINT) AS n_before,
+        |  CAST(max(t1) AS BIGINT) AS n_after,
+        |  max(abs(CAST(c0 AS DOUBLE) / t0 - CAST(c1 AS DOUBLE) / t1)) AS ks
+        |FROM cum JOIN tot USING (event_type)
+        |GROUP BY cum.event_type ORDER BY cum.event_type""".stripMargin,
     "q_fuzzy_join" ->
       """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
         |  a.c_name AS name1, b.c_name AS name2,

@@ -405,6 +405,59 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** SLIDING (hopping) windows — 2-hour windows every hour, so each
+    * event lands in exactly two overlapping windows (r13; the tumbling
+    * row's overlap twin): the smoothing shape monitoring dashboards use.
+    * Same partial-aggregated one-shuffle plan as tumbling — the window
+    * expression expands each row to its two buckets map-side.
+    */
+  def qWindowSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        decSum2(col("value")).cast("double").as("total_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** Kolmogorov–Smirnov drift statistic over the binned ECDF (r13 — the
+    * PSI monitor's nonparametric sibling): D = max over the 10-bin grid
+    * of |F0(bin) − F1(bin)| between the baseline and current cohorts,
+    * same constructed ×1.5 purchase shift, same dense-bin discipline.
+    * Numerics: each CDF value is ONE IEEE long/long division (correctly
+    * rounded in both engines), the difference and max are exact — no
+    * snapping needed, unlike PSI's ln terms. Plan: the (type, bin)
+    * partial-agg shuffle plus a 50-row window over the dense grid —
+    * bookkeeping-sized, rows never sort.
+    */
+  def qDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    val counts = driftBinned(Tables.events(spark, dir))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(when(col("cohort") === 0L, 1)).as("n0"),
+        count(when(col("cohort") === 1L, 1)).as("n1"))
+    val bins = counts.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(9L))).as("bin"))
+    val f = bins.join(broadcast(counts), Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("n0"), lit(0L)).as("n0"),
+        coalesce(col("n1"), lit(0L)).as("n1"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = f.select(col("event_type"), col("n0"), col("n1"),
+      sum(col("n0")).over(w).as("c0"), sum(col("n1")).over(w).as("c1"))
+    val tot = f.groupBy(col("event_type"))
+      .agg(sum(col("n0")).as("t0"), sum(col("n1")).as("t1"))
+    cum.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("t0"), col("t1"),
+        abs(col("c0").cast("double") / col("t0") -
+          col("c1").cast("double") / col("t1")).as("d"))
+      .groupBy(col("event_type"))
+      .agg(max(col("t0")).as("n_before"), max(col("t1")).as("n_after"),
+        max(col("d")).as("ks"))
+      .orderBy(col("event_type"))
+  }
+
   /** SKEW-MITIGATION EVIDENCE (round-11 verdict #5) — the
     * q_zorder_skipping discipline applied to shuffle skew: for the
     * pathological 5-value `event_type` join key, COMPUTE what each
