@@ -133,6 +133,7 @@ object SparkEntry {
     "q_vacuum" -> (DatalakeQueries.qVacuum _),
     "q_deletion_vectors" -> (DatalakeQueries.qDeletionVectors _),
     "q_partition_overwrite" -> (DatalakeQueries.qPartitionOverwrite _),
+    "q_compact_small" -> (DatalakeQueries.qCompactSmall _),
     "q_video_frames" -> (TextQueries.qVideoFrames _),
     "q_stream_retention" -> (StreamQueries.qStreamRetention _),
     "q_stream_recovery" -> (StreamQueries.qStreamRecovery _),
@@ -2348,6 +2349,17 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT (o_orderkey % 10 = 0) AND NOT (o_totalprice > 200000.0)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // selective compaction: invisible in values (plain aggregate); the
+    // 8/6/2/3 accounting is deterministic by construction (2 bulk +
+    // 6 trickle files, threshold total/20 scales with SF)
+    "q_compact_small" ->
+      """SELECT o_orderpriority, CAST(8 AS BIGINT) AS files_before,
+        |  CAST(6 AS BIGINT) AS files_compacted,
+        |  CAST(2 AS BIGINT) AS files_copied,
+        |  CAST(3 AS BIGINT) AS files_after, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // partition-overwrite replay: final state = untouched days + the
     // restated day's clicks only + the shifted backfill day
     "q_partition_overwrite" ->

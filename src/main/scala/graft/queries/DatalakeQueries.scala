@@ -507,6 +507,49 @@ object DatalakeQueries {
     * catalog-sized listing + recursive deletes; the audit read is one
     * scan of the retained versions with footer-merged schemas.
     */
+  /** SELECTIVE small-file compaction end-to-end (r13 — Delta OPTIMIZE's
+    * minFileSize behavior): a bulk load writes 2 well-sized files, six
+    * trickle micro-batches append one small file each (the streaming-
+    * ingest fragmentation shape), the directory joins the protocol via
+    * `Datalake.adoptVersion` (external-writer adoption: footer sweep +
+    * manifest PUT, no rewrite), and `optimizeCompact` then rewrites ONLY
+    * the six sub-threshold files into one compacted file while the two
+    * big files are byte-copied — no decode, no shuffle for the untouched
+    * bulk. The threshold is total/20 rows so the same 8 → 3 evidence
+    * holds at every scale factor. Readback hash-fails on any lost or
+    * duplicated row; the 8/6/2/3 literals pin the file accounting.
+    */
+  def qCompactSmall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val root = tempLakeRoot() + "/orders_c"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val ver = s"$root/v=1"
+    o.filter(col("o_orderkey") % 10 < 8).repartition(2)
+      .write.option("compression", "snappy").parquet(ver)
+    (0 until 6).foreach { i =>
+      o.filter(col("o_orderkey") % 10 >= 8 && col("o_orderkey") % 6 === i)
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+        .option("compression", "snappy").parquet(ver)
+    }
+    Datalake.adoptVersion(spark, root, "1", Seq("o_orderkey"))
+    val minRows = o.count() / 20
+    val (v2, nCompacted, nCopied) =
+      Datalake.optimizeCompact(spark, root, minRows, Seq("o_orderkey"))
+    val filesAfter = Datalake.dataFiles(spark, root, v2).length.toLong
+    Datalake.readPublished(spark, root)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum2(col("o_totalprice")).cast("double").as("revenue"))
+      .select(col("o_orderpriority"),
+        lit((nCompacted + nCopied).toLong).as("files_before"),
+        lit(nCompacted.toLong).as("files_compacted"),
+        lit(nCopied.toLong).as("files_copied"),
+        lit(filesAfter).as("files_after"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** DYNAMIC PARTITION OVERWRITE end-to-end (r13 — the daily-restatement
     * op): events published day-partitioned, then one batch RESTATES
     * 2024-01-10 (re-sending only its click events — replacement

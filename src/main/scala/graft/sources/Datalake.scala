@@ -280,6 +280,77 @@ object Datalake {
       case None => spark.read.parquet(resolveToken(tableRoot, token))
     }
 
+  /** ADOPT an externally-written data directory as a published version:
+    * harvest its footer stats into the sidecar and swap the manifest.
+    * This is the external-writer integration path — a job that wrote
+    * `tableRoot/v=<version>` with its own writer (streaming appends,
+    * a bulk loader, a different engine) joins the publish protocol
+    * without a rewrite: one footer sweep + one manifest PUT.
+    */
+  def adoptVersion(spark: SparkSession, tableRoot: String,
+      version: String, statsCols: Seq[String] = Nil): Unit = {
+    val dataPath = s"$tableRoot/v=$version"
+    val fs = new org.apache.hadoop.fs.Path(dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(dataPath)),
+      s"no data directory at $dataPath to adopt")
+    writeFileStats(spark, dataPath, statsCols)
+    swapManifest(spark, tableRoot, s"v=$version")
+  }
+
+  /** SELECTIVE small-file compaction (r13 — Delta OPTIMIZE's
+    * minFileSize behavior, the incremental maintenance pass a streaming
+    * ingest needs hourly): files of the current version whose recorded
+    * row count is below `minRows` are rewritten into ONE compacted file;
+    * every other file is BYTE-COPIED into the new version dir — no
+    * decode, no shuffle, no recompute for the untouched bulk, which is
+    * what makes compaction affordable on a 100 TB table where 99% of
+    * bytes sit in already-well-sized files (a production object store
+    * would server-side-copy or, with file-reference manifests, not move
+    * them at all). The new version gets a fresh footer-harvested stats
+    * sidecar and publishes through the atomic swap; old version retained
+    * for time travel until vacuum. Requires a stats sidecar (row counts
+    * come from it — one catalog read, no data scan to decide). Returns
+    * (new version, files compacted, files copied).
+    */
+  def optimizeCompact(spark: SparkSession, tableRoot: String,
+      minRows: Long, statsCols: Seq[String] = Nil): (String, Int, Int) = {
+    val dataPath = currentDataPath(spark, tableRoot).getOrElse(
+      throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+    val stats = readFileStats(spark, dataPath)
+    require(stats.nonEmpty,
+      s"no stats sidecar under $dataPath — publish with statsCols first")
+    require(stats.forall(!_.file.contains("/")),
+      "optimizeCompact handles flat version dirs; compact a Hive-" +
+        "partitioned table per partition (mixed dirs+files would break " +
+        "partition discovery on the rewrite)")
+    val (small, big) = stats.partition(_.rows < minRows)
+    val versions = listVersions(spark, tableRoot)
+    val numeric = versions.filter(v =>
+      v.nonEmpty && v.forall(_.isDigit) && v.length <= 18).map(_.toLong)
+    val newV = if (numeric.nonEmpty) (numeric.max + 1).toString else "1"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(dataPath)
+    val dst = new org.apache.hadoop.fs.Path(s"$tableRoot/v=$newV")
+    val fs = dst.getFileSystem(conf)
+    fs.mkdirs(dst)
+    big.foreach { f =>
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(src, f.file), fs,
+        new org.apache.hadoop.fs.Path(dst, f.file), false, conf)
+    }
+    if (small.nonEmpty)
+      spark.read.option("basePath", dataPath)
+        .parquet(small.map(f => s"$dataPath/${f.file}"): _*)
+        .coalesce(1)
+        .write.mode(SaveMode.Append).option("compression", "snappy")
+        .parquet(dst.toString)
+    writeFileStats(spark, dst.toString,
+      if (statsCols.nonEmpty) statsCols else stats.flatMap(_.cols.keys).distinct)
+    swapManifest(spark, tableRoot, s"v=$newV")
+    (newV, small.length, big.length)
+  }
+
   /** DYNAMIC PARTITION OVERWRITE as a versioned commit (Hive's
     * `INSERT OVERWRITE ... PARTITION` with partitionOverwriteMode=dynamic
     * / Delta's `replaceWhere` on partition columns — the daily-restatement
