@@ -134,6 +134,8 @@ object SparkEntry {
     "q_deletion_vectors" -> (DatalakeQueries.qDeletionVectors _),
     "q_partition_overwrite" -> (DatalakeQueries.qPartitionOverwrite _),
     "q_compact_small" -> (DatalakeQueries.qCompactSmall _),
+    "q_gdpr_erase" -> (DatalakeQueries.qGdprErase _),
+    "q_multi_table_txn" -> (DatalakeQueries.qMultiTableTxn _),
     "q_video_frames" -> (TextQueries.qVideoFrames _),
     "q_stream_retention" -> (StreamQueries.qStreamRetention _),
     "q_stream_recovery" -> (StreamQueries.qStreamRecovery _),
@@ -2349,6 +2351,29 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT (o_orderkey % 10 = 0) AND NOT (o_totalprice > 200000.0)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // both tables computed from the SAME subset — a torn snapshot breaks
+    // the cross-table invariant and hash-fails
+    "q_multi_table_txn" ->
+      """WITH s AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+        |a AS (SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS revenue
+        |  FROM s GROUP BY 1),
+        |b AS (SELECT COUNT(*) AS n_total,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS revenue_total
+        |  FROM s)
+        |SELECT CAST(2 AS BIGINT) AS txn, o_orderpriority, n_orders,
+        |  revenue, n_total, revenue_total
+        |FROM a, b ORDER BY o_orderpriority""".stripMargin,
+    // erasure proof: physical-absence and version counts are structural
+    // zeros/ones; survivors = NOT subject
+    "q_gdpr_erase" ->
+      """SELECT CAST(0 AS BIGINT) AS n_subject_rows_physical,
+        |  CAST(1 AS BIGINT) AS n_versions_left,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE NOT (c_custkey % 100 = 7)""".stripMargin,
     // selective compaction: invisible in values (plain aggregate); the
     // 8/6/2/3 accounting is deterministic by construction (2 bulk +
     // 6 trickle files, threshold total/20 scales with SF)

@@ -507,6 +507,88 @@ object DatalakeQueries {
     * catalog-sized listing + recursive deletes; the audit read is one
     * scan of the retained versions with footer-merged schemas.
     */
+  /** MULTI-TABLE ATOMIC TRANSACTION (r13): a fact rollup and its
+    * grand-total table are committed TOGETHER through one catalog swap
+    * (`Datalake.publishAtomic`), twice — full data, then the even-key
+    * half. A reader takes one catalog snapshot and resolves both tables
+    * through it; the output interleaves the per-priority rollup with the
+    * total-table columns, so a torn pair (rollup at txn 2 beside totals
+    * still at txn 1) breaks the Σ n_orders == n_total invariant and
+    * hash-fails — the oracle computes both sides from the same subset.
+    * DatalakeSpec pins snapshot isolation (a held snapshot keeps reading
+    * txn 1 after txn 2 lands) and partial-write-set pin carry-forward.
+    */
+  def qMultiTableTxn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val root = tempLakeRoot() + "/cat"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    def pair(sub: DataFrame) = Seq(
+      "orders_by_priority" -> sub.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          decSum2(col("o_totalprice")).cast("double").as("revenue")),
+      "orders_total" -> sub.agg(count(lit(1)).as("n_total"),
+        decSum2(col("o_totalprice")).cast("double").as("revenue_total")))
+    Datalake.publishAtomic(spark, root, pair(o))
+    Datalake.publishAtomic(spark, root,
+      pair(o.filter(col("o_orderkey") % 2 === 0)))
+    val (txn, snap) = Datalake.catalogSnapshot(spark, root)
+    val a = Datalake.readCatalogTable(spark, root, snap, "orders_by_priority")
+    val b = Datalake.readCatalogTable(spark, root, snap, "orders_total")
+    a.crossJoin(broadcast(b))
+      .select(lit(txn).as("txn"), col("o_orderpriority"), col("n_orders"),
+        col("revenue"), col("n_total"), col("revenue_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN erase (r13 — the GDPR/CCPA composition every
+    * lakehouse needs, and the reason deletion vectors alone are NOT
+    * erasure): (1) `deleteWhere` hides the subject's rows instantly (a
+    * sidecar commit — the fast SLA half), (2) OPTIMIZE folds the vector
+    * into a rewrite that physically omits them, (3) vacuum retires every
+    * version dir and vector that still carries the bytes. The row then
+    * proves PHYSICAL absence, not just read-path absence: it scans every
+    * parquet file left on disk under the table root (bypassing the
+    * manifest entirely) and counts the subject's rows — a forensic scan
+    * of retained storage. Evidence: n_subject_rows_physical = 0,
+    * n_versions_left = 1, plus the surviving table aggregate.
+    */
+  def qGdprErase(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val root = tempLakeRoot() + "/cust_gdpr"
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .repartition(4)
+    Datalake.publish(c, root, "1", Nil, Seq("c_custkey"))
+    val subject = col("c_custkey") % 100 === 7 // the erasure request set
+    Datalake.deleteWhere(spark, root, subject)
+    Datalake.optimize(spark, root, nFiles = 2, statsCols = Seq("c_custkey"))
+    Datalake.vacuum(spark, root, keepLast = 1)
+    // forensic sweep: EVERY parquet file still on disk under the root,
+    // read directly — a file the protocol failed to retire would surface
+    // the subject here even though the manifest no longer serves it
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val left = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          b += f.getPath.toString
+      }
+      b.result()
+    }
+    val physical = spark.read.parquet(left: _*).filter(subject).count()
+    val versionsLeft = Datalake.listVersions(spark, root).length.toLong
+    Datalake.readPublished(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        decSum2(col("c_acctbal")).cast("double").as("sum_bal"))
+      .select(lit(physical).as("n_subject_rows_physical"),
+        lit(versionsLeft).as("n_versions_left"), col("n_rows"),
+        col("sum_bal"))
+  }
+
   /** SELECTIVE small-file compaction end-to-end (r13 — Delta OPTIMIZE's
     * minFileSize behavior): a bulk load writes 2 well-sized files, six
     * trickle micro-batches append one small file each (the streaming-

@@ -280,6 +280,86 @@ object Datalake {
       case None => spark.read.parquet(resolveToken(tableRoot, token))
     }
 
+  // ==================== multi-table transactions ====================
+  //
+  // A single-table manifest can't express "the fact table and its rollup
+  // moved TOGETHER" — readers joining two separately-published tables can
+  // see a torn pair (A at v2, B still at v1), the classic cross-table
+  // anomaly single-table lakehouses live with. The fix is one level up:
+  // a CATALOG file pinning (table → immutable version) for every table in
+  // the group, swapped with the same atomic-rename primitive as a
+  // manifest. A reader takes ONE catalog snapshot and resolves every
+  // table through it — consistency follows from version-dir immutability,
+  // exactly like single-table time travel. This is the Iceberg
+  // multi-table-transaction / Project Nessie shape reduced to its
+  // essential mechanism.
+
+  /** Current catalog transaction number (0 = never committed) and its
+    * table → version-token map.
+    */
+  def catalogSnapshot(spark: SparkSession,
+      catalogRoot: String): (Long, Map[String, String]) = {
+    val p = new org.apache.hadoop.fs.Path(catalogRoot, "CATALOG")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0L, Map.empty)
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val lines = txt.split("\n").filter(_.nonEmpty)
+    val txn = lines.head.stripPrefix("txn=").toLong
+    (txn, lines.tail.map { l =>
+      val Array(t, v) = l.split("\t", 2); t -> v
+    }.toMap)
+  }
+
+  /** Commit every (table, frame) pair as ONE transaction: each table's
+    * data is staged under its own immutable `v=<txn>` dir, then a single
+    * atomic catalog swap publishes them together — no reader can ever
+    * observe one table's new version with another's old one (take the
+    * snapshot once; read through it). Per-table data stays ordinary
+    * parquet version dirs, so time travel and vacuum semantics carry
+    * over table-by-table. Returns the committed transaction number.
+    */
+  def publishAtomic(spark: SparkSession, catalogRoot: String,
+      writes: Seq[(String, DataFrame)]): Long = {
+    require(writes.nonEmpty, "nothing to commit")
+    val (cur, prior) = catalogSnapshot(spark, catalogRoot)
+    val txn = cur + 1
+    writes.foreach { case (table, df) =>
+      df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
+        .parquet(s"$catalogRoot/$table/v=$txn")
+    }
+    // tables not in this txn keep their prior pins — a transaction
+    // updates its write set, it doesn't drop the rest of the catalog
+    val pins = prior ++ writes.map { case (t, _) => t -> s"v=$txn" }
+    val body = (s"txn=$txn" +:
+      pins.toSeq.sortBy(_._1).map { case (t, v) => s"$t\t$v" })
+      .mkString("", "\n", "\n")
+    val root = new org.apache.hadoop.fs.Path(catalogRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".CATALOG.${java.util.UUID.randomUUID().toString}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new org.apache.hadoop.fs.Path(root, "CATALOG"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    txn
+  }
+
+  /** Read one table through a catalog snapshot (from
+    * [[catalogSnapshot]]) — immutable version dirs make every read from
+    * the same snapshot mutually consistent no matter how many commits
+    * land meanwhile.
+    */
+  def readCatalogTable(spark: SparkSession, catalogRoot: String,
+      snapshot: Map[String, String], table: String): DataFrame = {
+    val v = snapshot.getOrElse(table,
+      throw new IllegalArgumentException(s"table $table not in snapshot"))
+    spark.read.parquet(s"$catalogRoot/$table/$v")
+  }
+
   /** ADOPT an externally-written data directory as a published version:
     * harvest its footer stats into the sidecar and swap the manifest.
     * This is the external-writer integration path — a job that wrote

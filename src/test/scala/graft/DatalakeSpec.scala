@@ -560,6 +560,42 @@ class DatalakeSpec extends SparkSpecBase {
       "vacuum deleted the base version of a live deletion vector")
   }
 
+  test("multi-table txn: snapshot isolation and partial write-set pin carry-forward") {
+    import org.apache.spark.sql.functions.col
+    val root = s"${Files.createTempDirectory("graft-cat")}/c"
+    val t1 = Datalake.publishAtomic(spark, root, Seq(
+      "a" -> Seq((1L, "x")).toDF("id", "v"),
+      "b" -> Seq((1L, "y")).toDF("id", "v")))
+    assert(t1 === 1L)
+    val (_, snap1) = Datalake.catalogSnapshot(spark, root)
+    // second txn updates BOTH tables
+    Datalake.publishAtomic(spark, root, Seq(
+      "a" -> Seq((2L, "x2")).toDF("id", "v"),
+      "b" -> Seq((2L, "y2")).toDF("id", "v")))
+    // the held snapshot still serves txn 1 for BOTH tables — immutable
+    // version dirs make a snapshot a consistent point-in-time view
+    assert(Datalake.readCatalogTable(spark, root, snap1, "a")
+      .select(col("id")).head.getLong(0) === 1L)
+    assert(Datalake.readCatalogTable(spark, root, snap1, "b")
+      .select(col("id")).head.getLong(0) === 1L)
+    // a fresh snapshot serves txn 2 for both
+    val (txn2, snap2) = Datalake.catalogSnapshot(spark, root)
+    assert(txn2 === 2L)
+    assert(Datalake.readCatalogTable(spark, root, snap2, "a")
+      .select(col("id")).head.getLong(0) === 2L)
+    assert(Datalake.readCatalogTable(spark, root, snap2, "b")
+      .select(col("id")).head.getLong(0) === 2L)
+    // a txn touching only `a` carries b's pin forward unchanged
+    Datalake.publishAtomic(spark, root, Seq(
+      "a" -> Seq((3L, "x3")).toDF("id", "v")))
+    val (txn3, snap3) = Datalake.catalogSnapshot(spark, root)
+    assert(txn3 === 3L)
+    assert(snap3("a") === "v=3" && snap3("b") === "v=2",
+      s"partial write set must keep other pins: $snap3")
+    assert(Datalake.readCatalogTable(spark, root, snap3, "b")
+      .select(col("id")).head.getLong(0) === 2L)
+  }
+
   test("CAS swap ordering: a stalled writer's late sync cannot regress the manifest") {
     val root = s"${Files.createTempDirectory("graft-cas-ord")}/t"
     // writer A commits seq 1, writer B commits seq 2 (manifest now at B)
