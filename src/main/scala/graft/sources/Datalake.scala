@@ -258,16 +258,22 @@ object Datalake {
       col("_metadata.row_index").as("__pos"))
   }
 
-  /** The base scan minus the DV's positions. Plain (non-broadcast-forced)
-    * left-anti: AQE broadcasts a small vector, and a huge one
-    * co-partitions on (__file, __pos) — either way no row of the base
-    * table is read twice.
+  /** `scan` (any frame read from files under `dataPath` — the full dir
+    * or a pruned file subset) minus the DV's positions. Plain
+    * (non-broadcast-forced) left-anti: AQE broadcasts a small vector,
+    * and a huge one co-partitions on (__file, __pos) — either way no
+    * row of the base table is read twice. ONE definition for every DV
+    * read path so the relativization/join contract cannot drift.
     */
-  private def applyDv(spark: SparkSession, dataPath: String,
-      dvPath: String): DataFrame =
-    withRowPosition(spark, spark.read.parquet(dataPath), dataPath)
+  private def applyDvTo(spark: SparkSession, scan: DataFrame,
+      dataPath: String, dvPath: String): DataFrame =
+    withRowPosition(spark, scan, dataPath)
       .join(spark.read.parquet(dvPath), Seq("__file", "__pos"), "left_anti")
       .drop("__file", "__pos")
+
+  private def applyDv(spark: SparkSession, dataPath: String,
+      dvPath: String): DataFrame =
+    applyDvTo(spark, spark.read.parquet(dataPath), dataPath, dvPath)
 
   /** Resolve a manifest token to a readable frame — DV tokens apply
     * their vector, everything else is a plain scan of the resolved dir.
@@ -294,8 +300,22 @@ object Datalake {
   // multi-table-transaction / Project Nessie shape reduced to its
   // essential mechanism.
 
+  /** Parse a catalog body (the CATALOG file or a commit record's
+    * payload): txn header line + (table, version-token) pins.
+    */
+  private def parseCatalogBody(txt: String): (Long, Map[String, String]) = {
+    val lines = txt.split("\n").filter(_.nonEmpty)
+    if (lines.isEmpty) return (0L, Map.empty)
+    val txn = lines.head.stripPrefix("txn=").toLong
+    (txn, lines.tail.map { l =>
+      val Array(t, v) = l.split("\t", 2); t -> v
+    }.toMap)
+  }
+
   /** Current catalog transaction number (0 = never committed) and its
-    * table → version-token map.
+    * table → version-token map — the READER-facing snapshot (the
+    * CATALOG file; among writers the commit log is authoritative, see
+    * [[publishAtomic]]).
     */
   def catalogSnapshot(spark: SparkSession,
       catalogRoot: String): (Long, Map[String, String]) = {
@@ -304,47 +324,100 @@ object Datalake {
     if (!fs.exists(p)) return (0L, Map.empty)
     val in = fs.open(p)
     val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    val lines = txt.split("\n").filter(_.nonEmpty)
-    val txn = lines.head.stripPrefix("txn=").toLong
-    (txn, lines.tail.map { l =>
-      val Array(t, v) = l.split("\t", 2); t -> v
-    }.toMap)
+    parseCatalogBody(txt)
+  }
+
+  /** Atomically replace the CATALOG with `body` — but only while commit
+    * `txn` is still the newest record (the [[syncManifestIfNewest]]
+    * discipline at catalog level: a stalled committer must not regress
+    * the reader-facing pointer over a newer transaction).
+    */
+  private def syncCatalogIfNewest(spark: SparkSession, catalogRoot: String,
+      txn: Long, body: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(catalogRoot)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val lock = commitLocks.computeIfAbsent(
+      fs.makeQualified(root).toString, _ => new Object)
+    lock.synchronized {
+      if (latestCommitSeq(spark, catalogRoot) == txn) {
+        fs.mkdirs(root)
+        val tmp = new org.apache.hadoop.fs.Path(root,
+          s".CATALOG.${java.util.UUID.randomUUID().toString}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+          .rename(tmp, new org.apache.hadoop.fs.Path(root, "CATALOG"),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    }
+  }
+
+  /** Sync the CATALOG to the newest committed transaction — heals a
+    * committer that crashed between claiming its record and swapping
+    * the catalog (the [[repairManifest]] analog).
+    */
+  def repairCatalog(spark: SparkSession, catalogRoot: String): Unit = {
+    val seq = latestCommitSeq(spark, catalogRoot)
+    if (seq == 0L) return
+    val root = new org.apache.hadoop.fs.Path(catalogRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    commitTokenAt(fs, root, seq)
+      .foreach(body => syncCatalogIfNewest(spark, catalogRoot, seq, body))
   }
 
   /** Commit every (table, frame) pair as ONE transaction: each table's
-    * data is staged under its own immutable `v=<txn>` dir, then a single
-    * atomic catalog swap publishes them together — no reader can ever
-    * observe one table's new version with another's old one (take the
-    * snapshot once; read through it). Per-table data stays ordinary
-    * parquet version dirs, so time travel and vacuum semantics carry
-    * over table-by-table. Returns the committed transaction number.
+    * data is staged under its own immutable per-attempt version dir,
+    * the transaction claims the next record of the catalog's commit log
+    * (the [[publishCas]] CAS shape — exactly one claimant of a sequence
+    * wins; losers roll back their staged dirs and throw
+    * [[ConcurrentCommitException]], their snapshot is stale), and the
+    * winner swaps the CATALOG while still newest. Prior pins come from
+    * the newest COMMIT RECORD (each record stores the full catalog
+    * body), not the reader-facing CATALOG file — so a committed-but-
+    * not-yet-synced transaction is never dropped by its successor.
+    * Readers take one [[catalogSnapshot]] and resolve every table
+    * through it — no reader can ever observe one table's new version
+    * with another's old one. Returns the committed transaction number.
     */
   def publishAtomic(spark: SparkSession, catalogRoot: String,
       writes: Seq[(String, DataFrame)]): Long = {
     require(writes.nonEmpty, "nothing to commit")
-    val (cur, prior) = catalogSnapshot(spark, catalogRoot)
-    val txn = cur + 1
-    writes.foreach { case (table, df) =>
+    val root = new org.apache.hadoop.fs.Path(catalogRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seq = latestCommitSeq(spark, catalogRoot)
+    val prior =
+      if (seq > 0L)
+        commitTokenAt(fs, root, seq).map(parseCatalogBody(_)._2)
+          .getOrElse(Map.empty[String, String])
+      else catalogSnapshot(spark, catalogRoot)._2
+    val txn = seq + 1
+    // unique dir per ATTEMPT: racing claimants of the same transaction
+    // must never Overwrite into each other's staged files
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val staged = writes.map { case (table, df) =>
+      val v = s"v=$txn-$attempt"
       df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
-        .parquet(s"$catalogRoot/$table/v=$txn")
+        .parquet(s"$catalogRoot/$table/$v")
+      table -> v
     }
     // tables not in this txn keep their prior pins — a transaction
     // updates its write set, it doesn't drop the rest of the catalog
-    val pins = prior ++ writes.map { case (t, _) => t -> s"v=$txn" }
+    val pins = prior ++ staged
     val body = (s"txn=$txn" +:
       pins.toSeq.sortBy(_._1).map { case (t, v) => s"$t\t$v" })
       .mkString("", "\n", "\n")
-    val root = new org.apache.hadoop.fs.Path(catalogRoot)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(root)
-    val tmp = new org.apache.hadoop.fs.Path(root,
-      s".CATALOG.${java.util.UUID.randomUUID().toString}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, new org.apache.hadoop.fs.Path(root, "CATALOG"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    if (!claimCommit(spark, catalogRoot, txn, body)) {
+      staged.foreach { case (t, v) =>
+        try { fs.delete(new org.apache.hadoop.fs.Path(
+          s"$catalogRoot/$t/$v"), true); () }
+        catch { case _: Throwable => () }
+      }
+      throw new ConcurrentCommitException(
+        s"catalog txn $txn at $catalogRoot was taken by a concurrent " +
+          s"committer (snapshot was $seq) — re-derive and retry")
+    }
+    syncCatalogIfNewest(spark, catalogRoot, txn, body)
     txn
   }
 
@@ -395,8 +468,10 @@ object Datalake {
     */
   def optimizeCompact(spark: SparkSession, tableRoot: String,
       minRows: Long, statsCols: Seq[String] = Nil): (String, Int, Int) = {
-    val dataPath = currentDataPath(spark, tableRoot).getOrElse(
+    val token = manifestToken(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+    val dv = parseDvToken(token)
+    val dataPath = resolveToken(tableRoot, token)
     val stats = readFileStats(spark, dataPath)
     require(stats.nonEmpty,
       s"no stats sidecar under $dataPath — publish with statsCols first")
@@ -405,10 +480,7 @@ object Datalake {
         "partitioned table per partition (mixed dirs+files would break " +
         "partition discovery on the rewrite)")
     val (small, big) = stats.partition(_.rows < minRows)
-    val versions = listVersions(spark, tableRoot)
-    val numeric = versions.filter(v =>
-      v.nonEmpty && v.forall(_.isDigit) && v.length <= 18).map(_.toLong)
-    val newV = if (numeric.nonEmpty) (numeric.max + 1).toString else "1"
+    val newV = nextNumericVersion(spark, tableRoot, None, "")
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(dataPath)
     val dst = new org.apache.hadoop.fs.Path(s"$tableRoot/v=$newV")
@@ -419,15 +491,45 @@ object Datalake {
         new org.apache.hadoop.fs.Path(src, f.file), fs,
         new org.apache.hadoop.fs.Path(dst, f.file), false, conf)
     }
-    if (small.nonEmpty)
-      spark.read.option("basePath", dataPath)
+    if (small.nonEmpty) {
+      val raw = spark.read.option("basePath", dataPath)
         .parquet(small.map(f => s"$dataPath/${f.file}"): _*)
-        .coalesce(1)
+      // a live deletion vector must be FOLDED into the rewrite of the
+      // small files (a raw compaction would resurrect their deleted
+      // rows — review finding); the copied files keep their positions,
+      // so their share of the vector is carried forward below instead
+      val live = dv match {
+        case Some((_, dvRel)) =>
+          applyDvTo(spark, raw, dataPath, s"$tableRoot/$dvRel")
+        case None => raw
+      }
+      live.coalesce(1)
         .write.mode(SaveMode.Append).option("compression", "snappy")
         .parquet(dst.toString)
+    }
     writeFileStats(spark, dst.toString,
       if (statsCols.nonEmpty) statsCols else stats.flatMap(_.cols.keys).distinct)
-    swapManifest(spark, tableRoot, s"v=$newV")
+    // carry the vector forward for the byte-copied files (identical
+    // names, identical row positions in the new dir); the compacted
+    // file's share was folded above. Empty carried vector → the token
+    // returns to plain v= and the old vector becomes vacuum garbage.
+    val newToken = dv match {
+      case Some((_, dvRel)) =>
+        val bigNames = big.map(_.file)
+        val carried = spark.read.parquet(s"$tableRoot/$dvRel")
+          .filter(col("__file").isin(bigNames: _*))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (carried.count() > 0) {
+            val rel =
+              s"$DvDir/dv-${java.util.UUID.randomUUID().toString.take(8)}"
+            carried.write.parquet(s"$tableRoot/$rel")
+            s"dv=v=$newV;$rel"
+          } else s"v=$newV"
+        } finally { carried.unpersist(blocking = false); () }
+      case None => s"v=$newV"
+    }
+    swapManifest(spark, tableRoot, newToken)
     (newV, small.length, big.length)
   }
 
@@ -459,12 +561,7 @@ object Datalake {
     val untouched = cur.join(
       org.apache.spark.sql.functions.broadcast(parts), partCols, "left_anti")
     val next = untouched.unionByName(batch.select(cur.columns.map(col): _*))
-    val versions = listVersions(spark, tableRoot)
-    val numeric = versions.filter(v =>
-      v.nonEmpty && v.forall(_.isDigit) && v.length <= 18).map(_.toLong)
-    val newV =
-      if (numeric.nonEmpty) (numeric.max + 1).toString
-      else "1"
+    val newV = nextNumericVersion(spark, tableRoot, None, "")
     publish(next, tableRoot, newV, partCols, statsCols)
     newV
   }
@@ -483,24 +580,43 @@ object Datalake {
     */
   def deleteWhere(spark: SparkSession, tableRoot: String,
       predicate: org.apache.spark.sql.Column): Long = {
-    val token = manifestToken(spark, tableRoot).getOrElse(
-      throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
-    val (baseToken, existingDv) = parseDvToken(token) match {
-      case Some((b, d)) => (b, Some(s"$tableRoot/$d"))
-      case None => (token, None)
+    // the whole read-merge-swap runs under the per-root commit stripe:
+    // two unserialized concurrent deletes would both read the same
+    // current vector and the second swap would silently discard the
+    // first delete's positions (review finding — the same lost-update
+    // class syncManifestIfNewest closes for CAS publishes). The stripe
+    // serializes in-process writers; cross-process multi-writer tables
+    // should route deletes through [[transact]]-style CAS commits.
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = commitLocks.computeIfAbsent(
+      fs.makeQualified(root).toString, _ => new Object)
+    lock.synchronized {
+      val token = manifestToken(spark, tableRoot).getOrElse(
+        throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+      val (baseToken, existingDv) = parseDvToken(token) match {
+        case Some((b, d)) => (b, Some(s"$tableRoot/$d"))
+        case None => (token, None)
+      }
+      val dataPath = resolveToken(tableRoot, baseToken)
+      val scan = spark.read.parquet(dataPath)
+      val newDel = withRowPosition(spark, scan.filter(predicate), dataPath)
+        .select(col("__file"), col("__pos"))
+      // persist so the count and the write share one evaluation — the
+      // previous read-back-and-count paid a whole extra scan of the
+      // accumulated vector per delete (review finding)
+      val merged = existingDv
+        .map(p => spark.read.parquet(p).unionByName(newDel).distinct())
+        .getOrElse(newDel.distinct())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = merged.count()
+        val rel = s"$DvDir/dv-${java.util.UUID.randomUUID().toString.take(8)}"
+        merged.write.parquet(s"$tableRoot/$rel")
+        swapManifest(spark, tableRoot, s"dv=$baseToken;$rel")
+        n
+      } finally { merged.unpersist(blocking = false); () }
     }
-    val dataPath = resolveToken(tableRoot, baseToken)
-    val scan = spark.read.parquet(dataPath)
-    val newDel = withRowPosition(spark, scan.filter(predicate), dataPath)
-      .select(col("__file"), col("__pos"))
-    val merged = existingDv
-      .map(p => spark.read.parquet(p).unionByName(newDel).distinct())
-      .getOrElse(newDel.distinct())
-    val rel = s"$DvDir/dv-${java.util.UUID.randomUUID().toString.take(8)}"
-    merged.write.parquet(s"$tableRoot/$rel")
-    val n = spark.read.parquet(s"$tableRoot/$rel").count()
-    swapManifest(spark, tableRoot, s"dv=$baseToken;$rel")
-    n
   }
 
   // ==================== optimistic concurrency (CAS) ====================
@@ -863,14 +979,42 @@ object Datalake {
     }
     // deletion-vector dirs are commit-level state: only the CURRENT
     // manifest token can reference one (each delete writes a fresh merged
-    // dir), so every other _dv/ dir is retired garbage
-    val dvKeep = manifestToken(spark, tableRoot).flatMap(parseDvToken)
-      .map { case (_, rel) => rel.stripPrefix(s"$DvDir/") }.toSet
-    val dvBase = new org.apache.hadoop.fs.Path(root, DvDir)
-    if (fs.exists(dvBase)) fs.listStatus(dvBase).foreach { s =>
-      if (!dvKeep.contains(s.getPath.getName)) fs.delete(s.getPath, true)
+    // dir), so every other _dv/ dir is retired garbage. Under the commit
+    // stripe: an unserialized sweep could read the manifest, lose the CPU
+    // to a delete's write-then-swap, and collect the dir the new token is
+    // about to reference.
+    val lock = commitLocks.computeIfAbsent(
+      fs.makeQualified(root).toString, _ => new Object)
+    lock.synchronized {
+      val dvKeep = manifestToken(spark, tableRoot).flatMap(parseDvToken)
+        .map { case (_, rel) => rel.stripPrefix(s"$DvDir/") }.toSet
+      val dvBase = new org.apache.hadoop.fs.Path(root, DvDir)
+      if (fs.exists(dvBase)) fs.listStatus(dvBase).foreach { s =>
+        if (!dvKeep.contains(s.getPath.getName)) fs.delete(s.getPath, true)
+      }
     }
     drop
+  }
+
+  /** Numeric successor of the newest numeric version (epoch/counter
+    * versioning keeps working), with the table-has-no-numeric-versions
+    * fallbacks every maintenance op shares: a clone's first own version
+    * is "1", otherwise the current version plus `fallbackSuffix`. ONE
+    * definition — the four maintenance ops (optimize, optimizeZorder,
+    * optimizeCompact, overwritePartitions) previously each carried a
+    * diverging copy (review finding).
+    */
+  private def nextNumericVersion(spark: SparkSession, tableRoot: String,
+      cur: Option[String], fallbackSuffix: String): String = {
+    val versions = listVersions(spark, tableRoot)
+    val numeric = versions.filter(v =>
+      v.nonEmpty && v.forall(_.isDigit) && v.length <= 18).map(_.toLong)
+    if (numeric.nonEmpty) (numeric.max + 1).toString
+    else cur match {
+      case Some(c) if c.startsWith("ref=") => "1"
+      case Some(c) => s"$c$fallbackSuffix"
+      case None => "1"
+    }
   }
 
   /** Schema-evolution read ACROSS versions: one frame over the given
@@ -1010,13 +1154,7 @@ object Datalake {
         // without a per-task file explosion (nFiles tasks × values files)
         df0.repartition(nFiles, parts.map(cf): _*)
       else df0.repartition(nFiles)
-    val versions = listVersions(spark, tableRoot)
-    val numeric = versions.filter(v =>
-      v.nonEmpty && v.forall(_.isDigit) && v.length <= 18).map(_.toLong)
-    val newV =
-      if (numeric.nonEmpty) (numeric.max + 1).toString
-      else if (cur.startsWith("ref=")) "1" // clone's first own version
-      else s"$cur-optimized"
+    val newV = nextNumericVersion(spark, tableRoot, Some(cur), "-optimized")
     publish(df, tableRoot, newV, parts, statsCols)
     newV
   }
@@ -1071,13 +1209,7 @@ object Datalake {
       .withColumn("zfile", zfile)
       // one partition per z-range → exactly one file per zfile dir
       .repartition(org.apache.spark.sql.functions.col("zfile"))
-    val versions = listVersions(spark, tableRoot)
-    val numeric = versions.filter(v =>
-      v.nonEmpty && v.forall(_.isDigit) && v.length <= 18).map(_.toLong)
-    val newV =
-      if (numeric.nonEmpty) (numeric.max + 1).toString
-      else if (cur.startsWith("ref=")) "1"
-      else s"$cur-zordered"
+    val newV = nextNumericVersion(spark, tableRoot, Some(cur), "-zordered")
     publish(df, tableRoot, newV, Seq("zfile"),
       (Seq(xCol, yCol) ++ extraStatsCols).distinct)
     newV
@@ -1282,11 +1414,16 @@ object Datalake {
   def readPublishedPrunedMulti(spark: SparkSession, tableRoot: String,
       preds: Seq[(String, Double, Double)]): PrunedScan = {
     require(preds.nonEmpty, "at least one (column, lo, hi) predicate")
-    // resolves ref= tokens too: an undiverged shallow clone prunes with
-    // the SOURCE version's stats sidecar (stats live inside the version
-    // dir, so the pointer carries them along for free)
-    val dataPath = currentDataPath(spark, tableRoot).getOrElse(
+    // the token is read ONCE and both the data dir and the deletion
+    // vector derive from it — a second manifest read later could observe
+    // a concurrent swap and pair one version's files with another
+    // commit's vector (review finding). Resolves ref= tokens too: an
+    // undiverged shallow clone prunes with the SOURCE version's stats
+    // sidecar (stats live inside the version dir, so the pointer carries
+    // them along for free).
+    val token = manifestToken(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+    val dataPath = resolveToken(tableRoot, token)
     val stats = readFileStats(spark, dataPath)
     require(stats.nonEmpty,
       s"no $StatsFile under $dataPath — publish with statsCols to prune")
@@ -1307,12 +1444,9 @@ object Datalake {
     // a live deletion vector still applies to a pruned scan (pruning
     // narrows IO, never visibility); rows/files evidence stays PHYSICAL —
     // it measures what the scan opens, and DV rows are still read
-    val df = manifestToken(spark, tableRoot).flatMap(parseDvToken) match {
+    val df = parseDvToken(token) match {
       case Some((_, dvRel)) =>
-        withRowPosition(spark, raw, dataPath)
-          .join(spark.read.parquet(s"$tableRoot/$dvRel"),
-            Seq("__file", "__pos"), "left_anti")
-          .drop("__file", "__pos")
+        applyDvTo(spark, raw, dataPath, s"$tableRoot/$dvRel")
       case None => raw
     }
     PrunedScan(df, stats.length, keep.length, keep.map(_.rows).sum)

@@ -560,6 +560,37 @@ class DatalakeSpec extends SparkSpecBase {
       "vacuum deleted the base version of a live deletion vector")
   }
 
+  test("optimizeCompact folds the small files' deletions and carries the copied files' vector") {
+    import org.apache.spark.sql.functions.col
+    val root = s"${Files.createTempDirectory("graft-dvc")}/t"
+    val ver = s"$root/v=1"
+    // one big file (ids 0..99) + two small files (100..104, 105..109)
+    spark.range(0, 100).toDF("id").coalesce(1)
+      .write.parquet(ver)
+    spark.range(100, 105).toDF("id").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ver)
+    spark.range(105, 110).toDF("id").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(ver)
+    Datalake.adoptVersion(spark, root, "1", Seq("id"))
+    // delete rows living in the big file AND in a small file
+    Datalake.deleteWhere(spark, root, col("id") < 5 || col("id") >= 108)
+    assert(Datalake.readPublished(spark, root).count() === 103)
+    val (v2, nCompacted, nCopied) =
+      Datalake.optimizeCompact(spark, root, minRows = 50, Seq("id"))
+    assert(nCompacted === 2 && nCopied === 1)
+    // no resurrection: small-file deletions folded into the rewrite,
+    // big-file deletions still masked by the carried vector
+    val after = Datalake.readPublished(spark, root)
+    assert(after.count() === 103,
+      "compaction resurrected or over-deleted rows")
+    assert(after.filter(col("id") < 5 || col("id") >= 108).count() === 0)
+    // the carried vector exists (big-file deletions can't be folded
+    // without rewriting the copied file) and a full optimize retires it
+    assert(Datalake.currentVersion(spark, root).contains(v2))
+    Datalake.optimize(spark, root, 1, statsCols = Seq("id"))
+    assert(Datalake.readPublished(spark, root).count() === 103)
+  }
+
   test("multi-table txn: snapshot isolation and partial write-set pin carry-forward") {
     import org.apache.spark.sql.functions.col
     val root = s"${Files.createTempDirectory("graft-cat")}/c"
@@ -590,10 +621,26 @@ class DatalakeSpec extends SparkSpecBase {
       "a" -> Seq((3L, "x3")).toDF("id", "v")))
     val (txn3, snap3) = Datalake.catalogSnapshot(spark, root)
     assert(txn3 === 3L)
-    assert(snap3("a") === "v=3" && snap3("b") === "v=2",
+    assert(snap3("a").startsWith("v=3-") && snap3("b") === snap2("b"),
       s"partial write set must keep other pins: $snap3")
     assert(Datalake.readCatalogTable(spark, root, snap3, "b")
       .select(col("id")).head.getLong(0) === 2L)
+
+    // crash repair: a committer that claimed record 4 but died before the
+    // catalog swap is healed from the log (readers at txn3 until then)
+    val fsRoot = new org.apache.hadoop.fs.Path(root)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((4L, "x4")).toDF("id", "v").write.parquet(s"$root/a/v=4-crash")
+    val rec = new org.apache.hadoop.fs.Path(fsRoot, f"_commits/${4L}%020d")
+    val out = fs.create(rec, false)
+    out.write(s"txn=4\na\tv=4-crash\nb\t${snap3("b")}\n".getBytes("UTF-8"))
+    out.close()
+    assert(Datalake.catalogSnapshot(spark, root)._1 === 3L)
+    Datalake.repairCatalog(spark, root)
+    val (txn4, snap4) = Datalake.catalogSnapshot(spark, root)
+    assert(txn4 === 4L && snap4("a") === "v=4-crash")
+    assert(Datalake.readCatalogTable(spark, root, snap4, "a")
+      .select(col("id")).head.getLong(0) === 4L)
   }
 
   test("CAS swap ordering: a stalled writer's late sync cannot regress the manifest") {
