@@ -157,6 +157,7 @@ object SparkEntry {
     "q_image_thumbnail" -> (TextQueries.qImageThumbnail _),
     "q_source_quota" -> (CorpusQueries.qSourceQuota _),
     "q_token_budget" -> (CorpusQueries.qTokenBudget _),
+    "q_source_temperature" -> (CorpusQueries.qSourceTemperature _),
     "q_pca_project" -> (SimilarityQueries.qPcaProject _),
     "q_quantize_roundtrip" -> (SimilarityQueries.qQuantizeRoundtrip _),
     "q_manifest_skipping" -> (LayoutQueries.qManifestSkipping _),
@@ -2518,6 +2519,23 @@ object SparkEntry {
         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
         |  CAST(n_chars AS BIGINT) AS n_chars
         |FROM r WHERE rank <= 50 ORDER BY source, rank""".stripMargin,
+    // α=1/2 temperature weights: sqrt is correctly rounded in both
+    // engines, each weight snaps to the 2^-20 grid pre-sum → the
+    // normalizer is an exact dyadic sum, shares single IEEE divisions
+    "q_source_temperature" ->
+      """WITH per AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+        |      AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT *, floor(sqrt(CAST(tokens AS DOUBLE)) * 1048576.0)
+        |    / 1048576.0 AS w FROM per),
+        |t AS (SELECT SUM(w) AS wsum, CAST(SUM(tokens) AS BIGINT)
+        |    AS total_tokens FROM w)
+        |SELECT source, n_docs, tokens,
+        |  CAST(tokens AS DOUBLE) / total_tokens AS raw_share,
+        |  w / wsum AS temp_share,
+        |  CAST(floor(1000000.0 * (w / wsum)) AS BIGINT) AS token_budget
+        |FROM w, t ORDER BY source""".stripMargin,
     // the NAIVE per-row running-sum window — the engine's histogram-window
     // fill must equal it exactly (keep while tokens-before < budget, the
     // crossing doc kept)

@@ -95,6 +95,34 @@ object Corpus {
           .as("token_budget"))
   }
 
+  /** TEMPERATURE-adjusted source mixing (the multilingual / multi-domain
+    * sampling rule: p_i ∝ n_i^α flattens the head and boosts the tail,
+    * the standard fix for high-resource domains drowning low-resource
+    * ones). α is fixed at 1/2 — sqrt is an IEEE correctly-rounded
+    * operation in EVERY engine, so unlike a general pow the weights
+    * replay bit-for-bit; each sqrt is then snapped to the 2^-20 dyadic
+    * grid BEFORE the cross-source sum, making the normalizer an exact
+    * (order-free) dyadic sum and the final share/allocation single IEEE
+    * divisions/products of identically-rounded operands. One partial-agg
+    * shuffle to source grain + a 1-row broadcast — nothing scales with
+    * rows but the first aggregate.
+    */
+  def sourceTemperature(df: DataFrame, source: Column, tokens: Column,
+      budget: Long): DataFrame = {
+    val G = 1048576.0 // 2^20
+    val per = df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("tokens"))
+      .withColumn("w", floor(sqrt(col("tokens").cast("double")) * G) / G)
+    val total = per.agg(sum(col("w")).as("wsum"), // exact: dyadic summands
+      sum(col("tokens")).as("total_tokens"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") / col("total_tokens")).as("raw_share"),
+        (col("w") / col("wsum")).as("temp_share"),
+        floor(lit(budget).cast("double") * (col("w") / col("wsum")))
+          .cast("long").as("token_budget"))
+  }
+
   /** Chunk documents into fixed-size training windows with overlap: window
     * of `size` whitespace tokens every `stride` tokens (stride < size →
     * overlapping windows, the usual LM pretraining shape). Scan-side

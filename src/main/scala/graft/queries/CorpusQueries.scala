@@ -125,6 +125,18 @@ object CorpusQueries {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Temperature-adjusted source mixing (r13): α=1/2 sampling shares and
+    * an exact 1M-token allocation per source — q_source_mix's
+    * head-flattening sibling (see ops.Corpus.sourceTemperature for why
+    * α=1/2 keeps the weights bit-replayable cross-engine).
+    */
+  def qSourceTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Corpus.sourceTemperature(d, col("source"),
+        graft.ops.TextAnalysis.wsTokenCount(col("text")), budget = 1000000L)
+      .orderBy(col("source"))
+  }
+
   /** Token-budget fill (r13): per source, keep documents most-tokens-
     * first until 800 cumulative tokens (the crossing document is kept).
     * The engine runs ops.Corpus.tokenBudgetFill's histogram-window form
