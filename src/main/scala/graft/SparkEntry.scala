@@ -56,6 +56,7 @@ object SparkEntry {
     "q_incremental_watermark" -> (EventQueries.qIncrementalWatermark _),
     "q_asof_attribution" -> (EventQueries.qAsofAttribution _),
     "q_asof_tolerance" -> (EventQueries.qAsofTolerance _),
+    "q_pit_join" -> (EventQueries.qPitJoin _),
     "q_range_join" -> (EventQueries.qRangeJoin _),
     "q_attribution_linear" -> (EventQueries.qAttributionLinear _),
     "q_top_paths" -> (JourneyQueries.qTopPaths _),
@@ -3196,6 +3197,28 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // SCD2 windows: change rows by null-safe lag compare, intervals by
     // lead, versions by row_number — all over (ts, event_id) per user
+    // PIT enrichment: the dim is the SCD2 history of NON-purchase events;
+    // ASOF LEFT JOIN picks the version current at purchase time (>= —
+    // matching the engine's right-before-left sort at equal ts)
+    "q_pit_join" ->
+      """WITH s AS (SELECT user_id, ts, event_type, event_id FROM events
+        |  WHERE event_type <> 'purchase'),
+        |e2 AS (SELECT user_id, ts, event_type, event_id,
+        |    lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+        |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ch AS (SELECT user_id, ts AS valid_from, event_type, event_id
+        |  FROM e2 WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |hist AS (SELECT user_id, event_type AS state_at_purchase,
+        |    valid_from,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, event_id) AS BIGINT) AS dim_version
+        |  FROM ch),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT purchase_id, p.user_id, state_at_purchase, dim_version
+        |FROM p ASOF LEFT JOIN hist
+        |  ON p.user_id = hist.user_id AND p.purchase_ts >= hist.valid_from
+        |ORDER BY purchase_id""".stripMargin,
     "q_scd2_history" ->
       """WITH e AS (SELECT user_id, ts, event_type, event_id,
         |    lag(event_type) OVER w AS prev,

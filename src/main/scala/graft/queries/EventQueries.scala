@@ -273,6 +273,35 @@ object EventQueries {
         col("version").cast("long").as("version"), col("is_current"))
       .orderBy(col("user_id"), col("version"))
 
+  /** POINT-IN-TIME enrichment against SCD2 dimension history (r13 — the
+    * feature-store correctness primitive: training labels must join the
+    * dimension version that was CURRENT at event time, never today's —
+    * the classic label-leakage bug): each purchase picks up the user's
+    * last non-purchase activity state and its dimension version as of
+    * the purchase timestamp. Composition of two existing scale shapes —
+    * the one-shuffle SCD2 build and the one-shuffle union-form as-of
+    * join — so PIT costs two key shuffles total, never the |facts| ×
+    * |versions| range-join blow-up. A user whose first event is the
+    * purchase has no prior state → nulls, replayed by the oracle's ASOF
+    * LEFT JOIN.
+    */
+  def qPitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hist = graft.ops.Scd.scd2History(
+        e.filter(col("event_type") =!= "purchase"),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .select(col("key").as("user_id"),
+        col("attr").as("state_at_purchase"), col("valid_from"),
+        col("version").cast("long").as("dim_version"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    AsOf.asOfJoin(purchases, hist, "user_id", "purchase_ts", "valid_from")
+      .select(col("purchase_id"), col("user_id"),
+        col("state_at_purchase"), col("dim_version"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Interval concurrency profile by SWEEP-LINE (round 8): each event
     * opens a 30-minute activity interval [ts, ts+30min); the query finds
     * the peak number of simultaneously open intervals per event type and
