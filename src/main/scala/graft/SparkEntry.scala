@@ -77,6 +77,7 @@ object SparkEntry {
     "q_semantic_dedup" -> (SimilarityQueries.qSemanticDedup _),
     "q_ann_lsh" -> (SimilarityQueries.qAnnLsh _),
     "q_dedup_clusters" -> (SimilarityQueries.qDedupClusters _),
+    "q_dedup_keep_best" -> (SimilarityQueries.qDedupKeepBest _),
     "q_dedup_clusters_incremental" -> (SimilarityQueries.qDedupClustersIncremental _),
     "q_ann_ivf" -> (SimilarityQueries.qAnnIvf _),
     "q_ann_ivf_quantized" -> (SimilarityQueries.qAnnIvfQuantized _),
@@ -1075,6 +1076,31 @@ object SparkEntry {
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_ann_lsh" -> lshOracle,
     "q_dedup_clusters" -> clustersOracle,
+    // keep-best survivorship: the same recursive-closure discipline over
+    // the DOCUMENT minhash bucket graph, plus the argmax policy (longest
+    // text, doc_id tie-break) replayed as max-by over (n_chars, -id)
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashSigCtes,
+        |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bslice = b.bslice
+        |    AND a.doc_id < b.doc_id),
+        |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |  UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, ed.dst FROM reach JOIN ed ON reach.r = ed.src),
+        |comp AS (SELECT id, CAST(MIN(r) AS BIGINT) AS component
+        |  FROM reach GROUP BY id),
+        |m AS (SELECT component, comp.id, length(text) AS n_chars
+        |  FROM comp JOIN documents ON comp.id = documents.doc_id),
+        |a AS (SELECT component, COUNT(*) AS n_members,
+        |    MAX({'nc': n_chars, 'nid': -id}) AS b
+        |  FROM m GROUP BY component)
+        |SELECT component, n_members,
+        |  CAST(-(b.nid) AS BIGINT) AS keeper_id,
+        |  CAST(b.nc AS BIGINT) AS keeper_chars
+        |FROM a ORDER BY component""".stripMargin,
     // deliberately the SAME full-graph recursive CTE: the incremental
     // fold's correctness claim IS "equals the from-scratch components",
     // so the driver re-proves the equivalence on every round

@@ -669,6 +669,37 @@ object SimilarityQueries {
       .orderBy(col("component"))
   }
 
+  /** KEEP-BEST dedup survivorship (r13): duplicate clusters over the
+    * minhash-LSH pair graph of documents, with the cluster REPRESENTATIVE
+    * chosen by QUALITY — longest text wins, doc_id breaks ties — instead
+    * of the min-id convention every other dedup row uses. This is the
+    * selection policy real corpus pipelines run (keep the richest copy of
+    * a near-dup family, drop the truncated mirrors). Plan: the banded LSH
+    * pair join, min-label components, then ONE component-grain aggregate
+    * whose argmax rides a lexicographic max(struct(quality, -id)) — no
+    * window, no second shuffle past the component key. Oracle = the
+    * recursive transitive closure over the same md5-lane bucket pairs +
+    * the same argmax, so both the clustering AND the policy replay.
+    */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val pairs = graft.ops.Dedup
+      .minhashLshPairs(d, col("doc_id"), col("text"))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comps = graft.ops.Components.connectedComponents(
+      d.select(col("doc_id").as("id")), pairs)
+    val q = d.select(col("doc_id").as("id"),
+      length(col("text")).cast("long").as("n_chars"))
+    comps.join(q, "id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("id")).as("negid"))).as("__b"))
+      .select(col("component"), col("n_members"),
+        (-col("__b.negid")).as("keeper_id"),
+        col("__b.n_chars").as("keeper_chars"))
+      .orderBy(col("component"))
+  }
+
   /** INCREMENTAL entity resolution (round 12 — verdict #3): resolve a
     * daily mention batch against a PERSISTED cluster store instead of
     * recomputing the full linkage graph per run (what q_entity_resolution
