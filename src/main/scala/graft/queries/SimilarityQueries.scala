@@ -91,10 +91,16 @@ object SimilarityQueries {
   /** LSH-bucketed near-duplicates at cosine ≥ 0.4 — the 100 TB path.
     * Oracle-checked exactly (the seeded hyperplanes are inlined into the
     * DuckDB SQL); subset-of-exact additionally asserted in SimilaritySpec.
+    *
+    * Returns the pair SET unordered — the driver compare sorts rows before
+    * hashing (proven by the standing-green unordered registrations, e.g.
+    * q_correlated_min / q_heavy_hitters), and the r13 verdict flagged this
+    * query's job count as floor-dominated: the cosmetic global sort cost a
+    * range exchange plus its sampling job, ~40% of the query's wall time
+    * in the per-job-floor regime.
     */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.hyperplaneLshPairs(corpus(spark, dir)) // LshParams defaults
-      .orderBy(col("id_a"), col("id_b"))
 
   /** Near-dup pairs promoted to duplicate CLUSTERS: connected components
     * over the LSH pair graph (min-label propagation — ops/Components).
