@@ -183,6 +183,8 @@ object SparkEntry {
     "q_stream_dedup_ttl" -> (StreamQueries.qStreamDedupTtl _),
     "q_image_phash" -> (TextQueries.qImagePhash _),
     "q_concurrent_publish" -> (DatalakeQueries.qConcurrentPublish _),
+    "q_concurrent_delete" -> (DatalakeQueries.qConcurrentDelete _),
+    "q_merge_publish" -> (DatalakeQueries.qMergePublish _),
     "q_entity_resolution_incremental" ->
       (SimilarityQueries.qEntityResolutionIncremental _),
   )
@@ -2346,6 +2348,45 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS n_commits,
         |  CAST(1 AS BIGINT) AS stale_publish_aborted
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // survivors = base minus BOTH racing predicates; the literals pin the
+    // protocol evidence (2 log records, stale claim lost)
+    "q_concurrent_delete" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(2 AS BIGINT) AS n_commits,
+        |  CAST(1 AS BIGINT) AS stale_delete_lost
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 0)
+        |  AND NOT (o_totalprice > 200000.0)""".stripMargin,
+    // the committed MERGE: identical FULL OUTER JOIN + CASE as the
+    // non-committed merges, with the deletion vector's predicate folded
+    // into the base CTE (the merge reads THROUGH the vector)
+    "q_merge_publish" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders
+        |  WHERE o_orderkey % 3 <> 0 AND NOT (o_custkey % 7 = 0)
+        |), delta AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    o_totalprice + 10.0 AS o_totalprice,
+        |    'MERGED' AS o_orderpriority,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'delete' ELSE 'upsert'
+        |      END AS d_op
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |)
+        |SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_custkey
+        |    ELSE b.o_custkey END AS o_custkey,
+        |  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice
+        |    ELSE b.o_totalprice END AS o_totalprice,
+        |  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderpriority
+        |    ELSE b.o_orderpriority END AS o_orderpriority
+        |FROM base b FULL OUTER JOIN delta d
+        |  ON b.o_orderkey = d.o_orderkey
+        |WHERE NOT (d.o_orderkey IS NOT NULL AND d.d_op = 'delete')
+        |ORDER BY 1""".stripMargin,
     // the oracle replays all three clone-lifecycle snapshots from orders:
     // a broken ref pointer (clone_at_clone), a lost/duplicated divergence
     // row (clone_after), or source mutation (src_after) each hash-fail;

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{array, col, explode, expr, lit, struct, when}
+import org.apache.spark.sql.functions.{array, coalesce, col, explode, expr, lit, struct, when}
 import org.apache.spark.sql.types.StructType
 
 /** Layered datalake IO, mirroring the reference's raw/formatted/usage tree
@@ -388,8 +388,18 @@ object Datalake {
     val seq = latestCommitSeq(spark, catalogRoot)
     val prior =
       if (seq > 0L)
+        // the newest record IS the catalog under CAS writers — if the log
+        // says it exists but it can't be read, building this transaction
+        // over an empty pin map would silently TRUNCATE the catalog (every
+        // table outside this write set dropped). Fail loudly instead; the
+        // record is immutable once claimed, so an unreadable one is
+        // corruption, not a race (review finding).
         commitTokenAt(fs, root, seq).map(parseCatalogBody(_)._2)
-          .getOrElse(Map.empty[String, String])
+          .getOrElse(throw new IllegalStateException(
+            s"catalog commit record $seq at $catalogRoot is in the log " +
+              "but unreadable — refusing to derive prior pins from an " +
+              "empty map (it would truncate the catalog); repair the " +
+              "record before committing"))
       else catalogSnapshot(spark, catalogRoot)._2
     val txn = seq + 1
     // unique dir per ATTEMPT: racing claimants of the same transaction
@@ -467,7 +477,12 @@ object Datalake {
     * (new version, files compacted, files copied).
     */
   def optimizeCompact(spark: SparkSession, tableRoot: String,
-      minRows: Long, statsCols: Seq[String] = Nil): (String, Int, Int) = {
+      minRows: Long, statsCols: Seq[String] = Nil): (String, Int, Int) =
+    // under the per-root stripe: the rewrite is derived from the token
+    // read at the top, so a delete committing a new dv= token inside the
+    // read→swap window would be silently discarded by the final swap
+    // (review finding — the deleteWhere lost-update class, reversed)
+    withRootLock(spark, tableRoot) {
     val token = manifestToken(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
     val dv = parseDvToken(token)
@@ -531,7 +546,7 @@ object Datalake {
     }
     swapManifest(spark, tableRoot, newToken)
     (newV, small.length, big.length)
-  }
+    }
 
   /** DYNAMIC PARTITION OVERWRITE as a versioned commit (Hive's
     * `INSERT OVERWRITE ... PARTITION` with partitionOverwriteMode=dynamic
@@ -554,16 +569,88 @@ object Datalake {
       batch: DataFrame, partCols: Seq[String],
       statsCols: Seq[String] = Nil): String = {
     require(partCols.nonEmpty, "overwritePartitions needs partition columns")
-    val token = manifestToken(spark, tableRoot).getOrElse(
-      throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
-    val cur = readToken(spark, tableRoot, token)
-    val parts = batch.select(partCols.map(col): _*).distinct()
-    val untouched = cur.join(
-      org.apache.spark.sql.functions.broadcast(parts), partCols, "left_anti")
-    val next = untouched.unionByName(batch.select(cur.columns.map(col): _*))
-    val newV = nextNumericVersion(spark, tableRoot, None, "")
-    publish(next, tableRoot, newV, partCols, statsCols)
-    newV
+    // stripe held across token read → publish swap (review finding: a
+    // delete committing between them would be discarded by the swap)
+    withRootLock(spark, tableRoot) {
+      val token = manifestToken(spark, tableRoot).getOrElse(
+        throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+      val cur = readToken(spark, tableRoot, token)
+      val parts = batch.select(partCols.map(col): _*).distinct()
+      val untouched = cur.join(
+        org.apache.spark.sql.functions.broadcast(parts), partCols, "left_anti")
+      val next = untouched.unionByName(batch.select(cur.columns.map(col): _*))
+      val newV = nextNumericVersion(spark, tableRoot, None, "")
+      publish(next, tableRoot, newV, partCols, statsCols)
+      newV
+    }
+  }
+
+  /** MERGE INTO as a versioned lake commit (r13 verdict #3: the engine
+    * computed MERGE semantics but never landed them as a table
+    * operation). One atomic operation: token-aware read of the current
+    * snapshot (a live deletion vector is FOLDED — a raw scan would
+    * resurrect deleted rows into the merge), ONE full-outer shuffle-hash
+    * join against `delta` (delta is the build side — the daily feed is
+    * orders of magnitude smaller than the table; the hint keeps the
+    * full-outer off SortMergeJoin), the three ANSI arms applied in a
+    * single pass over the joined stream, and the result published as the
+    * next version through the manifest swap under the per-root stripe.
+    * The superseded vector is retired with its base version (vacuum
+    * garbage) — the new version is a plain `v=` token.
+    *
+    * Arms: WHEN MATCHED AND `deleteWhen` THEN DELETE; WHEN MATCHED THEN
+    * UPDATE SET * (delta's values wholesale); WHEN NOT MATCHED AND NOT
+    * `deleteWhen` THEN INSERT *; a delete never inserts. `deleteWhen`
+    * is evaluated against the DELTA row (NULL → false, so kept base
+    * rows — whose delta side is all-NULL — always survive). `delta`
+    * must carry the key columns plus every base data column by name;
+    * extra delta columns (op markers) may feed `deleteWhen` and are
+    * dropped from the result. The current Hive partition layout is
+    * preserved (the optimize discipline).
+    *
+    * Scale: one shuffle per side — or none when base and delta are
+    * bucketed by the key; the commit is one directory write + one
+    * manifest PUT. The file-granularity production refinement (rewrite
+    * only files containing matches, reference the rest) drops in behind
+    * the same token without changing this contract. Returns the new
+    * version name.
+    */
+  def mergeInto(spark: SparkSession, tableRoot: String, delta: DataFrame,
+      keys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      statsCols: Seq[String] = Nil): String = {
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    withRootLock(spark, tableRoot) {
+      val token = manifestToken(spark, tableRoot).getOrElse(
+        throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+      val base = readToken(spark, tableRoot, token)
+      val dataCols = base.columns.filterNot(keys.contains).toSeq
+      val missing = (keys ++ dataCols).filterNot(delta.columns.contains)
+      require(missing.isEmpty,
+        s"delta is missing merge columns: ${missing.mkString(", ")}")
+      val parts = currentDataPath(spark, tableRoot)
+        .map(detectPartitionColumns(spark, _)).getOrElse(Nil)
+      val b = base.as("mrg_b")
+      val d = delta.hint("shuffle_hash").as("mrg_d")
+      val on = keys.map(k => col(s"mrg_b.$k") === col(s"mrg_d.$k"))
+        .reduce(_ && _)
+      val deltaPresent = col(s"mrg_d.${keys.head}").isNotNull
+      val dropped = deleteWhen
+        .map(c => deltaPresent && coalesce(c, lit(false)))
+        .getOrElse(lit(false))
+      val merged = b.join(d, on, "full_outer")
+        .filter(!dropped)
+        .select(
+          keys.map(k =>
+            coalesce(col(s"mrg_d.$k"), col(s"mrg_b.$k")).as(k)) ++
+            dataCols.map(c =>
+              when(deltaPresent, col(s"mrg_d.$c"))
+                .otherwise(col(s"mrg_b.$c")).as(c)): _*)
+      val newV = nextNumericVersion(spark, tableRoot,
+        currentVersion(spark, tableRoot), "-merged")
+      publish(merged, tableRoot, newV, parts, statsCols)
+      newV
+    }
   }
 
   /** DELETE WHERE as a deletion-vector commit: positions of the base
@@ -579,44 +666,87 @@ object Datalake {
     * where DVs belong to a commit, not to the parquet files.
     */
   def deleteWhere(spark: SparkSession, tableRoot: String,
-      predicate: org.apache.spark.sql.Column): Long = {
-    // the whole read-merge-swap runs under the per-root commit stripe:
-    // two unserialized concurrent deletes would both read the same
-    // current vector and the second swap would silently discard the
-    // first delete's positions (review finding — the same lost-update
-    // class syncManifestIfNewest closes for CAS publishes). The stripe
-    // serializes in-process writers; cross-process multi-writer tables
-    // should route deletes through [[transact]]-style CAS commits.
+      predicate: org.apache.spark.sql.Column, maxAttempts: Int = 5): Long = {
+    // Concurrency (r13 verdict #2 — this was the one standing protocol
+    // defect): the read-merge-swap rides the `_commits/` log. Each
+    // attempt snapshots the manifest token, stages the merged vector
+    // under a fresh `_dv/` dir, then CLAIMS the next commit record —
+    // rename-without-overwrite arbitration, so of two concurrent
+    // deleters (threads OR processes) exactly one wins the sequence;
+    // the loser deletes its staged dir and RE-READS the winner's token,
+    // so its retry merges over the winner's vector and neither delete's
+    // positions can be lost. The per-root stripe still wraps each
+    // attempt: in-process it serializes deletes against the maintenance
+    // ops' read-rewrite-swap windows (which don't claim log records).
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val committed: Option[Long] = withRootLock(spark, tableRoot) {
+        deleteWhereAttempt(spark, tableRoot, predicate, seqOverride = None)
+      }
+      committed.foreach(n => return n)
+    }
+    throw new ConcurrentCommitException(
+      s"deleteWhere on $tableRoot lost $maxAttempts commit races — " +
+        "re-read and retry")
+  }
+
+  /** ONE optimistic delete attempt: snapshot, stage the merged vector,
+    * claim the next record. Returns the new vector's position count on a
+    * won claim, None on a lost one (staged dir rolled back — the caller
+    * must re-read and retry). `seqOverride` exists for the DatalakeSpec
+    * lost-update pin ONLY: it forces the attempt to act on a stale
+    * sequence snapshot, deterministically reproducing the cross-process
+    * interleaving (competitor commits between our read and our claim)
+    * that no in-process schedule can produce under the stripe.
+    */
+  private[graft] def deleteWhereAttempt(spark: SparkSession,
+      tableRoot: String, predicate: org.apache.spark.sql.Column,
+      seqOverride: Option[Long]): Option[Long] = {
     val root = new org.apache.hadoop.fs.Path(tableRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lock = commitLocks.computeIfAbsent(
-      fs.makeQualified(root).toString, _ => new Object)
-    lock.synchronized {
-      val token = manifestToken(spark, tableRoot).getOrElse(
-        throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
-      val (baseToken, existingDv) = parseDvToken(token) match {
-        case Some((b, d)) => (b, Some(s"$tableRoot/$d"))
-        case None => (token, None)
-      }
-      val dataPath = resolveToken(tableRoot, baseToken)
-      val scan = spark.read.parquet(dataPath)
-      val newDel = withRowPosition(spark, scan.filter(predicate), dataPath)
-        .select(col("__file"), col("__pos"))
-      // persist so the count and the write share one evaluation — the
-      // previous read-back-and-count paid a whole extra scan of the
-      // accumulated vector per delete (review finding)
-      val merged = existingDv
-        .map(p => spark.read.parquet(p).unionByName(newDel).distinct())
-        .getOrElse(newDel.distinct())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val n = merged.count()
-        val rel = s"$DvDir/dv-${java.util.UUID.randomUUID().toString.take(8)}"
-        merged.write.parquet(s"$tableRoot/$rel")
-        swapManifest(spark, tableRoot, s"dv=$baseToken;$rel")
-        n
-      } finally { merged.unpersist(blocking = false); () }
+    // the MANIFEST (not the newest log record) is the base snapshot:
+    // mixed-mode tables also move by plain publish / maintenance
+    // swaps the log never sees, and deleting against a stale log
+    // token would resurrect those writes. The log is purely the
+    // race ARBITER here; among CAS-only writers the two agree.
+    val seq = seqOverride.getOrElse(latestCommitSeq(spark, tableRoot))
+    val token = manifestToken(spark, tableRoot).getOrElse(
+      throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+    val (baseToken, existingDv) = parseDvToken(token) match {
+      case Some((b, d)) => (b, Some(s"$tableRoot/$d"))
+      case None => (token, None)
     }
+    val dataPath = resolveToken(tableRoot, baseToken)
+    val scan = spark.read.parquet(dataPath)
+    val newDel = withRowPosition(spark, scan.filter(predicate), dataPath)
+      .select(col("__file"), col("__pos"))
+    // persist so the count and the write share one evaluation — the
+    // previous read-back-and-count paid a whole extra scan of the
+    // accumulated vector per delete (review finding)
+    val merged = existingDv
+      .map(p => spark.read.parquet(p).unionByName(newDel).distinct())
+      .getOrElse(newDel.distinct())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = merged.count()
+      val rel = s"$DvDir/dv-${java.util.UUID.randomUUID().toString.take(8)}"
+      merged.write.parquet(s"$tableRoot/$rel")
+      val newToken = s"dv=$baseToken;$rel"
+      if (claimCommit(spark, tableRoot, seq + 1, newToken)) {
+        syncManifestIfNewest(spark, tableRoot, seq + 1, newToken)
+        Some(n)
+      } else {
+        // lost the sequence to a concurrent committer: roll back the
+        // staged vector; the retry re-reads the winner's state, so its
+        // merge carries the winner's positions — no delete can be lost
+        try { fs.delete(new org.apache.hadoop.fs.Path(
+          s"$tableRoot/$rel"), true); () }
+        catch { case _: Throwable => () }
+        None
+      }
+    } finally { merged.unpersist(blocking = false); () }
   }
 
   // ==================== optimistic concurrency (CAS) ====================
@@ -684,6 +814,24 @@ object Datalake {
     */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `body` holding `tableRoot`'s per-root commit stripe — the ONE
+    * in-process serialization point for every read-modify-swap on a
+    * table's manifest (deletes, compaction, z-order rewrites, partition
+    * overwrites, vacuum's vector sweep). The monitor is reentrant, so a
+    * stripe-holding op may call [[claimCommit]]/[[syncManifestIfNewest]]
+    * (which take the same stripe) freely. Cross-process exclusion is NOT
+    * this lock's job — that's the commit log's rename-without-overwrite
+    * arbitration ([[claimCommit]]).
+    */
+  private def withRootLock[T](spark: SparkSession, tableRoot: String)(
+      body: => T): T = {
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = commitLocks.computeIfAbsent(
+      fs.makeQualified(root).toString, _ => new Object)
+    lock.synchronized(body)
+  }
 
   /** Atomically create commit record `seq` holding `token`. Returns false
     * (claim lost) when the record already exists — the rename-without-
@@ -1117,6 +1265,9 @@ object Datalake {
       clusterBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
       partitionBy: Option[Seq[String]] = None): String = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    // stripe held across token read -> publish swap (review finding: a
+    // delete committing between them would be discarded by the swap)
+    withRootLock(spark, tableRoot) {
     val cur = currentVersion(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
     // currentDataPath, not a hand-built v= dir: on an UNDIVERGED shallow
@@ -1157,6 +1308,7 @@ object Datalake {
     val newV = nextNumericVersion(spark, tableRoot, Some(cur), "-optimized")
     publish(df, tableRoot, newV, parts, statsCols)
     newV
+    }
   }
 
   /** OPTIMIZE ZORDER (the Delta `OPTIMIZE ... ZORDER BY (x, y)` shape,
@@ -1188,6 +1340,9 @@ object Datalake {
   def optimizeZorder(spark: SparkSession, tableRoot: String,
       xCol: String, yCol: String, bits: Int, nFiles: Int,
       extraStatsCols: Seq[String] = Nil): String = {
+    // stripe held across token read -> publish swap (review finding: a
+    // delete committing between them would be discarded by the swap)
+    withRootLock(spark, tableRoot) {
     val cur = currentVersion(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
     val dataPath = currentDataPath(spark, tableRoot).get
@@ -1213,6 +1368,7 @@ object Datalake {
     publish(df, tableRoot, newV, Seq("zfile"),
       (Seq(xCol, yCol) ++ extraStatsCols).distinct)
     newV
+    }
   }
 
   /** Hive-style partition columns of a data directory, outermost first —

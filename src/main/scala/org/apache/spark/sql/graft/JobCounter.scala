@@ -45,15 +45,23 @@ object JobCounter {
     */
   def settledCount(sc: SparkContext): Long = {
     try sc.listenerBus.waitUntilEmpty()
-    catch { case _: Throwable =>
-      // the fallback read can attribute a query's trailing job-start
-      // events to the NEXT query — silent skew in exactly the degraded
-      // regimes the floor calibration targets. Count every timeout so the
-      // bench can surface it in the floor meta (r12 ADVICE): a
-      // floor-adjusted reading from a run with drain timeouts is
-      // lower-confidence and must say so in the artifact.
-      drainTimeoutCount.incrementAndGet()
-      Thread.sleep(100)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        // the fallback read can attribute a query's trailing job-start
+        // events to the NEXT query — silent skew in exactly the degraded
+        // regimes the floor calibration targets. Count every timeout so
+        // the bench can surface it in the floor meta (r12 ADVICE): a
+        // floor-adjusted reading from a run with drain timeouts is
+        // lower-confidence and must say so in the artifact. ONLY a real
+        // drain timeout lands here (r13 ADVICE: the old catch-all
+        // swallowed InterruptedException, delaying cancellation and
+        // inflating the counter with non-timeout causes).
+        drainTimeoutCount.incrementAndGet()
+        Thread.sleep(100)
+      case _: InterruptedException =>
+        // restore the interrupt for the caller's cancellation machinery;
+        // the count read below is still best-effort-correct
+        Thread.currentThread().interrupt()
     }
     count.get()
   }

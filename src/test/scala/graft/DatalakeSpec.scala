@@ -560,6 +560,129 @@ class DatalakeSpec extends SparkSpecBase {
       "vacuum deleted the base version of a live deletion vector")
   }
 
+  test("mergeInto folds a live deletion vector, retires it, and preserves partition layout") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val root = s"${Files.createTempDirectory("graft-merge")}/t"
+    val base = spark.range(0, 100).select(col("id"),
+      (col("id") % 4).as("grp"), (col("id") * 2).as("v"))
+    Datalake.publish(base.toDF(), root, "1", Seq("grp"), Seq("id"))
+    // live vector: ids 0..9 deleted at merge time
+    assert(Datalake.deleteWhere(spark, root, col("id") < 10) === 10)
+    // delta: update 50..59 (v=-1), insert 100..104, DELETE 90..94, and
+    // RE-INSERT id 5 — its base row is DV-deleted, so ANSI MERGE must
+    // treat it as NOT MATCHED (insert), which only holds if the merge
+    // read folds the vector instead of resurrecting the dead row
+    val delta = spark.range(50, 60)
+      .unionAll(spark.range(100, 105)).unionAll(spark.range(90, 95))
+      .unionAll(spark.range(5, 6))
+      .select(col("id"), (col("id") % 4).as("grp"), lit(-1L).as("v"),
+        when(col("id") >= 90 && col("id") < 95, lit("del"))
+          .otherwise(lit("up")).as("op"))
+    val newV = Datalake.mergeInto(spark, root, delta, Seq("id"),
+      deleteWhen = Some(col("op") === "del"), statsCols = Seq("id"))
+    val got = Datalake.readPublished(spark, root)
+    // survivors: 10..89 (80) + 95..99 (5) + inserts 100..104 (5) + 5 (1)
+    assert(got.count() === 91)
+    assert(got.filter(col("id") < 10).select(col("id"))
+      .collect().map(_.getLong(0)).toSeq === Seq(5L),
+      "merge must fold the vector: only the re-inserted key returns")
+    assert(got.filter(col("id") === 5).head.getAs[Long]("v") === -1L,
+      "re-insert must carry the delta's values")
+    assert(got.filter(col("id") >= 90 && col("id") < 95).count() === 0,
+      "matched-delete arm failed")
+    assert(got.filter(col("id").between(50, 59) && col("v") === -1L)
+      .count() === 10, "matched-update arm failed")
+    // the committed version is PLAIN (vector folded + retired): the
+    // version dir itself holds exactly the visible rows, and a vacuum
+    // sweep finds no vector the manifest still references
+    assert(Datalake.currentVersion(spark, root).contains(newV))
+    assert(Datalake.readVersion(spark, root, newV).count() === 91)
+    Datalake.vacuum(spark, root, keepLast = 1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvDir = new org.apache.hadoop.fs.Path(root, "_dv")
+    assert(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty,
+      "merge left the superseded vector referenced")
+    // Hive layout preserved across the merge commit
+    assert(Datalake.detectPartitionColumns(spark,
+      Datalake.currentDataPath(spark, root).get) === Seq("grp"))
+  }
+
+  test("delete commits ride the CAS log: a stale claim loses, rolls back, and no positions are lost") {
+    import org.apache.spark.sql.functions.col
+    val root = s"${Files.createTempDirectory("graft-dvcas")}/t"
+    Datalake.publish(spark.range(0, 100).toDF("id"), root, "1", Nil, Seq("id"))
+    // the winner: a real delete claims log record 1
+    assert(Datalake.deleteWhere(spark, root, col("id") < 10) === 10)
+    assert(Datalake.latestCommitSeq(spark, root) === 1L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvDir = new org.apache.hadoop.fs.Path(root, "_dv")
+    val dvBefore = fs.listStatus(dvDir).length
+    // the cross-process interleaving (competitor commits between snapshot
+    // and claim) forced via a stale sequence: the claim must LOSE, the
+    // staged vector must be rolled back, and the table must be untouched
+    val lost = Datalake.deleteWhereAttempt(spark, root,
+      col("id") >= 95, seqOverride = Some(0L))
+    assert(lost.isEmpty, "a claim against a taken sequence must lose")
+    assert(Datalake.latestCommitSeq(spark, root) === 1L,
+      "a lost claim must not create a log record")
+    assert(fs.listStatus(dvDir).length === dvBefore,
+      "a lost claim must roll back its staged vector")
+    assert(Datalake.readPublished(spark, root).count() === 90,
+      "a lost claim must leave the table untouched")
+    // the loser's retry (what deleteWhere's loop does): re-read and
+    // re-derive — the new vector must carry the WINNER'S positions too
+    assert(Datalake.deleteWhere(spark, root, col("id") >= 95) === 15,
+      "retry must merge over the winner's vector, not its own stale read")
+    assert(Datalake.latestCommitSeq(spark, root) === 2L)
+    val survivors = Datalake.readPublished(spark, root)
+    assert(survivors.count() === 85)
+    assert(survivors.agg(org.apache.spark.sql.functions.min(col("id")))
+      .head.getLong(0) === 10, "winner's delete resurrected")
+  }
+
+  test("maintenance rewrite and a concurrent delete serialize: neither update is lost") {
+    // r13 ADVICE (medium): optimize/optimizeCompact/optimizeZorder/
+    // overwritePartitions read the manifest token and swapped later
+    // WITHOUT the per-root stripe — a delete committing a dv= token
+    // inside that window was silently discarded by the maintenance swap.
+    // Under the stripe every serialization order yields the same visible
+    // state: delete-then-optimize folds the vector into the rewrite,
+    // optimize-then-delete masks the rewrite; both show 90 live rows.
+    // Without the stripe the lost-delete schedule shows 100.
+    import org.apache.spark.sql.functions.col
+    (1 to 3).foreach { round =>
+      val root = s"${Files.createTempDirectory("graft-dvopt")}/t"
+      Datalake.publish(spark.range(0, 100).toDF("id").repartition(4),
+        root, "1", Nil, Seq("id"))
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def runner(name: String)(body: => Unit): Thread = {
+        val t = new Thread(() => {
+          try { barrier.await(); body }
+          catch { case e: Throwable => errs.add(e); () }
+        }, name)
+        t.start(); t
+      }
+      val ts = Seq(
+        runner(s"graft-opt-$round") {
+          Datalake.optimize(spark, root, 2, statsCols = Seq("id")); ()
+        },
+        runner(s"graft-del-$round") {
+          Datalake.deleteWhere(spark, root, col("id") < 10); ()
+        })
+      ts.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+      val visible = Datalake.readPublished(spark, root)
+      assert(visible.count() === 90,
+        s"round $round: the maintenance swap discarded the concurrent " +
+          "delete (or the rewrite resurrected it)")
+      assert(visible.agg(org.apache.spark.sql.functions.min(col("id")))
+        .head.getLong(0) === 10, s"round $round: deleted rows visible")
+    }
+  }
+
   test("optimizeCompact folds the small files' deletions and carries the copied files' vector") {
     import org.apache.spark.sql.functions.col
     val root = s"${Files.createTempDirectory("graft-dvc")}/t"

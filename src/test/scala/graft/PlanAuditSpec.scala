@@ -354,17 +354,30 @@ class PlanAuditSpec extends SparkSpecBase {
     // (query-matching postings, (class,term) counts), so the final serve
     // plan reads materialized rows ("Scan ExistingRDD") and its exchange
     // count drops (PlanDump full-string: bm25 14→8, hybrid 18→11,
-    // nb 15→12). Budgets below are THIS narrow session's FINAL-plan
-    // counts (8/13/12 at pin time) with +0 slack — a re-derived subtree
-    // adds 3+ exchanges at once, so any creep trips the pin.
+    // nb 15→12). Budgets below are FINAL-plan counts measured UNDER THE
+    // PRODUCTION JOIN CONFIGS (set/restored around the measurement: the
+    // shared test session runs the 10 MB default broadcast threshold and
+    // strict co-partition keys, which alone adds 2 exchanges to the
+    // hybrid serve — the r13-ADVICE-flagged 11→13 "growth" was exactly
+    // this test-session config skew, not a re-derived subtree; a fresh
+    // GraftSession plans hybrid at 11, enumerated: range-sort, window
+    // rank, 2 full-outer shuffle-hash sides, postings-by-term, corpus
+    // SinglePartition stats, vec-leg topk hash + 4 broadcasts). +0 slack
+    // — a re-derived subtree adds 3+ exchanges at once, any creep trips.
     val rows = Seq(
       ("q_bm25_search", 8,
         () => graft.queries.TextQueries.qBm25Search(spark, sfDir)),
-      ("q_hybrid_search", 13,
+      ("q_hybrid_search", 11,
         () => graft.queries.TextQueries.qHybridSearch(spark, sfDir)),
       ("q_nb_classifier", 12,
         () => graft.queries.TextQueries.qNbClassifier(spark, sfDir)))
-    rows.foreach { case (name, budget, build) =>
+    val prodConfs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val saved = prodConfs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    prodConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try rows.foreach { case (name, budget, build) =>
       val plan = executed(build())
       // an executed AdaptiveSparkPlan prints BOTH "== Final Plan ==" and
       // "== Initial Plan ==" — counting the raw string double-counts
@@ -372,11 +385,15 @@ class PlanAuditSpec extends SparkSpecBase {
       // exactly that reason). Budget applies to the final section only.
       val finalPlan = plan.split("== Initial Plan ==").head
       val exch = "Exchange".r.findAllIn(finalPlan).length
+      info(s"$name: $exch exchanges (budget $budget)")
       assert(finalPlan.contains("Scan ExistingRDD"),
         s"$name: no materialized shared table in the serve plan:\n$plan")
       assert(exch <= budget,
         s"$name planned $exch exchanges, budget $budget — a shared subtree " +
           s"is being re-derived per consumer again:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 }
