@@ -19,6 +19,7 @@ object SparkEntry {
     "q_market_stats" -> (Relational.qMarketStats _),
     "q_opportunities" -> (Relational.qOpportunities _),
     "q_validated_filter" -> (Relational.qValidatedFilter _),
+    "q_quarantine" -> (Relational.qQuarantine _),
     "q_clean_cast" -> (Relational.qCleanCast _),
     "q_datalake_pipeline" -> (DatalakeQueries.qDatalakePipeline _),
     "q_datalake_dual" -> (DatalakeQueries.qDatalakeDual _),
@@ -80,6 +81,7 @@ object SparkEntry {
     "q_dedup_keep_best" -> (SimilarityQueries.qDedupKeepBest _),
     "q_dedup_clusters_incremental" -> (SimilarityQueries.qDedupClustersIncremental _),
     "q_ann_ivf" -> (SimilarityQueries.qAnnIvf _),
+    "q_ann_ivf_retrain" -> (SimilarityQueries.qAnnIvfRetrain _),
     "q_ann_ivf_quantized" -> (SimilarityQueries.qAnnIvfQuantized _),
     "q_ann_pq" -> (SimilarityQueries.qAnnPq _),
     "q_ann_ivfpq" -> (SimilarityQueries.qAnnIvfPq _),
@@ -185,6 +187,7 @@ object SparkEntry {
     "q_concurrent_publish" -> (DatalakeQueries.qConcurrentPublish _),
     "q_concurrent_delete" -> (DatalakeQueries.qConcurrentDelete _),
     "q_merge_publish" -> (DatalakeQueries.qMergePublish _),
+    "q_compact_partitioned" -> (DatalakeQueries.qCompactPartitioned _),
     "q_entity_resolution_incremental" ->
       (SimilarityQueries.qEntityResolutionIncremental _),
   )
@@ -458,6 +461,33 @@ object SparkEntry {
     ivfOracleFrom(cents, floatCorpusCte,
       """q AS (SELECT id AS query_id, embd AS q_embd
         |  FROM e WHERE id < 10)""".stripMargin)
+
+  /** Retrain-under-drift replay: the corpus is base ∪ the CONE-
+    * CONTRACTED increment (0.05 + 0.3·x per component, ids offset —
+    * both ops exactly-rounded float32 in both engines, literals kept
+    * FLOAT-typed so DuckDB computes in float32), served from the
+    * RETRAINED centroids; queries are the first ten drifted vectors.
+    * The assignment-PSI gate fires deterministically on the contracted
+    * distribution, so the drift_detected literal is part of the hash.
+    */
+  private def ivfRetrainOracle(cents: Array[Array[Float]]): String = {
+    val off = graft.queries.SimilarityQueries.RetrainIdOffset
+    val unionCte =
+      s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS embd
+         |    FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + $off AS id,
+         |    CAST(list_transform(embedding,
+         |      x -> CAST(0.05 AS FLOAT) + CAST(0.3 AS FLOAT) * x)
+         |      AS DOUBLE[]) AS embd
+         |    FROM embeddings)""".stripMargin
+    val qCte =
+      s"""q AS (SELECT id AS query_id, embd AS q_embd
+         |  FROM e WHERE id >= $off AND id < ${off + 10})""".stripMargin
+    s"""SELECT query_id, neighbor_id, rank, TRUE AS drift_detected FROM (
+       |${ivfOracleFrom(cents, unionCte, qCte)}
+       |)""".stripMargin
+  }
 
   /** Quantized-store IVF: corpus side scores the dequantized int8 codes;
     * the QUERY side stays on the original floats (queries arrive as
@@ -761,6 +791,8 @@ object SparkEntry {
     staticOracleSql ++
       graft.queries.SimilarityQueries.lastIvfModel
         .map { case (_, c) => "q_ann_ivf" -> ivfOracle(c) } ++
+      graft.queries.SimilarityQueries.lastRetrainModel
+        .map { case (_, c) => "q_ann_ivf_retrain" -> ivfRetrainOracle(c) } ++
       graft.queries.SimilarityQueries.lastIvfQModel
         .toSeq.flatMap { case (_, c) => Seq(
           "q_ann_ivf_quantized" -> ivfQuantOracle(c),
@@ -1147,6 +1179,25 @@ object SparkEntry {
         |  AND o_totalprice BETWEEN 5000 AND 50000000
         |  AND o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
+    // the same four rules, dual-output: reason string rebuilt with the
+    // identical null-safe CASE chain (concat_ws skips NULL arms)
+    "q_quarantine" ->
+      """WITH tagged AS (
+        |  SELECT o_totalprice, concat_ws(',',
+        |    CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F'), FALSE)
+        |      THEN 'bad_status' END,
+        |    CASE WHEN NOT COALESCE(
+        |        o_totalprice BETWEEN 5000 AND 50000000, FALSE)
+        |      THEN 'price_range' END,
+        |    CASE WHEN o_custkey IS NULL THEN 'null_cust' END,
+        |    CASE WHEN o_orderdate IS NULL THEN 'null_date' END
+        |  ) AS reject_reason FROM orders)
+        |SELECT CASE WHEN reject_reason = '' THEN 'valid'
+        |    ELSE 'quarantined' END AS class,
+        |  reject_reason, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_clean_cast" ->
       """SELECT event_id, user_id, event_type,
         |  COALESCE(value, 0.0) AS value_clean,
@@ -2387,6 +2438,22 @@ object SparkEntry {
         |  ON b.o_orderkey = d.o_orderkey
         |WHERE NOT (d.o_orderkey IS NOT NULL AND d.d_op = 'delete')
         |ORDER BY 1""".stripMargin,
+    // per-partition compaction: survivors exclude both DV predicates
+    // (small-file share FOLDED, copied-file share CARRIED); the literals
+    // pin the per-partition 4→2 file accounting (1 bulk + 3 trickle →
+    // 1 copied + 1 compacted in each of the 5 priority partitions)
+    "q_compact_partitioned" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(4 AS BIGINT) AS files_before_part,
+        |  CAST(2 AS BIGINT) AS files_after_part,
+        |  CAST(15 AS BIGINT) AS files_compacted,
+        |  CAST(5 AS BIGINT) AS files_copied
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 9 OR o_orderkey % 100 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the oracle replays all three clone-lifecycle snapshots from orders:
     // a broken ref pointer (clone_at_clone), a lost/duplicated divergence
     // row (clone_after), or source mutation (src_after) each hash-fail;

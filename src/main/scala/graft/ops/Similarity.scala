@@ -218,6 +218,40 @@ object Similarity {
       .distinct()
   }
 
+  /** Population-stability index of the IVF CELL-ASSIGNMENT distribution
+    * between a reference corpus and an increment, under the CURRENT
+    * centroids — the ANN index-maintenance drift gate (r13 verdict #7):
+    * centroids frozen at train time silently lose recall when the
+    * embedding distribution moves, so the ingest monitors where incoming
+    * vectors LAND IN THE INDEX and triggers a re-train past threshold
+    * (0.2 is the standard "significant shift" cut). Cell population is
+    * the right signal — it is exactly the quantity whose imbalance
+    * degrades IVF recall/latency, and it catches shifts a per-coordinate
+    * histogram is blind to (a mirrored corpus has identical marginal
+    * histograms but lands in entirely different cells). Proportions are
+    * epsilon-guarded so an empty cell can't blow up the log. Two
+    * assignment-projection + nCells-row aggregates — at 100 TB the
+    * ingest already pays the assignment; the monitor adds a sketch-sized
+    * groupBy.
+    */
+  def assignmentPsi(ref: DataFrame, inc: DataFrame,
+      cents: Array[Array[Float]]): Double = {
+    val nCells = cents.length
+    def hist(df: DataFrame): Array[Double] = {
+      val c = df.withColumn("cell",
+          org.apache.spark.sql.graft.VectorColumns.ivfCell(
+            col("emb"), cents.flatten, nCells))
+        .groupBy("cell").count().collect()
+      val arr = Array.fill(nCells)(0.0)
+      c.foreach(r => arr(r.getAs[Int]("cell")) = r.getLong(1).toDouble)
+      val n = math.max(arr.sum, 1.0)
+      arr.map(x => math.max(x / n, 1e-6))
+    }
+    val p = hist(ref)
+    val q = hist(inc)
+    p.zip(q).map { case (a, b) => (a - b) * math.log(a / b) }.sum
+  }
+
   /** Scale-adaptive cell count for the centroid models (the IVF coarse
     * quantizer and the SemDeDup cluster model): nCells = clamp(⌈√n⌉,
     * minCells, maxCells).

@@ -632,6 +632,75 @@ object DatalakeQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** PER-PARTITION selective compaction (round 14 — r13 verdict #5:
+    * optimizeCompact's flat-dir `require` made hourly maintenance on a
+    * Hive-partitioned streaming ingest impossible). The fragmentation
+    * shape a partitioned micro-batch sink actually produces: one bulk
+    * file per priority partition plus three trickle appends per
+    * partition, adopted via footer sweep, with a LIVE DELETION VECTOR
+    * spanning both a small file's rows (every key ≡ 9 mod 10) and a
+    * byte-copied file's rows (every key ≡ 0 mod 100). `optimizeCompact`
+    * rewrites each partition's three sub-threshold files into ONE file
+    * IN THAT PARTITION'S OWN name=value dir (never merging across
+    * values — partition discovery and directory pruning survive),
+    * byte-copies the bulk file, FOLDS the small files' share of the
+    * vector into the rewrite and CARRIES the copied files' share
+    * forward. Per-partition 4→2 accounting literals ride every row; the
+    * readback hash-fails on a resurrected deleted row, a cross-partition
+    * merge (partition column comes from the directory), or a lost row.
+    *
+    * Scale: the rewrite cost is Θ(small-file rows of touched
+    * partitions); the untouched bulk is byte-copy (production:
+    * server-side copy / manifest reference). One driver-side loop over
+    * partitions with small files — catalog-sized.
+    */
+  def qCompactPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val root = tempLakeRoot() + "/orders_cp"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val ver = s"$root/v=1"
+    def landPartitioned(df: DataFrame, mode: org.apache.spark.sql.SaveMode)
+        : Unit =
+      df.repartition(col("o_orderpriority")) // one file per value per drop
+        .write.mode(mode).partitionBy("o_orderpriority")
+        .option("compression", "snappy").parquet(ver)
+    landPartitioned(o.filter(col("o_orderkey") % 10 < 8),
+      org.apache.spark.sql.SaveMode.Overwrite)
+    (0 until 3).foreach { i =>
+      landPartitioned(
+        o.filter(col("o_orderkey") % 10 >= 8 && col("o_orderkey") % 3 === i),
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    Datalake.adoptVersion(spark, root, "1", Seq("o_orderkey"))
+    Datalake.deleteWhere(spark, root,
+      col("o_orderkey") % 10 === 9 || col("o_orderkey") % 100 === 0)
+    val minRows = o.count() / 20
+    val (v2, nCompacted, nCopied) =
+      Datalake.optimizeCompact(spark, root, minRows, Seq("o_orderkey"))
+    // per-partition file accounting from the version listings (relative
+    // paths carry the name=value dir)
+    def perPart(v: String): Map[String, Long] =
+      Datalake.dataFiles(spark, root, v)
+        .groupBy(f => f.takeWhile(_ != '/')).view.mapValues(_.length.toLong)
+        .toMap
+    val before = perPart("1"); val after = perPart(v2)
+    val parts = before.keySet.toSeq.sorted
+    val acct = parts.map { p =>
+      (p.stripPrefix("o_orderpriority="), before(p), after(p))
+    }
+    val acctDf = spark.createDataFrame(acct)
+      .toDF("o_orderpriority", "files_before_part", "files_after_part")
+    Datalake.readPublished(spark, root)
+      .groupBy(col("o_orderpriority").cast("string").as("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum2(col("o_totalprice")).cast("double").as("revenue"))
+      .join(broadcast(acctDf), Seq("o_orderpriority"))
+      .withColumn("files_compacted", lit(nCompacted.toLong))
+      .withColumn("files_copied", lit(nCopied.toLong))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** DYNAMIC PARTITION OVERWRITE end-to-end (r13 — the daily-restatement
     * op): events published day-partitioned, then one batch RESTATES
     * 2024-01-10 (re-sending only its click events — replacement

@@ -116,6 +116,42 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** QUARANTINE split of the ES-validation rules (round 14 — r13 verdict
+    * #6; reference analog: index_to_es.py:116-143's bulk-error
+    * accounting). The same four rules as [[qValidatedFilter]] run through
+    * `Cleaning.quarantine`: the valid side is row-for-row the validated
+    * filter's population (ValidationSpec pins the equality), and the
+    * dead-letter side carries a per-row `reject_reason` (comma-joined in
+    * rule order for multi-rule failures). Output: one row per (class,
+    * reason) with count + exact-decimal price mass — the failure-mode
+    * accounting a production feed monitors; the oracle rebuilds the
+    * reason string with the same null-safe CASE chain, so a dropped
+    * reject, a mislabeled reason, or a pass/fail flip all hash-fail.
+    *
+    * Scale: one codegen projection over the scan, both classes filter-
+    * pushed; the aggregate is sketch-sized (reason combos × 2).
+    */
+  def qQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val o = Tables.orders(spark, dir)
+    val (valid, rejected) = graft.ops.Cleaning.quarantine(o, Seq(
+      "bad_status" -> col("o_orderstatus").isin("O", "F"),
+      "price_range" -> col("o_totalprice").between(5000, 50000000),
+      "null_cust" -> col("o_custkey").isNotNull,
+      "null_date" -> col("o_orderdate").isNotNull))
+    val v = valid
+      .agg(count(lit(1)).as("n_rows"),
+        decSum2(col("o_totalprice")).cast("double").as("sum_price"))
+      .select(lit("valid").as("class"), lit("").as("reject_reason"),
+        col("n_rows"), col("sum_price"))
+    val r = rejected.groupBy(col("reject_reason"))
+      .agg(count(lit(1)).as("n_rows"),
+        decSum2(col("o_totalprice")).cast("double").as("sum_price"))
+      .select(lit("quarantined").as("class"), col("reject_reason"),
+        col("n_rows"), col("sum_price"))
+    v.unionByName(r).orderBy(col("class"), col("reject_reason"))
+  }
+
   /** Reference formatting cleanup (raw_to_fmt_lbc.py:52-56):
     * to_numeric(errors=coerce).fillna(0) + date normalization, applied to the
     * semi-structured `events.props` payload with a regex extract (column

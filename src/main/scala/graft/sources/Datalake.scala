@@ -490,10 +490,6 @@ object Datalake {
     val stats = readFileStats(spark, dataPath)
     require(stats.nonEmpty,
       s"no stats sidecar under $dataPath — publish with statsCols first")
-    require(stats.forall(!_.file.contains("/")),
-      "optimizeCompact handles flat version dirs; compact a Hive-" +
-        "partitioned table per partition (mixed dirs+files would break " +
-        "partition discovery on the rewrite)")
     val (small, big) = stats.partition(_.rows < minRows)
     val newV = nextNumericVersion(spark, tableRoot, None, "")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -502,26 +498,42 @@ object Datalake {
     val fs = dst.getFileSystem(conf)
     fs.mkdirs(dst)
     big.foreach { f =>
+      val to = new org.apache.hadoop.fs.Path(dst, f.file)
+      fs.mkdirs(to.getParent) // Hive subdir of a partitioned table
       org.apache.hadoop.fs.FileUtil.copy(fs,
-        new org.apache.hadoop.fs.Path(src, f.file), fs,
-        new org.apache.hadoop.fs.Path(dst, f.file), false, conf)
+        new org.apache.hadoop.fs.Path(src, f.file), fs, to, false, conf)
     }
-    if (small.nonEmpty) {
-      val raw = spark.read.option("basePath", dataPath)
-        .parquet(small.map(f => s"$dataPath/${f.file}"): _*)
-      // a live deletion vector must be FOLDED into the rewrite of the
-      // small files (a raw compaction would resurrect their deleted
-      // rows — review finding); the copied files keep their positions,
-      // so their share of the vector is carried forward below instead
-      val live = dv match {
-        case Some((_, dvRel)) =>
-          applyDvTo(spark, raw, dataPath, s"$tableRoot/$dvRel")
-        case None => raw
+    // Hive partition dir of a relative file path ("" for a flat table):
+    // compaction must never merge ACROSS partition values — the output
+    // file lands back in its own name=value dir, so partition discovery
+    // (and every later reader's pruning) survives the rewrite (r13
+    // verdict #5: the flat-dir require made hourly maintenance on a
+    // partitioned streaming ingest impossible).
+    def partDir(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    small.groupBy(f => partDir(f.file)).toSeq.sortBy(_._1)
+      .foreach { case (pd, files) =>
+        // no basePath: the file schema alone (partition values live in
+        // the DIRECTORY; injecting them as data columns here would
+        // collide with the byte-copied files' schema on read)
+        val raw = spark.read
+          .parquet(files.map(f => s"$dataPath/${f.file}"): _*)
+        // a live deletion vector must be FOLDED into the rewrite of the
+        // small files (a raw compaction would resurrect their deleted
+        // rows — review finding); the copied files keep their positions,
+        // so their share of the vector is carried forward below instead
+        val live = dv match {
+          case Some((_, dvRel)) =>
+            applyDvTo(spark, raw, dataPath, s"$tableRoot/$dvRel")
+          case None => raw
+        }
+        val outDir = if (pd.isEmpty) dst.toString else s"$dst/$pd"
+        live.coalesce(1)
+          .write.mode(SaveMode.Append).option("compression", "snappy")
+          .parquet(outDir)
       }
-      live.coalesce(1)
-        .write.mode(SaveMode.Append).option("compression", "snappy")
-        .parquet(dst.toString)
-    }
     writeFileStats(spark, dst.toString,
       if (statsCols.nonEmpty) statsCols else stats.flatMap(_.cols.keys).distinct)
     // carry the vector forward for the byte-copied files (identical
@@ -530,7 +542,16 @@ object Datalake {
     // returns to plain v= and the old vector becomes vacuum garbage.
     val newToken = dv match {
       case Some((_, dvRel)) =>
-        val bigNames = big.map(_.file)
+        // __file lives in the _metadata domain: Spark URL-encodes the
+        // file URI (a Hive value dir like `p=NOT SPECIFIED` appears as
+        // NOT%20SPECIFIED), while the stats sidecar records DECODED
+        // names. Encode before comparing, or the carried vector silently
+        // drops every copied file in such a partition — the deleted rows
+        // resurrect (found by q_compact_partitioned's oracle).
+        def metaRel(rel: String): String =
+          new org.apache.hadoop.fs.Path("/" + rel).toUri.toString
+            .stripPrefix("/")
+        val bigNames = big.map(f => metaRel(f.file))
         val carried = spark.read.parquet(s"$tableRoot/$dvRel")
           .filter(col("__file").isin(bigNames: _*))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -953,6 +974,71 @@ object Datalake {
     }
     syncManifestIfNewest(spark, tableRoot, nextSeq, s"v=$version")
     (nextSeq, version)
+  }
+
+  /** EPOCH-keyed CAS publish — the streaming-sink commit shape (r13
+    * verdict #4: `runPublishingBackfill` published through plain
+    * last-writer-wins `publish`, so a concurrent batch CAS writer to the
+    * same table could orphan a stream epoch). Semantics differ from
+    * [[publishCas]] in exactly the two ways a micro-batch sink needs:
+    *
+    *  - **A lost claim retries with a fresh sequence instead of
+    *    aborting.** A stream epoch's content derives from the SOURCE
+    *    stream, never from the table's previous version, so a competitor
+    *    landing first invalidates nothing — the epoch just takes the next
+    *    slot. (publishCas aborts because its caller's read-modify-write
+    *    snapshot went stale; there is no snapshot here.)
+    *  - **Replay is a no-op re-sync, not a new commit.** The version dir
+    *    is named by the epoch, so a crash-restarted batch overwrites the
+    *    SAME `v=` dir with identical content; if the log already holds a
+    *    record for this token the claim is skipped and the manifest is
+    *    re-synced only if that record is still newest — exactly-once
+    *    version history over an at-least-once trigger.
+    *
+    * Returns the commit sequence the epoch holds (old or new). The
+    * replay check scans the log once — O(epochs committed), driver-side,
+    * catalog-sized (a production deployment caches the epoch→seq map in
+    * the checkpoint; the protocol stays this).
+    */
+  def publishEpochCas(df: DataFrame, tableRoot: String, epoch: String,
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      maxAttempts: Int = 10): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = s"v=$epoch"
+    // stage the epoch dir (Overwrite IS the replay contract: same epoch →
+    // same dir, identical content)
+    val dataPath = s"$tableRoot/v=$epoch"
+    val w0 = df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
+    (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
+      .parquet(dataPath)
+    if (statsCols.nonEmpty) writeFileStats(spark, dataPath, statsCols)
+    withRootLock(spark, tableRoot) {
+      val latest = latestCommitSeq(spark, tableRoot)
+      val replayed = (1L to latest)
+        .find(s => commitTokenAt(fs, root, s).contains(token))
+      replayed match {
+        case Some(seq) =>
+          // crash replay: the epoch already owns a record — re-sync only
+          // (a newer writer's manifest must not be regressed)
+          syncManifestIfNewest(spark, tableRoot, seq, token)
+          seq
+        case None =>
+          var attempt = 0
+          while (attempt < maxAttempts) {
+            attempt += 1
+            val seq = latestCommitSeq(spark, tableRoot) + 1
+            if (claimCommit(spark, tableRoot, seq, token)) {
+              syncManifestIfNewest(spark, tableRoot, seq, token)
+              return seq
+            }
+          }
+          throw new ConcurrentCommitException(
+            s"epoch $epoch at $tableRoot lost $maxAttempts claim races")
+      }
+    }
   }
 
   /** Optimistic READ-MODIFY-WRITE transaction with conflict retry — the

@@ -100,6 +100,12 @@ object DatalakeStreams {
   def runPublishingBackfill(raw: DataFrame, fmtPath: String,
       tableRoot: String, checkpoint: String): StreamingQuery =
     backfill(raw, fmtPath, checkpoint) { (usage, batchId) =>
-      Datalake.publish(usage, tableRoot, batchId.toString)
+      // CAS, not plain publish (r13 verdict #4): each epoch claims a
+      // commit-log sequence, so a concurrent batch CAS writer to the same
+      // table can't orphan a stream epoch with a later manifest swap —
+      // and a crash-replayed batchId re-syncs its existing record instead
+      // of committing twice (publishEpochCas's replay contract).
+      Datalake.publishEpochCas(usage, tableRoot, batchId.toString)
+      ()
     }
 }

@@ -560,6 +560,43 @@ class DatalakeSpec extends SparkSpecBase {
       "vacuum deleted the base version of a live deletion vector")
   }
 
+  test("partitioned optimizeCompact: per-partition rewrite, vector carried across encoded dir names") {
+    import org.apache.spark.sql.functions.col
+    val root = s"${Files.createTempDirectory("graft-cpart")}/t"
+    val ver = s"$root/v=1"
+    // two partitions, one with a SPACE in its value (the Hive dir is
+    // URL-encoded in _metadata.file_path — the carried-vector compare
+    // must encode too, or its deletes resurrect); 1 big + 2 small each
+    val df = spark.range(0, 200).select(col("id"),
+      org.apache.spark.sql.functions.when(col("id") % 2 === 0, "A")
+        .otherwise("NOT SPECIFIED").as("p"))
+    df.filter(col("id") < 120).repartition(col("p"))
+      .write.partitionBy("p").parquet(ver)
+    Seq((120, 160), (160, 200)).foreach { case (lo, hi) =>
+      df.filter(col("id") >= lo && col("id") < hi).repartition(col("p"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("p").parquet(ver)
+    }
+    Datalake.adoptVersion(spark, root, "1", Seq("id"))
+    // vector spans a big file (id<120) and a small file (id>=160) in the
+    // space-valued partition, plus a small file of the plain one
+    assert(Datalake.deleteWhere(spark, root,
+      col("id").isin(7L, 171L, 4L, 190L)) === 4)
+    val (v2, nCompacted, nCopied) =
+      Datalake.optimizeCompact(spark, root, minRows = 30, Seq("id"))
+    assert(nCompacted === 4 && nCopied === 2) // 2 small x 2 parts; 1 big x 2
+    val after = Datalake.readPublished(spark, root)
+    assert(after.count() === 196, "compaction resurrected deleted rows")
+    assert(after.filter(col("id").isin(7L, 171L, 4L, 190L)).count() === 0,
+      "a deleted row is visible (encoded-name carry or fold broke)")
+    // per-partition layout preserved: files stay in their own value dirs
+    val byPart = Datalake.dataFiles(spark, root, v2)
+      .groupBy(_.takeWhile(_ != '/'))
+    assert(byPart.keySet === Set("p=A", "p=NOT SPECIFIED"))
+    assert(byPart.values.forall(_.length === 2),
+      "each partition must hold exactly 1 copied + 1 compacted file")
+  }
+
   test("mergeInto folds a live deletion vector, retires it, and preserves partition layout") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val root = s"${Files.createTempDirectory("graft-merge")}/t"

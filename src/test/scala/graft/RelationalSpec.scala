@@ -252,4 +252,39 @@ class RelationalSpec extends SparkSpecBase {
       assert(r.getDouble(4) === t7(xs, 0.75), s"p75 ${r.getString(0)}")
     }
   }
+
+  test("quarantine: valid side is row-for-row the validated filter; every reject carries its reasons") {
+    import org.apache.spark.sql.functions.col
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    val rules = Seq(
+      "bad_status" -> col("o_orderstatus").isin("O", "F"),
+      "price_range" -> col("o_totalprice").between(5000, 50000000),
+      "null_cust" -> col("o_custkey").isNotNull,
+      "null_date" -> col("o_orderdate").isNotNull)
+    val (valid, rejected) = graft.ops.Cleaning.quarantine(o, rules)
+    // the dual output PARTITIONS the input: nothing dropped, nothing doubled
+    assert(valid.count() + rejected.count() === o.count())
+    // valid side == q_validated_filter's population, key for key
+    val vKeys = valid.select(col("o_orderkey"))
+      .collect().map(_.getLong(0)).toSet
+    val fKeys = Relational.qValidatedFilter(spark, sfDir)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    assert(vKeys === fKeys, "quarantine's valid side diverged from the filter")
+    // each reject's reason list re-verifies against the rules themselves
+    val rows = rejected.select(col("o_orderstatus"), col("o_totalprice"),
+      col("reject_reason")).collect()
+    assert(rows.nonEmpty, "test data carries no rejects — rules not exercised")
+    rows.foreach { r =>
+      val expected = Seq(
+        "bad_status" -> !Seq("O", "F").contains(r.getString(0)),
+        "price_range" -> !(r.getDouble(1) >= 5000 && r.getDouble(1) <= 50000000)
+      ).filter(_._2).map(_._1).mkString(",")
+      assert(r.getString(2) === expected,
+        s"wrong reasons for status=${r.getString(0)} price=${r.getDouble(1)}")
+    }
+    // multi-rule failures must carry BOTH reasons in rule order
+    assert(rows.exists(_.getString(2) == "bad_status,price_range") ||
+      !rows.exists(r => r.getString(2).contains("bad_status") &&
+        !(r.getDouble(1) >= 5000 && r.getDouble(1) <= 50000000)))
+  }
 }
