@@ -14,6 +14,44 @@ import sys
 
 bench_log, label = sys.argv[1], sys.argv[2]
 
+# Floor-regime tagging (r13 verdict #8 — make the additive-floor
+# adjudication machine-readable): a round cell gets an 'f'-tag (the
+# Latin small f with hook) when the reading is >=2x the best-ever
+# baseline AND the delta is additive-small (<=0.25s — the r11 signature
+# of the box's per-job floor) AND, when two PlanDump files are supplied
+# via --plandump <current> <previous>, the query's plan line is
+# UNCHANGED between them. Tagged rows read as "floor noise, plan
+# unchanged" in every later regression scan; Bench.scala excludes the
+# same class from worst_vs_baseline_adj.
+FLOOR_DELTA = 0.25
+FLOOR_MARK = "ƒ"  # f-with-hook: distinct from the footnote glyphs
+
+plan_same = None
+if "--plandump" in sys.argv:
+    i = sys.argv.index("--plandump")
+    def plan_lines(path):
+        out = {}
+        try:
+            with open(path) as f:
+                for l in f:
+                    m = re.match(r"PLAN (\S+)\s+(.*)", l.strip())
+                    if m:
+                        out[m.group(1)] = m.group(2)
+        except FileNotFoundError:
+            pass
+        return out
+    cur, prev = plan_lines(sys.argv[i + 1]), plan_lines(sys.argv[i + 2])
+    plan_same = lambda q: q in cur and q in prev and cur[q] == prev[q]
+
+def floor_tag(name, newv, pb):
+    """'f' when the (newv vs pb) reading is the additive-floor class."""
+    if newv is None or pb is None or pb <= 0:
+        return ""
+    if newv / pb >= 2.0 and newv - pb <= FLOOR_DELTA and (
+            plan_same is None or plan_same(name)):
+        return FLOOR_MARK
+    return ""
+
 with open(bench_log) as f:
     # LAST matching line: a log holding several runs must yield the newest.
     # Key on '"queries"' too — the bench also prints a compact summary line
@@ -51,10 +89,15 @@ while i < len(lines) and lines[i].startswith("|"):
     name = cells[0].strip("`")
     old = dict(zip([c.strip() for c in lines[header_i].strip("|").split("|")], cells))
     newv = queries.get(name)
+
+    def pb_peek(old, header):
+        m = re.fullmatch(r"([0-9.]+)[†‡*]?", old.get(header[-1], ""))
+        return float(m.group(1)) if m else None
     vals = []
     for col in header[1:-1]:
         if col == label:
-            vals.append(f"{newv:.2f}" if newv is not None else "—")
+            vals.append(f"{newv:.2f}{floor_tag(name, newv, pb_peek(old, header))}"
+                        if newv is not None else "—")
         else:
             vals.append(old.get(col, "—"))
     prev_base = old.get(header[-1], "—")

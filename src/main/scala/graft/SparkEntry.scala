@@ -166,6 +166,7 @@ object SparkEntry {
     "q_quantize_roundtrip" -> (SimilarityQueries.qQuantizeRoundtrip _),
     "q_manifest_skipping" -> (LayoutQueries.qManifestSkipping _),
     "q_optimize_zorder" -> (LayoutQueries.qOptimizeZorder _),
+    "q_optimize_hilbert" -> (LayoutQueries.qOptimizeHilbert _),
     "q_optimize" -> (DatalakeQueries.qOptimize _),
     "q_stream_publish" -> (StreamQueries.qStreamPublish _),
     "q_ann_opq" -> (SimilarityQueries.qAnnOpq _),
@@ -2991,6 +2992,80 @@ object SparkEntry {
          |      AS rows_in_files
          |  FROM zf),
          |u AS (SELECT * FROM l UNION ALL SELECT * FROM z)
+         |SELECT layout, files_total, files_scanned, rows_in_files,
+         |  n_rows, revenue
+         |FROM u, res ORDER BY layout""".stripMargin,
+    // three layouts, ONE unaligned probe box: the Hilbert transform is
+    // replayed per distinct grid cell as a recursive CTE (the exact
+    // iterate-and-rotate walk of LayoutExprs.hilbertD — s halves from
+    // 512, quadrant index (3*rx) XOR ry spelled as a CASE); envelopes
+    // and scan counts all DERIVED, no hand-pinned literals
+    "q_optimize_hilbert" ->
+      s"""WITH RECURSIVE m AS (SELECT l_partkey & 1023 AS x,
+         |    l_orderkey & 1023 AS y, l_extendedprice FROM lineitem),
+         |cells AS (SELECT DISTINCT x, y FROM m),
+         |hw(x0, y0, x, y, s, d) AS (
+         |  SELECT x, y, x, y, CAST(512 AS BIGINT), CAST(0 AS BIGINT)
+         |    FROM cells
+         |  UNION ALL
+         |  SELECT x0, y0,
+         |    CASE WHEN (y & s) = 0 THEN
+         |      (CASE WHEN (x & s) <> 0 THEN s - 1 - y ELSE y END)
+         |    ELSE x END,
+         |    CASE WHEN (y & s) = 0 THEN
+         |      (CASE WHEN (x & s) <> 0 THEN s - 1 - x ELSE x END)
+         |    ELSE y END,
+         |    s // 2,
+         |    d + s * s * (CASE
+         |      WHEN (x & s) <> 0 AND (y & s) <> 0 THEN 2
+         |      WHEN (x & s) <> 0 THEN 3
+         |      WHEN (y & s) <> 0 THEN 1 ELSE 0 END)
+         |  FROM hw WHERE s > 0),
+         |hd AS (SELECT x0 AS x, y0 AS y, d FROM hw WHERE s = 0),
+         |res AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         |      AS revenue
+         |  FROM m WHERE x BETWEEN 96 AND 223 AND y BETWEEN 96 AND 223),
+         |lf AS (SELECT x >> 4 AS fid, COUNT(*) AS n,
+         |    min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+         |  FROM m GROUP BY 1),
+         |zf AS (SELECT ((${zExprSql("x", "y", 10)}) * 63) >> 20 AS fid,
+         |    COUNT(*) AS n,
+         |    min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+         |  FROM m GROUP BY 1),
+         |hf AS (SELECT (hd.d * 63) >> 20 AS fid, COUNT(*) AS n,
+         |    min(m.x) AS mnx, max(m.x) AS mxx,
+         |    min(m.y) AS mny, max(m.y) AS mxy
+         |  FROM m JOIN hd ON m.x = hd.x AND m.y = hd.y GROUP BY 1),
+         |l AS (SELECT '1_linear' AS layout,
+         |    CAST(COUNT(*) AS BIGINT) AS files_total,
+         |    CAST(SUM(CASE WHEN mxx >= 96 AND mnx <= 223
+         |        AND mxy >= 96 AND mny <= 223 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS files_scanned,
+         |    CAST(SUM(CASE WHEN mxx >= 96 AND mnx <= 223
+         |        AND mxy >= 96 AND mny <= 223 THEN n ELSE 0 END) AS BIGINT)
+         |      AS rows_in_files
+         |  FROM lf),
+         |z AS (SELECT '2_zorder' AS layout,
+         |    CAST(COUNT(*) AS BIGINT) AS files_total,
+         |    CAST(SUM(CASE WHEN mxx >= 96 AND mnx <= 223
+         |        AND mxy >= 96 AND mny <= 223 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS files_scanned,
+         |    CAST(SUM(CASE WHEN mxx >= 96 AND mnx <= 223
+         |        AND mxy >= 96 AND mny <= 223 THEN n ELSE 0 END) AS BIGINT)
+         |      AS rows_in_files
+         |  FROM zf),
+         |h AS (SELECT '3_hilbert' AS layout,
+         |    CAST(COUNT(*) AS BIGINT) AS files_total,
+         |    CAST(SUM(CASE WHEN mxx >= 96 AND mnx <= 223
+         |        AND mxy >= 96 AND mny <= 223 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS files_scanned,
+         |    CAST(SUM(CASE WHEN mxx >= 96 AND mnx <= 223
+         |        AND mxy >= 96 AND mny <= 223 THEN n ELSE 0 END) AS BIGINT)
+         |      AS rows_in_files
+         |  FROM hf),
+         |u AS (SELECT * FROM l UNION ALL SELECT * FROM z
+         |  UNION ALL SELECT * FROM h)
          |SELECT layout, files_total, files_scanned, rows_in_files,
          |  n_rows, revenue
          |FROM u, res ORDER BY layout""".stripMargin,

@@ -39,6 +39,23 @@ object Layout {
     }
   }
 
+  /** Hilbert-curve distance of (x, y) — the strictly-better-locality
+    * sibling of [[zValue]] (Hilbert 1891; what Iceberg-style layout
+    * writers offer beside Morton): consecutive curve positions are
+    * always GRID-ADJACENT, so a contiguous d-range's (x, y) hull is
+    * tighter than the same-width Morton range's — Morton takes long
+    * diagonal jumps at quadrant seams, which blow up the bounding box of
+    * any file that straddles one. Where the two differ in practice is
+    * UNALIGNED range probes: on dyadic-aligned boxes both curves keep
+    * each box a contiguous range, but an offset box shatters into far
+    * fewer/tighter file envelopes under Hilbert (q_optimize_hilbert
+    * measures exactly this, three layouts side by side). Inputs
+    * pre-masked into [0, 2^bits); pure integer arithmetic via a codegen
+    * Expression (see LayoutExprs for why not a Column fold).
+    */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column =
+    org.apache.spark.sql.graft.LayoutColumns.hilbertValue(x, y, bits)
+
   /** Per-file skipping envelope of a Z-order layout over
     * (xCol % 2^bits, yCol % 2^bits) with `nFiles` fixed-width z-ranges:
     * (file_id, n_rows, z_min, z_max, min/max of both keys). The min/max

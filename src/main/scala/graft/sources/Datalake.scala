@@ -1425,32 +1425,65 @@ object Datalake {
     */
   def optimizeZorder(spark: SparkSession, tableRoot: String,
       xCol: String, yCol: String, bits: Int, nFiles: Int,
-      extraStatsCols: Seq[String] = Nil): String = {
+      extraStatsCols: Seq[String] = Nil): String =
+    optimizeCurve(spark, tableRoot, xCol, yCol, bits, nFiles,
+      extraStatsCols, "-zordered", graft.ops.Layout.zValue)
+
+  /** OPTIMIZE by HILBERT curve — [[optimizeZorder]] with the
+    * better-locality curve (Layout.hilbertValue scaladoc: tighter file
+    * envelopes, no quadrant-seam jumps — the difference shows on
+    * UNALIGNED range probes, which q_optimize_hilbert measures). Same
+    * commit shape, same `zfile` range-file assignment over the curve
+    * distance.
+    */
+  def optimizeHilbert(spark: SparkSession, tableRoot: String,
+      xCol: String, yCol: String, bits: Int, nFiles: Int,
+      extraStatsCols: Seq[String] = Nil): String =
+    optimizeCurve(spark, tableRoot, xCol, yCol, bits, nFiles,
+      extraStatsCols, "-hilbert", graft.ops.Layout.hilbertValue)
+
+  /** The ONE space-filling-curve rewrite (zorder/hilbert differ only in
+    * the per-row curve distance): mask keys into the grid, compute the
+    * curve value, split the curve into `nFiles` fixed-width ranges, one
+    * partition (→ one file) per range, publish under the stripe.
+    */
+  private def optimizeCurve(spark: SparkSession, tableRoot: String,
+      xCol: String, yCol: String, bits: Int, nFiles: Int,
+      extraStatsCols: Seq[String], suffix: String,
+      curve: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        Int) => org.apache.spark.sql.Column): String = {
     // stripe held across token read -> publish swap (review finding: a
     // delete committing between them would be discarded by the swap)
     withRootLock(spark, tableRoot) {
     val cur = currentVersion(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
     val dataPath = currentDataPath(spark, tableRoot).get
-    val log2Files = java.lang.Integer.numberOfTrailingZeros(nFiles)
-    require(nFiles >= 1 && (nFiles & (nFiles - 1)) == 0 &&
-      log2Files <= 2 * bits,
-      s"nFiles must be a power of two <= 4^bits, got $nFiles (bits=$bits)")
+    require(nFiles >= 1 && nFiles.toLong <= (1L << (2 * bits)),
+      s"nFiles must be in [1, 4^bits], got $nFiles (bits=$bits)")
     val mask = (1L << bits) - 1
-    val z = graft.ops.Layout.zValue(
+    val z = curve(
       org.apache.spark.sql.functions.col(xCol).bitwiseAND(
         org.apache.spark.sql.functions.lit(mask)),
       org.apache.spark.sql.functions.col(yCol).bitwiseAND(
         org.apache.spark.sql.functions.lit(mask)), bits)
+    // multiply-shift range assignment: (d * nFiles) >> 2·bits — exact
+    // integer fixed-width ranges for ANY nFiles (for a power of two it
+    // reduces to the plain shift, so the q_optimize_zorder oracle's
+    // `z >> 14` replays unchanged). Non-power-of-two counts matter: a
+    // width that is a power of FOUR makes every file a dyadic-aligned
+    // block where Morton and Hilbert are geometrically identical —
+    // q_optimize_hilbert uses 63 files precisely to unalign the
+    // boundaries and let the curves separate.
     val zfile = org.apache.spark.sql.functions
-      .shiftright(z, 2 * bits - log2Files).cast("int")
-    // token-aware read (see optimize): a z-order rewrite folds any live
+      .shiftright(z * org.apache.spark.sql.functions.lit(nFiles.toLong),
+        2 * bits).cast("int")
+    // token-aware read (see optimize): a curve rewrite folds any live
     // deletion vector instead of resurrecting its rows
     val df = readToken(spark, tableRoot, manifestToken(spark, tableRoot).get)
       .withColumn("zfile", zfile)
-      // one partition per z-range → exactly one file per zfile dir
+      // one partition per curve range → exactly one file per zfile dir
       .repartition(org.apache.spark.sql.functions.col("zfile"))
-    val newV = nextNumericVersion(spark, tableRoot, Some(cur), "-zordered")
+    val newV = nextNumericVersion(spark, tableRoot, Some(cur), suffix)
     publish(df, tableRoot, newV, Seq("zfile"),
       (Seq(xCol, yCol) ++ extraStatsCols).distinct)
     newV

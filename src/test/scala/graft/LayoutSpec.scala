@@ -88,4 +88,47 @@ class LayoutSpec extends SparkSpecBase {
     assert(!plan.contains("l_orderkey"),
       s"unused column must be pruned from the ORC scan:\n$plan")
   }
+
+  test("Hilbert curve: bijective on the grid, every step grid-adjacent, codegen == interpreted") {
+    import org.apache.spark.sql.functions.col
+    val bits = 4 // full 16x16 grid = 256 cells, exhaustive
+    val n = 1 << bits
+    // driver-side reference walk (independent re-statement of xy2d)
+    def ref(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = (n / 2).toLong
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val grid = spark.range(0, n.toLong * n).select(
+      (col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
+    val got = grid.select(col("x"), col("y"),
+        graft.ops.Layout.hilbertValue(col("x"), col("y"), bits).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // expression (codegen path over 256 rows) == the reference walk
+    got.foreach { case ((x, y), d) =>
+      assert(d === ref(x, y), s"hilbert($x,$y)")
+    }
+    // bijective: all 256 distances hit exactly once
+    assert(got.values.toSet === (0L until n.toLong * n).toSet,
+      "hilbert distances must be a permutation of the grid")
+    // THE Hilbert property (and the locality claim q_optimize_hilbert
+    // rests on): consecutive curve positions are always grid-ADJACENT —
+    // |dx| + |dy| == 1 — whereas Morton jumps diagonally at quadrant
+    // seams. This is what keeps an unaligned d-range's (x, y) hull tight.
+    val byD = got.toSeq.map { case ((x, y), d) => (d, x, y) }.sortBy(_._1)
+    byD.sliding(2).foreach { case Seq((_, x1, y1), (d2, x2, y2)) =>
+      assert(math.abs(x2 - x1) + math.abs(y2 - y1) === 1L,
+        s"non-adjacent step at d=$d2: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
 }
