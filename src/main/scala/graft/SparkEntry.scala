@@ -151,6 +151,7 @@ object SparkEntry {
     "q_stream_window" -> (StreamQueries.qStreamWindow _),
     "q_stream_attribution" -> (StreamQueries.qStreamAttribution _),
     "q_stream_heavy_hitters" -> (StreamQueries.qStreamHeavyHitters _),
+    "q_stream_quarantine" -> (StreamQueries.qStreamQuarantine _),
     "q_stream_dedup_incremental" -> (StreamQueries.qStreamDedupIncremental _),
     "q_stream_ivf_ingest" -> (SimilarityQueries.qStreamIvfIngest _),
     "q_stream_datalake" -> (StreamQueries.qStreamDatalake _),
@@ -188,6 +189,7 @@ object SparkEntry {
     "q_concurrent_publish" -> (DatalakeQueries.qConcurrentPublish _),
     "q_concurrent_delete" -> (DatalakeQueries.qConcurrentDelete _),
     "q_merge_publish" -> (DatalakeQueries.qMergePublish _),
+    "q_merge_concurrent" -> (DatalakeQueries.qMergeConcurrent _),
     "q_compact_partitioned" -> (DatalakeQueries.qCompactPartitioned _),
     "q_entity_resolution_incremental" ->
       (SimilarityQueries.qEntityResolutionIncremental _),
@@ -867,6 +869,9 @@ object SparkEntry {
         // build's cells exactly, so the estimates — and the oracle — are
         // the batch row's verbatim
         "q_stream_heavy_hitters" -> staticOracleSql("q_heavy_hitters"),
+        // the dead-letter stream's report must equal the batch split —
+        // chunking commutes with per-row rules
+        "q_stream_quarantine" -> staticOracleSql("q_quarantine"),
         // histogram-store fold == batch counts by count linearity, PSI
         // tail shared verbatim → the batch oracle applies unchanged
         "q_stream_drift" -> staticOracleSql("q_drift_psi"),
@@ -2439,6 +2444,25 @@ object SparkEntry {
         |  ON b.o_orderkey = d.o_orderkey
         |WHERE NOT (d.o_orderkey IS NOT NULL AND d.d_op = 'delete')
         |ORDER BY 1""".stripMargin,
+    // COMMUTING racing mergers: the final table is the closed form of
+    // both writers' arms regardless of schedule; the 2-commit literal
+    // pins that losing claims create no record
+    "q_merge_concurrent" ->
+      """WITH survivors AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 10 NOT IN (2, 5, 7)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 10.0 FROM orders
+        |  WHERE o_orderkey % 10 = 2
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 20.0 FROM orders
+        |  WHERE o_orderkey % 10 = 7)
+        |SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(2 AS BIGINT) AS n_commits
+        |FROM survivors""".stripMargin,
     // per-partition compaction: survivors exclude both DV predicates
     // (small-file share FOLDED, copied-file share CARRIED); the literals
     // pin the per-partition 4→2 file accounting (1 bulk + 3 trickle →

@@ -977,6 +977,64 @@ object DatalakeQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** CONCURRENT MERGE writers racing on one table (round 14 — completes
+    * the multi-writer story: publish, delete, and stream epochs all ride
+    * the CAS log; `mergeInto` alone was in-process-safe only).
+    * `Datalake.mergeTransact` runs the shared three-arm merge as an
+    * optimistic transaction: two barrier-synchronized mergers with
+    * COMMUTING deltas (disjoint key classes — A upserts every key ≡ 2
+    * mod 10 at +10.0; B upserts ≡ 7 at +20.0 and DELETES ≡ 5) race the
+    * claim; whichever loses re-reads the winner's committed state and
+    * re-derives its merge over it, so the final table carries BOTH
+    * writers' arms exactly once under every schedule — a lost update
+    * drops one writer's whole arm set, a blind double-apply doubles the
+    * inserted keys, and either hash-fails. The log holds exactly 2
+    * records (losing claims create none).
+    *
+    * Scale: conflict cost is per-writer re-derivation of ONE merge
+    * (join over table + small delta), never per-row bookkeeping; the
+    * commit step stays O(1).
+    */
+  def qMergeConcurrent(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val root = tempLakeRoot() + "/orders_merge_cas"
+    Datalake.publish(o.filter(col("o_orderkey") % 3 =!= 0), root, "1")
+    val deltaA = o.filter(col("o_orderkey") % 10 === 2)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + lit(10.0)).as("o_totalprice"),
+        lit("up").as("d_op"))
+    val deltaB = o.filter(col("o_orderkey") % 10 === 7)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + lit(20.0)).as("o_totalprice"),
+        lit("up").as("d_op"))
+      .unionByName(o.filter(col("o_orderkey") % 10 === 5)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          lit("del").as("d_op")))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(("a", deltaA), ("b", deltaB)).map { case (tag, d) =>
+      val t = new Thread(() => {
+        try {
+          barrier.await()
+          Datalake.mergeTransact(spark, root, d, Seq("o_orderkey"),
+            deleteWhen = Some(col("d_op") === "del"))
+          ()
+        } catch { case e: Throwable => errs.add(e); () }
+      }, s"graft-cas-merger-$tag")
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+    val commits = Datalake.latestCommitSeq(spark, root)
+    Datalake.readPublished(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_distinct"),
+        decSum2(col("o_totalprice")).cast("double").as("sum_price"))
+      .withColumn("n_commits", lit(commits))
+  }
+
   /** CONCURRENT row-level DELETEs racing on one deletion-vector table
     * (round 14 — r13 verdict #2, the last standing protocol defect:
     * deleteWhere serialized concurrent deleters with an in-process lock

@@ -131,14 +131,23 @@ object Relational {
     * Scale: one codegen projection over the scan, both classes filter-
     * pushed; the aggregate is sketch-sized (reason combos × 2).
     */
-  def qQuarantine(spark: SparkSession, dir: String): DataFrame = {
+  /** The ONE statement of the order-feed validation rules — shared by
+    * the batch row, its streaming twin (q_stream_quarantine), and the
+    * ValidationSpec equality pin, so the three cannot drift.
+    */
+  private[queries] def orderValidationRules
+      : Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "bad_status" -> col("o_orderstatus").isin("O", "F"),
+    "price_range" -> col("o_totalprice").between(5000, 50000000),
+    "null_cust" -> col("o_custkey").isNotNull,
+    "null_date" -> col("o_orderdate").isNotNull)
+
+  /** The (class, reason) accounting over a quarantine split — shared by
+    * the batch row and the streaming twin's sink read-back.
+    */
+  private[queries] def quarantineReport(valid: DataFrame,
+      rejected: DataFrame): DataFrame = {
     import graft.ops.Agg.decSum2
-    val o = Tables.orders(spark, dir)
-    val (valid, rejected) = graft.ops.Cleaning.quarantine(o, Seq(
-      "bad_status" -> col("o_orderstatus").isin("O", "F"),
-      "price_range" -> col("o_totalprice").between(5000, 50000000),
-      "null_cust" -> col("o_custkey").isNotNull,
-      "null_date" -> col("o_orderdate").isNotNull))
     val v = valid
       .agg(count(lit(1)).as("n_rows"),
         decSum2(col("o_totalprice")).cast("double").as("sum_price"))
@@ -150,6 +159,12 @@ object Relational {
       .select(lit("quarantined").as("class"), col("reject_reason"),
         col("n_rows"), col("sum_price"))
     v.unionByName(r).orderBy(col("class"), col("reject_reason"))
+  }
+
+  def qQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val (valid, rejected) = graft.ops.Cleaning.quarantine(
+      Tables.orders(spark, dir), orderValidationRules)
+    quarantineReport(valid, rejected)
   }
 
   /** Reference formatting cleanup (raw_to_fmt_lbc.py:52-56):

@@ -278,6 +278,38 @@ object StreamQueries {
     * batch row. No ordering contract is needed at all: CMS folding is
     * commutative, so this row's sealing argument is simply linearity.
     */
+  /** STREAMING twin of q_quarantine (round 14): the order feed arrives
+    * as a chunked file stream and every micro-batch runs the SAME
+    * validation rules through `CorpusStreams.quarantineStream` — valid
+    * rows to one epoch-keyed sink, rejects WITH their reasons to the
+    * dead-letter sink (the reference's bulk-error accounting as a
+    * stream). The report is then built from the SINKS, and the oracle is
+    * q_quarantine's SQL verbatim — stream == batch on identical input is
+    * the hash-checked claim, and it holds exactly because the rules are
+    * per-row (chunking commutes with the split).
+    */
+  def qStreamQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.sources.Tables
+    import graft.streaming.CorpusStreams
+    val root = Files.createTempDirectory("graft-quar-replay")
+    StreamReplay.track(root)
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_custkey"),
+      col("o_orderdate"))
+    val feed = root.resolve("feed").toString
+    o.repartitionByRange(2, col("o_orderkey")).write.parquet(feed)
+    val sq = StreamReplay.subSession(spark)
+    val validDir = root.resolve("valid").toString
+    val rejectDir = root.resolve("rejects").toString
+    CorpusStreams.quarantineStream(
+      CorpusStreams.readDocFiles(sq, feed, o.schema, maxFilesPerTrigger = 1),
+      Relational.orderValidationRules, validDir, rejectDir,
+      root.resolve("ck").toString).awaitTermination()
+    Relational.quarantineReport(
+      spark.read.parquet(validDir), spark.read.parquet(rejectDir))
+  }
+
   def qStreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     import graft.sources.Tables

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{array, coalesce, col, explode, expr, lit, struct, when}
+import org.apache.spark.sql.functions.{array, coalesce, col, count, explode, expr, lit, struct, when}
 import org.apache.spark.sql.types.StructType
 
 /** Layered datalake IO, mirroring the reference's raw/formatted/usage tree
@@ -639,39 +639,84 @@ object Datalake {
   def mergeInto(spark: SparkSession, tableRoot: String, delta: DataFrame,
       keys: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
-      statsCols: Seq[String] = Nil): String = {
-    require(keys.nonEmpty, "mergeInto needs at least one key column")
+      statsCols: Seq[String] = Nil): String =
     withRootLock(spark, tableRoot) {
       val token = manifestToken(spark, tableRoot).getOrElse(
         throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
       val base = readToken(spark, tableRoot, token)
-      val dataCols = base.columns.filterNot(keys.contains).toSeq
-      val missing = (keys ++ dataCols).filterNot(delta.columns.contains)
-      require(missing.isEmpty,
-        s"delta is missing merge columns: ${missing.mkString(", ")}")
+      val merged = mergeFrames(base, delta, keys, deleteWhen)
       val parts = currentDataPath(spark, tableRoot)
         .map(detectPartitionColumns(spark, _)).getOrElse(Nil)
-      val b = base.as("mrg_b")
-      val d = delta.hint("shuffle_hash").as("mrg_d")
-      val on = keys.map(k => col(s"mrg_b.$k") === col(s"mrg_d.$k"))
-        .reduce(_ && _)
-      val deltaPresent = col(s"mrg_d.${keys.head}").isNotNull
-      val dropped = deleteWhen
-        .map(c => deltaPresent && coalesce(c, lit(false)))
-        .getOrElse(lit(false))
-      val merged = b.join(d, on, "full_outer")
-        .filter(!dropped)
-        .select(
-          keys.map(k =>
-            coalesce(col(s"mrg_d.$k"), col(s"mrg_b.$k")).as(k)) ++
-            dataCols.map(c =>
-              when(deltaPresent, col(s"mrg_d.$c"))
-                .otherwise(col(s"mrg_b.$c")).as(c)): _*)
       val newV = nextNumericVersion(spark, tableRoot,
         currentVersion(spark, tableRoot), "-merged")
       publish(merged, tableRoot, newV, parts, statsCols)
       newV
     }
+
+  /** [[mergeInto]]'s CROSS-PROCESS form: the same three-arm merge run as
+    * an optimistic [[transact]]ion over the commit log — two concurrent
+    * mergers (threads OR processes) race the claim, the loser re-reads
+    * the WINNER'S committed state and re-derives its merge over it, so
+    * both deltas land exactly once (the Delta conflict-resolution loop
+    * applied to MERGE). The per-root stripe alone (what mergeInto holds)
+    * serializes only in-process writers; this composes the shared merge
+    * semantics with the log so the guarantee crosses JVMs. Returns
+    * (commit sequence, version name).
+    */
+  def mergeTransact(spark: SparkSession, tableRoot: String,
+      delta: DataFrame, keys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      maxAttempts: Int = 5, partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): (Long, String) =
+    transact(spark, tableRoot, {
+      case Some(cur) => mergeFrames(cur, delta, keys, deleteWhen)
+      case None => throw new IllegalStateException(
+        s"mergeTransact needs an existing table at $tableRoot")
+    }, maxAttempts, partitionBy, statsCols)
+
+  /** The ONE definition of the three-arm merge over a base snapshot —
+    * shared by the stripe-serialized [[mergeInto]] and the CAS-looped
+    * [[mergeTransact]] so the two paths cannot drift semantically.
+    */
+  private def mergeFrames(base: DataFrame, delta: DataFrame,
+      keys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column]): DataFrame = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val dataCols = base.columns.filterNot(keys.contains).toSeq
+    val missing = (keys ++ dataCols).filterNot(delta.columns.contains)
+    require(missing.isEmpty,
+      s"delta is missing merge columns: ${missing.mkString(", ")}")
+    // ANSI MERGE cardinality: a target row matched by MORE THAN ONE
+    // delta row is an error (Delta throws the same way) — the full-outer
+    // join would otherwise silently DUPLICATE the base row, one copy per
+    // matching delta row, and the table grows on every merge. One cheap
+    // aggregate over the (small, build-side) delta; keyed, so at scale
+    // it is one pass over the feed, not the table.
+    val dup = delta.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        "mergeInto: delta has multiple rows for key " +
+          keys.zipWithIndex.map { case (k, i) => s"$k=${dup.head.get(i)}" }
+            .mkString("(", ", ", ")") +
+          " — ANSI MERGE forbids multiple source matches per target row")
+    val b = base.as("mrg_b")
+    val d = delta.hint("shuffle_hash").as("mrg_d")
+    val on = keys.map(k => col(s"mrg_b.$k") === col(s"mrg_d.$k"))
+      .reduce(_ && _)
+    val deltaPresent = col(s"mrg_d.${keys.head}").isNotNull
+    val dropped = deleteWhen
+      .map(c => deltaPresent && coalesce(c, lit(false)))
+      .getOrElse(lit(false))
+    b.join(d, on, "full_outer")
+      .filter(!dropped)
+      .select(
+        keys.map(k =>
+          coalesce(col(s"mrg_d.$k"), col(s"mrg_b.$k")).as(k)) ++
+          dataCols.map(c =>
+            when(deltaPresent, col(s"mrg_d.$c"))
+              .otherwise(col(s"mrg_b.$c")).as(c)): _*)
   }
 
   /** DELETE WHERE as a deletion-vector commit: positions of the base
@@ -1063,12 +1108,18 @@ object Datalake {
     while (attempt < maxAttempts) {
       attempt += 1
       val seq = latestCommitSeq(spark, tableRoot)
+      // snapshots read THROUGH the token (readToken), not the raw
+      // resolved dir: since deletes ride the commit log (r14) the newest
+      // record can be a dv= token, and a raw base read would resurrect
+      // every deleted row into the transaction's derivation — the same
+      // fold discipline optimize/mergeInto follow
       val cur =
         if (seq > 0L)
           commitTokenAt(fs, root, seq)
-            .map(t => spark.read.parquet(resolveToken(tableRoot, t)))
+            .map(t => readToken(spark, tableRoot, t))
         else // never CAS-written: adopt a plain-publish table if present
-          currentDataPath(spark, tableRoot).map(spark.read.parquet(_))
+          manifestToken(spark, tableRoot)
+            .map(t => readToken(spark, tableRoot, t))
       try return publishCas(transform(cur), tableRoot, seq, partitionBy,
         statsCols)
       catch { case e: ConcurrentCommitException => lastErr = e }
@@ -1106,7 +1157,26 @@ object Datalake {
     // or default-FS difference between writer and reader
     val abs = fs.makeQualified(
       new org.apache.hadoop.fs.Path(resolveToken(srcRoot, token))).toString
-    swapManifest(spark, dstRoot, s"ref=$abs")
+    parseDvToken(token) match {
+      case Some((_, dvRel)) =>
+        // a LIVE DELETION VECTOR is commit state the clone must carry —
+        // a bare ref= pointer at the base dir would resurrect the
+        // source's deleted rows in the clone (review finding, round 14).
+        // The vector is O(deleted positions), so copying it into the
+        // clone's own _dv keeps the clone O(1) in TABLE size while making
+        // it self-contained against source vector retirement (the data
+        // dir stays a pointer; the vacuum caveat on shallowClone covers
+        // that half).
+        val dstP = new org.apache.hadoop.fs.Path(dstRoot)
+        val dstFs = dstP.getFileSystem(conf)
+        val rel = s"$DvDir/dv-${java.util.UUID.randomUUID().toString.take(8)}"
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(root, dvRel), dstFs,
+          new org.apache.hadoop.fs.Path(dstP, rel), false, conf)
+        swapManifest(spark, dstRoot, s"dv=ref=$abs;$rel")
+      case None =>
+        swapManifest(spark, dstRoot, s"ref=$abs")
+    }
     abs
   }
 

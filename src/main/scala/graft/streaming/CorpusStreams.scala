@@ -49,6 +49,33 @@ object CorpusStreams {
     * against static frames — the cheapest correct form, and the store
     * increments feed the next store compaction.
     */
+  /** Streaming DEAD-LETTER split — the production shape of the
+    * quarantine op (r13 verdict #6 named it: "one foreachBatch with two
+    * filtered writes"): every micro-batch runs the SAME
+    * `Cleaning.quarantine` rules as the batch row and lands each class
+    * in its own epoch-keyed dir (overwrite-on-replay = idempotent, the
+    * exportJsonl pattern) — valid rows flow on, rejects accumulate WITH
+    * their reasons instead of vanishing. Two filtered passes over the
+    * micro-batch (one per sink); the reason projection itself is one
+    * codegen expression. Chunking is exact: the rules are per-row, so
+    * the union of per-epoch outputs equals one batch run over the feed.
+    */
+  def quarantineStream(feed: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      validDir: String, rejectDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    feed.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val (valid, rejected) = graft.ops.Cleaning.quarantine(batch, rules)
+        graft.sources.Datalake.writeParquet(valid, s"$validDir/epoch=$epoch")
+        graft.sources.Datalake.writeParquet(rejected,
+          s"$rejectDir/epoch=$epoch")
+        ()
+      }
+      .start()
+
   def incrementalDedupStream(docs: DataFrame, histExact: DataFrame,
       histBands: DataFrame, storeIncrementDir: String, resultDir: String,
       checkpoint: String,

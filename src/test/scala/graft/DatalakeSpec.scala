@@ -645,6 +645,63 @@ class DatalakeSpec extends SparkSpecBase {
       Datalake.currentDataPath(spark, root).get) === Seq("grp"))
   }
 
+  test("transact snapshots read through a dv= commit token; shallow clones carry a live vector") {
+    import org.apache.spark.sql.functions.col
+    // transact over a deleted table: the RMW snapshot must fold the
+    // vector (r14 review finding: deletes now ride the commit log, so the
+    // newest record can be dv= — a raw resolveToken read resurrected)
+    val root = s"${Files.createTempDirectory("graft-txndv")}/t"
+    Datalake.publish(spark.range(0, 100).toDF("id"), root, "1")
+    assert(Datalake.deleteWhere(spark, root, col("id") < 20) === 20)
+    Datalake.transact(spark, root, {
+      case Some(cur) => cur.unionByName(
+        spark.range(200, 210).toDF("id"))
+      case None => fail("snapshot must exist")
+    })
+    val after = Datalake.readPublished(spark, root)
+    assert(after.count() === 90, "transact resurrected deleted rows")
+    assert(after.filter(col("id") < 20).count() === 0)
+    // shallow clone of a table with a live vector: the clone must hide
+    // the same rows (vector copied — O(deleted), not O(table)), and
+    // must keep hiding them if the SOURCE's vector is later retired
+    val src = s"${Files.createTempDirectory("graft-clonedv")}/src"
+    val dst = s"${Files.createTempDirectory("graft-clonedv")}/dst"
+    Datalake.publish(spark.range(0, 50).toDF("id"), src, "1")
+    Datalake.deleteWhere(spark, src, col("id") >= 45)
+    Datalake.shallowClone(spark, src, dst)
+    assert(Datalake.readPublished(spark, dst).count() === 45,
+      "clone resurrected the source's deleted rows")
+    // the SOURCE retires its vector (optimize folds it; sweep the _dv
+    // dirs as vacuum would — version dirs left alone, since the clone's
+    // DATA pointer legitimately dies with source data retention, the
+    // documented shallowClone caveat): the clone's own vector copy must
+    // keep serving the cloned snapshot
+    Datalake.optimize(spark, src, 1)
+    val srcDv = new org.apache.hadoop.fs.Path(src, "_dv")
+    val fs = srcDv.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(srcDv)) fs.delete(srcDv, true)
+    assert(Datalake.readPublished(spark, dst).count() === 45,
+      "clone's vector must be its own copy, not a pointer into the source")
+  }
+
+  test("mergeInto refuses a delta with multiple rows per key (ANSI MERGE cardinality)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = s"${Files.createTempDirectory("graft-mergedup")}/t"
+    Datalake.publish(
+      spark.range(0, 10).select(col("id"), (col("id") * 2).as("v")).toDF(),
+      root, "1")
+    val dup = spark.range(0, 4).select((col("id") % 2).as("id"),
+      lit(-1L).as("v")) // keys 0 and 1, twice each
+    val e = intercept[IllegalArgumentException] {
+      Datalake.mergeInto(spark, root, dup, Seq("id"))
+    }
+    assert(e.getMessage.contains("multiple source matches"),
+      s"wrong error: ${e.getMessage}")
+    // and the table is untouched — the guard fires before any write
+    assert(Datalake.readPublished(spark, root).count() === 10)
+    assert(Datalake.currentVersion(spark, root) === Some("1"))
+  }
+
   test("delete commits ride the CAS log: a stale claim loses, rolls back, and no positions are lost") {
     import org.apache.spark.sql.functions.col
     val root = s"${Files.createTempDirectory("graft-dvcas")}/t"
