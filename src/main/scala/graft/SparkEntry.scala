@@ -190,6 +190,7 @@ object SparkEntry {
     "q_concurrent_delete" -> (DatalakeQueries.qConcurrentDelete _),
     "q_merge_publish" -> (DatalakeQueries.qMergePublish _),
     "q_merge_concurrent" -> (DatalakeQueries.qMergeConcurrent _),
+    "q_vacuum_commits" -> (DatalakeQueries.qVacuumCommits _),
     "q_compact_partitioned" -> (DatalakeQueries.qCompactPartitioned _),
     "q_entity_resolution_incremental" ->
       (SimilarityQueries.qEntityResolutionIncremental _),
@@ -2463,6 +2464,17 @@ object SparkEntry {
         |    AS sum_price,
         |  CAST(2 AS BIGINT) AS n_commits
         |FROM survivors""".stripMargin,
+    // log retention: 5 appends (records 1-5) → sweep to newest 2 (3
+    // removed) → a delete commit claims 6 over the truncated log
+    "q_vacuum_commits" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(3 AS BIGINT) AS n_removed,
+        |  CAST(6 AS BIGINT) AS latest_seq
+        |FROM orders
+        |WHERE NOT (o_orderkey % 100 = 0)""".stripMargin,
     // per-partition compaction: survivors exclude both DV predicates
     // (small-file share FOLDED, copied-file share CARRIED); the literals
     // pin the per-partition 4→2 file accounting (1 bulk + 3 trickle →

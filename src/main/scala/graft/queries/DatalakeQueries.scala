@@ -790,6 +790,45 @@ object DatalakeQueries {
       .orderBy(col("version"))
   }
 
+  /** COMMIT-LOG RETENTION end-to-end (round 14 — the vacuum companion
+    * the CAS family was missing: publish/delete/stream-epoch/merge all
+    * append `_commits/` records forever, and the per-commit listing is
+    * what degrades on a long-lived 100 TB table). Five transactional
+    * appends build the table (one record each), `vacuumCommits` sweeps
+    * all but the newest two (the 3-removed literal), and the protocol
+    * must CONTINUE over the truncated log — a deletion-vector commit
+    * claims the next sequence (the 6 literal) and the survivor set
+    * reflects it. A retention bug shows as a wrong literal (swept too
+    * much / too little / dropped the newest record) or as resurrected /
+    * missing rows.
+    *
+    * Scale: retention is one directory listing + O(swept) deletes,
+    * catalog-sized; the appends are the version model's ordinary
+    * write path.
+    */
+  def qVacuumCommits(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val root = tempLakeRoot() + "/orders_logvac"
+    (0 until 5).foreach { i =>
+      Datalake.transact(spark, root, {
+        case Some(cur) => cur.unionByName(
+          o.filter(col("o_orderkey") % 5 === i))
+        case None => o.filter(col("o_orderkey") % 5 === i)
+      })
+    }
+    val removed = Datalake.vacuumCommits(spark, root, keepLast = 2).toLong
+    Datalake.deleteWhere(spark, root, col("o_orderkey") % 100 === 0)
+    val latest = Datalake.latestCommitSeq(spark, root)
+    Datalake.readPublished(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_distinct"),
+        decSum2(col("o_totalprice")).cast("double").as("sum_price"))
+      .withColumn("n_removed", lit(removed))
+      .withColumn("latest_seq", lit(latest))
+  }
+
   def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Agg.decSum2
     val o = Tables.orders(spark, dir)

@@ -1300,6 +1300,47 @@ object Datalake {
     drop
   }
 
+  /** COMMIT-LOG retention (the Delta log-cleanup / Iceberg
+    * expire-snapshots companion to [[vacuum]]): every CAS writer —
+    * publishes, deletes, stream epochs, merges — appends a `_commits/`
+    * record forever, and a table taking one delete commit a minute holds
+    * half a million records a year; the per-commit `latestCommitSeq`
+    * LISTING is what degrades, so retention is a real 100 TB liveness
+    * concern, not tidiness. Drops every record numbered ≤ latest −
+    * `keepLast`. Safe by the protocol's own contracts: claim arbitration
+    * only ever CREATES the next record (existence of old ones is
+    * irrelevant), [[latestCommitSeq]] is a max over whatever remains,
+    * [[repairManifest]]'s issued-token check and [[publishEpochCas]]'s
+    * replay scan both tolerate missing records (an expired epoch replay
+    * re-claims a fresh sequence — same dir, same content, idempotent
+    * effect), and [[transact]] reads the NEWEST record only. The newest
+    * record is never dropped (it is the CAS source of truth). Runs under
+    * the per-root stripe so a concurrent claimant can't observe a
+    * half-swept log it is mid-scan over. Returns the count removed.
+    */
+  def vacuumCommits(spark: SparkSession, tableRoot: String,
+      keepLast: Int): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withRootLock(spark, tableRoot) {
+      val latest = latestCommitSeq(spark, tableRoot)
+      val cutoff = latest - keepLast
+      if (cutoff <= 0L) 0
+      else {
+        val dir = new org.apache.hadoop.fs.Path(root, CommitDir)
+        if (!fs.exists(dir)) 0
+        else fs.listStatus(dir).iterator
+          .map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n.nonEmpty && n.forall(_.isDigit) && n.toLong <= cutoff
+          }
+          .count { p => fs.delete(p, false) }
+      }
+    }
+  }
+
   /** Numeric successor of the newest numeric version (epoch/counter
     * versioning keeps working), with the table-has-no-numeric-versions
     * fallbacks every maintenance op shares: a clone's first own version

@@ -645,6 +645,34 @@ class DatalakeSpec extends SparkSpecBase {
       Datalake.currentDataPath(spark, root).get) === Seq("grp"))
   }
 
+  test("commit-log retention: old records swept, claims and replays keep working") {
+    import org.apache.spark.sql.functions.col
+    val root = s"${Files.createTempDirectory("graft-logvac")}/t"
+    (1 to 5).foreach { i =>
+      Datalake.transact(spark, root, {
+        case Some(cur) => cur.unionByName(Seq(i.toLong).toDF("id"))
+        case None => Seq(i.toLong).toDF("id")
+      })
+    }
+    assert(Datalake.latestCommitSeq(spark, root) === 5L)
+    assert(Datalake.vacuumCommits(spark, root, keepLast = 2) === 3)
+    assert(Datalake.latestCommitSeq(spark, root) === 5L,
+      "retention must never drop the newest record")
+    assert(Datalake.readPublished(spark, root).count() === 5)
+    // the protocol continues over the truncated log: new claims take the
+    // next sequence, snapshots still read the newest record
+    Datalake.transact(spark, root, {
+      case Some(cur) => cur.unionByName(Seq(6L).toDF("id"))
+      case None => fail("snapshot must exist")
+    })
+    assert(Datalake.latestCommitSeq(spark, root) === 6L)
+    assert(Datalake.readPublished(spark, root).count() === 6)
+    // a delete commit rides the truncated log too
+    assert(Datalake.deleteWhere(spark, root, col("id") === 1L) === 1)
+    assert(Datalake.latestCommitSeq(spark, root) === 7L)
+    assert(Datalake.readPublished(spark, root).count() === 5)
+  }
+
   test("transact snapshots read through a dv= commit token; shallow clones carry a live vector") {
     import org.apache.spark.sql.functions.col
     // transact over a deleted table: the RMW snapshot must fold the
