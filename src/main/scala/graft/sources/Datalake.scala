@@ -1311,9 +1311,14 @@ object Datalake {
     * only ever CREATES the next record (existence of old ones is
     * irrelevant), [[latestCommitSeq]] is a max over whatever remains,
     * [[repairManifest]]'s issued-token check and [[publishEpochCas]]'s
-    * replay scan both tolerate missing records (an expired epoch replay
-    * re-claims a fresh sequence — same dir, same content, idempotent
-    * effect), and [[transact]] reads the NEWEST record only. The newest
+    * replay scan both tolerate missing records, and [[transact]] reads
+    * the NEWEST record only. Epoch-replay caveat, stated precisely: an
+    * EXPIRED epoch that replayed would re-claim a fresh sequence and
+    * re-point the manifest at its (old) content — but the streaming
+    * checkpoint only ever replays the newest uncommitted batch, so keep
+    * `keepLast` ≥ 1 epoch of checkpoint lag (any sane retention is
+    * orders of magnitude above that) and the case is unreachable. The
+    * newest
     * record is never dropped (it is the CAS source of truth). Runs under
     * the per-root stripe so a concurrent claimant can't observe a
     * half-swept log it is mid-scan over. Returns the count removed.
