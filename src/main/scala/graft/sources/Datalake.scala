@@ -142,13 +142,7 @@ object Datalake {
     */
   def publish(df: DataFrame, tableRoot: String, version: String,
       partitionBy: Seq[String], statsCols: Seq[String]): Unit = {
-    val dataPath = s"$tableRoot/v=$version"
-    val w0 = df.write.mode(SaveMode.Overwrite)
-      .option("compression", "snappy")
-    (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
-      .parquet(dataPath)
-    if (statsCols.nonEmpty)
-      writeFileStats(df.sparkSession, dataPath, statsCols)
+    stageVersion(df, tableRoot, version, partitionBy, statsCols)
     // manifest IO goes through the Hadoop FileSystem of tableRoot, same as
     // the data (java.nio would silently write a LOCAL file for an
     // hdfs://-or-s3a:// root). Rename atomicity is the underlying FS's:
@@ -156,6 +150,47 @@ object Datalake {
     // protocol still guarantees readers never resolve a partial directory.
     swapManifest(df.sparkSession, tableRoot, s"v=$version")
   }
+
+  /** Write a version directory WITHOUT the manifest swap — the staging
+    * half every commit path shares ([[publish]] follows with the plain
+    * swap; the maintenance ops follow with [[commitDerivedToken]]).
+    */
+  private def stageVersion(df: DataFrame, tableRoot: String,
+      version: String, partitionBy: Seq[String],
+      statsCols: Seq[String]): Unit = {
+    val dataPath = s"$tableRoot/v=$version"
+    val w0 = df.write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+    (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
+      .parquet(dataPath)
+    if (statsCols.nonEmpty)
+      writeFileStats(df.sparkSession, dataPath, statsCols)
+  }
+
+  /** Commit a token DERIVED from a snapshot taken at `seqAtRead` — the
+    * maintenance ops' commit step (r14, completing the multi-writer
+    * family: data publishes, deletes, stream epochs and merges already
+    * ride the log, but a maintenance rewrite built from a token read is
+    * exactly as lost-update-prone cross-process as a delete was). On a
+    * table with NO commit log the plain swap stands (non-CAS tables have
+    * no cross-process contract, and the per-root stripe already
+    * serializes in-process writers). On a logged table the op claims
+    * `seqAtRead + 1`: if a CAS writer (another process's delete, a
+    * racing publishCas) committed since the snapshot was read, the claim
+    * LOSES and the caller must discard its staged output and RE-DERIVE —
+    * the rewrite was built from a superseded snapshot and swapping it in
+    * would discard the competitor's commit. Returns whether the commit
+    * landed.
+    */
+  private def commitDerivedToken(spark: SparkSession, tableRoot: String,
+      seqAtRead: Long, token: String): Boolean =
+    if (seqAtRead == 0L && latestCommitSeq(spark, tableRoot) == 0L) {
+      swapManifest(spark, tableRoot, token)
+      true
+    } else if (claimCommit(spark, tableRoot, seqAtRead + 1, token)) {
+      syncManifestIfNewest(spark, tableRoot, seqAtRead + 1, token)
+      true
+    } else false
 
   /** Atomically point `tableRoot`'s MANIFEST at `token` — the one-small-
     * PUT commit both [[publish]] (token `v=<name>`) and [[shallowClone]]
@@ -478,11 +513,16 @@ object Datalake {
     */
   def optimizeCompact(spark: SparkSession, tableRoot: String,
       minRows: Long, statsCols: Seq[String] = Nil): (String, Int, Int) =
-    // under the per-root stripe: the rewrite is derived from the token
-    // read at the top, so a delete committing a new dv= token inside the
-    // read→swap window would be silently discarded by the final swap
-    // (review finding — the deleteWhere lost-update class, reversed)
+    // under the per-root stripe (in-process serialization); the commit
+    // rides the log on CAS tables (commitDerivedToken): the rewrite is
+    // derived from the token read at the top, so a delete committing a
+    // new dv= token inside the read→commit window — same JVM OR another
+    // process — forces a re-derivation instead of being discarded
     withRootLock(spark, tableRoot) {
+    var attempt = 0
+    while (attempt < 5) {
+    attempt += 1
+    val seqAtRead = latestCommitSeq(spark, tableRoot)
     val token = manifestToken(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
     val dv = parseDvToken(token)
@@ -565,8 +605,20 @@ object Datalake {
         } finally { carried.unpersist(blocking = false); () }
       case None => s"v=$newV"
     }
-    swapManifest(spark, tableRoot, newToken)
-    (newV, small.length, big.length)
+    if (commitDerivedToken(spark, tableRoot, seqAtRead, newToken))
+      return (newV, small.length, big.length)
+    // lost to a cross-process CAS writer: discard the staged version dir
+    // AND the carried vector (if one was written) and re-derive
+    try {
+      fs.delete(dst, true)
+      parseDvToken(newToken).foreach { case (_, rel) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tableRoot/$rel"), true)
+      }
+      ()
+    } catch { case _: Throwable => () }
+    }
+    throw new ConcurrentCommitException(
+      s"optimizeCompact on $tableRoot lost 5 commit races — retry")
     }
 
   /** DYNAMIC PARTITION OVERWRITE as a versioned commit (Hive's
@@ -590,19 +642,34 @@ object Datalake {
       batch: DataFrame, partCols: Seq[String],
       statsCols: Seq[String] = Nil): String = {
     require(partCols.nonEmpty, "overwritePartitions needs partition columns")
-    // stripe held across token read → publish swap (review finding: a
-    // delete committing between them would be discarded by the swap)
+    val fs = new org.apache.hadoop.fs.Path(tableRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stripe = in-process serialization; the commit rides the log on CAS
+    // tables (commitDerivedToken) so a cross-process writer landing
+    // inside the token-read → commit window forces a re-derivation
     withRootLock(spark, tableRoot) {
-      val token = manifestToken(spark, tableRoot).getOrElse(
-        throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
-      val cur = readToken(spark, tableRoot, token)
-      val parts = batch.select(partCols.map(col): _*).distinct()
-      val untouched = cur.join(
-        org.apache.spark.sql.functions.broadcast(parts), partCols, "left_anti")
-      val next = untouched.unionByName(batch.select(cur.columns.map(col): _*))
-      val newV = nextNumericVersion(spark, tableRoot, None, "")
-      publish(next, tableRoot, newV, partCols, statsCols)
-      newV
+      var attempt = 0
+      while (attempt < 5) {
+        attempt += 1
+        val seqAtRead = latestCommitSeq(spark, tableRoot)
+        val token = manifestToken(spark, tableRoot).getOrElse(
+          throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+        val cur = readToken(spark, tableRoot, token)
+        val parts = batch.select(partCols.map(col): _*).distinct()
+        val untouched = cur.join(
+          org.apache.spark.sql.functions.broadcast(parts), partCols,
+          "left_anti")
+        val next = untouched.unionByName(batch.select(cur.columns.map(col): _*))
+        val newV = nextNumericVersion(spark, tableRoot, None, "")
+        stageVersion(next, tableRoot, newV, partCols, statsCols)
+        if (commitDerivedToken(spark, tableRoot, seqAtRead, s"v=$newV"))
+          return newV
+        try { fs.delete(new org.apache.hadoop.fs.Path(
+          s"$tableRoot/v=$newV"), true); () }
+        catch { case _: Throwable => () }
+      }
+      throw new ConcurrentCommitException(
+        s"overwritePartitions on $tableRoot lost 5 commit races — retry")
     }
   }
 
@@ -639,19 +706,34 @@ object Datalake {
   def mergeInto(spark: SparkSession, tableRoot: String, delta: DataFrame,
       keys: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
-      statsCols: Seq[String] = Nil): String =
+      statsCols: Seq[String] = Nil): String = {
+    val fs = new org.apache.hadoop.fs.Path(tableRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     withRootLock(spark, tableRoot) {
-      val token = manifestToken(spark, tableRoot).getOrElse(
-        throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
-      val base = readToken(spark, tableRoot, token)
-      val merged = mergeFrames(base, delta, keys, deleteWhen)
-      val parts = currentDataPath(spark, tableRoot)
-        .map(detectPartitionColumns(spark, _)).getOrElse(Nil)
-      val newV = nextNumericVersion(spark, tableRoot,
-        currentVersion(spark, tableRoot), "-merged")
-      publish(merged, tableRoot, newV, parts, statsCols)
-      newV
+      var attempt = 0
+      while (attempt < 5) {
+        attempt += 1
+        val seqAtRead = latestCommitSeq(spark, tableRoot)
+        val token = manifestToken(spark, tableRoot).getOrElse(
+          throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+        val base = readToken(spark, tableRoot, token)
+        val merged = mergeFrames(base, delta, keys, deleteWhen)
+        val parts = currentDataPath(spark, tableRoot)
+          .map(detectPartitionColumns(spark, _)).getOrElse(Nil)
+        val newV = nextNumericVersion(spark, tableRoot,
+          currentVersion(spark, tableRoot), "-merged")
+        stageVersion(merged, tableRoot, newV, parts, statsCols)
+        if (commitDerivedToken(spark, tableRoot, seqAtRead, s"v=$newV"))
+          return newV
+        try { fs.delete(new org.apache.hadoop.fs.Path(
+          s"$tableRoot/v=$newV"), true); () }
+        catch { case _: Throwable => () }
+      }
+      throw new ConcurrentCommitException(
+        s"mergeInto on $tableRoot lost 5 commit races — retry (or use " +
+          "mergeTransact, the cross-process form)")
     }
+  }
 
   /** [[mergeInto]]'s CROSS-PROCESS form: the same three-arm merge run as
     * an optimistic [[transact]]ion over the commit log — two concurrent
@@ -1467,9 +1549,16 @@ object Datalake {
       clusterBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
       partitionBy: Option[Seq[String]] = None): String = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
-    // stripe held across token read -> publish swap (review finding: a
-    // delete committing between them would be discarded by the swap)
+    val fsOpt = new org.apache.hadoop.fs.Path(tableRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stripe = in-process serialization; the commit rides the log on CAS
+    // tables (commitDerivedToken) so a cross-process delete landing
+    // inside the token-read -> commit window forces a re-derivation
     withRootLock(spark, tableRoot) {
+    var attempt = 0
+    while (attempt < 5) {
+    attempt += 1
+    val seqAtRead = latestCommitSeq(spark, tableRoot)
     val cur = currentVersion(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
     // currentDataPath, not a hand-built v= dir: on an UNDIVERGED shallow
@@ -1508,8 +1597,16 @@ object Datalake {
         df0.repartition(nFiles, parts.map(cf): _*)
       else df0.repartition(nFiles)
     val newV = nextNumericVersion(spark, tableRoot, Some(cur), "-optimized")
-    publish(df, tableRoot, newV, parts, statsCols)
-    newV
+    stageVersion(df, tableRoot, newV, parts, statsCols)
+    if (commitDerivedToken(spark, tableRoot, seqAtRead, s"v=$newV"))
+      return newV
+    // lost to a cross-process CAS writer: discard and re-derive
+    try { fsOpt.delete(new org.apache.hadoop.fs.Path(
+      s"$tableRoot/v=$newV"), true); () }
+    catch { case _: Throwable => () }
+    }
+    throw new ConcurrentCommitException(
+      s"optimize on $tableRoot lost 5 commit races — retry")
     }
   }
 
@@ -1568,41 +1665,59 @@ object Datalake {
       extraStatsCols: Seq[String], suffix: String,
       curve: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
         Int) => org.apache.spark.sql.Column): String = {
-    // stripe held across token read -> publish swap (review finding: a
-    // delete committing between them would be discarded by the swap)
-    withRootLock(spark, tableRoot) {
-    val cur = currentVersion(spark, tableRoot).getOrElse(
-      throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
-    val dataPath = currentDataPath(spark, tableRoot).get
     require(nFiles >= 1 && nFiles.toLong <= (1L << (2 * bits)),
       s"nFiles must be in [1, 4^bits], got $nFiles (bits=$bits)")
-    val mask = (1L << bits) - 1
-    val z = curve(
-      org.apache.spark.sql.functions.col(xCol).bitwiseAND(
-        org.apache.spark.sql.functions.lit(mask)),
-      org.apache.spark.sql.functions.col(yCol).bitwiseAND(
-        org.apache.spark.sql.functions.lit(mask)), bits)
-    // multiply-shift range assignment: (d * nFiles) >> 2·bits — exact
-    // integer fixed-width ranges for ANY nFiles (for a power of two it
-    // reduces to the plain shift, so the q_optimize_zorder oracle's
-    // `z >> 14` replays unchanged). Non-power-of-two counts matter: a
-    // width that is a power of FOUR makes every file a dyadic-aligned
-    // block where Morton and Hilbert are geometrically identical —
-    // q_optimize_hilbert uses 63 files precisely to unalign the
-    // boundaries and let the curves separate.
-    val zfile = org.apache.spark.sql.functions
-      .shiftright(z * org.apache.spark.sql.functions.lit(nFiles.toLong),
-        2 * bits).cast("int")
-    // token-aware read (see optimize): a curve rewrite folds any live
-    // deletion vector instead of resurrecting its rows
-    val df = readToken(spark, tableRoot, manifestToken(spark, tableRoot).get)
-      .withColumn("zfile", zfile)
-      // one partition per curve range → exactly one file per zfile dir
-      .repartition(org.apache.spark.sql.functions.col("zfile"))
-    val newV = nextNumericVersion(spark, tableRoot, Some(cur), suffix)
-    publish(df, tableRoot, newV, Seq("zfile"),
-      (Seq(xCol, yCol) ++ extraStatsCols).distinct)
-    newV
+    val fs = new org.apache.hadoop.fs.Path(tableRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stripe held across token read -> commit (in-process serialization);
+    // the COMMIT rides the log on CAS tables (commitDerivedToken): the
+    // rewrite derives from the token read at the top, and a cross-process
+    // delete committing inside the window must force a re-derivation,
+    // not be discarded by the swap
+    withRootLock(spark, tableRoot) {
+      var attempt = 0
+      while (attempt < 5) {
+        attempt += 1
+        val seqAtRead = latestCommitSeq(spark, tableRoot)
+        val cur = currentVersion(spark, tableRoot).getOrElse(
+          throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+        val mask = (1L << bits) - 1
+        val z = curve(
+          org.apache.spark.sql.functions.col(xCol).bitwiseAND(
+            org.apache.spark.sql.functions.lit(mask)),
+          org.apache.spark.sql.functions.col(yCol).bitwiseAND(
+            org.apache.spark.sql.functions.lit(mask)), bits)
+        // multiply-shift range assignment: (d * nFiles) >> 2·bits — exact
+        // integer fixed-width ranges for ANY nFiles (for a power of two it
+        // reduces to the plain shift, so the q_optimize_zorder oracle's
+        // `z >> 14` replays unchanged). Non-power-of-two counts matter: a
+        // width that is a power of FOUR makes every file a dyadic-aligned
+        // block where Morton and Hilbert are geometrically identical —
+        // q_optimize_hilbert uses 63 files precisely to unalign the
+        // boundaries and let the curves separate.
+        val zfile = org.apache.spark.sql.functions
+          .shiftright(z * org.apache.spark.sql.functions.lit(nFiles.toLong),
+            2 * bits).cast("int")
+        // token-aware read (see optimize): a curve rewrite folds any live
+        // deletion vector instead of resurrecting its rows
+        val df = readToken(spark, tableRoot,
+            manifestToken(spark, tableRoot).get)
+          .withColumn("zfile", zfile)
+          // one partition per curve range → exactly one file per zfile dir
+          .repartition(org.apache.spark.sql.functions.col("zfile"))
+        val newV = nextNumericVersion(spark, tableRoot, Some(cur), suffix)
+        stageVersion(df, tableRoot, newV, Seq("zfile"),
+          (Seq(xCol, yCol) ++ extraStatsCols).distinct)
+        if (commitDerivedToken(spark, tableRoot, seqAtRead, s"v=$newV"))
+          return newV
+        // lost to a cross-process CAS writer: the rewrite is stale —
+        // discard the staged dir and re-derive over the winner's state
+        try { fs.delete(new org.apache.hadoop.fs.Path(
+          s"$tableRoot/v=$newV"), true); () }
+        catch { case _: Throwable => () }
+      }
+      throw new ConcurrentCommitException(
+        s"optimize$suffix on $tableRoot lost 5 commit races — retry")
     }
   }
 

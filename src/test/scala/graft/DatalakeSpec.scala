@@ -645,6 +645,46 @@ class DatalakeSpec extends SparkSpecBase {
       Datalake.currentDataPath(spark, root).get) === Seq("grp"))
   }
 
+  test("maintenance commits ride the log on CAS tables; plain tables keep the plain swap") {
+    import org.apache.spark.sql.functions.col
+    // CAS table: every maintenance op claims the next record, so a
+    // cross-process CAS writer's commit inside the token-read→commit
+    // window forces a re-derivation (arbitrated by the log) instead of
+    // being discarded by the swap
+    val root = s"${Files.createTempDirectory("graft-mntcas")}/t"
+    Datalake.transact(spark, root, {
+      case None => spark.range(0, 100).toDF("id")
+      case Some(_) => fail("fresh table")
+    })
+    assert(Datalake.latestCommitSeq(spark, root) === 1L)
+    assert(Datalake.deleteWhere(spark, root, col("id") < 10) === 10)
+    assert(Datalake.latestCommitSeq(spark, root) === 2L)
+    Datalake.optimize(spark, root, 2)
+    assert(Datalake.latestCommitSeq(spark, root) === 3L,
+      "optimize on a CAS table must claim a commit record")
+    assert(Datalake.readPublished(spark, root).count() === 90,
+      "optimize fold lost under the logged commit")
+    Datalake.mergeInto(spark, root,
+      spark.range(200, 205).toDF("id"), Seq("id"))
+    assert(Datalake.latestCommitSeq(spark, root) === 4L,
+      "mergeInto on a CAS table must claim a commit record")
+    assert(Datalake.readPublished(spark, root).count() === 95)
+    // transact composes over the maintenance commits: the snapshot is
+    // the merge's version (the log and manifest agree)
+    Datalake.transact(spark, root, {
+      case Some(cur) => cur.unionByName(Seq(300L).toDF("id"))
+      case None => fail("snapshot must exist")
+    })
+    assert(Datalake.readPublished(spark, root).count() === 96)
+    // plain table: no log appears — non-CAS tables keep plain swaps
+    val plain = s"${Files.createTempDirectory("graft-mntplain")}/t"
+    Datalake.publish(spark.range(0, 50).toDF("id"), plain, "1")
+    Datalake.optimize(spark, plain, 2)
+    assert(Datalake.latestCommitSeq(spark, plain) === 0L,
+      "maintenance on a never-CAS table must not start a commit log")
+    assert(Datalake.readPublished(spark, plain).count() === 50)
+  }
+
   test("commit-log retention: old records swept, claims and replays keep working") {
     import org.apache.spark.sql.functions.col
     val root = s"${Files.createTempDirectory("graft-logvac")}/t"
