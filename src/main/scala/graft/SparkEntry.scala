@@ -152,6 +152,7 @@ object SparkEntry {
     "q_stream_attribution" -> (StreamQueries.qStreamAttribution _),
     "q_stream_heavy_hitters" -> (StreamQueries.qStreamHeavyHitters _),
     "q_stream_quarantine" -> (StreamQueries.qStreamQuarantine _),
+    "q_stream_merge" -> (StreamQueries.qStreamMerge _),
     "q_stream_dedup_incremental" -> (StreamQueries.qStreamDedupIncremental _),
     "q_stream_ivf_ingest" -> (SimilarityQueries.qStreamIvfIngest _),
     "q_stream_datalake" -> (StreamQueries.qStreamDatalake _),
@@ -2426,6 +2427,32 @@ object SparkEntry {
         |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
         |  FROM orders
         |  WHERE o_orderkey % 3 <> 0 AND NOT (o_custkey % 7 = 0)
+        |), delta AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    o_totalprice + 10.0 AS o_totalprice,
+        |    'MERGED' AS o_orderpriority,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'delete' ELSE 'upsert'
+        |      END AS d_op
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |)
+        |SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_custkey
+        |    ELSE b.o_custkey END AS o_custkey,
+        |  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice
+        |    ELSE b.o_totalprice END AS o_totalprice,
+        |  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderpriority
+        |    ELSE b.o_orderpriority END AS o_orderpriority
+        |FROM base b FULL OUTER JOIN delta d
+        |  ON b.o_orderkey = d.o_orderkey
+        |WHERE NOT (d.o_orderkey IS NOT NULL AND d.d_op = 'delete')
+        |ORDER BY 1""".stripMargin,
+    // the CDC apply stream: key-disjoint chunks make the serialized
+    // per-epoch merges compose to ONE whole-delta merge — same join +
+    // CASE as q_merge_publish, base WITHOUT the DV filter
+    "q_stream_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 <> 0
         |), delta AS (
         |  SELECT o_orderkey, o_custkey,
         |    o_totalprice + 10.0 AS o_totalprice,

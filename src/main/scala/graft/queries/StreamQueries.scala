@@ -278,6 +278,48 @@ object StreamQueries {
     * batch row. No ordering contract is needed at all: CMS folding is
     * commutative, so this row's sealing argument is simply linearity.
     */
+  /** CDC APPLY STREAM as a driver row (round 14): q_merge_publish's
+    * delta arrives CHUNKED as a file stream and every micro-batch lands
+    * as one committed MERGE (`DatalakeStreams.mergeStream` →
+    * `mergeTransact`, each epoch a commit-log record). The chunks
+    * partition the delta BY KEY, so the serialized per-epoch merges
+    * compose to exactly one whole-delta merge — the oracle is the same
+    * FULL OUTER JOIN + CASE, and the stream==batch hash equality is the
+    * correctness claim. Replay safety comes from the arms being absolute
+    * (mergeStream scaladoc), not from sink overwrite.
+    */
+  def qStreamMerge(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.sources.{Datalake, Tables}
+    import graft.streaming.{CorpusStreams, DatalakeStreams}
+    val root = Files.createTempDirectory("graft-smerge-replay")
+    StreamReplay.track(root)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+    val table = root.resolve("table").toString
+    Datalake.publish(o.filter(col("o_orderkey") % 3 =!= 0), table, "1")
+    val delta = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + lit(10.0)).as("o_totalprice"),
+        lit("MERGED").as("o_orderpriority"),
+        when(col("o_orderkey") % 10 === 0, lit("delete"))
+          .otherwise(lit("upsert")).as("d_op"))
+    val feed = root.resolve("feed").toString
+    delta.repartitionByRange(2, col("o_orderkey")).write.parquet(feed)
+    val sq = StreamReplay.subSession(spark)
+    DatalakeStreams.mergeStream(
+      CorpusStreams.readDocFiles(sq, feed, delta.schema,
+        maxFilesPerTrigger = 1),
+      table, Seq("o_orderkey"),
+      deleteWhen = Some(col("d_op") === "delete"),
+      root.resolve("ck").toString).awaitTermination()
+    Datalake.readPublished(spark, table)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** STREAMING twin of q_quarantine (round 14): the order feed arrives
     * as a chunked file stream and every micro-batch runs the SAME
     * validation rules through `CorpusStreams.quarantineStream` — valid

@@ -685,6 +685,32 @@ class DatalakeSpec extends SparkSpecBase {
     assert(Datalake.readPublished(spark, plain).count() === 50)
   }
 
+  test("absolute-arm merges are idempotent: re-applying a replayed delta reproduces the same rows") {
+    // the CDC apply stream's replay contract (DatalakeStreams.mergeStream):
+    // a crash-replayed micro-batch re-runs its mergeTransact, and because
+    // update/insert arms carry ABSOLUTE values the re-application must be
+    // a value-level no-op (one version later)
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val root = s"${Files.createTempDirectory("graft-mergeidem")}/t"
+    Datalake.publish(spark.range(0, 50)
+      .select(col("id"), (col("id") * 2).as("v")).toDF(), root, "1")
+    val delta = spark.range(40, 60).select(col("id"), lit(-7L).as("v"),
+      when(col("id") % 5 === 0, "del").otherwise("up").as("op"))
+    def applyOnce(): Seq[(Long, Long)] = {
+      Datalake.mergeTransact(spark, root, delta, Seq("id"),
+        deleteWhen = Some(col("op") === "del"))
+      Datalake.readPublished(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    val first = applyOnce()
+    val seqAfterFirst = Datalake.latestCommitSeq(spark, root)
+    val second = applyOnce()
+    assert(second === first,
+      "replaying an absolute-arm delta must reproduce the same rows")
+    assert(Datalake.latestCommitSeq(spark, root) === seqAfterFirst + 1,
+      "the replay commits a new (identical) version, it does not skip")
+  }
+
   test("commit-log retention: old records swept, claims and replays keep working") {
     import org.apache.spark.sql.functions.col
     val root = s"${Files.createTempDirectory("graft-logvac")}/t"
