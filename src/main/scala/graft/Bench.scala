@@ -323,9 +323,21 @@ object Bench {
       if (excludeAdditiveFloor) all.filterNot {
         case (_, v, b, r) => r >= 2.0 && v - b <= FloorDeltaSec }
       else all
+    // name every excluded query, not just a count (r14 review): the
+    // floor class is an adjudication, and an adjudication the artifact
+    // doesn't itemize can't be audited against the ƒ-tagged baseline —
+    // update_baseline.py additionally gates each tag on the PLANDUMP
+    // plan line being unchanged, so a named row here that is NOT ƒ-tagged
+    // there is exactly the plan-changed genuine regression to chase.
     val excluded =
-      if (excludeAdditiveFloor) s""","floor_excluded":${all.length - rated.length}"""
-      else ""
+      if (excludeAdditiveFloor) {
+        val names = all.filterNot(rated.contains).map(_._1).sorted
+        val arr =
+          if (names.isEmpty) "[]"
+          else names.mkString("[\"", "\",\"", "\"]")
+        s""","floor_excluded":${names.length}""" +
+          s""","floor_excluded_queries":$arr"""
+      } else ""
     if (rated.isEmpty) ""
     else {
       val (k, v, b, r) = rated.maxBy(_._4)

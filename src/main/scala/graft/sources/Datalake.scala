@@ -154,10 +154,14 @@ object Datalake {
   /** Write a version directory WITHOUT the manifest swap — the staging
     * half every commit path shares ([[publish]] follows with the plain
     * swap; the maintenance ops follow with [[commitDerivedToken]]).
+    * Records the version's commit wall-time in `_history/` as part of
+    * staging (before any manifest can point at it), so timestamp time
+    * travel covers every staged version.
     */
   private def stageVersion(df: DataFrame, tableRoot: String,
       version: String, partitionBy: Seq[String],
-      statsCols: Seq[String]): Unit = {
+      statsCols: Seq[String],
+      commitTsMillis: Option[Long] = None): Unit = {
     val dataPath = s"$tableRoot/v=$version"
     val w0 = df.write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
@@ -165,7 +169,92 @@ object Datalake {
       .parquet(dataPath)
     if (statsCols.nonEmpty)
       writeFileStats(df.sparkSession, dataPath, statsCols)
+    recordCommitTs(df.sparkSession, tableRoot, version,
+      commitTsMillis.getOrElse(System.currentTimeMillis()))
   }
+
+  /** [[publish]] with an EXPLICIT commit timestamp — the deterministic
+    * form backfills and replays need (re-publishing day N's snapshot
+    * should time-travel as day N, not as "whenever the backfill ran";
+    * the reference's per-day directory tree — compute_usage.py:15,25 —
+    * is exactly date-addressed reads). [[readAsOf]] resolves against
+    * these timestamps.
+    */
+  def publishAt(df: DataFrame, tableRoot: String, version: String,
+      commitTsMillis: Long, partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Unit = {
+    stageVersion(df, tableRoot, version, partitionBy, statsCols,
+      Some(commitTsMillis))
+    swapManifest(df.sparkSession, tableRoot, s"v=$version")
+  }
+
+  // ==================== timestamp time travel ====================
+  //
+  // `AS OF TIMESTAMP` over the version protocol (r14 verdict #2):
+  // version names address WHAT was published, timestamps address WHEN —
+  // the audit/repro question ("what did the table serve yesterday 09:00")
+  // that numeric time travel can't answer without an external ledger.
+  // Every staged version records its commit wall-time as one tiny
+  // `_history/<version>` file (write-once per version, replay-idempotent
+  // overwrite); resolution reads the catalog-sized history dir, never
+  // data. Same shape as Delta's per-commit timestamp + its documented
+  // caveat: wall-clocks skew across writers, so monotonicity is NOT
+  // guaranteed — the resolution rule below is therefore defined on the
+  // recorded timestamps alone.
+
+  private val HistoryDir = "_history"
+
+  private def recordCommitTs(spark: SparkSession, tableRoot: String,
+      version: String, tsMillis: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, HistoryDir))
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(root, s"$HistoryDir/$version"), true)
+    try out.write(s"$tsMillis\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The RESOLUTION RULE, pinned: the version with the newest recorded
+    * commit timestamp ≤ `tsMillis`; ties (two versions stamped the same
+    * millisecond) break toward the version that sorts NEWEST in
+    * [[listVersions]] order — deterministic regardless of listing order.
+    * None when `tsMillis` predates every recorded commit (Delta throws
+    * there too: "before the earliest version"). Versions published
+    * before this feature existed have no history entry and are invisible
+    * to as-of reads — by-name [[readVersion]] still serves them.
+    */
+  def versionAsOf(spark: SparkSession, tableRoot: String,
+      tsMillis: Long): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(root, HistoryDir)
+    if (!fs.exists(dir)) return None
+    val entries = fs.listStatus(dir).iterator.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val s = try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      if (s.nonEmpty && s.forall(_.isDigit) && s.length <= 18)
+        Some(st.getPath.getName -> s.toLong)
+      else None
+    }.toSeq
+    val eligible = entries.filter(_._2 <= tsMillis)
+    if (eligible.isEmpty) None
+    else Some(eligible.maxBy { case (v, ts) => (ts, versionOrderKey(v)) }._1)
+  }
+
+  /** Read the snapshot the table served AS OF `tsMillis` — the version
+    * [[versionAsOf]] resolves. Fails loudly on a timestamp before the
+    * first recorded commit (returning the empty table would silently
+    * rewrite history).
+    */
+  def readAsOf(spark: SparkSession, tableRoot: String,
+      tsMillis: Long): DataFrame =
+    versionAsOf(spark, tableRoot, tsMillis) match {
+      case Some(v) => readVersion(spark, tableRoot, v)
+      case None => throw new IllegalArgumentException(
+        s"no version of $tableRoot committed at or before $tsMillis — " +
+          "the timestamp predates the table's first recorded commit")
+    }
 
   /** Commit a token DERIVED from a snapshot taken at `seqAtRead` — the
     * maintenance ops' commit step (r14, completing the multi-writer
@@ -706,7 +795,8 @@ object Datalake {
   def mergeInto(spark: SparkSession, tableRoot: String, delta: DataFrame,
       keys: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
-      statsCols: Seq[String] = Nil): String = {
+      statsCols: Seq[String] = Nil,
+      evolveSchema: Boolean = false): String = {
     val fs = new org.apache.hadoop.fs.Path(tableRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     withRootLock(spark, tableRoot) {
@@ -717,7 +807,7 @@ object Datalake {
         val token = manifestToken(spark, tableRoot).getOrElse(
           throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
         val base = readToken(spark, tableRoot, token)
-        val merged = mergeFrames(base, delta, keys, deleteWhen)
+        val merged = mergeFrames(base, delta, keys, deleteWhen, evolveSchema)
         val parts = currentDataPath(spark, tableRoot)
           .map(detectPartitionColumns(spark, _)).getOrElse(Nil)
         val newV = nextNumericVersion(spark, tableRoot,
@@ -749,9 +839,11 @@ object Datalake {
       delta: DataFrame, keys: Seq[String],
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
       maxAttempts: Int = 5, partitionBy: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil): (Long, String) =
+      statsCols: Seq[String] = Nil,
+      evolveSchema: Boolean = false): (Long, String) =
     transact(spark, tableRoot, {
-      case Some(cur) => mergeFrames(cur, delta, keys, deleteWhen)
+      case Some(cur) => mergeFrames(cur, delta, keys, deleteWhen,
+        evolveSchema)
       case None => throw new IllegalStateException(
         s"mergeTransact needs an existing table at $tableRoot")
     }, maxAttempts, partitionBy, statsCols)
@@ -759,21 +851,50 @@ object Datalake {
   /** The ONE definition of the three-arm merge over a base snapshot —
     * shared by the stripe-serialized [[mergeInto]] and the CAS-looped
     * [[mergeTransact]] so the two paths cannot drift semantically.
+    *
+    * `evolveSchema` is Delta's `autoMerge` (r14 verdict #3 — the
+    * production CDC shape: a feed that grows a column today breaks a
+    * strict-schema apply stream): delta columns ABSENT from the base are
+    * appended to the output schema; matched/inserted rows carry the
+    * delta's value, pre-existing unmatched base rows are null-backfilled.
+    * With it OFF (default), extra delta columns stay what they always
+    * were — op markers visible to `deleteWhen`, dropped from the result —
+    * so an evolving caller must first drop any marker column it does not
+    * want absorbed into the table.
     */
   private def mergeFrames(base: DataFrame, delta: DataFrame,
       keys: Seq[String],
-      deleteWhen: Option[org.apache.spark.sql.Column]): DataFrame = {
+      deleteWhen: Option[org.apache.spark.sql.Column],
+      evolveSchema: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val dataCols = base.columns.filterNot(keys.contains).toSeq
     val missing = (keys ++ dataCols).filterNot(delta.columns.contains)
     require(missing.isEmpty,
       s"delta is missing merge columns: ${missing.mkString(", ")}")
+    val newCols =
+      if (evolveSchema) delta.columns.filterNot(base.columns.contains).toSeq
+      else Nil
     // ANSI MERGE cardinality: a target row matched by MORE THAN ONE
     // delta row is an error (Delta throws the same way) — the full-outer
     // join would otherwise silently DUPLICATE the base row, one copy per
     // matching delta row, and the table grows on every merge. One cheap
     // aggregate over the (small, build-side) delta; keyed, so at scale
     // it is one pass over the feed, not the table.
+    // NULL merge keys are rejected up front: a NULL-key delta row passes
+    // the cardinality check (its group is its own), matches nothing in
+    // the full-outer join (NULL never equi-joins), and deltaPresent reads
+    // false for it — the select would emit an all-NULL ghost row into the
+    // committed table while silently dropping the delta row's values
+    // (r14 review). ANSI MERGE sources with NULL keys are a caller bug;
+    // fail loudly. Same single pass as the cardinality check below.
+    val nullKey = delta
+      .filter(keys.map(k => col(k).isNull).reduce(_ || _))
+      .limit(1).collect()
+    if (nullKey.nonEmpty)
+      throw new IllegalArgumentException(
+        s"mergeInto: delta has a row with a NULL merge key " +
+          s"(${keys.mkString(", ")}) — NULL keys can never match a " +
+          "target row and would corrupt the merge output")
     val dup = delta.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
       .limit(1).collect()
@@ -798,7 +919,12 @@ object Datalake {
           coalesce(col(s"mrg_d.$k"), col(s"mrg_b.$k")).as(k)) ++
           dataCols.map(c =>
             when(deltaPresent, col(s"mrg_d.$c"))
-              .otherwise(col(s"mrg_b.$c")).as(c)): _*)
+              .otherwise(col(s"mrg_b.$c")).as(c)) ++
+          // evolved columns: delta's value where the delta row exists,
+          // NULL backfill for pre-existing base rows (the when's
+          // otherwise-NULL keeps the delta column's type)
+          newCols.map(c =>
+            when(deltaPresent, col(s"mrg_d.$c")).as(c)): _*)
   }
 
   /** DELETE WHERE as a deletion-vector commit: positions of the base
@@ -927,19 +1053,108 @@ object Datalake {
       seq: Long): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(root, f"$CommitDir/$seq%020d")
 
-  /** Sequence number of the newest commit record under `tableRoot`, 0 when
-    * the table has never been CAS-published. One catalog-sized listing.
+  /** `_commits/_last_checkpoint` — the O(1) resolution pointer (r14
+    * verdict #1, the Delta `_last_checkpoint` shape): without it every
+    * read/claim/transact full-lists `_commits/`, and on a long-lived
+    * multi-writer table that listing IS the per-operation liveness cost
+    * (half a million records a year at one commit a minute). The file
+    * holds one ASCII sequence number S with the invariant **S ≤ latest
+    * and records S+1..latest all exist** — claims only ever create
+    * latest+1 (density above any committed record), writers roll the
+    * pointer forward every [[CheckpointInterval]] commits, and
+    * [[vacuumCommits]] raises it to its cutoff BEFORE deleting anything
+    * (so a sweep can never hollow out the probe range; a vacuum crash
+    * between pointer-raise and deletes leaves extra records, never
+    * missing ones). Resolution then PROBES S+1, S+2, … by existence —
+    * O(commits since last checkpoint) point lookups instead of O(live
+    * records) listing. The pointer is advisory: corrupt/absent falls
+    * back to the full listing, and a stale pointer only lengthens the
+    * probe.
     */
-  def latestCommitSeq(spark: SparkSession, tableRoot: String): Long = {
+  private val CheckpointFile = s"$CommitDir/_last_checkpoint"
+  private[graft] val CheckpointInterval = 10L
+
+  private def readCheckpointSeq(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root, CheckpointFile)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try new String(in.readAllBytes(), "UTF-8").trim
+          finally in.close()
+        if (s.nonEmpty && s.forall(_.isDigit) && s.length <= 18)
+          Some(s.toLong)
+        else None
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Roll the checkpoint pointer forward to `seq` (never backward — a
+    * lagging writer must not regress another's advance; regression would
+    * only cost probe length, but monotonicity keeps the invariant
+    * auditable). Atomic tmp+rename, same discipline as the manifest.
+    * Failures are swallowed: the pointer is a performance artifact, a
+    * commit must never fail because its checkpoint roll did.
+    */
+  private def advanceCheckpoint(spark: SparkSession, tableRoot: String,
+      seq: Long): Unit = try {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(conf)
+    withRootLock(spark, tableRoot) {
+      if (readCheckpointSeq(fs, root).forall(_ < seq)) {
+        val tmp = new org.apache.hadoop.fs.Path(root,
+          s"$CommitDir/._ckpt.${java.util.UUID.randomUUID().toString}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(s"$seq\n".getBytes("UTF-8")) finally out.close()
+        org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+          .rename(tmp, new org.apache.hadoop.fs.Path(root, CheckpointFile),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    }
+  } catch { case _: java.io.IOException => () }
+
+  /** Sequence number of the newest commit record under `tableRoot`, 0 when
+    * the table has never been CAS-published. With a checkpoint pointer:
+    * O(tail) existence probes; without: one catalog-sized listing.
+    */
+  def latestCommitSeq(spark: SparkSession, tableRoot: String): Long =
+    commitResolution(spark, tableRoot)._1
+
+  /** [[latestCommitSeq]] with its COST made observable:
+    * (latest, records examined, used checkpoint) — the evidence triple
+    * q_commit_checkpoint pins (probe length vs live-record listing).
+    */
+  def commitResolution(spark: SparkSession,
+      tableRoot: String): (Long, Long, Boolean) = {
     val root = new org.apache.hadoop.fs.Path(tableRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(root, CommitDir)
-    if (!fs.exists(dir)) 0L
-    else fs.listStatus(dir).iterator
-      .map(_.getPath.getName)
-      .filter(n => n.nonEmpty && n.forall(_.isDigit))
-      .map(_.toLong)
-      .foldLeft(0L)(math.max)
+    if (!fs.exists(dir)) return (0L, 0L, false)
+    readCheckpointSeq(fs, root) match {
+      case Some(ck) =>
+        var cur = ck
+        var examined = 0L
+        var done = false
+        while (!done) {
+          var c = cur
+          while (fs.exists(commitFile(root, c + 1))) { c += 1; examined += 1 }
+          // a concurrent vacuum may have raised the pointer and swept the
+          // range we just probed through — re-read; a pointer ahead of
+          // our probe end means exactly that, so re-probe from it
+          // (vacuum raises BEFORE deleting, so the new base is dense)
+          val ck2 = readCheckpointSeq(fs, root).getOrElse(c)
+          if (ck2 > c) cur = ck2 else { cur = c; done = true }
+        }
+        (cur, examined + 1L, true) // +1: the pointer read itself
+      case None =>
+        val names = fs.listStatus(dir).iterator
+          .map(_.getPath.getName)
+          .filter(n => n.nonEmpty && n.forall(_.isDigit))
+          .map(_.toLong).toSeq
+        (names.foldLeft(0L)(math.max), names.length.toLong, false)
+    }
   }
 
   /** The token recorded by commit `seq`, if that record exists. */
@@ -985,8 +1200,8 @@ object Datalake {
     * (claim lost) when the record already exists — the rename-without-
     * overwrite refusal IS the race arbiter.
     */
-  private def claimCommit(spark: SparkSession, tableRoot: String, seq: Long,
-      token: String): Boolean = {
+  private[graft] def claimCommit(spark: SparkSession, tableRoot: String,
+      seq: Long, token: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(tableRoot)
     val fs = root.getFileSystem(conf)
@@ -1010,6 +1225,10 @@ object Datalake {
         } catch { case _: java.io.IOException => false }
     }
     if (!won) { try { fs.delete(tmp, false); () } catch { case _: Throwable => () } }
+    // roll the resolution checkpoint every CheckpointInterval commits —
+    // on the winner's dime, amortized (one tiny PUT per interval)
+    if (won && seq % CheckpointInterval == 0L)
+      advanceCheckpoint(spark, tableRoot, seq)
     won
   }
 
@@ -1092,6 +1311,7 @@ object Datalake {
     (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
       .parquet(dataPath)
     if (statsCols.nonEmpty) writeFileStats(spark, dataPath, statsCols)
+    recordCommitTs(spark, tableRoot, version, System.currentTimeMillis())
     if (!claimCommit(spark, tableRoot, nextSeq, s"v=$version")) {
       try { fs.delete(new org.apache.hadoop.fs.Path(dataPath), true); () }
       catch { case _: Throwable => () }
@@ -1126,7 +1346,29 @@ object Datalake {
     * replay check scans the log once — O(epochs committed), driver-side,
     * catalog-sized (a production deployment caches the epoch→seq map in
     * the checkpoint; the protocol stays this).
+    *
+    * Epochs live in their OWN version namespace: the staged dir and
+    * token are `v=e<epoch>`, never the bare epoch number (r14 review,
+    * high). With bare numerals the namespace collided with the
+    * maintenance ops' [[nextNumericVersion]]: an OPTIMIZE on a table
+    * whose versions are "0","1",… commits `v=N` where N is exactly the
+    * stream's next batchId — the next epoch then Overwrite-stages that
+    * SAME dir (destroying the committed maintenance version's data) and
+    * the replay scan finds the maintenance record and returns it as if
+    * the epoch were already committed, so the epoch's rows never land.
+    * `e<digits>` is unreachable by every other committer: numeric
+    * successors are all-digit, maintenance fallbacks are
+    * `<cur><suffix>` with non-empty suffixes, CAS publishes are
+    * `c<seq>-<uuid>`, clones are `ref=`/`dv=` — so a log record holding
+    * this token can only have been written by an epoch publisher, which
+    * is exactly what the replay scan needs to verify.
     */
+  /** Test seam for the cross-process same-epoch race (see the hook call
+    * site in [[publishEpochCas]]); (token, scannedTo) at invocation.
+    */
+  private[graft] var epochClaimRaceHook: Option[(String, Long) => Unit] =
+    None
+
   def publishEpochCas(df: DataFrame, tableRoot: String, epoch: String,
       partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
       maxAttempts: Int = 10): Long = {
@@ -1134,36 +1376,66 @@ object Datalake {
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(tableRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val token = s"v=$epoch"
+    val token = s"v=e$epoch"
     // stage the epoch dir (Overwrite IS the replay contract: same epoch →
     // same dir, identical content)
-    val dataPath = s"$tableRoot/v=$epoch"
+    val dataPath = s"$tableRoot/v=e$epoch"
     val w0 = df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
     (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
       .parquet(dataPath)
     if (statsCols.nonEmpty) writeFileStats(spark, dataPath, statsCols)
+    recordCommitTs(spark, tableRoot, s"e$epoch", System.currentTimeMillis())
     withRootLock(spark, tableRoot) {
-      val latest = latestCommitSeq(spark, tableRoot)
-      val replayed = (1L to latest)
-        .find(s => commitTokenAt(fs, root, s).contains(token))
-      replayed match {
+      // the replay scan and every re-scan below look only at records NOT
+      // yet examined; scannedTo tracks the high-water mark
+      def findToken(from: Long, to: Long): Option[Long] =
+        (from to to).find(s => commitTokenAt(fs, root, s).contains(token))
+      var scannedTo = latestCommitSeq(spark, tableRoot)
+      findToken(1L, scannedTo) match {
         case Some(seq) =>
           // crash replay: the epoch already owns a record — re-sync only
           // (a newer writer's manifest must not be regressed)
           syncManifestIfNewest(spark, tableRoot, seq, token)
           seq
         case None =>
+          // test hook ONLY (FileStreamSpec zombie-replay pin): runs after
+          // the replay scan and before the first claim — the window where
+          // a restarted driver's twin can land this same epoch's token
+          // from another process, an interleaving the per-root stripe
+          // makes unreachable in-process.
+          epochClaimRaceHook.foreach(h => h(token, scannedTo))
           var attempt = 0
           while (attempt < maxAttempts) {
             attempt += 1
-            val seq = latestCommitSeq(spark, tableRoot) + 1
+            val latest = latestCommitSeq(spark, tableRoot)
+            // a LOST claim may have lost to a replay of THIS epoch from
+            // another process (restarted driver racing a zombie — the
+            // at-least-once fencing hazard, r14 review medium): before
+            // claiming again, check every record committed since the
+            // last scan; if one holds this epoch's token, that commit IS
+            // this epoch — claiming a fresh sequence would commit it
+            // twice and fork the exactly-once version history.
+            findToken(scannedTo + 1L, latest) match {
+              case Some(seq) =>
+                syncManifestIfNewest(spark, tableRoot, seq, token)
+                return seq
+              case None => scannedTo = latest
+            }
+            val seq = latest + 1
             if (claimCommit(spark, tableRoot, seq, token)) {
               syncManifestIfNewest(spark, tableRoot, seq, token)
               return seq
             }
           }
-          throw new ConcurrentCommitException(
-            s"epoch $epoch at $tableRoot lost $maxAttempts claim races")
+          // final re-scan: the last lost claim may itself have been a
+          // same-epoch zombie landing
+          findToken(scannedTo + 1L, latestCommitSeq(spark, tableRoot)) match {
+            case Some(seq) =>
+              syncManifestIfNewest(spark, tableRoot, seq, token)
+              seq
+            case None => throw new ConcurrentCommitException(
+              s"epoch $epoch at $tableRoot lost $maxAttempts claim races")
+          }
       }
     }
   }
@@ -1332,11 +1604,17 @@ object Datalake {
     else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .map(_.getPath.getName.stripPrefix("v="))
-      .sortBy(v =>
-        (if (v.nonEmpty && v.forall(_.isDigit) && v.length <= 18) 0 else 1,
-          if (v.nonEmpty && v.forall(_.isDigit) && v.length <= 18) v.toLong
-          else 0L, v))
+      .sortBy(versionOrderKey)
   }
+
+  /** The ONE version ordering — [[listVersions]]'s sort key and
+    * [[versionAsOf]]'s tie-break: numeric versions numerically first,
+    * then everything else lexicographically.
+    */
+  private def versionOrderKey(v: String): (Int, Long, String) =
+    (if (v.nonEmpty && v.forall(_.isDigit) && v.length <= 18) 0 else 1,
+      if (v.nonEmpty && v.forall(_.isDigit) && v.length <= 18) v.toLong
+      else 0L, v)
 
   /** VACUUM — version retention for the manifest protocol: delete every
     * published version directory except the newest `keepLast` and —
@@ -1362,6 +1640,13 @@ object Datalake {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     drop.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
+      // retire the version's timestamp-history entry with it: a stale
+      // entry would make versionAsOf resolve to a dir that no longer
+      // exists (as-of reads on expired history should fail on
+      // RESOLUTION, not on a missing path mid-scan)
+      try { fs.delete(
+        new org.apache.hadoop.fs.Path(root, s"$HistoryDir/$v"), false); () }
+      catch { case _: java.io.IOException => () }
     }
     // deletion-vector dirs are commit-level state: only the CURRENT
     // manifest token can reference one (each delete writes a fresh merged
@@ -1392,9 +1677,11 @@ object Datalake {
     * `keepLast`. Safe by the protocol's own contracts: claim arbitration
     * only ever CREATES the next record (existence of old ones is
     * irrelevant), [[latestCommitSeq]] is a max over whatever remains,
-    * [[repairManifest]]'s issued-token check and [[publishEpochCas]]'s
-    * replay scan both tolerate missing records, and [[transact]] reads
-    * the NEWEST record only. Epoch-replay caveat, stated precisely: an
+    * [[publishEpochCas]]'s replay scan tolerates missing records, and
+    * [[transact]] reads the NEWEST record only. [[repairManifest]]'s
+    * issued-token proof needs the record that issued the CURRENT
+    * manifest token to survive — vacuum pins the cutoff below that
+    * record, so a crashed-writer stale manifest stays repairable. Epoch-replay caveat, stated precisely: an
     * EXPIRED epoch that replayed would re-claim a fresh sequence and
     * re-point the manifest at its (old) content — but the streaming
     * checkpoint only ever replays the newest uncommitted batch, so keep
@@ -1412,18 +1699,38 @@ object Datalake {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withRootLock(spark, tableRoot) {
       val latest = latestCommitSeq(spark, tableRoot)
-      val cutoff = latest - keepLast
+      var cutoff = latest - keepLast
+      // never sweep the record that ISSUED the current manifest token
+      // (r14 review): a writer that crashed between claim and sync leaves
+      // the manifest at an older commit's token, and repairManifest's
+      // issued-token proof scans surviving records only — sweeping the
+      // issuer would make the stale manifest indistinguishable from a
+      // plain-publish token and strand the table unrepairable forever.
+      // One O(retention-window) token read pass, maintenance-op cost.
+      if (cutoff > 0L) manifestToken(spark, tableRoot).foreach { mt =>
+        val issuer = (latest to 1L by -1L)
+          .find(s => commitTokenAt(fs, root, s).contains(mt))
+        issuer.foreach(s => cutoff = math.min(cutoff, s - 1L))
+      }
       if (cutoff <= 0L) 0
       else {
         val dir = new org.apache.hadoop.fs.Path(root, CommitDir)
         if (!fs.exists(dir)) 0
-        else fs.listStatus(dir).iterator
-          .map(_.getPath)
-          .filter { p =>
-            val n = p.getName
-            n.nonEmpty && n.forall(_.isDigit) && n.toLong <= cutoff
-          }
-          .count { p => fs.delete(p, false) }
+        else {
+          // raise the resolution checkpoint to the cutoff BEFORE deleting:
+          // the probe invariant is "records pointer+1..latest all exist",
+          // and sweeping below a stale pointer would hollow out a
+          // concurrent prober's range (a crash after this raise leaves
+          // extra records — harmless)
+          advanceCheckpoint(spark, tableRoot, cutoff)
+          fs.listStatus(dir).iterator
+            .map(_.getPath)
+            .filter { p =>
+              val n = p.getName
+              n.nonEmpty && n.forall(_.isDigit) && n.toLong <= cutoff
+            }
+            .count { p => fs.delete(p, false) }
+        }
       }
     }
   }

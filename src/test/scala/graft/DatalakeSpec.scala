@@ -796,6 +796,60 @@ class DatalakeSpec extends SparkSpecBase {
     assert(Datalake.currentVersion(spark, root) === Some("1"))
   }
 
+  test("mergeInto refuses a delta row with a NULL merge key") {
+    // r14 review (low): a NULL-key delta row passed the cardinality
+    // check, matched nothing in the full-outer join, and the select
+    // emitted an all-NULL ghost row while silently dropping the delta's
+    // values. The merge now fails loudly up front.
+    import org.apache.spark.sql.functions.col
+    val root = s"${Files.createTempDirectory("graft-mergenull")}/t"
+    Datalake.publish(
+      spark.range(0, 10).select(col("id"), (col("id") * 2).as("v")).toDF(),
+      root, "1")
+    val bad = Seq[(java.lang.Long, Long)]((null, -1L), (2L, -5L))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Datalake.mergeInto(spark, root, bad, Seq("id"))
+    }
+    assert(e.getMessage.contains("NULL merge key"),
+      s"wrong error: ${e.getMessage}")
+    assert(Datalake.readPublished(spark, root).count() === 10)
+    assert(Datalake.currentVersion(spark, root) === Some("1"))
+    // a clean delta on the same table still merges
+    Datalake.mergeInto(spark, root, Seq((2L, -5L)).toDF("id", "v"),
+      Seq("id"))
+    assert(Datalake.readPublished(spark, root)
+      .filter(col("id") === 2L).head.getLong(1) === -5L)
+  }
+
+  test("vacuumCommits never sweeps the issuer of the current manifest token") {
+    // r14 review (low): a writer that crashed between claiming its
+    // commit and syncing the manifest leaves the manifest at an OLDER
+    // commit's token; repairManifest proves that token log-issued by
+    // scanning surviving records — so retention must keep the issuing
+    // record or the table is stranded unrepairable forever.
+    val root = s"${Files.createTempDirectory("graft-vacstrand")}/t"
+    Datalake.transact(spark, root, {
+      case None => Seq(1L).toDF("id")
+      case Some(_) => fail("fresh table")
+    }) // seq 1; manifest = seq 1's token
+    // the crashed writer: claims seq 2, dies before the manifest sync
+    spark.range(100, 105).toDF("id").write
+      .parquet(s"$root/v=crashed")
+    assert(Datalake.claimCommit(spark, root, 2L, "v=crashed"))
+    assert(Datalake.latestCommitSeq(spark, root) === 2L)
+    // retention that would (pre-fix) sweep record 1 — the issuer of the
+    // manifest's current (stale) token — must sweep nothing
+    assert(Datalake.vacuumCommits(spark, root, keepLast = 1) === 0,
+      "the current manifest token's issuing record was swept")
+    // repair can still prove the stale token log-issued, and heals
+    Datalake.repairManifest(spark, root)
+    assert(Datalake.currentVersion(spark, root) === Some("crashed"))
+    assert(Datalake.readPublished(spark, root).count() === 5)
+    // once healed, the old record is sweepable again
+    assert(Datalake.vacuumCommits(spark, root, keepLast = 1) === 1)
+  }
+
   test("delete commits ride the CAS log: a stale claim loses, rolls back, and no positions are lost") {
     import org.apache.spark.sql.functions.col
     val root = s"${Files.createTempDirectory("graft-dvcas")}/t"

@@ -61,10 +61,10 @@ class FileStreamSpec extends SparkSpecBase {
     val q = DatalakeStreams.runPublishingBackfill(raw, fmt, table, ckpt)
     try { q.awaitTermination() } finally q.stop()
     // one published, immutable version per micro-batch epoch
-    assert(Datalake.listVersions(spark, table) === Seq("0", "1"))
-    assert(Datalake.currentVersion(spark, table) === Some("1"))
+    assert(Datalake.listVersions(spark, table) === Seq("e0", "e1"))
+    assert(Datalake.currentVersion(spark, table) === Some("e1"))
     // epoch 0 time-travels to the FIRST increment's usage alone
-    val v0 = spark.read.parquet(s"$table/v=0")
+    val v0 = spark.read.parquet(s"$table/v=e0")
       .agg(sum("n_events")).head.getLong(0)
     val even = graft.queries.DatalakeQueries.usageStats(
         graft.queries.DatalakeQueries.dedupKeepLast(
@@ -115,24 +115,79 @@ class FileStreamSpec extends SparkSpecBase {
     src.filter(col("event_id") % 2 =!= 0).coalesce(1).write.json(s"$rawDir/d2")
     drain() // epoch 1 → claims commit 3
     assert(Datalake.latestCommitSeq(spark, table) === 3L)
-    assert(Datalake.currentVersion(spark, table) === Some("1"),
+    assert(Datalake.currentVersion(spark, table) === Some("e1"),
       "stream epoch 1 is the newest committer")
     // NO LOST VERSION: every committed version dir still exists
     val versions = Datalake.listVersions(spark, table).toSet
-    assert(Set("0", "1", bVer).subsetOf(versions),
+    assert(Set("e0", "e1", bVer).subsetOf(versions),
       s"a committed version vanished: $versions")
     // crash-replay idempotence: re-publishing an epoch re-syncs its
     // EXISTING record — no new commit, manifest unregressed
     // localCheckpoint: the replay OVERWRITES the dir it was read from —
     // a lazy self-read would race its own rewrite
-    val usage1 = Datalake.readVersion(spark, table, "1").localCheckpoint()
+    val usage1 = Datalake.readVersion(spark, table, "e1").localCheckpoint()
     assert(Datalake.publishEpochCas(usage1, table, "1") === 3L)
     assert(Datalake.latestCommitSeq(spark, table) === 3L,
       "a replayed epoch must not commit twice")
-    val usage0 = Datalake.readVersion(spark, table, "0").localCheckpoint()
+    val usage0 = Datalake.readVersion(spark, table, "e0").localCheckpoint()
     assert(Datalake.publishEpochCas(usage0, table, "0") === 1L)
-    assert(Datalake.currentVersion(spark, table) === Some("1"),
+    assert(Datalake.currentVersion(spark, table) === Some("e1"),
       "a replayed OLD epoch regressed the manifest")
+  }
+
+  test("epoch versions are namespace-disjoint from maintenance versions") {
+    // r14 review (high): epochs used bare batchIds as version names, so
+    // OPTIMIZE's nextNumericVersion on an epoch table committed v=N where
+    // N was exactly the next batchId — the next epoch then overwrote the
+    // committed maintenance dir AND mistook its record for a replay of
+    // itself. Epochs now stage/commit v=e<epoch>, unreachable by every
+    // other committer.
+    import graft.sources.Datalake
+    val root = java.nio.file.Files.createTempDirectory("graft-ens")
+    val table = s"$root/t"
+    def df(tag: String) = spark.range(3).selectExpr(s"'$tag' AS tag", "id")
+    assert(Datalake.publishEpochCas(df("e0"), table, "0") === 1L)
+    assert(Datalake.publishEpochCas(df("e1"), table, "1") === 2L)
+    // maintenance between epochs — the r14 collision trigger
+    val mv = Datalake.optimize(spark, table, nFiles = 1)
+    assert(Datalake.latestCommitSeq(spark, table) === 3L)
+    assert(mv !== "e2", "maintenance must not mint the next epoch's name")
+    // the next epoch must commit NEW (seq 4), not mistake the maintenance
+    // record for its own replay, and must not touch the maintenance dir
+    assert(Datalake.publishEpochCas(df("e2"), table, "2") === 4L)
+    assert(Datalake.currentVersion(spark, table) === Some("e2"))
+    assert(Datalake.readPublished(spark, table)
+      .select("tag").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("e2"), "epoch 2's rows must actually land")
+    // the committed maintenance version's data survived the epoch
+    assert(Datalake.readVersion(spark, table, mv)
+      .select("tag").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("e1"), s"maintenance version $mv was clobbered")
+  }
+
+  test("a lost epoch claim to a zombie replay of the SAME epoch re-syncs, never double-commits") {
+    // r14 review (medium): restarted driver racing a zombie — both pass
+    // the replay scan, and the loser must recognize the winner's record
+    // as THIS epoch instead of claiming a fresh sequence (which would
+    // commit the epoch twice and fork the exactly-once version history).
+    import graft.sources.Datalake
+    val root = java.nio.file.Files.createTempDirectory("graft-ezr")
+    val table = s"$root/t"
+    def df(tag: String) = spark.range(3).selectExpr(s"'$tag' AS tag", "id")
+    assert(Datalake.publishEpochCas(df("e0"), table, "0") === 1L)
+    // the zombie lands this epoch's token between our replay scan and
+    // our first claim (cross-process window the stripe can't close)
+    Datalake.epochClaimRaceHook = Some { (token, scannedTo) =>
+      assert(Datalake.claimCommit(spark, table, scannedTo + 1L, token),
+        "test zombie failed to claim")
+    }
+    try {
+      assert(Datalake.publishEpochCas(df("e1"), table, "1") === 2L,
+        "loser must adopt the zombie's commit as its own epoch")
+    } finally Datalake.epochClaimRaceHook = None
+    assert(Datalake.latestCommitSeq(spark, table) === 2L,
+      "the same epoch committed twice")
+    assert(Datalake.currentVersion(spark, table) === Some("e1"))
   }
 
   test("file-source stream of events matches the batch windowed aggregation") {
