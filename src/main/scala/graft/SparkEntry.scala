@@ -134,6 +134,9 @@ object SparkEntry {
     "q_cooccurrence" -> (Relational.qCooccurrence _),
     "q_source_entropy" -> (TextQueries.qSourceEntropy _),
     "q_time_travel" -> (DatalakeQueries.qTimeTravel _),
+    "q_time_travel_ts" -> (DatalakeQueries.qTimeTravelTs _),
+    "q_commit_checkpoint" -> (DatalakeQueries.qCommitCheckpoint _),
+    "q_merge_evolve" -> (DatalakeQueries.qMergeEvolve _),
     "q_vacuum" -> (DatalakeQueries.qVacuum _),
     "q_deletion_vectors" -> (DatalakeQueries.qDeletionVectors _),
     "q_partition_overwrite" -> (DatalakeQueries.qPartitionOverwrite _),
@@ -159,6 +162,8 @@ object SparkEntry {
     "q_stream_clusters" -> (StreamQueries.qStreamClusters _),
     "q_bucketed_join" -> (LayoutQueries.qBucketedJoin _),
     "q_orc_roundtrip" -> (LayoutQueries.qOrcRoundtrip _),
+    "q_avro_roundtrip" -> (LayoutQueries.qAvroRoundtrip _),
+    "q_export_schema" -> (Relational.qExportSchema _),
     "q_audio_features" -> (TextQueries.qAudioFeatures _),
     "q_image_thumbnail" -> (TextQueries.qImageThumbnail _),
     "q_source_quota" -> (CorpusQueries.qSourceQuota _),
@@ -171,6 +176,7 @@ object SparkEntry {
     "q_optimize_hilbert" -> (LayoutQueries.qOptimizeHilbert _),
     "q_optimize" -> (DatalakeQueries.qOptimize _),
     "q_stream_publish" -> (StreamQueries.qStreamPublish _),
+    "q_stream_change_feed" -> (StreamQueries.qStreamChangeFeed _),
     "q_ann_opq" -> (SimilarityQueries.qAnnOpq _),
     "q_ann_ivf_pca" -> (SimilarityQueries.qAnnIvfPca _),
     "q_hybrid_search" -> (TextQueries.qHybridSearch _),
@@ -1805,6 +1811,29 @@ object SparkEntry {
         |FROM lineitem WHERE l_quantity > 25
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // export mapping sidecar: one row per typed field (geo struct →
+    // geo_point, date → date, array<string> → keyword, numerics split
+    // long/double) + n_docs re-counted from the exported JSONL
+    "q_export_schema" ->
+      """WITH n AS (SELECT COUNT(*) AS n_docs
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT field, es_type, n_docs FROM (VALUES
+        |    ('doc_id', 'keyword'), ('o_orderkey', 'long'),
+        |    ('c_name', 'keyword'), ('o_totalprice', 'double'),
+        |    ('created', 'date'), ('location', 'geo_point'),
+        |    ('tags', 'keyword')) AS t(field, es_type)
+        |CROSS JOIN n
+        |ORDER BY field""".stripMargin,
+    // Avro bridge must be format-invisible; last_ship pins the
+    // date logical-type round-trip value-exactly
+    "q_avro_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  MAX(CAST(l_shipdate AS DATE)) AS last_ship
+        |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_salted_join" ->
       """WITH stats AS (SELECT event_type,
         |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*) AS type_avg
@@ -2358,6 +2387,92 @@ object SparkEntry {
         |  CAST(SUM(CAST(new_price AS DECIMAL(18,2))) AS DOUBLE) AS sum_new
         |FROM d WHERE status <> 'unchanged'
         |GROUP BY status ORDER BY status""".stripMargin,
+    // lake-as-stream: the initial snapshot arrives as inserts
+    // (_from_version 'initial'), then the e1→e2 feed — q_change_feed's
+    // oracle join relabeled to the epoch version names
+    "q_stream_change_feed" ->
+      """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders
+        |    WHERE o_orderkey % 7 <> 0),
+        |nu AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5.0
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+        |    o.o_orderkey AS ko, n.o_orderkey AS kn,
+        |    o.o_totalprice AS po, n.o_totalprice AS pn
+        |  FROM old o FULL OUTER JOIN nu n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+        |    'initial' AS _from_version, 'e1' AS _to_version
+        |  FROM old
+        |UNION ALL SELECT k, pn, 'insert', 'e1', 'e2' FROM j
+        |  WHERE ko IS NULL
+        |UNION ALL SELECT k, po, 'delete', 'e1', 'e2' FROM j
+        |  WHERE kn IS NULL
+        |UNION ALL SELECT k, po, 'update_preimage', 'e1', 'e2' FROM j
+        |  WHERE ko IS NOT NULL AND kn IS NOT NULL
+        |    AND po IS DISTINCT FROM pn
+        |UNION ALL SELECT k, pn, 'update_postimage', 'e1', 'e2' FROM j
+        |  WHERE ko IS NOT NULL AND kn IS NOT NULL
+        |    AND po IS DISTINCT FROM pn""".stripMargin,
+    // AS OF TIMESTAMP: the oracle replays the resolution rule's four
+    // cases directly (between / exactly-on / between / after) — a wrong
+    // ≤-boundary or version mix-up changes resolved_version AND the mass
+    "q_time_travel_ts" ->
+      """WITH v1 AS (SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |v2 AS (SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(CASE WHEN o_orderkey % 3 = 0
+        |        THEN o_totalprice + 5.0 ELSE o_totalprice END
+        |      AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |v3 AS (SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT CAST(1500 AS BIGINT) AS probe_ts, '1' AS resolved_version,
+        |  n_rows, sum_price FROM v1
+        |UNION ALL SELECT CAST(2000 AS BIGINT), '2', n_rows, sum_price
+        |  FROM v2
+        |UNION ALL SELECT CAST(2500 AS BIGINT), '2', n_rows, sum_price
+        |  FROM v2
+        |UNION ALL SELECT CAST(9000 AS BIGINT), '3', n_rows, sum_price
+        |  FROM v3
+        |ORDER BY probe_ts""".stripMargin,
+    // commit-log checkpoint: 12 appends (pointer rolled at 10) → probe
+    // resolution examines 3 (2 probes + the pointer read), never the 12
+    // live records; the mass re-proves the resolved state is unchanged
+    "q_commit_checkpoint" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(12 AS BIGINT) AS latest_seq,
+        |  CAST(12 AS BIGINT) AS records_live,
+        |  CAST(3 AS BIGINT) AS n_examined,
+        |  CAST(1 AS BIGINT) AS used_checkpoint
+        |FROM orders""".stripMargin,
+    // evolving MERGE: the delta's NEW column (o_orderpriority) appends to
+    // the schema — delta rows carry it, pre-existing base rows
+    // null-backfill ('kept'); the FULL OUTER JOIN form with the added
+    // column is the oracle
+    "q_merge_evolve" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |delta AS (SELECT o_orderkey, o_totalprice + 10.0 AS d_price,
+        |    o_orderpriority AS d_prio
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(delta.o_orderkey, base.o_orderkey) AS o_orderkey,
+        |  CASE WHEN delta.o_orderkey IS NOT NULL THEN d_price
+        |    ELSE base.o_totalprice END AS o_totalprice,
+        |  d_prio AS o_orderpriority,
+        |  CASE WHEN d_prio IS NULL THEN 'kept'
+        |    WHEN COALESCE(delta.o_orderkey, base.o_orderkey) % 3 = 0
+        |      THEN 'inserted'
+        |    ELSE 'updated' END AS action
+        |FROM base FULL OUTER JOIN delta
+        |  ON base.o_orderkey = delta.o_orderkey""".stripMargin,
     // image aHash replay in byte arithmetic: pixel (r,c) of the 32-wide
     // pad-0 gray image IS byte r*32+c, samples at the 8×8 cell centers,
     // bit = v*64 >= Σv (ties set), chunk keys + bit-list hamming exactly

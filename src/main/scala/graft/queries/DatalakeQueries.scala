@@ -1165,4 +1165,119 @@ object DatalakeQueries {
     atClone.unionByName(after).unionByName(srcAfter)
       .orderBy(col("snapshot"))
   }
+
+  /** COMMIT-LOG CHECKPOINT (round 15 — r14 verdict #1, the Delta
+    * `_last_checkpoint` shape): twelve transactional appends build the
+    * table (records 1..12; the claim at sequence 10 rolls the pointer),
+    * then resolution is measured — with the pointer it PROBES records
+    * 11 and 12 by existence (`n_examined` = 2 probes + 1 pointer read
+    * = 3) instead of listing all 12 live records (`records_live`). The
+    * aggregate over `readPublished` re-proves the pointer changed only
+    * the resolution COST, never the resolved state: a wrong probe base
+    * or an off-by-one at the tail resolves a stale snapshot and
+    * hash-fails the row mass.
+    *
+    * Scale: this is the 100 TB liveness fix — a long-lived multi-writer
+    * table pays O(commits-since-checkpoint) point lookups per
+    * read/claim/transact instead of O(live records) directory listing
+    * (half a million records a year at one commit a minute).
+    */
+  def qCommitCheckpoint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val root = tempLakeRoot() + "/orders_ckpt"
+    (0 until 12).foreach { i =>
+      Datalake.transact(spark, root, {
+        case Some(cur) => cur.unionByName(
+          o.filter(col("o_orderkey") % 12 === i))
+        case None => o.filter(col("o_orderkey") % 12 === i)
+      })
+    }
+    val live = Datalake.commitLogSize(spark, root)
+    val (latest, examined, usedCk) = Datalake.commitResolution(spark, root)
+    Datalake.readPublished(spark, root)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_distinct"),
+        decSum2(col("o_totalprice")).cast("double").as("sum_price"))
+      .withColumn("latest_seq", lit(latest))
+      .withColumn("records_live", lit(live))
+      .withColumn("n_examined", lit(examined))
+      .withColumn("used_checkpoint", lit(if (usedCk) 1L else 0L))
+  }
+
+  /** TIMESTAMP TIME TRAVEL (round 15 — r14 verdict #2): three snapshots
+    * published with EXPLICIT commit timestamps (1000/2000/3000 — the
+    * deterministic backfill form; the reference's per-day dirs,
+    * compute_usage.py:15,25, are exactly date-addressed reads), then
+    * four AS OF probes spanning the resolution rule's cases: strictly
+    * between commits (1500 → v1), exactly ON a commit (2000 → v2, the ≤
+    * boundary), between again (2500 → v2), and after everything
+    * (9000 → v3). Each probe emits the resolved version name plus the
+    * snapshot's row mass — a wrong resolution (off-boundary, wrong tie
+    * direction, history/version mix-up) changes `resolved_version` AND
+    * the aggregate, hash-failing both.
+    *
+    * Scale: resolution reads the catalog-sized `_history/` dir only —
+    * never data; the probes are ordinary version reads.
+    */
+  def qTimeTravelTs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val root = tempLakeRoot() + "/orders_asof"
+    Datalake.publishAt(o.filter(col("o_orderkey") % 7 =!= 0), root, "1",
+      commitTsMillis = 1000L)
+    Datalake.publishAt(
+      o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(5.0))
+            .otherwise(col("o_totalprice")).as("o_totalprice")),
+      root, "2", commitTsMillis = 2000L)
+    Datalake.publishAt(o.filter(col("o_orderkey") % 5 =!= 0), root, "3",
+      commitTsMillis = 3000L)
+    Seq(1500L, 2000L, 2500L, 9000L).map { ts =>
+      val v = Datalake.versionAsOf(spark, root, ts).getOrElse(
+        throw new IllegalStateException(s"no version as of $ts"))
+      Datalake.readAsOf(spark, root, ts)
+        .agg(count(lit(1)).as("n_rows"),
+          decSum2(col("o_totalprice")).cast("double").as("sum_price"))
+        .select(lit(ts).as("probe_ts"), lit(v).as("resolved_version"),
+          col("n_rows"), col("sum_price"))
+    }.reduce(_.unionByName(_)).orderBy(col("probe_ts"))
+  }
+
+  /** MERGE WITH SCHEMA EVOLUTION (round 15 — r14 verdict #3, Delta's
+    * `autoMerge`: a CDC feed that grows a column today breaks a
+    * strict-schema apply stream). The delta carries `o_orderpriority`,
+    * a column the published base never had; the evolving merge appends
+    * it to the table schema — matched and inserted rows carry the
+    * delta's value, pre-existing unmatched base rows null-backfill. The
+    * whole merged table reads back through `readPublished`, so a
+    * dropped column, a wrong backfill, or a value landing on the wrong
+    * arm hash-fails row-by-row against the FULL OUTER JOIN oracle.
+    *
+    * Scale: identical single full-outer shuffle-hash join as
+    * q_merge_upsert — evolution is a select-list change, zero extra
+    * exchanges.
+    */
+  def qMergeEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val root = tempLakeRoot() + "/orders_evolve"
+    Datalake.publish(
+      o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      root, "1")
+    val delta = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + lit(10.0)).as("o_totalprice"),
+        col("o_orderpriority"))
+    Datalake.mergeInto(spark, root, delta, Seq("o_orderkey"),
+      evolveSchema = true)
+    Datalake.readPublished(spark, root)
+      .withColumn("action",
+        when(col("o_orderpriority").isNull, lit("kept"))
+          .when(col("o_orderkey") % 3 === 0, lit("inserted"))
+          .otherwise(lit("updated")))
+  }
 }

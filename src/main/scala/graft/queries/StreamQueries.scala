@@ -657,4 +657,43 @@ object StreamQueries {
         sum(col("n")).over(Window.partitionBy(col("cur_type"))).cast("double"))
       .orderBy(col("cur_type"), col("next_type"))
   }
+
+  /** STREAMING SOURCE FROM THE LAKE (round 15 — r14 verdict #4): two
+    * epoch-committed versions of orders land on a CAS table, then
+    * [[graft.streaming.DatalakeStreams.changeFeedStream]] consumes the
+    * table's OWN commit log as a file stream — micro-batch 0 emits the
+    * initial snapshot as inserts (`_from_version='initial'`), micro-batch
+    * 1 emits the e1→e2 change feed — each batch landed on the sink as an
+    * epoch version. The full CDC log (union of sink versions) must equal
+    * the batch truth: q_change_feed's oracle join, version-relabeled,
+    * plus the snapshot inserts — a missed commit, a double-processed
+    * record, or a wrong predecessor resolution all change the row mass
+    * and hash-fail.
+    */
+  def qStreamChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.sources.{Datalake, Tables}
+    import graft.streaming.DatalakeStreams
+    val root = Files.createTempDirectory("graft-scdf-replay")
+    StreamReplay.track(root)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val table = root.resolve("table").toString
+    Datalake.publishEpochCas(o.filter(col("o_orderkey") % 7 =!= 0),
+      table, "1")
+    Datalake.publishEpochCas(
+      o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(5.0))
+            .otherwise(col("o_totalprice")).as("o_totalprice")),
+      table, "2")
+    val sq = StreamReplay.subSession(spark)
+    val sink = root.resolve("cdc_sink").toString
+    DatalakeStreams.changeFeedStream(sq, table, Seq("o_orderkey"), sink,
+      root.resolve("ck").toString).awaitTermination()
+    Datalake.readVersionsMerged(spark, sink,
+        Datalake.listVersions(spark, sink))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("_change_type"), col("_from_version"), col("_to_version"))
+  }
 }

@@ -77,6 +77,83 @@ object Datalake {
   def writeJsonl(df: DataFrame, p: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(p)
 
+  // ==================== typed export mapping sidecar ====================
+  //
+  // The reference CREATES a typed index mapping before indexing
+  // (index_to_es.py:41-58, ensure_dvf_mapping: geo_point + typed fields)
+  // — without it the doc store re-derives types from the first document
+  // it sees, which is exactly how lat/lon silently becomes two floats
+  // instead of a geo point. The export therefore emits a `_SCHEMA.json`
+  // mapping artifact BESIDE the JSONL, derived from the DataFrame schema:
+  // a downstream indexer consumes types, never re-guesses them.
+
+  /** Doc-store field type for a Spark type (the ES mapping vocabulary —
+    * the shape ensure_dvf_mapping writes): a struct of exactly
+    * {lat, lon} doubles is a geo_point (the reference's location field);
+    * arrays map to their element type (doc-store fields are inherently
+    * multi-valued); strings are keyword (exact-match index — the export
+    * consumer opts into analyzed text per field).
+    */
+  private def exportFieldType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => "long"
+      case DoubleType | FloatType | _: DecimalType => "double"
+      case BooleanType => "boolean"
+      case DateType | TimestampType | TimestampNTZType => "date"
+      case st: StructType
+        if st.fields.map(_.name).sorted.sameElements(Array("lat", "lon")) &&
+          st.fields.forall(f => f.dataType == DoubleType ||
+            f.dataType == FloatType) => "geo_point"
+      case _: StructType => "object"
+      case ArrayType(e, _) => exportFieldType(e)
+      case _ => "keyword"
+    }
+  }
+
+  /** The `_SCHEMA.json` mapping body for a schema — deterministic field
+    * order (the schema's), two-space indent, so the artifact is diffable
+    * and spec-pinnable byte-for-byte.
+    */
+  def exportMapping(schema: StructType): String =
+    schema.fields
+      .map(f => s"""    "${f.name}": {"type": "${exportFieldType(f.dataType)}"}""")
+      .mkString("{\n  \"properties\": {\n", ",\n", "\n  }\n}\n")
+
+  /** JSONL export WITH the typed mapping sidecar: data first, then
+    * `_SCHEMA.json` atomically (tmp+rename) — a consumer that sees the
+    * mapping may rely on the export being complete, the same
+    * last-small-PUT discipline as the manifest swap. The underscore name
+    * keeps the sidecar invisible to Spark's own directory readers.
+    */
+  def writeJsonlExport(df: DataFrame, p: String): Unit = {
+    writeJsonl(df, p)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"._SCHEMA.${java.util.UUID.randomUUID().toString}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(exportMapping(df.schema).getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(root, "_SCHEMA.json"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Read an export's mapping sidecar back as (field, type) pairs in
+    * the artifact's own order — the verification read.
+    */
+  def readExportMapping(spark: SparkSession,
+      p: String): Seq[(String, String)] = {
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(root, "_SCHEMA.json"))
+    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val entry = """"([^"]+)": \{"type": "([^"]+)"\}""".r
+    entry.findAllMatchIn(body).map(m => (m.group(1), m.group(2))).toSeq
+  }
+
   /** Idempotent incremental layer maintenance: overwrite ONLY the
     * partitions present in `df` (dynamic partition overwrite), leaving
     * every other partition untouched — re-running one ingest day (the
@@ -1155,6 +1232,31 @@ object Datalake {
           .map(_.toLong).toSeq
         (names.foldLeft(0L)(math.max), names.length.toLong, false)
     }
+  }
+
+  /** Live `_commits/` record count — the listing cost a resolution
+    * WITHOUT the checkpoint pointer pays (evidence accessor for
+    * q_commit_checkpoint; one catalog-sized listing).
+    */
+  def commitLogSize(spark: SparkSession, tableRoot: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(root, CommitDir)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .count(n => n.nonEmpty && n.forall(_.isDigit)).toLong
+  }
+
+  /** The token commit `seq` recorded, if the record survives retention —
+    * the streaming change-feed source resolves each record's PREDECESSOR
+    * through this (one point read, never a listing).
+    */
+  def commitTokenSeq(spark: SparkSession, tableRoot: String,
+      seq: Long): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    commitTokenAt(fs, root, seq)
   }
 
   /** The token recorded by commit `seq`, if that record exists. */

@@ -850,6 +850,91 @@ class DatalakeSpec extends SparkSpecBase {
     assert(Datalake.vacuumCommits(spark, root, keepLast = 1) === 1)
   }
 
+  test("commit-log checkpoint: probe resolution, vacuum raises the pointer before sweeping, fallback survives") {
+    val root = s"${Files.createTempDirectory("graft-ckpt")}/t"
+    (1 to 12).foreach { i =>
+      Datalake.transact(spark, root, {
+        case Some(cur) => cur.unionByName(Seq(i.toLong).toDF("id"))
+        case None => Seq(i.toLong).toDF("id")
+      })
+    }
+    // pointer rolled at seq 10 → resolution probes 11,12 (+1 pointer read)
+    val (latest, examined, usedCk) = Datalake.commitResolution(spark, root)
+    assert((latest, examined, usedCk) === ((12L, 3L, true)))
+    assert(Datalake.commitLogSize(spark, root) === 12L)
+    // vacuum raises the pointer to its cutoff BEFORE deleting, so the
+    // probe range stays dense: sweep to newest 2 → records 11,12 left,
+    // pointer at 10 (whose record is gone — the probe never needs it)
+    assert(Datalake.vacuumCommits(spark, root, keepLast = 2) === 10)
+    assert(Datalake.latestCommitSeq(spark, root) === 12L)
+    assert(Datalake.commitLogSize(spark, root) === 2L)
+    // pointer gone → full-listing fallback resolves the same state
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root,
+      "_commits/_last_checkpoint"), false)
+    val (l2, _, ck2) = Datalake.commitResolution(spark, root)
+    assert((l2, ck2) === ((12L, false)))
+    // the protocol continues: the next claim lands 13 and re-derives
+    Datalake.transact(spark, root, {
+      case Some(cur) => cur.unionByName(Seq(13L).toDF("id"))
+      case None => fail("snapshot must exist")
+    })
+    assert(Datalake.latestCommitSeq(spark, root) === 13L)
+    assert(Datalake.readPublished(spark, root).count() === 13)
+  }
+
+  test("timestamp time travel: ≤-boundary, tie toward the newest version, predate fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val root = s"${Files.createTempDirectory("graft-asof")}/t"
+    Datalake.publishAt(spark.range(1).toDF("id"), root, "1", 1000L)
+    Datalake.publishAt(spark.range(2).toDF("id"), root, "2", 2000L)
+    // a TIE: two versions stamped the same millisecond (clock-skewed
+    // writers) — resolution breaks toward the newest in listVersions
+    // order, deterministically
+    Datalake.publishAt(spark.range(3).toDF("id"), root, "3", 2000L)
+    assert(Datalake.versionAsOf(spark, root, 1500L) === Some("1"))
+    assert(Datalake.versionAsOf(spark, root, 2000L) === Some("3"),
+      "tie at 2000 must break toward the newest version")
+    assert(Datalake.versionAsOf(spark, root, 999L) === None)
+    val e = intercept[IllegalArgumentException] {
+      Datalake.readAsOf(spark, root, 999L)
+    }
+    assert(e.getMessage.contains("predates"))
+    assert(Datalake.readAsOf(spark, root, 5000L).count() === 3)
+    // vacuum retires the expired version's history entry with the dir:
+    // as-of fails on RESOLUTION (None), not on a missing path mid-scan
+    Datalake.publishAt(spark.range(4).toDF("id"), root, "4", 4000L)
+    Datalake.vacuum(spark, root, keepLast = 2)
+    assert(Datalake.versionAsOf(spark, root, 1500L) === None,
+      "a vacuumed version's history entry must be retired with it")
+    assert(Datalake.readAsOf(spark, root, 4000L)
+      .agg(org.apache.spark.sql.functions.count(col("id"))).head.getLong(0)
+      === 4L)
+  }
+
+  test("evolving merge appends delta-only columns; strict merge still drops them") {
+    import org.apache.spark.sql.functions.col
+    val root = s"${Files.createTempDirectory("graft-evolve")}/t"
+    Datalake.publish(
+      spark.range(0, 6).select(col("id"), (col("id") * 2).as("v")),
+      root, "1")
+    val delta = Seq((2L, 100L, "x"), (10L, 200L, "y"))
+      .toDF("id", "v", "note")
+    // strict (default): the extra column is an op marker, dropped
+    Datalake.mergeInto(spark, root, delta, Seq("id"))
+    assert(!Datalake.readPublished(spark, root).columns.contains("note"))
+    // evolving: the column lands; delta rows carry it, the rest backfill
+    Datalake.mergeInto(spark, root, delta, Seq("id"), evolveSchema = true)
+    val out = Datalake.readPublished(spark, root)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.getString(2)))).toMap
+    assert(out(2L) === ((100L, Some("x"))))
+    assert(out(10L) === ((200L, Some("y"))))
+    assert(out(3L) === ((6L, None)), "pre-existing rows must null-backfill")
+    assert(out.size === 7)
+  }
+
   test("delete commits ride the CAS log: a stale claim loses, rolls back, and no positions are lost") {
     import org.apache.spark.sql.functions.col
     val root = s"${Files.createTempDirectory("graft-dvcas")}/t"
