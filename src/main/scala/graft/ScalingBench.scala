@@ -260,6 +260,14 @@ object ScalingBench {
       .distinct()
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
+    // pagerank gets the RAW (pre-distinct) pair stream — its dedup rides
+    // the loop's own repartition (Graph.pageRank dedupEdges), matching
+    // the registered q_pagerank's construction
+    val e0raw = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val edgesRaw = e0raw.unionByName(
+      e0raw.select(col("dst").as("src"), col("src").as("dst")))
     val nE = edges.count()
     def timeRelease(mk: => DataFrame): (Double, Long) =
       (1 to passes).map { _ =>
@@ -270,7 +278,8 @@ object ScalingBench {
         Checkpoints.release(r)
         (dt, n)
       }.minBy(_._1)
-    val (prSecs, _) = timeRelease(Graph.pageRank(edges, 5))
+    val (prSecs, _) = timeRelease(
+      Graph.pageRank(edgesRaw, 5, dedupEdges = true))
     // one spread source per ~replica: suppliers are keyed per replica
     // (disjoint shifts), so the reached mass scales with the corpus
     val suppliers = spark.read.parquet(s"$dir/supplier.parquet")

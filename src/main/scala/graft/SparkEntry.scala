@@ -137,6 +137,7 @@ object SparkEntry {
     "q_time_travel_ts" -> (DatalakeQueries.qTimeTravelTs _),
     "q_commit_checkpoint" -> (DatalakeQueries.qCommitCheckpoint _),
     "q_merge_evolve" -> (DatalakeQueries.qMergeEvolve _),
+    "q_pipeline_retry" -> (DatalakeQueries.qPipelineRetry _),
     "q_vacuum" -> (DatalakeQueries.qVacuum _),
     "q_deletion_vectors" -> (DatalakeQueries.qDeletionVectors _),
     "q_partition_overwrite" -> (DatalakeQueries.qPartitionOverwrite _),
@@ -2453,6 +2454,15 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS n_examined,
         |  CAST(1 AS BIGINT) AS used_checkpoint
         |FROM orders""".stripMargin,
+    // bounded task retry: the publish stage's torn first attempt must be
+    // invisible through the manifest; attempts (1, 2) are the evidence
+    "q_pipeline_retry" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(1 AS BIGINT) AS attempts_format,
+        |  CAST(2 AS BIGINT) AS attempts_publish
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // evolving MERGE: the delta's NEW column (o_orderpriority) appends to
     // the schema — delta rows carry it, pre-existing base rows
     // null-backfill ('kept'); the FULL OUTER JOIN form with the added

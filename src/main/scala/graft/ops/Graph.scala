@@ -78,7 +78,24 @@ object Graph {
     * mode: localCheckpoint dies with a lost executor under dynamic
     * allocation; GraphSpec proves both modes converge identically).
     */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int): DataFrame =
+    pageRank(edges, iters, dedupEdges = false)
+
+  /** As [[pageRank]], with the edge-list dedup FOLDED INTO the loop's
+    * own co-location shuffle (r14 verdict #6 — the 10× wall was edge
+    * CONSTRUCTION, not the iterations: a caller-side `.distinct()`
+    * costs a full |E| exchange on (src,dst) immediately followed by this
+    * function's repartition on src — two all-edge shuffles where one
+    * suffices). With `dedupEdges=true` callers pass the RAW pair stream
+    * (duplicates allowed) and the dedup runs PARTITION-LOCALLY on top of
+    * the src-keyed repartition: hash(src) already co-locates every
+    * (src,dst) copy, so Catalyst's clustered-distribution subset rule
+    * elides the aggregate's exchange — one |E| shuffle builds the
+    * deduped, pre-partitioned, cached edge table (verified: the loop
+    * join still reads the cache with no exchange on the edge side).
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+      dedupEdges: Boolean): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // Paid-once shuffle discipline, ONE |E| shuffle total (r9 rework —
     // construction, not the iterations, dominated the cost trend two
@@ -105,7 +122,9 @@ object Graph {
     // query's orders⋈lineitem — needs runtime broadcast planning; with
     // AQE forced off it degrades to static SMJ, measured 2-3× slower);
     // the loop below turns it off.
-    val ed0 = edges.repartition(col("src"))
+    val ed0base = edges.repartition(col("src"))
+    val ed0 = (if (dedupEdges) ed0base.dropDuplicates(Seq("src", "dst"))
+      else ed0base)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = ed0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1261,6 +1261,55 @@ object DatalakeQueries {
     * q_merge_upsert — evolution is a select-list change, zero extra
     * exchanges.
     */
+  /** BOUNDED TASK RETRY in a composed pipeline (round 15 — r14 "missing"
+    * #2: the reference wraps every DAG task in `retries: 1, retry_delay`,
+    * DAG_Project.py:17-20). A two-stage pipeline runs under
+    * [[graft.ops.Pipeline.retry]]: the format stage lands clean; the
+    * publish stage's FIRST attempt stages a half-written directory and
+    * dies (the injected transient — exactly the failure shape a retry
+    * exists for), the retry re-runs it and the idempotent
+    * staging-overwrite + atomic manifest swap absorbs the wreckage. The
+    * hashed output reads back through the manifest — so the torn first
+    * attempt must be invisible — and carries both stages' attempt counts
+    * (format=1, publish=2) as evidence; a wrapper that retried the wrong
+    * stage, swallowed the failure, or double-applied shows up in one of
+    * the three.
+    *
+    * Scale: the wrapper is driver-side control flow around whole stages
+    * — zero change to any data path; idempotence comes from the lake's
+    * own commit protocol, not from a rollback layer.
+    */
+  def qPipelineRetry(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    import graft.ops.Pipeline
+    val root = tempLakeRoot() + "/retry"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val (_, aFmt) = Pipeline.retry("format", retries = 1) {
+      Datalake.writeParquet(o, s"$root/fmt")
+    }
+    var transientLeft = 1
+    val (_, aPub) = Pipeline.retry("publish_usage", retries = 1) {
+      val usage = spark.read.parquet(s"$root/fmt")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          decSum2(col("o_totalprice")).cast("double").as("revenue"))
+      if (transientLeft > 0) {
+        transientLeft -= 1
+        // the torn first attempt: data staged into the version dir, then
+        // the transient hits BEFORE the manifest swap
+        usage.limit(2).write.mode("overwrite")
+          .parquet(s"$root/usage/v=1")
+        throw new java.io.IOException("injected transient after staging")
+      }
+      Datalake.publish(usage, s"$root/usage", "1")
+    }
+    Datalake.readPublished(spark, s"$root/usage")
+      .withColumn("attempts_format", lit(aFmt.toLong))
+      .withColumn("attempts_publish", lit(aPub.toLong))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def qMergeEvolve(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val root = tempLakeRoot() + "/orders_evolve"

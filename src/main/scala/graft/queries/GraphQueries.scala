@@ -22,15 +22,18 @@ object GraphQueries {
     * the rank mass per supplier node materially exceeds any customer's.
     */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    // RAW pair stream, duplicates and all — the dedup rides pageRank's
+    // own src-keyed repartition partition-locally (dedupEdges=true), so
+    // edge construction pays ONE |E| shuffle instead of the old
+    // distinct-then-repartition two (r14 verdict #6)
     val e0 = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
-    Graph.pageRank(edges, iters = 5)
+    Graph.pageRank(edges, iters = 5, dedupEdges = true)
       .select(col("node"),
         when(col("node") % 2 === 0, "customer").otherwise("supplier")
           .as("kind"),

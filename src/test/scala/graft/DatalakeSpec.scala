@@ -850,6 +850,33 @@ class DatalakeSpec extends SparkSpecBase {
     assert(Datalake.vacuumCommits(spark, root, keepLast = 1) === 1)
   }
 
+  test("pipeline retry: transient absorbed with attempt evidence, exhaustion fails loudly") {
+    import graft.ops.Pipeline
+    var n = 0
+    val (v, attempts) = Pipeline.retry("flaky", retries = 2) {
+      n += 1; if (n < 3) throw new RuntimeException(s"transient $n"); 42
+    }
+    assert((v, attempts) === ((42, 3)))
+    val e = intercept[Pipeline.StageFailed] {
+      Pipeline.retry[Unit]("always", retries = 1) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(e.stage === "always" && e.attempts === 2)
+    assert(e.getMessage.contains("always") && e.getMessage.contains("boom"))
+    // earlier attempts' causes ride along for the post-mortem
+    assert(e.getSuppressed.length === 1)
+    // fatal errors are NOT retried (a scheduler must not mask an OOM)
+    var fatalRuns = 0
+    intercept[OutOfMemoryError] {
+      Pipeline.retry[Unit]("fatal", retries = 5) {
+        fatalRuns += 1
+        throw new OutOfMemoryError("nope")
+      }
+    }
+    assert(fatalRuns === 1)
+  }
+
   test("commit-log checkpoint: probe resolution, vacuum raises the pointer before sweeping, fallback survives") {
     val root = s"${Files.createTempDirectory("graft-ckpt")}/t"
     (1 to 12).foreach { i =>
