@@ -178,6 +178,8 @@ object SparkEntry {
     "q_optimize" -> (DatalakeQueries.qOptimize _),
     "q_stream_publish" -> (StreamQueries.qStreamPublish _),
     "q_stream_change_feed" -> (StreamQueries.qStreamChangeFeed _),
+    "q_stream_cdc_delete" -> (StreamQueries.qStreamCdcDelete _),
+    "q_table_replicate" -> (StreamQueries.qTableReplicate _),
     "q_ann_opq" -> (SimilarityQueries.qAnnOpq _),
     "q_ann_ivf_pca" -> (SimilarityQueries.qAnnIvfPca _),
     "q_hybrid_search" -> (TextQueries.qHybridSearch _),
@@ -2415,6 +2417,53 @@ object SparkEntry {
         |UNION ALL SELECT k, pn, 'update_postimage', 'e1', 'e2' FROM j
         |  WHERE ko IS NOT NULL AND kn IS NOT NULL
         |    AND po IS DISTINCT FROM pn""".stripMargin,
+    // the lake stream materializes a DELETION-VECTOR commit as delete
+    // rows (label e1+dv), and the next feed diffs against the DELETED
+    // state — a resurrecting reader corrupts both
+    "q_stream_cdc_delete" ->
+      """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders
+        |    WHERE o_orderkey % 7 <> 0),
+        |afterdel AS (SELECT * FROM old WHERE o_orderkey % 9 <> 0),
+        |nu AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5.0
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |j AS (SELECT COALESCE(a.o_orderkey, n.o_orderkey) AS k,
+        |    a.o_orderkey AS ko, n.o_orderkey AS kn,
+        |    a.o_totalprice AS po, n.o_totalprice AS pn
+        |  FROM afterdel a FULL OUTER JOIN nu n
+        |    ON a.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+        |    'initial' AS _from_version, 'e1' AS _to_version
+        |  FROM old
+        |UNION ALL SELECT o_orderkey, o_totalprice, 'delete', 'e1',
+        |    'e1+dv'
+        |  FROM old WHERE o_orderkey % 9 = 0
+        |UNION ALL SELECT k, pn, 'insert', 'e1+dv', 'e2' FROM j
+        |  WHERE ko IS NULL
+        |UNION ALL SELECT k, po, 'delete', 'e1+dv', 'e2' FROM j
+        |  WHERE kn IS NULL
+        |UNION ALL SELECT k, po, 'update_preimage', 'e1+dv', 'e2' FROM j
+        |  WHERE ko IS NOT NULL AND kn IS NOT NULL
+        |    AND po IS DISTINCT FROM pn
+        |UNION ALL SELECT k, pn, 'update_postimage', 'e1+dv', 'e2' FROM j
+        |  WHERE ko IS NOT NULL AND kn IS NOT NULL
+        |    AND po IS DISTINCT FROM pn""".stripMargin,
+    // end-to-end CDC replication: the replica's content is the closed
+    // form of snapshot → vector delete → merge, one replica version per
+    // source commit
+    "q_table_replicate" ->
+      """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders
+        |    WHERE o_orderkey % 7 <> 0),
+        |afterdel AS (SELECT * FROM old WHERE o_orderkey % 9 <> 0),
+        |delta AS (SELECT o_orderkey, o_totalprice + 10.0 AS d_price
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT COALESCE(d.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |  CASE WHEN d.o_orderkey IS NOT NULL THEN d.d_price
+        |    ELSE a.o_totalprice END AS o_totalprice,
+        |  CAST(3 AS BIGINT) AS n_replica_versions
+        |FROM afterdel a FULL OUTER JOIN delta d
+        |  ON a.o_orderkey = d.o_orderkey""".stripMargin,
     // AS OF TIMESTAMP: the oracle replays the resolution rule's four
     // cases directly (between / exactly-on / between / after) — a wrong
     // ≤-boundary or version mix-up changes resolved_version AND the mass

@@ -670,6 +670,82 @@ object StreamQueries {
     * record, or a wrong predecessor resolution all change the row mass
     * and hash-fail.
     */
+  /** DELETE COMMITS THROUGH THE LAKE STREAM (round 15 — the gap
+    * changeFeedStream's first cut skipped loudly, now closed): the
+    * source chain is epoch-publish e1 → a DELETION-VECTOR commit
+    * (`deleteWhere`, no data file rewritten) → epoch-publish e2. The
+    * stream's token-general diff materializes the vector commit as
+    * DELETE rows (label `e1+dv` — deterministic, the vector dir's UUID
+    * never leaks), and the e2 feed diffs against the DELETED state —
+    * so a reader that resurrected hidden rows (raw base scan instead of
+    * readToken) would both emit wrong deletes and corrupt the next
+    * diff's preimages.
+    */
+  def qStreamCdcDelete(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.sources.{Datalake, Tables}
+    import graft.streaming.DatalakeStreams
+    val root = Files.createTempDirectory("graft-scdd-replay")
+    StreamReplay.track(root)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val table = root.resolve("table").toString
+    Datalake.publishEpochCas(o.filter(col("o_orderkey") % 7 =!= 0),
+      table, "1")
+    Datalake.deleteWhere(spark, table, col("o_orderkey") % 9 === 0)
+    Datalake.publishEpochCas(
+      o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(5.0))
+            .otherwise(col("o_totalprice")).as("o_totalprice")),
+      table, "2")
+    val sq = StreamReplay.subSession(spark)
+    val sink = root.resolve("cdc_sink").toString
+    DatalakeStreams.changeFeedStream(sq, table, Seq("o_orderkey"), sink,
+      root.resolve("ck").toString).awaitTermination()
+    Datalake.readVersionsMerged(spark, sink,
+        Datalake.listVersions(spark, sink))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("_change_type"), col("_from_version"), col("_to_version"))
+  }
+
+  /** CDC TABLE REPLICATION end-to-end (round 15): the source takes an
+    * epoch publish, a deletion-vector DELETE, and a committed MERGE;
+    * [[graft.streaming.DatalakeStreams.replicateStream]] consumes the
+    * source's own commit log and applies each commit's feed to a
+    * replica IN ORDER under an applied-sequence high-water mark. The
+    * hashed output is the REPLICA's content — which must equal the
+    * closed form of the source's final state (also what `readPublished`
+    * on the source serves), with the replica's per-source-commit
+    * version trail as evidence. A skipped commit, an out-of-order
+    * apply, a resurrected deleted row, or a double-applied feed all
+    * change the row mass.
+    */
+  def qTableReplicate(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.sources.{Datalake, Tables}
+    import graft.streaming.DatalakeStreams
+    val root = Files.createTempDirectory("graft-repl-replay")
+    StreamReplay.track(root)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val src = root.resolve("src").toString
+    Datalake.publishEpochCas(o.filter(col("o_orderkey") % 7 =!= 0),
+      src, "1")
+    Datalake.deleteWhere(spark, src, col("o_orderkey") % 9 === 0)
+    val delta = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + lit(10.0)).as("o_totalprice"))
+    Datalake.mergeTransact(spark, src, delta, Seq("o_orderkey"))
+    val sq = StreamReplay.subSession(spark)
+    val rep = root.resolve("replica").toString
+    DatalakeStreams.replicateStream(sq, src, Seq("o_orderkey"), rep,
+      root.resolve("ck").toString).awaitTermination()
+    val nVersions = Datalake.listVersions(spark, rep).length.toLong
+    Datalake.readPublished(spark, rep)
+      .withColumn("n_replica_versions", lit(nVersions))
+  }
+
   def qStreamChangeFeed(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     import graft.sources.{Datalake, Tables}

@@ -478,8 +478,10 @@ object Datalake {
 
   /** Resolve a manifest token to a readable frame — DV tokens apply
     * their vector, everything else is a plain scan of the resolved dir.
+    * (private[graft]: the streaming change-feed source resolves commit
+    * tokens through this.)
     */
-  private def readToken(spark: SparkSession, tableRoot: String,
+  private[graft] def readToken(spark: SparkSession, tableRoot: String,
       token: String): DataFrame =
     parseDvToken(token) match {
       case Some((base, dvRel)) =>
@@ -1896,10 +1898,38 @@ object Datalake {
     * NULL payloads diff correctly.
     */
   def changeFeed(spark: SparkSession, tableRoot: String, fromV: String,
-      toV: String, keys: Seq[String]): DataFrame = {
+      toV: String, keys: Seq[String]): DataFrame =
+    changeFeedFrames(readVersion(spark, tableRoot, fromV),
+      readVersion(spark, tableRoot, toV), keys, fromV, toV)
+
+  /** [[changeFeed]] between two COMMIT TOKENS — the general form the
+    * streaming source needs: snapshots resolve through [[readToken]], so
+    * a DELETION-VECTOR commit materializes as delete rows (the rows the
+    * new vector hides that the old one didn't), a MERGE commit as its
+    * arms, and a maintenance rewrite (byte-identical data under a new
+    * dir) as the EMPTY feed — exactly the CDC semantics of each commit
+    * class, with no per-class code. Version labels are deterministic:
+    * a vector commit labels `<base>+dv` (the vector dir name carries a
+    * UUID and must not leak into hashed output).
+    */
+  def changeFeedTokens(spark: SparkSession, tableRoot: String,
+      fromToken: String, toToken: String, keys: Seq[String]): DataFrame =
+    changeFeedFrames(readToken(spark, tableRoot, fromToken),
+      readToken(spark, tableRoot, toToken), keys,
+      tokenLabel(fromToken), tokenLabel(toToken))
+
+  /** Deterministic display label for a commit token (see
+    * [[changeFeedTokens]]). */
+  private[graft] def tokenLabel(token: String): String =
+    parseDvToken(token) match {
+      case Some((base, _)) => s"${tokenLabel(base)}+dv"
+      case None if token.startsWith("ref=") => "ref"
+      case None => token.stripPrefix("v=")
+    }
+
+  private def changeFeedFrames(a0: DataFrame, b0: DataFrame,
+      keys: Seq[String], fromV: String, toV: String): DataFrame = {
     require(keys.nonEmpty, "changeFeed needs at least one key column")
-    val a0 = readVersion(spark, tableRoot, fromV)
-    val b0 = readVersion(spark, tableRoot, toV)
     require(a0.columns.sorted.sameElements(b0.columns.sorted),
       s"changeFeed requires identical schemas; use readVersionsMerged for " +
         s"cross-schema audits (v$fromV: ${a0.columns.mkString(",")} vs " +

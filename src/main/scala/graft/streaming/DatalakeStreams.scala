@@ -155,10 +155,12 @@ object DatalakeStreams {
     * matters): sequence 1 emits the initial snapshot as inserts
     * (`_from_version='initial'`, the Delta initial-snapshot convention);
     * sequence N>1 resolves its predecessor's token with one point read
-    * and emits `Datalake.changeFeed(prev, cur)`. Non-version tokens
-    * (`dv=` delete commits, `ref=` clones) are skipped with a loud log
-    * line — a production source materializes deletes from the vector;
-    * out of scope here and said so.
+    * and emits `Datalake.changeFeedTokens(prev, cur)` — the
+    * token-general diff, so EVERY commit class feeds correctly: a
+    * deletion-vector commit materializes as delete rows, a committed
+    * MERGE as its arms, a maintenance rewrite as the empty feed. Only
+    * `ref=` clone pointers are skipped (their data lives in another
+    * table), loudly.
     *
     * Each micro-batch lands on the SINK via [[Datalake.publishEpochCas]]
     * keyed by batchId — the foreachBatch at-least-once caveat closed by
@@ -169,6 +171,114 @@ object DatalakeStreams {
     * Scale: per-trigger cost is one keyed full-outer join per NEW commit
     * (the CDC consumer's signed-up cost); the log read is catalog-sized.
     */
+  /** CDC TABLE REPLICATION end-to-end (round 15 — the composed proof of
+    * the lake-as-stream source: not just emitting the feed but APPLYING
+    * it): consume the source table's commit log as a stream and fold
+    * each commit's change feed into a REPLICA table, in commit order.
+    * Sequence 1 publishes the snapshot wholesale; each later commit
+    * applies `next = cur ∖ changed-keys ∪ (insert + update_postimage
+    * rows)` — the set form of the three CDC arms, and a FIXPOINT under
+    * re-application (applying the same feed twice yields the same
+    * state).
+    *
+    * Exactly-once across crash replays is a real hazard here (an
+    * at-least-once foreachBatch re-delivery must not re-apply an OLD
+    * feed over a NEWER replica state — unlike the epoch-publish sink,
+    * apply is order-sensitive), closed with an applied-sequence
+    * HIGH-WATER file on the replica (`_REPL_SEQ`, atomic tmp+rename,
+    * the manifest discipline): records ≤ the high water are skipped on
+    * replay. The replica's version history is `r<source seq>` — an
+    * audit trail mapping every replica version to the source commit it
+    * mirrors.
+    *
+    * Scale: per source commit, one keyed anti-join + union over the
+    * replica (the apply) — the CDC consumer's cost; the feed itself is
+    * commit-sized, never table-sized, except the initial snapshot.
+    */
+  def replicateStream(spark: SparkSession, srcRoot: String,
+      keys: Seq[String], replicaRoot: String,
+      checkpoint: String): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(s"$srcRoot/_commits")
+      .select(col("value"), col("_metadata.file_path").as("_path"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val sp = batch.sparkSession
+        val log = org.slf4j.LoggerFactory.getLogger(getClass)
+        val applied = readHighWater(sp, replicaRoot)
+        val recs = batch.collect().toSeq
+          .map(r => (r.getString(1).split('/').last.toLong,
+            r.getString(0).trim))
+          .filter(_._1 > applied)
+          .sortBy(_._1)
+        recs.foreach { case (seq, token) =>
+          if (token.startsWith("ref=")) {
+            log.warn(s"replicateStream: commit $seq is a clone pointer " +
+              "— skipped (replicate from the clone's source)")
+          } else if (seq == 1L) {
+            Datalake.publish(Datalake.readToken(sp, srcRoot, token),
+              replicaRoot, s"r$seq")
+          } else Datalake.commitTokenSeq(sp, srcRoot, seq - 1) match {
+            case Some(pt) if !pt.startsWith("ref=") =>
+              val feed = Datalake.changeFeedTokens(sp, srcRoot, pt, token,
+                keys)
+              val meta = Seq("_change_type", "_from_version", "_to_version")
+              val upserts = feed.filter(col("_change_type")
+                  .isin("insert", "update_postimage"))
+                .drop(meta: _*)
+              val changed = feed.filter(col("_change_type")
+                  .isin("insert", "update_postimage", "delete"))
+                .select(keys.map(col): _*).distinct()
+              val cur = Datalake.readPublished(sp, replicaRoot)
+              // feed side is commit-sized: hash-join it (hint keeps the
+              // anti off SortMergeJoin under any stats)
+              val next = cur
+                .join(changed.hint("shuffle_hash"), keys, "left_anti")
+                .unionByName(upserts)
+              Datalake.publish(next, replicaRoot, s"r$seq")
+            case other =>
+              log.warn(s"replicateStream: predecessor of $seq " +
+                s"unresolvable ($other) — skipped; a vacuumed-past log " +
+                "needs a snapshot restart")
+          }
+          writeHighWater(sp, replicaRoot, seq)
+        }
+        ()
+      }
+      .start()
+  }
+
+  private def readHighWater(spark: SparkSession, replicaRoot: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(replicaRoot, "_REPL_SEQ")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      if (s.nonEmpty && s.forall(_.isDigit)) s.toLong else 0L
+    }
+  }
+
+  private def writeHighWater(spark: SparkSession, replicaRoot: String,
+      seq: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(replicaRoot)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"._replseq.${java.util.UUID.randomUUID().toString}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$seq\n".getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(root, "_REPL_SEQ"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   def changeFeedStream(spark: SparkSession, tableRoot: String,
       keys: Seq[String], sinkRoot: String,
       checkpoint: String): StreamingQuery = {
@@ -190,23 +300,28 @@ object DatalakeStreams {
           .sortBy(_._1)
         val log = org.slf4j.LoggerFactory.getLogger(getClass)
         val feeds = recs.flatMap { case (seq, token) =>
-          if (!token.startsWith("v=")) {
-            log.warn(s"changeFeedStream: commit $seq holds non-version " +
-              s"token '$token' (delete/clone) — skipped; a production " +
-              "source materializes deletes from the vector")
+          if (token.startsWith("ref=")) {
+            log.warn(s"changeFeedStream: commit $seq holds a clone " +
+              s"pointer '$token' — skipped (the data lives in another " +
+              "table; replicate from the source)")
             None
           } else if (seq == 1L) {
-            val snap = Datalake.readVersion(sp, tableRoot,
-              token.stripPrefix("v="))
+            // initial snapshot as inserts (the Delta streaming-source
+            // convention) — readToken, so even a first commit carrying
+            // a vector resolves correctly
+            val snap = Datalake.readToken(sp, tableRoot, token)
             val payload = snap.columns.filterNot(keys.contains).toSeq
             Some(snap.select(keys.map(col) ++ payload.map(col) ++ Seq(
               lit("insert").as("_change_type"),
               lit("initial").as("_from_version"),
-              lit(token.stripPrefix("v=")).as("_to_version")): _*))
+              lit(Datalake.tokenLabel(token)).as("_to_version")): _*))
           } else Datalake.commitTokenSeq(sp, tableRoot, seq - 1) match {
-            case Some(pt) if pt.startsWith("v=") =>
-              Some(Datalake.changeFeed(sp, tableRoot,
-                pt.stripPrefix("v="), token.stripPrefix("v="), keys))
+            case Some(pt) if !pt.startsWith("ref=") =>
+              // token-general diff: DELETE (dv=) commits materialize as
+              // delete rows, merges as their arms, maintenance rewrites
+              // as the empty feed — every commit class, one code path
+              Some(Datalake.changeFeedTokens(sp, tableRoot, pt, token,
+                keys))
             case other =>
               log.warn(s"changeFeedStream: commit ${seq - 1} " +
                 s"(predecessor of $seq) unresolvable ($other) — skipped; " +

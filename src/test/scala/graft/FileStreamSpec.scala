@@ -190,6 +190,44 @@ class FileStreamSpec extends SparkSpecBase {
     assert(Datalake.currentVersion(spark, table) === Some("e1"))
   }
 
+  test("replicateStream: full checkpoint-loss replay is a no-op under the high-water mark") {
+    import graft.sources.Datalake
+    import graft.streaming.DatalakeStreams
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-replhw")
+    val src = s"$root/src"; val rep = s"$root/rep"
+    def df(tag: String, n: Int) =
+      spark.range(n).selectExpr("id", s"'$tag' AS tag")
+    Datalake.publishEpochCas(df("a", 5), src, "1")   // seq 1
+    Datalake.deleteWhere(spark, src, col("id") === 0L) // seq 2 (dv)
+    Datalake.mergeTransact(spark, src,
+      Seq((7L, "m"), (1L, "m")).toDF("id", "tag"), Seq("id")) // seq 3
+    def drain(ck: String): Unit = {
+      val q = DatalakeStreams.replicateStream(spark, src, Seq("id"), rep,
+        s"$root/$ck")
+      try q.awaitTermination() finally q.stop()
+    }
+    drain("ck1")
+    val want = Map(1L -> "m", 2L -> "a", 3L -> "a", 4L -> "a", 7L -> "m")
+    def replica() = Datalake.readPublished(spark, rep)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replica() === want)
+    assert(Datalake.listVersions(spark, rep) === Seq("r1", "r2", "r3"))
+    // CHECKPOINT LOSS: a fresh checkpoint re-delivers every commit
+    // record; the _REPL_SEQ high-water mark must make the re-apply a
+    // no-op (an old feed over the newer replica would corrupt it)
+    drain("ck2")
+    assert(replica() === want, "replayed feeds were re-applied")
+    assert(Datalake.listVersions(spark, rep) === Seq("r1", "r2", "r3"),
+      "replay minted new replica versions")
+    // a NEW source commit after the replay still applies
+    Datalake.mergeTransact(spark, src,
+      Seq((9L, "z")).toDF("id", "tag"), Seq("id")) // seq 4
+    drain("ck3")
+    assert(replica() === (want + (9L -> "z")))
+    assert(Datalake.listVersions(spark, rep) === Seq("r1", "r2", "r3", "r4"))
+  }
+
   test("file-source stream of events matches the batch windowed aggregation") {
     // the stream must declare a schema up front — take whatever encoding the
     // driver's parquet drop uses from a batch read, then normalize ts the
