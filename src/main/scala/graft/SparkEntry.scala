@@ -204,6 +204,11 @@ object SparkEntry {
     "q_compact_partitioned" -> (DatalakeQueries.qCompactPartitioned _),
     "q_entity_resolution_incremental" ->
       (SimilarityQueries.qEntityResolutionIncremental _),
+    "q_grouping_sets" -> (Relational.qGroupingSets _),
+    "q_ntile_spend" -> (Relational.qNtileSpend _),
+    "q_k_anonymity" -> ((s, d) => Relational.qKAnonymity(s, d)),
+    "q_mutual_info" -> (Relational.qMutualInfo _),
+    "q_train_split" -> (CorpusQueries.qTrainSplit _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -3680,6 +3685,81 @@ object SparkEntry {
         |FROM ch
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    // GROUPING() bit order is the shared convention: 1 = column
+    // aggregated away, first listed column = MSB — Spark grouping_id()
+    // and DuckDB GROUPING() agree bit for bit
+    "q_grouping_sets" ->
+      """SELECT r_name, c_mktsegment, o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_revenue,
+        |  COUNT(*) AS n_orders,
+        |  CAST(GROUPING(r_name, c_mktsegment, o_orderstatus) AS BIGINT)
+        |    AS gid
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, o_orderstatus),
+        |  (c_mktsegment), ())
+        |ORDER BY gid, r_name NULLS FIRST, c_mktsegment NULLS FIRST,
+        |  o_orderstatus NULLS FIRST""".stripMargin,
+    // the window sort key (spend DESC, custkey) is a total order, so
+    // NTILE bucket boundaries are engine-deterministic; percent_rank /
+    // cume_dist are single exact-integer divisions (engine-exact doubles)
+    "q_ntile_spend" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS spend,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT c_custkey, c_mktsegment, spend, n_orders,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM spend JOIN customer ON o_custkey = c_custkey
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY spend DESC, c_custkey)
+        |ORDER BY c_mktsegment, spend DESC, c_custkey""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH g AS (SELECT c_custkey,
+        |    CAST(c_nationkey % 5 AS VARCHAR) AS zone_q,
+        |    c_mktsegment AS segment_q,
+        |    CAST(CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS VARCHAR)
+        |      AS band_q
+        |  FROM customer),
+        |w AS (SELECT *, COUNT(*) OVER (PARTITION BY zone_q, segment_q,
+        |    band_q) AS grp_n FROM g)
+        |SELECT c_custkey,
+        |  CASE WHEN grp_n >= 5 THEN zone_q ELSE '*' END AS zone_q,
+        |  CASE WHEN grp_n >= 5 THEN segment_q ELSE '*' END AS segment_q,
+        |  CASE WHEN grp_n >= 5 THEN band_q ELSE '*' END AS band_q,
+        |  grp_n >= 5 AS retained
+        |FROM w ORDER BY c_custkey""".stripMargin,
+    // each p·ln term snapped to the 2^-16 grid before SUM (the
+    // q_source_entropy discipline): snapped terms are exactly
+    // representable, so the sum is order-exact on both engines
+    "q_mutual_info" ->
+      """WITH j AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cxy AS (SELECT seg, prio, COUNT(*) AS n_xy FROM j GROUP BY 1, 2),
+        |cx AS (SELECT seg, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cxy
+        |  GROUP BY 1),
+        |cy AS (SELECT prio, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cxy
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cxy)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, MAX(n) AS n,
+        |  SUM(floor((CAST(n_xy AS DOUBLE) / n) *
+        |    ln((CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |       (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))
+        |    * 65536.0) / 65536.0) AS mi_nats
+        |FROM cxy JOIN cx USING (seg) JOIN cy USING (prio)
+        |CROSS JOIN t""".stripMargin,
+    "q_train_split" ->
+      """SELECT doc_id, source,
+        |  CAST(((doc_id * 2654435761) >> 16) % 100 AS BIGINT) AS bucket,
+        |  CASE WHEN ((doc_id * 2654435761) >> 16) % 100 < 80 THEN 'train'
+        |       WHEN ((doc_id * 2654435761) >> 16) % 100 < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 
   /** BM25 oracle — the query set inlined from its single source of truth

@@ -228,4 +228,27 @@ object CorpusQueries {
     graft.ops.Sharding.shardShuffle(Tables.documents(spark, dir),
         col("doc_id"), nShards = 8)
       .orderBy(col("shard"), col("pos"))
+
+  /** Deterministic train/valid/test split (round 15): the assignment step
+    * every training pipeline runs before sharding — multiplicative
+    * (Knuth) hashing of the stable doc key into 100 buckets, 80/10/10.
+    * The hash is `(key · 2654435761) div 2^16 mod 100` — the MIDDLE bits
+    * of the classic golden-ratio multiplier, so consecutive ids scatter
+    * (taking `mod 100` of the raw product would collapse to the linear
+    * `61·id mod 100`). Properties the spec pins: pure map (no shuffle —
+    * at 100 TB the split is free, computed inside the scan stage),
+    * DETERMINISTIC (re-runs and different partitionings agree, unlike
+    * `rand()`-based splits), and complete+disjoint by construction.
+    * `shiftright` keeps the whole path in exact long arithmetic (no
+    * double division anywhere); never overflows for any key < 2^32.
+    */
+  def qTrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = shiftright(col("doc_id") * lit(2654435761L), 16) % 100
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"),
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("valid"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+  }
 }

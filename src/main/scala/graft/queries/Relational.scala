@@ -1057,4 +1057,135 @@ object Relational {
     graft.ops.Checkpoints.release(basket)
     res
   }
+
+  /** Explicit GROUPING SETS (round 15): the third member of the
+    * grouping-sets family beside ROLLUP ([[qRollupRevenue]]) and CUBE
+    * ([[qCubeOrders]]) — an ARBITRARY set list that neither of those can
+    * express: `((r_name, o_orderstatus), (c_mktsegment), ())` mixes
+    * disjoint dimensions (a region×status matrix, a segment margin, the
+    * grand total) in ONE aggregation pass. Spark 4's
+    * `Dataset.groupingSets` expands the sets before the single shuffle,
+    * so at 100 TB this is one Expand + one hash aggregate over the fact
+    * side, not three queries and three scans. `grouping_id` disambiguates
+    * set-produced NULLs from data NULLs — the standard cross-engine
+    * convention (bit 1 = column aggregated away, first column = MSB).
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+    val o = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderstatus", "o_totalprice")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("o_orderstatus")),
+          Seq(col("c_mktsegment")), Seq.empty[org.apache.spark.sql.Column]),
+        col("r_name"), col("c_mktsegment"), col("o_orderstatus"))
+      .agg(decSum2(col("o_totalprice")).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().cast("bigint").as("gid"))
+      .orderBy(col("gid"), col("r_name").asc_nulls_first,
+        col("c_mktsegment").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
+  /** Ranking-window spend tiers (round 15): per-customer lifetime spend
+    * bucketed into quartiles WITHIN each market segment — NTILE plus the
+    * two normalized ranks (PERCENT_RANK, CUME_DIST) over one window. The
+    * aggregate is the only fact-side shuffle; the window repartitions the
+    * CUSTOMER-sized result by segment (5 partitions of ~n_cust/5 rows —
+    * skew-free because the tie-broken sort key `(spend DESC, custkey)` is
+    * a total order, which also makes NTILE deterministic cross-engine).
+    * percent_rank/cume_dist are single exact-int divisions — engine-exact
+    * doubles, no grid snapping needed.
+    */
+  def qNtileSpend(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(decSum2(col("o_totalprice")).cast("double").as("spend"),
+        count(lit(1)).as("n_orders"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("spend").desc, col("c_custkey"))
+    spend.join(c, spend("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("spend"),
+        col("n_orders"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("c_mktsegment"), col("spend").desc, col("c_custkey"))
+  }
+
+  /** k-ANONYMITY suppression (round 15, k=5): the third privacy op beside
+    * row erasure ([[graft.queries.DatalakeQueries.qGdprErase]]) and value
+    * masking (q_pii_scrub) — release a customer table whose
+    * quasi-identifier combinations each cover ≥ k individuals.
+    * Quasi-identifiers are pre-generalized (nation → 5 geo zones, acctbal
+    * → 2000-wide bands, segment kept), then any combination still rarer
+    * than k is fully suppressed to '*' (the suppressed rows form one
+    * anonymous group of their own). One window COUNT over the quasi-id
+    * partition does the group sizing — a single shuffle by quasi-id, no
+    * self-join; at 100 TB the partition key has bounded cardinality
+    * (|zones|×|segments|×|bands|), so AQE coalesces it to a small
+    * exchange.
+    */
+  def qKAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val g = Tables.customer(spark, dir).select(col("c_custkey"),
+      (col("c_nationkey") % 5).cast("string").as("zone_q"),
+      col("c_mktsegment").as("segment_q"),
+      floor(col("c_acctbal") / 2000.0).cast("bigint").cast("string")
+        .as("band_q"))
+    val w = Window.partitionBy(col("zone_q"), col("segment_q"), col("band_q"))
+    val keep = count(lit(1)).over(w) >= k
+    g.select(col("c_custkey"),
+        when(keep, col("zone_q")).otherwise(lit("*")).as("zone_q"),
+        when(keep, col("segment_q")).otherwise(lit("*")).as("segment_q"),
+        when(keep, col("band_q")).otherwise(lit("*")).as("band_q"),
+        keep.as("retained"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Mutual information between two categorical columns (round 15):
+    * feature-relevance scoring for the reference's ML roadmap
+    * (ML_ROADMAP.md's feature-selection step) — MI(segment; priority)
+    * over the order fact. Three aggregates over ONE shuffled frame (the
+    * joint table; both marginals derive from it, so the fact side is
+    * scanned and shuffled once), then a broadcast-only star join of
+    * 25-row/5-row frames. Each p·ln term is snapped to the 2^-16 grid
+    * BEFORE the sum (the q_source_entropy discipline): snapped values are
+    * exact multiples of 2^-16 far below the mantissa limit, so the final
+    * SUM is exact and order-independent — bit-equal across engines.
+    */
+  def qMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_orderpriority")
+    val joint = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n_xy"))
+    val cached = graft.ops.Checkpoints.checkpoint(joint)
+    val cx = cached.groupBy(col("seg"))
+      .agg(sum(col("n_xy")).cast("bigint").as("n_x"))
+    val cy = cached.groupBy(col("prio"))
+      .agg(sum(col("n_xy")).cast("bigint").as("n_y"))
+    val t = cached.agg(sum(col("n_xy")).cast("bigint").as("n"))
+    val term = floor((col("n_xy").cast("double") / col("n")) *
+      log((col("n_xy").cast("double") * col("n").cast("double")) /
+        (col("n_x").cast("double") * col("n_y").cast("double"))) *
+      lit(65536.0)) / lit(65536.0)
+    // the final frame is checkpointed EAGERLY before the joint table's
+    // blocks are released — release-before-consume would strand the
+    // truncated lineage (the Checkpoints contract)
+    val res = graft.ops.Checkpoints.checkpoint(cached
+      .join(broadcast(cx), Seq("seg"))
+      .join(broadcast(cy), Seq("prio"))
+      .crossJoin(broadcast(t))
+      .agg(count(lit(1)).as("n_pairs"), max(col("n")).as("n"),
+        sum(term).as("mi_nats")))
+    graft.ops.Checkpoints.release(cached)
+    res
+  }
 }
