@@ -196,11 +196,15 @@ object AvroIo {
         val schema = new Schema.Parser().parse(avroJson)
         val reader = new DataFileStream(in,
           new GenericDatumReader[GenericRecord](schema))
-        new Iterator[Row] {
+        // an early-terminated consumer (limit, take) never drains the
+        // iterator, so exhaustion-close alone leaks the Hadoop stream —
+        // the task-completion hook closes it on EVERY exit path
+        val it = new Iterator[Row] {
           private var closed = false
+          def close(): Unit = if (!closed) { reader.close(); closed = true }
           def hasNext: Boolean = {
             val h = !closed && reader.hasNext
-            if (!h && !closed) { reader.close(); closed = true }
+            if (!h) close()
             h
           }
           def next(): Row = {
@@ -227,6 +231,9 @@ object AvroIo {
             })
           }
         }
+        Option(TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
+        it
       }
     spark.createDataFrame(rdd, sparkSchema)
   }

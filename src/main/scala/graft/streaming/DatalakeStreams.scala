@@ -160,7 +160,11 @@ object DatalakeStreams {
     * deletion-vector commit materializes as delete rows, a committed
     * MERGE as its arms, a maintenance rewrite as the empty feed. Only
     * `ref=` clone pointers are skipped (their data lives in another
-    * table), loudly.
+    * table), loudly. A log whose early records were vacuumed before the
+    * stream attached still gets an initial snapshot: the earliest live
+    * record's resolved state is emitted as inserts (r15 hardening — a
+    * mid-stream gap, by contrast, stays a loud skip, never a second
+    * "initial").
     *
     * Each micro-batch lands on the SINK via [[Datalake.publishEpochCas]]
     * keyed by batchId — the foreachBatch at-least-once caveat closed by
@@ -191,9 +195,24 @@ object DatalakeStreams {
     * audit trail mapping every replica version to the source commit it
     * mirrors.
     *
+    * SNAPSHOT RE-SYNC (r15 hardening — the vacuumed-log hole): when a
+    * commit's predecessor record is gone (vacuumCommits swept it before
+    * the stream started, or the chain is broken by a clone-pointer
+    * commit the replica can't follow), there is no diff base — the
+    * first cut SKIPPED the commit and still advanced the high water,
+    * silently diverging the replica forever (and a replica that was
+    * never bootstrapped would crash the next incremental apply). Now
+    * any commit whose predecessor doesn't resolve — including seq 1,
+    * which is just the degenerate case — publishes its OWN resolved
+    * snapshot wholesale as `r<seq>`: the replica state AT that commit
+    * is exactly that snapshot, so the stream converges instead of
+    * diverging, at the cost of one table-sized write (what a vacuumed
+    * CDC consumer owes anyway; Delta makes you restart the stream by
+    * hand in the same situation).
+    *
     * Scale: per source commit, one keyed anti-join + union over the
     * replica (the apply) — the CDC consumer's cost; the feed itself is
-    * commit-sized, never table-sized, except the initial snapshot.
+    * commit-sized, never table-sized, except snapshot (re-)syncs.
     */
   def replicateStream(spark: SparkSession, srcRoot: String,
       keys: Seq[String], replicaRoot: String,
@@ -219,31 +238,43 @@ object DatalakeStreams {
           if (token.startsWith("ref=")) {
             log.warn(s"replicateStream: commit $seq is a clone pointer " +
               "— skipped (replicate from the clone's source)")
-          } else if (seq == 1L) {
-            Datalake.publish(Datalake.readToken(sp, srcRoot, token),
-              replicaRoot, s"r$seq")
-          } else Datalake.commitTokenSeq(sp, srcRoot, seq - 1) match {
-            case Some(pt) if !pt.startsWith("ref=") =>
-              val feed = Datalake.changeFeedTokens(sp, srcRoot, pt, token,
-                keys)
-              val meta = Seq("_change_type", "_from_version", "_to_version")
-              val upserts = feed.filter(col("_change_type")
-                  .isin("insert", "update_postimage"))
-                .drop(meta: _*)
-              val changed = feed.filter(col("_change_type")
-                  .isin("insert", "update_postimage", "delete"))
-                .select(keys.map(col): _*).distinct()
-              val cur = Datalake.readPublished(sp, replicaRoot)
-              // feed side is commit-sized: hash-join it (hint keeps the
-              // anti off SortMergeJoin under any stats)
-              val next = cur
-                .join(changed.hint("shuffle_hash"), keys, "left_anti")
-                .unionByName(upserts)
-              Datalake.publish(next, replicaRoot, s"r$seq")
-            case other =>
-              log.warn(s"replicateStream: predecessor of $seq " +
-                s"unresolvable ($other) — skipped; a vacuumed-past log " +
-                "needs a snapshot restart")
+          } else {
+            val prev =
+              if (seq == 1L) None
+              else Datalake.commitTokenSeq(sp, srcRoot, seq - 1)
+                .filterNot(_.startsWith("ref="))
+            val replicaLive =
+              Datalake.currentVersion(sp, replicaRoot).isDefined
+            prev match {
+              case Some(pt) if replicaLive =>
+                val feed = Datalake.changeFeedTokens(sp, srcRoot, pt,
+                  token, keys)
+                val meta =
+                  Seq("_change_type", "_from_version", "_to_version")
+                val upserts = feed.filter(col("_change_type")
+                    .isin("insert", "update_postimage"))
+                  .drop(meta: _*)
+                val changed = feed.filter(col("_change_type")
+                    .isin("insert", "update_postimage", "delete"))
+                  .select(keys.map(col): _*).distinct()
+                val cur = Datalake.readPublished(sp, replicaRoot)
+                // feed side is commit-sized: hash-join it (hint keeps
+                // the anti off SortMergeJoin under any stats)
+                val next = cur
+                  .join(changed.hint("shuffle_hash"), keys, "left_anti")
+                  .unionByName(upserts)
+                Datalake.publish(next, replicaRoot, s"r$seq")
+              case why =>
+                // bootstrap (seq 1), vacuumed-away predecessor, or a
+                // replica that was never seeded: the commit's own
+                // resolved snapshot IS the correct replica state here
+                if (seq != 1L) log.warn(
+                  s"replicateStream: no diff base for commit $seq " +
+                    s"(predecessor=$why, replicaLive=$replicaLive) — " +
+                    "re-syncing from the commit's full snapshot")
+                Datalake.publish(Datalake.readToken(sp, srcRoot, token),
+                  replicaRoot, s"r$seq")
+            }
           }
           writeHighWater(sp, replicaRoot, seq)
         }
@@ -299,22 +330,30 @@ object DatalakeStreams {
             r.getString(0).trim))
           .sortBy(_._1)
         val log = org.slf4j.LoggerFactory.getLogger(getClass)
+        // has this sink ever received a feed? (a log that starts past
+        // seq 1 — vacuumed before the stream attached — must still get
+        // its initial snapshot; a MID-stream gap must not be papered
+        // over with a second "initial")
+        var emitted = Datalake.currentVersion(sp, sinkRoot).isDefined
+        def snapshotAsInserts(token: String): DataFrame = {
+          // initial snapshot as inserts (the Delta streaming-source
+          // convention) — readToken, so even a first commit carrying
+          // a vector resolves correctly
+          val snap = Datalake.readToken(sp, tableRoot, token)
+          val payload = snap.columns.filterNot(keys.contains).toSeq
+          snap.select(keys.map(col) ++ payload.map(col) ++ Seq(
+            lit("insert").as("_change_type"),
+            lit("initial").as("_from_version"),
+            lit(Datalake.tokenLabel(token)).as("_to_version")): _*)
+        }
         val feeds = recs.flatMap { case (seq, token) =>
-          if (token.startsWith("ref=")) {
+          val out: Option[DataFrame] = if (token.startsWith("ref=")) {
             log.warn(s"changeFeedStream: commit $seq holds a clone " +
               s"pointer '$token' — skipped (the data lives in another " +
               "table; replicate from the source)")
             None
           } else if (seq == 1L) {
-            // initial snapshot as inserts (the Delta streaming-source
-            // convention) — readToken, so even a first commit carrying
-            // a vector resolves correctly
-            val snap = Datalake.readToken(sp, tableRoot, token)
-            val payload = snap.columns.filterNot(keys.contains).toSeq
-            Some(snap.select(keys.map(col) ++ payload.map(col) ++ Seq(
-              lit("insert").as("_change_type"),
-              lit("initial").as("_from_version"),
-              lit(Datalake.tokenLabel(token)).as("_to_version")): _*))
+            Some(snapshotAsInserts(token))
           } else Datalake.commitTokenSeq(sp, tableRoot, seq - 1) match {
             case Some(pt) if !pt.startsWith("ref=") =>
               // token-general diff: DELETE (dv=) commits materialize as
@@ -322,12 +361,23 @@ object DatalakeStreams {
               // as the empty feed — every commit class, one code path
               Some(Datalake.changeFeedTokens(sp, tableRoot, pt, token,
                 keys))
+            case other if !emitted =>
+              // the log's earliest LIVE record (everything before it
+              // vacuumed away): this commit IS the stream's initial
+              // snapshot (r15 hardening — the first cut never emitted
+              // one, so a consumer of a trimmed log replayed nothing)
+              log.warn(s"changeFeedStream: predecessor of $seq " +
+                s"unresolvable ($other) at stream start — emitting its " +
+                "snapshot as the initial feed")
+              Some(snapshotAsInserts(token))
             case other =>
               log.warn(s"changeFeedStream: commit ${seq - 1} " +
                 s"(predecessor of $seq) unresolvable ($other) — skipped; " +
                 "vacuumed-past-the-checkpoint logs need a snapshot restart")
               None
           }
+          if (out.isDefined) emitted = true
+          out
         }
         feeds.reduceOption(_.unionByName(_)).foreach { f =>
           Datalake.publishEpochCas(f, sinkRoot, batchId.toString)

@@ -228,6 +228,68 @@ class FileStreamSpec extends SparkSpecBase {
     assert(Datalake.listVersions(spark, rep) === Seq("r1", "r2", "r3", "r4"))
   }
 
+  test("replicateStream: vacuumed-log attach re-syncs from a snapshot instead of diverging") {
+    import graft.sources.Datalake
+    import graft.streaming.DatalakeStreams
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-replvac")
+    val src = s"$root/src"; val rep = s"$root/rep"
+    def df(tag: String, n: Int) =
+      spark.range(n).selectExpr("id", s"'$tag' AS tag")
+    Datalake.publishEpochCas(df("a", 5), src, "1")             // seq 1
+    Datalake.deleteWhere(spark, src, col("id") === 0L)         // seq 2
+    Datalake.mergeTransact(spark, src,
+      Seq((7L, "m")).toDF("id", "tag"), Seq("id"))             // seq 3
+    Datalake.mergeTransact(spark, src,
+      Seq((1L, "z")).toDF("id", "tag"), Seq("id"))             // seq 4
+    // trim the log BEFORE the replica ever attaches: records 1-2 gone,
+    // so the stream's first live record (3) has no predecessor either
+    assert(Datalake.vacuumCommits(spark, src, keepLast = 2) === 2)
+    val q = DatalakeStreams.replicateStream(spark, src, Seq("id"), rep,
+      s"$root/ck")
+    try q.awaitTermination() finally q.stop()
+    val want = Datalake.readPublished(spark, src)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Datalake.readPublished(spark, rep)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === want,
+      "replica must equal the source after a snapshot re-sync")
+    // commit 3 bootstrapped wholesale, commit 4 applied incrementally
+    assert(Datalake.listVersions(spark, rep) === Seq("r3", "r4"))
+  }
+
+  test("changeFeedStream: a trimmed log still emits the initial snapshot") {
+    import graft.sources.Datalake
+    import graft.streaming.DatalakeStreams
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cfsvac")
+    val table = s"$root/t"; val sink = s"$root/feed"
+    def df(tag: String, n: Int) =
+      spark.range(n).selectExpr("id", s"'$tag' AS tag")
+    Datalake.publishEpochCas(df("a", 4), table, "1")           // seq 1
+    Datalake.mergeTransact(spark, table,
+      Seq((9L, "b")).toDF("id", "tag"), Seq("id"))             // seq 2
+    Datalake.mergeTransact(spark, table,
+      Seq((1L, "c")).toDF("id", "tag"), Seq("id"))             // seq 3
+    assert(Datalake.vacuumCommits(spark, table, keepLast = 2) === 1)
+    val q = DatalakeStreams.changeFeedStream(spark, table, Seq("id"),
+      sink, s"$root/ck")
+    try q.awaitTermination() finally q.stop()
+    val feed = Datalake.readVersionsMerged(spark, sink,
+      Datalake.listVersions(spark, sink))
+    // earliest live record (seq 2) arrives as the initial snapshot —
+    // 5 inserts (ids 0-3 tagged a, 9 tagged b) — then seq 3's real diff
+    val initial = feed.filter(col("_from_version") === "initial")
+    assert(initial.count() === 5L)
+    assert(initial.select("_change_type").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("insert"))
+    val diff = feed.filter(col("_from_version") =!= "initial")
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff === Set((1L, "update_preimage"), (1L, "update_postimage")),
+      "the live diff after the snapshot must be seq 3's real change")
+  }
+
   test("file-source stream of events matches the batch windowed aggregation") {
     // the stream must declare a schema up front — take whatever encoding the
     // driver's parquet drop uses from a batch read, then normalize ts the
