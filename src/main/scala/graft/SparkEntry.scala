@@ -209,6 +209,10 @@ object SparkEntry {
     "q_k_anonymity" -> ((s, d) => Relational.qKAnonymity(s, d)),
     "q_mutual_info" -> (Relational.qMutualInfo _),
     "q_train_split" -> (CorpusQueries.qTrainSplit _),
+    "q_dp_counts" -> (Relational.qDpCounts _),
+    "q_bitemporal" -> (DatalakeQueries.qBitemporal _),
+    "q_period_over_period" -> (Relational.qPeriodOverPeriod _),
+    "q_attribution_decay" -> (EventQueries.qAttributionDecay _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -3760,6 +3764,89 @@ object SparkEntry {
         |       WHEN ((doc_id * 2654435761) >> 16) % 100 < 90 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // seeded Laplace replay: u is an odd dyadic (2·(h mod 2^52)+1)/2^53
+    // — open (0,1), never 1/2; t = 1-2|u-1/2| is exact dyadic, ln
+    // snapped to the 2^-16 grid, negation exact, count+noise exact sum
+    "q_dp_counts" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    COUNT(*) AS n_true FROM customer GROUP BY 1, 2),
+        |d AS (SELECT *,
+        |    (CAST(CAST(md5_number_lower(CAST(c_nationkey AS VARCHAR)
+        |        || ':' || c_mktsegment) AS HUGEINT) % 4503599627370496
+        |      * 2 + 1 AS DOUBLE)) / 9007199254740992.0 AS u
+        |  FROM g),
+        |n AS (SELECT *,
+        |    floor(ln(1.0 - 2.0 * abs(u - 0.5)) * 65536.0) / 65536.0
+        |      AS ln_t
+        |  FROM d)
+        |SELECT c_nationkey, c_mktsegment, n_true,
+        |  CASE WHEN u >= 0.5 THEN -ln_t ELSE ln_t END AS noise,
+        |  CAST(n_true AS DOUBLE) +
+        |    CASE WHEN u >= 0.5 THEN -ln_t ELSE ln_t END AS released,
+        |  CAST(1.0 AS DOUBLE) AS epsilon,
+        |  CAST(1.0 AS DOUBLE) AS sensitivity
+        |FROM n ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // bitemporal replay: wave k's SCD2 history from events with
+    // event_id % 3 <= k, state at valid-time V = newest valid_from <= V
+    // (change_id tie-break) — the knowledge-time axis replayed as the
+    // wave filter instead of the lake's publishAt timestamps
+    "q_bitemporal" ->
+      """WITH probes(known_at, wave) AS (
+        |  VALUES (1500, 0), (2500, 1), (3500, 2)),
+        |e AS (SELECT p.known_at, user_id, ts, event_type, event_id,
+        |    lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+        |  FROM events, probes p WHERE event_id % 3 <= p.wave
+        |  WINDOW w AS (PARTITION BY p.known_at, user_id
+        |    ORDER BY ts, event_id)),
+        |ch AS (SELECT known_at, user_id, event_type AS state,
+        |    ts AS valid_from, event_id AS change_id
+        |  FROM e WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY known_at, user_id
+        |    ORDER BY valid_from DESC, change_id DESC) AS rn2
+        |  FROM ch
+        |  WHERE valid_from <= TIMESTAMP '2024-01-16 00:00:00')
+        |SELECT CAST(known_at AS BIGINT) AS known_at, user_id, state,
+        |  valid_from
+        |FROM r WHERE rn2 = 1
+        |ORDER BY known_at, user_id""".stripMargin,
+    // revenues are exact-decimal sums cast once; delta and pct are
+    // single IEEE subtract/divide — engine-exact
+    "q_period_over_period" ->
+      """WITH rev AS (SELECT
+        |    CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS revenue,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT day, revenue, n_orders,
+        |  lag(revenue, 1) OVER (ORDER BY day) AS prev_revenue,
+        |  revenue - lag(revenue, 1) OVER (ORDER BY day) AS delta,
+        |  (revenue - lag(revenue, 1) OVER (ORDER BY day))
+        |    / lag(revenue, 1) OVER (ORDER BY day) AS pct_change
+        |FROM rev ORDER BY day""".stripMargin,
+    // weights are exact dyadic literals (1/2^k); credit is one IEEE
+    // multiply — engine-exact, per-pair rows, no cross-row double sum
+    "q_attribution_decay" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, value,
+        |    lag(event_id, 1) OVER w AS t1, lag(event_type, 1) OVER w AS y1,
+        |    lag(event_id, 2) OVER w AS t2, lag(event_type, 2) OVER w AS y2,
+        |    lag(event_id, 3) OVER w AS t3, lag(event_type, 3) OVER w AS y3,
+        |    lag(event_id, 4) OVER w AS t4, lag(event_type, 4) OVER w AS y4
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |    value AS p_value,
+        |    unnest([t1, t2, t3, t4]) AS touch_id,
+        |    unnest([y1, y2, y3, y4]) AS touch_type,
+        |    unnest([1, 2, 3, 4]) AS k,
+        |    unnest([0.5, 0.25, 0.125, 0.0625]) AS weight
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT purchase_id, user_id, touch_id, touch_type,
+        |  CAST(k AS BIGINT) AS k, CAST(weight AS DOUBLE) AS weight,
+        |  p_value * CAST(weight AS DOUBLE) AS credit
+        |FROM p WHERE touch_id IS NOT NULL
+        |ORDER BY purchase_id, k""".stripMargin,
   )
 
   /** BM25 oracle — the query set inlined from its single source of truth

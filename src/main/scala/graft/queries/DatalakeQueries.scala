@@ -1247,6 +1247,60 @@ object DatalakeQueries {
     }.reduce(_.unionByName(_)).orderBy(col("probe_ts"))
   }
 
+  /** BITEMPORAL read (round 15): the two time axes the lake now carries,
+    * COMPOSED — valid time (when a fact was true in the world: the SCD2
+    * `valid_from` chain) × system time (when the lake knew it:
+    * [[Datalake.publishAt]] commit timestamps). The question neither
+    * axis answers alone: "what did we believe user U's state at
+    * valid-time V was, as of system-time T?" — the audit/backtest read
+    * (reproduce yesterday's model features even though late events have
+    * since rewritten history).
+    *
+    * Construction: events arrive in three deterministic ingest waves
+    * (`event_id % 3` — wave k's history is built from waves ≤ k), each
+    * wave's rebuilt SCD2 history published with a synthetic system
+    * timestamp. The probe resolves each knowledge time via [[Datalake
+    * .readAsOf]], then per user takes the newest `valid_from ≤ V` —
+    * one window over the catalog-resolved snapshot. Late-arriving
+    * events make earlier knowledge times genuinely WRONG about V (not
+    * just incomplete), which is what the oracle re-proves row by row.
+    *
+    * Scale: history rebuilds are one window each over the fact table;
+    * the probe is a window over one resolved version (never a scan of
+    * all versions) — system-time resolution is catalog-sized.
+    */
+  def qBitemporal(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    def history(wave: Int): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev.filter(col("event_id") % 3 <= wave)
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("event_id"), lag(col("event_type"), 1).over(w).as("prev"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1 || !(col("prev") <=> col("event_type")))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("event_id").as("change_id"))
+    }
+    val root = tempLakeRoot() + "/bitemporal"
+    Datalake.publishAt(history(0), root, "1", commitTsMillis = 1000L)
+    Datalake.publishAt(history(1), root, "2", commitTsMillis = 2000L)
+    Datalake.publishAt(history(2), root, "3", commitTsMillis = 3000L)
+    val v = lit("2024-01-16 00:00:00").cast("timestamp")
+    val w2 = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from").desc, col("change_id").desc)
+    Seq(1500L, 2500L, 3500L).map { t =>
+      Datalake.readAsOf(spark, root, t)
+        .filter(col("valid_from") <= v)
+        .withColumn("rn2", row_number().over(w2))
+        .filter(col("rn2") === 1)
+        .select(lit(t).as("known_at"), col("user_id"), col("state"),
+          col("valid_from"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("known_at"), col("user_id"))
+  }
+
   /** MERGE WITH SCHEMA EVOLUTION (round 15 — r14 verdict #3, Delta's
     * `autoMerge`: a CDC feed that grows a column today breaks a
     * strict-schema apply stream). The delta carries `o_orderpriority`,

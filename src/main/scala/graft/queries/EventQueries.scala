@@ -112,6 +112,46 @@ object EventQueries {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** TIME-DECAY attribution (round 15): the third credit model beside
+    * as-of last-touch (q_asof_attribution) and equal-split linear
+    * (q_attribution_linear) — each purchase credits its last four
+    * preceding touches with geometrically decaying weight 2^-k (nearest
+    * touch k=1 → 1/2, then 1/4, 1/8, 1/16). Engine shape: NO pair join
+    * at all — one user-partitioned window with four fixed-offset lags,
+    * then a scan-side explode of the (touch, k) pairs; the fan-out is
+    * bounded at 4 rows per purchase by construction, so at 100 TB the
+    * cost is the one user_id exchange the journey family already shares.
+    * Exactness: 2^-k weights are exact dyadics and credit = value · 2^-k
+    * is one IEEE multiply — engine-exact, no snapping; per-pair rows are
+    * emitted (no cross-row double sum).
+    */
+  def qAttributionDecay(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val lagged = e.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("event_type"), col("value").as("p_value"),
+      array((1 to 4).map { k =>
+        // the weight is a compile-time exact dyadic LITERAL (1/2^k) —
+        // never a runtime pow, whose rounding is engine-private
+        struct(lag(col("event_id"), k).over(w).as("touch_id"),
+          lag(col("event_type"), k).over(w).as("touch_type"),
+          lit(k.toLong).as("k"), lit(1.0 / (1L << k)).as("weight"))
+      }: _*).as("touches"))
+    lagged.filter(col("event_type") === "purchase")
+      .select(col("purchase_id"), col("user_id"), col("p_value"),
+        explode(col("touches")).as("t"))
+      .filter(col("t.touch_id").isNotNull)
+      .select(col("purchase_id"), col("user_id"),
+        col("t.touch_id").as("touch_id"),
+        col("t.touch_type").as("touch_type"),
+        col("t.k").as("k"), col("t.weight").as("weight"),
+        (col("p_value") * col("t.weight")).as("credit"))
+      .orderBy(col("purchase_id"), col("k"))
+  }
+
   /** Per-user event-sequence features: lead/lag gaps, running rank
     * position, quartile bucket — the standard window-function toolbox in
     * one pass. ONE shuffle on user_id serves every window (same

@@ -1148,6 +1148,71 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Period-over-period revenue (round 15): the dashboard delta every
+    * reporting layer computes — daily revenue with previous-day value,
+    * absolute change and percent change from ONE ordered window over the
+    * AGGREGATED frame. Scale shape: the fact table reduces to ~days rows
+    * in the groupBy shuffle first, so the unpartitioned window (a single
+    * reducer by construction) only ever sees the day-grain table, never
+    * the fact side — safe at any SF because the window input is bounded
+    * by the calendar. Arithmetic: revenues are exact-decimal sums cast
+    * once to double; delta and pct are single IEEE subtract/divide —
+    * engine-exact, no snapping.
+    */
+  def qPeriodOverPeriod(spark: SparkSession, dir: String): DataFrame = {
+    val day = date_trunc("day", col("o_orderdate"))
+    val rev = Tables.orders(spark, dir)
+      .groupBy(day.as("day"))
+      .agg(decSum2(col("o_totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("day"))
+    rev.select(col("day"), col("revenue"), col("n_orders"),
+        lag(col("revenue"), 1).over(w).as("prev_revenue"))
+      .withColumn("delta", col("revenue") - col("prev_revenue"))
+      .withColumn("pct_change", col("delta") / col("prev_revenue"))
+      .orderBy(col("day"))
+  }
+
+  /** DIFFERENTIALLY-PRIVATE count release (round 15): the fourth privacy
+    * op — row erasure (q_gdpr_erase), masking (q_pii_scrub) and
+    * k-anonymity (q_k_anonymity) protect the TABLE; this protects an
+    * AGGREGATE release: per-(nation, segment) customer counts with
+    * Laplace(Δ/ε) noise, Δ=1 (one person moves one count by one), ε=1.
+    * The released table carries its privacy ledger (epsilon,
+    * sensitivity) alongside the audit columns — the shape a DP release
+    * pipeline publishes.
+    *
+    * The noise draw is SEEDED from the group key's md5 lane so the
+    * release is a pure function of the data — what makes it
+    * oracle-replayable and test-pinnable; a production release swaps the
+    * seeded u for a CSPRNG draw and NOTHING else changes. Exactness
+    * discipline: u = (2·(h mod 2^52)+1)/2^53 is an ODD dyadic rational —
+    * open interval (0,1), never exactly 1/2, so the inverse-CDF
+    * sign/branch is well-defined and t = 1−2|u−1/2| is exact dyadic
+    * arithmetic with t > 0 (ln never sees 0); ln(t) is snapped to the
+    * 2^-16 grid, negation is exact, and count+noise is an exact sum
+    * (integer + 2^-16 multiple). One shuffled aggregate; the noise is a
+    * projection over the group-sized result.
+    */
+  def qDpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_true"))
+    val h = graft.functions.text.md5Lanes(
+      concat(col("c_nationkey").cast("string"), lit(":"),
+        col("c_mktsegment")))(0)
+    val u = (h.bitwiseAND(lit((1L << 52) - 1)) * lit(2L) + lit(1L))
+      .cast("double") / lit(9007199254740992.0)
+    val t = lit(1.0) - lit(2.0) * abs(u - lit(0.5))
+    val lnT = floor(log(t) * lit(65536.0)) / lit(65536.0)
+    val noise = when(u >= 0.5, -lnT).otherwise(lnT)
+    g.select(col("c_nationkey"), col("c_mktsegment"), col("n_true"),
+        noise.as("noise"),
+        (col("n_true").cast("double") + noise).as("released"),
+        lit(1.0).as("epsilon"), lit(1.0).as("sensitivity"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
   /** Mutual information between two categorical columns (round 15):
     * feature-relevance scoring for the reference's ML roadmap
     * (ML_ROADMAP.md's feature-selection step) — MI(segment; priority)

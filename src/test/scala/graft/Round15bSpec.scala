@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{CorpusQueries, Relational}
+import graft.queries.{CorpusQueries, DatalakeQueries, Relational}
 
 /** Round-15 late additions: arbitrary GROUPING SETS, ranking-window spend
   * tiers, k-anonymity suppression, categorical mutual information, and the
@@ -92,6 +92,102 @@ class Round15bSpec extends SparkSpecBase {
     assert(r.getLong(0) <= 25L, "≤ |segments|×|priorities| pairs")
     assert(r.getLong(1) ===
       spark.read.parquet(s"$sfDir/orders.parquet").count())
+  }
+
+  test("dp counts: seeded Laplace release is deterministic, exact-sum, never degenerate") {
+    val rows = Relational.qDpCounts(spark, sfDir).collect()
+    val again = Relational.qDpCounts(spark, sfDir).collect()
+    assert(rows.map(_.toSeq.toList).toList ===
+      again.map(_.toSeq.toList).toList, "release is a pure function")
+    rows.foreach { r =>
+      val (n, noise, released) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(released === n.toDouble + noise, "exact audit identity")
+      assert(noise !== 0.0,
+        "u is an odd dyadic — exactly-zero noise (u=1/2) is impossible")
+      assert(math.abs(noise) < 40.0, "ln of an open-interval u is finite")
+      assert(r.getDouble(5) === 1.0 && r.getDouble(6) === 1.0)
+    }
+    // the draws behave like Laplace(1): median |noise| ≈ ln 2 — a loose
+    // envelope that still catches a broken inverse-CDF (all-positive,
+    // all-tiny, or unsigned draws would all fail one of these)
+    val absNoise = rows.map(r => math.abs(r.getDouble(3))).sorted
+    val med = absNoise(absNoise.length / 2)
+    assert(med > 0.2 && med < 2.0, s"median |noise| $med vs ln2≈0.69")
+    assert(rows.exists(_.getDouble(3) > 0) && rows.exists(_.getDouble(3) < 0),
+      "both noise signs must occur")
+  }
+
+  test("bitemporal: later knowledge times genuinely rewrite valid-time history") {
+    val rows = DatalakeQueries.qBitemporal(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3)))
+    val byKnown = rows.groupBy(_._1)
+    assert(byKnown.keySet === Set(1500L, 2500L, 3500L))
+    // monotone knowledge: each wave adds events, so the user set can
+    // only grow with known_at
+    val users = byKnown.view.mapValues(_.map(_._2).toSet).toMap
+    assert(users(1500L).subsetOf(users(2500L)))
+    assert(users(2500L).subsetOf(users(3500L)))
+    // at least one user's believed state-at-V must CHANGE between
+    // knowledge times — late events rewrite history, which is the whole
+    // reason the system-time axis exists
+    val s1 = byKnown(1500L).map(r => r._2 -> (r._3, r._4)).toMap
+    val s3 = byKnown(3500L).map(r => r._2 -> (r._3, r._4)).toMap
+    val rewritten = s1.keySet.intersect(s3.keySet)
+      .count(u => s1(u) !== s3(u))
+    assert(rewritten > 0, "no user's history was rewritten — the probe " +
+      "would be testing plain time travel, not bitemporality")
+    // exactly one state per (known_at, user)
+    assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
+  }
+
+  test("period over period: delta identities hold, one row per day") {
+    val rows = Relational.qPeriodOverPeriod(spark, sfDir).collect()
+    assert(rows.length ===
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(date_trunc("day", col("o_orderdate"))).distinct().count())
+    assert(rows.head.isNullAt(3) && rows.head.isNullAt(4),
+      "first day has no predecessor")
+    rows.drop(1).foreach { r =>
+      val (rev, prev, delta, pct) =
+        (r.getDouble(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(delta === rev - prev)
+      assert(pct === delta / prev)
+    }
+    // days strictly increase
+    val days = rows.map(_.getTimestamp(0).getTime)
+    assert(days.sameElements(days.sorted.distinct))
+  }
+
+  test("attribution decay: bounded fan-out, exact dyadic weights, real predecessors") {
+    import graft.queries.EventQueries
+    val rows = EventQueries.qAttributionDecay(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val byPurchase = rows.groupBy(_._1)
+    byPurchase.foreach { case (pid, ts) =>
+      val ks = ts.map(_._5).sorted
+      assert(ks.length <= 4 && ks.sameElements(1L to ks.length),
+        s"purchase $pid: k must be the prefix 1..n of the 4 slots")
+    }
+    rows.foreach { case (_, _, _, _, k, w, _) =>
+      assert(w === 1.0 / (1L << k), "weight is the exact dyadic 2^-k")
+    }
+    // spot-check one purchase's touches against the recomputed timeline
+    val (pid, uid) = (byPurchase.keys.min, byPurchase(byPurchase.keys.min).head._2)
+    // Tables.events, not a raw read: ts needs the nanos/micros
+    // normalization branch (the verify-skill gotcha)
+    val timeline = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("user_id") === uid)
+      .select(col("event_id"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+      .sortBy { case (id, t) => (t.getTime, id) }.map(_._1)
+    val pos = timeline.indexOf(pid)
+    val want = (1 to math.min(4, pos)).map(k => timeline(pos - k))
+    val got = byPurchase(pid).sortBy(_._5).map(_._3)
+    assert(got.sameElements(want),
+      s"purchase $pid: touches must be the $pos-prefix neighbors")
   }
 
   test("train split: deterministic, complete, disjoint, ~80/10/10, no shuffle") {
