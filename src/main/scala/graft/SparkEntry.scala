@@ -192,6 +192,7 @@ object SparkEntry {
     "q_stream_outer_join" -> (StreamQueries.qStreamOuterJoin _),
     "q_shallow_clone" -> (DatalakeQueries.qShallowClone _),
     "q_stream_drift" -> (StreamQueries.qStreamDrift _),
+    "q_stream_hll" -> (StreamQueries.qStreamHll _),
     "q_stream_drift_windows" -> (StreamQueries.qStreamDriftWindows _),
     "q_stream_session_window" -> (StreamQueries.qStreamSessionWindow _),
     "q_stream_dedup_ttl" -> (StreamQueries.qStreamDedupTtl _),
@@ -213,6 +214,10 @@ object SparkEntry {
     "q_bitemporal" -> (DatalakeQueries.qBitemporal _),
     "q_period_over_period" -> (Relational.qPeriodOverPeriod _),
     "q_attribution_decay" -> (EventQueries.qAttributionDecay _),
+    "q_target_encode" -> (Relational.qTargetEncode _),
+    "q_ewma_anomaly" -> (EventQueries.qEwmaAnomaly _),
+    "q_mv_join_incremental" -> (DatalakeQueries.qMvJoinIncremental _),
+    "q_partition_evolution" -> (DatalakeQueries.qPartitionEvolution _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -895,6 +900,10 @@ object SparkEntry {
         // histogram-store fold == batch counts by count linearity, PSI
         // tail shared verbatim → the batch oracle applies unchanged
         "q_stream_drift" -> staticOracleSql("q_drift_psi"),
+        // register fold (cell-wise max over epochs) == single-pass batch
+        // registers — max is associative AND idempotent — and the
+        // estimate tail is shared verbatim → the batch oracle unchanged
+        "q_stream_hll" -> staticOracleSql("q_hll_distinct"),
         // TTL dedup of the doubled feed = the plain table: every distinct
         // event exactly once
         "q_stream_dedup_ttl" ->
@@ -3847,6 +3856,94 @@ object SparkEntry {
         |  p_value * CAST(weight AS DOUBLE) AS credit
         |FROM p WHERE touch_id IS NOT NULL
         |ORDER BY purchase_id, k""".stripMargin,
+    // fold partials are exact DECIMAL(18,2) sums; the leave-one-fold-out
+    // window sums stay exact (decimal addition associative); the encoding
+    // is ONE IEEE division of the two exactly-rounded casts
+    "q_target_encode" ->
+      """WITH j AS (SELECT c.c_mktsegment AS segment,
+        |    o.o_orderkey % 5 AS fold,
+        |    CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |pf AS (SELECT segment, fold, SUM(v) AS s, COUNT(*) AS n
+        |  FROM j GROUP BY 1, 2)
+        |SELECT segment, CAST(fold AS BIGINT) AS fold, n AS n_fold,
+        |  CAST(SUM(n) OVER (PARTITION BY segment) - n AS BIGINT)
+        |    AS n_other_folds,
+        |  CAST(SUM(s) OVER (PARTITION BY segment) - s AS DOUBLE)
+        |    / CAST(SUM(n) OVER (PARTITION BY segment) - n AS DOUBLE)
+        |    AS enc_target_mean
+        |FROM pf ORDER BY segment, fold""".stripMargin,
+    // daily v is an exact decimal sum cast once; the forecast's dyadic
+    // weights are exact power-of-two scalings and the eight-term sum is
+    // the SAME left-associative tree in both engines — IEEE addition is
+    // deterministic, so every node rounds identically; no snapping
+    "q_ewma_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, v, n_events,
+        |    lag(v,1) OVER w AS l1, lag(v,2) OVER w AS l2,
+        |    lag(v,3) OVER w AS l3, lag(v,4) OVER w AS l4,
+        |    lag(v,5) OVER w AS l5, lag(v,6) OVER w AS l6,
+        |    lag(v,7) OVER w AS l7, lag(v,8) OVER w AS l8,
+        |    row_number() OVER w AS rn
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |f AS (SELECT event_type, day, v, n_events,
+        |    l1 * CAST(0.5 AS DOUBLE) + l2 * CAST(0.25 AS DOUBLE)
+        |      + l3 * CAST(0.125 AS DOUBLE) + l4 * CAST(0.0625 AS DOUBLE)
+        |      + l5 * CAST(0.03125 AS DOUBLE) + l6 * CAST(0.015625 AS DOUBLE)
+        |      + l7 * CAST(0.0078125 AS DOUBLE)
+        |      + l8 * CAST(0.0078125 AS DOUBLE) AS forecast
+        |  FROM l WHERE rn > 8)
+        |SELECT event_type, day, v, n_events, forecast,
+        |  v - forecast AS deviation,
+        |  CAST(abs(v - forecast) > forecast * CAST(0.25 AS DOUBLE)
+        |    AS BIGINT) AS is_alert
+        |FROM f ORDER BY event_type, day""".stripMargin,
+    // full-recompute oracle: the driver hash-compare re-proves
+    // incremental == from-scratch on the delta-join algebra every round
+    "q_mv_join_incremental" ->
+      """WITH j AS (SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice,
+        |    CASE WHEN o.o_orderkey % 5 <> 4 AND c.c_custkey % 7 <> 3
+        |      THEN 'store' ELSE 'delta' END AS src
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN src = 'store' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_from_store,
+        |  CAST(SUM(CASE WHEN src <> 'store' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_from_delta,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // one writer task per segment → one file per partition value, so the
+    // layout (and the file-count evidence) is a pure function of the
+    // data: files replay as COUNT(DISTINCT key) over the same splits
+    "q_partition_evolution" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    event_type, value FROM events),
+        |old AS (SELECT * FROM e WHERE event_id % 3 <> 0),
+        |new AS (SELECT * FROM e WHERE event_id % 3 = 0)
+        |SELECT '1' AS version, 'event_type' AS spec,
+        |  (SELECT COUNT(DISTINCT event_type) FROM old) AS files_total,
+        |  (SELECT COUNT(DISTINCT event_type) FROM old) AS files_scanned,
+        |  COUNT(CASE WHEN day = DATE '2024-01-10' THEN 1 END) AS n_match,
+        |  CAST(COALESCE(SUM(CASE WHEN day = DATE '2024-01-10'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+        |    AS sum_value
+        |FROM old
+        |UNION ALL
+        |SELECT '2', 'day',
+        |  (SELECT COUNT(DISTINCT day) FROM new),
+        |  (SELECT COUNT(DISTINCT day) FROM new
+        |    WHERE day = DATE '2024-01-10'),
+        |  COUNT(CASE WHEN day = DATE '2024-01-10' THEN 1 END),
+        |  CAST(COALESCE(SUM(CASE WHEN day = DATE '2024-01-10'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+        |FROM new
+        |ORDER BY version""".stripMargin,
   )
 
   /** BM25 oracle — the query set inlined from its single source of truth

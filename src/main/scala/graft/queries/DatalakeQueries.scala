@@ -287,6 +287,70 @@ object DatalakeQueries {
         sum(col("value_clean").cast(DecimalType(18, 2)))
           .cast("double").as("total_value"))
 
+  /** Incremental maintenance of a JOIN view (round 15c) — the other half
+    * of view maintenance beside [[qMvIncremental]]'s aggregate: a
+    * persisted enrichment view V = orders ⋈ customer is kept current
+    * under INSERT deltas arriving on BOTH base tables using the delta-join
+    * algebra, never a base-side recompute:
+    *
+    *   V_new = V_old ∪ (ΔO ⋈ C_new) ∪ (O_old ⋈ ΔC)
+    *
+    * (the two-term form: ΔO joins the FULL new customer snapshot, which
+    * folds the ΔO⋈C_old and ΔO⋈ΔC terms into one pass; O_old⋈ΔC picks up
+    * exactly the old orders whose customer just appeared — disjoint from
+    * the first term because those rows have old order keys, so the union
+    * is duplicate-free without a distinct).
+    *
+    * Scale shape: every delta term is delta-sized on at least one side —
+    * ΔO⋈C broadcasts the dim as usual, and O_old⋈ΔC BROADCASTS ΔC so the
+    * stored fact never shuffles (at 100 TB this is the entire point: the
+    * day's maintenance cost is O(|Δ|·scan), zero fact-side exchange; with
+    * the store bucketed on the join key even the scan narrows to the
+    * delta's key range via the file-stats prune). The view store itself
+    * is read back from the lake, not recomputed — pinned by provenance
+    * counters in the output.
+    *
+    * Exactness: per-segment revenue re-aggregates the three frames'
+    * exact DECIMAL(18,2) partials (decimal addition associative), cast
+    * to double once; counts are exact longs. The ORACLE recomputes the
+    * whole join from scratch with the same provenance predicates — the
+    * driver hash-compare re-proves incremental == from-scratch every
+    * round.
+    */
+  def qMvJoinIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val oldO = o.filter(col("o_orderkey") % 5 =!= 4)
+    val deltaO = o.filter(col("o_orderkey") % 5 === 4)
+    val oldC = c.filter(col("c_custkey") % 7 =!= 3)
+    val deltaC = c.filter(col("c_custkey") % 7 === 3)
+    def enrich(orders: DataFrame, cust: DataFrame): DataFrame =
+      orders.join(broadcast(cust),
+        orders("o_custkey") === cust("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          col("o_totalprice"))
+    val root = tempLakeRoot()
+    val storePath = Datalake.path(root, Datalake.Usage, "mv", "enriched")
+    Datalake.writeParquet(enrich(oldO, oldC), storePath)
+    val vOld = spark.read.parquet(storePath)
+      .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"),
+        lit("store").as("src"))
+    val dNewOrders = enrich(deltaO, c).withColumn("src", lit("delta_o"))
+    val dNewCust = enrich(oldO, deltaC).withColumn("src", lit("delta_c"))
+    vOld.unionByName(dNewOrders).unionByName(dNewCust)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("src") === "store", 1L).otherwise(0L))
+          .cast("bigint").as("n_from_store"),
+        sum(when(col("src") =!= "store", 1L).otherwise(0L))
+          .cast("bigint").as("n_from_delta"),
+        decSum2(col("o_totalprice")).cast("double").as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Incremental MATERIALIZED-VIEW maintenance (round 8) — the warehouse
     * shape every daily pipeline runs: a persisted aggregate view (daily
     * order revenue) is maintained by folding ONLY the day's delta, never
@@ -730,6 +794,59 @@ object DatalakeQueries {
       .agg(count(lit(1)).as("n_events"),
         count_distinct(col("event_type")).as("n_types"))
       .orderBy(col("day"))
+  }
+
+  /** PARTITION-SPEC EVOLUTION (round 15c — the Iceberg flagship the Hive
+    * layout can't offer): the events table starts partitioned by
+    * event_type (version 1); the team re-decides and version 2's append
+    * lands partitioned by day — WITHOUT rewriting version 1's files
+    * ([[graft.sources.Datalake.publishEvolved]] chains immutable
+    * segments; the old rows stay in their old layout behind a `_BASE`
+    * pointer). The probe then reads `day = 2024-01-10` through
+    * [[graft.sources.Datalake.evolvedPrunedScan]]: the day-partitioned
+    * segment prunes to ONE directory's file while the pre-evolution
+    * segment honestly admits every file (evolution changes the layout of
+    * FUTURE data only — the documented Iceberg contract; OPTIMIZE is how
+    * history migrates). Output = one row per segment with its spec, the
+    * real directory-listing file counts, and the exact filtered
+    * aggregate — a wrong union (dropped segment, doubled rows) or a
+    * wrong layout (file counts off) both hash-fail.
+    *
+    * Determinism: each segment is written by ONE task (repartition(1)),
+    * so the layout is one file per partition value — file counts are a
+    * pure function of the data and the oracle replays them as
+    * COUNT(DISTINCT key) over the same split predicates.
+    *
+    * Scale: the evolved read is a union of independent parquet scans (no
+    * shuffle added); pruning work is directory listing per segment. The
+    * win at 100 TB is the ZERO-rewrite spec change — repartitioning a
+    * petabyte table because the query pattern changed is exactly the
+    * job this makes unnecessary.
+    */
+  def qPartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+    val root = tempLakeRoot() + "/events_evolve"
+    Datalake.publishEvolved(
+      e.filter(col("event_id") % 3 =!= 0).repartition(1),
+      root, "1", Seq("event_type"))
+    Datalake.publishEvolved(
+      e.filter(col("event_id") % 3 === 0).repartition(1),
+      root, "2", Seq("day"))
+    val probes = Datalake.evolvedPrunedScan(spark, root, "day", "2024-01-10")
+    probes.map { s =>
+      s.df.filter(col("day") === lit("2024-01-10").cast("date"))
+        .agg(count(lit(1)).cast("long").as("n_match"),
+          coalesce(decSum2(col("value")).cast("double"), lit(0.0))
+            .as("sum_value"))
+        .select(lit(s.segment.version).as("version"),
+          lit(s.segment.spec.mkString(",")).as("spec"),
+          lit(s.filesTotal).as("files_total"),
+          lit(s.filesScanned).as("files_scanned"),
+          col("n_match"), col("sum_value"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
   }
 
   /** DELETION VECTORS end-to-end (r13 — the Delta/Iceberg row-level

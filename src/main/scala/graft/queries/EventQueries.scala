@@ -592,4 +592,53 @@ object EventQueries {
         col("n_rows"), col("n_above"))
       .orderBy(col("strategy"))
   }
+
+  /** EWMA control chart over a metric time series (round 15c): the
+    * monitoring op that watches a pipeline's own health — forecast each
+    * day's per-type event value as a truncated exponentially-weighted
+    * average of the previous eight days and flag the days whose actuals
+    * deviate past a tolerance band (the data-quality/drift alert shape:
+    * volume collapse, value spike).
+    *
+    * Engine shape: the chart runs over the AGGREGATED day-grain series,
+    * never the raw fact — the groupBy collapses the firehose in one
+    * shuffled pass (exact decimal partial sums), and the per-type window
+    * then orders a calendar-bounded frame (≤ days × types rows at ANY
+    * scale factor; the q_period_over_period argument for why an
+    * unsalted per-type window is safe here and nowhere else).
+    *
+    * Exactness: daily value = exact DECIMAL(18,2) sum cast once; the
+    * forecast's weights are compile-time dyadic literals 2^-1..2^-7 plus
+    * a tail 2^-7 (they sum to exactly 1), each product is an exact
+    * power-of-two scaling, and the eight-term sum is written as one
+    * fixed LEFT-ASSOCIATIVE expression tree — IEEE addition is
+    * deterministic, so both engines round identically at every node.
+    * Deviation is one subtract; the alert flag compares |dev| against
+    * an exact 2^-2 multiple of the forecast. No snapping needed.
+    */
+  def qEwmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(decSum2(col("value")).cast("double").as("v"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    // w_k = 2^-k for k=1..7, tail w_8 = 2^-7: Σ w_k = 1 exactly
+    val terms = (1 to 8).map { k =>
+      val wk = 1.0 / (1L << math.min(k, 7))
+      lag(col("v"), k).over(w) * lit(wk)
+    }
+    val forecast = terms.reduceLeft(_ + _) // left-assoc, mirrored in SQL
+    daily
+      .select(col("event_type"), col("day"), col("v"), col("n_events"),
+        forecast.as("forecast"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") > 8)
+      .select(col("event_type"), col("day"), col("v"), col("n_events"),
+        col("forecast"),
+        (col("v") - col("forecast")).as("deviation"),
+        (abs(col("v") - col("forecast")) >
+          col("forecast") * lit(0.25)).cast("long").as("is_alert"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

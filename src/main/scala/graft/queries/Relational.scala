@@ -1253,4 +1253,42 @@ object Relational {
     graft.ops.Checkpoints.release(cached)
     res
   }
+
+  /** K-fold OUT-OF-FOLD target encoding (round 15c): the leakage-safe
+    * categorical encoder every tabular-ML pipeline needs before training —
+    * replace a category with the mean of the target over all OTHER folds'
+    * rows of that category, so a row never sees its own fold's targets
+    * (the standard CV-encoding trick; a naive whole-table mean leaks the
+    * row's own label into its feature). Category = c_mktsegment, target =
+    * o_totalprice, fold = o_orderkey mod 5 (deterministic, partitioning-
+    * invariant — the q_train_split discipline, never rand()).
+    *
+    * Engine shape: ONE shuffled aggregate collapses the fact table to
+    * (segment, fold) partials — 25 rows — and the leave-one-fold-out
+    * arithmetic runs as window sums over that bounded frame (cost is the
+    * aggregate's single exchange; the windows touch 25 rows at any SF).
+    * At 100 TB the encoder TABLE is what ships to the training job (a
+    * broadcast-sized artifact applied map-side to the fact), exactly this
+    * output. Exactness: fold sums are exact DECIMAL(18,2) partials,
+    * window sums over them stay exact (decimal addition is associative),
+    * and the encoding is ONE IEEE division of the two exactly-rounded
+    * casts — engine-exact, no snapping.
+    */
+  def qTargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"),
+        (col("o_orderkey") % 5).as("fold"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val pf = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("fold"))
+      .agg(decSum2(col("o_totalprice")).as("s"), count(lit(1)).as("n"))
+    val perSeg = Window.partitionBy(col("segment"))
+    pf.select(col("segment"), col("fold"), col("n").as("n_fold"),
+        (sum(col("n")).over(perSeg) - col("n")).cast("bigint")
+          .as("n_other_folds"),
+        ((sum(col("s")).over(perSeg) - col("s")).cast("double") /
+          (sum(col("n")).over(perSeg) - col("n")).cast("double"))
+          .as("enc_target_mean"))
+      .orderBy(col("segment"), col("fold"))
+  }
 }

@@ -1638,6 +1638,146 @@ object Datalake {
     abs
   }
 
+  // ==================== partition-spec evolution ====================
+  //
+  // The Iceberg flagship capability the Hive layout can't offer: change a
+  // table's partition scheme WITHOUT rewriting the data already on disk.
+  // An evolved table is a chain of immutable segments — each version dir
+  // holds this version's NEW rows under `add/`, laid out by the spec
+  // current AT WRITE TIME (`_SPEC`), plus a `_BASE` pointer to the
+  // previous segment. Readers union the per-segment scans; a predicate on
+  // a partition column prunes directory-level inside every segment whose
+  // spec contains it and honestly full-scans the segments written before
+  // the column became a partition key (the same contract Iceberg
+  // documents: evolution changes the layout of FUTURE data only; OPTIMIZE
+  // is the tool that migrates history). Retention caveat = shallowClone's:
+  // base segments are live references — vacuum must keep the chain, and a
+  // full rewrite (one publish of readEvolved's union under the final
+  // spec) is how a table leaves the evolved state.
+
+  private val EvolvedAdd = "add"
+  private val EvolvedSpec = "_SPEC"
+  private val EvolvedBase = "_BASE"
+
+  /** One segment of an evolved table's chain, newest → oldest. */
+  final case class EvolvedSegment(version: String, spec: Seq[String],
+      addPath: String)
+
+  /** Evidence-bearing pruned scan of one segment: the full segment read
+    * (Spark prunes matching dirs at execution) plus the file counts the
+    * predicate actually admits — IO proportional to filesScanned for
+    * segments whose spec carries the predicate column, filesTotal for
+    * the pre-evolution ones.
+    */
+  final case class EvolvedScan(segment: EvolvedSegment, df: DataFrame,
+      filesTotal: Long, filesScanned: Long)
+
+  /** Publish an APPEND under the (possibly changed) partition spec. The
+    * new version's `add/` holds ONLY `df`'s rows, partitioned by
+    * `partitionBy`; rows already in the table stay in their original
+    * layout behind the `_BASE` pointer — zero rewrite, the entire point.
+    * First publish (no current manifest) starts the chain.
+    */
+  def publishEvolved(df: DataFrame, tableRoot: String, version: String,
+      partitionBy: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val vDir = new org.apache.hadoop.fs.Path(s"$tableRoot/v=$version")
+    val fs = vDir.getFileSystem(conf)
+    val base = currentDataPath(spark, tableRoot)
+      .map(p => fs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString)
+    val w0 = df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
+    (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
+      .parquet(new org.apache.hadoop.fs.Path(vDir, EvolvedAdd).toString)
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(vDir, EvolvedSpec),
+      partitionBy.mkString(","))
+    base.foreach(b =>
+      writeSmallFile(fs, new org.apache.hadoop.fs.Path(vDir, EvolvedBase), b))
+    recordCommitTs(spark, tableRoot, version, System.currentTimeMillis())
+    swapManifest(spark, tableRoot, s"v=$version")
+  }
+
+  private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      Some(try new String(in.readAllBytes(), "UTF-8").trim finally in.close())
+    }
+
+  /** The manifest-current segment chain, newest → oldest. Fails loudly on
+    * a table that was never [[publishEvolved]]-published (no `_SPEC`):
+    * silently reading a plain version dir as an empty chain would drop
+    * the whole table.
+    */
+  def evolvedSegments(spark: SparkSession,
+      tableRoot: String): Seq[EvolvedSegment] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def walk(dir: String, acc: Vector[EvolvedSegment]): Vector[EvolvedSegment] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      val spec = readSmallFile(fs, new org.apache.hadoop.fs.Path(p, EvolvedSpec))
+        .getOrElse(throw new IllegalStateException(
+          s"$dir is not an evolved segment (no ${EvolvedSpec}); " +
+            "refusing to guess — read plain tables via readPublished"))
+      val seg = EvolvedSegment(
+        p.getName.stripPrefix("v="),
+        if (spec.isEmpty) Nil else spec.split(",").toSeq,
+        new org.apache.hadoop.fs.Path(p, EvolvedAdd).toString)
+      readSmallFile(fs, new org.apache.hadoop.fs.Path(p, EvolvedBase)) match {
+        case Some(b) => walk(b, acc :+ seg)
+        case None => acc :+ seg
+      }
+    }
+    val cur = currentDataPath(spark, tableRoot).getOrElse(
+      throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+    walk(cur, Vector.empty)
+  }
+
+  /** Read the whole evolved table: the union of every segment's `add/`
+    * scan. Schemas align by NAME (a partition column is data in the
+    * segments written before it became a key, directory-encoded after) —
+    * column order may differ across layouts, never the logical schema.
+    */
+  def readEvolved(spark: SparkSession, tableRoot: String): DataFrame =
+    evolvedSegments(spark, tableRoot)
+      .map(s => spark.read.parquet(s.addPath))
+      .reduce(_.unionByName(_))
+
+  /** Per-segment pruned scan for an equality predicate on `partCol`
+    * (dir-name value match, the Hive-layout encoding). Evidence comes
+    * from the same directory listing Spark's partition discovery does:
+    * segments whose spec contains `partCol` admit only the matching
+    * dirs' files; earlier segments admit every file (the honest cost of
+    * not rewriting them).
+    */
+  def evolvedPrunedScan(spark: SparkSession, tableRoot: String,
+      partCol: String, value: String): Seq[EvolvedScan] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    evolvedSegments(spark, tableRoot).map { seg =>
+      val p = new org.apache.hadoop.fs.Path(seg.addPath)
+      val fs = p.getFileSystem(conf)
+      val it = fs.listFiles(p, true)
+      var total = 0L; var scanned = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+          total += 1
+          if (!seg.spec.contains(partCol) ||
+            f.getPath.toString.contains(s"$partCol=$value")) scanned += 1
+        }
+      }
+      EvolvedScan(seg, spark.read.parquet(seg.addPath), total, scanned)
+    }
+  }
+
   /** TIME TRAVEL: read a specific published version directly, bypassing
     * the manifest — version directories are immutable once published, so
     * any historical version stays readable until retention deletes it
