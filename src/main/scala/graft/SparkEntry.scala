@@ -218,6 +218,10 @@ object SparkEntry {
     "q_ewma_anomaly" -> (EventQueries.qEwmaAnomaly _),
     "q_mv_join_incremental" -> (DatalakeQueries.qMvJoinIncremental _),
     "q_partition_evolution" -> (DatalakeQueries.qPartitionEvolution _),
+    "q_kmv_overlap" -> (CorpusQueries.qKmvOverlap _),
+    "q_evolve_compact" -> (DatalakeQueries.qEvolveCompact _),
+    "q_l_diversity" -> ((s, d) => Relational.qLDiversity(s, d)),
+    "q_cusum_shift" -> (EventQueries.qCusumShift _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -3944,6 +3948,123 @@ object SparkEntry {
         |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE)
         |FROM new
         |ORDER BY version""".stripMargin,
+    // KMV replay: masked hashes are exact longs in both engines (mod 2^62
+    // of the md5 lane — non-negative, identical ordering); the estimator
+    // divides two identically-rounded doubles and snaps to the 2^-16
+    // grid; rho/256 is exact dyadic; exact counts ride along
+    "q_kmv_overlap" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(1, len(ws) - 2),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS sg
+        |  FROM w),
+        |p AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+        |hh AS (SELECT doc_id, CAST(CAST(md5_number_lower(s) AS HUGEINT)
+        |    % 4611686018427387904 AS BIGINT) AS h FROM p),
+        |ea AS (SELECT DISTINCT h FROM hh WHERE doc_id % 2 = 0),
+        |eb AS (SELECT DISTINCT h FROM hh WHERE doc_id % 3 = 0),
+        |sa AS (SELECT h FROM ea ORDER BY h LIMIT 256),
+        |sb AS (SELECT h FROM eb ORDER BY h LIMIT 256),
+        |su AS (SELECT DISTINCT h FROM
+        |    (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+        |  ORDER BY h LIMIT 256),
+        |kth AS (SELECT MAX(h) AS kth_value, COUNT(*) AS k FROM su),
+        |rho_t AS (SELECT COUNT(*) AS rho FROM su
+        |  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+        |exu AS (SELECT COUNT(*) AS exact_union FROM
+        |  (SELECT h FROM ea UNION SELECT h FROM eb)),
+        |exi AS (SELECT COUNT(*) AS exact_intersection FROM ea
+        |  WHERE h IN (SELECT h FROM eb)),
+        |est AS (SELECT k, kth_value,
+        |    floor((CAST(255 AS DOUBLE) * CAST(4611686018427387904 AS DOUBLE)
+        |      / CAST(kth_value AS DOUBLE)) * CAST(65536 AS DOUBLE))
+        |      / CAST(65536 AS DOUBLE) AS est_union
+        |  FROM kth)
+        |SELECT CAST(k AS BIGINT) AS k, kth_value, est_union, exact_union,
+        |  CAST(rho AS BIGINT) AS rho,
+        |  CAST(rho AS DOUBLE) / CAST(256 AS DOUBLE) AS jaccard_est,
+        |  est_union * (CAST(rho AS DOUBLE) / CAST(256 AS DOUBLE))
+        |    AS est_intersection,
+        |  exact_intersection
+        |FROM est CROSS JOIN rho_t CROSS JOIN exu CROSS JOIN exi""".stripMargin,
+    // both stages aggregate the same day's rows (migration must not lose
+    // or double anything); the file model replays as COUNT(DISTINCT key)
+    // per layout — one writer task per stage by construction
+    "q_evolve_compact" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    event_type, value FROM events),
+        |old AS (SELECT * FROM e WHERE event_id % 3 <> 0),
+        |new AS (SELECT * FROM e WHERE event_id % 3 = 0),
+        |agg AS (SELECT COUNT(*) AS n_match,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM e WHERE day = DATE '2024-01-10')
+        |SELECT '1_pre_optimize' AS stage, CAST(2 AS BIGINT) AS n_segments,
+        |  (SELECT COUNT(DISTINCT event_type) FROM old)
+        |    + (SELECT COUNT(DISTINCT day) FROM new) AS files_total,
+        |  (SELECT COUNT(DISTINCT event_type) FROM old)
+        |    + CAST(1 AS BIGINT) AS files_scanned,
+        |  n_match, sum_value FROM agg
+        |UNION ALL
+        |SELECT '2_post_optimize', CAST(1 AS BIGINT),
+        |  (SELECT COUNT(DISTINCT day) FROM e),
+        |  CAST(1 AS BIGINT),
+        |  n_match, sum_value FROM agg
+        |ORDER BY stage""".stripMargin,
+    // the quasi-group verdict (COUNT DISTINCT sensitive) replays as the
+    // same grouped aggregate; suppression is all-or-nothing per group
+    "q_l_diversity" ->
+      """WITH g AS (SELECT c_custkey,
+        |    CAST(c_nationkey % 5 AS VARCHAR) AS zone_q,
+        |    CAST(CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS VARCHAR)
+        |      AS band_q,
+        |    c_mktsegment AS sensitive
+        |  FROM customer),
+        |gr AS (SELECT zone_q, band_q,
+        |    COUNT(DISTINCT sensitive) AS n_sensitive
+        |  FROM g GROUP BY 1, 2)
+        |SELECT c_custkey,
+        |  CASE WHEN n_sensitive >= 3 THEN g.zone_q ELSE '*' END AS zone_q,
+        |  CASE WHEN n_sensitive >= 3 THEN g.band_q ELSE '*' END AS band_q,
+        |  sensitive, n_sensitive,
+        |  CAST(n_sensitive >= 3 AS BIGINT) AS retained
+        |FROM g JOIN gr USING (zone_q, band_q)
+        |ORDER BY c_custkey""".stripMargin,
+    // the whole CUSUM pipeline is exact decimal arithmetic (scaled
+    // deviations n·v − T avoid every division); the only IEEE op is the
+    // emission cast, identical on identical exact values. Every DuckDB
+    // multiply is width-bounded by explicit casts — an over-38-digit
+    // decimal product silently promotes to DOUBLE there, which would
+    // smuggle float arithmetic into the "exact" pipeline (ulp drift on
+    // ~39 rows before the fix)
+    "q_cusum_shift" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s1 AS (SELECT event_type, day, v,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+        |    CAST(SUM(v) OVER (PARTITION BY event_type) AS DECIMAL(28,2))
+        |      AS total FROM daily),
+        |s2 AS (SELECT event_type, day, v, total,
+        |    CAST(SUM(v * CAST(n_days AS DECIMAL(6,0))) OVER w
+        |      - total * CAST(row_number() OVER w AS DECIMAL(8,0))
+        |      AS DECIMAL(20,2)) AS p
+        |  FROM s1 WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s3 AS (SELECT event_type, day, v, total,
+        |    p - (CASE WHEN m < 0 THEN m ELSE CAST(0 AS DECIMAL(20,2)) END)
+        |      AS s
+        |  FROM (SELECT *, min(p) OVER w2 AS m FROM s2
+        |    WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+        |SELECT event_type, day, CAST(v AS DOUBLE) AS v,
+        |  CAST(s AS DOUBLE) AS cusum_scaled,
+        |  CAST(s + s > total AS BIGINT) AS alarm
+        |FROM s3 ORDER BY event_type, day""".stripMargin,
   )
 
   /** BM25 oracle — the query set inlined from its single source of truth

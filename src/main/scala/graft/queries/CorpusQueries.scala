@@ -251,4 +251,73 @@ object CorpusQueries {
           .otherwise(lit("test")).as("split"))
       .orderBy(col("doc_id"))
   }
+
+  /** CORPUS OVERLAP via KMV (k-minimum-values) sketches (round 15c): the
+    * set-INTERSECTION cardinality HLL cannot answer — "how much does
+    * corpus A share with corpus B?", the corpus-level contamination /
+    * source-redundancy measurement that runs BEFORE a pair-level
+    * decontamination pass is worth its cost. Two shingle cohorts (3-gram
+    * space, the q_ngram_jaccard construction) each keep their k=256
+    * smallest distinct masked hashes; the union sketch is the k smallest
+    * of the two sketches' union, θ = its k-th value, and:
+    *
+    *   est_union = (k-1) · 2^62 / θ          (the KMV estimator)
+    *   jaccard   = ρ/k,  ρ = union-sketch values present in BOTH sketches
+    *   est_inter = jaccard · est_union
+    *
+    * Engine shape: each sketch is a distinct + distributed top-k
+    * (TakeOrderedAndProject — no global sort, no all-pairs anything);
+    * sketch-vs-sketch joins touch 256-row frames. At 100 TB the sketches
+    * are the ONLY thing that crosses the wire — per-source sketches
+    * merge by re-taking the k smallest (mergeable like HLL registers,
+    * pinned by construction here), and any pair of a catalog of corpora
+    * can be compared after one scan each.
+    *
+    * Exactness: masked hashes are exact longs (mod 2^62 of the md5 lane,
+    * so non-negative in BOTH engines' orderings); (k-1)·2^62 is an
+    * 8-significant-bit double (exact), θ→double is one round-to-nearest
+    * (identical both engines), the division one IEEE op snapped to the
+    * 2^-16 grid; ρ/k with k=256 a power of two is EXACT dyadic; the
+    * intersection estimate is one multiply of the snapped union by the
+    * exact ratio. Exact counts ride along as evidence.
+    */
+  def qKmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val K = 256
+    val mask = (1L << 62) - 1
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def hashes(cohort: DataFrame): DataFrame =
+      cohort.select(explode(
+          graft.functions.text.wordShingles(col("text"), 3)).as("s"))
+        .select(graft.functions.text.md5Lanes(col("s"))(0)
+          .bitwiseAND(lit(mask)).as("h"))
+        .distinct()
+    val ha = hashes(d.filter(col("doc_id") % 2 === 0))
+    val hb = hashes(d.filter(col("doc_id") % 3 === 0))
+    val sa = ha.orderBy(col("h")).limit(K)
+    val sb = hb.orderBy(col("h")).limit(K)
+    val su = sa.union(sb).distinct().orderBy(col("h")).limit(K)
+    val both = su.join(broadcast(sa.withColumnRenamed("h", "h_a")),
+        col("h") === col("h_a"))
+      .join(broadcast(sb.withColumnRenamed("h", "h_b")),
+        col("h") === col("h_b"))
+    val exactU = ha.union(hb).distinct().agg(
+      count(lit(1)).as("exact_union"))
+    val exactI = ha.join(hb.withColumnRenamed("h", "h_b"),
+        col("h") === col("h_b"))
+      .agg(count(lit(1)).as("exact_intersection"))
+    val theta = su.agg(max(col("h")).as("kth_value"),
+      count(lit(1)).cast("long").as("k"))
+    val rho = both.agg(count(lit(1)).cast("long").as("rho"))
+    val estU = floor((lit((K - 1).toDouble) * lit(4611686018427387904.0) /
+      col("kth_value").cast("double")) * lit(65536.0)) / lit(65536.0)
+    theta.crossJoin(broadcast(rho))
+      .crossJoin(broadcast(exactU)).crossJoin(broadcast(exactI))
+      .select(col("k"), col("kth_value"),
+        estU.as("est_union"), col("exact_union"),
+        col("rho"),
+        (col("rho").cast("double") / lit(K.toDouble)).as("jaccard_est"),
+        (estU * (col("rho").cast("double") / lit(K.toDouble)))
+          .as("est_intersection"),
+        col("exact_intersection"))
+  }
 }

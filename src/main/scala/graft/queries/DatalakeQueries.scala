@@ -849,6 +849,54 @@ object DatalakeQueries {
     }.reduce(_.unionByName(_)).orderBy(col("version"))
   }
 
+  /** EVOLVED-TABLE OPTIMIZE (round 15c — the history-migration half of
+    * the partition-evolution contract [[qPartitionEvolution]] defers):
+    * the mixed-layout chain (v1 by event_type + v2 by day) is rewritten
+    * by [[graft.sources.Datalake.rewriteEvolved]] into ONE day-
+    * partitioned segment, after which the same day-probe prunes the
+    * WHOLE table to one directory's file instead of full-scanning the
+    * pre-evolution layout. Output = the probe before and after
+    * migration: identical data (n_match/sum_value equal — a migration
+    * that loses or doubles rows hash-fails), n_segments 2 → 1, and
+    * files_scanned collapsing from (all old files + 1) to 1.
+    *
+    * Scale: the rewrite is the one full-table job evolution let you
+    * defer until the layout matters for enough of the read traffic; the
+    * probe costs are directory listings. Determinism: one writer task
+    * per stage → one file per partition value, so every file count
+    * replays as COUNT(DISTINCT key) in the oracle.
+    */
+  def qEvolveCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+    val root = tempLakeRoot() + "/events_evolve_opt"
+    Datalake.publishEvolved(
+      e.filter(col("event_id") % 3 =!= 0).repartition(1),
+      root, "1", Seq("event_type"))
+    Datalake.publishEvolved(
+      e.filter(col("event_id") % 3 === 0).repartition(1),
+      root, "2", Seq("day"))
+    def probe(stage: String): DataFrame = {
+      val scans = Datalake.evolvedPrunedScan(spark, root, "day", "2024-01-10")
+      val union = scans.map(_.df).reduce(_.unionByName(_))
+      union.filter(col("day") === lit("2024-01-10").cast("date"))
+        .agg(count(lit(1)).cast("long").as("n_match"),
+          decSum2(col("value")).cast("double").as("sum_value"))
+        .select(lit(stage).as("stage"),
+          lit(scans.length.toLong).as("n_segments"),
+          lit(scans.map(_.filesTotal).sum).as("files_total"),
+          lit(scans.map(_.filesScanned).sum).as("files_scanned"),
+          col("n_match"), col("sum_value"))
+    }
+    val pre = probe("1_pre_optimize")
+    // one writer task → one file per day dir, keeping the evidence model
+    // a pure function of the data (the oracle's COUNT(DISTINCT day))
+    Datalake.rewriteEvolved(spark, root, "3", Seq("day"), tasks = Some(1))
+    pre.unionByName(probe("2_post_optimize")).orderBy(col("stage"))
+  }
+
   /** DELETION VECTORS end-to-end (r13 — the Delta/Iceberg row-level
     * delete without rewriting data files): orders is published as 8
     * files, then TWO accumulating `Datalake.deleteWhere` commits mark

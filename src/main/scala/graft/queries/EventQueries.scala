@@ -593,6 +593,51 @@ object EventQueries {
       .orderBy(col("strategy"))
   }
 
+  /** CUSUM change-point detection (round 15c — the sequential sibling of
+    * the EWMA chart: EWMA flags single-day spikes, CUSUM accumulates
+    * SMALL persistent shifts until they cross a decision threshold — the
+    * classic upward-shift detector for "the metric quietly drifted up
+    * 10% a week ago"). The recurrence S_t = max(0, S_(t-1) + d_t) is not
+    * window-expressible directly, but the classical identity
+    *
+    *   S_t = P_t − min(0, min_(j≤t) P_j),   P = prefix sum of d
+    *
+    * turns it into TWO stock windows (running sum + running min) over
+    * the day-grain frame. Exactness discipline: deviations are SCALED to
+    * stay integral — d_t = n·v_t − T (n = days in the series, T = the
+    * series total), so prefix sums, running mins and the alarm
+    * comparison 2·S > n·h̃ all run in the EXACT decimal domain with NO
+    * division or ln anywhere; the one double cast happens at emission.
+    * Alarm threshold h̃ = T/2 in scaled units (2·S_t > n·... folded to
+    * the division-free form 2·S_t > T·1, i.e. S exceeds half the grand
+    * mean × n). Same calendar-bounded window-safety argument as the
+    * EWMA row.
+    */
+  def qCusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(decSum2(col("value")).as("v"))
+    val perType = Window.partitionBy(col("event_type"))
+    val ordered = perType.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scaled = daily.select(col("event_type"), col("day"), col("v"),
+      count(lit(1)).over(perType).as("n_days"),
+      sum(col("v")).over(perType).as("total"))
+    val p = (sum(col("v") * col("n_days")).over(ordered) -
+      col("total") * row_number().over(perType.orderBy(col("day"))))
+    val withP = scaled.select(col("event_type"), col("day"), col("v"),
+      col("total"), p.as("p"))
+    val runMin = min(col("p")).over(
+      Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    withP.select(col("event_type"), col("day"),
+        col("v").cast("double").as("v"),
+        (col("p") - least(lit(0), runMin)).cast("double").as("cusum_scaled"),
+        ((col("p") - least(lit(0), runMin)) * lit(2) > col("total"))
+          .cast("long").as("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** EWMA control chart over a metric time series (round 15c): the
     * monitoring op that watches a pipeline's own health — forecast each
     * day's per-type event value as a truncated exponentially-weighted

@@ -1148,6 +1148,45 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** L-DIVERSITY suppression (round 15c, l=3 — the refinement k-anonymity
+    * alone can't give: a quasi-group of 50 rows that ALL share one
+    * sensitive value still leaks it; l-diversity requires each released
+    * group to carry at least l DISTINCT sensitive values). Quasi-ids =
+    * the pre-generalized (zone, acctbal band) pair; sensitive =
+    * c_mktsegment, always emitted (the point of suppressing the QUASI
+    * side is that the sensitive value can no longer be linked to a
+    * person). Groups below l have their quasi columns suppressed to '*'.
+    *
+    * Engine shape: one aggregate over the bounded-cardinality quasi
+    * partition computes (group size, distinct sensitives) — a window
+    * can't (no countDistinct over windows in either engine) — and a
+    * BROADCAST join folds the verdict back onto the rows: the fact side
+    * shuffles once for the aggregate and never again. Round15cSpec pins
+    * the law: every released group has ≥ l distinct sensitive values,
+    * suppression is all-or-nothing per group.
+    */
+  def qLDiversity(spark: SparkSession, dir: String, l: Int = 3): DataFrame = {
+    val g = Tables.customer(spark, dir).select(col("c_custkey"),
+      (col("c_nationkey") % 5).cast("string").as("zone_q"),
+      floor(col("c_acctbal") / 2000.0).cast("bigint").cast("string")
+        .as("band_q"),
+      col("c_mktsegment").as("sensitive"))
+    val groups = g.groupBy(col("zone_q").as("gz"), col("band_q").as("gb"))
+      .agg(count(lit(1)).as("group_n"),
+        count_distinct(col("sensitive")).as("n_sensitive"))
+    g.join(broadcast(groups),
+        col("zone_q") === col("gz") && col("band_q") === col("gb"))
+      .select(col("c_custkey"),
+        when(col("n_sensitive") >= l, col("zone_q")).otherwise(lit("*"))
+          .as("zone_q"),
+        when(col("n_sensitive") >= l, col("band_q")).otherwise(lit("*"))
+          .as("band_q"),
+        col("sensitive"),
+        col("n_sensitive"),
+        (col("n_sensitive") >= l).cast("long").as("retained"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Period-over-period revenue (round 15): the dashboard delta every
     * reporting layer computes — daily revenue with previous-day value,
     * absolute change and percent change from ONE ordered window over the

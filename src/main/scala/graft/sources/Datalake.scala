@@ -1680,21 +1680,51 @@ object Datalake {
     */
   def publishEvolved(df: DataFrame, tableRoot: String, version: String,
       partitionBy: Seq[String]): Unit = {
+    val base = currentDataPath(df.sparkSession, tableRoot)
+    stageEvolved(df, tableRoot, version, partitionBy, base)
+    swapManifest(df.sparkSession, tableRoot, s"v=$version")
+  }
+
+  /** OPTIMIZE for an evolved table: rewrite the WHOLE union under one
+    * final spec and publish it as a fresh single-segment chain — the
+    * history-migration step the evolution contract defers ("evolution
+    * changes the layout of future data only"). The old chain's dirs stay
+    * immutable behind their versions (time travel keeps working) until
+    * retention retires them. One full-table rewrite by construction —
+    * the cost evolution let you NOT pay until the layout actually
+    * matters for enough of the read traffic.
+    */
+  def rewriteEvolved(spark: SparkSession, tableRoot: String,
+      version: String, partitionBy: Seq[String],
+      tasks: Option[Int] = None): Unit = {
+    // the union plan's inputs are the OLD segment dirs — disjoint from
+    // the new version dir this writes, so the rewrite reads its sources
+    // exactly once with no copy-onto-itself hazard. `tasks` is the file
+    // sizing knob (files per partition value = writer tasks holding that
+    // value); production tunes it to the target file size
+    val all = readEvolved(spark, tableRoot)
+    val sized = tasks.map(all.repartition(_)).getOrElse(all)
+    stageEvolved(sized, tableRoot, version, partitionBy, base = None)
+    swapManifest(spark, tableRoot, s"v=$version")
+  }
+
+  private def stageEvolved(df: DataFrame, tableRoot: String,
+      version: String, partitionBy: Seq[String],
+      base: Option[String]): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val vDir = new org.apache.hadoop.fs.Path(s"$tableRoot/v=$version")
     val fs = vDir.getFileSystem(conf)
-    val base = currentDataPath(spark, tableRoot)
+    val baseAbs = base
       .map(p => fs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString)
     val w0 = df.write.mode(SaveMode.Overwrite).option("compression", "snappy")
     (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
       .parquet(new org.apache.hadoop.fs.Path(vDir, EvolvedAdd).toString)
     writeSmallFile(fs, new org.apache.hadoop.fs.Path(vDir, EvolvedSpec),
       partitionBy.mkString(","))
-    base.foreach(b =>
+    baseAbs.foreach(b =>
       writeSmallFile(fs, new org.apache.hadoop.fs.Path(vDir, EvolvedBase), b))
     recordCommitTs(spark, tableRoot, version, System.currentTimeMillis())
-    swapManifest(spark, tableRoot, s"v=$version")
   }
 
   private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,

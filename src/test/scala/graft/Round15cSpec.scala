@@ -122,6 +122,105 @@ class Round15cSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("not an evolved segment"))
   }
 
+  test("l-diversity: every released group carries >= l distinct sensitives") {
+    val rows = Relational.qLDiversity(spark, sfDir).collect()
+    val released = rows.filter(_.getLong(5) == 1L)
+    val suppressed = rows.filter(_.getLong(5) == 0L)
+    assert(released.nonEmpty)
+    // the law: released groups have >= 3 distinct sensitive values OBSERVED
+    released.groupBy(r => (r.getString(1), r.getString(2))).foreach {
+      case (g, rs) =>
+        assert(rs.map(_.getString(3)).distinct.length >= 3,
+          s"group $g released with < 3 distinct sensitive values")
+    }
+    // suppression is all-or-nothing: a suppressed row shows '*' on BOTH
+    // quasi columns and keeps its sensitive value readable
+    suppressed.foreach { r =>
+      assert(r.getString(1) == "*" && r.getString(2) == "*")
+      assert(r.getString(3).nonEmpty, "sensitive column survives")
+    }
+    // k-anonymity alone would NOT imply this: at least one suppressed
+    // group must be bigger than l (size was fine, diversity wasn't) OR
+    // the dataset trivially satisfies it — assert only the law above
+  }
+
+  test("cusum: identity vs direct max(0,...) recurrence, alarm rule") {
+    val rows = EventQueries.qCusumShift(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (t, rs0) =>
+      val rs = rs0.sortBy(_.getTimestamp(1).getTime)
+      val n = rs.length.toLong
+      val vs = rs.map(_.getDouble(2))
+      val total = BigDecimal(vs.map(BigDecimal(_)).sum.toString)
+      // replay the recurrence S_t = max(0, S_(t-1) + (n·v_t − T)) in
+      // exact BigDecimal and compare to the window-identity output
+      var s = BigDecimal(0)
+      rs.zip(vs).foreach { case (r, v) =>
+        s = (s + BigDecimal(v) * n - total).max(BigDecimal(0))
+        assert(math.abs(r.getDouble(3) - s.toDouble) < 1e-6,
+          s"$t: prefix-min identity == direct recurrence")
+        // the engine decides the alarm in EXACT decimals; this replay
+        // works from emitted doubles, so only assert clear-cut cases
+        if ((s * 2 - total).abs > BigDecimal("0.001")) {
+          val expectAlarm = if (s * 2 > total) 1L else 0L
+          assert(r.getLong(4) === expectAlarm)
+        }
+      }
+    }
+  }
+
+  test("kmv: sketches merge (k smallest of sub-sketch union == direct)") {
+    import graft.sources.Tables
+    val K = 64
+    val mask = (1L << 62) - 1
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def hashes(c: org.apache.spark.sql.DataFrame) =
+      c.select(explode(graft.functions.text.wordShingles(col("text"), 3))
+          .as("s"))
+        .select(graft.functions.text.md5Lanes(col("s"))(0)
+          .bitwiseAND(lit(mask)).as("h")).distinct()
+    val cohort = d.filter(col("doc_id") % 2 === 0)
+    val direct = hashes(cohort).orderBy(col("h")).limit(K)
+      .collect().map(_.getLong(0)).toSeq
+    // split the SAME cohort into per-source shards, sketch each, merge
+    val shards = (0 until 4).map(i =>
+      hashes(cohort.filter(col("doc_id") % 8 === i * 2))
+        .orderBy(col("h")).limit(K).collect().map(_.getLong(0)).toSeq)
+    val merged = shards.flatten.distinct.sorted.take(K)
+    assert(merged === direct,
+      "per-shard sketches re-merged by k-smallest equal the direct sketch")
+    // the estimates are in the right regime vs the exact count
+    val row = graft.queries.CorpusQueries.qKmvOverlap(spark, sfDir)
+      .collect()(0)
+    val estU = row.getDouble(2); val exactU = row.getLong(3)
+    assert(math.abs(estU - exactU) / exactU < 0.25,
+      s"KMV union estimate $estU within 25% of exact $exactU (k=256)")
+    val estI = row.getDouble(6); val exactI = row.getLong(7)
+    assert(math.abs(estI - exactI) / exactI.toDouble < 0.35,
+      s"KMV intersection estimate $estI vs exact $exactI")
+  }
+
+  test("evolve optimize: old chain stays time-travel readable") {
+    import graft.sources.{Datalake, Tables}
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-evolve-opt-spec").toString + "/t"
+    Datalake.publishEvolved(e.filter(col("event_id") % 2 === 0)
+      .repartition(1), root, "1", Seq("event_type"))
+    Datalake.publishEvolved(e.filter(col("event_id") % 2 === 1)
+      .repartition(1), root, "2", Seq("day"))
+    val total = Datalake.readEvolved(spark, root).count()
+    Datalake.rewriteEvolved(spark, root, "3", Seq("day"), tasks = Some(1))
+    val segs = Datalake.evolvedSegments(spark, root)
+    assert(segs.map(_.version) === Seq("3"), "migrated chain is one segment")
+    assert(Datalake.readEvolved(spark, root).count() === total)
+    // the superseded chain's dirs are immutable and still readable —
+    // time travel until retention retires them
+    assert(spark.read.parquet(s"$root/v=1/add").count() +
+      spark.read.parquet(s"$root/v=2/add").count() === total)
+  }
+
   test("stream hll == batch hll bit-for-bit (register max is idempotent)") {
     val streamed = StreamQueries.qStreamHll(spark, sfDir).collect()
     val batch = Relational.qHllDistinct(spark, sfDir).collect()
