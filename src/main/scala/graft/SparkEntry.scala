@@ -222,6 +222,8 @@ object SparkEntry {
     "q_evolve_compact" -> (DatalakeQueries.qEvolveCompact _),
     "q_l_diversity" -> ((s, d) => Relational.qLDiversity(s, d)),
     "q_cusum_shift" -> (EventQueries.qCusumShift _),
+    "q_interval_merge" -> (EventQueries.qIntervalMerge _),
+    "q_largest_remainder" -> (CorpusQueries.qLargestRemainder _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -4065,6 +4067,45 @@ object SparkEntry {
         |  CAST(s AS DOUBLE) AS cusum_scaled,
         |  CAST(s + s > total AS BIGINT) AS alarm
         |FROM s3 ORDER BY event_type, day""".stripMargin,
+    // all timestamps in exact long microseconds; the break flag uses the
+    // running max of PREVIOUS ends (an early long interval swallows
+    // later short ones — lag(e) would split spans it covers)
+    "q_interval_merge" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e FROM events),
+        |f AS (SELECT user_id, event_id, s, e,
+        |    CASE WHEN max(e) OVER pw IS NULL OR s > max(e) OVER pw
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW pw AS (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g AS (SELECT user_id, s, e,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS span_id FROM f)
+        |SELECT user_id, CAST(span_id AS BIGINT) AS span_id,
+        |  make_timestamp(min(s)) AS span_start,
+        |  make_timestamp(max(e)) AS span_end,
+        |  COUNT(*) AS n_events,
+        |  (max(e) - min(s)) // 1000000 AS span_seconds
+        |FROM g GROUP BY user_id, span_id
+        |ORDER BY user_id, span_id""".stripMargin,
+    // Hamilton apportionment in exact long arithmetic: scaled remainders
+    // (S·n mod N) avoid fractions; Σ alloc == S by construction
+    "q_largest_remainder" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents
+        |  GROUP BY 1),
+        |t AS (SELECT source, n_docs, SUM(n_docs) OVER () AS n_total FROM c),
+        |s AS (SELECT source, n_docs,
+        |    (10000 * n_docs) // n_total AS base,
+        |    (10000 * n_docs) % n_total AS rem FROM t),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rem_rank,
+        |    10000 - SUM(base) OVER () AS leftover FROM s)
+        |SELECT source, n_docs,
+        |  CAST(base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc,
+        |  CAST(rem_rank AS BIGINT) AS rem_rank
+        |FROM r ORDER BY source""".stripMargin,
   )
 
   /** BM25 oracle — the query set inlined from its single source of truth

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.Corpus
@@ -250,6 +251,48 @@ object CorpusQueries {
           .when(bucket < 90, lit("valid"))
           .otherwise(lit("test")).as("split"))
       .orderBy(col("doc_id"))
+  }
+
+  /** LARGEST-REMAINDER quota allocation (round 15c — the integer-exact
+    * step q_source_quota's proportional targets hand-wave: distributing
+    * a FIXED budget of sample slots across sources so the integer
+    * allocations sum to exactly the budget; naive round() over- or
+    * under-shoots and per-row rand() is irreproducible — this is the
+    * Hamilton apportionment method in exact long arithmetic).
+    *
+    *   base_i = floor(S·n_i / N),  rem_i = S·n_i mod N  (scaled — no
+    *   fractions anywhere), leftover = S − Σ base_i, and the `leftover`
+    *   sources with the largest remainders (source name breaks ties
+    *   deterministically) get one extra slot. Σ alloc == S by
+    *   construction, pinned in Round15cSpec.
+    *
+    * Scale: one count aggregate collapses the corpus to |sources| rows;
+    * everything after is windows over that catalog-sized frame. The
+    * output is the allocation table a downstream stratified sampler
+    * consumes ([[qSampleStratified]]'s per-group targets, made to sum
+    * exactly to budget).
+    */
+  def qLargestRemainder(spark: SparkSession, dir: String): DataFrame = {
+    val slots = 10000L
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val total = Window.partitionBy()
+    val withTotals = counts.select(col("source"), col("n_docs"),
+      sum(col("n_docs")).over(total).as("n_total"))
+    val scaled = withTotals.select(col("source"), col("n_docs"),
+      expr(s"($slots * n_docs) div n_total").as("base"),
+      expr(s"($slots * n_docs) % n_total").as("rem"),
+      col("n_total"))
+    val leftover = lit(slots) - sum(col("base")).over(total)
+    val rk = row_number().over(
+      Window.partitionBy().orderBy(col("rem").desc, col("source")))
+    scaled.select(col("source"), col("n_docs"), col("base"), col("rem"),
+        rk.as("rem_rank"), leftover.as("leftover"))
+      .select(col("source"), col("n_docs"),
+        (col("base") + when(col("rem_rank") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc"),
+        col("rem_rank").cast("long").as("rem_rank"))
+      .orderBy(col("source"))
   }
 
   /** CORPUS OVERLAP via KMV (k-minimum-values) sketches (round 15c): the

@@ -593,6 +593,54 @@ object EventQueries {
       .orderBy(col("strategy"))
   }
 
+  /** INTERVAL MERGE (round 15c — the coverage-span operator beside the
+    * sweep-line COUNT of q_concurrency: not "how many intervals overlap"
+    * but "what is the merged footprint"): each event opens a 30-minute
+    * activity interval; overlapping or touching intervals per user
+    * coalesce into maximal spans (the classic stitching step before
+    * computing true active time, SLA coverage, or visit blocks —
+    * a naive SUM of interval lengths double-counts every overlap).
+    *
+    * One user-partitioned ordered window does it all: a span BREAK is a
+    * start strictly greater than the running max of all previous ends
+    * (running max, not lag — an early long interval can swallow several
+    * later short ones), and a running sum of break flags numbers the
+    * spans; one groupBy then emits (start, end, events, exact seconds).
+    * All timestamps stay in exact long microseconds — no float anywhere.
+    * Scale: the one user_id exchange the journey family shares; at
+    * 100 TB events are pre-bucketed by user and this is shuffle-free.
+    */
+  def qIntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val winMicros = 30L * 60 * 1000000
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + lit(winMicros))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+    val prevMaxEnd = max(col("e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = e.select(col("user_id"), col("event_id"), col("s"),
+      col("e"),
+      when(prevMaxEnd.isNull || col("s") > prevMaxEnd, 1L)
+        .otherwise(0L).as("brk"))
+    flagged
+      .select(col("user_id"), col("s"), col("e"),
+        sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)).as("span_id"))
+      .groupBy(col("user_id"), col("span_id"))
+      .agg(min(col("s")).as("span_start_us"),
+        max(col("e")).as("span_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("span_id"),
+        timestamp_micros(col("span_start_us")).as("span_start"),
+        timestamp_micros(col("span_end_us")).as("span_end"),
+        col("n_events"),
+        expr("(span_end_us - span_start_us) div 1000000")
+          .as("span_seconds"))
+      .orderBy(col("user_id"), col("span_id"))
+  }
+
   /** CUSUM change-point detection (round 15c — the sequential sibling of
     * the EWMA chart: EWMA flags single-day spikes, CUSUM accumulates
     * SMALL persistent shifts until they cross a decision threshold — the

@@ -168,6 +168,45 @@ class Round15cSpec extends SparkSpecBase {
     }
   }
 
+  test("interval merge: spans disjoint, mass preserved, no double-count") {
+    val rows = EventQueries.qIntervalMerge(spark, sfDir).collect()
+    val nEvents = graft.sources.Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(4)).sum === nEvents,
+      "every event lands in exactly one span")
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs0) =>
+      val rs = rs0.sortBy(_.getLong(1))
+      rs.foreach(r => assert(r.getLong(5) >= 1800,
+        s"user $u: span at least one 30-min interval"))
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getTimestamp(2).getTime > a.getTimestamp(3).getTime,
+            s"user $u: merged spans are disjoint and ordered")
+        case _ =>
+      }
+      // merging is maximal: total covered seconds < naive sum of
+      // interval lengths whenever any two intervals overlapped
+      val covered = rs.map(_.getLong(5)).sum
+      val naive = rs.map(_.getLong(4)).sum * 1800
+      assert(covered <= naive)
+    }
+  }
+
+  test("largest remainder: allocations sum exactly to the budget") {
+    val rows = graft.queries.CorpusQueries
+      .qLargestRemainder(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum === 10000L, "Σ alloc == S exactly")
+    // Hamilton quota property: every alloc is floor or ceil of the
+    // exact proportional share
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val lo = 10000L * r.getLong(1) / total
+      assert(r.getLong(2) == lo || r.getLong(2) == lo + 1,
+        s"${r.getString(0)}: alloc within one slot of the exact share")
+    }
+    assert(rows.map(_.getLong(3)).distinct.length === rows.length,
+      "remainder ranks are a total order")
+  }
+
   test("kmv: sketches merge (k smallest of sub-sketch union == direct)") {
     import graft.sources.Tables
     val K = 64
