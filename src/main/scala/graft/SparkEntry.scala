@@ -224,6 +224,8 @@ object SparkEntry {
     "q_cusum_shift" -> (EventQueries.qCusumShift _),
     "q_interval_merge" -> (EventQueries.qIntervalMerge _),
     "q_largest_remainder" -> (CorpusQueries.qLargestRemainder _),
+    "q_geo_grid_join" -> (Relational.qGeoGridJoin _),
+    "q_pseudonymize" -> (Relational.qPseudonymize _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -4106,6 +4108,53 @@ object SparkEntry {
         |    AS BIGINT) AS alloc,
         |  CAST(rem_rank AS BIGINT) AS rem_rank
         |FROM r ORDER BY source""".stripMargin,
+    // n_within is recomputed from the FULL cross join — since the radius
+    // (0.05°) never exceeds the cell (0.1°), the 3×3 neighborhood must
+    // cover every within-radius pair; a grid join that missed one would
+    // undercount and hash-fail (the q_fuzzy_join completeness discipline)
+    "q_geo_grid_join" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CAST(48 AS DOUBLE) + CAST(c_custkey * 2654435761 % 1000
+        |      AS DOUBLE) / CAST(1000 AS DOUBLE) AS c_lat,
+        |    CAST(2 AS DOUBLE) + CAST(c_custkey * 1099087573 % 1000
+        |      AS DOUBLE) / CAST(1000 AS DOUBLE) AS c_lon
+        |  FROM customer),
+        |cc AS (SELECT *, CAST(FLOOR(c_lat * 10) AS BIGINT) AS cx,
+        |    CAST(FLOOR(c_lon * 10) AS BIGINT) AS cy FROM c),
+        |s AS (SELECT s_suppkey,
+        |    CAST(48 AS DOUBLE) + CAST(s_suppkey * 2654435761 % 1000
+        |      AS DOUBLE) / CAST(1000 AS DOUBLE) AS s_lat,
+        |    CAST(2 AS DOUBLE) + CAST(s_suppkey * 1099087573 % 1000
+        |      AS DOUBLE) / CAST(1000 AS DOUBLE) AS s_lon
+        |  FROM supplier),
+        |ss AS (SELECT *, CAST(FLOOR(s_lat * 10) AS BIGINT) AS sx,
+        |    CAST(FLOOR(s_lon * 10) AS BIGINT) AS sy FROM s),
+        |cand AS (SELECT s_suppkey, c_custkey,
+        |    (s_lat - c_lat) * (s_lat - c_lat)
+        |      + (s_lon - c_lon) * (s_lon - c_lon) AS d2
+        |  FROM ss JOIN cc ON abs(sx - cx) <= 1 AND abs(sy - cy) <= 1),
+        |win AS (SELECT s.s_suppkey, COUNT(*) AS n_within
+        |  FROM s CROSS JOIN c
+        |  WHERE (s_lat - c_lat) * (s_lat - c_lat)
+        |      + (s_lon - c_lon) * (s_lon - c_lon)
+        |    < CAST(0.0025 AS DOUBLE)
+        |  GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY s_suppkey
+        |    ORDER BY d2, c_custkey) AS rk FROM cand)
+        |SELECT r.s_suppkey, COUNT(*) AS n_candidates,
+        |  CAST(COALESCE(MAX(win.n_within), 0) AS BIGINT) AS n_within,
+        |  MAX(CASE WHEN rk = 1 THEN c_custkey END) AS nearest_custkey,
+        |  MAX(CASE WHEN rk = 1 THEN d2 END) AS nearest_d2
+        |FROM r LEFT JOIN win ON r.s_suppkey = win.s_suppkey
+        |GROUP BY 1 ORDER BY r.s_suppkey""".stripMargin,
+    // deterministic keyed tokens: same md5 over the same concatenation
+    // in both engines; the raw identifier never reaches the output
+    "q_pseudonymize" ->
+      """SELECT c_custkey,
+        |  md5('release-2024-06:' || c_name) AS token,
+        |  md5('release-2024-07:' || c_name) AS token_rotated,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 
   /** BM25 oracle — the query set inlined from its single source of truth

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -1145,6 +1145,92 @@ object Relational {
         when(keep, col("segment_q")).otherwise(lit("*")).as("segment_q"),
         when(keep, col("band_q")).otherwise(lit("*")).as("band_q"),
         keep.as("retained"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** GRID-BUCKETED SPATIAL JOIN (round 15c — the geo operator behind the
+    * reference's geo-point index, index_to_es.py:247-268, asked the
+    * production question: "which customers are NEAR each supplier?"):
+    * the classic distributed spatial join — quantize coordinates to 0.1°
+    * grid cells, explode the SMALLER side (suppliers) to its 3×3 cell
+    * neighborhood, equi-join on the cell key, then refine with the exact
+    * squared-distance predicate. NO cross join at any scale: candidate
+    * mass is bounded by grid density (the cell size ↔ radius contract:
+    * cell 0.1° ≥ radius 0.05°, so the 3×3 neighborhood provably covers
+    * the disk — the DuckDB oracle brute-forces ALL pairs and re-proves
+    * completeness every round, the q_fuzzy_join discipline).
+    *
+    * Coordinates are synthesized deterministically into a 1°×1° city box
+    * (Knuth-hash fractional degrees — same formula both engines).
+    * Exactness: lat/lon are one exact-int division each; dlat²+dlon² is
+    * the same IEEE expression tree both sides; the refine comparison and
+    * the (dist², custkey) argmin ordering are bit-deterministic. Output
+    * is per-supplier (candidates, within-radius count, nearest customer)
+    * — catalog-sized, not pair-sized.
+    */
+  def qGeoGridJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r2 = 0.0025 // radius 0.05° squared
+    def coords(key: Column): (Column, Column) = (
+      lit(48.0) + (key * lit(2654435761L) % 1000).cast("double") / lit(1000.0),
+      lit(2.0) + (key * lit(1099087573L) % 1000).cast("double") / lit(1000.0))
+    val (clat, clon) = coords(col("c_custkey"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), clat.as("c_lat"), clon.as("c_lon"))
+      .withColumn("cell_x", floor(col("c_lat") * 10).cast("long"))
+      .withColumn("cell_y", floor(col("c_lon") * 10).cast("long"))
+    val (slat, slon) = coords(col("s_suppkey"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), slat.as("s_lat"), slon.as("s_lon"))
+      .withColumn("sx", floor(col("s_lat") * 10).cast("long"))
+      .withColumn("sy", floor(col("s_lon") * 10).cast("long"))
+      .withColumn("dxy", explode(array(
+        (for (dx <- -1 to 1; dy <- -1 to 1)
+          yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)))
+      .select(col("s_suppkey"), col("s_lat"), col("s_lon"),
+        (col("sx") + col("dxy.dx")).as("cell_x"),
+        (col("sy") + col("dxy.dy")).as("cell_y"))
+    val d2 = (col("s_lat") - col("c_lat")) * (col("s_lat") - col("c_lat")) +
+      (col("s_lon") - col("c_lon")) * (col("s_lon") - col("c_lon"))
+    val cand = supp.hint("shuffle_hash")
+      .join(cust, Seq("cell_x", "cell_y"))
+      .select(col("s_suppkey"), col("c_custkey"), d2.as("d2"))
+    val perSupp = Window.partitionBy(col("s_suppkey"))
+      .orderBy(col("d2"), col("c_custkey"))
+    cand
+      .select(col("s_suppkey"), col("c_custkey"), col("d2"),
+        row_number().over(perSupp).as("rk"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("d2") < r2, 1L).otherwise(0L)).cast("bigint")
+          .as("n_within"),
+        max(when(col("rk") === 1, col("c_custkey"))).as("nearest_custkey"),
+        max(when(col("rk") === 1, col("d2"))).as("nearest_d2"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** KEYED PSEUDONYMIZATION with salt rotation (round 15c — the privacy
+    * op between plain masking and erasure: replace an identifier with a
+    * deterministic keyed token so JOINS still work across tables of the
+    * same release, while rotating the salt between releases breaks
+    * cross-release linkage — the standard GDPR-pseudonymization shape
+    * for analytics exports). Token = md5(salt ‖ identifier): one codegen
+    * hash per row, zero shuffles beyond the scan; the raw identifier
+    * never reaches the output.
+    *
+    * The two-salt output makes the rotation property itself auditable:
+    * within a release the token is a bijection of the identifier (the
+    * n_ids == n_tokens evidence a consumer checks), across releases the
+    * token sets are disjoint. Oracle = the same md5 over the same
+    * concatenation (the q_fingerprint md5 equivalence).
+    */
+  def qPseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    c.select(col("c_custkey"),
+        md5(concat(lit("release-2024-06:"), col("c_name"))).as("token"),
+        md5(concat(lit("release-2024-07:"), col("c_name")))
+          .as("token_rotated"),
+        col("c_mktsegment"))
       .orderBy(col("c_custkey"))
   }
 

@@ -207,6 +207,48 @@ class Round15cSpec extends SparkSpecBase {
       "remainder ranks are a total order")
   }
 
+  test("geo grid join: complete vs brute force, no cartesian in plan") {
+    val res = Relational.qGeoGridJoin(spark, sfDir)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "grid join must never plan a cartesian")
+    val rows = res.collect()
+    // brute-force within-radius counts (driver-side, test scale only)
+    def pos(k: Long) = (48.0 + (k * 2654435761L % 1000).toDouble / 1000.0,
+      2.0 + (k * 1099087573L % 1000).toDouble / 1000.0)
+    val custs = graft.sources.Tables.customer(spark, sfDir)
+      .select("c_custkey").collect().map(_.getLong(0)).map(pos)
+    val supps = graft.sources.Tables.supplier(spark, sfDir)
+      .select("s_suppkey").collect().map(_.getLong(0))
+    val brute = supps.map { sk =>
+      val (sla, slo) = pos(sk)
+      sk -> custs.count { case (cla, clo) =>
+        (sla - cla) * (sla - cla) + (slo - clo) * (slo - clo) < 0.0025
+      }.toLong
+    }.toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) === brute(r.getLong(0)),
+        s"supplier ${r.getLong(0)}: grid n_within == brute force")
+    }
+    // cell/radius contract: every within-radius pair was a candidate
+    rows.foreach(r => assert(r.getLong(1) >= r.getLong(2)))
+  }
+
+  test("pseudonymize: within-release bijection, rotation breaks linkage") {
+    val rows = Relational.qPseudonymize(spark, sfDir).collect()
+    val names = graft.sources.Tables.customer(spark, sfDir)
+      .select("c_name").collect().map(_.getString(0))
+    assert(rows.map(_.getString(1)).distinct.length ===
+      names.distinct.length, "token is a bijection of the identifier")
+    // rotation: the two releases' token sets are disjoint
+    val t1 = rows.map(_.getString(1)).toSet
+    val t2 = rows.map(_.getString(2)).toSet
+    assert(t1.intersect(t2).isEmpty, "rotated salt breaks linkage")
+    // the raw identifier never appears in the output schema
+    assert(!Relational.qPseudonymize(spark, sfDir).columns
+      .contains("c_name"))
+  }
+
   test("kmv: sketches merge (k smallest of sub-sketch union == direct)") {
     import graft.sources.Tables
     val K = 64
