@@ -226,6 +226,8 @@ object SparkEntry {
     "q_largest_remainder" -> (CorpusQueries.qLargestRemainder _),
     "q_geo_grid_join" -> (Relational.qGeoGridJoin _),
     "q_pseudonymize" -> (Relational.qPseudonymize _),
+    "q_forecast_backtest" -> (EventQueries.qForecastBacktest _),
+    "q_schema_drift" -> (DatalakeQueries.qSchemaDrift _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -4155,6 +4157,38 @@ object SparkEntry {
         |  md5('release-2024-07:' || c_name) AS token_rotated,
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // per-day sMAPE terms snapped to the 2^-16 grid pre-sum (exact,
+    // order-free); the mean is one final division; worst day is a
+    // comparison-only argmax
+    "q_forecast_backtest" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, v, lag(v, 7) OVER w AS f,
+        |    row_number() OVER w AS rn
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |t AS (SELECT event_type, day,
+        |    floor(CAST(2 AS DOUBLE) * abs(v - f) / (v + f)
+        |      * CAST(65536 AS DOUBLE)) / CAST(65536 AS DOUBLE) AS term
+        |  FROM l WHERE rn > 7),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY term DESC, day) AS wrk FROM t)
+        |SELECT event_type, COUNT(*) AS n_scored,
+        |  SUM(term) / CAST(COUNT(*) AS DOUBLE) AS smape,
+        |  MAX(CASE WHEN wrk = 1 THEN day END) AS worst_day,
+        |  MAX(CASE WHEN wrk = 1 THEN term END) AS worst_term
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // the report is a pure function of the two versions' footers —
+    // SF-independent, so the oracle is the expected contract itself
+    "q_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('day', 'added', CAST(NULL AS VARCHAR), 'date'),
+        |  ('event_id', 'unchanged', 'bigint', 'bigint'),
+        |  ('event_type', 'removed', 'string', CAST(NULL AS VARCHAR)),
+        |  ('value', 'retyped', 'double', 'float'))
+        |  AS t(col_name, status, old_type, new_type)
+        |ORDER BY col_name""".stripMargin,
   )
 
   /** BM25 oracle — the query set inlined from its single source of truth

@@ -796,6 +796,45 @@ object DatalakeQueries {
       .orderBy(col("day"))
   }
 
+  /** SCHEMA DRIFT REPORT between published versions (round 15c — the
+    * breaking-change detector a lakehouse needs BEFORE an apply stream
+    * dies at 3am: q_merge_evolve showed the lake absorbing a grown
+    * column; this is the audit that tells a human what changed between
+    * two versions — added / removed / retyped / unchanged per column,
+    * from the parquet footers alone). Version 2 of the events extract
+    * adds a `day` column, drops `event_type`, and narrows `value` to
+    * float — the three drift classes plus a control.
+    *
+    * Scale: schema diffing reads two FOOTERS — catalog-sized driver
+    * work, zero data scan, the same cost class as the manifest swap
+    * itself. The report is the artifact a CI contract-check gates on.
+    */
+  def qSchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val root = tempLakeRoot() + "/events_schema"
+    Datalake.publish(e.select(col("event_id"), col("event_type"),
+      col("value")), root, "1")
+    Datalake.publish(e.select(col("event_id"),
+      col("value").cast("float").as("value"),
+      to_date(col("ts")).as("day")), root, "2")
+    val s1 = spark.read.parquet(s"$root/v=1").schema
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    val s2 = spark.read.parquet(s"$root/v=2").schema
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    val rows = (s1.keySet ++ s2.keySet).toSeq.sorted.map { c =>
+      (s1.get(c), s2.get(c)) match {
+        case (None, Some(t)) => (c, "added", null: String, t)
+        case (Some(t), None) => (c, "removed", t, null: String)
+        case (Some(a), Some(b)) if a == b => (c, "unchanged", a, b)
+        case (Some(a), Some(b)) => (c, "retyped", a, b)
+        case (None, None) => sys.error("unreachable")
+      }
+    }
+    rows.toDF("col_name", "status", "old_type", "new_type")
+      .orderBy(col("col_name"))
+  }
+
   /** PARTITION-SPEC EVOLUTION (round 15c — the Iceberg flagship the Hive
     * layout can't offer): the events table starts partitioned by
     * event_type (version 1); the team re-decides and version 2's append

@@ -593,6 +593,50 @@ object EventQueries {
       .orderBy(col("strategy"))
   }
 
+  /** FORECAST BACKTEST (round 15c — the evaluation op a forecasting
+    * pipeline needs before any model earns production traffic: score a
+    * baseline forecaster against history and report per-series error).
+    * Forecaster = seasonal naive (tomorrow looks like the same weekday
+    * last week, f_t = v_(t-7)) — THE baseline every paper scores against;
+    * metric = sMAPE (symmetric, scale-free, defined when v and f differ
+    * in magnitude). Day-grain per type, 7-day warmup dropped.
+    *
+    * Exactness: daily values are exact decimal sums cast once; each
+    * day's sMAPE term 2·|v−f|/(v+f) is IEEE-deterministic but SUMMING
+    * raw terms would be reduction-order-dependent — each term is snapped
+    * to the 2^-16 grid first (the BM25/entropy discipline), making the
+    * sum exact and the mean one final division. The worst day is an
+    * argmax over (term, day) — comparison-only, bit-deterministic.
+    * Same calendar-bounded window-safety argument as the EWMA row.
+    */
+  def qForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(decSum2(col("value")).cast("double").as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val scored = daily
+      .select(col("event_type"), col("day"), col("v"),
+        lag(col("v"), 7).over(w).as("f"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") > 7)
+      .select(col("event_type"), col("day"), col("v"), col("f"),
+        (floor(lit(2.0) * abs(col("v") - col("f")) /
+          (col("v") + col("f")) * lit(65536.0)) / lit(65536.0))
+          .as("term"))
+    val worst = Window.partitionBy(col("event_type"))
+      .orderBy(col("term").desc, col("day"))
+    scored
+      .select(col("event_type"), col("day"), col("term"),
+        row_number().over(worst).as("wrk"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        (sum(col("term")) / count(lit(1)).cast("double")).as("smape"),
+        max(when(col("wrk") === 1, col("day"))).as("worst_day"),
+        max(when(col("wrk") === 1, col("term"))).as("worst_term"))
+      .orderBy(col("event_type"))
+  }
+
   /** INTERVAL MERGE (round 15c — the coverage-span operator beside the
     * sweep-line COUNT of q_concurrency: not "how many intervals overlap"
     * but "what is the merged footprint"): each event opens a 30-minute
