@@ -228,6 +228,9 @@ object SparkEntry {
     "q_pseudonymize" -> (Relational.qPseudonymize _),
     "q_forecast_backtest" -> (EventQueries.qForecastBacktest _),
     "q_schema_drift" -> (DatalakeQueries.qSchemaDrift _),
+    "q_geohash" -> (Relational.qGeohash _),
+    "q_stream_cusum" -> (StreamQueries.qStreamCusum _),
+    "q_bom_rollup" -> (GraphQueries.qBomRollup _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -239,6 +242,42 @@ object SparkEntry {
     * FLOAT[] overload computes in float, ~1e-7 off the Spark kernel's
     * double accumulation — near-tau pairs would diverge).
     */
+  /** Generated geohash oracle: the 30-term lon/lat bit interleave and
+    * base32 character extraction regenerated as SQL from the SAME
+    * constants the Spark builder uses (graft.functions.geo) — single
+    * source of truth, every character must agree.
+    */
+  private def geohashOracle: String = {
+    val alpha = graft.functions.geo.GeohashAlphabet
+    val terms = (0 until 15).flatMap { j =>
+      Seq(
+        s"((ix // ${1L << (14 - j)}) % 2) * ${1L << (29 - 2 * j)}",
+        s"((iy // ${1L << (14 - j)}) % 2) * ${1L << (28 - 2 * j)}")
+    }.mkString(" + ")
+    val chars = (0 until 6).map { i =>
+      s"substr('$alpha', CAST((bits // ${1L << (25 - 5 * i)}) % 32 AS INT) + 1, 1)"
+    }.mkString(" || ")
+    s"""WITH c AS (SELECT c_custkey,
+       |    CAST(48 AS DOUBLE) + CAST(c_custkey * 2654435761 % 1000
+       |      AS DOUBLE) / CAST(1000 AS DOUBLE) AS lat,
+       |    CAST(2 AS DOUBLE) + CAST(c_custkey * 1099087573 % 1000
+       |      AS DOUBLE) / CAST(1000 AS DOUBLE) AS lon
+       |  FROM customer),
+       |q AS (SELECT c_custkey, lat, lon,
+       |    CAST(FLOOR((lon + CAST(180 AS DOUBLE)) / CAST(360 AS DOUBLE)
+       |      * CAST(32768 AS DOUBLE)) AS BIGINT) AS ix,
+       |    CAST(FLOOR((lat + CAST(90 AS DOUBLE)) / CAST(180 AS DOUBLE)
+       |      * CAST(32768 AS DOUBLE)) AS BIGINT) AS iy
+       |  FROM c),
+       |m AS (SELECT c_custkey, lat, lon, $terms AS bits FROM q),
+       |g AS (SELECT c_custkey, lat, lon, $chars AS geohash FROM m)
+       |SELECT c_custkey, lat, lon, geohash,
+       |  substr(geohash, 1, 4) AS prefix4,
+       |  COUNT(*) OVER (PARTITION BY substr(geohash, 1, 4))
+       |    AS n_in_prefix4
+       |FROM g ORDER BY c_custkey""".stripMargin
+  }
+
   private def lshPairCtes: String = {
     // single source of truth with the Spark query — see LshParams scaladoc
     import graft.ops.Similarity.LshParams.{bands, bits, dim, tau}
@@ -914,6 +953,9 @@ object SparkEntry {
         // registers — max is associative AND idempotent — and the
         // estimate tail is shared verbatim → the batch oracle unchanged
         "q_stream_hll" -> staticOracleSql("q_hll_distinct"),
+        // store fold == batch daily sums by decimal linearity; the CUSUM
+        // tail is cusumFromDaily shared verbatim → batch oracle unchanged
+        "q_stream_cusum" -> staticOracleSql("q_cusum_shift"),
         // TTL dedup of the doubled feed = the plain table: every distinct
         // event exactly once
         "q_stream_dedup_ttl" ->
@@ -4189,6 +4231,22 @@ object SparkEntry {
         |  ('value', 'retyped', 'double', 'float'))
         |  AS t(col_name, status, old_type, new_type)
         |ORDER BY col_name""".stripMargin,
+    "q_geohash" -> geohashOracle,
+    // the recursive CTE IS the naive per-level walk — hash equality
+    // re-proves the pointer-doubling composition == step-by-step every
+    // round; all quantities exact BIGINT
+    "q_bom_rollup" ->
+      """WITH RECURSIVE up AS (
+        |  SELECT p_partkey AS node, p_partkey AS cur,
+        |    CAST(1 AS BIGINT) AS prod, CAST(0 AS BIGINT) AS depth
+        |  FROM part
+        |  UNION ALL
+        |  SELECT node, cur // 4, prod * (cur % 3 + 1), depth + 1
+        |  FROM up WHERE cur >= 4)
+        |SELECT cur AS root, depth, COUNT(*) AS n_parts,
+        |  CAST(SUM(prod) AS BIGINT) AS total_units
+        |FROM up WHERE cur < 4
+        |GROUP BY 1, 2 ORDER BY root, depth""".stripMargin,
   )
 
   /** BM25 oracle — the query set inlined from its single source of truth

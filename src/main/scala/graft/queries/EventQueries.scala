@@ -705,10 +705,17 @@ object EventQueries {
     * mean × n). Same calendar-bounded window-safety argument as the
     * EWMA row.
     */
-  def qCusumShift(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+  def qCusumShift(spark: SparkSession, dir: String): DataFrame =
+    cusumFromDaily(Tables.events(spark, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(decSum2(col("value")).as("v"))
+      .agg(decSum2(col("value")).as("v")))
+
+  /** The CUSUM tail over a (event_type, day, v: decimal(18,2)) frame —
+    * shared VERBATIM by the batch row and [[graft.queries.StreamQueries
+    * .qStreamCusum]]'s store fold, so stream and batch cannot disagree
+    * on the recurrence, the scaling, or the alarm rule.
+    */
+  def cusumFromDaily(daily: DataFrame): DataFrame = {
     val perType = Window.partitionBy(col("event_type"))
     val ordered = perType.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -123,4 +123,64 @@ object GraphQueries {
         greatest(col("u"), col("e.id")).as("v"))
       .distinct()
   }
+
+  /** HIERARCHY ROLL-UP via POINTER DOUBLING (round 15c — the
+    * bill-of-materials explosion every manufacturing/ops warehouse
+    * runs: "how many units of each part does one unit of its root
+    * assembly need?", the multiplied-quantity path aggregate a flat
+    * groupBy cannot express). Synthetic 4-ary hierarchy over part:
+    * parent(p) = p div 4 (roots are p ≤ 3), per-edge quantity
+    * qty(p) = p mod 3 + 1 — deterministic, so the DuckDB recursive CTE
+    * replays it exactly in bounded integer arithmetic.
+    *
+    * THE SCALE POINT: the naive walk is one self-join per LEVEL
+    * (O(depth) shuffles); this runs POINTER DOUBLING — every node
+    * carries (ancestor, path product, path length) and each round joins
+    * the state with ITSELF, composing jumps: after k rounds every node
+    * has jumped 2^k edges. Five rounds close ANY hierarchy up to depth
+    * 32 — at 100 TB that is 5 shuffles where the per-level walk pays 32,
+    * and the state never exceeds one row per node. Round-local plans are
+    * checkpointed so the self-join tree doesn't compound.
+    *
+    * Exactness: quantities are exact longs (products ≤ 3^32 overflow?
+    * no — depth here ≤ 8, product ≤ 3^8 = 6561; the CTE and the engine
+    * agree in exact BIGINT), sums exact.
+    */
+  def qBomRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Checkpoints
+    val parts = Tables.part(spark, dir).select(col("p_partkey").as("node"))
+    // initial state: one step up (or self for roots)
+    var state = parts.select(col("node"),
+      when(col("node") >= 4, expr("node div 4")).otherwise(col("node"))
+        .as("cur"),
+      when(col("node") >= 4, col("node") % 3 + 1).otherwise(lit(1L))
+        .cast("long").as("prod"),
+      when(col("node") >= 4, 1L).otherwise(0L).as("depth"))
+    var cp = Checkpoints.checkpoint(state)
+    state = cp
+    for (_ <- 1 to 5) {
+      val t = state.select(col("node").as("t_node"), col("cur").as("t_cur"),
+        col("prod").as("t_prod"), col("depth").as("t_depth"))
+      val next = state.join(t.hint("shuffle_hash"),
+          state("cur") === t("t_node"), "left")
+        .select(col("node"),
+          when(col("cur") >= 4, col("t_cur")).otherwise(col("cur"))
+            .as("cur"),
+          when(col("cur") >= 4, col("prod") * col("t_prod"))
+            .otherwise(col("prod")).as("prod"),
+          when(col("cur") >= 4, col("depth") + col("t_depth"))
+            .otherwise(col("depth")).as("depth"))
+      val nextCp = Checkpoints.checkpoint(next)
+      Checkpoints.release(cp)
+      cp = nextCp
+      state = nextCp
+    }
+    val res = Checkpoints.checkpoint(state
+      .groupBy(col("cur").as("root"), col("depth"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("prod")).cast("bigint").as("total_units"))
+      .orderBy(col("root"), col("depth")))
+    Checkpoints.release(cp)
+    res
+  }
 }

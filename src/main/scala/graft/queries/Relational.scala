@@ -1208,6 +1208,40 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** GEOHASH ENCODING (round 15c — the geo-point cell key the
+    * reference's Elasticsearch mapping speaks, index_to_es.py:41-58:
+    * `geo_point` fields are geohash-indexed there; this computes the
+    * same cell key IN-ENGINE so proximity grouping never needs the
+    * external index): precision-6 geohash built from pure Column
+    * arithmetic ([[graft.functions.geo.geohash6]] — quantize, MSB-first
+    * lon/lat bit interleave, base32 chars; zero UDFs, fully inside
+    * whole-stage codegen), plus the prefix-4 cell density every
+    * proximity UI reads off the same key. One window over the
+    * bounded-cardinality prefix partition; the encode itself is
+    * shuffle-free scan work at any scale.
+    *
+    * Exactness: quantization is one multiply+floor per axis on the same
+    * IEEE expression tree as the oracle; everything after is exact long
+    * bit surgery and substring — the DuckDB oracle regenerates the
+    * 30-term interleave and must agree on every character.
+    */
+  def qGeohash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.geo
+    val lat = lit(48.0) +
+      (col("c_custkey") * lit(2654435761L) % 1000).cast("double") / lit(1000.0)
+    val lon = lit(2.0) +
+      (col("c_custkey") * lit(1099087573L) % 1000).cast("double") / lit(1000.0)
+    val g = Tables.customer(spark, dir)
+      .select(col("c_custkey"), lat.as("lat"), lon.as("lon"))
+      .withColumn("geohash", geo.geohash6(col("lat"), col("lon")))
+      .withColumn("prefix4", substring(col("geohash"), 1, 4))
+    g.select(col("c_custkey"), col("lat"), col("lon"), col("geohash"),
+        col("prefix4"),
+        count(lit(1)).over(Window.partitionBy(col("prefix4")))
+          .as("n_in_prefix4"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** KEYED PSEUDONYMIZATION with salt rotation (round 15c — the privacy
     * op between plain masking and erasure: replace an identifier with a
     * deterministic keyed token so JOINS still work across tables of the

@@ -478,6 +478,54 @@ object StreamQueries {
       .orderBy(col("event_type"))
   }
 
+  /** CUSUM over a STREAM-MAINTAINED daily store (round 15c): the
+    * change-point monitor runs continuously — each micro-batch lands its
+    * (type, day) partial decimal sums as an epoch-keyed store increment
+    * (overwrite-on-replay idempotent, the CMS/drift-store pattern); the
+    * live fold is a cell-wise SUM over increments, EXACT by decimal
+    * linearity (no ordering contract, no watermark, zero streaming
+    * state), and the CUSUM tail is
+    * [[EventQueries.cusumFromDaily]] — the batch row's code shared
+    * VERBATIM, so stream and batch cannot disagree on the recurrence,
+    * the scaled exact-decimal arithmetic, or the alarm rule. Oracle =
+    * q_cusum_shift's verbatim (the stream==batch claim).
+    *
+    * Scale: per-batch shuffle is (types × days-touched) cells; the
+    * store compacts by the same sum. The monitor's decision is always
+    * over the full accreted history — exactly how a production CUSUM
+    * gate consumes a firehose.
+    */
+  def qStreamCusum(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.DecimalType
+    import graft.sources.{Datalake, Tables}
+    import graft.streaming.CorpusStreams
+    val root = Files.createTempDirectory("graft-cusum-replay")
+    StreamReplay.track(root)
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val feed = root.resolve("feed").toString
+    e.repartitionByRange(2, col("ts"), col("event_id")).write.parquet(feed)
+    val sq = StreamReplay.subSession(spark)
+    val stream = CorpusStreams.readDocFiles(sq, feed, e.schema,
+      maxFilesPerTrigger = 1)
+    stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        Datalake.writeParquet(
+          batch.groupBy(col("event_type"),
+              date_trunc("day", col("ts")).as("day"))
+            .agg(sum(col("value").cast(DecimalType(18, 2))).as("v")),
+          s"${root.resolve("store")}/epoch=$epoch")
+      }
+      .start().awaitTermination()
+    val folded = spark.read.parquet(root.resolve("store").toString)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("v")).cast(DecimalType(18, 2)).as("v"))
+    EventQueries.cusumFromDaily(folded)
+  }
+
   /** The drift monitor over REAL event-time cohorts sealed by watermark
     * (round-11 verdict #7) — where [[qStreamDrift]] folds epoch-keyed
     * processing-time increments, this is the production drift-gate

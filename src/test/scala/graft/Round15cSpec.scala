@@ -234,6 +234,40 @@ class Round15cSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getLong(1) >= r.getLong(2)))
   }
 
+  test("geohash: quantized interleave == canonical bisection algorithm") {
+    // independent reference implementation (textbook bisection form)
+    def ref(lat: Double, lon: Double): String = {
+      val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+      var (la0, la1, lo0, lo1) = (-90.0, 90.0, -180.0, 180.0)
+      val bits = new StringBuilder
+      var even = true
+      while (bits.length < 30) {
+        if (even) {
+          val mid = (lo0 + lo1) / 2
+          if (lon >= mid) { bits += '1'; lo0 = mid }
+          else { bits += '0'; lo1 = mid }
+        } else {
+          val mid = (la0 + la1) / 2
+          if (lat >= mid) { bits += '1'; la0 = mid }
+          else { bits += '0'; la1 = mid }
+        }
+        even = !even
+      }
+      (0 until 6).map(i =>
+        alpha(Integer.parseInt(bits.substring(i * 5, i * 5 + 5), 2)))
+        .mkString
+    }
+    val rows = Relational.qGeohash(spark, sfDir).limit(200).collect()
+    rows.foreach { r =>
+      assert(r.getString(3) === ref(r.getDouble(1), r.getDouble(2)),
+        s"custkey ${r.getLong(0)}: engine geohash == canonical")
+    }
+    // prefix densities partition the table
+    val all = Relational.qGeohash(spark, sfDir).collect()
+    val byPrefix = all.groupBy(_.getString(4))
+    all.foreach(r => assert(r.getLong(5) === byPrefix(r.getString(4)).length))
+  }
+
   test("pseudonymize: within-release bijection, rotation breaks linkage") {
     val rows = Relational.qPseudonymize(spark, sfDir).collect()
     val names = graft.sources.Tables.customer(spark, sfDir)
@@ -300,6 +334,39 @@ class Round15cSpec extends SparkSpecBase {
     // time travel until retention retires them
     assert(spark.read.parquet(s"$root/v=1/add").count() +
       spark.read.parquet(s"$root/v=2/add").count() === total)
+  }
+
+  test("stream cusum == batch cusum bit-for-bit (decimal linearity)") {
+    val streamed = StreamQueries.qStreamCusum(spark, sfDir).collect()
+    val batch = EventQueries.qCusumShift(spark, sfDir).collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getString(0) === b.getString(0))
+      assert(s.getTimestamp(1) === b.getTimestamp(1))
+      assert(s.getDouble(3) === b.getDouble(3), "cusum exact")
+      assert(s.getLong(4) === b.getLong(4), "alarm agrees")
+    }
+  }
+
+  test("bom rollup: pointer doubling == naive per-level walk") {
+    val rows = graft.queries.GraphQueries.qBomRollup(spark, sfDir).collect()
+    val keys = graft.sources.Tables.part(spark, sfDir)
+      .select("p_partkey").collect().map(_.getLong(0))
+    // naive walk, driver-side (test scale only)
+    val agg = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    keys.foreach { p =>
+      var cur = p; var prod = 1L; var depth = 0L
+      while (cur >= 4) { prod *= cur % 3 + 1; cur /= 4; depth += 1 }
+      val k = (cur, depth)
+      val (n0, u0) = agg.getOrElse(k, (0L, 0L))
+      agg(k) = (n0 + 1, u0 + prod)
+    }
+    assert(rows.length === agg.size)
+    rows.foreach { r =>
+      val (n, u) = agg((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) === n && r.getLong(3) === u,
+        s"root ${r.getLong(0)} depth ${r.getLong(1)}")
+    }
   }
 
   test("stream hll == batch hll bit-for-bit (register max is idempotent)") {
