@@ -231,6 +231,8 @@ object SparkEntry {
     "q_geohash" -> (Relational.qGeohash _),
     "q_stream_cusum" -> (StreamQueries.qStreamCusum _),
     "q_bom_rollup" -> (GraphQueries.qBomRollup _),
+    "q_rfm_segmentation" -> (Relational.qRfmSegmentation _),
+    "q_benford_audit" -> (Relational.qBenfordAudit _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -242,6 +244,28 @@ object SparkEntry {
     * FLOAT[] overload computes in float, ~1e-7 off the Spark kernel's
     * double accumulation — near-tau pairs would diverge).
     */
+  /** Generated Benford oracle: the log10(1+1/d) expectations come from
+    * the SAME grid-snapped Scala constants the query inlines — zero
+    * transcendentals in either engine, single source of truth.
+    */
+  private def benfordOracle: String = {
+    val cases = graft.queries.Relational.BenfordFreqs
+      .map { case (d, f) => s"WHEN d = '$d' THEN CAST($f AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH c AS (SELECT
+       |    substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+       |      1, 1) AS d,
+       |    COUNT(*) AS n
+       |  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+       |t AS (SELECT d, n,
+       |    CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS obs_freq,
+       |    CASE $cases END AS benford_freq FROM c)
+       |SELECT d, n, obs_freq, benford_freq,
+       |  floor(abs(obs_freq - benford_freq) * CAST(65536 AS DOUBLE))
+       |    / CAST(65536 AS DOUBLE) AS abs_dev
+       |FROM t ORDER BY d""".stripMargin
+  }
+
   /** Generated geohash oracle: the 30-term lon/lat bit interleave and
     * base32 character extraction regenerated as SQL from the SAME
     * constants the Spark builder uses (graft.functions.geo) — single
@@ -4247,6 +4271,30 @@ object SparkEntry {
         |  CAST(SUM(prod) AS BIGINT) AS total_units
         |FROM up WHERE cur < 4
         |GROUP BY 1, 2 ORDER BY root, depth""".stripMargin,
+    // quintile boundaries are engine-deterministic: total-order NTILE
+    // sort keys (metric, custkey); recency anchored to the corpus max
+    // date, never wall clock
+    "q_rfm_segmentation" ->
+      """WITH a AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+        |rfm AS (SELECT o_custkey,
+        |    CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(anchor AS DATE))) AS BIGINT) AS r_days,
+        |    COUNT(*) AS f_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS m_total
+        |  FROM orders CROSS JOIN a GROUP BY 1),
+        |q AS (SELECT o_custkey, r_days, f_orders, m_total,
+        |    CAST(NTILE(5) OVER (ORDER BY r_days, o_custkey) AS BIGINT)
+        |      AS r_q,
+        |    CAST(NTILE(5) OVER (ORDER BY f_orders DESC, o_custkey)
+        |      AS BIGINT) AS f_q,
+        |    CAST(NTILE(5) OVER (ORDER BY m_total DESC, o_custkey)
+        |      AS BIGINT) AS m_q
+        |  FROM rfm)
+        |SELECT o_custkey, r_days, f_orders, m_total, r_q, f_q, m_q,
+        |  r_q || '-' || f_q || '-' || m_q AS segment
+        |FROM q ORDER BY o_custkey""".stripMargin,
+    "q_benford_audit" -> benfordOracle,
   )
 
   /** BM25 oracle — the query set inlined from its single source of truth

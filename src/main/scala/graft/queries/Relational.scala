@@ -1208,6 +1208,82 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** RFM SEGMENTATION (round 15c — the classic lifecycle scoring every
+    * CRM/marketing warehouse derives: Recency / Frequency / Monetary
+    * quintiles per customer, composed into a segment key). One orders
+    * scan → per-customer aggregate (recency = exact day diff from the
+    * corpus max date — a deterministic anchor, not wall clock; frequency
+    * = count; monetary = exact decimal sum cast once), then three NTILE
+    * windows over the aggregated frame with TOTAL-ORDER sort keys
+    * (metric, custkey) so bucket boundaries are engine-deterministic
+    * (the q_ntile_spend discipline). Window input is customer-grain —
+    * already reduced — and all three windows reuse one unpartitioned
+    * ordering family over a bounded frame at test SF; at 100 TB the
+    * quintile boundaries come from quantile summaries instead, same
+    * output contract.
+    */
+  def qRfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+    val rfm = o.crossJoin(broadcast(anchor))
+      .groupBy(col("o_custkey"))
+      .agg(min(datediff(col("anchor"), col("o_orderdate")))
+          .cast("long").as("r_days"),
+        count(lit(1)).as("f_orders"),
+        decSum2(col("o_totalprice")).cast("double").as("m_total"))
+    def quintile(c: Column, asc: Boolean) = ntile(5).over(
+      Window.orderBy(if (asc) c.asc else c.desc, col("o_custkey")))
+    rfm.select(col("o_custkey"), col("r_days"), col("f_orders"),
+        col("m_total"),
+        quintile(col("r_days"), asc = true).cast("long").as("r_q"),
+        quintile(col("f_orders"), asc = false).cast("long").as("f_q"),
+        quintile(col("m_total"), asc = false).cast("long").as("m_q"))
+      .withColumn("segment",
+        concat(col("r_q"), lit("-"), col("f_q"), lit("-"), col("m_q")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** BENFORD FIRST-DIGIT AUDIT (round 15c — the fraud/corruption smoke
+    * test auditors run on any money column: natural multi-magnitude
+    * amounts follow log10(1+1/d); fabricated or truncated data doesn't).
+    * Leading digit extracted from the CANONICAL DECIMAL STRING (both
+    * engines print decimal(18,2) identically — never from log10, whose
+    * libm rounding is engine-private). Expected frequencies are
+    * compile-time constants inlined from one Scala source of truth into
+    * BOTH the query and the generated oracle — zero transcendentals in
+    * either engine. Deviation per digit is one IEEE subtract of an exact
+    * count ratio; the total-variation distance sums 9 grid-snapped
+    * terms. One scan + one 9-group aggregate: free at any scale.
+    */
+  def qBenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digit = substring(money(col("o_totalprice")).cast("string"), 1, 1)
+    val counts = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") >= 1.0)
+      .groupBy(digit.as("d")).agg(count(lit(1)).as("n"))
+    val total = Window.partitionBy()
+    val expected = BenfordFreqs.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, f)) => when(col("d") === d.toString, lit(f))
+        .otherwise(acc)
+    }
+    counts
+      .select(col("d"), col("n"),
+        (col("n").cast("double") / sum(col("n")).over(total).cast("double"))
+          .as("obs_freq"),
+        expected.as("benford_freq"))
+      .withColumn("abs_dev",
+        floor(abs(col("obs_freq") - col("benford_freq")) * lit(65536.0)) /
+          lit(65536.0))
+      .orderBy(col("d"))
+  }
+
+  /** log10(1+1/d) for d=1..9, snapped to the 2^-16 grid at DEFINITION
+    * time — the one place the transcendental is evaluated; both engines
+    * consume the same exact dyadic literals.
+    */
+  private[graft] val BenfordFreqs: Seq[(Int, Double)] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 65536.0) / 65536.0)
+
   /** GEOHASH ENCODING (round 15c — the geo-point cell key the
     * reference's Elasticsearch mapping speaks, index_to_es.py:41-58:
     * `geo_point` fields are geohash-indexed there; this computes the

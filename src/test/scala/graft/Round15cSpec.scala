@@ -234,6 +234,37 @@ class Round15cSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getLong(1) >= r.getLong(2)))
   }
 
+  test("rfm: quintiles balanced, segment composes the three scores") {
+    val rows = Relational.qRfmSegmentation(spark, sfDir).collect()
+    Seq(4, 5, 6).foreach { qi =>
+      val sizes = rows.groupBy(_.getLong(qi)).view.mapValues(_.length)
+      assert(sizes.keySet === Set(1L, 2L, 3L, 4L, 5L))
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"column $qi: NTILE buckets differ by at most one")
+    }
+    rows.foreach { r =>
+      assert(r.getString(7) ===
+        s"${r.getLong(4)}-${r.getLong(5)}-${r.getLong(6)}")
+      assert(r.getLong(1) >= 0, "recency non-negative (anchored to max)")
+    }
+    // quintile 1 of monetary dominates quintile 5
+    val m1 = rows.filter(_.getLong(6) == 1L).map(_.getDouble(3)).min
+    val m5 = rows.filter(_.getLong(6) == 5L).map(_.getDouble(3)).max
+    assert(m1 >= m5)
+  }
+
+  test("benford: frequencies sum to ~1, digit coverage, audit shape") {
+    val rows = Relational.qBenfordAudit(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ===
+      (1 to 9).map(_.toString), "all nine leading digits present")
+    val obsSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(obsSum - 1.0) < 1e-9, "observed ratios partition 1")
+    // expectations are the snapped Benford constants, descending in d
+    val exp = rows.map(_.getDouble(3))
+    assert(exp.sliding(2).forall { case Array(a, b) => a > b; case _ => true })
+    assert(math.abs(exp.sum - 1.0) < 1e-3, "Benford expectations ~1")
+  }
+
   test("geohash: quantized interleave == canonical bisection algorithm") {
     // independent reference implementation (textbook bisection form)
     def ref(lat: Double, lon: Double): String = {
