@@ -233,6 +233,7 @@ object SparkEntry {
     "q_bom_rollup" -> (GraphQueries.qBomRollup _),
     "q_rfm_segmentation" -> (Relational.qRfmSegmentation _),
     "q_benford_audit" -> (Relational.qBenfordAudit _),
+    "q_evolve_vacuum" -> (DatalakeQueries.qEvolveVacuum _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -287,12 +288,16 @@ object SparkEntry {
        |    CAST(2 AS DOUBLE) + CAST(c_custkey * 1099087573 % 1000
        |      AS DOUBLE) / CAST(1000 AS DOUBLE) AS lon
        |  FROM customer),
-       |q AS (SELECT c_custkey, lat, lon,
+       |q0 AS (SELECT c_custkey, lat, lon,
        |    CAST(FLOOR((lon + CAST(180 AS DOUBLE)) / CAST(360 AS DOUBLE)
-       |      * CAST(32768 AS DOUBLE)) AS BIGINT) AS ix,
+       |      * CAST(32768 AS DOUBLE)) AS BIGINT) AS ix0,
        |    CAST(FLOOR((lat + CAST(90 AS DOUBLE)) / CAST(180 AS DOUBLE)
-       |      * CAST(32768 AS DOUBLE)) AS BIGINT) AS iy
+       |      * CAST(32768 AS DOUBLE)) AS BIGINT) AS iy0
        |  FROM c),
+       |q AS (SELECT c_custkey, lat, lon,
+       |    CASE WHEN ix0 > 32767 THEN 32767 ELSE ix0 END AS ix,
+       |    CASE WHEN iy0 > 32767 THEN 32767 ELSE iy0 END AS iy
+       |  FROM q0),
        |m AS (SELECT c_custkey, lat, lon, $terms AS bits FROM q),
        |g AS (SELECT c_custkey, lat, lon, $chars AS geohash FROM m)
        |SELECT c_custkey, lat, lon, geohash,
@@ -4085,6 +4090,21 @@ object SparkEntry {
         |  (SELECT COUNT(DISTINCT day) FROM e),
         |  CAST(1 AS BIGINT),
         |  n_match, sum_value FROM agg
+        |ORDER BY stage""".stripMargin,
+    // chain-aware vacuum evidence: both stages must aggregate the FULL
+    // events extract (retention never touches live chain segments); the
+    // dropped/on-disk version counts are protocol facts the read verifies
+    "q_evolve_vacuum" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |agg AS (SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM e)
+        |SELECT '1_chain_pinned' AS stage, CAST(0 AS BIGINT) AS n_dropped,
+        |  CAST(3 AS BIGINT) AS n_versions, n_rows, sum_value FROM agg
+        |UNION ALL
+        |SELECT '2_post_rewrite', CAST(3 AS BIGINT), CAST(1 AS BIGINT),
+        |  n_rows, sum_value FROM agg
         |ORDER BY stage""".stripMargin,
     // the quasi-group verdict (COUNT DISTINCT sensitive) replays as the
     // same grouped aggregate; suppression is all-or-nothing per group

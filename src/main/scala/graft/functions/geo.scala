@@ -22,13 +22,18 @@ object geo {
 
   /** 30-bit interleaved geohash integer (precision 6). Quantization is
     * one multiply+floor per axis — the same IEEE expression tree as the
-    * oracle; all bit surgery is exact long arithmetic.
+    * oracle; all bit surgery is exact long arithmetic. The quantized
+    * indices are clamped to 32767: the domain maxima (lat=90, lon=180)
+    * quantize to 32768, a 16th bit the 15-bit interleave would misplace
+    * — the clamp folds each boundary into its max cell (half-open cells
+    * everywhere except the closed top edge, the standard geohash
+    * convention). Mirrored verbatim in SparkEntry.geohashOracle.
     */
   def geohashBits(lat: Column, lon: Column): Column = {
-    val ix = floor((lon + lit(180.0)) / lit(360.0) * lit(32768.0))
-      .cast("long")
-    val iy = floor((lat + lit(90.0)) / lit(180.0) * lit(32768.0))
-      .cast("long")
+    val ix = least(floor((lon + lit(180.0)) / lit(360.0) * lit(32768.0))
+      .cast("long"), lit(32767L))
+    val iy = least(floor((lat + lit(90.0)) / lit(180.0) * lit(32768.0))
+      .cast("long"), lit(32767L))
     // lon bits land at 29,27,...,1; lat bits at 28,26,...,0 (MSB first)
     val terms = (0 until 15).flatMap { j =>
       Seq(

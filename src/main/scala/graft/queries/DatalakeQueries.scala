@@ -936,6 +936,67 @@ object DatalakeQueries {
     pre.unionByName(probe("2_post_optimize")).orderBy(col("stage"))
   }
 
+  /** CHAIN-AWARE VACUUM on an evolved table (round 16 — closes the r15
+    * data-loss-shaped hole the code itself documented: `_BASE` chain
+    * segments are LIVE references the manifest-current read unions over,
+    * so age-based retention must never retire one). The events table is
+    * published as a three-segment chain (v1 by event_type, v2 and v3 by
+    * day), then `vacuum(keepLast = 1)` runs TWICE:
+    *
+    *  1. on the live chain — retention wants to drop v1/v2 (older than
+    *     keepLast), but both are `_BASE` ancestors of current v3, so the
+    *     chain walk pins them: ZERO versions dropped and the full-table
+    *     read is byte-identical after the sweep (pre-fix this deleted
+    *     v1/v2 and the read died on a missing path);
+    *  2. after [[graft.sources.Datalake.rewriteEvolved]] migrates the
+    *     chain into one segment — v1/v2/v3 are no longer referenced by
+    *     anything, so the SAME retention policy now legitimately retires
+    *     all three, and the read is still identical.
+    *
+    * Output = one evidence row per stage (versions dropped, versions on
+    * disk, exact full-table row count + decimal sum). Each stage's
+    * aggregate is MATERIALIZED before the next protocol step (1-row
+    * collect — stage 2's vacuum deletes the dirs stage 1's lazy plan
+    * would re-read). A vacuum that over-deletes hash-fails on the read;
+    * one that under-deletes hash-fails on n_versions.
+    *
+    * Scale: the chain walk reads one `_BASE` file per segment — catalog-
+    * sized driver work; retention stays a lake-side GC decision with the
+    * same recursive-delete cost as before.
+    */
+  def qEvolveVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+    val root = tempLakeRoot() + "/events_evolve_vac"
+    Datalake.publishEvolved(e.filter(col("event_id") % 3 === 0)
+      .repartition(1), root, "1", Seq("event_type"))
+    Datalake.publishEvolved(e.filter(col("event_id") % 3 === 1)
+      .repartition(1), root, "2", Seq("day"))
+    Datalake.publishEvolved(e.filter(col("event_id") % 3 === 2)
+      .repartition(1), root, "3", Seq("day"))
+    def evidence(stage: String,
+        dropped: Long): (String, Long, Long, Long, Double) = {
+      val r = Datalake.readEvolved(spark, root)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          decSum2(col("value")).cast("double").as("sum_value"))
+        .collect()(0)
+      (stage, dropped,
+        Datalake.listVersions(spark, root).length.toLong,
+        r.getLong(0), r.getDouble(1))
+    }
+    val dropA = Datalake.vacuum(spark, root, keepLast = 1)
+    val a = evidence("1_chain_pinned", dropA.length.toLong)
+    Datalake.rewriteEvolved(spark, root, "4", Seq("day"), tasks = Some(1))
+    val dropB = Datalake.vacuum(spark, root, keepLast = 1)
+    val b = evidence("2_post_rewrite", dropB.length.toLong)
+    Seq(a, b)
+      .toDF("stage", "n_dropped", "n_versions", "n_rows", "sum_value")
+      .orderBy(col("stage"))
+  }
+
   /** DELETION VECTORS end-to-end (r13 — the Delta/Iceberg row-level
     * delete without rewriting data files): orders is published as 8
     * files, then TWO accumulating `Datalake.deleteWhere` commits mark

@@ -175,6 +175,15 @@ object GraphQueries {
       cp = nextCp
       state = nextCp
     }
+    // convergence gate: 5 doubling rounds close depth ≤ 32; a deeper
+    // hierarchy would silently emit non-root `cur` values as roots, so
+    // assert reachability loudly (one cheap count over the checkpointed
+    // state — roots are keys ≤ 3 by construction)
+    val unconverged = state.filter(col("cur") >= 4).count()
+    if (unconverged > 0) throw new IllegalStateException(
+      s"qBomRollup: $unconverged nodes did not reach a root after 5 " +
+        "pointer-doubling rounds (hierarchy deeper than 32 levels) — " +
+        "raise the round count instead of trusting these as roots")
     val res = Checkpoints.checkpoint(state
       .groupBy(col("cur").as("root"), col("depth"))
       .agg(count(lit(1)).as("n_parts"),

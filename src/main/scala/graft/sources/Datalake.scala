@@ -1681,6 +1681,21 @@ object Datalake {
   def publishEvolved(df: DataFrame, tableRoot: String, version: String,
       partitionBy: Seq[String]): Unit = {
     val base = currentDataPath(df.sparkSession, tableRoot)
+    // re-publishing the manifest-current version name would write a
+    // _BASE pointing at the segment's OWN directory (SaveMode.Overwrite
+    // permits the rewrite) and turn the chain walk into an infinite
+    // recursion — fail loudly instead (the shallowClone discipline)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val vDir = new org.apache.hadoop.fs.Path(s"$tableRoot/v=$version")
+    val fs = vDir.getFileSystem(conf)
+    val vAbs = fs.makeQualified(vDir).toString
+    base.foreach { b =>
+      val bAbs = fs.makeQualified(new org.apache.hadoop.fs.Path(b)).toString
+      if (bAbs == vAbs) throw new IllegalStateException(
+        s"publishEvolved: version '$version' is the manifest-current " +
+          s"segment of $tableRoot — a _BASE onto its own directory would " +
+          "make the chain cyclic; publish under a fresh version name")
+    }
     stageEvolved(df, tableRoot, version, partitionBy, base)
     swapManifest(df.sparkSession, tableRoot, s"v=$version")
   }
@@ -1749,9 +1764,17 @@ object Datalake {
   def evolvedSegments(spark: SparkSession,
       tableRoot: String): Seq[EvolvedSegment] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    def walk(dir: String, acc: Vector[EvolvedSegment]): Vector[EvolvedSegment] = {
+    def walk(dir: String, acc: Vector[EvolvedSegment],
+        seen: Set[String]): Vector[EvolvedSegment] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(conf)
+      val key = fs.makeQualified(p).toString
+      // cycle guard (defense in depth behind publishEvolved's self-base
+      // rejection): a corrupted or hand-edited _BASE that loops must
+      // fail loudly, never recurse until StackOverflowError
+      if (seen.contains(key)) throw new IllegalStateException(
+        s"evolvedSegments: cyclic _BASE chain under $tableRoot — " +
+          s"$key appears twice; the chain metadata is corrupt")
       val spec = readSmallFile(fs, new org.apache.hadoop.fs.Path(p, EvolvedSpec))
         .getOrElse(throw new IllegalStateException(
           s"$dir is not an evolved segment (no ${EvolvedSpec}); " +
@@ -1761,13 +1784,13 @@ object Datalake {
         if (spec.isEmpty) Nil else spec.split(",").toSeq,
         new org.apache.hadoop.fs.Path(p, EvolvedAdd).toString)
       readSmallFile(fs, new org.apache.hadoop.fs.Path(p, EvolvedBase)) match {
-        case Some(b) => walk(b, acc :+ seg)
+        case Some(b) => walk(b, acc :+ seg, seen + key)
         case None => acc :+ seg
       }
     }
     val cur = currentDataPath(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
-    walk(cur, Vector.empty)
+    walk(cur, Vector.empty, Set.empty)
   }
 
   /** Read the whole evolved table: the union of every segment's `add/`
@@ -1800,8 +1823,12 @@ object Datalake {
         val name = f.getPath.getName
         if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
           total += 1
+          // exact path-SEGMENT match: a bare substring test would
+          // false-positive when one partition value prefixes another
+          // (value "1" inside dir "day=10") — the Hive dir is always an
+          // intermediate path component, so it is always slash-delimited
           if (!seg.spec.contains(partCol) ||
-            f.getPath.toString.contains(s"$partCol=$value")) scanned += 1
+            f.getPath.toString.contains(s"/$partCol=$value/")) scanned += 1
         }
       }
       EvolvedScan(seg, spark.read.parquet(seg.addPath), total, scanned)
@@ -1907,11 +1934,47 @@ object Datalake {
       keepLast: Int): Seq[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val versions = listVersions(spark, tableRoot)
-    val keep = versions.takeRight(keepLast).toSet ++
-      currentVersion(spark, tableRoot)
-    val drop = versions.filterNot(keep)
     val root = new org.apache.hadoop.fs.Path(tableRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootAbs = fs.makeQualified(root).toString
+    // CHAIN-AWARE retention (round 16 — closes the documented r15c hole):
+    // an evolved segment's _BASE pointers are LIVE references — the
+    // manifest-current version still unions over every dir in its chain,
+    // so age-based retention alone could delete a segment a current read
+    // depends on (data loss, not expired history). Every retained
+    // version's chain is walked and each chain member that lives under
+    // THIS root is pinned. Chain members OUTSIDE the root (a chain based
+    // on a shallow-clone ref= target) are the other table's segments —
+    // this vacuum cannot protect them, which is exactly the documented
+    // shallowClone hazard: the SOURCE's retention governs them.
+    def chainOf(version: String): Set[String] = {
+      @annotation.tailrec
+      def walk(dir: org.apache.hadoop.fs.Path, acc: Set[String],
+          seen: Set[String]): Set[String] = {
+        val key = fs.makeQualified(dir).toString
+        if (seen.contains(key)) throw new IllegalStateException(
+          s"vacuum: cyclic _BASE chain at $key — refusing to compute " +
+            "retention over corrupt chain metadata")
+        val local = key.startsWith(rootAbs + "/")
+        val acc2 = if (local) acc + dir.getName.stripPrefix("v=") else acc
+        readSmallFile(fs, new org.apache.hadoop.fs.Path(dir, EvolvedBase)) match {
+          // a non-local base is the other table's problem (see above) —
+          // stop pinning but keep failing loudly on local cycles
+          case Some(b) => walk(new org.apache.hadoop.fs.Path(b), acc2,
+            seen + key)
+          case None => acc2
+        }
+      }
+      val vDir = new org.apache.hadoop.fs.Path(root, s"v=$version")
+      // only evolved segments carry a chain; a plain version pins itself
+      if (!fs.exists(new org.apache.hadoop.fs.Path(vDir, EvolvedBase)))
+        Set(version)
+      else walk(vDir, Set.empty, Set.empty)
+    }
+    val keepSeeds = versions.takeRight(keepLast).toSet ++
+      currentVersion(spark, tableRoot)
+    val keep = keepSeeds.flatMap(chainOf) ++ keepSeeds
+    val drop = versions.filterNot(keep)
     drop.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
       // retire the version's timestamp-history entry with it: a stale

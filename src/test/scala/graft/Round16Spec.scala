@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Datalake
+import java.nio.file.Files
+
+/** Round-16 pins: chain-aware vacuum (retention must never retire a
+  * `_BASE` segment the manifest-current read unions over), the evolved-
+  * chain safety guards (self-base rejection, cycle detection, exact
+  * path-segment pruning evidence), and the geohash domain-edge clamp.
+  */
+class Round16Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def evolvedFixture(): String = {
+    val root = Files.createTempDirectory("graft-evac").toString + "/t"
+    Datalake.publishEvolved(Seq((1L, "a", "d1")).toDF("id", "k", "day"),
+      root, "1", Seq("k"))
+    Datalake.publishEvolved(Seq((2L, "b", "d1")).toDF("id", "k", "day"),
+      root, "2", Seq("day"))
+    Datalake.publishEvolved(Seq((3L, "c", "d2")).toDF("id", "k", "day"),
+      root, "3", Seq("day"))
+    root
+  }
+
+  test("vacuum pins the _BASE chain: retention never retires a live segment") {
+    val root = evolvedFixture()
+    // keepLast=1 wants to drop v1/v2 — both are chain ancestors of the
+    // current v3, so NOTHING may go and the read must be untouched
+    assert(Datalake.vacuum(spark, root, keepLast = 1) === Seq())
+    assert(Datalake.listVersions(spark, root) === Seq("1", "2", "3"))
+    assert(Datalake.readEvolved(spark, root).collect()
+      .map(_.getAs[Long]("id")).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("vacuum after rewriteEvolved retires the now-unreferenced chain") {
+    val root = evolvedFixture()
+    Datalake.rewriteEvolved(spark, root, "4", Seq("day"))
+    assert(Datalake.vacuum(spark, root, keepLast = 1) === Seq("1", "2", "3"))
+    assert(Datalake.listVersions(spark, root) === Seq("4"))
+    assert(Datalake.readEvolved(spark, root).collect()
+      .map(_.getAs[Long]("id")).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("vacuum keeps a chain hanging off a retained NON-current version") {
+    val root = evolvedFixture()
+    // leave the evolved state with a plain publish; the manifest moves on
+    Datalake.publish(Seq((9L, "z", "d9")).toDF("id", "k", "day"), root, "5")
+    Datalake.publish(Seq((10L, "y", "d9")).toDF("id", "k", "day"), root, "6")
+    // keepLast=4 retains {2,3,5,6}; v3 is an evolved segment whose chain
+    // tail v1 sits OUTSIDE the age window — the walk must pin it anyway
+    assert(Datalake.vacuum(spark, root, keepLast = 4) === Seq())
+    // keepLast=2 retains {5,6}: the chain head v3 leaves the window, so
+    // v1/v2/v3 (the whole now-unreferenced chain) legitimately go
+
+    assert(Datalake.vacuum(spark, root, keepLast = 2) === Seq("1", "2", "3"))
+    assert(Datalake.listVersions(spark, root) === Seq("5", "6"))
+  }
+
+  test("publishEvolved rejects re-publishing the manifest-current version (cycle guard)") {
+    val root = evolvedFixture()
+    val ex = intercept[IllegalStateException] {
+      Datalake.publishEvolved(Seq((4L, "d", "d2")).toDF("id", "k", "day"),
+        root, "3", Seq("day"))
+    }
+    assert(ex.getMessage.contains("cyclic"))
+    // the chain is still intact and readable
+    assert(Datalake.readEvolved(spark, root).count() === 3L)
+  }
+
+  test("evolvedSegments fails loudly on a corrupted cyclic _BASE, never recurses") {
+    val root = evolvedFixture()
+    // hand-corrupt v2's _BASE to point at v3 (3 -> 2 -> 3 loop)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$root/v=2/_BASE")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(s"$root/v=3".getBytes("UTF-8")) finally out.close()
+    val ex = intercept[IllegalStateException] {
+      Datalake.evolvedSegments(spark, root)
+    }
+    assert(ex.getMessage.contains("cyclic"))
+    // and vacuum refuses to compute retention over the corrupt chain
+    // rather than guessing a keep set
+    val ex2 = intercept[IllegalStateException] {
+      Datalake.vacuum(spark, root, keepLast = 1)
+    }
+    assert(ex2.getMessage.contains("cyclic"))
+  }
+
+  test("evolvedPrunedScan matches exact path segments, not substrings") {
+    val root = Files.createTempDirectory("graft-eps").toString + "/t"
+    // two partition values where one prefixes the other: day=1 vs day=10
+    Datalake.publishEvolved(
+      Seq((1L, "1"), (2L, "10")).toDF("id", "day").repartition(1),
+      root, "1", Seq("day"))
+    val scans = Datalake.evolvedPrunedScan(spark, root, "day", "1")
+    assert(scans.length === 1)
+    // substring matching counted the day=10 file too (2); exact segment
+    // matching admits only day=1's single file
+    assert(scans.head.filesTotal === 2L)
+    assert(scans.head.filesScanned === 1L)
+  }
+
+  test("geohash clamps the domain maxima into the top cell") {
+    val df = Seq((90.0, 180.0), (89.999, 179.999), (-90.0, -180.0))
+      .toDF("lat", "lon")
+      .select(graft.functions.geo.geohash6(col("lat"), col("lon"))
+        .as("gh"))
+    val gh = df.collect().map(_.getString(0))
+    // lat=90/lon=180 quantize to index 32768 pre-clamp; unclamped, the
+    // 16th bit is lost and the corner encodes as the SW-most cell "00000"
+    assert(gh(0) === "zzzzzz", s"NE corner must encode max cell, got ${gh(0)}")
+    assert(gh(1) === "zzzzzz", "just-inside point shares the top cell")
+    assert(gh(2) === "000000", "SW corner is the min cell")
+  }
+}
