@@ -102,6 +102,62 @@ class Round16Spec extends SparkSpecBase {
     assert(scans.head.filesScanned === 1L)
   }
 
+  test("Ranking.withRank reproduces row_number over any key sign mix, asc and desc") {
+    import graft.ops.Ranking
+    import org.apache.spark.sql.expressions.Window
+    // keys spanning negatives, zero, subnormal-ish, ties (broken by id)
+    val rows = Seq(-1e9, -3.5, -3.5, -1e-12, 0.0, 0.0, 1e-12, 2.0, 2.0,
+      4.0, 1e15).zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val df = rows.toDF("id", "k")
+    for (desc <- Seq(false, true)) {
+      val got = Ranking.withRank(df, Nil, "k", desc, "id", "rk", "n")
+        .select(col("id"), col("rk"), col("n")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val w = Window.orderBy(if (desc) col("k").desc else col("k").asc,
+        col("id"))
+      val want = df.select(col("id"),
+          row_number().over(w).cast("long").as("rk")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.view.mapValues(_._1).toMap === want, s"desc=$desc")
+      assert(got.values.forall(_._2 === rows.length.toLong))
+    }
+  }
+
+  test("Ranking.withRank per-group ranks and ntileOf match the window functions") {
+    import graft.ops.Ranking
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 97).map(i => (i.toLong, s"g${i % 3}", (i * 37 % 19).toDouble))
+      .toDF("id", "g", "k")
+    val got = Ranking.withRank(df, Seq("g"), "k", desc = true, "id", "rk", "n")
+      .select(col("id"), Ranking.ntileOf(col("rk"), col("n"), 4).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy(col("g")).orderBy(col("k").desc, col("id"))
+    val want = df.select(col("id"), ntile(4).over(w).cast("long").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("spend/RFM tier plans: every window is bucket-partitioned, no ntile left") {
+    for (q <- Seq(graft.queries.Relational.qNtileSpend(spark, sfDir),
+        graft.queries.Relational.qRfmSegmentation(spark, sfDir))) {
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(windows.nonEmpty, "rank window expected")
+      assert(windows.forall(_.contains("__rb")),
+        s"window not partitioned by the rank bucket:\n${windows.mkString("\n")}")
+      assert(!plan.contains("ntile("),
+        "NTILE must be the map-side closed form, not a window function")
+    }
+  }
+
+  test("ntileOf handles n < k (each row its own bucket)") {
+    import graft.ops.Ranking
+    val df = Seq((1L, 3L), (2L, 3L), (3L, 3L)).toDF("rk", "n")
+    assert(df.select(Ranking.ntileOf(col("rk"), col("n"), 5)).collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("geohash clamps the domain maxima into the top cell") {
     val df = Seq((90.0, 180.0), (89.999, 179.999), (-90.0, -180.0))
       .toDF("lat", "lon")
