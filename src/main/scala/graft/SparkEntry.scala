@@ -234,6 +234,8 @@ object SparkEntry {
     "q_rfm_segmentation" -> (Relational.qRfmSegmentation _),
     "q_benford_audit" -> (Relational.qBenfordAudit _),
     "q_evolve_vacuum" -> (DatalakeQueries.qEvolveVacuum _),
+    "q_gbt_regression" -> (Relational.qGbtRegression _),
+    "q_gbt_importance" -> (Relational.qGbtImportance _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -924,6 +926,11 @@ object SparkEntry {
         .map { case (_, m) => "q_pca_project" -> pcaOracle(m) } ++
       graft.queries.TextQueries.lastBpeModel
         .map { case (_, m) => "q_bpe_tokenize" -> bpeOracle(m) } ++
+      graft.queries.Relational.lastGbtModel
+        .map { case (_, m) => "q_gbt_regression" -> gbtScoreOracle(m) } ++
+      graft.queries.Relational.lastGbtModel
+        .map { case (_, m) =>
+          "q_gbt_importance" -> gbtImportanceOracle(m) } ++
       // The streaming replay rows share their batch twins' oracles
       // VERBATIM — stream==batch over the same input is exactly the
       // equality the driver re-proves by hash every round.
@@ -4390,6 +4397,125 @@ object SparkEntry {
        |    AS compression
        |FROM wc JOIN tl USING (word)
        |GROUP BY wc.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared GBT feature/target CTE — rendered from the SAME strings the
+    * Spark featurize uses (graft.ops.Gbt.BinSql/TargetSql, `%DIV%` →
+    * `//`): both engines must rebuild the identical supervised slice.
+    */
+  private def gbtTCte: String = {
+    import graft.ops.Gbt
+    val bins = Gbt.BinCols.zip(Gbt.BinSql)
+      .map { case (n, s) => s"    ${Gbt.render(s, duck = true)} AS $n" }
+    s"""t AS (SELECT
+       |${bins.mkString(",\n")},
+       |    CAST(${Gbt.TargetSql} AS BIGINT) AS y,
+       |    CASE WHEN ${Gbt.TrainPredSql} THEN 'train' ELSE 'test' END
+       |      AS split
+       |  FROM part WHERE p_size IS NOT NULL)""".stripMargin
+  }
+
+  /** Model-inlined GBT scoring oracle: ŷ = base + routed per-stump
+    * deltas (exact integers), per-split exact sums, then the identical
+    * closed-form double RMSE/R² tree as the Spark query.
+    */
+  private def gbtScoreOracle(m: graft.ops.Gbt.Model): String = {
+    import graft.ops.Gbt
+    val fhat = s"${m.base}" + m.stumps.map(s =>
+      s" + CASE WHEN ${Gbt.BinCols(s.f)} <= ${s.b} THEN ${s.dl} " +
+        s"ELSE ${s.dr} END").mkString
+    s"""WITH $gbtTCte,
+       |s AS (SELECT split, y, ($fhat) AS fhat FROM t),
+       |a AS (SELECT split, COUNT(*) AS n, SUM(y) AS sy,
+       |    SUM(CAST(y * y AS DECIMAL(25,0))) AS syy,
+       |    SUM(CAST((y - fhat) * (y - fhat) AS DECIMAL(25,0))) AS sse
+       |  FROM s GROUP BY split)
+       |SELECT split, n,
+       |  sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse,
+       |  CAST(1 AS DOUBLE) - CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE)
+       |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+       |    AS r2
+       |FROM a ORDER BY split""".stripMargin
+  }
+
+  /** GBT importance oracle: replays the ENTIRE training in SQL — per
+    * round the same (pattern, feature, bin) histogram over the raw
+    * table, exact-integer residual prefix sums (HUGEINT domain), the
+    * identical IEEE gain/delta expressions, and the (gain DESC, f, b)
+    * argmax — then aggregates grid-snapped gains per feature. A single
+    * diverged split decision anywhere in training changes the rows.
+    */
+  private def gbtImportanceOracle(m: graft.ops.Gbt.Model): String = {
+    import graft.ops.Gbt
+    def patSql(stumps: Seq[Gbt.Stump]): String =
+      if (stumps.isEmpty) "0"
+      else stumps.zipWithIndex.map { case (s, j) =>
+        s"(CASE WHEN ${Gbt.BinCols(s.f)} <= ${s.b} THEN ${1 << j} " +
+          "ELSE 0 END)"
+      }.mkString(" + ")
+    def fSql(stumps: Seq[Gbt.Stump]): String =
+      "(SELECT base FROM b0)" + stumps.zipWithIndex.map { case (s, j) =>
+        s" + CASE WHEN (p // ${1 << j}) % 2 = 1 THEN ${s.dl} " +
+          s"ELSE ${s.dr} END"
+      }.mkString
+    val fvals = Gbt.BinCols.indices.map(i => s"($i)").mkString(",")
+    val bvals = (0 until Gbt.NBins - 1).map(b => s"($b)").mkString(",")
+    val caseV = "CASE ff.f " + Gbt.BinCols.zipWithIndex.map {
+      case (c, i) => s"WHEN $i THEN $c "
+    }.mkString + "END"
+    val rounds = m.stumps.indices.map { k =>
+      val prior = m.stumps.take(k)
+      val i = k + 1
+      s"""c$i AS (SELECT ${patSql(prior)} AS p, ff.f AS f,
+         |    $caseV AS v, COUNT(*) AS n, SUM(y) AS sy
+         |  FROM tr CROSS JOIN (VALUES $fvals) AS ff(f) GROUP BY 1, 2, 3),
+         |r$i AS (SELECT f, v, CAST(n AS BIGINT) AS n,
+         |    CAST(sy AS BIGINT) - CAST(n AS BIGINT) * (${fSql(prior)})
+         |      AS r
+         |  FROM c$i),
+         |t$i AS (SELECT f, CAST(SUM(n) AS BIGINT) AS tot_n,
+         |    CAST(SUM(r) AS BIGINT) AS tot_r FROM r$i GROUP BY f),
+         |s$i AS (SELECT cell.f AS f, bb.b AS b,
+         |    CAST(SUM(n) AS BIGINT) AS ln, CAST(SUM(r) AS BIGINT) AS lr
+         |  FROM r$i cell CROSS JOIN (VALUES $bvals) AS bb(b)
+         |  WHERE cell.v <= bb.b GROUP BY 1, 2),
+         |g$i AS (SELECT s.f, s.b, ln, lr, tot_n - ln AS rn,
+         |    tot_r - lr AS rr
+         |  FROM s$i s JOIN t$i USING (f)
+         |  WHERE ln > 0 AND tot_n - ln > 0),
+         |w$i AS (SELECT f, b,
+         |    (CAST(lr AS DOUBLE) * CAST(lr AS DOUBLE)) / CAST(ln AS DOUBLE)
+         |      + (CAST(rr AS DOUBLE) * CAST(rr AS DOUBLE))
+         |        / CAST(rn AS DOUBLE) AS gain,
+         |    CAST(FLOOR(CAST(0.5 AS DOUBLE) * (CAST(lr AS DOUBLE)
+         |      / CAST(ln AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         |      AS dl,
+         |    CAST(FLOOR(CAST(0.5 AS DOUBLE) * (CAST(rr AS DOUBLE)
+         |      / CAST(rn AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         |      AS dr
+         |  FROM g$i ORDER BY gain DESC, f ASC, b ASC LIMIT 1)""".stripMargin
+    }
+    val union = m.stumps.indices
+      .map(k => s"SELECT ${k + 1} AS round, f, b, dl, dr, gain FROM w${k + 1}")
+      .mkString("\n  UNION ALL ")
+    val names = Gbt.FeatureNames.zipWithIndex
+      .map { case (n, i) => s"($i, '$n')" }.mkString(", ")
+    s"""WITH $gbtTCte,
+       |tr AS (SELECT * FROM t WHERE split = 'train'),
+       |b0 AS (SELECT CAST(SUM(y) // COUNT(*) AS BIGINT) AS base FROM tr),
+       |${rounds.mkString(",\n")},
+       |allr AS ($union),
+       |fl AS (SELECT f, COUNT(*) AS n_splits, SUM(FLOOR(gain)) AS tg
+       |  FROM allr GROUP BY f),
+       |names AS (SELECT * FROM (VALUES $names) AS nm(f, feature)),
+       |tot AS (SELECT SUM(FLOOR(gain)) AS gt FROM allr)
+       |SELECT feature,
+       |  CAST(COALESCE(n_splits, 0) AS BIGINT) AS n_splits,
+       |  COALESCE(CAST(tg AS DOUBLE), CAST(0 AS DOUBLE)) AS total_gain,
+       |  COALESCE(CAST(tg AS DOUBLE), CAST(0 AS DOUBLE))
+       |    / CAST(gt AS DOUBLE) AS share
+       |FROM names LEFT JOIN fl USING (f) CROSS JOIN tot
+       |ORDER BY feature""".stripMargin
   }
 
   /** PageRank oracle: the power iteration UNROLLED as `iters` chained CTE

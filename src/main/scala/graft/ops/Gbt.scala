@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gradient-boosted regression stumps with a per-feature importance
+  * readout — the in-engine twin of the reference's Kibana Data Frame
+  * Analytics *Regression* (a boosted tree with "Importance des
+  * features", /root/reference/ML_ROADMAP.md Phase 2.2 steps 5-7 and
+  * Phase 4 step 4), the one reference capability the closed-form OLS
+  * pair (q_regression / q_regression_eval) only approximated.
+  *
+  * Spark-first shape — the BPE-merge-loop discipline applied to tree
+  * induction: each boosting round is ONE distributed aggregate
+  * (count, Σy per (leaf-pattern, feature, bin) — the classic
+  * histogram-split search), whose result is BOUNDED by construction
+  * (≤ 2^round · features · bins cells, a model step like Packing's
+  * bucket totals), prefix-scanned on the driver for the best variance-
+  * reduction split. The corpus is never collected and never sorted; K
+  * rounds cost K scans of the (checkpointed) training projection with
+  * map-side partial aggregation. At 100 TB this is exactly the
+  * XGBoost/LightGBM histogram algorithm's data-parallel half.
+  *
+  * Cross-engine exactness (the DuckDB replay oracle re-runs the WHOLE
+  * training): everything data-sized stays in exact integer domains —
+  * the target is integer cents, leaf values are SNAPPED to whole cents
+  * (`floor(η·mean + 0.5)`), so per-cell residual sums are exact
+  * BIGINT/HUGEINT in both engines and immune to partition order. The
+  * only IEEE arithmetic is the per-split gain/delta formula, written as
+  * the identical expression tree on both sides; the argmax tie-break is
+  * (gain DESC, feature ASC, bin ASC) in both.
+  */
+object Gbt {
+
+  final case class Stump(f: Int, b: Int, dl: Long, dr: Long, gain: Double)
+  final case class Model(base: Long, stumps: Seq[Stump])
+
+  val FeatureNames: Seq[String] = Seq("x_size", "x_mod", "x_noise")
+  val BinCols: Seq[String] = Seq("b_size", "b_mod", "b_noise")
+  val NBins = 16
+  val Rounds = 6
+
+  /** Engine-shared feature/target SQL over `part` — `%DIV%` renders as
+    * `div` (Spark) or `//` (DuckDB); everything else parses identically.
+    * Features: p_size (the planted NONLINEAR signal — the target is
+    * quadratic in it, so a linear fit reads ~zero slope), a linear
+    * modular term, and a pure-noise feature whose importance must come
+    * out ≈ 0. The target adds deterministic "noise" from a Knuth-hash
+    * lane (the q_geo_grid_join synthesis discipline) so both engines
+    * rebuild the identical supervised slice from the raw table. All
+    * moduli are taken BEFORE multiplication so the arithmetic stays in
+    * BIGINT at any key range.
+    */
+  val BinSql: Seq[String] = Seq(
+    "LEAST(GREATEST(((CAST(p_size AS BIGINT) - 1) * 16) %DIV% 50, 0), 15)",
+    "((CAST(p_partkey AS BIGINT) % 97) * 16) %DIV% 97",
+    "((((CAST(p_partkey AS BIGINT) % 100000) * 2654435761) % 41) * 16) %DIV% 41")
+  val TargetSql: String =
+    "90000 + 100 * (CAST(p_size AS BIGINT) - 25) * (CAST(p_size AS BIGINT) - 25)" +
+      " + 370 * (CAST(p_partkey AS BIGINT) % 97)" +
+      " + ((CAST(p_partkey AS BIGINT) % 100000) * 1099087573) % 500"
+  val TrainPredSql = "p_partkey % 5 <> 0"
+
+  def render(sql: String, duck: Boolean): String =
+    sql.replace("%DIV%", if (duck) "//" else "div")
+
+  /** Spark-side featurized frame: the three bin columns, integer-cents
+    * target `y`, and the train/test flag. Pure scan-side projection.
+    */
+  def featurize(part: DataFrame): DataFrame =
+    part.filter("p_size IS NOT NULL").selectExpr(
+      BinCols.zip(BinSql).map { case (n, s) =>
+        s"${render(s, duck = false)} AS $n"
+      } ++ Seq(s"CAST($TargetSql AS BIGINT) AS y",
+        s"($TrainPredSql) AS is_train"): _*)
+
+  /** Leaf-pattern column after `stumps`: bit j set iff stump j routes
+    * the row left. Exact integer CASE chain — identical in the replay.
+    */
+  def patCol(stumps: Seq[Stump]): Column =
+    if (stumps.isEmpty) lit(0)
+    else stumps.zipWithIndex.map { case (s, j) =>
+      when(col(BinCols(s.f)) <= s.b, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Model value (integer cents) at a leaf pattern. */
+  def fOf(base: Long, stumps: Seq[Stump], p: Int): Long =
+    base + stumps.zipWithIndex.map { case (s, j) =>
+      if (((p >> j) & 1) == 1) s.dl else s.dr
+    }.sum
+
+  /** Scoring column: base + per-stump routed delta, all exact longs. */
+  def fhatCol(m: Model): Column =
+    m.stumps.foldLeft(lit(m.base): Column) { (acc, s) =>
+      acc + when(col(BinCols(s.f)) <= s.b, lit(s.dl)).otherwise(lit(s.dr))
+    }
+
+  /** Train on a (checkpointed) featurized TRAIN frame. One bounded
+    * histogram aggregate per round; split search and leaf fitting on
+    * the collected cells (driver model step). Learning rate η = 0.5,
+    * leaf deltas snapped to whole cents so the model stays in the exact
+    * integer domain end to end.
+    */
+  def train(trainDf: DataFrame, rounds: Int = Rounds): Model = {
+    val r0 = trainDf.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("y")).as("sy")).collect()(0)
+    val n0 = r0.getLong(0)
+    require(n0 > 0, "Gbt.train: empty training slice")
+    // exact floor-div mean — DuckDB's HUGEINT // replays it verbatim
+    val base = java.lang.Math.floorDiv(r0.getLong(1), n0)
+    var stumps = Vector.empty[Stump]
+    var exhausted = false
+    for (_ <- 1 to rounds if !exhausted) {
+      val cells = trainDf.select(patCol(stumps).cast("int").as("p"),
+          col("y"), explode(array(BinCols.zipWithIndex.map { case (c, i) =>
+            struct(lit(i).as("f"), col(c).cast("int").as("v"))
+          }: _*)).as("fv"))
+        .select(col("p"), col("fv.f").as("f"), col("fv.v").as("v"),
+          col("y"))
+        .groupBy("p", "f", "v")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          r.getLong(3), r.getLong(4)))
+      val fint: Map[Int, Long] = cells.iterator.map(_._1).toSet
+        .map((p: Int) => p -> fOf(base, stumps, p)).toMap
+      var best: Option[Stump] = None
+      for (f <- BinCols.indices) {
+        val fc = cells.filter(_._2 == f)
+        val tn = fc.iterator.map(_._4).sum
+        val tr = fc.iterator.map(c => c._5 - c._4 * fint(c._1)).sum
+        var ln = 0L
+        var lr = 0L
+        for (b <- 0 until NBins - 1) {
+          val at = fc.filter(_._3 == b)
+          ln += at.iterator.map(_._4).sum
+          lr += at.iterator.map(c => c._5 - c._4 * fint(c._1)).sum
+          val rn = tn - ln
+          val rr = tr - lr
+          if (ln > 0 && rn > 0) {
+            val lnD = ln.toDouble; val lrD = lr.toDouble
+            val rnD = rn.toDouble; val rrD = rr.toDouble
+            // the replay writes this exact tree: (lr²/ln) + (rr²/rn)
+            val gain = (lrD * lrD) / lnD + (rrD * rrD) / rnD
+            if (best.forall(gain > _.gain)) {
+              val dl = math.floor(0.5 * (lrD / lnD) + 0.5).toLong
+              val dr = math.floor(0.5 * (rrD / rnD) + 0.5).toLong
+              best = Some(Stump(f, b, dl, dr, gain))
+            }
+          }
+        }
+      }
+      best match {
+        case Some(s) => stumps :+= s
+        case None => exhausted = true // no valid split anywhere: stop
+      }
+    }
+    Model(base, stumps)
+  }
+}

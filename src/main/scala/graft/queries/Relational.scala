@@ -567,6 +567,94 @@ object Relational {
       .orderBy(col("split"))
   }
 
+  /** Trained GBT model per sfDir — the trained-model oracle contract of
+    * TextQueries.lastBpeModel: the queries memoize the model here and
+    * SparkEntry generates the DuckDB training-replay / scoring oracles
+    * from it; Verify asserts the cached dir matches the dumped dir.
+    */
+  @volatile private[graft] var lastGbtModel: Option[(String, graft.ops.Gbt.Model)] = None
+
+  /** True iff the GBT model cache (if populated) was trained on `dir`. */
+  private[graft] def gbtModelConsistentWith(dir: String): Boolean =
+    lastGbtModel.forall(_._1 == dir)
+
+  private val gbtMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Gbt.Model]()
+
+  private def gbtTrainOrGet(spark: SparkSession, dir: String): graft.ops.Gbt.Model = {
+    val m = gbtMemo.computeIfAbsent(dir, _ => {
+      import graft.ops.{Checkpoints, Gbt}
+      val tr = Checkpoints.checkpoint(
+        Gbt.featurize(Tables.part(spark, dir)).filter(col("is_train")))
+      try Gbt.train(tr) finally Checkpoints.release(tr)
+    })
+    lastGbtModel = Some((dir, m))
+    m
+  }
+
+  /** BOOSTED-TREE regression eval (round 16 — ML_ROADMAP.md Phase 2.2/4,
+    * the Kibana DFA *Regression* twin the OLS pair couldn't be): train
+    * [[graft.ops.Gbt]]'s histogram-split stumps on the train split of
+    * the synthetic nonlinear slice, score BOTH splits with the exact
+    * integer-cents model, and report per-split RMSE and R². The target
+    * is quadratic in p_size, so the q_regression-style linear fit is
+    * structurally blind to it — GbtSpec pins train-RMSE strictly below
+    * the OLS closed form's.
+    *
+    * Scale: training = K bounded histogram aggregates (Gbt scaladoc);
+    * eval = one scan with per-split exact sums (n, Σy, Σy², Σ(y−ŷ)² —
+    * integer/decimal domains), closed-form double arithmetic only at
+    * the end, written identically in the model-inlined oracle.
+    */
+  def qGbtRegression(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Gbt
+    val m = gbtTrainOrGet(spark, dir)
+    val t = Gbt.featurize(Tables.part(spark, dir))
+    val s = t.select(
+      when(col("is_train"), lit("train")).otherwise(lit("test")).as("split"),
+      col("y"), Gbt.fhatCol(m).as("fhat"))
+    val a = s.groupBy(col("split")).agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("sy_e"),
+      sum((col("y") * col("y")).cast(DecimalType(25, 0))).as("syy_e"),
+      sum(((col("y") - col("fhat")) * (col("y") - col("fhat")))
+        .cast(DecimalType(25, 0))).as("sse_e"))
+    val nD = col("n").cast("double")
+    val syD = col("sy_e").cast("double")
+    val syyD = col("syy_e").cast("double")
+    val sseD = col("sse_e").cast("double")
+    a.select(col("split"), col("n"),
+        sqrt(sseD / nD).as("rmse"),
+        (lit(1.0) - sseD / (syyD - syD * syD / nD)).as("r2"))
+      .orderBy(col("split"))
+  }
+
+  /** GBT FEATURE IMPORTANCE (round 16 — ML_ROADMAP.md Phase 4 step 4,
+    * "Importance des features"): per-feature split count, total
+    * variance-reduction gain, and gain share across the trained rounds.
+    * Gains are snapped to the integer grid (`floor`) before summation
+    * so the per-feature totals are order-independent exact doubles in
+    * both engines. The oracle REPLAYS THE ENTIRE TRAINING in SQL — per
+    * round: the same (pattern, feature, bin) histogram off the raw
+    * table, the same exact-integer residual prefix sums, the same IEEE
+    * gain/argmax — so a single diverged split decision anywhere in
+    * training hash-fails the row set.
+    */
+  def qGbtImportance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Gbt
+    import spark.implicits._
+    val m = gbtTrainOrGet(spark, dir)
+    val byF = m.stumps.groupBy(_.f)
+    val grand = m.stumps.map(s => math.floor(s.gain)).sum
+    val rows = Gbt.FeatureNames.indices.map { f =>
+      val ss = byF.getOrElse(f, Seq.empty)
+      val tg = ss.map(s => math.floor(s.gain)).sum
+      (Gbt.FeatureNames(f), ss.size.toLong, tg, tg / grand)
+    }
+    rows.toDF("feature", "n_splits", "total_gain", "share")
+      .orderBy(col("feature"))
+  }
+
   /** Per-group z-score outlier flagging — the data-quality gate that
     * catches corrupt prices before they enter training features. Group
     * mean/std come from the same exact-aggregate trick as the regression

@@ -158,6 +158,55 @@ class Round16Spec extends SparkSpecBase {
       .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("GBT regression beats the OLS closed form on the nonlinear slice") {
+    import graft.ops.Gbt
+    val rows = graft.queries.Relational.qGbtRegression(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val train = rows("train")
+    val rmseGbt = train.getAs[Double]("rmse")
+    // OLS of y on the quadratic driver p_size, closed form over exact
+    // sums (the q_regression discipline) — structurally blind to the
+    // parabola, so GBT must be strictly better on its own train split
+    val f = Gbt.featurize(
+        sources.Tables.part(spark, sfDir))
+      .filter(col("is_train"))
+      .selectExpr("CAST(b_size AS DOUBLE) AS xb", "y")
+    val a = f.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("xb")).as("sx"), sum(col("xb") * col("xb")).as("sxx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("xb") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).cast("double").as("syy")).collect()(0)
+    val (n, sx, sxx, sy, sxy, syy) = (a.getDouble(0), a.getDouble(1),
+      a.getDouble(2), a.getDouble(3), a.getDouble(4), a.getDouble(5))
+    val m = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val b = (sy - m * sx) / n
+    val sse = syy - 2 * m * sxy - 2 * b * sy + m * m * sxx +
+      2 * m * b * sx + n * b * b
+    val rmseOls = math.sqrt(sse / n)
+    assert(rmseGbt < rmseOls,
+      s"GBT train RMSE $rmseGbt must beat OLS $rmseOls")
+    // and it must generalize: test R² well above the OLS ceiling
+    assert(rows("test").getAs[Double]("r2") > 0.5)
+  }
+
+  test("GBT importance: nonlinear driver dominates, noise feature reads zero") {
+    val rows = graft.queries.Relational.qGbtImportance(spark, sfDir)
+      .collect().map(r => (r.getString(0),
+        r.getLong(1), r.getAs[Double]("total_gain"),
+        r.getAs[Double]("share"))).sortBy(-_._4)
+    assert(rows.head._1 === "x_size",
+      "the planted quadratic driver must rank first")
+    val noise = rows.find(_._1 == "x_noise").get
+    assert(noise._4 < 0.05, s"noise share ${noise._4} must be ~0")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12,
+      "shares must partition the total gain")
+    assert(rows.map(_._2).sum === graft.queries.Relational
+      .lastGbtModel.get._2.stumps.length.toLong)
+    // every trained stump carries positive variance reduction
+    assert(graft.queries.Relational.lastGbtModel.get._2.stumps
+      .forall(_.gain > 0))
+  }
+
   test("geohash clamps the domain maxima into the top cell") {
     val df = Seq((90.0, 180.0), (89.999, 179.999), (-90.0, -180.0))
       .toDF("lat", "lon")
