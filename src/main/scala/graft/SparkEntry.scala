@@ -236,6 +236,7 @@ object SparkEntry {
     "q_evolve_vacuum" -> (DatalakeQueries.qEvolveVacuum _),
     "q_gbt_regression" -> (Relational.qGbtRegression _),
     "q_gbt_importance" -> (Relational.qGbtImportance _),
+    "q_geo_radius" -> (Relational.qGeoRadius _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -307,6 +308,70 @@ object SparkEntry {
        |  COUNT(*) OVER (PARTITION BY substr(geohash, 1, 4))
        |    AS n_in_prefix4
        |FROM g ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Generated geohash-radius oracle: the precision-5 re-encode (13+12
+    * bit interleave, base32) regenerated as SQL from the SAME constants
+    * graft.functions.geo.geohash5FromCell uses; ring candidates via the
+    * |Δcell| ≤ 1 predicate (provably the string-join's admit set —
+    * the encode is injective over valid cells), and n_within re-proved
+    * COMPLETE by a brute-force all-pairs count (the q_geo_grid_join
+    * discipline).
+    */
+  private def geoRadiusOracle: String = {
+    val alpha = graft.functions.geo.GeohashAlphabet
+    val terms = ((0 until 13).map { j =>
+      s"((cx // ${1L << (12 - j)}) % 2) * ${1L << (24 - 2 * j)}"
+    } ++ (0 until 12).map { j =>
+      s"((cy // ${1L << (11 - j)}) % 2) * ${1L << (23 - 2 * j)}"
+    }).mkString(" + ")
+    val chars = (0 until 5).map { i =>
+      s"substr('$alpha', CAST((bits // ${1L << (20 - 5 * i)}) % 32 AS INT) + 1, 1)"
+    }.mkString(" || ")
+    def pointCtes(tag: String, table: String, key: String): String =
+      s"""$tag AS (SELECT $key,
+         |    CAST(48 AS DOUBLE) + CAST($key * 2654435761 % 1000
+         |      AS DOUBLE) / CAST(1000 AS DOUBLE) AS ${tag}_lat,
+         |    CAST(2 AS DOUBLE) + CAST($key * 1099087573 % 1000
+         |      AS DOUBLE) / CAST(1000 AS DOUBLE) AS ${tag}_lon
+         |  FROM $table),
+         |${tag}q0 AS (SELECT *,
+         |    CAST(FLOOR((${tag}_lon + CAST(180 AS DOUBLE))
+         |      / CAST(360 AS DOUBLE) * CAST(32768 AS DOUBLE)) AS BIGINT)
+         |      AS ix0,
+         |    CAST(FLOOR((${tag}_lat + CAST(90 AS DOUBLE))
+         |      / CAST(180 AS DOUBLE) * CAST(32768 AS DOUBLE)) AS BIGINT)
+         |      AS iy0
+         |  FROM $tag),
+         |${tag}c AS (SELECT $key, ${tag}_lat, ${tag}_lon,
+         |    (CASE WHEN ix0 > 32767 THEN 32767 ELSE ix0 END) // 4 AS cx,
+         |    (CASE WHEN iy0 > 32767 THEN 32767 ELSE iy0 END) // 8 AS cy
+         |  FROM ${tag}q0)""".stripMargin
+    s"""WITH ${pointCtes("c", "customer", "c_custkey")},
+       |${pointCtes("s", "supplier", "s_suppkey")},
+       |sb AS (SELECT s_suppkey, s_lat, s_lon, cx, cy, $terms AS bits
+       |  FROM sc),
+       |sg AS (SELECT s_suppkey, s_lat, s_lon, cx, cy, $chars AS gh5
+       |  FROM sb),
+       |cand AS (SELECT s_suppkey, gh5, c_custkey,
+       |    (s_lat - c_lat) * (s_lat - c_lat)
+       |      + (s_lon - c_lon) * (s_lon - c_lon) AS d2
+       |  FROM sg JOIN cc ON abs(sg.cx - cc.cx) <= 1
+       |    AND abs(sg.cy - cc.cy) <= 1),
+       |win AS (SELECT s.s_suppkey, COUNT(*) AS n_within
+       |  FROM s CROSS JOIN c
+       |  WHERE (s_lat - c_lat) * (s_lat - c_lat)
+       |      + (s_lon - c_lon) * (s_lon - c_lon)
+       |    < CAST(0.0004 AS DOUBLE)
+       |  GROUP BY 1),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY s_suppkey
+       |    ORDER BY d2, c_custkey) AS rk FROM cand)
+       |SELECT r.s_suppkey, MAX(r.gh5) AS gh5, COUNT(*) AS n_candidates,
+       |  CAST(COALESCE(MAX(win.n_within), 0) AS BIGINT) AS n_within,
+       |  MAX(CASE WHEN rk = 1 THEN c_custkey END) AS nearest_custkey,
+       |  MAX(CASE WHEN rk = 1 THEN d2 END) AS nearest_d2
+       |FROM r LEFT JOIN win ON r.s_suppkey = win.s_suppkey
+       |GROUP BY 1 ORDER BY r.s_suppkey""".stripMargin
   }
 
   private def lshPairCtes: String = {
@@ -4283,6 +4348,7 @@ object SparkEntry {
         |  AS t(col_name, status, old_type, new_type)
         |ORDER BY col_name""".stripMargin,
     "q_geohash" -> geohashOracle,
+    "q_geo_radius" -> geoRadiusOracle,
     // the recursive CTE IS the naive per-level walk — hash equality
     // re-proves the pointer-doubling composition == step-by-step every
     // round; all quantities exact BIGINT

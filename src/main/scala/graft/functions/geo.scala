@@ -30,10 +30,7 @@ object geo {
     * convention). Mirrored verbatim in SparkEntry.geohashOracle.
     */
   def geohashBits(lat: Column, lon: Column): Column = {
-    val ix = least(floor((lon + lit(180.0)) / lit(360.0) * lit(32768.0))
-      .cast("long"), lit(32767L))
-    val iy = least(floor((lat + lit(90.0)) / lit(180.0) * lit(32768.0))
-      .cast("long"), lit(32767L))
+    val (ix, iy) = cellIndices(lat, lon)
     // lon bits land at 29,27,...,1; lat bits at 28,26,...,0 (MSB first)
     val terms = (0 until 15).flatMap { j =>
       Seq(
@@ -50,6 +47,43 @@ object geo {
     val chars = (0 until 6).map { i =>
       element_at(alpha,
         (shiftright(bits, 25 - 5 * i).bitwiseAND(lit(31L)) + lit(1L))
+          .cast("int"))
+    }
+    concat(chars: _*)
+  }
+
+  /** Clamped 15-bit quantized axis indices — the (ix, iy) pair
+    * [[geohashBits]] interleaves; exposed for cell-level operators
+    * (prefix buckets, neighbor rings) that need to do integer
+    * arithmetic on the axes before re-encoding.
+    */
+  def cellIndices(lat: Column, lon: Column): (Column, Column) = (
+    least(floor((lon + lit(180.0)) / lit(360.0) * lit(32768.0))
+      .cast("long"), lit(32767L)),
+    least(floor((lat + lit(90.0)) / lit(180.0) * lit(32768.0))
+      .cast("long"), lit(32767L)))
+
+  /** Precision-5 geohash string from PREFIX-5 CELL indices
+    * (cx = ix >> 2: 13 lon bits; cy = iy >> 3: 12 lat bits) — by
+    * construction identical to `substring(geohash6(lat, lon), 1, 5)`
+    * for any point in the cell (pinned in Round16Spec). This is the
+    * re-encode half of a neighbor-ring proximity join: shift a cell
+    * index by ±1 per axis, re-encode, and the string key addresses the
+    * adjacent precision-5 bucket. No antimeridian/pole wrap — callers
+    * filter shifted indices to the valid range instead.
+    */
+  def geohash5FromCell(cx: Column, cy: Column): Column = {
+    val terms =
+      (0 until 13).map { j =>
+        shiftright(cx, 12 - j).bitwiseAND(lit(1L)) * lit(1L << (24 - 2 * j))
+      } ++ (0 until 12).map { j =>
+        shiftright(cy, 11 - j).bitwiseAND(lit(1L)) * lit(1L << (23 - 2 * j))
+      }
+    val bits = terms.reduce(_ + _)
+    val alpha = array(GeohashAlphabet.map(c => lit(c.toString)): _*)
+    val chars = (0 until 5).map { i =>
+      element_at(alpha,
+        (shiftright(bits, 20 - 5 * i).bitwiseAND(lit(31L)) + lit(1L))
           .cast("int"))
     }
     concat(chars: _*)

@@ -1311,6 +1311,76 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** GEOHASH-PREFIX RADIUS SERVE (round 16 — the ES `geo_distance`
+    * analog the reference's Kibana maps run, index_to_es.py:247-268,
+    * composed from the engine's own geohash instead of an external
+    * index): "which customers sit within R of each supplier?", keyed on
+    * PRECISION-5 GEOHASH STRINGS. Customers bucket by their geohash5;
+    * each supplier's quantized cell indices shift ±1 per axis and
+    * RE-ENCODE ([[graft.functions.geo.geohash5FromCell]]) into the ≤9
+    * neighbor-ring keys (out-of-range shifted cells are filtered, not
+    * clamped — no duplicate ring keys, no wrap); one string equi-join +
+    * the exact squared-distance refine. Radius 0.02° ≤ the 0.044°
+    * precision-5 cell, so the ring PROVABLY covers the disk — and the
+    * oracle re-proves completeness every round by brute-forcing
+    * n_within over ALL pairs (the q_geo_grid_join discipline) while
+    * candidates ride the ring predicate.
+    *
+    * Scale: candidate mass is bounded by cell density; the small side
+    * explodes ≤9×; no cross join anywhere. Exactness: quantization /
+    * interleave / base32 are exact long+string ops shared with the
+    * generated oracle; d² and the (d², custkey) argmin are
+    * bit-deterministic IEEE.
+    */
+  def qGeoRadius(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.geo
+    val r2 = lit(0.0004) // radius 0.02° squared
+    def coords(key: Column): (Column, Column) = (
+      lit(48.0) + (key * lit(2654435761L) % 1000).cast("double") / lit(1000.0),
+      lit(2.0) + (key * lit(1099087573L) % 1000).cast("double") / lit(1000.0))
+    val (clat, clon) = coords(col("c_custkey"))
+    val (cix, ciy) = geo.cellIndices(col("c_lat"), col("c_lon"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), clat.as("c_lat"), clon.as("c_lon"))
+      .withColumn("gh5",
+        geo.geohash5FromCell(shiftright(cix, 2), shiftright(ciy, 3)))
+    val (slat, slon) = coords(col("s_suppkey"))
+    val (six, siy) = geo.cellIndices(col("s_lat"), col("s_lon"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), slat.as("s_lat"), slon.as("s_lon"))
+      .withColumn("scx", shiftright(six, 2))
+      .withColumn("scy", shiftright(siy, 3))
+      .withColumn("gh5_self", geo.geohash5FromCell(col("scx"), col("scy")))
+      .withColumn("dxy", explode(array(
+        (for (dx <- -1 to 1; dy <- -1 to 1)
+          yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)))
+      .withColumn("ncx", col("scx") + col("dxy.dx"))
+      .withColumn("ncy", col("scy") + col("dxy.dy"))
+      .filter(col("ncx").between(0, 8191) && col("ncy").between(0, 4095))
+      .select(col("s_suppkey"), col("s_lat"), col("s_lon"),
+        col("gh5_self"),
+        geo.geohash5FromCell(col("ncx"), col("ncy")).as("gh5"))
+    val d2 = (col("s_lat") - col("c_lat")) * (col("s_lat") - col("c_lat")) +
+      (col("s_lon") - col("c_lon")) * (col("s_lon") - col("c_lon"))
+    val cand = supp.hint("shuffle_hash")
+      .join(cust, Seq("gh5"))
+      .select(col("s_suppkey"), col("gh5_self"), col("c_custkey"),
+        d2.as("d2"))
+    val perSupp = Window.partitionBy(col("s_suppkey"))
+      .orderBy(col("d2"), col("c_custkey"))
+    cand
+      .select(col("s_suppkey"), col("gh5_self"), col("c_custkey"),
+        col("d2"), row_number().over(perSupp).as("rk"))
+      .groupBy(col("s_suppkey"))
+      .agg(max(col("gh5_self")).as("gh5"),
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("d2") < r2, 1L).otherwise(0L)).cast("bigint")
+          .as("n_within"),
+        max(when(col("rk") === 1, col("c_custkey"))).as("nearest_custkey"),
+        max(when(col("rk") === 1, col("d2"))).as("nearest_d2"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** RFM SEGMENTATION (round 15c — the classic lifecycle scoring every
     * CRM/marketing warehouse derives: Recency / Frequency / Monetary
     * quintiles per customer, composed into a segment key). One orders

@@ -207,6 +207,23 @@ class Round16Spec extends SparkSpecBase {
       .forall(_.gain > 0))
   }
 
+  test("geohash5FromCell is exactly the precision-5 prefix of geohash6") {
+    import graft.functions.geo
+    // deterministic scatter across the globe, including cell edges
+    val pts = (0 until 500).map { i =>
+      (-90.0 + (i * 2654435761L % 18001) / 100.0,
+        -180.0 + (i * 1099087573L % 36001) / 100.0)
+    }
+    val df = pts.toDF("lat", "lon")
+    val (ix, iy) = geo.cellIndices(col("lat"), col("lon"))
+    val bad = df.select(
+        substring(geo.geohash6(col("lat"), col("lon")), 1, 5).as("want"),
+        geo.geohash5FromCell(shiftright(ix, 2), shiftright(iy, 3))
+          .as("got"))
+      .filter(col("want") =!= col("got")).count()
+    assert(bad === 0L, "re-encoded prefix-5 cell must equal the prefix")
+  }
+
   test("geohash clamps the domain maxima into the top cell") {
     val df = Seq((90.0, 180.0), (89.999, 179.999), (-90.0, -180.0))
       .toDF("lat", "lon")
