@@ -486,7 +486,13 @@ object Datalake {
     parseDvToken(token) match {
       case Some((base, dvRel)) =>
         applyDv(spark, resolveToken(tableRoot, base), s"$tableRoot/$dvRel")
-      case None => spark.read.parquet(resolveToken(tableRoot, token))
+      // chain-aware (round 16): a v= token naming an evolved segment
+      // resolves to its chain STATE, so changeFeedTokens between
+      // evolved versions emits exactly the later segments' rows as
+      // inserts instead of dying on a dir with no top-level parquet.
+      // (Deletion vectors and evolution are never combined on one
+      // commit — deleteWhere rejects non-plain bases upstream.)
+      case None => readDataDir(spark, resolveToken(tableRoot, token))
     }
 
   // ==================== multi-table transactions ====================
@@ -1072,6 +1078,16 @@ object Datalake {
       case None => (token, None)
     }
     val dataPath = resolveToken(tableRoot, baseToken)
+    // evolved chains take row-level deletes per SEGMENT, which this
+    // single-vector commit cannot express — fail loudly (the chain
+    // would otherwise surface as "unable to infer schema" mid-scan)
+    val dpP = new org.apache.hadoop.fs.Path(dataPath)
+    if (dpP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(dpP, EvolvedSpec)))
+      throw new IllegalStateException(
+        s"deleteWhere: $tableRoot currently serves an evolved segment " +
+          "chain — deletion vectors apply to plain versions only; run " +
+          "rewriteEvolved to migrate the chain first")
     val scan = spark.read.parquet(dataPath)
     val newDel = withRowPosition(spark, scan.filter(predicate), dataPath)
       .select(col("__file"), col("__pos"))
@@ -1763,6 +1779,18 @@ object Datalake {
     */
   def evolvedSegments(spark: SparkSession,
       tableRoot: String): Seq[EvolvedSegment] = {
+    val cur = currentDataPath(spark, tableRoot).getOrElse(
+      throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+    segmentChain(spark, cur)
+  }
+
+  /** The `_BASE` chain anchored at an explicit segment directory —
+    * [[evolvedSegments]] without the manifest resolution, so version-
+    * addressed reads (time travel, change-feed tokens) can resolve a
+    * HISTORICAL chain head, not just the current one.
+    */
+  private def segmentChain(spark: SparkSession,
+      anchor: String): Seq[EvolvedSegment] = {
     val conf = spark.sparkContext.hadoopConfiguration
     def walk(dir: String, acc: Vector[EvolvedSegment],
         seen: Set[String]): Vector[EvolvedSegment] = {
@@ -1773,7 +1801,7 @@ object Datalake {
       // rejection): a corrupted or hand-edited _BASE that loops must
       // fail loudly, never recurse until StackOverflowError
       if (seen.contains(key)) throw new IllegalStateException(
-        s"evolvedSegments: cyclic _BASE chain under $tableRoot — " +
+        s"evolvedSegments: cyclic _BASE chain from $anchor — " +
           s"$key appears twice; the chain metadata is corrupt")
       val spec = readSmallFile(fs, new org.apache.hadoop.fs.Path(p, EvolvedSpec))
         .getOrElse(throw new IllegalStateException(
@@ -1788,9 +1816,26 @@ object Datalake {
         case None => acc :+ seg
       }
     }
-    val cur = currentDataPath(spark, tableRoot).getOrElse(
-      throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
-    walk(cur, Vector.empty, Set.empty)
+    walk(anchor, Vector.empty, Set.empty)
+  }
+
+  /** Read the data one version/commit DIRECTORY serves, resolving
+    * evolved chains (round 16): a dir carrying `_SPEC` is the head of a
+    * `_BASE` chain and reads as the union of its segments' `add/`
+    * scans — so TIME TRAVEL and CHANGE-FEED tokens over evolved
+    * versions materialize the chain STATE at that version instead of
+    * failing on a directory with no top-level parquet (or, worse,
+    * reading one segment's slice as the whole table). A plain dir is
+    * one parquet scan, unchanged.
+    */
+  private def readDataDir(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, EvolvedSpec)))
+      segmentChain(spark, dir)
+        .map(s => spark.read.parquet(s.addPath))
+        .reduce(_.unionByName(_))
+    else spark.read.parquet(dir)
   }
 
   /** Read the whole evolved table: the union of every segment's `add/`
@@ -1839,10 +1884,13 @@ object Datalake {
     * the manifest — version directories are immutable once published, so
     * any historical version stays readable until retention deletes it
     * (the Iceberg/Delta snapshot-read shape on plain object storage).
+    * Evolved versions resolve their whole `_BASE` chain (round 16): the
+    * snapshot AT that version is the chain state, and the chain-aware
+    * [[vacuum]] guarantees a retained version's chain outlives it.
     */
   def readVersion(spark: SparkSession, tableRoot: String,
       version: String): DataFrame =
-    spark.read.parquet(s"$tableRoot/v=$version")
+    readDataDir(spark, s"$tableRoot/v=$version")
 
   /** Read the currently-published version via the manifest (a local
     * `v=` dir, or — for an undiverged shallow clone — the `ref=` pointer

@@ -57,6 +57,30 @@ class Round16Spec extends SparkSpecBase {
     assert(Datalake.listVersions(spark, root) === Seq("5", "6"))
   }
 
+  test("time travel and change feed resolve evolved chain STATES") {
+    val root = evolvedFixture()
+    // readVersion at a historical chain head = the chain state THEN
+    assert(Datalake.readVersion(spark, root, "2").collect()
+      .map(_.getAs[Long]("id")).sorted.toSeq === Seq(1L, 2L))
+    assert(Datalake.readVersion(spark, root, "3").collect()
+      .map(_.getAs[Long]("id")).sorted.toSeq === Seq(1L, 2L, 3L))
+    // the CDC diff between evolved versions = the later segments' adds
+    val feed = Datalake.changeFeed(spark, root, "2", "3", Seq("id"))
+      .collect()
+    assert(feed.map(r => (r.getAs[Long]("id"),
+      r.getAs[String]("_change_type"))).toSet === Set((3L, "insert")))
+    // readPublished through the manifest matches readEvolved
+    assert(Datalake.readPublished(spark, root).count() === 3L)
+  }
+
+  test("deleteWhere rejects an evolved chain loudly") {
+    val root = evolvedFixture()
+    val ex = intercept[IllegalStateException] {
+      Datalake.deleteWhere(spark, root, col("id") === 1L)
+    }
+    assert(ex.getMessage.contains("evolved"))
+  }
+
   test("publishEvolved rejects re-publishing the manifest-current version (cycle guard)") {
     val root = evolvedFixture()
     val ex = intercept[IllegalStateException] {
