@@ -237,6 +237,8 @@ object SparkEntry {
     "q_gbt_regression" -> (Relational.qGbtRegression _),
     "q_gbt_importance" -> (Relational.qGbtImportance _),
     "q_geo_radius" -> (Relational.qGeoRadius _),
+    "q_conformal_interval" -> (Relational.qConformalInterval _),
+    "q_ab_cuped" -> (Relational.qAbCuped _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -996,6 +998,9 @@ object SparkEntry {
       graft.queries.Relational.lastGbtModel
         .map { case (_, m) =>
           "q_gbt_importance" -> gbtImportanceOracle(m) } ++
+      graft.queries.Relational.lastGbtModel
+        .map { case (_, m) =>
+          "q_conformal_interval" -> gbtConformalOracle(m) } ++
       // The streaming replay rows share their batch twins' oracles
       // VERBATIM — stream==batch over the same input is exactly the
       // equality the driver re-proves by hash every round.
@@ -1517,6 +1522,81 @@ object SparkEntry {
         |  1.0 - (syy - 2.0*m*sxy - 2.0*b*sy + m*m*sxx + 2.0*m*b*sx + n*b*b)
         |      / (syy - sy*sy/n) AS r2
         |FROM a CROSS JOIN c ORDER BY split""".stripMargin,
+    // A/A hash-split experiment: all twelve moments in exact decimal
+    // domains, the CUPED closed forms written as the identical double
+    // expression trees (CAST(k AS DOUBLE) literals — bare decimals are
+    // DECIMAL-typed in this dialect)
+    "q_ab_cuped" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderdate < DATE '1996-01-01'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END),
+        |      CAST(0 AS DECIMAL(18,2))) * 100 AS BIGINT) AS x,
+        |    CAST(COALESCE(SUM(CASE WHEN o_orderdate >= DATE '1996-01-01'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END),
+        |      CAST(0 AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        |  FROM orders GROUP BY o_custkey),
+        |u AS (SELECT o_custkey, x, y,
+        |    CASE WHEN (ascii(substring(md5(CAST(o_custkey AS VARCHAR)),1,1))
+        |      - CASE WHEN ascii(substring(md5(CAST(o_custkey AS VARCHAR)),1,1)) >= 97
+        |        THEN 87 ELSE 48 END) % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |    CAST(x * x AS DECIMAL(30,0)) AS xx,
+        |    CAST(y * y AS DECIMAL(30,0)) AS yy,
+        |    CAST(x * y AS DECIMAL(30,0)) AS xy
+        |  FROM pc),
+        |s AS (SELECT
+        |    CAST(SUM(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na_e,
+        |    CAST(SUM(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb_e,
+        |    SUM(CASE WHEN v = 'A' THEN CAST(x AS DECIMAL(20,0)) END) AS sxa_e,
+        |    SUM(CASE WHEN v = 'A' THEN CAST(y AS DECIMAL(20,0)) END) AS sya_e,
+        |    SUM(CASE WHEN v = 'A' THEN xx END) AS sxxa_e,
+        |    SUM(CASE WHEN v = 'A' THEN yy END) AS syya_e,
+        |    SUM(CASE WHEN v = 'A' THEN xy END) AS sxya_e,
+        |    SUM(CASE WHEN v = 'B' THEN CAST(x AS DECIMAL(20,0)) END) AS sxb_e,
+        |    SUM(CASE WHEN v = 'B' THEN CAST(y AS DECIMAL(20,0)) END) AS syb_e,
+        |    SUM(CASE WHEN v = 'B' THEN xx END) AS sxxb_e,
+        |    SUM(CASE WHEN v = 'B' THEN yy END) AS syyb_e,
+        |    SUM(CASE WHEN v = 'B' THEN xy END) AS sxyb_e
+        |  FROM u),
+        |d AS (SELECT na_e, nb_e,
+        |    CAST(na_e AS DOUBLE) AS nad, CAST(nb_e AS DOUBLE) AS nbd,
+        |    CAST(na_e + nb_e AS DOUBLE) AS nd,
+        |    CAST(sxa_e + sxb_e AS DOUBLE) AS sxd,
+        |    CAST(sya_e + syb_e AS DOUBLE) AS syd,
+        |    CAST(sxxa_e + sxxb_e AS DOUBLE) AS sxxd,
+        |    CAST(sxya_e + sxyb_e AS DOUBLE) AS sxyd,
+        |    CAST(sxa_e AS DOUBLE) AS sxad, CAST(sxb_e AS DOUBLE) AS sxbd,
+        |    CAST(sya_e AS DOUBLE) AS syad, CAST(syb_e AS DOUBLE) AS sybd,
+        |    CAST(sxxa_e AS DOUBLE) AS sxxad, CAST(sxxb_e AS DOUBLE) AS sxxbd,
+        |    CAST(syya_e AS DOUBLE) AS syyad, CAST(syyb_e AS DOUBLE) AS syybd,
+        |    CAST(sxya_e AS DOUBLE) AS sxyad, CAST(sxyb_e AS DOUBLE) AS sxybd
+        |  FROM s),
+        |t AS (SELECT *,
+        |    (sxyd - sxd * syd / nd) / (sxxd - sxd * sxd / nd) AS theta,
+        |    sxd / nd AS mxp,
+        |    syad / nad AS mya, sybd / nbd AS myb,
+        |    sxad / nad AS mxa, sxbd / nbd AS mxb
+        |  FROM d),
+        |w AS (SELECT *,
+        |    mya - theta * (mxa - mxp) AS mcva,
+        |    myb - theta * (mxb - mxp) AS mcvb,
+        |    (syyad - syad * syad / nad) / (nad - CAST(1 AS DOUBLE)) AS vya,
+        |    (syybd - sybd * sybd / nbd) / (nbd - CAST(1 AS DOUBLE)) AS vyb,
+        |    (syyad - CAST(2 AS DOUBLE) * theta * sxyad
+        |      + theta * theta * sxxad
+        |      - nad * (mya - theta * mxa) * (mya - theta * mxa))
+        |      / (nad - CAST(1 AS DOUBLE)) AS vcva,
+        |    (syybd - CAST(2 AS DOUBLE) * theta * sxybd
+        |      + theta * theta * sxxbd
+        |      - nbd * (myb - theta * mxb) * (myb - theta * mxb))
+        |      / (nbd - CAST(1 AS DOUBLE)) AS vcvb
+        |  FROM t)
+        |SELECT na_e AS n_a, nb_e AS n_b, mya AS mean_a, myb AS mean_b,
+        |  myb - mya AS lift, theta,
+        |  mcvb - mcva AS lift_cuped,
+        |  sqrt(vcva / nad + vcvb / nbd) AS se_cuped,
+        |  (mcvb - mcva) / sqrt(vcva / nad + vcvb / nbd) AS z_cuped,
+        |  CAST(1 AS DOUBLE) - (vcva + vcvb) / (vya + vyb) AS var_reduction
+        |FROM w""".stripMargin,
     // mean/std from exact sums, closed-form double arithmetic written
     // identically to the Spark side; zero-variance groups → NULL z
     "q_outlier_zscore" ->
@@ -4474,6 +4554,7 @@ object SparkEntry {
     val bins = Gbt.BinCols.zip(Gbt.BinSql)
       .map { case (n, s) => s"    ${Gbt.render(s, duck = true)} AS $n" }
     s"""t AS (SELECT
+       |    CAST(p_partkey AS BIGINT) AS pk,
        |${bins.mkString(",\n")},
        |    CAST(${Gbt.TargetSql} AS BIGINT) AS y,
        |    CASE WHEN ${Gbt.TrainPredSql} THEN 'train' ELSE 'test' END
@@ -4502,6 +4583,39 @@ object SparkEntry {
        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
        |    AS r2
        |FROM a ORDER BY split""".stripMargin
+  }
+
+  /** Split-conformal oracle: the inlined model scores the held-out
+    * split, qhat replays as the identical cumulative-count order
+    * statistic over the integer |residual| histogram (k = ⌈(n+1)·0.9⌉
+    * clamped to n), coverage as exact counting aggregates.
+    */
+  private def gbtConformalOracle(m: graft.ops.Gbt.Model): String = {
+    import graft.ops.Gbt
+    val fhat = s"${m.base}" + m.stumps.map(s =>
+      s" + CASE WHEN ${Gbt.BinCols(s.f)} <= ${s.b} THEN ${s.dl} " +
+        s"ELSE ${s.dr} END").mkString
+    s"""WITH $gbtTCte,
+       |a AS (SELECT pk, abs(y - ($fhat)) AS ar,
+       |    CASE WHEN (pk // 5) % 2 = 0 THEN 'calibration' ELSE 'eval' END
+       |      AS grp
+       |  FROM t WHERE split = 'test'),
+       |calc AS (SELECT ar, COUNT(*) AS c FROM a
+       |  WHERE grp = 'calibration' GROUP BY ar),
+       |n0 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM calc),
+       |k0 AS (SELECT CASE
+       |    WHEN CAST(CEIL(CAST(n + 1 AS DOUBLE) * CAST(0.9 AS DOUBLE))
+       |      AS BIGINT) > n THEN n
+       |    ELSE CAST(CEIL(CAST(n + 1 AS DOUBLE) * CAST(0.9 AS DOUBLE))
+       |      AS BIGINT) END AS k FROM n0),
+       |cum AS (SELECT ar, SUM(c) OVER (ORDER BY ar) AS cs FROM calc),
+       |q0 AS (SELECT MIN(ar) AS qhat FROM cum, k0 WHERE cs >= k)
+       |SELECT grp, COUNT(*) AS n, (SELECT qhat FROM q0) AS qhat,
+       |  CAST(SUM(CASE WHEN ar <= (SELECT qhat FROM q0) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_covered,
+       |  CAST(SUM(CASE WHEN ar <= (SELECT qhat FROM q0) THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+       |FROM a GROUP BY grp ORDER BY grp""".stripMargin
   }
 
   /** GBT importance oracle: replays the ENTIRE training in SQL — per

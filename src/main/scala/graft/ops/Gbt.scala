@@ -64,14 +64,16 @@ object Gbt {
   def render(sql: String, duck: Boolean): String =
     sql.replace("%DIV%", if (duck) "//" else "div")
 
-  /** Spark-side featurized frame: the three bin columns, integer-cents
-    * target `y`, and the train/test flag. Pure scan-side projection.
+  /** Spark-side featurized frame: the row key `pk`, the three bin
+    * columns, integer-cents target `y`, and the train/test flag. Pure
+    * scan-side projection.
     */
   def featurize(part: DataFrame): DataFrame =
     part.filter("p_size IS NOT NULL").selectExpr(
-      BinCols.zip(BinSql).map { case (n, s) =>
-        s"${render(s, duck = false)} AS $n"
-      } ++ Seq(s"CAST($TargetSql AS BIGINT) AS y",
+      Seq("CAST(p_partkey AS BIGINT) AS pk") ++
+        BinCols.zip(BinSql).map { case (n, s) =>
+          s"${render(s, duck = false)} AS $n"
+        } ++ Seq(s"CAST($TargetSql AS BIGINT) AS y",
         s"($TrainPredSql) AS is_train"): _*)
 
   /** Leaf-pattern column after `stumps`: bit j set iff stump j routes

@@ -655,6 +655,148 @@ object Relational {
       .orderBy(col("feature"))
   }
 
+  /** SPLIT-CONFORMAL PREDICTION INTERVALS (round 16 — the distribution-
+    * free uncertainty readout a production regression serves next to
+    * its point estimate, the "prediction error distribution" half of
+    * the reference's DFA regression story): the held-out split (never
+    * seen by [[qGbtRegression]]'s trained model) is divided into a
+    * CALIBRATION and an EVAL half; qhat = the ⌈(n+1)(1−α)⌉-th smallest
+    * absolute residual on calibration (α = 0.1), and ŷ ± qhat then
+    * covers ≥ 90% of eval points by exchangeability — the classic
+    * split-conformal guarantee, verified empirically in the output.
+    *
+    * Scale: residuals are exact integer cents, so the order statistic
+    * comes from a BOUNDED value histogram (one groupBy(|resid|) whose
+    * cardinality is capped by the synthetic target's range — the
+    * q_token_budget move), never a global sort; the driver sees only
+    * (value, count) cells. Coverage is one exact counting aggregate
+    * per half. The oracle replays qhat with the identical cumulative-
+    * count rule over the same inlined model.
+    */
+  def qConformalInterval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Gbt
+    val m = gbtTrainOrGet(spark, dir)
+    val scored = Gbt.featurize(Tables.part(spark, dir))
+      .filter(!col("is_train"))
+      .select(col("pk"), col("y"), Gbt.fhatCol(m).as("fhat"))
+      .withColumn("ar", abs(col("y") - col("fhat")))
+      .withColumn("grp", when(expr("(pk div 5) % 2 = 0"),
+        lit("calibration")).otherwise(lit("eval")))
+    val cells = scored.filter(col("grp") === "calibration")
+      .groupBy(col("ar")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val nCal = cells.iterator.map(_._2).sum
+    require(nCal > 0, "empty calibration slice")
+    val kRaw = math.ceil((nCal + 1).toDouble * 0.9).toLong
+    val k = if (kRaw > nCal) nCal else kRaw
+    var acc = 0L
+    var qhat = cells.last._1
+    val it = cells.iterator
+    var found = false
+    while (it.hasNext && !found) {
+      val (v, c) = it.next()
+      acc += c
+      if (acc >= k) { qhat = v; found = true }
+    }
+    scored.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ar") <= qhat, 1L).otherwise(0L)).cast("bigint")
+          .as("n_covered"))
+      .select(col("grp"), col("n"), lit(qhat).as("qhat"),
+        col("n_covered"),
+        (col("n_covered").cast("double") / col("n").cast("double"))
+          .as("coverage"))
+      .orderBy(col("grp"))
+  }
+
+  /** A/B EXPERIMENT READOUT with CUPED variance reduction (round 16 —
+    * the two-sample test every growth/product warehouse runs, plus the
+    * pre-period covariate adjustment that is table stakes in modern
+    * experimentation platforms): customers hash-split into two arms by
+    * md5 (deterministic, engine-shared — an A/A test by construction,
+    * so the honest readout is a NULL result and the spec pins |z| small
+    * — the false-positive check an experimentation stack must pass);
+    * outcome y = post-period spend, covariate x = pre-period spend;
+    * θ = cov(x,y)/var(x) pooled, CUPED-adjusted means/variances, lift,
+    * standard error, z, and the realized variance-reduction ratio.
+    *
+    * Exactness/scale: the qRegression discipline end to end — one
+    * customer-grain aggregate (exact decimal sums), one 12-sum
+    * conditional aggregate down to a SINGLE row, every moment in the
+    * decimal domain until one closed-form double expression tree,
+    * written identically in the oracle. Nothing data-sized ever leaves
+    * the exact domain; cost is two aggregates over orders at any SF.
+    */
+  def qAbCuped(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1996-01-01").cast("date")
+    val price = col("o_totalprice").cast(DecimalType(18, 2))
+    // INTEGER-CENTS domain throughout (round-16 exactness hardening):
+    // every exact moment is a scale-0 decimal, so its one cast to
+    // double is a SINGLE correct rounding in both engines — a scale-4
+    // decimal→double cast double-rounds in the oracle dialect
+    // (int128 value, then /10^4) and drifted se/z by an ulp
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        (coalesce(sum(when(col("o_orderdate") < cut, price)),
+          lit(0).cast(DecimalType(18, 2))) * 100).cast("long").as("x"),
+        (coalesce(sum(when(col("o_orderdate") >= cut, price)),
+          lit(0).cast(DecimalType(18, 2))) * 100).cast("long").as("y"))
+    val a = ascii(substring(md5(col("o_custkey").cast("string")), 1, 1))
+    val hex = a - when(a >= 97, 87).otherwise(48)
+    val u = perCust
+      .withColumn("v", when(hex % 2 === 0, lit("A")).otherwise(lit("B")))
+      .withColumn("xx", (col("x") * col("x")).cast(DecimalType(30, 0)))
+      .withColumn("yy", (col("y") * col("y")).cast(DecimalType(30, 0)))
+      .withColumn("xy", (col("x") * col("y")).cast(DecimalType(30, 0)))
+    def side(tag: String, c: Column) = sum(when(col("v") === tag, c))
+    val s = u.agg(
+      sum(when(col("v") === "A", 1L).otherwise(0L)).as("na_e"),
+      sum(when(col("v") === "B", 1L).otherwise(0L)).as("nb_e"),
+      side("A", col("x").cast(DecimalType(20, 0))).as("sxa_e"),
+      side("A", col("y").cast(DecimalType(20, 0))).as("sya_e"),
+      side("A", col("xx")).as("sxxa_e"), side("A", col("yy")).as("syya_e"),
+      side("A", col("xy")).as("sxya_e"),
+      side("B", col("x").cast(DecimalType(20, 0))).as("sxb_e"),
+      side("B", col("y").cast(DecimalType(20, 0))).as("syb_e"),
+      side("B", col("xx")).as("sxxb_e"), side("B", col("yy")).as("syyb_e"),
+      side("B", col("xy")).as("sxyb_e"))
+    // pooled sums stay DECIMAL-exact until ONE cast; every double below
+    // is written as the identical expression tree in the oracle
+    val naD = col("na_e").cast("double"); val nbD = col("nb_e").cast("double")
+    val nD = (col("na_e") + col("nb_e")).cast("double")
+    val sxD = (col("sxa_e") + col("sxb_e")).cast("double")
+    val syD = (col("sya_e") + col("syb_e")).cast("double")
+    val sxxD = (col("sxxa_e") + col("sxxb_e")).cast("double")
+    val sxyD = (col("sxya_e") + col("sxyb_e")).cast("double")
+    val theta = (sxyD - sxD * syD / nD) / (sxxD - sxD * sxD / nD)
+    val mxp = sxD / nD
+    def mean(se: String, ne: Column) = col(se).cast("double") / ne
+    val mya = mean("sya_e", naD); val myb = mean("syb_e", nbD)
+    val mxa = mean("sxa_e", naD); val mxb = mean("sxb_e", nbD)
+    val mcva = mya - theta * (mxa - mxp)
+    val mcvb = myb - theta * (mxb - mxp)
+    def vy(syy: String, sy: String, ne: Column) =
+      (col(syy).cast("double") - col(sy).cast("double") *
+        col(sy).cast("double") / ne) / (ne - lit(1.0))
+    def vcv(syy: String, sxy: String, sxx: String, my: Column, mx: Column,
+        ne: Column) =
+      (col(syy).cast("double") - lit(2.0) * theta * col(sxy).cast("double")
+        + theta * theta * col(sxx).cast("double")
+        - ne * (my - theta * mx) * (my - theta * mx)) / (ne - lit(1.0))
+    val vya = vy("syya_e", "sya_e", naD)
+    val vyb = vy("syyb_e", "syb_e", nbD)
+    val vcva = vcv("syya_e", "sxya_e", "sxxa_e", mya, mxa, naD)
+    val vcvb = vcv("syyb_e", "sxyb_e", "sxxb_e", myb, mxb, nbD)
+    val se = sqrt(vcva / naD + vcvb / nbD)
+    s.select(col("na_e").as("n_a"), col("nb_e").as("n_b"),
+      mya.as("mean_a"), myb.as("mean_b"),
+      (myb - mya).as("lift"), theta.as("theta"),
+      (mcvb - mcva).as("lift_cuped"), se.as("se_cuped"),
+      ((mcvb - mcva) / se).as("z_cuped"),
+      (lit(1.0) - (vcva + vcvb) / (vya + vyb)).as("var_reduction"))
+  }
+
   /** Per-group z-score outlier flagging — the data-quality gate that
     * catches corrupt prices before they enter training features. Group
     * mean/std come from the same exact-aggregate trick as the regression

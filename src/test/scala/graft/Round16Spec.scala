@@ -248,6 +248,36 @@ class Round16Spec extends SparkSpecBase {
     assert(bad === 0L, "re-encoded prefix-5 cell must equal the prefix")
   }
 
+  test("conformal intervals: calibration coverage >= 1 - alpha by construction, eval near it") {
+    val rows = graft.queries.Relational.qConformalInterval(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("coverage"))).toMap
+    val (nCal, qhat, covCal) = rows("calibration")
+    assert(qhat > 0L)
+    assert(covCal >= 0.9,
+      s"calibration coverage $covCal is >= 1-alpha by the k-th-order-stat rule")
+    // lower bound is the conformal guarantee (minus small-sample slack);
+    // no upper pin — at the tiny test SF a 20-point eval half saturates
+    val covEval = rows("eval")._3
+    assert(covEval >= 0.85,
+      s"eval coverage $covEval should sit at or above the 0.9 guarantee")
+    assert(nCal > 0)
+  }
+
+  test("A/A CUPED readout: null result, sane variance accounting") {
+    val r = graft.queries.Relational.qAbCuped(spark, sfDir).collect()(0)
+    val z = r.getAs[Double]("z_cuped")
+    assert(math.abs(z) < 4.0,
+      s"hash-split A/A must not read a significant effect, z=$z")
+    val vr = r.getAs[Double]("var_reduction")
+    assert(vr >= 0.0 && vr < 1.0,
+      s"CUPED variance reduction must be in [0,1), got $vr")
+    assert(r.getAs[Double]("se_cuped") > 0.0)
+    // arms are a near-even hash split
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(na - nb).toDouble / (na + nb) < 0.2)
+  }
+
   test("geohash clamps the domain maxima into the top cell") {
     val df = Seq((90.0, 180.0), (89.999, 179.999), (-90.0, -180.0))
       .toDF("lat", "lon")
