@@ -239,6 +239,7 @@ object SparkEntry {
     "q_geo_radius" -> (Relational.qGeoRadius _),
     "q_conformal_interval" -> (Relational.qConformalInterval _),
     "q_ab_cuped" -> (Relational.qAbCuped _),
+    "q_stream_gbt_score" -> (StreamQueries.qStreamGbtScore _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1001,6 +1002,10 @@ object SparkEntry {
       graft.queries.Relational.lastGbtModel
         .map { case (_, m) =>
           "q_conformal_interval" -> gbtConformalOracle(m) } ++
+      // streaming replay of the scoring eval: exact partial moments fold
+      // linearly, so stream == batch and the oracle is verbatim
+      graft.queries.Relational.lastGbtModel
+        .map { case (_, m) => "q_stream_gbt_score" -> gbtScoreOracle(m) } ++
       // The streaming replay rows share their batch twins' oracles
       // VERBATIM — stream==batch over the same input is exactly the
       // equality the driver re-proves by hash every round.

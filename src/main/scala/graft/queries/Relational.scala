@@ -581,7 +581,7 @@ object Relational {
   private val gbtMemo =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Gbt.Model]()
 
-  private def gbtTrainOrGet(spark: SparkSession, dir: String): graft.ops.Gbt.Model = {
+  private[graft] def gbtTrainOrGet(spark: SparkSession, dir: String): graft.ops.Gbt.Model = {
     val m = gbtMemo.computeIfAbsent(dir, _ => {
       import graft.ops.{Checkpoints, Gbt}
       val tr = Checkpoints.checkpoint(

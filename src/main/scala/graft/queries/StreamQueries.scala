@@ -878,4 +878,69 @@ object StreamQueries {
       .select(col("o_orderkey"), col("o_totalprice"),
         col("_change_type"), col("_from_version"), col("_to_version"))
   }
+
+  /** STREAMING MODEL SCORING (round 16 — the serving twin of
+    * [[Relational.qGbtRegression]], extending the stream==batch family
+    * onto the ML surface): the featurized table arrives in file-chunk
+    * micro-batches; each batch scores rows with the SAME inlined
+    * integer-cents GBT model and lands its per-split exact partial
+    * moments (n, Σy, Σy², Σ(y−ŷ)²) as an epoch-keyed store increment
+    * (overwrite-on-replay idempotent — the CMS/HLL-store pattern). The
+    * live fold is a per-split SUM over increments — EXACT by decimal
+    * linearity, no ordering contract, zero streaming state — and the
+    * closed-form RMSE/R² tail is the batch row's code, so stream and
+    * batch cannot disagree: the oracle is q_gbt_regression's VERBATIM.
+    *
+    * Scale: per-batch work is one scan + a 2-group aggregate; the
+    * store grows one 2-row parquet per epoch and compacts by the same
+    * sum — the shape of a continuous model-quality monitor.
+    */
+  def qStreamGbtScore(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.DecimalType
+    import graft.sources.{Datalake, Tables}
+    import graft.streaming.CorpusStreams
+    import graft.ops.Gbt
+    val m = Relational.gbtTrainOrGet(spark, dir)
+    val root = Files.createTempDirectory("graft-gbtscore-replay")
+    StreamReplay.track(root)
+    val t = Gbt.featurize(Tables.part(spark, dir))
+    val feed = root.resolve("feed").toString
+    t.repartitionByRange(3, col("pk")).write.parquet(feed)
+    val sq = StreamReplay.subSession(spark)
+    val stream = CorpusStreams.readDocFiles(sq, feed, t.schema,
+      maxFilesPerTrigger = 1)
+    val store = root.resolve("store").toString
+    stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val scored = batch.select(
+          when(col("is_train"), lit("train")).otherwise(lit("test"))
+            .as("split"),
+          col("y"), Gbt.fhatCol(m).as("fhat"))
+        Datalake.writeParquet(
+          scored.groupBy(col("split")).agg(
+            count(lit(1)).as("n"),
+            sum(col("y")).as("sy_e"),
+            sum((col("y") * col("y")).cast(DecimalType(25, 0)))
+              .as("syy_e"),
+            sum(((col("y") - col("fhat")) * (col("y") - col("fhat")))
+              .cast(DecimalType(25, 0))).as("sse_e")),
+          s"$store/epoch=$epoch")
+      }
+      .start().awaitTermination()
+    val folded = spark.read.parquet(store)
+      .groupBy(col("split"))
+      .agg(sum(col("n")).as("n"), sum(col("sy_e")).as("sy_e"),
+        sum(col("syy_e")).as("syy_e"), sum(col("sse_e")).as("sse_e"))
+    val nD = col("n").cast("double")
+    val syD = col("sy_e").cast("double")
+    val syyD = col("syy_e").cast("double")
+    val sseD = col("sse_e").cast("double")
+    folded.select(col("split"), col("n"),
+        sqrt(sseD / nD).as("rmse"),
+        (lit(1.0) - sseD / (syyD - syD * syD / nD)).as("r2"))
+      .orderBy(col("split"))
+  }
 }
