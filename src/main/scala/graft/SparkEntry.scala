@@ -240,6 +240,7 @@ object SparkEntry {
     "q_conformal_interval" -> (Relational.qConformalInterval _),
     "q_ab_cuped" -> (Relational.qAbCuped _),
     "q_stream_gbt_score" -> (StreamQueries.qStreamGbtScore _),
+    "q_bootstrap_ci" -> (Relational.qBootstrapCi _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1602,6 +1603,47 @@ object SparkEntry {
         |  (mcvb - mcva) / sqrt(vcva / nad + vcvb / nbd) AS z_cuped,
         |  CAST(1 AS DOUBLE) - (vcva + vcvb) / (vya + vyb) AS var_reduction
         |FROM w""".stripMargin,
+    // deterministic Poisson-bootstrap replay: the same md5 lane →
+    // Poisson(1) CDF thresholds → exact integer weighted sums; each
+    // replica mean is one IEEE division, order statistics tie-broken
+    // by replica id in both engines
+    "q_bootstrap_ci" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS y
+        |  FROM orders GROUP BY o_custkey),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(y AS DECIMAL(20,0))) AS sy FROM pc),
+        |r AS (SELECT o_custkey, y, CAST(bb.b AS INT) AS b
+        |  FROM pc CROSS JOIN (SELECT unnest(range(64)) AS b) bb),
+        |w0 AS (SELECT y, b,
+        |    (ascii(substring(md5(CAST(o_custkey AS VARCHAR) || '-'
+        |        || CAST(b AS VARCHAR)), 1, 1))
+        |      - CASE WHEN ascii(substring(md5(CAST(o_custkey AS VARCHAR)
+        |        || '-' || CAST(b AS VARCHAR)), 1, 1)) >= 97
+        |        THEN 87 ELSE 48 END) * 16
+        |    + (ascii(substring(md5(CAST(o_custkey AS VARCHAR) || '-'
+        |        || CAST(b AS VARCHAR)), 2, 1))
+        |      - CASE WHEN ascii(substring(md5(CAST(o_custkey AS VARCHAR)
+        |        || '-' || CAST(b AS VARCHAR)), 2, 1)) >= 97
+        |        THEN 87 ELSE 48 END) AS u
+        |  FROM r),
+        |w1 AS (SELECT y, b, CASE WHEN u < 94 THEN 0 WHEN u < 188 THEN 1
+        |    WHEN u < 235 THEN 2 WHEN u < 251 THEN 3 ELSE 4 END AS w
+        |  FROM w0),
+        |g AS (SELECT b, CAST(SUM(w) AS BIGINT) AS sw,
+        |    SUM(CAST(w * y AS DECIMAL(25,0))) AS swy
+        |  FROM w1 WHERE w > 0 GROUP BY b),
+        |m AS (SELECT b, CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE) AS mm
+        |  FROM g),
+        |o AS (SELECT mm, row_number() OVER (ORDER BY mm, b) AS rn FROM m)
+        |SELECT (SELECT n FROM f) AS n, CAST(64 AS BIGINT) AS n_replicas,
+        |  (SELECT CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) FROM f)
+        |    AS mean_cents,
+        |  (SELECT mm FROM o WHERE rn = 2) AS ci_lo,
+        |  (SELECT mm FROM o WHERE rn = 63) AS ci_hi,
+        |  (SELECT mm FROM o WHERE rn = 63) - (SELECT mm FROM o WHERE rn = 2)
+        |    AS width""".stripMargin,
     // mean/std from exact sums, closed-form double arithmetic written
     // identically to the Spark side; zero-variance groups → NULL z
     "q_outlier_zscore" ->

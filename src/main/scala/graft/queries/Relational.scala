@@ -797,6 +797,64 @@ object Relational {
       (lit(1.0) - (vcva + vcvb) / (vya + vyb)).as("var_reduction"))
   }
 
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVAL (round 16 — the resampling
+    * CI for a mean at data sizes where classical resampling is
+    * impossible: you cannot draw B independent samples-with-replacement
+    * of a 100 TB table, but Poisson(1) per-row replica weights need ONE
+    * pass — the standard large-scale bootstrap). Weights are
+    * DETERMINISTIC: two md5 hex digits of (custkey, replica) give a
+    * uniform 0..255 lane, thresholded at the Poisson(1) CDF (94, 188,
+    * 235, 251 → weights 0-4), so both engines rebuild the identical
+    * resampling plan. B = 64 replicas; each replica's weighted mean is
+    * ONE IEEE division of two exact integer sums (bit-equal across
+    * engines); the CI is the 2nd / 63rd order statistic of the 64
+    * means, tie-broken by replica id.
+    *
+    * Scale: one scan (zero-weight rows filtered before the shuffle), a
+    * 64-group aggregate with map-side combine, and a 64-row model step
+    * on the driver. The oracle replays the lane arithmetic, the
+    * thresholds, and the (mean, replica) order statistics verbatim.
+    */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nReplicas = 64
+    val price = col("o_totalprice").cast(DecimalType(18, 2))
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(price) * 100).cast("long").as("y"))
+    val full = perCust.agg(count(lit(1)).as("n"),
+      sum(col("y").cast(DecimalType(20, 0))).as("sy")).collect()(0)
+    val n = full.getLong(0)
+    val meanFull = full.getDecimal(1).doubleValue() / n.toDouble
+    val h = md5(concat(col("o_custkey").cast("string"), lit("-"),
+      col("b").cast("string")))
+    def hexd(i: Int): Column = {
+      val a = ascii(substring(h, i, 1))
+      a - when(a >= 97, 87).otherwise(48)
+    }
+    val u = hexd(1) * 16 + hexd(2)
+    val w = when(u < 94, 0L).when(u < 188, 1L).when(u < 235, 2L)
+      .when(u < 251, 3L).otherwise(4L)
+    val reps = perCust
+      .withColumn("b", explode(array((0 until nReplicas).map(lit): _*)))
+      .withColumn("w", w)
+      .filter(col("w") > 0)
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("sw"),
+        sum((col("w") * col("y")).cast(DecimalType(25, 0))).as("swy"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getDecimal(2).doubleValue() / r.getLong(1).toDouble))
+    require(reps.length == nReplicas,
+      s"bootstrap: ${reps.length} of $nReplicas replicas materialized — " +
+        "a replica with zero total weight needs a larger population")
+    val ordered = reps.map { case (b, _, m) => (m, b) }.sorted
+    val lo = ordered(1)._1
+    val hi = ordered(nReplicas - 2)._1
+    Seq((n, nReplicas.toLong, meanFull, lo, hi, hi - lo))
+      .toDF("n", "n_replicas", "mean_cents", "ci_lo", "ci_hi", "width")
+  }
+
   /** Per-group z-score outlier flagging — the data-quality gate that
     * catches corrupt prices before they enter training features. Group
     * mean/std come from the same exact-aggregate trick as the regression
