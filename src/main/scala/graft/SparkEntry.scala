@@ -1616,18 +1616,19 @@ object SparkEntry {
         |    SUM(CAST(y AS DECIMAL(20,0))) AS sy FROM pc),
         |r AS (SELECT o_custkey, y, CAST(bb.b AS INT) AS b
         |  FROM pc CROSS JOIN (SELECT unnest(range(64)) AS b) bb),
-        |w0 AS (SELECT y, b,
-        |    (ascii(substring(md5(CAST(o_custkey AS VARCHAR) || '-'
-        |        || CAST(b AS VARCHAR)), 1, 1))
-        |      - CASE WHEN ascii(substring(md5(CAST(o_custkey AS VARCHAR)
-        |        || '-' || CAST(b AS VARCHAR)), 1, 1)) >= 97
-        |        THEN 87 ELSE 48 END) * 16
-        |    + (ascii(substring(md5(CAST(o_custkey AS VARCHAR) || '-'
-        |        || CAST(b AS VARCHAR)), 2, 1))
-        |      - CASE WHEN ascii(substring(md5(CAST(o_custkey AS VARCHAR)
-        |        || '-' || CAST(b AS VARCHAR)), 2, 1)) >= 97
-        |        THEN 87 ELSE 48 END) AS u
+        |hs0 AS (SELECT y, b,
+        |    substring(md5(CAST(o_custkey AS VARCHAR) || '-'
+        |        || CAST(b // 16 AS VARCHAR)),
+        |      2 * (b % 16) + 1, 2) AS hs
         |  FROM r),
+        |w0 AS (SELECT y, b,
+        |    (ascii(substring(hs, 1, 1))
+        |      - CASE WHEN ascii(substring(hs, 1, 1)) >= 97
+        |        THEN 87 ELSE 48 END) * 16
+        |    + (ascii(substring(hs, 2, 1))
+        |      - CASE WHEN ascii(substring(hs, 2, 1)) >= 97
+        |        THEN 87 ELSE 48 END) AS u
+        |  FROM hs0),
         |w1 AS (SELECT y, b, CASE WHEN u < 94 THEN 0 WHEN u < 188 THEN 1
         |    WHEN u < 235 THEN 2 WHEN u < 251 THEN 3 ELSE 4 END AS w
         |  FROM w0),

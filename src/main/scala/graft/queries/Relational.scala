@@ -822,33 +822,55 @@ object Relational {
     val perCust = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg((sum(price) * 100).cast("long").as("y"))
-    val full = perCust.agg(count(lit(1)).as("n"),
-      sum(col("y").cast(DecimalType(20, 0))).as("sy")).collect()(0)
-    val n = full.getLong(0)
-    val meanFull = full.getDecimal(1).doubleValue() / n.toDouble
-    val h = md5(concat(col("o_custkey").cast("string"), lit("-"),
-      col("b").cast("string")))
-    def hexd(i: Int): Column = {
-      val a = ascii(substring(h, i, 1))
+    def hexd(c: Column, i: Int): Column = {
+      val a = ascii(substring(c, i, 1))
       a - when(a >= 97, 87).otherwise(48)
     }
-    val u = hexd(1) * 16 + hexd(2)
-    val w = when(u < 94, 0L).when(u < 188, 1L).when(u < 235, 2L)
-      .when(u < 251, 3L).otherwise(4L)
-    val reps = perCust
-      .withColumn("b", explode(array((0 until nReplicas).map(lit): _*)))
-      .withColumn("w", w)
-      .filter(col("w") > 0)
+    // Perf shape (measured 6.4s → sub-second at sf0.1): (a) the explicit
+    // repartition keeps the hash stage 32-wide — AQE coalesces the tiny
+    // customer aggregate to ONE partition and a single task was doing
+    // every md5; (b) one md5 yields 32 hex chars = SIXTEEN 0..255 lanes,
+    // so 64 replicas cost 4 hashes per customer, not 64 — the packed
+    // columns are computed BEFORE the explode; (c) `u`/`hs` are
+    // MATERIALIZED columns so the CASE chain references attributes —
+    // inlining would re-evaluate the hash per conditional branch
+    // (branches defeat codegen subexpression elimination), and
+    // CollapseProject keeps non-cheap multi-referenced aliases intact.
+    // Replica b = -1 is the FULL population (weight 1 everywhere), so one
+    // aggregate job serves both the replicas and the exact (n, Σy) pair.
+    val withPacks = (0 until 4).foldLeft(
+      perCust.repartition(32, col("o_custkey"))) { (df, k) =>
+      df.withColumn(s"h$k",
+        md5(concat(col("o_custkey").cast("string"), lit(s"-$k"))))
+    }
+    val cells = withPacks
+      .withColumn("b", explode(array((-1 until nReplicas).map(lit): _*)))
+      .withColumn("hs", expr("substring(element_at(array(h0, h1, h2, h3)," +
+        " CAST((b div 16) + 1 AS INT)), 2 * pmod(b, 16) + 1, 2)"))
+      .withColumn("u", hexd(col("hs"), 1) * 16 + hexd(col("hs"), 2))
+      .withColumn("w", when(col("b") === -1, 1L)
+        .when(col("u") < 94, 0L).when(col("u") < 188, 1L)
+        .when(col("u") < 235, 2L).when(col("u") < 251, 3L).otherwise(4L))
+      // NO w>0 filter: zero-weight rows contribute zero to both sums, and
+      // a filter here gets predicate-pushed BELOW the hs/u projections,
+      // re-inlining the whole hash chain ~8× per row into the Filter
+      // (measured 8s of the query's 12s at sf0.1)
       .groupBy(col("b"))
       .agg(sum(col("w")).as("sw"),
         sum((col("w") * col("y")).cast(DecimalType(25, 0))).as("swy"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1),
-        r.getDecimal(2).doubleValue() / r.getLong(1).toDouble))
+      .map(r => (r.getInt(0), r.getLong(1), r.getDecimal(2)))
+    val full = cells.find(_._1 == -1).getOrElse(
+      sys.error("bootstrap: empty population"))
+    val n = full._2
+    val meanFull = full._3.doubleValue() / n.toDouble
+    val reps = cells.filter(_._1 >= 0).map { case (b, sw, swy) =>
+      (b, swy.doubleValue() / sw.toDouble)
+    }
     require(reps.length == nReplicas,
       s"bootstrap: ${reps.length} of $nReplicas replicas materialized — " +
         "a replica with zero total weight needs a larger population")
-    val ordered = reps.map { case (b, _, m) => (m, b) }.sorted
+    val ordered = reps.map { case (b, m) => (m, b) }.sorted
     val lo = ordered(1)._1
     val hi = ordered(nReplicas - 2)._1
     Seq((n, nReplicas.toLong, meanFull, lo, hi, hi - lo))
