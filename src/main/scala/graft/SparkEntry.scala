@@ -241,6 +241,8 @@ object SparkEntry {
     "q_ab_cuped" -> (Relational.qAbCuped _),
     "q_stream_gbt_score" -> (StreamQueries.qStreamGbtScore _),
     "q_bootstrap_ci" -> (Relational.qBootstrapCi _),
+    "q_cohort_ltv" -> (Relational.qCohortLtv _),
+    "q_kcore" -> ((s, d) => GraphQueries.qKcore(s, d)),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -376,6 +378,42 @@ object SparkEntry {
        |  MAX(CASE WHEN rk = 1 THEN d2 END) AS nearest_d2
        |FROM r LEFT JOIN win ON r.s_suppkey = win.s_suppkey
        |GROUP BY 1 ORDER BY r.s_suppkey""".stripMargin
+  }
+
+  /** Generated k-core oracle: the shared co-purchase edge CTEs, then a
+    * FIXED 8-round unrolled peel (degree → ≥k filter → edge prune per
+    * round). The engine loop stops at its fixpoint; peeling a converged
+    * core is the identity, so the fixed unroll and the early-stopping
+    * loop agree by construction (and the engine fails loudly if 8
+    * rounds ever stop sufficing).
+    */
+  private def kcoreOracle: String = {
+    val k = 2
+    val R = 16
+    // MATERIALIZED is load-bearing: each round references its
+    // predecessor three times, and default CTE inlining would expand
+    // the unrolled chain into 3^R copies of the lineitem scan (observed
+    // as a too-many-open-files explosion)
+    val rounds = (1 to R).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM
+         |  (SELECT u AS n FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |  GROUP BY n),
+         |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT n FROM d$i WHERE d >= $k)
+         |    AND v IN (SELECT n FROM d$i WHERE d >= $k))""".stripMargin
+    }
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+       |    l_partkey AS p
+       |  FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT u, v FROM (
+       |    SELECT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v,
+       |      COUNT(*) AS w
+       |    FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+       |  WHERE w >= 2),
+       |${rounds.mkString(",\n")}
+       |SELECT node, COUNT(*) AS core_deg FROM
+       |  (SELECT u AS node FROM e$R UNION ALL SELECT v FROM e$R)
+       |GROUP BY node ORDER BY node""".stripMargin
   }
 
   private def lshPairCtes: String = {
@@ -4477,6 +4515,39 @@ object SparkEntry {
         |ORDER BY col_name""".stripMargin,
     "q_geohash" -> geohashOracle,
     "q_geo_radius" -> geoRadiusOracle,
+    "q_kcore" -> kcoreOracle,
+    // cohort grid in integer cents; exact month arithmetic (never the
+    // fractional months_between); cumulative window over the bounded
+    // (cohort, age) grid — HUGEINT window sum cast back to BIGINT
+    "q_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_totalprice
+        |  FROM orders),
+        |f AS (SELECT o_custkey, MIN(o_orderdate) AS first_dt
+        |  FROM o GROUP BY o_custkey),
+        |co AS (SELECT CAST(date_trunc('month', first_dt) AS DATE)
+        |      AS cohort,
+        |    CAST((year(o_orderdate) * 12 + month(o_orderdate))
+        |      - (year(first_dt) * 12 + month(first_dt)) AS BIGINT) AS age,
+        |    o_totalprice
+        |  FROM o JOIN f USING (o_custkey)),
+        |grid AS (SELECT cohort, age,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS rev_cents,
+        |    COUNT(*) AS n_orders
+        |  FROM co GROUP BY 1, 2),
+        |sz AS (SELECT CAST(date_trunc('month', first_dt) AS DATE)
+        |      AS cohort,
+        |    COUNT(*) AS n_customers
+        |  FROM f GROUP BY 1),
+        |j AS (SELECT g.cohort, age, n_customers, n_orders, rev_cents,
+        |    CAST(SUM(rev_cents) OVER (PARTITION BY g.cohort ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_cents
+        |  FROM grid g JOIN sz USING (cohort))
+        |SELECT cohort, age, n_customers, n_orders, rev_cents, cum_cents,
+        |  CAST(cum_cents AS DOUBLE) / CAST(n_customers AS DOUBLE)
+        |    AS ltv_cents
+        |FROM j ORDER BY cohort, age""".stripMargin,
     // the recursive CTE IS the naive per-level walk — hash equality
     // re-proves the pointer-doubling composition == step-by-step every
     // round; all quantities exact BIGINT

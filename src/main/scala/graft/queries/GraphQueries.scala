@@ -124,6 +124,70 @@ object GraphQueries {
       .distinct()
   }
 
+  /** k-CORE DECOMPOSITION (round 16 — the graph-robustness peel every
+    * abuse/community pipeline runs: the maximal subgraph where every
+    * node keeps degree ≥ k, found by repeatedly deleting under-degree
+    * nodes). Runs the classic synchronous peel over the REPEAT
+    * co-purchase graph (pairs bought together in ≥2 orders — the
+    * weight threshold gives the natural heavy-tailed degree variance
+    * the fixed top-8 graph lacks, so the peel actually peels): per
+    * round ONE degree aggregate over the
+    * surviving edges + two semi-joins against the ≥k node set, each
+    * round checkpointed (the qBomRollup lineage discipline) — no
+    * all-pairs anything, per-round cost O(|E_surviving|). The loop
+    * stops at the FIXPOINT (a round that deletes nothing) with a hard
+    * 16-round cap that fails loudly rather than emitting a half-peeled
+    * graph; the oracle unrolls a fixed 16 rounds — peeling a converged
+    * core is the identity, so early convergence and the fixed unroll
+    * agree by construction.
+    *
+    * Output = the 2-core's nodes with their in-core degree: a node
+    * wrongly kept, dropped, or with a stale degree all hash-fail.
+    */
+  def qKcore(spark: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    import graft.ops.Checkpoints
+    val und = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+    var edges = Checkpoints.checkpoint(und)
+    var nEdges = edges.count()
+    var converged = false
+    var rounds = 0
+    while (rounds < 16 && !converged) {
+      rounds += 1
+      val deg = edges.select(col("u").as("n"))
+        .unionAll(edges.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      val pruned = edges
+        .join(keep.withColumnRenamed("n", "u").hint("shuffle_hash"),
+          Seq("u"), "leftsemi")
+        .join(keep.withColumnRenamed("n", "v").hint("shuffle_hash"),
+          Seq("v"), "leftsemi")
+        .select(col("u"), col("v"))
+      val next = Checkpoints.checkpoint(pruned)
+      val nNext = next.count()
+      Checkpoints.release(edges)
+      edges = next
+      converged = nNext == nEdges
+      nEdges = nNext
+    }
+    if (!converged) throw new IllegalStateException(
+      "qKcore: peel did not reach a fixpoint within 16 rounds — raise " +
+        "the bound instead of trusting a half-peeled core")
+    edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("node"))
+  }
+
   /** HIERARCHY ROLL-UP via POINTER DOUBLING (round 15c — the
     * bill-of-materials explosion every manufacturing/ops warehouse
     * runs: "how many units of each part does one unit of its root

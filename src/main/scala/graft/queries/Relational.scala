@@ -877,6 +877,47 @@ object Relational {
       .toDF("n", "n_replicas", "mean_cents", "ci_lo", "ci_hi", "width")
   }
 
+  /** COHORT LTV CURVES (round 16 — the money companion to
+    * q_retention_cohort: cumulative revenue per acquisition cohort by
+    * age-in-months, the curve every growth model reads payback periods
+    * off). Cohort = month of the customer's first order; age = exact
+    * integer month arithmetic (y·12+m differences — never
+    * months_between's fractional libm). One orders-grain join against
+    * the per-customer first-order aggregate (shuffle_hash — both sides
+    * keyed by custkey), one bounded (cohort × age) grid aggregate in
+    * integer CENTS, then the cumulative window runs over the GRID
+    * (≤ months² rows — catalog-sized, never order-sized) partitioned by
+    * cohort. LTV = cumulative cents / cohort size, one IEEE division of
+    * exact scale-0 values.
+    */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val firsts = o.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("first_dt"))
+    val monthIdx = (d: Column) => year(d) * 12 + month(d)
+    val co = o.join(firsts.hint("shuffle_hash"), "o_custkey")
+      .select(trunc(col("first_dt"), "MM").as("cohort"),
+        (monthIdx(col("o_orderdate")) - monthIdx(col("first_dt")))
+          .cast("long").as("age"),
+        col("o_totalprice"))
+    val grid = co.groupBy(col("cohort"), col("age"))
+      .agg((decSum2(col("o_totalprice")) * 100).cast("long")
+          .as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+    val sizes = firsts.groupBy(trunc(col("first_dt"), "MM").as("cohort"))
+      .agg(count(lit(1)).as("n_customers"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(broadcast(sizes), "cohort")
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .select(col("cohort"), col("age"), col("n_customers"),
+        col("n_orders"), col("rev_cents"), col("cum_cents"),
+        (col("cum_cents").cast("double") /
+          col("n_customers").cast("double")).as("ltv_cents"))
+      .orderBy(col("cohort"), col("age"))
+  }
+
   /** Per-group z-score outlier flagging — the data-quality gate that
     * catches corrupt prices before they enter training features. Group
     * mean/std come from the same exact-aggregate trick as the regression

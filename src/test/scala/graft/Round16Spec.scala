@@ -278,6 +278,36 @@ class Round16Spec extends SparkSpecBase {
     assert(math.abs(na - nb).toDouble / (na + nb) < 0.2)
   }
 
+  test("k-core: every surviving node keeps degree >= k IN THE CORE") {
+    val rows = graft.queries.GraphQueries.qKcore(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Long]("core_deg") >= 2L),
+      "a node below k survived the peel")
+    // and the peel is not vacuous at the test SF: something was removed
+    // (the raw repeat-graph has degree-1 leaves by construction)
+    assert(rows.nonEmpty)
+  }
+
+  test("cohort LTV: cumulative curve is monotone and ends at total spend") {
+    import graft.ops.Agg.decSum2
+    val rows = graft.queries.Relational.qCohortLtv(spark, sfDir).collect()
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort"))
+    byCohort.values.foreach { rs =>
+      val ages = rs.sortBy(_.getAs[Long]("age"))
+      val cums = ages.map(_.getAs[Long]("cum_cents"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a },
+        "cumulative revenue must be monotone in age")
+      assert(ages.last.getAs[Long]("cum_cents") ===
+        ages.map(_.getAs[Long]("rev_cents")).sum)
+    }
+    // grand total across cohorts equals the whole table's revenue
+    val totalCents = rows.groupBy(_.getAs[java.sql.Date]("cohort"))
+      .values.map(_.map(_.getAs[Long]("rev_cents")).sum).sum
+    val want = graft.sources.Tables.orders(spark, sfDir)
+      .agg((decSum2(col("o_totalprice")) * 100).cast("long")).collect()(0)
+      .getLong(0)
+    assert(totalCents === want)
+  }
+
   test("geohash clamps the domain maxima into the top cell") {
     val df = Seq((90.0, 180.0), (89.999, 179.999), (-90.0, -180.0))
       .toDF("lat", "lon")
