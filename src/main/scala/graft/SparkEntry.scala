@@ -381,11 +381,13 @@ object SparkEntry {
   }
 
   /** Generated k-core oracle: the shared co-purchase edge CTEs, then a
-    * FIXED 8-round unrolled peel (degree → ≥k filter → edge prune per
-    * round). The engine loop stops at its fixpoint; peeling a converged
-    * core is the identity, so the fixed unroll and the early-stopping
-    * loop agree by construction (and the engine fails loudly if 8
-    * rounds ever stop sufficing).
+    * FIXED unrolled peel of R = 16 rounds (degree → ≥k filter → edge
+    * prune per round) — R matches the engine loop's 16-round hard cap
+    * in [[graft.queries.GraphQueries.qKcore]] and the two must move
+    * together. The engine loop stops at its fixpoint; peeling a
+    * converged core is the identity, so the fixed unroll and the
+    * early-stopping loop agree by construction (and the engine fails
+    * loudly if 16 rounds ever stop sufficing).
     */
   private def kcoreOracle: String = {
     val k = 2
@@ -4746,6 +4748,11 @@ object SparkEntry {
     */
   private def gbtImportanceOracle(m: graft.ops.Gbt.Model): String = {
     import graft.ops.Gbt
+    // a stump-less model would render a dangling comma and an empty
+    // UNION chain below — fail loudly instead of emitting invalid SQL
+    // (qGbtImportance guards the same condition on the query side)
+    require(m.stumps.nonEmpty,
+      "gbtImportanceOracle: cannot render a replay for a zero-stump model")
     def patSql(stumps: Seq[Gbt.Stump]): String =
       if (stumps.isEmpty) "0"
       else stumps.zipWithIndex.map { case (s, j) =>

@@ -179,9 +179,19 @@ object GraphQueries {
       converged = nNext == nEdges
       nEdges = nNext
     }
-    if (!converged) throw new IllegalStateException(
-      "qKcore: peel did not reach a fixpoint within 16 rounds — raise " +
-        "the bound instead of trusting a half-peeled core")
+    if (!converged) {
+      // release the tail checkpoint before dying — without this the
+      // throw path leaks the final localCheckpoint's blocks until
+      // ContextCleaner GC (r16 ADVICE)
+      Checkpoints.release(edges)
+      throw new IllegalStateException(
+        "qKcore: peel did not reach a fixpoint within 16 rounds — raise " +
+          "the bound instead of trusting a half-peeled core")
+    }
+    // the converged `edges` checkpoint is NOT released here by design:
+    // the returned frame reads it lazily, so an eager release would pull
+    // the blocks out from under the caller — the blocks live until the
+    // frame is consumed and ContextCleaner collects them
     edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))

