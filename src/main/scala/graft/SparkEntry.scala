@@ -4666,21 +4666,44 @@ object SparkEntry {
        |GROUP BY wc.doc_id ORDER BY doc_id""".stripMargin
   }
 
-  /** Shared GBT feature/target CTE — rendered from the SAME strings the
-    * Spark featurize uses (graft.ops.Gbt.BinSql/TargetSql, `%DIV%` →
-    * `//`): both engines must rebuild the identical supervised slice.
+  /** Shared GBT feature/target CTE chain — rendered from the SAME
+    * strings the Spark featurize uses (graft.ops.Gbt.BinSql/TargetSql/
+    * catBinSql, `%DIV%` → `//`): both engines must rebuild the identical
+    * supervised slice, INCLUDING the out-of-fold categorical target
+    * encoding (exact integer floor-div means, so the replay is
+    * bit-exact; the GREATEST clamp absorbs the trunc-vs-floor division
+    * difference on negative numerators — see Gbt's scaladoc).
     */
   private def gbtTCte: String = {
     import graft.ops.Gbt
-    val bins = Gbt.BinCols.zip(Gbt.BinSql)
+    val bins = Gbt.BinCols.take(3).zip(Gbt.BinSql)
       .map { case (n, s) => s"    ${Gbt.render(s, duck = true)} AS $n" }
-    s"""t AS (SELECT
+    val catBin = Gbt.render(
+      Gbt.catBinSql("COALESCE(enc, (SELECT genc FROM g))"), duck = true)
+    s"""t0 AS (SELECT
        |    CAST(p_partkey AS BIGINT) AS pk,
        |${bins.mkString(",\n")},
+       |    ${Gbt.CatSql} AS cat,
+       |    CAST(${Gbt.CatFoldSql} AS BIGINT) AS fold,
        |    CAST(${Gbt.TargetSql} AS BIGINT) AS y,
        |    CASE WHEN ${Gbt.TrainPredSql} THEN 'train' ELSE 'test' END
        |      AS split
-       |  FROM part WHERE p_size IS NOT NULL)""".stripMargin
+       |  FROM part WHERE p_size IS NOT NULL),
+       |cm AS (SELECT cat, fold, COUNT(*) AS n, SUM(y) AS sy
+       |  FROM t0 WHERE split = 'train' GROUP BY 1, 2),
+       |ct AS (SELECT cat, SUM(n) AS nn, SUM(sy) AS ss FROM cm GROUP BY 1),
+       |g AS (SELECT SUM(ss) // SUM(nn) AS genc FROM ct),
+       |encf AS (SELECT cm.cat AS cat, cm.fold AS fold,
+       |    CASE WHEN ct.nn - cm.n > 0 THEN (ct.ss - cm.sy) // (ct.nn - cm.n)
+       |      ELSE ct.ss // ct.nn END AS enc
+       |  FROM cm JOIN ct ON cm.cat = ct.cat
+       |  UNION ALL SELECT cat, -1, ss // nn FROM ct),
+       |t AS (SELECT pk, b_size, b_mod, b_noise,
+       |    $catBin AS b_cat,
+       |    y, split
+       |  FROM t0 LEFT JOIN encf ON t0.cat = encf.cat
+       |    AND encf.fold = CASE WHEN t0.split = 'train' THEN t0.fold
+       |      ELSE -1 END)""".stripMargin
   }
 
   /** Model-inlined GBT scoring oracle: ŷ = base + routed per-stump

@@ -35,8 +35,8 @@ object Gbt {
   final case class Stump(f: Int, b: Int, dl: Long, dr: Long, gain: Double)
   final case class Model(base: Long, stumps: Seq[Stump])
 
-  val FeatureNames: Seq[String] = Seq("x_size", "x_mod", "x_noise")
-  val BinCols: Seq[String] = Seq("b_size", "b_mod", "b_noise")
+  val FeatureNames: Seq[String] = Seq("x_size", "x_mod", "x_noise", "x_cat")
+  val BinCols: Seq[String] = Seq("b_size", "b_mod", "b_noise", "b_cat")
   val NBins = 16
   val Rounds = 6
 
@@ -44,12 +44,18 @@ object Gbt {
     * `div` (Spark) or `//` (DuckDB); everything else parses identically.
     * Features: p_size (the planted NONLINEAR signal — the target is
     * quadratic in it, so a linear fit reads ~zero slope), a linear
-    * modular term, and a pure-noise feature whose importance must come
-    * out ≈ 0. The target adds deterministic "noise" from a Knuth-hash
-    * lane (the q_geo_grid_join synthesis discipline) so both engines
-    * rebuild the identical supervised slice from the raw table. All
-    * moduli are taken BEFORE multiplication so the arithmetic stays in
-    * BIGINT at any key range.
+    * modular term, a pure-noise feature whose importance must come out
+    * ≈ 0, and (round 17 — ML_ROADMAP.md Phase 2.2 step 6's `type_local`
+    * keyword feature) the CATEGORICAL p_brand, reachable by the model
+    * only through the leakage-safe out-of-fold target encoding below.
+    * The target adds deterministic "noise" from a Knuth-hash lane (the
+    * q_geo_grid_join synthesis discipline) so both engines rebuild the
+    * identical supervised slice from the raw table, a per-brand-level
+    * categorical term (8000·(brand# mod 5) — signal only a categorical
+    * path can reach), and an axis-aligned INTERACTION term
+    * (p_size × mod lane — the depth-2 tree's reason to exist: a stump
+    * can capture at most half of it). All moduli are taken BEFORE
+    * multiplication so the arithmetic stays in BIGINT at any key range.
     */
   val BinSql: Seq[String] = Seq(
     "LEAST(GREATEST(((CAST(p_size AS BIGINT) - 1) * 16) %DIV% 50, 0), 15)",
@@ -58,23 +64,81 @@ object Gbt {
   val TargetSql: String =
     "90000 + 100 * (CAST(p_size AS BIGINT) - 25) * (CAST(p_size AS BIGINT) - 25)" +
       " + 370 * (CAST(p_partkey AS BIGINT) % 97)" +
-      " + ((CAST(p_partkey AS BIGINT) % 100000) * 1099087573) % 500"
+      " + ((CAST(p_partkey AS BIGINT) % 100000) * 1099087573) % 500" +
+      " + 8000 * (CAST(substring(p_brand, 7) AS BIGINT) % 5)" +
+      " + CASE WHEN p_size > 25 AND (CAST(p_partkey AS BIGINT) % 97) > 48" +
+      " THEN 6000 ELSE 0 END"
   val TrainPredSql = "p_partkey % 5 <> 0"
+
+  /** Categorical encoding constants — engine-shared literals. The
+    * encoded value is the category's mean target in EXACT integer cents
+    * (floor-div of exact sums), OUT-OF-FOLD for training rows (fold =
+    * pk % 3; each row's own fold is excluded from its encoding — the
+    * leakage-safe q_target_encode discipline) and the full-train mean
+    * for test rows. The bin clamps a fixed linear grid over the
+    * encoding: both engines' integer division differs on negative
+    * operands (trunc vs floor), but any negative numerator lands < 0 in
+    * both and the GREATEST(…, 0) clamp absorbs the difference.
+    */
+  val CatSql = "p_brand"
+  val CatFoldSql = "CAST(p_partkey AS BIGINT) % 3"
+  val CatEncLo = 126000L
+  val CatEncSpan = 40000L
+
+  def catBinSql(enc: String): String =
+    s"CAST(LEAST(GREATEST((($enc - $CatEncLo) * 16) %DIV% $CatEncSpan," +
+      " 0), 15) AS BIGINT)"
 
   def render(sql: String, duck: Boolean): String =
     sql.replace("%DIV%", if (duck) "//" else "div")
 
-  /** Spark-side featurized frame: the row key `pk`, the three bin
-    * columns, integer-cents target `y`, and the train/test flag. Pure
-    * scan-side projection.
+  /** Spark-side featurized frame: the row key `pk`, the four bin
+    * columns, integer-cents target `y`, and the train/test flag. The
+    * three numeric bins are scan-side projections; the categorical bin
+    * needs the out-of-fold encoder — one BOUNDED aggregate over the
+    * train slice (≤ |categories| × folds cells), broadcast back onto
+    * the scan. At 100 TB this is one cheap pre-pass, not a second
+    * corpus shuffle.
     */
-  def featurize(part: DataFrame): DataFrame =
-    part.filter("p_size IS NOT NULL").selectExpr(
+  def featurize(part: DataFrame): DataFrame = {
+    val base = part.filter("p_size IS NOT NULL").selectExpr(
       Seq("CAST(p_partkey AS BIGINT) AS pk") ++
-        BinCols.zip(BinSql).map { case (n, s) =>
+        BinCols.take(3).zip(BinSql).map { case (n, s) =>
           s"${render(s, duck = false)} AS $n"
-        } ++ Seq(s"CAST($TargetSql AS BIGINT) AS y",
+        } ++ Seq(s"$CatSql AS cat",
+        s"CAST($CatFoldSql AS BIGINT) AS fold",
+        s"CAST($TargetSql AS BIGINT) AS y",
         s"($TrainPredSql) AS is_train"): _*)
+    val cm = base.filter(col("is_train"))
+      .groupBy(col("cat"), col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val ct = cm.groupBy(col("cat"))
+      .agg(sum(col("n")).as("nn"), sum(col("sy")).as("ss"))
+    // fold = -1 is the full-train encoding, served to test rows (and as
+    // the COALESCE fallback for a category unseen in training)
+    val encf = cm.join(ct, "cat")
+      .select(col("cat"), col("fold"),
+        expr("CASE WHEN nn - n > 0 THEN (ss - sy) div (nn - n)" +
+          " ELSE ss div nn END").as("enc"))
+      .unionByName(ct.select(col("cat"), lit(-1L).as("fold"),
+        expr("ss div nn").as("enc")))
+    val g = ct.agg(expr("sum(ss) div sum(nn)").as("genc"))
+    // encf derives from `base`, so the join is a self-join to the
+    // analyzer — rename its key columns to break the ambiguity
+    val encfA = encf.select(col("cat").as("e_cat"),
+      col("fold").as("e_fold"), col("enc"))
+    base
+      .join(broadcast(encfA),
+        col("cat") === col("e_cat") &&
+          col("e_fold") === when(col("is_train"), col("fold"))
+            .otherwise(lit(-1L)),
+        "left")
+      .crossJoin(broadcast(g))
+      .select(col("pk"), col("b_size"), col("b_mod"), col("b_noise"),
+        expr(render(catBinSql("coalesce(enc, genc)"), duck = false))
+          .as("b_cat"),
+        col("y"), col("is_train"))
+  }
 
   /** Leaf-pattern column after `stumps`: bit j set iff stump j routes
     * the row left. Exact integer CASE chain — identical in the replay.
@@ -103,7 +167,11 @@ object Gbt {
     * leaf deltas snapped to whole cents so the model stays in the exact
     * integer domain end to end.
     */
-  def train(trainDf: DataFrame, rounds: Int = Rounds): Model = {
+  def train(trainDf: DataFrame, rounds: Int = Rounds,
+      nFeatures: Int = BinCols.length): Model = {
+    require(nFeatures >= 1 && nFeatures <= BinCols.length,
+      s"nFeatures must be in 1..${BinCols.length}")
+    val feats = BinCols.take(nFeatures)
     val r0 = trainDf.agg(count(lit(1)).cast("long").as("n"),
       sum(col("y")).as("sy")).collect()(0)
     val n0 = r0.getLong(0)
@@ -114,7 +182,7 @@ object Gbt {
     var exhausted = false
     for (_ <- 1 to rounds if !exhausted) {
       val cells = trainDf.select(patCol(stumps).cast("int").as("p"),
-          col("y"), explode(array(BinCols.zipWithIndex.map { case (c, i) =>
+          col("y"), explode(array(feats.zipWithIndex.map { case (c, i) =>
             struct(lit(i).as("f"), col(c).cast("int").as("v"))
           }: _*)).as("fv"))
         .select(col("p"), col("fv.f").as("f"), col("fv.v").as("v"),
@@ -127,7 +195,7 @@ object Gbt {
       val fint: Map[Int, Long] = cells.iterator.map(_._1).toSet
         .map((p: Int) => p -> fOf(base, stumps, p)).toMap
       var best: Option[Stump] = None
-      for (f <- BinCols.indices) {
+      for (f <- feats.indices) {
         val fc = cells.filter(_._2 == f)
         val tn = fc.iterator.map(_._4).sum
         val tr = fc.iterator.map(c => c._5 - c._4 * fint(c._1)).sum

@@ -116,6 +116,38 @@ class Round17Spec extends SparkSpecBase {
     assert(e.getMessage.contains("not numeric"))
   }
 
+  test("categorical GBT feature carries signal the numeric features cannot reach") {
+    import graft.ops.{Checkpoints, Gbt}
+    // sf0.01: each brand has ~64 train rows, so the out-of-fold encoding
+    // resolves the planted per-brand-level term well above fold noise
+    val dir = "/root/testdata/sf0.01"
+    val tr = Checkpoints.checkpoint(
+      Gbt.featurize(sources.Tables.part(spark, dir))
+        .filter(col("is_train")))
+    try {
+      val m3 = Gbt.train(tr, nFeatures = 3)
+      val m4 = Gbt.train(tr, nFeatures = 4)
+      def sse(m: Gbt.Model): Double = tr
+        .select(((col("y") - Gbt.fhatCol(m)) *
+          (col("y") - Gbt.fhatCol(m))).cast("decimal(25,0)").as("e"))
+        .agg(sum(col("e")).cast("double")).collect()(0).getDouble(0)
+      val (s3, s4) = (sse(m3), sse(m4))
+      assert(s4 < s3,
+        s"4-feature train SSE $s4 must beat the 3-feature model's $s3 — " +
+          "the categorical encoding is the only path to the brand term")
+      assert(m4.stumps.exists(_.f === 3),
+        "the trained model must actually split on the categorical bin")
+      // leakage check: the encoding is out-of-fold, so the categorical
+      // feature cannot memorize rows — test R² must stay in the same
+      // band as train R² (a leaking encoder shows train >> test)
+      val rows = graft.queries.Relational.qGbtRegression(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("r2")).toMap
+      assert(rows("test") > rows("train") - 0.1,
+        s"test R² ${rows("test")} collapsed vs train ${rows("train")} — " +
+          "categorical leakage?")
+    } finally Checkpoints.release(tr)
+  }
+
   test("withRank fast path is untouched for non-degenerate inputs") {
     // keys spread across octaves with the default threshold: no cell
     // oversized, ranks exact — the round-16 plan shape (Round16Spec
