@@ -243,6 +243,8 @@ object SparkEntry {
     "q_bootstrap_ci" -> (Relational.qBootstrapCi _),
     "q_cohort_ltv" -> (Relational.qCohortLtv _),
     "q_kcore" -> ((s, d) => GraphQueries.qKcore(s, d)),
+    "q_model_serve" -> (Relational.qModelServe _),
+    "q_stream_model_ingest" -> (StreamQueries.qStreamModelIngest _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1047,6 +1049,13 @@ object SparkEntry {
       // linearly, so stream == batch and the oracle is verbatim
       graft.queries.Relational.lastGbtModel
         .map { case (_, m) => "q_stream_gbt_score" -> gbtScoreOracle(m) } ++
+      // the registry rows score with the STORED artifact; the oracle
+      // inlines the in-session model — store/serve drift hash-fails
+      graft.queries.Relational.lastGbtModel
+        .map { case (_, m) => "q_model_serve" -> modelServeOracle(m) } ++
+      graft.queries.Relational.lastGbtModel
+        .map { case (_, m) =>
+          "q_stream_model_ingest" -> modelIngestOracle(m) } ++
       // The streaming replay rows share their batch twins' oracles
       // VERBATIM — stream==batch over the same input is exactly the
       // equality the driver re-proves by hash every round.
@@ -4727,6 +4736,50 @@ object SparkEntry {
        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
        |    AS r2
        |FROM a ORDER BY split""".stripMargin
+  }
+
+  /** q_model_serve oracle: the scoring replay of [[gbtScoreOracle]]
+    * (the STORED model must score identically to the in-session one —
+    * the round-trip proof) plus the registry-lifecycle literals: the
+    * manifest must land on v2 after the freshness-gated republish, two
+    * versions must exist, and the artifact must carry every stump.
+    */
+  private def modelServeOracle(m: graft.ops.Gbt.Model): String = {
+    import graft.ops.Gbt
+    val fhat = s"${m.base}" + m.stumps.map(s =>
+      s" + CASE WHEN ${Gbt.BinCols(s.f)} <= ${s.b} THEN ${s.dl} " +
+        s"ELSE ${s.dr} END").mkString
+    s"""WITH $gbtTCte,
+       |s AS (SELECT split, y, ($fhat) AS fhat FROM t),
+       |a AS (SELECT split, COUNT(*) AS n, SUM(y) AS sy,
+       |    SUM(CAST(y * y AS DECIMAL(25,0))) AS syy,
+       |    SUM(CAST((y - fhat) * (y - fhat) AS DECIMAL(25,0))) AS sse
+       |  FROM s GROUP BY split)
+       |SELECT '2' AS model_version, CAST(2 AS BIGINT) AS n_versions,
+       |  CAST(${m.stumps.length} AS BIGINT) AS n_stumps, split, n,
+       |  sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse,
+       |  CAST(1 AS DOUBLE) - CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE)
+       |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+       |    AS r2
+       |FROM a ORDER BY split""".stripMargin
+  }
+
+  /** q_stream_model_ingest oracle: the batch aggregate over rows scored
+    * with the inlined stored model — exact integer sums of (y, pred)
+    * per split, plus the 3-drop epoch evidence. Scoring is row-local,
+    * so stream == batch by construction and any ingest drift (stale
+    * model, lost epoch, duplicated replay) hash-fails.
+    */
+  private def modelIngestOracle(m: graft.ops.Gbt.Model): String = {
+    import graft.ops.Gbt
+    val fhat = s"${m.base}" + m.stumps.map(s =>
+      s" + CASE WHEN ${Gbt.BinCols(s.f)} <= ${s.b} THEN ${s.dl} " +
+        s"ELSE ${s.dr} END").mkString
+    s"""WITH $gbtTCte
+       |SELECT split, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sum_y,
+       |  CAST(SUM($fhat) AS BIGINT) AS sum_pred,
+       |  CAST(3 AS BIGINT) AS n_epochs
+       |FROM t GROUP BY split ORDER BY split""".stripMargin
   }
 
   /** Split-conformal oracle: the inlined model scores the held-out

@@ -35,6 +35,49 @@ object Gbt {
   final case class Stump(f: Int, b: Int, dl: Long, dr: Long, gain: Double)
   final case class Model(base: Long, stumps: Seq[Stump])
 
+  /** Gbt.train invocations this JVM — test-visible evidence that
+    * store-serving paths never retrain (Round17Spec pins it). */
+  private[graft] val trainCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The model as a tiny versionable frame — the lake ARTIFACT the
+    * reference's Phase 3 stores server-side ("le modèle est stocké …
+    * prêt à répondre", /root/reference/ML_ROADMAP.md Phase 3): row
+    * idx = -1 carries (base, n_train); rows 0..k-1 the stumps in
+    * boosting order. Gains travel as raw IEEE bit patterns so the
+    * publish → read round trip is LOSSLESS — a re-served model scores
+    * bit-identically to the in-session one, which is exactly what the
+    * q_model_serve oracle hash-proves.
+    */
+  def modelToDf(spark: org.apache.spark.sql.SparkSession, m: Model,
+      nTrain: Long): DataFrame = {
+    import spark.implicits._
+    val rows = (-1L, -1, -1, m.base, nTrain, 0L) +:
+      m.stumps.zipWithIndex.map { case (s, i) =>
+        (i.toLong, s.f, s.b, s.dl, s.dr,
+          java.lang.Double.doubleToLongBits(s.gain))
+      }
+    rows.toDF("idx", "f", "b", "dl", "dr", "gain_bits")
+  }
+
+  /** Inverse of [[modelToDf]] — a BOUNDED collect (rounds + 1 rows).
+    * Fails loudly on a frame that is not a published model artifact.
+    */
+  def modelFromDf(df: DataFrame): (Model, Long) = {
+    val rows = df.select(col("idx"), col("f"), col("b"), col("dl"),
+        col("dr"), col("gain_bits"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty && rows.head.getLong(0) == -1L,
+      "Gbt.modelFromDf: no base row (idx = -1) — not a model artifact")
+    val head = rows.head
+    val stumps = rows.tail.zipWithIndex.map { case (r, i) =>
+      require(r.getLong(0) == i.toLong,
+        s"Gbt.modelFromDf: stump rows out of order at idx ${r.getLong(0)}")
+      Stump(r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        java.lang.Double.longBitsToDouble(r.getLong(5)))
+    }
+    (Model(head.getLong(3), stumps.toVector), head.getLong(4))
+  }
+
   val FeatureNames: Seq[String] = Seq("x_size", "x_mod", "x_noise", "x_cat")
   val BinCols: Seq[String] = Seq("b_size", "b_mod", "b_noise", "b_cat")
   val NBins = 16
@@ -172,6 +215,7 @@ object Gbt {
     require(nFeatures >= 1 && nFeatures <= BinCols.length,
       s"nFeatures must be in 1..${BinCols.length}")
     val feats = BinCols.take(nFeatures)
+    trainCount.incrementAndGet()
     val r0 = trainDf.agg(count(lit(1)).cast("long").as("n"),
       sum(col("y")).as("sy")).collect()(0)
     val n0 = r0.getLong(0)

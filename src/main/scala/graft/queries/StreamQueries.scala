@@ -895,6 +895,70 @@ object StreamQueries {
     * store grows one 2-row parquet per epoch and compacts by the same
     * sum — the shape of a continuous model-quality monitor.
     */
+  /** SCORE-ON-INGEST (round 17 — the reference's "Ingest Pipeline"
+    * integration, ML_ROADMAP.md Phase 3 "Méthode Industrielle": the
+    * stored model is attached to the ingest path so documents land WITH
+    * their prediction): the trained GBT is first PUBLISHED as a
+    * versioned lake artifact (the q_model_serve registry), then the
+    * featurized rows arrive in file-chunk micro-batches and every batch
+    * is scored with the MANIFEST-CURRENT stored model — resolved ONCE,
+    * driver-side, rounds+1 rows — and lands in the formatted layer
+    * carrying its `pred` column (epoch-keyed parquet, overwrite-on-
+    * replay idempotent). No batch ever touches the trainer.
+    *
+    * The readback folds the landed rows into per-split exact counts and
+    * integer sums of (y, pred): stream == batch because scoring is a
+    * pure row-local function of the stored model, so the oracle is the
+    * batch aggregate over the SAME inlined model — a drifted stored
+    * artifact, a batch scored with a stale model, or a lost/duplicated
+    * epoch all hash-fail. Scale: per-batch work is one scan + the
+    * closed-form score column; the sink grows one file per epoch and
+    * compacts by the same fold.
+    */
+  def qStreamModelIngest(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.sources.{Datalake, Tables}
+    import graft.streaming.CorpusStreams
+    import graft.ops.Gbt
+    val root = Files.createTempDirectory("graft-ingest-score-replay")
+    StreamReplay.track(root)
+    // publish the registry artifact (the q_model_serve lifecycle's
+    // serving half: the ingest job is a pure CONSUMER of the store)
+    val modelRoot = root.resolve("model_store").toString
+    val m = Relational.gbtTrainOrGet(spark, dir)
+    Datalake.publish(Gbt.modelToDf(spark, m, 0L), modelRoot, "1")
+    val (served, _) =
+      Gbt.modelFromDf(Datalake.readPublished(spark, modelRoot))
+    val t = Gbt.featurize(Tables.part(spark, dir))
+    val feed = root.resolve("feed").toString
+    t.repartitionByRange(3, col("pk")).write.parquet(feed)
+    val sq = StreamReplay.subSession(spark)
+    val stream = CorpusStreams.readDocFiles(sq, feed, t.schema,
+      maxFilesPerTrigger = 1)
+    val fmt = root.resolve("fmt").toString
+    stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        Datalake.writeParquet(
+          batch.select(col("pk"),
+            when(col("is_train"), lit("train")).otherwise(lit("test"))
+              .as("split"),
+            col("y"), Gbt.fhatCol(served).as("pred")),
+          s"$fmt/epoch=$epoch")
+      }
+      .start().awaitTermination()
+    val landed = spark.read.parquet(fmt)
+    val nEpochs = landed.select(col("epoch")).distinct().count()
+    landed.groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).cast("bigint").as("sum_y"),
+        sum(col("pred")).cast("bigint").as("sum_pred"))
+      .select(col("split"), col("n"), col("sum_y"), col("sum_pred"),
+        lit(nEpochs).as("n_epochs"))
+      .orderBy(col("split"))
+  }
+
   def qStreamGbtScore(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     import org.apache.spark.sql.types.DecimalType

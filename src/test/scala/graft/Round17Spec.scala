@@ -148,6 +148,31 @@ class Round17Spec extends SparkSpecBase {
     } finally Checkpoints.release(tr)
   }
 
+  test("model artifact round-trips losslessly, including IEEE gain bits") {
+    import graft.ops.Gbt
+    val m = graft.queries.Relational.gbtTrainOrGet(spark, sfDir)
+    val (m2, n2) = Gbt.modelFromDf(Gbt.modelToDf(spark, m, 42L))
+    assert(n2 === 42L)
+    assert(m2.base === m.base)
+    assert(m2.stumps === m.stumps,
+      "stump list (incl. raw gain doubles) must survive the frame round trip")
+  }
+
+  test("store serving never retrains and matches in-session scoring") {
+    import graft.ops.Gbt
+    import graft.queries.Relational
+    Relational.qModelServe(spark, sfDir).collect()
+    val root = Relational.lastModelRoot.get
+    val before = Gbt.trainCount.get()
+    val served = Relational.scoreFromStore(spark, sfDir, root).collect()
+    assert(Gbt.trainCount.get() === before,
+      "the serving path must read the store, never the trainer")
+    val insession = Relational.qGbtRegression(spark, sfDir).collect()
+    assert(served.map(_.toString).toSeq ===
+      insession.map(_.toString).toSeq,
+      "stored-serve must equal in-session scoring bit-for-bit")
+  }
+
   test("withRank fast path is untouched for non-degenerate inputs") {
     // keys spread across octaves with the default threshold: no cell
     // oversized, ranks exact — the round-16 plan shape (Round16Spec
