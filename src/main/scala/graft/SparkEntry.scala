@@ -245,6 +245,8 @@ object SparkEntry {
     "q_kcore" -> ((s, d) => GraphQueries.qKcore(s, d)),
     "q_model_serve" -> (Relational.qModelServe _),
     "q_stream_model_ingest" -> (StreamQueries.qStreamModelIngest _),
+    "q_gbt_tree" -> (Relational.qGbtTree _),
+    "q_evolve_delete" -> (DatalakeQueries.qEvolveDelete _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1056,6 +1058,8 @@ object SparkEntry {
       graft.queries.Relational.lastGbtModel
         .map { case (_, m) =>
           "q_stream_model_ingest" -> modelIngestOracle(m) } ++
+      graft.queries.Relational.lastGbtTreeModel
+        .map { case (_, m) => "q_gbt_tree" -> gbtTreeOracle(m) } ++
       // The streaming replay rows share their batch twins' oracles
       // VERBATIM — stream==batch over the same input is exactly the
       // equality the driver re-proves by hash every round.
@@ -3066,6 +3070,25 @@ object SparkEntry {
     // deletion vectors: visibility is NOT(p1) AND NOT(p2) over the base
     // table regardless of physical layout; the 8/8 file-count evidence
     // pins that neither delete rewrote a data file
+    // survivor algebra of the two point-in-time chain deletes: pred1
+    // applies only to the segments that existed when it committed
+    // (v1 ∪ v2 = event_id % 3 IN (0, 1)), pred2 to the whole chain; the
+    // vector cardinalities replay as scalar subqueries (second = the
+    // distinct union of both mark sets)
+    "q_evolve_delete" ->
+      """WITH d1 AS (SELECT COUNT(*) AS c FROM events
+        |    WHERE event_id % 3 IN (0, 1) AND event_id % 10 = 0),
+        |dt AS (SELECT COUNT(*) AS c FROM events
+        |    WHERE (event_id % 3 IN (0, 1) AND event_id % 10 = 0)
+        |      OR value > 400.0)
+        |SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  (SELECT c FROM d1) AS n_pos_v1,
+        |  (SELECT c FROM dt) AS n_pos_total
+        |FROM events
+        |WHERE NOT (event_id % 3 IN (0, 1) AND event_id % 10 = 0)
+        |  AND NOT (value > 400.0)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_deletion_vectors" ->
       """SELECT o_orderpriority, CAST(8 AS BIGINT) AS files_before,
         |  CAST(8 AS BIGINT) AS files_after, COUNT(*) AS n_rows,
@@ -4891,6 +4914,130 @@ object SparkEntry {
        |  FROM allr GROUP BY f),
        |names AS (SELECT * FROM (VALUES $names) AS nm(f, feature)),
        |tot AS (SELECT SUM(FLOOR(gain)) AS gt FROM allr)
+       |SELECT feature,
+       |  CAST(COALESCE(n_splits, 0) AS BIGINT) AS n_splits,
+       |  COALESCE(CAST(tg AS DOUBLE), CAST(0 AS DOUBLE)) AS total_gain,
+       |  COALESCE(CAST(tg AS DOUBLE), CAST(0 AS DOUBLE))
+       |    / CAST(gt AS DOUBLE) AS share
+       |FROM names LEFT JOIN fl USING (f) CROSS JOIN tot
+       |ORDER BY feature""".stripMargin
+  }
+
+  /** Depth-2 tree oracle: replays the ENTIRE two-level training in SQL.
+    * Per round i (prior trees inlined as literals from the trained
+    * model): the (pattern, feature, bin) root histogram with exact-
+    * integer residual prefix sums and the IEEE gain argmax (wa$i), then
+    * the (pattern, SIDE, feature, bin) child histogram conditioned on
+    * wa$i's split via a 1-row cross join, with a per-side QUALIFY
+    * argmax (wb$i). The final readout aggregates the SQL-DERIVED
+    * splits' floor-snapped variance reductions per feature — a single
+    * diverged root or child decision anywhere in training changes the
+    * rows. Gains materialize in the w CTEs and the parent-term
+    * subtraction happens in the union projection, mirroring
+    * Gbt.bestOver's exact two-step IEEE sequence.
+    */
+  private def gbtTreeOracle(m: graft.ops.Gbt.TreeModel): String = {
+    import graft.ops.Gbt
+    require(m.trees.nonEmpty,
+      "gbtTreeOracle: cannot render a replay for a zero-tree model")
+    def patSql(trees: Seq[Gbt.Tree]): String =
+      if (trees.isEmpty) "0"
+      else trees.zipWithIndex.map { case (t, j) =>
+        val l = t.lChild.map(c =>
+          s"CASE WHEN ${Gbt.BinCols(c.f)} <= ${c.b} THEN 0 ELSE 1 END")
+          .getOrElse("0")
+        val r = t.rChild.map(c =>
+          s"CASE WHEN ${Gbt.BinCols(c.f)} <= ${c.b} THEN 2 ELSE 3 END")
+          .getOrElse("2")
+        s"(CASE WHEN ${Gbt.BinCols(t.root.f)} <= ${t.root.b} THEN $l " +
+          s"ELSE $r END) * ${1 << (2 * j)}"
+      }.mkString(" + ")
+    def fSql(trees: Seq[Gbt.Tree]): String =
+      "(SELECT base FROM b0)" + trees.zipWithIndex.map { case (t, j) =>
+        s" + CASE (p // ${1 << (2 * j)}) % 4 WHEN 0 THEN ${t.dLL} " +
+          s"WHEN 1 THEN ${t.dLR} WHEN 2 THEN ${t.dRL} ELSE ${t.dRR} END"
+      }.mkString
+    val fvals = Gbt.BinCols.indices.map(i => s"($i)").mkString(",")
+    val bvals = (0 until Gbt.NBins - 1).map(b => s"($b)").mkString(",")
+    val caseV = "CASE ff.f " + Gbt.BinCols.zipWithIndex.map {
+      case (c, i) => s"WHEN $i THEN $c "
+    }.mkString + "END"
+    val caseRoot = "CASE wa.f " + Gbt.BinCols.zipWithIndex.map {
+      case (c, i) => s"WHEN $i THEN $c "
+    }.mkString + "END"
+    val rounds = m.trees.indices.map { k =>
+      val prior = m.trees.take(k)
+      val i = k + 1
+      s"""ca$i AS (SELECT ${patSql(prior)} AS p, ff.f AS f,
+         |    $caseV AS v, COUNT(*) AS n, SUM(y) AS sy
+         |  FROM tr CROSS JOIN (VALUES $fvals) AS ff(f) GROUP BY 1, 2, 3),
+         |ra$i AS (SELECT f, v, CAST(n AS BIGINT) AS n,
+         |    CAST(sy AS BIGINT) - CAST(n AS BIGINT) * (${fSql(prior)})
+         |      AS r
+         |  FROM ca$i),
+         |ta$i AS (SELECT f, CAST(SUM(n) AS BIGINT) AS tot_n,
+         |    CAST(SUM(r) AS BIGINT) AS tot_r FROM ra$i GROUP BY f),
+         |sa$i AS (SELECT cell.f AS f, bb.b AS b,
+         |    CAST(SUM(n) AS BIGINT) AS ln, CAST(SUM(r) AS BIGINT) AS lr
+         |  FROM ra$i cell CROSS JOIN (VALUES $bvals) AS bb(b)
+         |  WHERE cell.v <= bb.b GROUP BY 1, 2),
+         |ga$i AS (SELECT s.f, s.b, ln, lr, tot_n - ln AS rn,
+         |    tot_r - lr AS rr, tot_n, tot_r
+         |  FROM sa$i s JOIN ta$i USING (f)
+         |  WHERE ln > 0 AND tot_n - ln > 0),
+         |wa$i AS (SELECT f, b,
+         |    (CAST(lr AS DOUBLE) * CAST(lr AS DOUBLE)) / CAST(ln AS DOUBLE)
+         |      + (CAST(rr AS DOUBLE) * CAST(rr AS DOUBLE))
+         |        / CAST(rn AS DOUBLE) AS gain,
+         |    tot_n, tot_r
+         |  FROM ga$i ORDER BY gain DESC, f ASC, b ASC LIMIT 1),
+         |cb$i AS (SELECT ${patSql(prior)} AS p,
+         |    CASE WHEN ($caseRoot) <= wa.b THEN 1 ELSE 0 END AS s,
+         |    ff.f AS f, $caseV AS v, COUNT(*) AS n, SUM(y) AS sy
+         |  FROM tr CROSS JOIN wa$i wa CROSS JOIN (VALUES $fvals) AS ff(f)
+         |  GROUP BY 1, 2, 3, 4),
+         |rb$i AS (SELECT s, f, v, CAST(n AS BIGINT) AS n,
+         |    CAST(sy AS BIGINT) - CAST(n AS BIGINT) * (${fSql(prior)})
+         |      AS r
+         |  FROM cb$i),
+         |tb$i AS (SELECT s, f, CAST(SUM(n) AS BIGINT) AS tot_n,
+         |    CAST(SUM(r) AS BIGINT) AS tot_r FROM rb$i GROUP BY s, f),
+         |sb$i AS (SELECT cell.s AS s, cell.f AS f, bb.b AS b,
+         |    CAST(SUM(n) AS BIGINT) AS ln, CAST(SUM(r) AS BIGINT) AS lr
+         |  FROM rb$i cell CROSS JOIN (VALUES $bvals) AS bb(b)
+         |  WHERE cell.v <= bb.b GROUP BY 1, 2, 3),
+         |gb$i AS (SELECT s.s, s.f, s.b, ln, lr, t.tot_n - ln AS rn,
+         |    t.tot_r - lr AS rr, t.tot_n, t.tot_r
+         |  FROM sb$i s JOIN tb$i t ON s.s = t.s AND s.f = t.f
+         |  WHERE ln > 0 AND t.tot_n - ln > 0),
+         |wb$i AS (SELECT s, f, b,
+         |    (CAST(lr AS DOUBLE) * CAST(lr AS DOUBLE)) / CAST(ln AS DOUBLE)
+         |      + (CAST(rr AS DOUBLE) * CAST(rr AS DOUBLE))
+         |        / CAST(rn AS DOUBLE) AS gain,
+         |    tot_n, tot_r
+         |  FROM gb$i
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s
+         |    ORDER BY gain DESC, f ASC, b ASC) = 1)""".stripMargin
+    }
+    val union = m.trees.indices.flatMap { k =>
+      val i = k + 1
+      Seq(
+        s"SELECT f, gain - (CAST(tot_r AS DOUBLE) * CAST(tot_r AS DOUBLE))" +
+          s" / CAST(tot_n AS DOUBLE) AS gred FROM wa$i",
+        s"SELECT f, gain - (CAST(tot_r AS DOUBLE) * CAST(tot_r AS DOUBLE))" +
+          s" / CAST(tot_n AS DOUBLE) AS gred FROM wb$i")
+    }.mkString("\n  UNION ALL ")
+    val names = Gbt.FeatureNames.zipWithIndex
+      .map { case (n, i) => s"($i, '$n')" }.mkString(", ")
+    s"""WITH $gbtTCte,
+       |tr AS (SELECT * FROM t WHERE split = 'train'),
+       |b0 AS (SELECT CAST(SUM(y) // COUNT(*) AS BIGINT) AS base FROM tr),
+       |${rounds.mkString(",\n")},
+       |allr AS ($union),
+       |fl AS (SELECT f, COUNT(*) AS n_splits, SUM(FLOOR(gred)) AS tg
+       |  FROM allr GROUP BY f),
+       |names AS (SELECT * FROM (VALUES $names) AS nm(f, feature)),
+       |tot AS (SELECT SUM(FLOOR(gred)) AS gt FROM allr)
        |SELECT feature,
        |  CAST(COALESCE(n_splits, 0) AS BIGINT) AS n_splits,
        |  COALESCE(CAST(tg AS DOUBLE), CAST(0 AS DOUBLE)) AS total_gain,

@@ -204,6 +204,191 @@ object Gbt {
       acc + when(col(BinCols(s.f)) <= s.b, lit(s.dl)).otherwise(lit(s.dr))
     }
 
+  // ==================== depth-2 trees ====================
+  //
+  // Round 17 (r16 verdict #3): stumps cannot express feature
+  // interactions — the planted p_size × mod term is the real-estate
+  // lat×lon of this slice. A depth-2 tree is the same bounded histogram
+  // induction run twice per round: ONE (pattern, feature, bin)
+  // aggregate finds the root split, ONE (pattern, side, feature, bin)
+  // aggregate finds the per-side child splits and the four leaf deltas.
+  // The leaf-pattern bitmap carries 2 bits per round (leaf ∈ 0..3), so
+  // K rounds keep the aggregate bounded by 4^K · features · bins cells
+  // — still the XGBoost histogram algorithm's data-parallel half, one
+  // level deeper. All recorded gains are variance REDUCTIONS
+  // (raw split score minus the parent's sum-of-squares term — ≥ 0 by
+  // Cauchy-Schwarz), floor-snapped at readout exactly like the stump
+  // importance.
+
+  final case class Node(f: Int, b: Int)
+  final case class Tree(root: Node, lChild: Option[Node],
+      rChild: Option[Node], dLL: Long, dLR: Long, dRL: Long, dRR: Long,
+      rootGain: Double, lGain: Double, rGain: Double)
+  final case class TreeModel(base: Long, trees: Seq[Tree])
+
+  val TreeRounds = 4
+
+  /** Leaf-pattern column after `trees`: 2 bits per tree — leaf index
+    * 0..3 (left-left, left-right, right-left, right-right; a side
+    * without a child split contributes its root-side leaf). Exact
+    * integer CASE chain, identical in the replay.
+    */
+  def patColTree(trees: Seq[Tree]): Column =
+    if (trees.isEmpty) lit(0)
+    else trees.zipWithIndex.map { case (t, j) =>
+      val l = t.lChild
+        .map(c => when(col(BinCols(c.f)) <= c.b, lit(0)).otherwise(lit(1)))
+        .getOrElse(lit(0))
+      val r = t.rChild
+        .map(c => when(col(BinCols(c.f)) <= c.b, lit(2)).otherwise(lit(3)))
+        .getOrElse(lit(2))
+      when(col(BinCols(t.root.f)) <= t.root.b, l).otherwise(r) *
+        lit(1 << (2 * j))
+    }.reduce(_ + _)
+
+  private def leafDelta(t: Tree, leaf: Int): Long = leaf match {
+    case 0 => t.dLL
+    case 1 => t.dLR
+    case 2 => t.dRL
+    case _ => t.dRR
+  }
+
+  /** Tree-model value (integer cents) at a leaf pattern. */
+  def fOfTree(base: Long, trees: Seq[Tree], p: Int): Long =
+    base + trees.zipWithIndex.map { case (t, j) =>
+      leafDelta(t, (p >> (2 * j)) & 3)
+    }.sum
+
+  /** Tree-model scoring column: base + per-tree routed leaf delta. */
+  def fhatColTree(m: TreeModel): Column =
+    m.trees.foldLeft(lit(m.base): Column) { (acc, t) =>
+      val l = t.lChild
+        .map(c => when(col(BinCols(c.f)) <= c.b, lit(t.dLL))
+          .otherwise(lit(t.dLR)))
+        .getOrElse(lit(t.dLL))
+      val r = t.rChild
+        .map(c => when(col(BinCols(c.f)) <= c.b, lit(t.dRL))
+          .otherwise(lit(t.dRR)))
+        .getOrElse(lit(t.dRL))
+      acc + when(col(BinCols(t.root.f)) <= t.root.b, l).otherwise(r)
+    }
+
+  /** Best (feature, bin) over collected histogram cells (p, f, v, n, Σy)
+    * against the current model values `fint` — the shared split search
+    * of the stump trainer, factored so root and child searches run the
+    * IDENTICAL expression sequence the SQL replay writes. Returns
+    * (f, b, rawGain, gainReduction, dl, dr); argmax on rawGain with
+    * (f asc, b asc) tie-break, exactly the stump rule.
+    */
+  private def bestOver(cells: Array[(Int, Int, Int, Long, Long)],
+      fint: Map[Int, Long],
+      feats: Range): Option[(Int, Int, Double, Double, Long, Long)] = {
+    var best: Option[(Int, Int, Double, Double, Long, Long)] = None
+    for (f <- feats) {
+      val fc = cells.filter(_._2 == f)
+      val tn = fc.iterator.map(_._4).sum
+      val tr = fc.iterator.map(c => c._5 - c._4 * fint(c._1)).sum
+      var ln = 0L
+      var lr = 0L
+      for (b <- 0 until NBins - 1) {
+        val at = fc.filter(_._3 == b)
+        ln += at.iterator.map(_._4).sum
+        lr += at.iterator.map(c => c._5 - c._4 * fint(c._1)).sum
+        val rn = tn - ln
+        val rr = tr - lr
+        if (ln > 0 && rn > 0) {
+          val lnD = ln.toDouble; val lrD = lr.toDouble
+          val rnD = rn.toDouble; val rrD = rr.toDouble
+          val gain = (lrD * lrD) / lnD + (rrD * rrD) / rnD
+          if (best.forall(gain > _._3)) {
+            val tnD = tn.toDouble; val trD = tr.toDouble
+            // reduction = raw − parent term; the replay writes this
+            // exact two-step (materialized gain, then the subtraction)
+            val gainRed = gain - (trD * trD) / tnD
+            val dl = math.floor(0.5 * (lrD / lnD) + 0.5).toLong
+            val dr = math.floor(0.5 * (rrD / rnD) + 0.5).toLong
+            best = Some((f, b, gain, gainRed, dl, dr))
+          }
+        }
+      }
+    }
+    best
+  }
+
+  /** Train depth-2 boosted trees: per round, ONE root histogram
+    * aggregate + ONE side-conditioned child aggregate, both bounded;
+    * split search and leaf fitting on the collected cells (driver model
+    * step). A side with no valid child split keeps a single leaf at its
+    * side mean. Same η = 0.5 whole-cent snapping as the stumps.
+    */
+  def trainTree(trainDf: DataFrame, rounds: Int = TreeRounds): TreeModel = {
+    trainCount.incrementAndGet()
+    val r0 = trainDf.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("y")).as("sy")).collect()(0)
+    val n0 = r0.getLong(0)
+    require(n0 > 0, "Gbt.trainTree: empty training slice")
+    val base = java.lang.Math.floorDiv(r0.getLong(1), n0)
+    var trees = Vector.empty[Tree]
+    var exhausted = false
+    val fv = explode(array(BinCols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("f"), col(c).cast("int").as("v"))
+    }: _*)).as("fv")
+    for (_ <- 1 to rounds if !exhausted) {
+      val cellsA = trainDf
+        .select(patColTree(trees).cast("int").as("p"), col("y"), fv)
+        .select(col("p"), col("fv.f").as("f"), col("fv.v").as("v"),
+          col("y"))
+        .groupBy("p", "f", "v")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          r.getLong(3), r.getLong(4)))
+      val fint: Map[Int, Long] = cellsA.iterator.map(_._1).toSet
+        .map((p: Int) => p -> fOfTree(base, trees, p)).toMap
+      bestOver(cellsA, fint, BinCols.indices) match {
+        case None => exhausted = true
+        case Some((f0, b0, _, rootRed, _, _)) =>
+          val cellsB = trainDf
+            .select(patColTree(trees).cast("int").as("p"),
+              when(col(BinCols(f0)) <= b0, lit(1)).otherwise(lit(0))
+                .as("s"),
+              col("y"), fv)
+            .select(col("p"), col("s"), col("fv.f").as("f"),
+              col("fv.v").as("v"), col("y"))
+            .groupBy("p", "s", "f", "v")
+            .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+              r.getLong(4), r.getLong(5)))
+          def childFor(s: Int): (Option[Node], Long, Long, Double) = {
+            val sc = cellsB.filter(_._2 == s)
+              .map(c => (c._1, c._3, c._4, c._5, c._6))
+            bestOver(sc, fint, BinCols.indices) match {
+              case Some((f, b, _, red, dl, dr)) =>
+                (Some(Node(f, b)), dl, dr, red)
+              case None =>
+                // no valid child split: one leaf at the side mean —
+                // totals from the f = 0 cells (every row appears once
+                // under every feature, so any f works; the replay
+                // reads the same f = 0 slice)
+                val f0c = sc.filter(_._2 == 0)
+                val tn = f0c.iterator.map(_._4).sum
+                val tr = f0c.iterator
+                  .map(c => c._5 - c._4 * fint(c._1)).sum
+                val d = math.floor(
+                  0.5 * (tr.toDouble / tn.toDouble) + 0.5).toLong
+                (None, d, d, 0.0)
+            }
+          }
+          val (lc, dLL, dLR, lRed) = childFor(1)
+          val (rc, dRL, dRR, rRed) = childFor(0)
+          trees :+= Tree(Node(f0, b0), lc, rc, dLL, dLR, dRL, dRR,
+            rootRed, lRed, rRed)
+      }
+    }
+    TreeModel(base, trees)
+  }
+
   /** Train on a (checkpointed) featurized TRAIN frame. One bounded
     * histogram aggregate per round; split search and leaf fitting on
     * the collected cells (driver model step). Learning rate η = 0.5,

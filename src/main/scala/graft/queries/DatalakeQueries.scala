@@ -997,6 +997,56 @@ object DatalakeQueries {
       .orderBy(col("stage"))
   }
 
+  /** PER-SEGMENT DELETION VECTORS ON AN EVOLVED CHAIN (round 17 — r16
+    * verdict #5: `deleteWhere` used to refuse evolved chains loudly,
+    * forcing a full `rewriteEvolved` to delete one row from a long-lived
+    * evolved table). The lifecycle this row hash-proves:
+    *
+    *  1. a two-segment chain (v1 by event_type, v2 by day) takes a
+    *     row-level `deleteWhere` — ONE root-relative position sidecar
+    *     covering rows of BOTH segments, zero data files touched;
+    *  2. a THIRD segment appends AFTER the delete
+    *     ([[graft.sources.Datalake.publishEvolved]] carries the live
+    *     vector forward — v3's rows arrive undeleted, and crucially the
+    *     v3 rows matching the FIRST predicate stay live: deletes are
+    *     point-in-time commits, not standing filters);
+    *  3. a SECOND accumulating delete runs over the full three-segment
+    *     chain, and the readback aggregates the survivors through the
+    *     DV-aware `readPublished`.
+    *
+    * The oracle rebuilds the exact survivor algebra from the raw table
+    * ((seg1 ∪ seg2) \ pred1 ∪ seg3, all \ pred2) plus the two vector
+    * cardinalities as scalar subqueries — a dropped vector after the
+    * append, a delete bleeding into v3, or a resurrected row all
+    * hash-fail. Scale: each delete is O(matched positions) sidecar IO +
+    * one manifest swap; the 100 TB row-delete story now covers evolved
+    * tables.
+    */
+  def qEvolveDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Agg.decSum2
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+    val root = tempLakeRoot() + "/events_evolve_del"
+    Datalake.publishEvolved(e.filter(col("event_id") % 3 === 0)
+      .repartition(1), root, "1", Seq("event_type"))
+    Datalake.publishEvolved(e.filter(col("event_id") % 3 === 1)
+      .repartition(1), root, "2", Seq("day"))
+    val nPosV1 = Datalake.deleteWhere(spark, root,
+      col("event_id") % 10 === 0)
+    Datalake.publishEvolved(e.filter(col("event_id") % 3 === 2)
+      .repartition(1), root, "3", Seq("day"))
+    val nPosTotal = Datalake.deleteWhere(spark, root,
+      col("value") > 400.0)
+    Datalake.readPublished(spark, root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        decSum2(col("value")).cast("double").as("sum_value"))
+      .select(col("event_type"), col("n_rows"), col("sum_value"),
+        lit(nPosV1).as("n_pos_v1"), lit(nPosTotal).as("n_pos_total"))
+      .orderBy(col("event_type"))
+  }
+
   /** DELETION VECTORS end-to-end (r13 — the Delta/Iceberg row-level
     * delete without rewriting data files): orders is published as 8
     * files, then TWO accumulating `Datalake.deleteWhere` commits mark

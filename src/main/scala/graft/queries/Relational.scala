@@ -663,6 +663,63 @@ object Relational {
       .orderBy(col("feature"))
   }
 
+  /** Trained depth-2 TREE model per sfDir — same trained-model oracle
+    * contract as [[lastGbtModel]]. */
+  @volatile private[graft] var lastGbtTreeModel: Option[(String, graft.ops.Gbt.TreeModel)] = None
+
+  /** True iff the tree-model cache (if populated) was trained on `dir`. */
+  private[graft] def gbtTreeModelConsistentWith(dir: String): Boolean =
+    lastGbtTreeModel.forall(_._1 == dir)
+
+  private val gbtTreeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Gbt.TreeModel]()
+
+  private[graft] def gbtTreeTrainOrGet(spark: SparkSession,
+      dir: String): graft.ops.Gbt.TreeModel = {
+    val m = gbtTreeMemo.computeIfAbsent(dir, _ => {
+      import graft.ops.{Checkpoints, Gbt}
+      val tr = Checkpoints.checkpoint(
+        Gbt.featurize(Tables.part(spark, dir)).filter(col("is_train")))
+      try Gbt.trainTree(tr) finally Checkpoints.release(tr)
+    })
+    lastGbtTreeModel = Some((dir, m))
+    m
+  }
+
+  /** DEPTH-2 BOOSTED TREES (round 17 — r16 verdict #3: Kibana DFA grows
+    * real trees; stumps cannot express the planted p_size × mod
+    * INTERACTION term): [[graft.ops.Gbt.trainTree]]'s two-level
+    * histogram induction over the same 4-feature slice, read out as the
+    * per-feature importance table (splits counted across roots and
+    * children, gains as floor-snapped variance reductions). The oracle
+    * REPLAYS THE ENTIRE TRAINING in SQL — per round the root histogram,
+    * the same exact-integer residual prefix sums, the IEEE gain argmax,
+    * then the side-conditioned child histogram and per-side argmax
+    * (QUALIFY row_number) — so one diverged decision anywhere in the
+    * two-level induction hash-fails the row set. Round17Spec pins the
+    * tree model's train SSE strictly below the stump model's.
+    */
+  def qGbtTree(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Gbt
+    import spark.implicits._
+    val m = gbtTreeTrainOrGet(spark, dir)
+    require(m.trees.nonEmpty,
+      "qGbtTree: the trained model has zero trees — no valid root split " +
+        "existed, which the planted signal should make impossible")
+    val splits: Seq[(Int, Double)] = m.trees.flatMap(t =>
+      Seq(t.root.f -> t.rootGain) ++
+        t.lChild.map(c => c.f -> t.lGain) ++
+        t.rChild.map(c => c.f -> t.rGain))
+    val grand = splits.map(x => math.floor(x._2)).sum
+    val rows = Gbt.FeatureNames.indices.map { f =>
+      val ss = splits.filter(_._1 == f)
+      val tg = ss.map(x => math.floor(x._2)).sum
+      (Gbt.FeatureNames(f), ss.size.toLong, tg, tg / grand)
+    }
+    rows.toDF("feature", "n_splits", "total_gain", "share")
+      .orderBy(col("feature"))
+  }
+
   /** Lake root of the LAST qModelServe publish — test hook so the spec
     * can re-serve from the same store and pin "serving never retrains".
     */

@@ -476,6 +476,46 @@ object Datalake {
       dvPath: String): DataFrame =
     applyDvTo(spark, spark.read.parquet(dataPath), dataPath, dvPath)
 
+  /** Per-segment scans of an evolved chain with TABLE-ROOT-relative
+    * positions (round 17 — per-segment deletion vectors): a chain spans
+    * several version directories, so one version-dir-relative path
+    * cannot address its rows; relativizing against the table root
+    * ("v=1/add/part-….parquet", ordinal) names every row of every
+    * segment unambiguously, and stays valid across later
+    * [[publishEvolved]] appends because segments are immutable. The
+    * position columns attach BEFORE the union — `_metadata` is a
+    * per-scan hidden column.
+    */
+  private def chainWithPositions(spark: SparkSession, tableRoot: String,
+      anchor: String): DataFrame = {
+    val rootQ = qualifiedPath(spark, tableRoot)
+    segmentChain(spark, anchor)
+      .map(s => spark.read.parquet(s.addPath).select(col("*"),
+        expr(s"substring(_metadata.file_path, ${rootQ.length + 2})")
+          .as("__file"),
+        col("_metadata.row_index").as("__pos")))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Chain state minus a ROOT-relative deletion vector — the evolved
+    * twin of [[applyDvTo]]. Which relativization a `dv=` token carries
+    * is determined by its BASE: an evolved base (a `_SPEC` dir) always
+    * stores root-relative positions, a plain base version-dir-relative
+    * ones — one rule for writer and every reader, so the contract
+    * cannot drift.
+    */
+  private def applyDvChain(spark: SparkSession, tableRoot: String,
+      anchor: String, dvPath: String): DataFrame =
+    chainWithPositions(spark, tableRoot, anchor)
+      .join(spark.read.parquet(dvPath), Seq("__file", "__pos"), "left_anti")
+      .drop("__file", "__pos")
+
+  private def isEvolvedDir(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(p, EvolvedSpec))
+  }
+
   /** Resolve a manifest token to a readable frame — DV tokens apply
     * their vector, everything else is a plain scan of the resolved dir.
     * (private[graft]: the streaming change-feed source resolves commit
@@ -484,14 +524,18 @@ object Datalake {
   private[graft] def readToken(spark: SparkSession, tableRoot: String,
       token: String): DataFrame =
     parseDvToken(token) match {
+      // chain-aware DV (round 17): an evolved base applies the ROOT-
+      // relative vector over the whole `_BASE` chain; a plain base keeps
+      // the original version-dir-relative contract
       case Some((base, dvRel)) =>
-        applyDv(spark, resolveToken(tableRoot, base), s"$tableRoot/$dvRel")
+        val dataPath = resolveToken(tableRoot, base)
+        if (isEvolvedDir(spark, dataPath))
+          applyDvChain(spark, tableRoot, dataPath, s"$tableRoot/$dvRel")
+        else applyDv(spark, dataPath, s"$tableRoot/$dvRel")
       // chain-aware (round 16): a v= token naming an evolved segment
       // resolves to its chain STATE, so changeFeedTokens between
       // evolved versions emits exactly the later segments' rows as
       // inserts instead of dying on a dir with no top-level parquet.
-      // (Deletion vectors and evolution are never combined on one
-      // commit — deleteWhere rejects non-plain bases upstream.)
       case None => readDataDir(spark, resolveToken(tableRoot, token))
     }
 
@@ -1078,19 +1122,20 @@ object Datalake {
       case None => (token, None)
     }
     val dataPath = resolveToken(tableRoot, baseToken)
-    // evolved chains take row-level deletes per SEGMENT, which this
-    // single-vector commit cannot express — fail loudly (the chain
-    // would otherwise surface as "unable to infer schema" mid-scan)
-    val dpP = new org.apache.hadoop.fs.Path(dataPath)
-    if (dpP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(dpP, EvolvedSpec)))
-      throw new IllegalStateException(
-        s"deleteWhere: $tableRoot currently serves an evolved segment " +
-          "chain — deletion vectors apply to plain versions only; run " +
-          "rewriteEvolved to migrate the chain first")
-    val scan = spark.read.parquet(dataPath)
-    val newDel = withRowPosition(spark, scan.filter(predicate), dataPath)
-      .select(col("__file"), col("__pos"))
+    // evolved chains (round 17 — retires the r16 loud refusal): the
+    // vector addresses rows ROOT-relatively across every segment of the
+    // `_BASE` chain, so a row-level delete on a long-lived evolved table
+    // is the same seconds-scale sidecar commit as on a plain version —
+    // no rewriteEvolved required. The predicate evaluates against the
+    // RAW chain (re-matching an already-deleted row is harmless: the
+    // merge below is a distinct union).
+    val newDel =
+      (if (isEvolvedDir(spark, dataPath))
+        chainWithPositions(spark, tableRoot, dataPath).filter(predicate)
+      else
+        withRowPosition(spark,
+          spark.read.parquet(dataPath).filter(predicate), dataPath))
+        .select(col("__file"), col("__pos"))
     // persist so the count and the write share one evaluation — the
     // previous read-back-and-count paid a whole extra scan of the
     // accumulated vector per delete (review finding)
@@ -1713,7 +1758,21 @@ object Datalake {
           "make the chain cyclic; publish under a fresh version name")
     }
     stageEvolved(df, tableRoot, version, partitionBy, base)
-    swapManifest(df.sparkSession, tableRoot, s"v=$version")
+    // a live chain deletion vector must SURVIVE the append (round 17):
+    // its root-relative positions stay valid — old segments are
+    // immutable and the new segment's files are not in the vector — so
+    // the new token carries it forward; dropping it would resurrect
+    // every deleted row of the base chain
+    val carried = manifestToken(df.sparkSession, tableRoot)
+      .flatMap(parseDvToken)
+      .filter { case (b, _) => base.exists(_ =>
+        isEvolvedDir(df.sparkSession,
+          resolveToken(tableRoot, b))) }
+    val newToken = carried match {
+      case Some((_, dvRel)) => s"dv=v=$version;$dvRel"
+      case None => s"v=$version"
+    }
+    swapManifest(df.sparkSession, tableRoot, newToken)
   }
 
   /** OPTIMIZE for an evolved table: rewrite the WHOLE union under one
@@ -1839,14 +1898,26 @@ object Datalake {
   }
 
   /** Read the whole evolved table: the union of every segment's `add/`
-    * scan. Schemas align by NAME (a partition column is data in the
-    * segments written before it became a key, directory-encoded after) —
-    * column order may differ across layouts, never the logical schema.
+    * scan, minus the manifest-current deletion vector if one is live
+    * (round 17 — a raw union would resurrect deleted rows; this is also
+    * what makes [[rewriteEvolved]] FOLD the vector into its migration,
+    * the optimizeCompact discipline). Schemas align by NAME (a partition
+    * column is data in the segments written before it became a key,
+    * directory-encoded after) — column order may differ across layouts,
+    * never the logical schema.
     */
-  def readEvolved(spark: SparkSession, tableRoot: String): DataFrame =
-    evolvedSegments(spark, tableRoot)
-      .map(s => spark.read.parquet(s.addPath))
-      .reduce(_.unionByName(_))
+  def readEvolved(spark: SparkSession, tableRoot: String): DataFrame = {
+    val anchor = currentDataPath(spark, tableRoot).getOrElse(
+      throw new IllegalStateException(s"no MANIFEST under $tableRoot"))
+    manifestToken(spark, tableRoot).flatMap(parseDvToken) match {
+      case Some((_, dvRel)) =>
+        applyDvChain(spark, tableRoot, anchor, s"$tableRoot/$dvRel")
+      case None =>
+        segmentChain(spark, anchor)
+          .map(s => spark.read.parquet(s.addPath))
+          .reduce(_.unionByName(_))
+    }
+  }
 
   /** Per-segment pruned scan for an equality predicate on `partCol`
     * (dir-name value match, the Hive-layout encoding). Evidence comes

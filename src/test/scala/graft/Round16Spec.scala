@@ -73,12 +73,15 @@ class Round16Spec extends SparkSpecBase {
     assert(Datalake.readPublished(spark, root).count() === 3L)
   }
 
-  test("deleteWhere rejects an evolved chain loudly") {
+  test("deleteWhere on an evolved chain deletes across segments (r17 upgrade)") {
+    // round 16 pinned a loud REFUSAL here; round 17 upgraded deleteWhere
+    // to chain-aware root-relative vectors (Round17Spec covers the full
+    // lifecycle) — this pin now guards the basic cross-segment delete
     val root = evolvedFixture()
-    val ex = intercept[IllegalStateException] {
-      Datalake.deleteWhere(spark, root, col("id") === 1L)
-    }
-    assert(ex.getMessage.contains("evolved"))
+    assert(Datalake.deleteWhere(spark, root, col("id") === 1L) === 1L)
+    val left = Datalake.readPublished(spark, root)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(left === Set(2L, 3L))
   }
 
   test("publishEvolved rejects re-publishing the manifest-current version (cycle guard)") {

@@ -173,6 +173,74 @@ class Round17Spec extends SparkSpecBase {
       "stored-serve must equal in-session scoring bit-for-bit")
   }
 
+  test("depth-2 trees beat stumps on the planted interaction slice") {
+    import graft.ops.{Checkpoints, Gbt}
+    val dir = "/root/testdata/sf0.01"
+    val tr = Checkpoints.checkpoint(
+      Gbt.featurize(sources.Tables.part(spark, dir))
+        .filter(col("is_train")))
+    try {
+      val stump = graft.queries.Relational.gbtTrainOrGet(spark, dir)
+      val tree = graft.queries.Relational.gbtTreeTrainOrGet(spark, dir)
+      def sse(fhat: org.apache.spark.sql.Column): Double = tr
+        .select(((col("y") - fhat) * (col("y") - fhat))
+          .cast("decimal(25,0)").as("e"))
+        .agg(sum(col("e")).cast("double")).collect()(0).getDouble(0)
+      val (sStump, sTree) = (sse(Gbt.fhatCol(stump)),
+        sse(Gbt.fhatColTree(tree)))
+      assert(sTree < sStump,
+        s"depth-2 train SSE $sTree must beat the stump model's $sStump — " +
+          "the interaction term needs a second level")
+      assert(tree.trees.exists(t => t.lChild.isDefined || t.rChild.isDefined),
+        "at least one tree must actually grow a child split")
+      // every recorded gain is a variance REDUCTION: non-negative
+      assert(tree.trees.forall(t =>
+        t.rootGain >= 0 && t.lGain >= 0 && t.rGain >= 0))
+    } finally Checkpoints.release(tr)
+  }
+
+  test("deleteWhere on an evolved chain: sidecar commit, append survival, rewrite fold") {
+    import graft.sources.Datalake
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-evdel").toString + "/t"
+    Datalake.publishEvolved(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0)).toDF("id", "k", "v"),
+      root, "1", Seq("k"))
+    Datalake.publishEvolved(
+      Seq((3L, "b", 30.0), (4L, "b", 40.0)).toDF("id", "k", "v"),
+      root, "2", Seq("k"))
+    // one row of EACH segment marked — a single root-relative vector
+    assert(Datalake.deleteWhere(spark, root, col("id").isin(1L, 3L)) === 2L)
+    def liveIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(liveIds(Datalake.readPublished(spark, root)) === Set(2L, 4L))
+    assert(liveIds(Datalake.readEvolved(spark, root)) === Set(2L, 4L))
+    // version-addressed time travel reads the PHYSICAL chain snapshot —
+    // the vector is manifest-level state (the plain-table contract)
+    assert(liveIds(Datalake.readVersion(spark, root, "2")) ===
+      Set(1L, 2L, 3L, 4L))
+    // an append AFTER the delete: the vector survives the publish, the
+    // new segment's rows arrive live even where they match old
+    // predicates (deletes are point-in-time commits)
+    Datalake.publishEvolved(
+      Seq((1L, "c", 50.0), (6L, "c", 60.0)).toDF("id", "k", "v"),
+      root, "3", Seq("k"))
+    assert(liveIds(Datalake.readPublished(spark, root)) ===
+      Set(2L, 4L, 1L, 6L))
+    // accumulating second delete over the extended chain
+    assert(Datalake.deleteWhere(spark, root, col("v") > 45.0) === 4L)
+    assert(liveIds(Datalake.readPublished(spark, root)) === Set(2L, 4L))
+    // rewriteEvolved FOLDS the vector: plain token, single segment,
+    // deleted rows stay gone; the orphaned vector becomes vacuum garbage
+    Datalake.rewriteEvolved(spark, root, "4", Seq("k"))
+    assert(Datalake.currentVersion(spark, root) === Some("4"))
+    assert(liveIds(Datalake.readPublished(spark, root)) === Set(2L, 4L))
+    val dropped = Datalake.vacuum(spark, root, keepLast = 1)
+    assert(dropped.toSet === Set("1", "2", "3"),
+      s"retention must retire the migrated chain, got $dropped")
+    assert(liveIds(Datalake.readPublished(spark, root)) === Set(2L, 4L))
+  }
+
   test("withRank fast path is untouched for non-degenerate inputs") {
     // keys spread across octaves with the default threshold: no cell
     // oversized, ranks exact — the round-16 plan shape (Round16Spec
