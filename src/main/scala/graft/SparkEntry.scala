@@ -247,6 +247,7 @@ object SparkEntry {
     "q_stream_model_ingest" -> (StreamQueries.qStreamModelIngest _),
     "q_gbt_tree" -> (Relational.qGbtTree _),
     "q_evolve_delete" -> (DatalakeQueries.qEvolveDelete _),
+    "q_model_rollback" -> (Relational.qModelRollback _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1060,6 +1061,10 @@ object SparkEntry {
           "q_stream_model_ingest" -> modelIngestOracle(m) } ++
       graft.queries.Relational.lastGbtTreeModel
         .map { case (_, m) => "q_gbt_tree" -> gbtTreeOracle(m) } ++
+      // rollback serves the PINNED v1 artifact — the oracle inlines the
+      // half-trained model, so serving the wrong version hash-fails
+      graft.queries.Relational.lastRollbackModel
+        .map { case (_, m) => "q_model_rollback" -> rollbackOracle(m) } ++
       // The streaming replay rows share their batch twins' oracles
       // VERBATIM — stream==batch over the same input is exactly the
       // equality the driver re-proves by hash every round.
@@ -4780,6 +4785,31 @@ object SparkEntry {
        |  FROM s GROUP BY split)
        |SELECT '2' AS model_version, CAST(2 AS BIGINT) AS n_versions,
        |  CAST(${m.stumps.length} AS BIGINT) AS n_stumps, split, n,
+       |  sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse,
+       |  CAST(1 AS DOUBLE) - CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE)
+       |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+       |    AS r2
+       |FROM a ORDER BY split""".stripMargin
+  }
+
+  /** q_model_rollback oracle: the scoring replay with the PINNED v1
+    * (half-trained) model inlined, plus the version-pin evidence — a
+    * rollback that silently serves the manifest-current v2 hash-fails
+    * because the two models' scores differ on the planted slice.
+    */
+  private def rollbackOracle(m: graft.ops.Gbt.Model): String = {
+    import graft.ops.Gbt
+    val fhat = s"${m.base}" + m.stumps.map(s =>
+      s" + CASE WHEN ${Gbt.BinCols(s.f)} <= ${s.b} THEN ${s.dl} " +
+        s"ELSE ${s.dr} END").mkString
+    s"""WITH $gbtTCte,
+       |s AS (SELECT split, y, ($fhat) AS fhat FROM t),
+       |a AS (SELECT split, COUNT(*) AS n, SUM(y) AS sy,
+       |    SUM(CAST(y * y AS DECIMAL(25,0))) AS syy,
+       |    SUM(CAST((y - fhat) * (y - fhat) AS DECIMAL(25,0))) AS sse
+       |  FROM s GROUP BY split)
+       |SELECT '1' AS served_version, CAST(2 AS BIGINT) AS n_versions,
+       |  split, n,
        |  sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse,
        |  CAST(1 AS DOUBLE) - CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE)
        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))

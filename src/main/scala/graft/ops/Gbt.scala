@@ -138,10 +138,15 @@ object Gbt {
   /** Spark-side featurized frame: the row key `pk`, the four bin
     * columns, integer-cents target `y`, and the train/test flag. The
     * three numeric bins are scan-side projections; the categorical bin
-    * needs the out-of-fold encoder — one BOUNDED aggregate over the
-    * train slice (≤ |categories| × folds cells), broadcast back onto
-    * the scan. At 100 TB this is one cheap pre-pass, not a second
-    * corpus shuffle.
+    * needs the out-of-fold encoder — ONE bounded aggregate over the
+    * train slice (≤ |categories| × folds cells), COLLECTED and turned
+    * into a local broadcast frame (the Ranking-offsets model-step
+    * discipline). Deriving the per-fold/full/global encodings from the
+    * collected cells on the driver — exact `Math.floorDiv`, the same
+    * floor division the oracle's `//` replays — keeps the consumer
+    * plan to one broadcast join: leaving them as dependent aggregates
+    * re-planned the cm/ct subtree 3-4× per consumer with no exchange
+    * reuse (observed exch=2 → 13 on every scoring row).
     */
   def featurize(part: DataFrame): DataFrame = {
     val base = part.filter("p_size IS NOT NULL").selectExpr(
@@ -152,33 +157,41 @@ object Gbt {
         s"CAST($CatFoldSql AS BIGINT) AS fold",
         s"CAST($TargetSql AS BIGINT) AS y",
         s"($TrainPredSql) AS is_train"): _*)
-    val cm = base.filter(col("is_train"))
+    val cells = base.filter(col("is_train"))
       .groupBy(col("cat"), col("fold"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
-    val ct = cm.groupBy(col("cat"))
-      .agg(sum(col("n")).as("nn"), sum(col("sy")).as("ss"))
-    // fold = -1 is the full-train encoding, served to test rows (and as
-    // the COALESCE fallback for a category unseen in training)
-    val encf = cm.join(ct, "cat")
-      .select(col("cat"), col("fold"),
-        expr("CASE WHEN nn - n > 0 THEN (ss - sy) div (nn - n)" +
-          " ELSE ss div nn END").as("enc"))
-      .unionByName(ct.select(col("cat"), lit(-1L).as("fold"),
-        expr("ss div nn").as("enc")))
-    val g = ct.agg(expr("sum(ss) div sum(nn)").as("genc"))
-    // encf derives from `base`, so the join is a self-join to the
-    // analyzer — rename its key columns to break the ambiguity
-    val encfA = encf.select(col("cat").as("e_cat"),
-      col("fold").as("e_fold"), col("enc"))
+      .collect()
+      .map(r => (r.getAs[String]("cat"), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    require(cells.nonEmpty,
+      "Gbt.featurize: empty training slice — the categorical encoder " +
+        "needs training rows")
+    // fold = -1 is the full-train encoding, served to test rows; the
+    // global mean is the COALESCE fallback for a category unseen in
+    // training. All integer floor-divs on non-negative sums — identical
+    // to the oracle's HUGEINT `//`.
+    val encRows: Seq[(String, Long, Long)] =
+      cells.groupBy(_._1).toSeq.flatMap { case (cat, cs) =>
+        val nn = cs.iterator.map(_._3).sum
+        val ss = cs.iterator.map(_._4).sum
+        cs.toSeq.map { case (_, f, n, sy) =>
+          (cat, f, if (nn - n > 0) java.lang.Math.floorDiv(ss - sy, nn - n)
+          else java.lang.Math.floorDiv(ss, nn))
+        } :+ ((cat, -1L, java.lang.Math.floorDiv(ss, nn)))
+      }
+    val genc = java.lang.Math.floorDiv(
+      cells.iterator.map(_._4).sum, cells.iterator.map(_._3).sum)
+    val spark = part.sparkSession
+    import spark.implicits._
+    val encf = encRows.toDF("e_cat", "e_fold", "enc")
     base
-      .join(broadcast(encfA),
+      .join(broadcast(encf),
         col("cat") === col("e_cat") &&
           col("e_fold") === when(col("is_train"), col("fold"))
             .otherwise(lit(-1L)),
         "left")
-      .crossJoin(broadcast(g))
       .select(col("pk"), col("b_size"), col("b_mod"), col("b_noise"),
-        expr(render(catBinSql("coalesce(enc, genc)"), duck = false))
+        expr(render(catBinSql(s"coalesce(enc, ${genc}L)"), duck = false))
           .as("b_cat"),
         col("y"), col("is_train"))
   }

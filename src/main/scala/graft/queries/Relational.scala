@@ -725,6 +725,73 @@ object Relational {
     */
   @volatile private[graft] var lastModelRoot: Option[String] = None
 
+  /** The "yesterday" model of the registry rows — trained on the even
+    * half of the train slice, memoized per sfDir (qModelServe publishes
+    * it as the stale v1; qModelRollback pins and serves it). */
+  private val gbtHalfMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.ops.Gbt.Model, Long)]()
+
+  /** Model served by the LAST qModelRollback — trained-model oracle
+    * contract like [[lastGbtModel]]. */
+  @volatile private[graft] var lastRollbackModel: Option[(String, graft.ops.Gbt.Model)] = None
+
+  private[graft] def rollbackModelConsistentWith(dir: String): Boolean =
+    lastRollbackModel.forall(_._1 == dir)
+
+  private[graft] def gbtHalfTrainOrGet(spark: SparkSession,
+      dir: String): (graft.ops.Gbt.Model, Long) =
+    gbtHalfMemo.computeIfAbsent(dir, _ => {
+      import graft.ops.{Checkpoints, Gbt}
+      val half = Checkpoints.checkpoint(
+        Gbt.featurize(Tables.part(spark, dir))
+          .filter(col("is_train")).filter(expr("pk % 2 = 0")))
+      try (Gbt.train(half), half.count()) finally Checkpoints.release(half)
+    })
+
+  /** MODEL ROLLBACK (round 17 — the registry lifecycle's incident
+    * path: v2 is live, but serving must PIN an earlier version — the
+    * version-addressed read every model registry offers): both
+    * versions are published, then serving resolves v1 by VERSION
+    * (time travel on the registry table, bypassing the manifest) and
+    * scores with it. The oracle inlines the v1 (half-trained) model —
+    * a rollback that silently serves the manifest-current v2, or a
+    * version read returning the wrong artifact, hash-fails the scores;
+    * the evidence literals pin served_version/n_versions. Scale: same
+    * catalog-sized artifact reads as q_model_serve.
+    */
+  def qModelRollback(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Gbt
+    import graft.sources.Datalake
+    val root = DatalakeQueries.tempLakeRoot() + "/gbt_model_rollback"
+    val (half, halfN) = gbtHalfTrainOrGet(spark, dir)
+    Datalake.publish(Gbt.modelToDf(spark, half, halfN), root, "1")
+    val fresh = gbtTrainOrGet(spark, dir)
+    Datalake.publish(Gbt.modelToDf(spark, fresh, 0L), root, "2")
+    // the incident: serve the PINNED v1, not the manifest-current v2
+    val (rolled, _) = Gbt.modelFromDf(Datalake.readVersion(spark, root, "1"))
+    lastRollbackModel = Some((dir, rolled))
+    val nVersions = Datalake.listVersions(spark, root).length.toLong
+    val t = Gbt.featurize(Tables.part(spark, dir))
+    val s = t.select(
+      when(col("is_train"), lit("train")).otherwise(lit("test")).as("split"),
+      col("y"), Gbt.fhatCol(rolled).as("fhat"))
+    val a = s.groupBy(col("split")).agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("sy_e"),
+      sum((col("y") * col("y")).cast(DecimalType(25, 0))).as("syy_e"),
+      sum(((col("y") - col("fhat")) * (col("y") - col("fhat")))
+        .cast(DecimalType(25, 0))).as("sse_e"))
+    val nD = col("n").cast("double")
+    val syD = col("sy_e").cast("double")
+    val syyD = col("syy_e").cast("double")
+    val sseD = col("sse_e").cast("double")
+    a.select(lit("1").as("served_version"),
+        lit(nVersions).as("n_versions"), col("split"), col("n"),
+        sqrt(sseD / nD).as("rmse"),
+        (lit(1.0) - sseD / (syyD - syD * syD / nD)).as("r2"))
+      .orderBy(col("split"))
+  }
+
   /** Pure store-side serving step: resolve the manifest-current model
     * artifact and score the featurized frame with it — NO training
     * anywhere on this path (Round17Spec pins Gbt.trainCount across it).
@@ -780,24 +847,20 @@ object Relational {
     * it always was.
     */
   def qModelServe(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.{Checkpoints, Gbt}
+    import graft.ops.Gbt
     import graft.sources.Datalake
     val root = DatalakeQueries.tempLakeRoot() + "/gbt_model"
     lastModelRoot = Some(root)
-    val tr = Checkpoints.checkpoint(
-      Gbt.featurize(Tables.part(spark, dir)).filter(col("is_train")))
-    try {
-      val halfN = tr.filter(expr("pk % 2 = 0")).count()
-      val stale = Gbt.train(tr.filter(expr("pk % 2 = 0")))
-      Datalake.publish(Gbt.modelToDf(spark, stale, halfN), root, "1")
-      // the serving job's freshness gate: stored n_train vs live count
-      val liveN = tr.count()
-      val (_, storedN) = Gbt.modelFromDf(Datalake.readPublished(spark, root))
-      if (storedN != liveN) {
-        val fresh = gbtTrainOrGet(spark, dir)
-        Datalake.publish(Gbt.modelToDf(spark, fresh, liveN), root, "2")
-      }
-    } finally Checkpoints.release(tr)
+    val (stale, halfN) = gbtHalfTrainOrGet(spark, dir)
+    Datalake.publish(Gbt.modelToDf(spark, stale, halfN), root, "1")
+    // the serving job's freshness gate: stored n_train vs live count
+    val liveN = Gbt.featurize(Tables.part(spark, dir))
+      .filter(col("is_train")).count()
+    val (_, storedN) = Gbt.modelFromDf(Datalake.readPublished(spark, root))
+    if (storedN != liveN) {
+      val fresh = gbtTrainOrGet(spark, dir)
+      Datalake.publish(Gbt.modelToDf(spark, fresh, liveN), root, "2")
+    }
     val nVersions = Datalake.listVersions(spark, root).length.toLong
     val version = Datalake.currentVersion(spark, root).getOrElse("?")
     val nStumps = graft.ops.Gbt.modelFromDf(
