@@ -241,6 +241,29 @@ class Round17Spec extends SparkSpecBase {
     assert(liveIds(Datalake.readPublished(spark, root)) === Set(2L, 4L))
   }
 
+  test("change feed across a chain-DV delete emits exactly the deleted rows") {
+    import graft.sources.Datalake
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-evdelcdc").toString + "/t"
+    Datalake.publishEvolved(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0)).toDF("id", "k", "v"),
+      root, "1", Seq("k"))
+    Datalake.publishEvolved(
+      Seq((3L, "b", 30.0)).toDF("id", "k", "v"), root, "2", Seq("k"))
+    Datalake.deleteWhere(spark, root, col("id").isin(1L, 3L))
+    val dvToken = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/MANIFEST")), "UTF-8").trim
+    assert(dvToken.startsWith("dv=v=2;"), s"unexpected token $dvToken")
+    // from the pre-delete chain head to the DV commit: the feed must be
+    // exactly the two hidden rows as deletes (readToken resolves the
+    // chain STATE on both sides — the r17 chain-DV branch)
+    val feed = Datalake.changeFeedTokens(spark, root, "v=2", dvToken,
+        Seq("id"))
+      .select(col("id"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((1L, "delete"), (3L, "delete")))
+  }
+
   test("withRank fast path is untouched for non-degenerate inputs") {
     // keys spread across octaves with the default threshold: no cell
     // oversized, ranks exact — the round-16 plan shape (Round16Spec
