@@ -1929,6 +1929,12 @@ object Datalake {
   def evolvedPrunedScan(spark: SparkSession, tableRoot: String,
       partCol: String, value: String): Seq[EvolvedScan] = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // a live chain deletion vector applies per segment (round 17 —
+    // "every read path applies them"): positions are root-relative, so
+    // each segment's scan anti-joins the shared sidecar; tables without
+    // a live vector keep the identical raw-scan frames
+    val dvPath = manifestToken(spark, tableRoot).flatMap(parseDvToken)
+      .map { case (_, rel) => s"$tableRoot/$rel" }
     evolvedSegments(spark, tableRoot).map { seg =>
       val p = new org.apache.hadoop.fs.Path(seg.addPath)
       val fs = p.getFileSystem(conf)
@@ -1947,7 +1953,12 @@ object Datalake {
             f.getPath.toString.contains(s"/$partCol=$value/")) scanned += 1
         }
       }
-      EvolvedScan(seg, spark.read.parquet(seg.addPath), total, scanned)
+      val raw = spark.read.parquet(seg.addPath)
+      val df = dvPath match {
+        case Some(dv) => applyDvTo(spark, raw, tableRoot, dv)
+        case None => raw
+      }
+      EvolvedScan(seg, df, total, scanned)
     }
   }
 

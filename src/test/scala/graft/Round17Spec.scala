@@ -241,6 +241,23 @@ class Round17Spec extends SparkSpecBase {
     assert(liveIds(Datalake.readPublished(spark, root)) === Set(2L, 4L))
   }
 
+  test("evolvedPrunedScan applies a live chain deletion vector") {
+    import graft.sources.Datalake
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-evdelscan").toString + "/t"
+    Datalake.publishEvolved(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0)).toDF("id", "k", "v"),
+      root, "1", Seq("k"))
+    Datalake.publishEvolved(
+      Seq((3L, "b", 30.0)).toDF("id", "k", "v"), root, "2", Seq("k"))
+    Datalake.deleteWhere(spark, root, col("id") === 1L)
+    val scans = Datalake.evolvedPrunedScan(spark, root, "k", "a")
+    val ids = scans.map(_.df).reduce(_.unionByName(_))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L, 3L),
+      "the pruned-scan evidence path must not surface deleted rows")
+  }
+
   test("change feed across a chain-DV delete emits exactly the deleted rows") {
     import graft.sources.Datalake
     import java.nio.file.Files
