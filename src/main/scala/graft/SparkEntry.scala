@@ -248,6 +248,9 @@ object SparkEntry {
     "q_gbt_tree" -> (Relational.qGbtTree _),
     "q_evolve_delete" -> (DatalakeQueries.qEvolveDelete _),
     "q_model_rollback" -> (Relational.qModelRollback _),
+    "q_model_serve_tree" -> (Relational.qModelServeTree _),
+    "q_model_alias" -> (Relational.qModelAlias _),
+    "q_hybrid_serve" -> (TextQueries.qHybridServe _),
   )
 
   /** The LSH oracle is GENERATED: the seeded hyperplanes (the exact arrays
@@ -1065,6 +1068,20 @@ object SparkEntry {
       // half-trained model, so serving the wrong version hash-fails
       graft.queries.Relational.lastRollbackModel
         .map { case (_, m) => "q_model_rollback" -> rollbackOracle(m) } ++
+      // the tree registry serves the STORED depth-2 artifact; the oracle
+      // inlines the in-session tree model — any round-trip loss in a
+      // node, child flag or leaf delta hash-fails the scores
+      graft.queries.Relational.lastGbtTreeModel
+        .map { case (_, m) => "q_model_serve_tree" -> treeServeOracle(m) } ++
+      // alias staging: promoted rows score with the full model (prod →
+      // v2), rolled-back rows with the half model (prod re-pointed at
+      // v1) — an alias swap that doesn't change what serves hash-fails
+      graft.queries.Relational.lastAliasModels
+        .map { case (_, fm) => "q_model_alias" -> aliasOracle(fm._1, fm._2) } ++
+      // hybrid-over-stores: the bm25 store replay + the centroid-inlined
+      // IVF replay, fused with the same RRF tail as q_hybrid_search
+      graft.queries.SimilarityQueries.lastHybridIvfModel
+        .map { case (_, c) => "q_hybrid_serve" -> hybridServeOracle(c) } ++
       // The streaming replay rows share their batch twins' oracles
       // VERBATIM — stream==batch over the same input is exactly the
       // equality the driver re-proves by hash every round.
@@ -1217,6 +1234,86 @@ object SparkEntry {
              |FROM (${staticOracleSql("q_datalake_pipeline")})
              |ORDER BY event_type, event_date""".stripMargin)
 
+  /** The hybrid-retrieval LEXICAL leg (bm25 replay with each query doc's
+    * distinct unigrams as the query set, self-doc slot kept in the
+    * ranking then filtered) and the RRF fusion tail — ONE rendering
+    * shared by q_hybrid_search (brute vector leg) and q_hybrid_serve
+    * (IVF-probed vector leg from the published store) so the scoring and
+    * fusion rules cannot drift between the build-side and serve-side
+    * rows. Both fragments expect `lex`/`vec` CTEs of
+    * (query_id, doc_id, *_rank ≤ 20).
+    */
+  private val hybridLexCtes =
+    """qd AS (SELECT doc_id AS query_id, term FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |    FROM documents WHERE doc_id < 5)
+      |  WHERE term <> '' GROUP BY query_id, term),
+      |w AS (SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |t AS (SELECT doc_id, term, max(dl) AS dl, COUNT(*) AS tf FROM w
+      |  WHERE term <> '' AND term IN (SELECT term FROM qd)
+      |  GROUP BY doc_id, term),
+      |d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+      |n AS (SELECT COUNT(*) AS nd,
+      |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sumdl
+      |  FROM documents),
+      |s AS (SELECT qd.query_id, t.doc_id,
+      |    floor((ln(1.0 + (CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |      * ((CAST(tf AS DOUBLE) * 2.2)
+      |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+      |          * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / nd))))))
+      |      * 65536.0) / 65536.0 AS ts
+      |  FROM t JOIN qd USING (term) JOIN d USING (term) CROSS JOIN n),
+      |sc AS (SELECT query_id, doc_id, SUM(ts) AS score FROM s
+      |  GROUP BY query_id, doc_id),
+      |lexall AS (SELECT query_id, doc_id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS lex_rank
+      |  FROM sc),
+      |lex AS (SELECT query_id, doc_id, lex_rank FROM lexall
+      |  WHERE lex_rank <= 20 AND doc_id <> query_id)""".stripMargin
+
+  private val hybridFuseSql =
+    """fused AS (SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+      |    COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+      |    COALESCE(1.0/(60.0 + lex.lex_rank), 0.0)
+      |      + COALESCE(1.0/(60.0 + vec.vec_rank), 0.0) AS rrf,
+      |    lex.lex_rank, vec.vec_rank
+      |  FROM lex FULL OUTER JOIN vec
+      |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id),
+      |r AS (SELECT query_id, doc_id, rrf, lex_rank, vec_rank,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf DESC, doc_id) AS rank
+      |  FROM fused)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf,
+      |  CAST(lex_rank AS BIGINT) AS lex_rank,
+      |  CAST(vec_rank AS BIGINT) AS vec_rank
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** q_hybrid_serve oracle: the lexical store replay (identical to the
+    * from-text replay — the q_index_serve equivalence) + the
+    * centroid-inlined IVF assignment→probe→rank replay as the vector
+    * leg (k = 20, self excluded before ranking, the serving path's
+    * rule), fused by the shared RRF tail.
+    */
+  private def hybridServeOracle(cents: Array[Array[Float]]): String = {
+    s"""WITH $hybridLexCtes,
+       |${centroidAssignCtes(cents)},
+       |q AS (SELECT id AS query_id, embd AS q_embd FROM e WHERE id < 5),
+       |${probesCte(withQEmbd = true)},
+       |vecall AS (SELECT p.query_id, a.id AS doc_id,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_cosine_similarity(p.q_embd, a.embd) DESC, a.id)
+       |      AS vec_rank
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE a.id <> p.query_id),
+       |vec AS (SELECT query_id, doc_id, vec_rank FROM vecall
+       |  WHERE vec_rank <= 20),
+       |$hybridFuseSql""".stripMargin
+  }
+
   private def staticOracleSql: Map[String, String] = Map(
     "q_bm25_search" -> bm25Oracle,
     // stored-index serve == from-text serve, bit-for-bit: the build's
@@ -1232,36 +1329,7 @@ object SparkEntry {
     // filter); vector ranks exclude self before ranking — both mirror
     // the engine exactly.
     "q_hybrid_search" ->
-      """WITH qd AS (SELECT doc_id AS query_id, term FROM (
-        |    SELECT doc_id,
-        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-        |    FROM documents WHERE doc_id < 5)
-        |  WHERE term <> '' GROUP BY query_id, term),
-        |w AS (SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl,
-        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-        |  FROM documents),
-        |t AS (SELECT doc_id, term, max(dl) AS dl, COUNT(*) AS tf FROM w
-        |  WHERE term <> '' AND term IN (SELECT term FROM qd)
-        |  GROUP BY doc_id, term),
-        |d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
-        |n AS (SELECT COUNT(*) AS nd,
-        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sumdl
-        |  FROM documents),
-        |s AS (SELECT qd.query_id, t.doc_id,
-        |    floor((ln(1.0 + (CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5))
-        |      * ((CAST(tf AS DOUBLE) * 2.2)
-        |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-        |          * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / nd))))))
-        |      * 65536.0) / 65536.0 AS ts
-        |  FROM t JOIN qd USING (term) JOIN d USING (term) CROSS JOIN n),
-        |sc AS (SELECT query_id, doc_id, SUM(ts) AS score FROM s
-        |  GROUP BY query_id, doc_id),
-        |lexall AS (SELECT query_id, doc_id, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS lex_rank
-        |  FROM sc),
-        |lex AS (SELECT query_id, doc_id, lex_rank FROM lexall
-        |  WHERE lex_rank <= 20 AND doc_id <> query_id),
+      s"""WITH $hybridLexCtes,
         |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embd
         |  FROM embeddings),
         |qv AS (SELECT vec_id AS query_id, embd AS q_embd
@@ -1273,21 +1341,7 @@ object SparkEntry {
         |  FROM qv q CROSS JOIN ed e WHERE e.vec_id <> q.query_id),
         |vec AS (SELECT query_id, doc_id, vec_rank FROM vecall
         |  WHERE vec_rank <= 20),
-        |fused AS (SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
-        |    COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
-        |    COALESCE(1.0/(60.0 + lex.lex_rank), 0.0)
-        |      + COALESCE(1.0/(60.0 + vec.vec_rank), 0.0) AS rrf,
-        |    lex.lex_rank, vec.vec_rank
-        |  FROM lex FULL OUTER JOIN vec
-        |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id),
-        |r AS (SELECT query_id, doc_id, rrf, lex_rank, vec_rank,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY rrf DESC, doc_id) AS rank
-        |  FROM fused)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf,
-        |  CAST(lex_rank AS BIGINT) AS lex_rank,
-        |  CAST(vec_rank AS BIGINT) AS vec_rank
-        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |$hybridFuseSql""".stripMargin,
     "q_pagerank" -> pagerankOracle(5),
     // BFS distances: min hop count over paths of <= 6 hops via recursive
     // CTE — integer arithmetic, exact in both engines; same edge CTE as
@@ -4815,6 +4869,77 @@ object SparkEntry {
        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
        |    AS r2
        |FROM a ORDER BY split""".stripMargin
+  }
+
+  /** The depth-2 model's scoring expression: base + per-tree routed
+    * leaf delta — a nested exact-integer CASE per tree, mirroring
+    * Gbt.fhatColTree token for token (a side with no child serves its
+    * single leaf delta unconditionally).
+    */
+  private def treeFhatSql(m: graft.ops.Gbt.TreeModel): String = {
+    import graft.ops.Gbt
+    s"${m.base}" + m.trees.map { t =>
+      def side(c: Option[Gbt.Node], dl: Long, dr: Long): String =
+        c.map(n => s"CASE WHEN ${Gbt.BinCols(n.f)} <= ${n.b} " +
+          s"THEN $dl ELSE $dr END").getOrElse(s"$dl")
+      s" + CASE WHEN ${Gbt.BinCols(t.root.f)} <= ${t.root.b}" +
+        s" THEN ${side(t.lChild, t.dLL, t.dLR)}" +
+        s" ELSE ${side(t.rChild, t.dRL, t.dRR)} END"
+    }.mkString
+  }
+
+  /** q_model_serve_tree oracle: [[modelServeOracle]]'s lifecycle
+    * evidence with the DEPTH-2 scoring replay — the stored tree
+    * artifact must score bit-identically to the in-session model.
+    */
+  private def treeServeOracle(m: graft.ops.Gbt.TreeModel): String = {
+    val fhat = treeFhatSql(m)
+    s"""WITH $gbtTCte,
+       |s AS (SELECT split, y, ($fhat) AS fhat FROM t),
+       |a AS (SELECT split, COUNT(*) AS n, SUM(y) AS sy,
+       |    SUM(CAST(y * y AS DECIMAL(25,0))) AS syy,
+       |    SUM(CAST((y - fhat) * (y - fhat) AS DECIMAL(25,0))) AS sse
+       |  FROM s GROUP BY split)
+       |SELECT '2' AS model_version, CAST(2 AS BIGINT) AS n_versions,
+       |  CAST(${m.trees.length} AS BIGINT) AS n_trees, split, n,
+       |  sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse,
+       |  CAST(1 AS DOUBLE) - CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE)
+       |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+       |    AS r2
+       |FROM a ORDER BY split""".stripMargin
+  }
+
+  /** q_model_alias oracle: BOTH stages' scoring replays over the one
+    * shared featurized CTE — promoted rows with the full model (prod →
+    * v2), rolled-back rows with the half model (prod re-pointed at v1).
+    */
+  private def aliasOracle(full: graft.ops.Gbt.Model,
+      half: graft.ops.Gbt.Model): String = {
+    import graft.ops.Gbt
+    def fhatOf(m: Gbt.Model): String = s"${m.base}" + m.stumps.map(s =>
+      s" + CASE WHEN ${Gbt.BinCols(s.f)} <= ${s.b} THEN ${s.dl} " +
+        s"ELSE ${s.dr} END").mkString
+    def evalCtes(tag: String, m: Gbt.Model): String =
+      s"""s$tag AS (SELECT split, y, (${fhatOf(m)}) AS fhat FROM t),
+         |a$tag AS (SELECT split, COUNT(*) AS n, SUM(y) AS sy,
+         |    SUM(CAST(y * y AS DECIMAL(25,0))) AS syy,
+         |    SUM(CAST((y - fhat) * (y - fhat) AS DECIMAL(25,0))) AS sse
+         |  FROM s$tag GROUP BY split)""".stripMargin
+    def sel(stage: String, ver: String, tag: String): String =
+      s"""SELECT '$stage' AS stage, 'prod' AS alias,
+         |  '$ver' AS served_version, split, n,
+         |  sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse,
+         |  CAST(1 AS DOUBLE) - CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE)
+         |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         |    AS r2
+         |FROM a$tag""".stripMargin
+    s"""WITH $gbtTCte,
+       |${evalCtes("p", full)},
+       |${evalCtes("r", half)}
+       |${sel("1_promoted", "2", "p")}
+       |UNION ALL
+       |${sel("2_rolled_back", "1", "r")}
+       |ORDER BY stage, split""".stripMargin
   }
 
   /** q_stream_model_ingest oracle: the batch aggregate over rows scored

@@ -78,6 +78,62 @@ object Gbt {
     (Model(head.getLong(3), stumps.toVector), head.getLong(4))
   }
 
+  /** The DEPTH-2 model as a versionable frame (round 18 — r17 verdict
+    * #1: the registry could only carry stumps, locking the engine's
+    * best model class out of the serve/rollback lifecycle while the
+    * reference's stored Phase 3 model is a real tree ensemble,
+    * /root/reference/ML_ROADMAP.md Phase 3). One row per tree: the root
+    * split, each optional child split (feature -1 = a side with no
+    * child — that side serves its single leaf), the four leaf deltas,
+    * and the three variance-reduction gains as raw IEEE bit patterns —
+    * the same lossless round-trip contract as [[modelToDf]]. Row
+    * idx = -1 carries (base, n_train).
+    */
+  def treeModelToDf(spark: org.apache.spark.sql.SparkSession,
+      m: TreeModel, nTrain: Long): DataFrame = {
+    import spark.implicits._
+    val rows = (-1L, -1, -1, -1, -1, -1, -1, m.base, nTrain, 0L, 0L,
+      0L, 0L, 0L) +:
+      m.trees.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t.root.f, t.root.b,
+          t.lChild.map(_.f).getOrElse(-1), t.lChild.map(_.b).getOrElse(-1),
+          t.rChild.map(_.f).getOrElse(-1), t.rChild.map(_.b).getOrElse(-1),
+          t.dLL, t.dLR, t.dRL, t.dRR,
+          java.lang.Double.doubleToLongBits(t.rootGain),
+          java.lang.Double.doubleToLongBits(t.lGain),
+          java.lang.Double.doubleToLongBits(t.rGain))
+      }
+    rows.toDF("idx", "rf", "rb", "lf", "lb", "rcf", "rcb",
+      "dll", "dlr", "drl", "drr", "rg_bits", "lg_bits", "cg_bits")
+  }
+
+  /** Inverse of [[treeModelToDf]] — a BOUNDED collect (rounds + 1
+    * rows). Fails loudly on a frame that is not a tree-model artifact.
+    */
+  def treeModelFromDf(df: DataFrame): (TreeModel, Long) = {
+    val rows = df.select(col("idx"), col("rf"), col("rb"), col("lf"),
+        col("lb"), col("rcf"), col("rcb"), col("dll"), col("dlr"),
+        col("drl"), col("drr"), col("rg_bits"), col("lg_bits"),
+        col("cg_bits"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty && rows.head.getLong(0) == -1L,
+      "Gbt.treeModelFromDf: no base row (idx = -1) — not a tree-model " +
+        "artifact")
+    val head = rows.head
+    val trees = rows.tail.zipWithIndex.map { case (r, i) =>
+      require(r.getLong(0) == i.toLong,
+        s"Gbt.treeModelFromDf: tree rows out of order at idx ${r.getLong(0)}")
+      def child(fi: Int, bi: Int): Option[Node] =
+        if (r.getInt(fi) < 0) None else Some(Node(r.getInt(fi), r.getInt(bi)))
+      Tree(Node(r.getInt(1), r.getInt(2)), child(3, 4), child(5, 6),
+        r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10),
+        java.lang.Double.longBitsToDouble(r.getLong(11)),
+        java.lang.Double.longBitsToDouble(r.getLong(12)),
+        java.lang.Double.longBitsToDouble(r.getLong(13)))
+    }
+    (TreeModel(head.getLong(7), trees.toVector), head.getLong(8))
+  }
+
   val FeatureNames: Seq[String] = Seq("x_size", "x_mod", "x_noise", "x_cat")
   val BinCols: Seq[String] = Seq("b_size", "b_mod", "b_noise", "b_cat")
   val NBins = 16
@@ -135,28 +191,22 @@ object Gbt {
   def render(sql: String, duck: Boolean): String =
     sql.replace("%DIV%", if (duck) "//" else "div")
 
-  /** Spark-side featurized frame: the row key `pk`, the four bin
-    * columns, integer-cents target `y`, and the train/test flag. The
-    * three numeric bins are scan-side projections; the categorical bin
-    * needs the out-of-fold encoder — ONE bounded aggregate over the
-    * train slice (≤ |categories| × folds cells), COLLECTED and turned
-    * into a local broadcast frame (the Ranking-offsets model-step
-    * discipline). Deriving the per-fold/full/global encodings from the
-    * collected cells on the driver — exact `Math.floorDiv`, the same
-    * floor division the oracle's `//` replays — keeps the consumer
-    * plan to one broadcast join: leaving them as dependent aggregates
-    * re-planned the cm/ct subtree 3-4× per consumer with no exchange
-    * reuse (observed exch=2 → 13 on every scoring row).
+  /** Collected categorical-encoder model per memo key (r17 ADVICE #3:
+    * the encoder aggregate is an eager bounded collect, and one query
+    * family — q_model_serve alone calls featurize three times — was
+    * paying an identical full part scan per call to rebuild the same
+    * broadcast frame). Keyed by the caller's sfDir; the encoder is a
+    * pure function of that dir's part table, so one JVM needs it once.
     */
-  def featurize(part: DataFrame): DataFrame = {
-    val base = part.filter("p_size IS NOT NULL").selectExpr(
-      Seq("CAST(p_partkey AS BIGINT) AS pk") ++
-        BinCols.take(3).zip(BinSql).map { case (n, s) =>
-          s"${render(s, duck = false)} AS $n"
-        } ++ Seq(s"$CatSql AS cat",
-        s"CAST($CatFoldSql AS BIGINT) AS fold",
-        s"CAST($TargetSql AS BIGINT) AS y",
-        s"($TrainPredSql) AS is_train"): _*)
+  private val encMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Long, Long)], Long)]()
+
+  /** The out-of-fold encoder as driver data: ONE bounded aggregate over
+    * the train slice (≤ |categories| × folds cells), collected, and the
+    * per-fold/full/global encodings derived with exact `Math.floorDiv`
+    * — the same floor division the oracle's `//` replays.
+    */
+  private def trainEncoder(base: DataFrame): (Seq[(String, Long, Long)], Long) = {
     val cells = base.filter(col("is_train"))
       .groupBy(col("cat"), col("fold"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
@@ -181,6 +231,34 @@ object Gbt {
       }
     val genc = java.lang.Math.floorDiv(
       cells.iterator.map(_._4).sum, cells.iterator.map(_._3).sum)
+    (encRows, genc)
+  }
+
+  /** Spark-side featurized frame: the row key `pk`, the four bin
+    * columns, integer-cents target `y`, and the train/test flag. The
+    * three numeric bins are scan-side projections; the categorical bin
+    * needs the out-of-fold encoder — [[trainEncoder]]'s bounded collect
+    * turned into a local broadcast frame (the Ranking-offsets model-step
+    * discipline), which keeps the consumer plan to one broadcast join:
+    * leaving the encodings as dependent aggregates re-planned the cm/ct
+    * subtree 3-4× per consumer with no exchange reuse (observed
+    * exch=2 → 13 on every scoring row). A non-empty `memoKey` (the
+    * caller's sfDir) memoizes the collected encoder so repeated
+    * featurize calls in one JVM pay the encoder scan once.
+    */
+  def featurize(part: DataFrame, memoKey: String = ""): DataFrame = {
+    val base = part.filter("p_size IS NOT NULL").selectExpr(
+      Seq("CAST(p_partkey AS BIGINT) AS pk") ++
+        BinCols.take(3).zip(BinSql).map { case (n, s) =>
+          s"${render(s, duck = false)} AS $n"
+        } ++ Seq(s"$CatSql AS cat",
+        s"CAST($CatFoldSql AS BIGINT) AS fold",
+        s"CAST($TargetSql AS BIGINT) AS y",
+        s"($TrainPredSql) AS is_train"): _*)
+    val (encRows, genc) =
+      if (memoKey.nonEmpty)
+        encMemo.computeIfAbsent(memoKey, _ => trainEncoder(base))
+      else trainEncoder(base)
     val spark = part.sparkSession
     import spark.implicits._
     val encf = encRows.toDF("e_cat", "e_fold", "enc")
@@ -328,79 +406,189 @@ object Gbt {
     best
   }
 
-  /** Train depth-2 boosted trees: per round, ONE root histogram
-    * aggregate + ONE side-conditioned child aggregate, both bounded;
-    * split search and leaf fitting on the collected cells (driver model
-    * step). A side with no valid child split keeps a single leaf at its
-    * side mean. Same η = 0.5 whole-cent snapping as the stumps.
+  // ==================== depth-d generic induction ====================
+  //
+  // Round 18 (r17 verdict #6): the stump trainer and the depth-2 trainer
+  // shared only `bestOver` — one more depth would have meant a third
+  // copy. `trainDepth` is the ONE induction loop with depth as a
+  // parameter: per round, ONE bounded histogram aggregate PER LEVEL,
+  // keyed (boosting pattern, within-round path prefix, feature, bin) —
+  // ≤ (2^depth)^rounds · 2^level · features · bins cells, the same
+  // LightGBM-histogram data-parallel shape at every depth. The split
+  // search per node and the leaf fitting stay driver model steps on the
+  // collected cells. Round18Spec pins trainDepth(d=1) == train (the
+  // stump trainer) model-for-model, and trainTree below IS
+  // trainDepth(d=2) — the depth-2 output is conversion-exact against
+  // the r17 two-level trainer (q_gbt_tree's full SQL training replay
+  // re-proves every split decision each round).
+
+  /** A split node of the generic trainer, carrying both the RAW argmax
+    * gain (what [[Stump.gain]] records) and the variance REDUCTION
+    * (what [[Tree]] records). */
+  final case class DeepNode(f: Int, b: Int, gainRaw: Double, gainRed: Double)
+
+  /** One depth-d tree: `splits` keyed by (level, path-prefix); `deltas`
+    * keyed by leaf index (level-0 direction = most significant bit,
+    * 0 = left/≤). A node with no valid split fills its whole leaf range
+    * with its side-mean delta — rows under it route with all-left
+    * suffix bits, so every reachable leaf is always present. */
+  final case class DeepTree(depth: Int, splits: Map[(Int, Int), DeepNode],
+      deltas: Map[Int, Long])
+
+  final case class DeepModel(base: Long, depth: Int, trees: Seq[DeepTree])
+
+  /** Within-round path prefix after `levels` levels of `splits` — the
+    * exact integer CASE chain 0..2^levels-1 (dir 0 = routed left /
+    * ≤ bin; a path with no recorded split routes 0). */
+  private def pathPrefixCol(splits: Map[(Int, Int), DeepNode],
+      levels: Int): Column = {
+    var q: Column = lit(0)
+    for (l <- 0 until levels) {
+      val dir = (0 until (1 << l)).foldRight(lit(0): Column) { (p, els) =>
+        splits.get((l, p)) match {
+          case Some(n) =>
+            when(q === lit(p),
+              when(col(BinCols(n.f)) <= n.b, lit(0)).otherwise(lit(1)))
+              .otherwise(els)
+          case None => els
+        }
+      }
+      q = q * lit(2) + dir
+    }
+    q
+  }
+
+  /** Leaf-pattern column after `trees` — `depth` bits per tree. */
+  def patColDeep(trees: Seq[DeepTree], depth: Int): Column =
+    if (trees.isEmpty) lit(0)
+    else trees.zipWithIndex.map { case (t, j) =>
+      pathPrefixCol(t.splits, depth) * lit(1 << (depth * j))
+    }.reduce(_ + _)
+
+  /** Deep-model value (integer cents) at a leaf pattern. */
+  def fOfDeep(base: Long, trees: Seq[DeepTree], depth: Int, p: Int): Long = {
+    val mask = (1 << depth) - 1
+    base + trees.zipWithIndex.map { case (t, j) =>
+      t.deltas((p >> (depth * j)) & mask)
+    }.sum
+  }
+
+  /** Generic depth-d boosted-tree training — see the section comment.
+    * η = 0.5 whole-cent leaf snapping, (gain DESC, f ASC, b ASC)
+    * argmax, variance-reduction gains: the stump and depth-2 trainers'
+    * exact rules at every level.
     */
-  def trainTree(trainDf: DataFrame, rounds: Int = TreeRounds): TreeModel = {
+  def trainDepth(trainDf: DataFrame, rounds: Int, depth: Int): DeepModel = {
+    require(depth >= 1 && depth <= 4,
+      s"Gbt.trainDepth: depth must be in 1..4, got $depth")
     trainCount.incrementAndGet()
     val r0 = trainDf.agg(count(lit(1)).cast("long").as("n"),
       sum(col("y")).as("sy")).collect()(0)
     val n0 = r0.getLong(0)
-    require(n0 > 0, "Gbt.trainTree: empty training slice")
+    require(n0 > 0, "Gbt.trainDepth: empty training slice")
     val base = java.lang.Math.floorDiv(r0.getLong(1), n0)
-    var trees = Vector.empty[Tree]
+    var trees = Vector.empty[DeepTree]
     var exhausted = false
     val fv = explode(array(BinCols.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("f"), col(c).cast("int").as("v"))
     }: _*)).as("fv")
     for (_ <- 1 to rounds if !exhausted) {
-      val cellsA = trainDf
-        .select(patColTree(trees).cast("int").as("p"), col("y"), fv)
-        .select(col("p"), col("fv.f").as("f"), col("fv.v").as("v"),
-          col("y"))
-        .groupBy("p", "f", "v")
-        .agg(count(lit(1)).as("n"), sum("y").as("sy"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
-          r.getLong(3), r.getLong(4)))
-      val fint: Map[Int, Long] = cellsA.iterator.map(_._1).toSet
-        .map((p: Int) => p -> fOfTree(base, trees, p)).toMap
-      bestOver(cellsA, fint, BinCols.indices) match {
-        case None => exhausted = true
-        case Some((f0, b0, _, rootRed, _, _)) =>
-          val cellsB = trainDf
-            .select(patColTree(trees).cast("int").as("p"),
-              when(col(BinCols(f0)) <= b0, lit(1)).otherwise(lit(0))
-                .as("s"),
-              col("y"), fv)
-            .select(col("p"), col("s"), col("fv.f").as("f"),
-              col("fv.v").as("v"), col("y"))
-            .groupBy("p", "s", "f", "v")
-            .agg(count(lit(1)).as("n"), sum("y").as("sy"))
-            .collect()
-            .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
-              r.getLong(4), r.getLong(5)))
-          def childFor(s: Int): (Option[Node], Long, Long, Double) = {
-            val sc = cellsB.filter(_._2 == s)
+      val pat = patColDeep(trees, depth).cast("int").as("p")
+      var splits = Map.empty[(Int, Int), DeepNode]
+      var deltas = Map.empty[Int, Long]
+      var fint: Map[Int, Long] = Map.empty
+      var rootMissing = false
+      for (l <- 0 until depth if !rootMissing) {
+        // ONE aggregate for the whole level: every node's histogram in
+        // one pass, sliced per path prefix on the driver
+        val cells = trainDf
+          .select(pat, pathPrefixCol(splits, l).cast("int").as("q"),
+            col("y"), fv)
+          .select(col("p"), col("q"), col("fv.f").as("f"),
+            col("fv.v").as("v"), col("y"))
+          .groupBy("p", "q", "f", "v")
+          .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+            r.getLong(4), r.getLong(5)))
+        if (l == 0)
+          fint = cells.iterator.map(_._1).toSet
+            .map((p: Int) => p -> fOfDeep(base, trees, depth, p)).toMap
+        for (path <- 0 until (1 << l)) {
+          val live = l == 0 || splits.contains((l - 1, path >> 1))
+          if (live) {
+            val sc = cells.filter(_._2 == path)
               .map(c => (c._1, c._3, c._4, c._5, c._6))
             bestOver(sc, fint, BinCols.indices) match {
-              case Some((f, b, _, red, dl, dr)) =>
-                (Some(Node(f, b)), dl, dr, red)
+              case Some((f, b, raw, red, dl, dr)) =>
+                splits += ((l, path) -> DeepNode(f, b, raw, red))
+                if (l == depth - 1) {
+                  deltas += ((path << 1) -> dl)
+                  deltas += (((path << 1) | 1) -> dr)
+                }
+              case None if l == 0 =>
+                // no valid root split anywhere: training is done
+                rootMissing = true
               case None =>
-                // no valid child split: one leaf at the side mean —
-                // totals from the f = 0 cells (every row appears once
-                // under every feature, so any f works; the replay
-                // reads the same f = 0 slice)
+                // no valid split for this node: one leaf at the side
+                // mean — totals from the f = 0 cells (every row appears
+                // once under every feature; the replay reads the same
+                // f = 0 slice). The whole leaf range under this node
+                // gets the delta (rows route all-left below it).
                 val f0c = sc.filter(_._2 == 0)
                 val tn = f0c.iterator.map(_._4).sum
                 val tr = f0c.iterator
                   .map(c => c._5 - c._4 * fint(c._1)).sum
                 val d = math.floor(
                   0.5 * (tr.toDouble / tn.toDouble) + 0.5).toLong
-                (None, d, d, 0.0)
+                val width = depth - l
+                for (leaf <- (path << width) until ((path + 1) << width))
+                  deltas += (leaf -> d)
             }
           }
-          val (lc, dLL, dLR, lRed) = childFor(1)
-          val (rc, dRL, dRR, rRed) = childFor(0)
-          trees :+= Tree(Node(f0, b0), lc, rc, dLL, dLR, dRL, dRR,
-            rootRed, lRed, rRed)
+        }
       }
+      if (rootMissing) exhausted = true
+      else trees :+= DeepTree(depth, splits, deltas)
     }
-    TreeModel(base, trees)
+    DeepModel(base, depth, trees)
   }
+
+  /** A depth-1 [[DeepModel]] as the stump [[Model]] — Round18Spec pins
+    * this against [[train]] bit-for-bit. */
+  def deepToModel(m: DeepModel): Model = {
+    require(m.depth == 1, s"deepToModel needs depth 1, got ${m.depth}")
+    Model(m.base, m.trees.map { t =>
+      val n = t.splits((0, 0))
+      Stump(n.f, n.b, t.deltas(0), t.deltas(1), n.gainRaw)
+    })
+  }
+
+  /** A depth-2 [[DeepModel]] as the [[TreeModel]] the serving /
+    * importance paths consume. */
+  def deepToTreeModel(m: DeepModel): TreeModel = {
+    require(m.depth == 2, s"deepToTreeModel needs depth 2, got ${m.depth}")
+    TreeModel(m.base, m.trees.map { t =>
+      val root = t.splits((0, 0))
+      def child(p: Int): Option[Node] =
+        t.splits.get((1, p)).map(n => Node(n.f, n.b))
+      Tree(Node(root.f, root.b), child(0), child(1),
+        t.deltas(0), t.deltas(1), t.deltas(2), t.deltas(3),
+        root.gainRed,
+        t.splits.get((1, 0)).map(_.gainRed).getOrElse(0.0),
+        t.splits.get((1, 1)).map(_.gainRed).getOrElse(0.0))
+    })
+  }
+
+  /** Train depth-2 boosted trees — [[trainDepth]] at depth 2: per
+    * round ONE root histogram aggregate + ONE path-conditioned child
+    * aggregate, both bounded; split search and leaf fitting on the
+    * collected cells (driver model step). A side with no valid child
+    * split keeps a single leaf at its side mean. Same η = 0.5
+    * whole-cent snapping as the stumps.
+    */
+  def trainTree(trainDf: DataFrame, rounds: Int = TreeRounds): TreeModel =
+    deepToTreeModel(trainDepth(trainDf, rounds, depth = 2))
 
   /** Train on a (checkpointed) featurized TRAIN frame. One bounded
     * histogram aggregate per round; split search and leaf fitting on

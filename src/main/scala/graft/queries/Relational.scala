@@ -585,7 +585,7 @@ object Relational {
     val m = gbtMemo.computeIfAbsent(dir, _ => {
       import graft.ops.{Checkpoints, Gbt}
       val tr = Checkpoints.checkpoint(
-        Gbt.featurize(Tables.part(spark, dir)).filter(col("is_train")))
+        Gbt.featurize(Tables.part(spark, dir), dir).filter(col("is_train")))
       try Gbt.train(tr) finally Checkpoints.release(tr)
     })
     lastGbtModel = Some((dir, m))
@@ -609,24 +609,7 @@ object Relational {
   def qGbtRegression(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Gbt
     val m = gbtTrainOrGet(spark, dir)
-    val t = Gbt.featurize(Tables.part(spark, dir))
-    val s = t.select(
-      when(col("is_train"), lit("train")).otherwise(lit("test")).as("split"),
-      col("y"), Gbt.fhatCol(m).as("fhat"))
-    val a = s.groupBy(col("split")).agg(
-      count(lit(1)).as("n"),
-      sum(col("y")).as("sy_e"),
-      sum((col("y") * col("y")).cast(DecimalType(25, 0))).as("syy_e"),
-      sum(((col("y") - col("fhat")) * (col("y") - col("fhat")))
-        .cast(DecimalType(25, 0))).as("sse_e"))
-    val nD = col("n").cast("double")
-    val syD = col("sy_e").cast("double")
-    val syyD = col("syy_e").cast("double")
-    val sseD = col("sse_e").cast("double")
-    a.select(col("split"), col("n"),
-        sqrt(sseD / nD).as("rmse"),
-        (lit(1.0) - sseD / (syyD - syD * syD / nD)).as("r2"))
-      .orderBy(col("split"))
+    scoreEval(Gbt.featurize(Tables.part(spark, dir), dir), Gbt.fhatCol(m))
   }
 
   /** GBT FEATURE IMPORTANCE (round 16 — ML_ROADMAP.md Phase 4 step 4,
@@ -679,7 +662,7 @@ object Relational {
     val m = gbtTreeMemo.computeIfAbsent(dir, _ => {
       import graft.ops.{Checkpoints, Gbt}
       val tr = Checkpoints.checkpoint(
-        Gbt.featurize(Tables.part(spark, dir)).filter(col("is_train")))
+        Gbt.featurize(Tables.part(spark, dir), dir).filter(col("is_train")))
       try Gbt.trainTree(tr) finally Checkpoints.release(tr)
     })
     lastGbtTreeModel = Some((dir, m))
@@ -743,7 +726,7 @@ object Relational {
     gbtHalfMemo.computeIfAbsent(dir, _ => {
       import graft.ops.{Checkpoints, Gbt}
       val half = Checkpoints.checkpoint(
-        Gbt.featurize(Tables.part(spark, dir))
+        Gbt.featurize(Tables.part(spark, dir), dir)
           .filter(col("is_train")).filter(expr("pk % 2 = 0")))
       try (Gbt.train(half), half.count()) finally Checkpoints.release(half)
     })
@@ -771,24 +754,11 @@ object Relational {
     val (rolled, _) = Gbt.modelFromDf(Datalake.readVersion(spark, root, "1"))
     lastRollbackModel = Some((dir, rolled))
     val nVersions = Datalake.listVersions(spark, root).length.toLong
-    val t = Gbt.featurize(Tables.part(spark, dir))
-    val s = t.select(
-      when(col("is_train"), lit("train")).otherwise(lit("test")).as("split"),
-      col("y"), Gbt.fhatCol(rolled).as("fhat"))
-    val a = s.groupBy(col("split")).agg(
-      count(lit(1)).as("n"),
-      sum(col("y")).as("sy_e"),
-      sum((col("y") * col("y")).cast(DecimalType(25, 0))).as("syy_e"),
-      sum(((col("y") - col("fhat")) * (col("y") - col("fhat")))
-        .cast(DecimalType(25, 0))).as("sse_e"))
-    val nD = col("n").cast("double")
-    val syD = col("sy_e").cast("double")
-    val syyD = col("syy_e").cast("double")
-    val sseD = col("sse_e").cast("double")
-    a.select(lit("1").as("served_version"),
+    scoreEval(Gbt.featurize(Tables.part(spark, dir), dir),
+        Gbt.fhatCol(rolled))
+      .select(lit("1").as("served_version"),
         lit(nVersions).as("n_versions"), col("split"), col("n"),
-        sqrt(sseD / nD).as("rmse"),
-        (lit(1.0) - sseD / (syyD - syD * syD / nD)).as("r2"))
+        col("rmse"), col("r2"))
       .orderBy(col("split"))
   }
 
@@ -801,24 +771,8 @@ object Relational {
     import graft.ops.Gbt
     import graft.sources.Datalake
     val (served, _) = Gbt.modelFromDf(Datalake.readPublished(spark, modelRoot))
-    val t = Gbt.featurize(Tables.part(spark, dir))
-    val s = t.select(
-      when(col("is_train"), lit("train")).otherwise(lit("test")).as("split"),
-      col("y"), Gbt.fhatCol(served).as("fhat"))
-    val a = s.groupBy(col("split")).agg(
-      count(lit(1)).as("n"),
-      sum(col("y")).as("sy_e"),
-      sum((col("y") * col("y")).cast(DecimalType(25, 0))).as("syy_e"),
-      sum(((col("y") - col("fhat")) * (col("y") - col("fhat")))
-        .cast(DecimalType(25, 0))).as("sse_e"))
-    val nD = col("n").cast("double")
-    val syD = col("sy_e").cast("double")
-    val syyD = col("syy_e").cast("double")
-    val sseD = col("sse_e").cast("double")
-    a.select(col("split"), col("n"),
-        sqrt(sseD / nD).as("rmse"),
-        (lit(1.0) - sseD / (syyD - syD * syD / nD)).as("r2"))
-      .orderBy(col("split"))
+    scoreEval(Gbt.featurize(Tables.part(spark, dir), dir),
+      Gbt.fhatCol(served))
   }
 
   /** MODEL REGISTRY — train → PUBLISH as a versioned lake artifact →
@@ -854,7 +808,7 @@ object Relational {
     val (stale, halfN) = gbtHalfTrainOrGet(spark, dir)
     Datalake.publish(Gbt.modelToDf(spark, stale, halfN), root, "1")
     // the serving job's freshness gate: stored n_train vs live count
-    val liveN = Gbt.featurize(Tables.part(spark, dir))
+    val liveN = Gbt.featurize(Tables.part(spark, dir), dir)
       .filter(col("is_train")).count()
     val (_, storedN) = Gbt.modelFromDf(Datalake.readPublished(spark, root))
     if (storedN != liveN) {
@@ -870,6 +824,162 @@ object Relational {
         lit(nVersions).as("n_versions"), lit(nStumps).as("n_stumps"),
         col("split"), col("n"), col("rmse"), col("r2"))
       .orderBy(col("split"))
+  }
+
+  /** The scoring-eval aggregate every serving row shares: per-split
+    * exact sums over (y, fhat), then the identical closed-form double
+    * RMSE/R² tree as qGbtRegression (factored in round 18 — four
+    * verbatim copies had accumulated across the registry rows).
+    */
+  private def scoreEval(t: DataFrame, fhat: Column): DataFrame = {
+    val s = t.select(
+      when(col("is_train"), lit("train")).otherwise(lit("test")).as("split"),
+      col("y"), fhat.as("fhat"))
+    val a = s.groupBy(col("split")).agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("sy_e"),
+      sum((col("y") * col("y")).cast(DecimalType(25, 0))).as("syy_e"),
+      sum(((col("y") - col("fhat")) * (col("y") - col("fhat")))
+        .cast(DecimalType(25, 0))).as("sse_e"))
+    val nD = col("n").cast("double")
+    val syD = col("sy_e").cast("double")
+    val syyD = col("syy_e").cast("double")
+    val sseD = col("sse_e").cast("double")
+    a.select(col("split"), col("n"),
+        sqrt(sseD / nD).as("rmse"),
+        (lit(1.0) - sseD / (syyD - syD * syD / nD)).as("r2"))
+      .orderBy(col("split"))
+  }
+
+  /** The "yesterday" DEPTH-2 model — trained on the even half of the
+    * train slice, memoized per sfDir (the gbtHalfMemo discipline for
+    * trees; qModelServeTree publishes it as the stale v1). */
+  private val gbtTreeHalfMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (graft.ops.Gbt.TreeModel, Long)]()
+
+  private[graft] def gbtTreeHalfTrainOrGet(spark: SparkSession,
+      dir: String): (graft.ops.Gbt.TreeModel, Long) =
+    gbtTreeHalfMemo.computeIfAbsent(dir, _ => {
+      import graft.ops.{Checkpoints, Gbt}
+      val half = Checkpoints.checkpoint(
+        Gbt.featurize(Tables.part(spark, dir), dir)
+          .filter(col("is_train")).filter(expr("pk % 2 = 0")))
+      try (Gbt.trainTree(half), half.count()) finally Checkpoints.release(half)
+    })
+
+  /** Pure store-side TREE serving step — the depth-2 twin of
+    * [[scoreFromStore]]: resolve the manifest-current tree artifact and
+    * score with it, NO training anywhere on this path (Round18Spec pins
+    * Gbt.trainCount across it).
+    */
+  private[graft] def scoreFromStoreTree(spark: SparkSession, dir: String,
+      modelRoot: String): DataFrame = {
+    import graft.ops.Gbt
+    import graft.sources.Datalake
+    val (served, _) =
+      Gbt.treeModelFromDf(Datalake.readPublished(spark, modelRoot))
+    scoreEval(Gbt.featurize(Tables.part(spark, dir), dir),
+      Gbt.fhatColTree(served))
+  }
+
+  /** Lake root of the LAST qModelServeTree publish — test hook, the
+    * [[lastModelRoot]] contract for the tree registry. */
+  @volatile private[graft] var lastTreeModelRoot: Option[String] = None
+
+  /** TREE-MODEL REGISTRY (round 18 — r17 verdict #1: the registry
+    * lifecycle could round-trip only stumps, so the BEST model class the
+    * engine trains — the depth-2 ensemble, strictly lower SSE per
+    * Round17Spec — was locked out of serve/rollback/score-on-ingest;
+    * the reference's stored Phase 3 model is a real tree ensemble,
+    * /root/reference/ML_ROADMAP.md Phase 3). The qModelServe lifecycle
+    * run ON TREES: v1 publishes the stale half-trained DEPTH-2 model via
+    * [[graft.ops.Gbt.treeModelToDf]], the freshness gate (stored n_train
+    * vs live count) fires and republishes the full depth-2 model as v2,
+    * and scoring resolves the manifest-current TREE artifact —
+    * [[scoreFromStoreTree]] never touches a trainer. The oracle is the
+    * tree-model-INLINED scoring replay (nested per-tree CASE routing)
+    * plus the version evidence: a lossy tree round trip — any node,
+    * leaf delta or child-presence flag — or a wrong manifest hash-fails.
+    * Scale: the artifact is rounds+1 rows; publish/resolve are
+    * catalog-sized; scoring is the one scan it always was.
+    */
+  def qModelServeTree(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Gbt
+    import graft.sources.Datalake
+    val root = DatalakeQueries.tempLakeRoot() + "/gbt_tree_model"
+    lastTreeModelRoot = Some(root)
+    val (stale, halfN) = gbtTreeHalfTrainOrGet(spark, dir)
+    Datalake.publish(Gbt.treeModelToDf(spark, stale, halfN), root, "1")
+    val liveN = Gbt.featurize(Tables.part(spark, dir), dir)
+      .filter(col("is_train")).count()
+    val (_, storedN) =
+      Gbt.treeModelFromDf(Datalake.readPublished(spark, root))
+    if (storedN != liveN) {
+      val fresh = gbtTreeTrainOrGet(spark, dir)
+      Datalake.publish(Gbt.treeModelToDf(spark, fresh, liveN), root, "2")
+    }
+    val nVersions = Datalake.listVersions(spark, root).length.toLong
+    val version = Datalake.currentVersion(spark, root).getOrElse("?")
+    val nTrees = Gbt.treeModelFromDf(
+      Datalake.readPublished(spark, root))._1.trees.length.toLong
+    scoreFromStoreTree(spark, dir, root)
+      .select(lit(version).as("model_version"),
+        lit(nVersions).as("n_versions"), lit(nTrees).as("n_trees"),
+        col("split"), col("n"), col("rmse"), col("r2"))
+      .orderBy(col("split"))
+  }
+
+  /** The (full, half) stump models the LAST qModelAlias served —
+    * trained-model oracle contract like [[lastGbtModel]]. */
+  @volatile private[graft] var lastAliasModels:
+    Option[(String, (graft.ops.Gbt.Model, graft.ops.Gbt.Model))] = None
+
+  private[graft] def aliasModelsConsistentWith(dir: String): Boolean =
+    lastAliasModels.forall(_._1 == dir)
+
+  /** MODEL-REGISTRY ALIAS STAGING (round 18 — r17 verdict #5:
+    * qModelRollback pins a version by NUMBER, but production registries
+    * resolve by ALIAS — champion/challenger, a "prod" tag — so
+    * promotion is a metadata swap, not a code change). Lifecycle: both
+    * model versions are published; PROMOTION points `prod` at v2 and
+    * `challenger` at v1 (two alias PUTs against the `_ALIASES` sidecar,
+    * each a whole-map atomic tmp+rename — the manifest discipline);
+    * serving resolves `prod` BY ALIAS and scores; the incident then
+    * ROLLS BACK by re-pointing `prod` at v1 — one catalog-sized PUT,
+    * no republish, no data copy — and serving re-resolves. The oracle
+    * inlines BOTH models' scoring replays under their stage literals:
+    * an alias swap that does not actually change what serves, or a
+    * resolution that ignores the re-point, hash-fails the rolled_back
+    * rows. Round18Spec pins that a dangling alias fails loudly and that
+    * re-pointing one alias leaves the others intact.
+    */
+  def qModelAlias(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Gbt
+    import graft.sources.Datalake
+    val root = DatalakeQueries.tempLakeRoot() + "/gbt_model_alias"
+    val (half, halfN) = gbtHalfTrainOrGet(spark, dir)
+    val full = gbtTrainOrGet(spark, dir)
+    lastAliasModels = Some((dir, (full, half)))
+    Datalake.publish(Gbt.modelToDf(spark, half, halfN), root, "1")
+    Datalake.publish(Gbt.modelToDf(spark, full, 0L), root, "2")
+    // promotion: prod → v2, the superseded champion stays addressable
+    Datalake.writeAlias(spark, root, "prod", "2")
+    Datalake.writeAlias(spark, root, "challenger", "1")
+    def serveProd(stage: String): DataFrame = {
+      val v = Datalake.resolveAlias(spark, root, "prod")
+      val (m, _) = Gbt.modelFromDf(Datalake.readAlias(spark, root, "prod"))
+      scoreEval(Gbt.featurize(Tables.part(spark, dir), dir), Gbt.fhatCol(m))
+        .select(lit(stage).as("stage"), lit("prod").as("alias"),
+          lit(v).as("served_version"), col("split"), col("n"),
+          col("rmse"), col("r2"))
+    }
+    val promoted = serveProd("1_promoted")
+    // the incident: rollback = ONE alias re-point, nothing republishes
+    Datalake.writeAlias(spark, root, "prod", "1")
+    val rolledBack = serveProd("2_rolled_back")
+    promoted.unionByName(rolledBack)
+      .orderBy(col("stage"), col("split"))
   }
 
   /** SPLIT-CONFORMAL PREDICTION INTERVALS (round 16 — the distribution-
@@ -893,7 +1003,7 @@ object Relational {
   def qConformalInterval(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Gbt
     val m = gbtTrainOrGet(spark, dir)
-    val scored = Gbt.featurize(Tables.part(spark, dir))
+    val scored = Gbt.featurize(Tables.part(spark, dir), dir)
       .filter(!col("is_train"))
       .select(col("pk"), col("y"), Gbt.fhatCol(m).as("fhat"))
       .withColumn("ar", abs(col("y") - col("fhat")))

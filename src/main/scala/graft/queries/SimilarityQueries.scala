@@ -171,9 +171,17 @@ object SimilarityQueries {
     */
   @volatile private[graft] var lastIvfModel: Option[(String, Array[Array[Float]])] = None
 
+  /** Centroid model the LAST qHybridServe vector leg served — same
+    * oracle-generation contract as [[lastIvfModel]] (it is the same
+    * memoized centroidsFor model; a separate cache var keeps the hybrid
+    * oracle independent of whether q_ann_ivf ran). */
+  @volatile private[graft] var lastHybridIvfModel:
+    Option[(String, Array[Array[Float]])] = None
+
   /** True iff every populated model cache was trained on `dir`. */
   private[graft] def modelsConsistentWith(dir: String): Boolean =
     (lastIvfModel.iterator.map(_._1) ++
+      lastHybridIvfModel.iterator.map(_._1) ++
       lastRetrainModel.iterator.map(_._1) ++
       lastIvfQModel.iterator.map(_._1) ++
       lastPqModel.iterator.map(_._1) ++
@@ -265,7 +273,7 @@ object SimilarityQueries {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
-  private def centroidsFor(spark: SparkSession, dir: String): Array[Array[Float]] =
+  private[graft] def centroidsFor(spark: SparkSession, dir: String): Array[Array[Float]] =
     centroidCache.computeIfAbsent(dir, _ => {
       val c = corpus(spark, dir)
       Similarity.trainCentroids(c,

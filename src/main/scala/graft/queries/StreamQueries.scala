@@ -929,7 +929,7 @@ object StreamQueries {
     Datalake.publish(Gbt.modelToDf(spark, m, 0L), modelRoot, "1")
     val (served, _) =
       Gbt.modelFromDf(Datalake.readPublished(spark, modelRoot))
-    val t = Gbt.featurize(Tables.part(spark, dir))
+    val t = Gbt.featurize(Tables.part(spark, dir), dir)
     val feed = root.resolve("feed").toString
     t.repartitionByRange(3, col("pk")).write.parquet(feed)
     val sq = StreamReplay.subSession(spark)
@@ -968,7 +968,7 @@ object StreamQueries {
     val m = Relational.gbtTrainOrGet(spark, dir)
     val root = Files.createTempDirectory("graft-gbtscore-replay")
     StreamReplay.track(root)
-    val t = Gbt.featurize(Tables.part(spark, dir))
+    val t = Gbt.featurize(Tables.part(spark, dir), dir)
     val feed = root.resolve("feed").toString
     t.repartitionByRange(3, col("pk")).write.parquet(feed)
     val sq = StreamReplay.subSession(spark)

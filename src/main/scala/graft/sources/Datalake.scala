@@ -2047,6 +2047,88 @@ object Datalake {
       if (v.nonEmpty && v.forall(_.isDigit) && v.length <= 18) v.toLong
       else 0L, v)
 
+  // ==================== version aliases ====================
+  //
+  // Staging metadata over the version protocol (round 18 — r17 verdict
+  // #5): production registries resolve artifacts by ALIAS ("prod",
+  // "champion", "challenger"), so promotion and rollback are a metadata
+  // swap — one catalog-sized PUT re-pointing the alias — never a code
+  // change or a data copy. The `_ALIASES` sidecar lives next to the
+  // MANIFEST and follows the same commit discipline: the whole alias map
+  // is rewritten to a UUID tmp file and installed with FileContext
+  // rename+OVERWRITE, so readers see the old map or the new map, never a
+  // partial file. Alias names never collide with version names (they
+  // live in a separate namespace resolved by [[resolveAlias]] only).
+
+  private val AliasFile = "_ALIASES"
+
+  private def readAliasMap(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(root, AliasFile)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      body.linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('=')
+        require(i > 0, s"Datalake: corrupt $AliasFile line '$line'")
+        (line.substring(0, i), line.substring(i + 1))
+      }.toMap
+    }
+  }
+
+  /** Atomically (re-)point `alias` at `version` — promotion, demotion
+    * and rollback are all this one call. Fails loudly when the target
+    * version has never been staged (an alias must never be born
+    * dangling); the read-modify-write keeps every OTHER alias intact.
+    */
+  def writeAlias(spark: SparkSession, tableRoot: String, alias: String,
+      version: String): Unit = {
+    require(alias.nonEmpty && !alias.contains('=') && !alias.contains('\n'),
+      s"Datalake.writeAlias: illegal alias name '$alias'")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, s"v=$version")),
+      s"Datalake.writeAlias: cannot point '$alias' at version '$version' " +
+        s"of $tableRoot — no such staged version")
+    val next = readAliasMap(fs, root) + (alias -> version)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".ALIASES.${java.util.UUID.randomUUID().toString}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toSeq.sortBy(_._1)
+      .map { case (a, v) => s"$a=$v\n" }.mkString.getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(root, AliasFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Resolve `alias` to the version it names. An unknown alias or a
+    * DANGLING one (its version directory was vacuumed away since the
+    * alias was written) fails loudly — serving silently from a wrong or
+    * missing artifact is the failure mode aliases exist to prevent.
+    */
+  def resolveAlias(spark: SparkSession, tableRoot: String,
+      alias: String): String = {
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = readAliasMap(fs, root).getOrElse(alias,
+      throw new IllegalArgumentException(
+        s"Datalake.resolveAlias: no alias '$alias' on $tableRoot"))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"v=$v")))
+      throw new IllegalStateException(
+        s"Datalake.resolveAlias: alias '$alias' of $tableRoot dangles — " +
+          s"it names version '$v' but that version directory is gone")
+    v
+  }
+
+  /** Read the version an alias currently names — the serving read of an
+    * alias-addressed registry. */
+  def readAlias(spark: SparkSession, tableRoot: String,
+      alias: String): DataFrame =
+    readVersion(spark, tableRoot, resolveAlias(spark, tableRoot, alias))
+
   /** VACUUM — version retention for the manifest protocol: delete every
     * published version directory except the newest `keepLast` and —
     * always, regardless of age — the manifest-current version (a vacuum
