@@ -85,6 +85,17 @@ object Ranking {
     * the sub-bucket pass (one extra bounded aggregate over ONLY the
     * oversized cells' rows). The default bounds any one reducer's sort
     * at ~4M rows; callers with smaller executors tune it down.
+    *
+    * RESIDUAL (documented, r17 ADVICE): the sub-split runs ONE level,
+    * so the threshold is a best-effort bound, not a hard guarantee — a
+    * heavy-hitter cell that is almost-but-not-exactly constant (dmin ≠
+    * dmax with 99% of rows on one key value) routes to the linear grid,
+    * where the repeated value lands on a single grid point and that one
+    * sub-bucket inherits the mass. Ranks stay EXACT either way (the
+    * sub-bucket is order-preserving and offsets are exact); only the
+    * per-reducer sort bound degrades, and [[lastMaxPartitionRows]]
+    * reports the realized bound after every call so a caller can detect
+    * the case and pre-split such keys upstream.
     */
   def withRank(df: DataFrame, groupCols: Seq[String], keyCol: String,
       desc: Boolean, tieCol: String, rankName: String,
@@ -208,9 +219,13 @@ object Ranking {
     val joinCond = gb.map(c => col(c) <=> col(s"__f_$c")).reduce(_ && _)
     // 0..4096 linear grid between the cell's own bounds for a spread
     // cell (monotone in the directional key); the tie's log-bucket for
-    // a constant-key cell (order within a constant key IS tie order);
-    // -1 marks rows of cells below the threshold
-    val sub = when(col("__dmin").isNull, lit(-1L))
+    // a constant-key cell (order within a constant key IS tie order).
+    // Long.MinValue marks rows of cells below the threshold — it must be
+    // a value NEITHER sub-scheme can emit (r17 ADVICE: -1 IS reachable —
+    // monotoneBucket maps a tie value in [2^(-1/32), 1) to -1, so a
+    // constant-key cell with such ties would silently drop its rows from
+    // counts2 and die on the misleading "snapshot changed" error)
+    val sub = when(col("__dmin").isNull, lit(Long.MinValue))
       .when(col("__dmin") === col("__dmax"),
         monotoneBucket(col(tieCol).cast("double")))
       .otherwise(floor((dCol - col("__dmin")) /
@@ -220,7 +235,7 @@ object Ranking {
       .drop((gb.map(c => s"__f_$c") :+ "__dmin" :+ "__dmax"): _*)
     val gb2 = gb :+ "__rb2"
     // the extra bounded aggregate: only the oversized cells' rows
-    val counts2 = keyed2.filter(col("__rb2") =!= -1L)
+    val counts2 = keyed2.filter(col("__rb2") =!= Long.MinValue)
       .groupBy(gb2.map(col): _*).agg(count(lit(1)).as("__rc"))
       .collect()
     val sub2 = counts2.groupBy(r =>
@@ -254,7 +269,7 @@ object Ranking {
                 Row.fromSeq(g ++ Seq(rb, c.getAs[Long]("__rb2"), o2, total))
               }
             case None =>
-              Seq(Row.fromSeq(g ++ Seq(rb, -1L, off, total)))
+              Seq(Row.fromSeq(g ++ Seq(rb, Long.MinValue, off, total)))
           }
         }
       }.toSeq

@@ -831,7 +831,7 @@ object Relational {
     * RMSE/R² tree as qGbtRegression (factored in round 18 — four
     * verbatim copies had accumulated across the registry rows).
     */
-  private def scoreEval(t: DataFrame, fhat: Column): DataFrame = {
+  private[graft] def scoreEval(t: DataFrame, fhat: Column): DataFrame = {
     val s = t.select(
       when(col("is_train"), lit("train")).otherwise(lit("test")).as("split"),
       col("y"), fhat.as("fhat"))
