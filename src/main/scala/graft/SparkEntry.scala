@@ -249,6 +249,7 @@ object SparkEntry {
     "q_evolve_delete" -> (DatalakeQueries.qEvolveDelete _),
     "q_model_rollback" -> (Relational.qModelRollback _),
     "q_model_serve_tree" -> (Relational.qModelServeTree _),
+    "q_gbt_depth3" -> (Relational.qGbtDepth3 _),
     "q_model_alias" -> (Relational.qModelAlias _),
     "q_hybrid_serve" -> (TextQueries.qHybridServe _),
   )
@@ -1073,6 +1074,10 @@ object SparkEntry {
       // node, child flag or leaf delta hash-fails the scores
       graft.queries.Relational.lastGbtTreeModel
         .map { case (_, m) => "q_model_serve_tree" -> treeServeOracle(m) } ++
+      // depth-3 scoring replay from the generic trainer's model — any
+      // routing or leaf-delta defect at any level hash-fails
+      graft.queries.Relational.lastDeepModel
+        .map { case (_, m) => "q_gbt_depth3" -> deepScoreOracle(m) } ++
       // alias staging: promoted rows score with the full model (prod →
       // v2), rolled-back rows with the half model (prod re-pointed at
       // v1) — an alias swap that doesn't change what serves hash-fails
@@ -4901,6 +4906,42 @@ object SparkEntry {
        |    SUM(CAST((y - fhat) * (y - fhat) AS DECIMAL(25,0))) AS sse
        |  FROM s GROUP BY split)
        |SELECT '2' AS model_version, CAST(2 AS BIGINT) AS n_versions,
+       |  CAST(${m.trees.length} AS BIGINT) AS n_trees, split, n,
+       |  sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse,
+       |  CAST(1 AS DOUBLE) - CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE)
+       |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+       |    AS r2
+       |FROM a ORDER BY split""".stripMargin
+  }
+
+  /** The generic depth-d model's scoring expression — the recursive
+    * nested CASE mirroring Gbt.fhatColDeep token for token. */
+  private def deepFhatSql(m: graft.ops.Gbt.DeepModel): String = {
+    import graft.ops.Gbt
+    s"${m.base}" + m.trees.map { t =>
+      def route(l: Int, p: Int): String =
+        t.splits.get((l, p)) match {
+          case Some(n) if l < m.depth =>
+            s"CASE WHEN ${Gbt.BinCols(n.f)} <= ${n.b} " +
+              s"THEN ${route(l + 1, p << 1)} " +
+              s"ELSE ${route(l + 1, (p << 1) | 1)} END"
+          case _ => s"${t.deltas(p << (m.depth - l))}"
+        }
+      s" + ${route(0, 0)}"
+    }.mkString
+  }
+
+  /** q_gbt_depth3 oracle: the depth-3 model-inlined scoring replay with
+    * the depth/n_trees evidence literals. */
+  private def deepScoreOracle(m: graft.ops.Gbt.DeepModel): String = {
+    val fhat = deepFhatSql(m)
+    s"""WITH $gbtTCte,
+       |s AS (SELECT split, y, ($fhat) AS fhat FROM t),
+       |a AS (SELECT split, COUNT(*) AS n, SUM(y) AS sy,
+       |    SUM(CAST(y * y AS DECIMAL(25,0))) AS syy,
+       |    SUM(CAST((y - fhat) * (y - fhat) AS DECIMAL(25,0))) AS sse
+       |  FROM s GROUP BY split)
+       |SELECT CAST(${m.depth} AS BIGINT) AS depth,
        |  CAST(${m.trees.length} AS BIGINT) AS n_trees, split, n,
        |  sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) AS rmse,
        |  CAST(1 AS DOUBLE) - CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE)

@@ -65,7 +65,8 @@ object Verify {
         !graft.queries.Relational.gbtModelConsistentWith(sfDir) ||
         !graft.queries.Relational.gbtTreeModelConsistentWith(sfDir) ||
         !graft.queries.Relational.rollbackModelConsistentWith(sfDir) ||
-        !graft.queries.Relational.aliasModelsConsistentWith(sfDir))
+        !graft.queries.Relational.aliasModelsConsistentWith(sfDir) ||
+        !graft.queries.Relational.deepModelConsistentWith(sfDir))
       failed += "_model_dir_mismatch"
     // machine-readable failure marker: the exit code stays 0 (the driver's
     // contract), so tooling (scripts/gate.sh) reads this file instead of

@@ -554,6 +554,24 @@ object Gbt {
     DeepModel(base, depth, trees)
   }
 
+  /** Deep-model scoring column: base + per-tree routed leaf delta via
+    * the recursive nested CASE (route left/right at each recorded
+    * split; a node with no split serves its filled leaf delta
+    * unconditionally) — the depth-d generalization of [[fhatColTree]],
+    * mirrored token for token by the generated oracle's SQL.
+    */
+  def fhatColDeep(m: DeepModel): Column =
+    m.trees.foldLeft(lit(m.base): Column) { (acc, t) =>
+      def route(l: Int, p: Int): Column =
+        t.splits.get((l, p)) match {
+          case Some(n) if l < m.depth =>
+            when(col(BinCols(n.f)) <= n.b, route(l + 1, p << 1))
+              .otherwise(route(l + 1, (p << 1) | 1))
+          case _ => lit(t.deltas(p << (m.depth - l)))
+        }
+      acc + route(0, 0)
+    }
+
   /** A depth-1 [[DeepModel]] as the stump [[Model]] — Round18Spec pins
     * this against [[train]] bit-for-bit. */
   def deepToModel(m: DeepModel): Model = {
