@@ -48,46 +48,76 @@ object Components {
     // truncates the logical plan each round; ops.Checkpoints picks
     // executor-local (fast, lineage-unsafe under executor loss) or
     // lake-backed reliable mode per spark.graft.checkpointDir.
+    //
+    // Action floor (r18 optimization — the bfsDistances discipline applied
+    // here): each round pays exactly ONE Spark job. The convergence
+    // witness — Σ component, exact decimal so a double sum cannot miss a
+    // small change in a huge total and stop early with wrong components —
+    // is an `observe`d metric harvested from the SAME action that
+    // materializes the round's checkpoint, replacing the separate
+    // witness aggregate job every round paid before. And the loop runs
+    // with AQE OFF (the pageRank/bfs argument: every round's stage shape
+    // is KNOWN — checkpointed edge table ⋈ node-sized labels → groupBy-min
+    // — so adaptive re-planning cannot improve it, only fragment each tiny
+    // round into extra per-stage jobs whose fixed driver cost dominates;
+    // shuffle_hash hints keep the static planner off SMJ since a
+    // checkpointed frame reports no size statistics). Measured at sf0.1:
+    // q_dedup_clusters 77 → ~40 jobs, and the fixpoint consumers
+    // (q_stream_clusters at 180 jobs, q_dedup_clusters_incremental at
+    // 123) drop proportionally. Construction (sym + initial labels) stays
+    // under AQE — the CALLER's pair derivation (e.g. an LSH bucket join)
+    // needs runtime broadcast planning.
+    val spark = nodes.sparkSession
     val sym = Checkpoints.checkpoint(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
+    val wSum = sum(col("component").cast(DecimalType(38, 0))).as("w")
+    val obs0 = org.apache.spark.sql.Observation()
     var labels = Checkpoints.checkpoint(
-      nodes.select(col("id"), col("id").cast("long").as("component")))
-    // Convergence witness: labels only ever decrease, so Σ component is
-    // strictly monotone until the fixpoint. Exact decimal sum — a double
-    // sum could miss a small change in a huge total, silently stopping
-    // early with wrong components.
-    def witness(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast(DecimalType(38, 0)))).head()
-        .getDecimal(0)
-    var prev = witness(labels)
+      nodes.select(col("id"), col("id").cast("long").as("component"))
+        .observe(obs0, wSum))
+    var prev = obs0.get("w").asInstanceOf[java.math.BigDecimal]
     if (prev == null) { // empty vertex set: sum() is NULL — already done
       Checkpoints.release(sym)
       return labels
     }
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrior = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
     var it = 0
     var converged = false
-    while (!converged && it < maxIters) {
-      val nbr = sym.as("e").join(labels.as("l"), col("e.dst") === col("l.id"))
-        .select(col("e.src").as("id"), col("l.component").as("component"))
-      // pointer jumping: each node also adopts its label's label — chain
-      // depth halves per round, so rounds = O(log diameter) instead of
-      // O(diameter) (the Shiloach-Vishkin shortcut; a path graph would
-      // otherwise need diameter rounds)
-      val jump = labels.as("x").join(labels.as("y"),
-          col("x.component") === col("y.id"))
-        .select(col("x.id").as("id"), col("y.component").as("component"))
-      val next = Checkpoints.checkpoint(
-        labels.unionByName(nbr).unionByName(jump)
-          .groupBy("id").agg(min("component").as("component")))
-      val cur = witness(next)
-      Checkpoints.release(labels)
-      labels = next
-      converged = cur.compareTo(prev) == 0
-      prev = cur
-      it += 1
+    try {
+      while (!converged && it < maxIters) {
+        val nbr = sym.as("e").join(labels.as("l").hint("shuffle_hash"),
+            col("e.dst") === col("l.id"))
+          .select(col("e.src").as("id"), col("l.component").as("component"))
+        // pointer jumping: each node also adopts its label's label — chain
+        // depth halves per round, so rounds = O(log diameter) instead of
+        // O(diameter) (the Shiloach-Vishkin shortcut; a path graph would
+        // otherwise need diameter rounds)
+        val jump = labels.as("x").join(labels.as("y").hint("shuffle_hash"),
+            col("x.component") === col("y.id"))
+          .select(col("x.id").as("id"), col("y.component").as("component"))
+        val obs = org.apache.spark.sql.Observation()
+        val next = Checkpoints.checkpoint(
+          labels.unionByName(nbr).unionByName(jump)
+            .groupBy("id").agg(min("component").as("component"))
+            .observe(obs, wSum))
+        // harvested from the checkpoint's own action — no second job
+        val cur = obs.get("w").asInstanceOf[java.math.BigDecimal]
+        Checkpoints.release(labels)
+        labels = next
+        converged = cur.compareTo(prev) == 0
+        prev = cur
+        it += 1
+      }
+    } finally {
+      Checkpoints.release(sym)
+      aqePrior match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
     }
-    Checkpoints.release(sym)
     require(converged,
       s"connectedComponents: not converged after $maxIters iterations — " +
         "graph diameter exceeds the cap; raise maxIters or switch to " +

@@ -32,6 +32,20 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's DEFAULT stream cache is DISK-backed: every read/write wraps
+  // its stream in a FileCache{Input,Output}Stream — one temp-file create +
+  // write + delete PER CODEC CALL, even when the source/sink is already an
+  // in-memory byte array (every call site here). Single-threaded that is a
+  // hidden constant tax; under the spread decode scan it is a scalability
+  // collapse — File.createTempFile funnels 32 decode threads through one
+  // synchronized random-name generator and the filesystem (measured at
+  // sf0.1: the 32-way q_video_frames decode ran 3.4× SLOWER than the
+  // 1-task plan, load ~29, all contention). Memory-backed caching is
+  // strictly right for byte-array media and is set ONCE per JVM here —
+  // object init runs on any executor before the first codec call, since
+  // every kernel below is a method of this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val featureDim = 8
 
   val decodedSchema: StructType = StructType(Seq(
@@ -164,7 +178,7 @@ object Multimodal {
       frameBytes: Int = 64, everyN: Int = 2): DataFrame = {
     require(everyN > 0)
     val enc = RowEncoder.encoderFor(videoFrameSchema)
-    df.select(col(idCol).cast("long"), col("payload"))
+    Spread.cpuBound(df.select(col(idCol).cast("long"), col("payload")))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
@@ -286,7 +300,7 @@ object Multimodal {
     */
   def pngRoundTripStats(df: DataFrame, idCol: String, width: Int = 32): DataFrame = {
     val enc = RowEncoder.encoderFor(imageStatsSchema)
-    df.select(col(idCol).cast("long"), col("payload"))
+    Spread.cpuBound(df.select(col(idCol).cast("long"), col("payload")))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -331,7 +345,7 @@ object Multimodal {
       StructField("doc_id", LongType, nullable = false),
       StructField("ahash", LongType, nullable = false)))
     val enc = RowEncoder.encoderFor(schema)
-    df.select(col(idCol).cast("long"), col("payload"))
+    Spread.cpuBound(df.select(col(idCol).cast("long"), col("payload")))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -403,6 +417,10 @@ object Multimodal {
     */
   def wavRoundTripStats(df: DataFrame, idCol: String): DataFrame = {
     val enc = RowEncoder.encoderFor(audioStatsSchema)
+    // NOT spread (measured r18): AudioSystem.getAudioInputStream funnels
+    // every call through the synchronized provider registry, so a 32-way
+    // decode scan CONTENDS (0.83s 1-task → 3.1s spread at sf0.1); the PCM
+    // parse itself is cheap enough that the narrow scan wins.
     df.select(col(idCol).cast("long"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -467,7 +485,7 @@ object Multimodal {
     */
   def decodeFeatures(df: DataFrame, idCol: String): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
-    df.select(col(idCol).cast("long"), col("payload"))
+    Spread.cpuBound(df.select(col(idCol).cast("long"), col("payload")))
       .mapPartitions { rows =>
         // codec instances are JVM-static (ImageIO registry) — the
         // per-partition init a heavier codec would need goes here
@@ -588,7 +606,7 @@ object Multimodal {
   def thumbnailStats(df: DataFrame, idCol: String, width: Int = 32,
       factor: Int = 2): DataFrame = {
     val enc = RowEncoder.encoderFor(thumbnailSchema)
-    df.select(col(idCol).cast("long"), col("payload"))
+    Spread.cpuBound(df.select(col(idCol).cast("long"), col("payload")))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -637,6 +655,9 @@ object Multimodal {
       frameBytes: Int = 1024): DataFrame = {
     require(everyN > 0 && frameBytes > 0)
     val enc = RowEncoder.encoderFor(frameSchema)
+    // NOT spread (measured r18): the kernel is pure array slicing — the
+    // round-robin exchange of the payload bytes costs more than the scan
+    // (0.19s 1-task → 0.67s spread at sf0.1). Codec-free paths stay narrow.
     df.select(col(idCol).cast("long"), col("payload"))
       .mapPartitions { rows =>
         rows.flatMap { r =>

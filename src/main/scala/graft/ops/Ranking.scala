@@ -160,6 +160,92 @@ object Ranking {
     }
   }
 
+  /** One dimension of [[withRanks]]: rank `keyCol` (ascending unless
+    * `desc`) into `rankName`, with the frame's row count in `nName`.
+    */
+  final case class RankDim(keyCol: String, desc: Boolean,
+      rankName: String, nName: String)
+
+  /** UNGROUPED multi-dimension form of [[withRank]] (r18 optimization —
+    * action-floor): rank the SAME frame independently along several key
+    * columns with ONE bounded count pass and ONE chained consumer plan,
+    * instead of a checkpoint + collect + window job chain PER dimension.
+    * The per-dimension arithmetic is [[withRank]]'s exactly — the same
+    * monotone log-bucket, the same driver prefix sums, the same
+    * (key, tie) window within each bucket — so every rank value is
+    * bit-identical to the sequential calls (Round18Spec pins it); only
+    * the job count changes (q_rfm_segmentation: 22 jobs → ~6 at sf0.1,
+    * three full-frame checkpoints → one). Degenerate skew in ANY
+    * dimension falls back to the sequential [[withRank]] chain, whose
+    * sub-bucket machinery handles the split.
+    */
+  def withRanks(df: DataFrame, dims: Seq[RankDim], tieCol: String,
+      skewThreshold: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(dims.nonEmpty, "withRanks: need at least one dimension")
+    require(skewThreshold > 0, "skewThreshold must be positive")
+    val keyed = dims.zipWithIndex.foldLeft(df) { case (d, (dim, i)) =>
+      val dir = col(dim.keyCol).cast("double")
+      d.withColumn(s"__rb_$i", monotoneBucket(if (dim.desc) -dir else dir))
+    }
+    // ONE bounded count pass over all dimensions: explode each row into
+    // its (dim, bucket) memberships — ≤ dims × ~4100 cells collected
+    val cntRows = keyed.select(explode(array(dims.indices.map(i =>
+        struct(lit(i).as("d"), col(s"__rb_$i").as("rb"))): _*)).as("p"))
+      .groupBy(col("p.d").as("d"), col("p.rb").as("rb"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    if (cntRows.exists(_.getAs[Long]("c") > skewThreshold)) {
+      // sequential fallback, checkpointing between dims like the fused
+      // path's single plan makes unnecessary — identical output
+      var cur = df
+      var done = List.empty[DataFrame]
+      dims.foreach { dim =>
+        val r = Checkpoints.checkpoint(withRank(cur, Nil, dim.keyCol,
+          dim.desc, tieCol, dim.rankName, dim.nName, skewThreshold))
+        done = r :: done
+        cur = r
+      }
+      // the tail checkpoint stays persisted (the caller reads it lazily)
+      done.tail.foreach(Checkpoints.release)
+      return cur
+    }
+    lastMaxPartitionRows =
+      if (cntRows.isEmpty) 0L
+      else cntRows.iterator.map(_.getAs[Long]("c")).max
+    var out = keyed
+    dims.zipWithIndex.foreach { case (dim, i) =>
+      val rows = cntRows.filter(_.getAs[Int]("d") == i)
+        .sortBy(_.getAs[Long]("rb"))
+      val total = rows.iterator.map(_.getAs[Long]("c")).sum
+      var acc = 0L
+      val offRows = rows.map { r =>
+        val off = acc
+        acc += r.getAs[Long]("c")
+        Row(r.getAs[Long]("rb"), off, total)
+      }.toSeq
+      val offSchema = StructType(Seq(
+        StructField(s"__ob_$i", LongType, nullable = false),
+        StructField(s"__roff_$i", LongType, nullable = false),
+        StructField(dim.nName, LongType, nullable = false)))
+      val offs = df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.parallelize(offRows, 1), offSchema)
+      val w = Window.partitionBy(col(s"__rb_$i"))
+        .orderBy((if (dim.desc) col(dim.keyCol).desc
+          else col(dim.keyCol).asc) :: col(tieCol).asc :: Nil: _*)
+      out = out
+        .join(broadcast(offs), col(s"__rb_$i") <=> col(s"__ob_$i"), "left")
+        .withColumn(dim.rankName,
+          when(col(s"__roff_$i").isNull, raise_error(lit(
+            "Ranking.withRanks: bucket unseen by the count pass — the " +
+              "input snapshot changed between phases")))
+            .otherwise(col(s"__roff_$i")) + row_number().over(w))
+        .drop(s"__ob_$i", s"__roff_$i")
+    }
+    out.drop(dims.indices.map(i => s"__rb_$i"): _*)
+  }
+
   /** The skew path: oversized (group, bucket) cells get a second-level
     * bucket id before the window. Two extra bounded aggregates over ONLY
     * the oversized cells' rows (their directional min/max, then the

@@ -334,7 +334,12 @@ object Similarity {
         "all-pairs scan is O(n²) and cannot run at scale. Use " +
         "hyperplaneLshPairs or clusteredNearDupPairs (bucketed, " +
         "approximate), or raise maxRows deliberately for a bounded backfill.")
-    val a = corpus.select(col("id").as("id_a"), col("emb").as("emb_a"))
+    // the PROBE side carries the O(n²) cosine work inside its scan stage —
+    // spread it when the input is narrower than the box (opt guide §2.5;
+    // an unsplittable single-file corpus otherwise serializes every pair
+    // evaluation onto one core). The broadcast side stays narrow.
+    val a = Spread.cpuBound(
+      corpus.select(col("id").as("id_a"), col("emb").as("emb_a")))
     val b = corpus.select(col("id").as("id_b"), col("emb").as("emb_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .filter(cosineSim(col("emb_a"), col("emb_b")) >= tau)

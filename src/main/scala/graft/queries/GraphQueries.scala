@@ -156,28 +156,49 @@ object GraphQueries {
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select(col("u"), col("v"))
+    // Action floor (r18 optimization — the bfsDistances discipline): each
+    // peel round pays exactly ONE job — the survivor count rides the
+    // round's checkpoint action as an `observe`d metric instead of a
+    // separate count() job, and the loop runs AQE-off (every round's
+    // stage shape is KNOWN: checkpointed edges → degree agg → two keyed
+    // semi-joins — adaptive re-planning can only fragment it into extra
+    // per-stage jobs). Construction stays under AQE for the scan-side
+    // broadcast planning, materialized by the count below.
     var edges = Checkpoints.checkpoint(und)
     var nEdges = edges.count()
     var converged = false
     var rounds = 0
-    while (rounds < 16 && !converged) {
-      rounds += 1
-      val deg = edges.select(col("u").as("n"))
-        .unionAll(edges.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select(col("n"))
-      val pruned = edges
-        .join(keep.withColumnRenamed("n", "u").hint("shuffle_hash"),
-          Seq("u"), "leftsemi")
-        .join(keep.withColumnRenamed("n", "v").hint("shuffle_hash"),
-          Seq("v"), "leftsemi")
-        .select(col("u"), col("v"))
-      val next = Checkpoints.checkpoint(pruned)
-      val nNext = next.count()
-      Checkpoints.release(edges)
-      edges = next
-      converged = nNext == nEdges
-      nEdges = nNext
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrior = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      while (rounds < 16 && !converged) {
+        rounds += 1
+        val deg = edges.select(col("u").as("n"))
+          .unionAll(edges.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        val keep = deg.filter(col("d") >= k).select(col("n"))
+        val pruned = edges
+          .join(keep.withColumnRenamed("n", "u").hint("shuffle_hash"),
+            Seq("u"), "leftsemi")
+          .join(keep.withColumnRenamed("n", "v").hint("shuffle_hash"),
+            Seq("v"), "leftsemi")
+          .select(col("u"), col("v"))
+        val obs = org.apache.spark.sql.Observation()
+        val next = Checkpoints.checkpoint(
+          pruned.observe(obs, count(lit(1)).as("n")))
+        // harvested from the checkpoint's own action — no second job
+        val nNext = obs.get("n").asInstanceOf[Long]
+        Checkpoints.release(edges)
+        edges = next
+        converged = nNext == nEdges
+        nEdges = nNext
+      }
+    } finally {
+      aqePrior match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
     }
     if (!converged) {
       // release the tail checkpoint before dying — without this the

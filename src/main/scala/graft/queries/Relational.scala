@@ -33,7 +33,7 @@ object Relational {
     * (SURVEY §4: DOUBLE/BIGINT/VARCHAR/TIMESTAMP outputs only).
     */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
+    val l = graft.ops.Spread.cpuBound(Tables.lineitem(spark, dir))
     l.filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -2045,21 +2045,23 @@ object Relational {
           .cast("long").as("r_days"),
         count(lit(1)).as("f_orders"),
         decSum2(col("o_totalprice")).cast("double").as("m_total"))
+    // ONE checkpoint + ONE fused three-dimension rank pass (r18
+    // optimization): the sequential form paid a checkpoint + bounded
+    // collect + window job chain PER dimension (22 jobs at sf0.1); the
+    // fused withRanks counts all three dimensions in one bounded pass
+    // and chains the three bucket windows in one consumer plan (~6
+    // jobs), with bit-identical ranks (Round18Spec pins the
+    // equivalence). cp0 (the tail checkpoint) is deliberately NOT
+    // released: the returned frame reads it lazily and an eager release
+    // would drop its blocks before the caller consumes them — they live
+    // until ContextCleaner collects the unreferenced frame (r16 ADVICE
+    // note).
     val cp0 = Checkpoints.checkpoint(rfm)
-    val r1 = Checkpoints.checkpoint(Ranking.withRank(cp0, Nil, "r_days",
-      desc = false, tieCol = "o_custkey", rankName = "__rk_r",
-      nName = "__n"))
-    Checkpoints.release(cp0)
-    val r2 = Checkpoints.checkpoint(Ranking.withRank(r1, Nil, "f_orders",
-      desc = true, tieCol = "o_custkey", rankName = "__rk_f",
-      nName = "__n2"))
-    Checkpoints.release(r1)
-    // r2 (the tail checkpoint) is deliberately NOT released: the
-    // returned frame reads it lazily and an eager release would drop
-    // its blocks before the caller consumes them — they live until
-    // ContextCleaner collects the unreferenced frame (r16 ADVICE note)
-    Ranking.withRank(r2, Nil, "m_total", desc = true,
-        tieCol = "o_custkey", rankName = "__rk_m", nName = "__n3")
+    Ranking.withRanks(cp0, Seq(
+        Ranking.RankDim("r_days", desc = false, "__rk_r", "__n"),
+        Ranking.RankDim("f_orders", desc = true, "__rk_f", "__n2"),
+        Ranking.RankDim("m_total", desc = true, "__rk_m", "__n3")),
+      tieCol = "o_custkey")
       .select(col("o_custkey"), col("r_days"), col("f_orders"),
         col("m_total"),
         Ranking.ntileOf(col("__rk_r"), col("__n"), 5).as("r_q"),

@@ -878,7 +878,7 @@ object SimilarityQueries {
     * DuckDB rebuilds the md5-lane signatures and joins on band slices.
     */
   def qMinhashNearDup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(Tables.documents(spark, dir),
+    Dedup.minhashLshPairs(graft.ops.Spread.cpuBound(Tables.documents(spark, dir)),
         col("doc_id"), col("text"))
       .orderBy(col("doc_a"), col("doc_b"))
 
@@ -954,7 +954,7 @@ object SimilarityQueries {
   /** Inverted-index word-3gram Jaccard pairs on documents (exact SQL
     * oracle: DuckDB computes the same Jaccard over distinct shingles). */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
+    Dedup.ngramJaccardPairs(graft.ops.Spread.cpuBound(Tables.documents(spark, dir)),
         col("doc_id"), col("text"), minJaccard = 0.03)
       .select(col("doc_a"), col("doc_b"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -985,7 +985,7 @@ object SimilarityQueries {
     * neighborhood argument's completeness on every round.
     */
   def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.FuzzyJoin.edit1Pairs(Tables.customer(spark, dir),
+    graft.ops.FuzzyJoin.edit1Pairs(graft.ops.Spread.cpuBound(Tables.customer(spark, dir)),
         col("c_custkey"), col("c_name"))
       .orderBy(col("id1"), col("id2"))
 

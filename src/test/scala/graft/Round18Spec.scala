@@ -189,4 +189,38 @@ class Round18Spec extends SparkSpecBase {
       s"max window partition ${Ranking.lastMaxPartitionRows} must stay " +
         "bounded by the threshold after the tie sub-split")
   }
+
+  test("withRanks (fused multi-dim) == sequential withRank per dimension") {
+    // r18 optimization pin: the one-count-pass fused path must make the
+    // IDENTICAL rank assignments as chaining withRank per dimension —
+    // including on keys with ties (broken by tieCol), negatives and zero
+    // (all three monotoneBucket ranges), and a descending dimension.
+    val df = spark.range(0, 500)
+      .select(col("id"),
+        (col("id") % 7).cast("double").as("a"),
+        (lit(250.0) - col("id").cast("double")).as("b"),
+        when(col("id") % 3 === 0, -col("id").cast("double"))
+          .otherwise(col("id").cast("double") / 10.0).as("c"))
+    val dims = Seq(
+      Ranking.RankDim("a", desc = false, "rk_a", "n_a"),
+      Ranking.RankDim("b", desc = true, "rk_b", "n_b"),
+      Ranking.RankDim("c", desc = false, "rk_c", "n_c"))
+    val fused = Ranking.withRanks(df, dims, tieCol = "id")
+      .select("id", "rk_a", "n_a", "rk_b", "n_b", "rk_c", "n_c")
+      .orderBy("id").collect().map(_.toString).toSeq
+    val seq0 = dims.foldLeft(df) { (d, dim) =>
+      Ranking.withRank(d, Nil, dim.keyCol, dim.desc, tieCol = "id",
+        rankName = dim.rankName, nName = dim.nName)
+    }.select("id", "rk_a", "n_a", "rk_b", "n_b", "rk_c", "n_c")
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(fused === seq0,
+      "fused multi-dimension ranks must equal the sequential two-phase " +
+        "ranks bit-for-bit")
+    // the skew fallback routes through the sequential path — same output
+    val fb = Ranking.withRanks(df, dims, tieCol = "id",
+        skewThreshold = 50)
+      .select("id", "rk_a", "n_a", "rk_b", "n_b", "rk_c", "n_c")
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(fb === seq0, "the skew fallback must stay output-identical")
+  }
 }
