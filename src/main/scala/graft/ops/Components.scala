@@ -55,68 +55,79 @@ object Components {
     // small change in a huge total and stop early with wrong components —
     // is an `observe`d metric harvested from the SAME action that
     // materializes the round's checkpoint, replacing the separate
-    // witness aggregate job every round paid before. And the loop runs
-    // with AQE OFF (the pageRank/bfs argument: every round's stage shape
-    // is KNOWN — checkpointed edge table ⋈ node-sized labels → groupBy-min
-    // — so adaptive re-planning cannot improve it, only fragment each tiny
+    // witness aggregate job every round paid before. The loop runs under
+    // ops.Fixpoint's scope: AQE off (every round's stage shape is KNOWN —
+    // checkpointed edge table ⋈ node-sized labels → groupBy-min — so
+    // adaptive re-planning cannot improve it, only fragment each tiny
     // round into extra per-stage jobs whose fixed driver cost dominates;
     // shuffle_hash hints keep the static planner off SMJ since a
-    // checkpointed frame reports no size statistics). Measured at sf0.1:
-    // q_dedup_clusters 77 → ~40 jobs, and the fixpoint consumers
-    // (q_stream_clusters at 180 jobs, q_dedup_clusters_incremental at
-    // 123) drop proportionally. Construction (sym + initial labels) stays
-    // under AQE — the CALLER's pair derivation (e.g. an LSH bucket join)
-    // needs runtime broadcast planning.
+    // checkpointed frame reports no size statistics) and the shuffle
+    // width DERIVED from the loop's own row mass (r19, guide §2 — the
+    // observed |sym| + |nodes| counts ride the construction checkpoints,
+    // zero extra jobs), so a node-sized loop stops paying cluster-width
+    // empty-task overhead per stage per round. The edge table is
+    // re-checkpointed ONCE hash-partitioned by the loop's join key at
+    // that width: every round's nbr join then reuses sym's partitioning
+    // and only the node-sized labels move — the AQE-built sym0 checkpoint
+    // carried no usable partitioning, so each round re-exchanged all
+    // 2|E| edge rows. Construction (sym0 + initial labels) stays under
+    // AQE — the CALLER's pair derivation (e.g. an LSH bucket join) needs
+    // runtime broadcast planning.
     val spark = nodes.sparkSession
-    val sym = Checkpoints.checkpoint(edges.select(col("src"), col("dst"))
+    val obsSym = org.apache.spark.sql.Observation()
+    val sym0 = Checkpoints.checkpoint(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
+      .distinct()
+      .observe(obsSym, count(lit(1)).as("n")))
+    val nSym = obsSym.get("n").asInstanceOf[Long]
     val wSum = sum(col("component").cast(DecimalType(38, 0))).as("w")
     val obs0 = org.apache.spark.sql.Observation()
     var labels = Checkpoints.checkpoint(
       nodes.select(col("id"), col("id").cast("long").as("component"))
-        .observe(obs0, wSum))
+        .observe(obs0, wSum, count(lit(1)).as("n")))
     var prev = obs0.get("w").asInstanceOf[java.math.BigDecimal]
     if (prev == null) { // empty vertex set: sum() is NULL — already done
-      Checkpoints.release(sym)
+      Checkpoints.release(sym0)
       return labels
     }
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrior = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
+    val nNodes = obs0.get("n").asInstanceOf[Long]
+    val width = Fixpoint.widthFor(spark, nSym + nNodes)
     var it = 0
     var converged = false
-    try {
-      while (!converged && it < maxIters) {
-        val nbr = sym.as("e").join(labels.as("l").hint("shuffle_hash"),
-            col("e.dst") === col("l.id"))
-          .select(col("e.src").as("id"), col("l.component").as("component"))
-        // pointer jumping: each node also adopts its label's label — chain
-        // depth halves per round, so rounds = O(log diameter) instead of
-        // O(diameter) (the Shiloach-Vishkin shortcut; a path graph would
-        // otherwise need diameter rounds)
-        val jump = labels.as("x").join(labels.as("y").hint("shuffle_hash"),
-            col("x.component") === col("y.id"))
-          .select(col("x.id").as("id"), col("y.component").as("component"))
-        val obs = org.apache.spark.sql.Observation()
-        val next = Checkpoints.checkpoint(
-          labels.unionByName(nbr).unionByName(jump)
-            .groupBy("id").agg(min("component").as("component"))
-            .observe(obs, wSum))
-        // harvested from the checkpoint's own action — no second job
-        val cur = obs.get("w").asInstanceOf[java.math.BigDecimal]
-        Checkpoints.release(labels)
-        labels = next
-        converged = cur.compareTo(prev) == 0
-        prev = cur
-        it += 1
-      }
-    } finally {
-      Checkpoints.release(sym)
-      aqePrior match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
-      }
+    Fixpoint.withLoopConf(spark, width) {
+      // one bounded re-shuffle of the symmetrized edges, paid once,
+      // replacing a 2|E| exchange per round (explicit partition count:
+      // an eager checkpoint preserves the plan's output partitioning, so
+      // the loop join below sees HashPartitioning(dst, width) and leaves
+      // this side in place)
+      val sym = Checkpoints.checkpoint(sym0.repartition(width, col("dst")))
+      Checkpoints.release(sym0)
+      try {
+        while (!converged && it < maxIters) {
+          val nbr = sym.as("e").join(labels.as("l").hint("shuffle_hash"),
+              col("e.dst") === col("l.id"))
+            .select(col("e.src").as("id"), col("l.component").as("component"))
+          // pointer jumping: each node also adopts its label's label — chain
+          // depth halves per round, so rounds = O(log diameter) instead of
+          // O(diameter) (the Shiloach-Vishkin shortcut; a path graph would
+          // otherwise need diameter rounds)
+          val jump = labels.as("x").join(labels.as("y").hint("shuffle_hash"),
+              col("x.component") === col("y.id"))
+            .select(col("x.id").as("id"), col("y.component").as("component"))
+          val obs = org.apache.spark.sql.Observation()
+          val next = Checkpoints.checkpoint(
+            labels.unionByName(nbr).unionByName(jump)
+              .groupBy("id").agg(min("component").as("component"))
+              .observe(obs, wSum))
+          // harvested from the checkpoint's own action — no second job
+          val cur = obs.get("w").asInstanceOf[java.math.BigDecimal]
+          Checkpoints.release(labels)
+          labels = next
+          converged = cur.compareTo(prev) == 0
+          prev = cur
+          it += 1
+        }
+      } finally Checkpoints.release(sym)
     }
     require(converged,
       s"connectedComponents: not converged after $maxIters iterations — " +

@@ -122,7 +122,17 @@ object Graph {
     // query's orders⋈lineitem — needs runtime broadcast planning; with
     // AQE forced off it degrades to static SMJ, measured 2-3× slower);
     // the loop below turns it off.
-    val ed0base = edges.repartition(col("src"))
+    // r19: the raw pair stream is cached and counted first — the count
+    // sizes every loop exchange (ops.Fixpoint widthFor, guide §2's
+    // derive-partitioning-from-input-size) and the co-location shuffle
+    // below lands directly AT that width, so the loop's rd-side exchanges
+    // stop paying the session's cluster-width constant on node-sized
+    // frames. One extra cached |E| pass at construction (raw → ed0).
+    val raw = edges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdgesRaw = raw.count()
+    val loopWidth = Fixpoint.widthFor(edges.sparkSession, nEdgesRaw)
+    val ed0base = raw.repartition(loopWidth, col("src"))
     val ed0 = (if (dedupEdges) ed0base.dropDuplicates(Seq("src", "dst"))
       else ed0base)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -137,6 +147,9 @@ object Graph {
         .agg(max(col("is_src")).as("is_src"), max(col("is_dst")).as("is_dst")))
     val detect = stats.agg(count(lit(1)).as("nd"),
       sum(col("is_src")).as("n_src"), sum(col("is_dst")).as("n_dst")).head()
+    // ed0 and deg are materialized (the stats checkpoint scanned both);
+    // the raw pair cache has served its purpose
+    raw.unpersist(blocking = true)
     val nd = detect.getLong(0)
     val nodes = stats.select(col("node"))
     val hasDangling = detect.getLong(1) < nd
@@ -147,8 +160,11 @@ object Graph {
       .select(col("node")) else null
     val spark = edges.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
     val aqePrior = spark.conf.getOption(aqeKey)
+    val spPrior = spark.conf.getOption(spKey)
     spark.conf.set(aqeKey, "false")
+    spark.conf.set(spKey, loopWidth.toString)
     // hoisted so the finally block can release a mid-loop checkpoint if
     // the rank loop throws (round-9 ADVICE: the unpersists ran in the
     // try body, so an exception leaked ed0/deg/stats — and possibly a
@@ -249,11 +265,16 @@ object Graph {
       // async unpersist races that read.
       ed0.unpersist(blocking = true)
       deg.unpersist(blocking = true)
+      raw.unpersist(blocking = true) // no-op on the success path
       Checkpoints.release(stats) // nodes and sinks are filter views over it
       if (!completed && lastCp != null) Checkpoints.release(lastCp)
       aqePrior match {
         case Some(v) => spark.conf.set(aqeKey, v)
         case None => spark.conf.unset(aqeKey)
+      }
+      spPrior match {
+        case Some(v) => spark.conf.set(spKey, v)
+        case None => spark.conf.unset(spKey)
       }
     }
     result
@@ -315,18 +336,31 @@ object Graph {
     // exchanges only the frontier, never the |E| edge rows. Materialized
     // NOW, while AQE is still on, so the caller's derivation plan (e.g.
     // the registered query's orders⋈lineitem) keeps its runtime
-    // broadcast planning; the count is the one |E|-scan job the cache
-    // build always paid, just moved ahead of the AQE switch.
-    val ed = edges.select(col("src"), col("dst")).repartition(col("src"))
+    // broadcast planning. The raw derivation is cached first and counted
+    // (the one |E|-scan job the cache build always paid), the count sizes
+    // the loop's shuffle width (ops.Fixpoint, r19 — guide §2's
+    // derive-partitioning-from-input-size), and the loop's edge cache is
+    // hash-partitioned on src AT that width from the raw cache — one
+    // extra cached |E| pass at construction buys per-round exchanges
+    // sized to the data instead of the session's cluster-width constant.
+    val raw = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ed.count()
+    val nEdges = raw.count()
     val spark = edges.sparkSession
+    val width = Fixpoint.widthFor(spark, nEdges)
+    val ed = raw.repartition(width, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ed.count() // materialize from the raw cache, then drop it
+    raw.unpersist(blocking = true)
     val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
     val aqePrior = spark.conf.getOption(aqeKey)
+    val spPrior = spark.conf.getOption(spKey)
     var dist: DataFrame = null
     var completed = false
     try {
       spark.conf.set(aqeKey, "false")
+      spark.conf.set(spKey, width.toString)
       // distinct: a caller-supplied source set may repeat a node — the old
       // union-min fixpoint absorbed that in its groupBy, but the
       // append-only settled table would carry the duplicate (node, 0) rows
@@ -373,6 +407,10 @@ object Graph {
       aqePrior match {
         case Some(v) => spark.conf.set(aqeKey, v)
         case None => spark.conf.unset(aqeKey)
+      }
+      spPrior match {
+        case Some(v) => spark.conf.set(spKey, v)
+        case None => spark.conf.unset(spKey)
       }
     }
   }

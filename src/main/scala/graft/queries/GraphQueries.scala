@@ -159,19 +159,20 @@ object GraphQueries {
     // Action floor (r18 optimization — the bfsDistances discipline): each
     // peel round pays exactly ONE job — the survivor count rides the
     // round's checkpoint action as an `observe`d metric instead of a
-    // separate count() job, and the loop runs AQE-off (every round's
-    // stage shape is KNOWN: checkpointed edges → degree agg → two keyed
-    // semi-joins — adaptive re-planning can only fragment it into extra
-    // per-stage jobs). Construction stays under AQE for the scan-side
+    // separate count() job. The loop runs under ops.Fixpoint's scope (r19):
+    // AQE off (every round's stage shape is KNOWN: checkpointed edges →
+    // degree agg → two keyed semi-joins — adaptive re-planning can only
+    // fragment it into extra per-stage jobs) AND the shuffle width derived
+    // from the surviving edge mass (2|E| degree rows per round), so a
+    // node-sized peel stops paying cluster-width empty-task overhead per
+    // stage per round. Construction stays under AQE for the scan-side
     // broadcast planning, materialized by the count below.
     var edges = Checkpoints.checkpoint(und)
     var nEdges = edges.count()
     var converged = false
     var rounds = 0
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrior = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try {
+    graft.ops.Fixpoint.withLoopConf(spark,
+        graft.ops.Fixpoint.widthFor(spark, 2L * nEdges)) {
       while (rounds < 16 && !converged) {
         rounds += 1
         val deg = edges.select(col("u").as("n"))
@@ -193,11 +194,6 @@ object GraphQueries {
         edges = next
         converged = nNext == nEdges
         nEdges = nNext
-      }
-    } finally {
-      aqePrior match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
       }
     }
     if (!converged) {
