@@ -81,6 +81,79 @@ object FuzzyJoin {
       .filter(col("dist") >= 0)
       .distinct()
 
+  /** [[deletionKeys]] carrying a STRONG blocking field alongside the name
+    * — the key-store row shape for linkage pipelines that pair fuzzy names
+    * with an exact-agreement field (match on exact DOB + fuzzy name; the
+    * entity-resolution rows use the account balance). Persisting the
+    * strong field WITH the keys is what lets the pair join block on it.
+    */
+  private[graft] def deletionKeysWith(df: DataFrame, id: Column, s: Column,
+      strong: Column): DataFrame =
+    df.select(id.as("id"), s.as("name"), strong.as("strong"))
+      .select(col("id"), col("name"), col("strong"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, length(name)), i -> " +
+            "CASE WHEN i = 0 THEN name " +
+            "ELSE concat(substr(name, 1, i - 1), substr(name, i + 1)) END)")))
+          .as("key"))
+
+  /** All unordered pairs (id1 < id2) at Levenshtein distance ≤ 1 whose
+    * STRONG field also agrees exactly — [[edit1Pairs]] with the strong
+    * field pushed INTO the candidate join key (r19, optimization guide
+    * §2.3/§3.2: block early, shuffle decisions not bulk). Against the
+    * post-join filter form (derive every fuzzy pair, then join the strong
+    * field on and drop disagreements) this collapses the candidate mass
+    * at the join itself: near-sequential name corpora share deletion keys
+    * in ~10-row runs, so fuzzy-alone candidates are O(10·n·len) rows that
+    * the strong filter then throws away — blocking on (key, strong)
+    * admits only the pairs the output can contain (plus hash-free exact
+    * collisions the levenshtein verify kills). Output is identical by
+    * construction: {(id1,id2) : dist ≤ 1 ∧ strong1 = strong2} either way.
+    */
+  def edit1StrongPairs(df: DataFrame, id: Column, s: Column,
+      strong: Column): DataFrame = {
+    val keys = deletionKeysWith(df, id, s, strong)
+    edit1StrongPairsFromKeys(keys)
+  }
+
+  /** [[edit1StrongPairs]] over pre-built [[deletionKeysWith]] rows — the
+    * form the incremental path uses for its persisted key stores.
+    */
+  private[graft] def edit1StrongPairsFromKeys(keys: DataFrame): DataFrame = {
+    val a = keys.select(col("id").as("id1"), col("name").as("name1"),
+      col("strong"), col("key"))
+    val b = keys.select(col("id").as("id2"), col("name").as("name2"),
+      col("strong"), col("key"))
+    a.join(b, Seq("key", "strong"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2"), 1))
+      .filter(col("dist") >= 0)
+      .select(col("id1"), col("id2"))
+      .distinct()
+  }
+
+  /** INCREMENTAL form of [[edit1StrongPairs]] — every strong-agreeing
+    * dist ≤ 1 pair that TOUCHES the probe side (probe-internal plus
+    * probe-vs-index), over persisted [[deletionKeysWith]] stores. The
+    * [[edit1IncrementalPairs]] contract otherwise applies verbatim
+    * (normalization to id1 < id2, index-internal pairs never re-derived).
+    */
+  def edit1IncrementalStrongPairs(probeKeys: DataFrame,
+      indexKeys: DataFrame): DataFrame = {
+    val a = probeKeys.select(col("id").as("id1"), col("name").as("name1"),
+      col("strong"), col("key"))
+    val b = indexKeys.unionByName(probeKeys)
+      .select(col("id").as("id2"), col("name").as("name2"),
+        col("strong"), col("key"))
+    a.join(b, Seq("key", "strong"))
+      .filter(col("id1") =!= col("id2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2"), 1))
+      .filter(col("dist") >= 0)
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
+      .distinct()
+  }
+
   /** INCREMENTAL form of [[edit1Pairs]] — the daily-linkage shape: every
     * dist ≤ 1 pair that TOUCHES the probe side (probe-internal plus
     * probe-vs-index; index-internal pairs were resolved in an earlier

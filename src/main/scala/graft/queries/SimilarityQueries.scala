@@ -709,8 +709,16 @@ object SimilarityQueries {
     */
   def qEntityResolution(spark: SparkSession, dir: String): DataFrame = {
     val mentions = erMentions(spark, dir)
-    val edges = erStrongEdges(mentions,
-      graft.ops.FuzzyJoin.edit1Pairs(mentions, col("m_id"), col("m_name")))
+    // strong field pushed INTO the candidate join key (r19 — FuzzyJoin.
+    // edit1StrongPairs scaladoc): the sequential names share deletion keys
+    // in ~10-row runs, so fuzzy-alone candidates were ~10× the admitted
+    // pairs and the balance agreement was paid as two extra joins AFTER
+    // the blow-up; blocking on (key, balance) admits only output-bound
+    // pairs. Same edge set by construction — the brute-force
+    // levenshtein × balance-equality oracle is unchanged.
+    val edges = graft.ops.FuzzyJoin.edit1StrongPairs(
+        mentions, col("m_id"), col("m_name"), col("c_acctbal"))
+      .select(col("id1").as("src"), col("id2").as("dst"))
     val labels = graft.ops.Components.connectedComponents(
       mentions.select(col("m_id").as("id")), edges)
     erSurvivorship(mentions, labels)
@@ -728,22 +736,6 @@ object SimilarityQueries {
         .select((col("c_custkey") * 2 + 1).as("m_id"),
           translate(col("c_name"), "C", "K").as("m_name"),
           col("c_acctbal")))
-  }
-
-  /** Strong-field agreement post-filter on fuzzy-name candidate pairs
-    * (`id1`, `id2`): keep only pairs whose balances agree exactly, as
-    * (src, dst) edges. The two lookups key on the PAIR list (small side);
-    * at scale the mention store is bucketed by id.
-    */
-  private def erStrongEdges(mentions: DataFrame, pairs: DataFrame): DataFrame = {
-    val bal = mentions.select(col("m_id"), col("c_acctbal"))
-    pairs
-      .join(bal.select(col("m_id").as("id1"), col("c_acctbal").as("__ba")),
-        "id1")
-      .join(bal.select(col("m_id").as("id2"), col("c_acctbal").as("__bb")),
-        "id2")
-      .filter(col("__ba") === col("__bb"))
-      .select(col("id1").as("src"), col("id2").as("dst"))
   }
 
   /** Per-cluster field survivorship: canonical name = lexical min (the
@@ -831,21 +823,30 @@ object SimilarityQueries {
     val root = DatalakeQueries.tempLakeRoot()
     val labelsPath = Datalake.path(root, Datalake.Formatted, "er", "labels")
     val keysPath = Datalake.path(root, Datalake.Formatted, "er", "keys")
-    // "yesterday's" job: from-scratch resolve of history + its key store
-    val histEdges = erStrongEdges(mentions,
-      graft.ops.FuzzyJoin.edit1Pairs(hist, col("m_id"), col("m_name")))
+    // "yesterday's" job: from-scratch resolve of history + its key store.
+    // The key store persists the STRONG field with the keys
+    // (deletionKeysWith — r19), so both the historical resolve and the
+    // daily fold block on (key, balance) at the join instead of deriving
+    // every fuzzy pair and filtering after (see qEntityResolution). The
+    // store is written FIRST and the historical pairs derive FROM the
+    // read-back store — key each mention exactly once, ever (previously
+    // history was keyed twice: once inside edit1Pairs, once for the
+    // store write).
+    Datalake.writeParquet(graft.ops.FuzzyJoin.deletionKeysWith(
+      hist, col("m_id"), col("m_name"), col("c_acctbal")), keysPath)
+    val histKeys = spark.read.parquet(keysPath)
+    val histEdges = graft.ops.FuzzyJoin.edit1StrongPairsFromKeys(histKeys)
+      .select(col("id1").as("src"), col("id2").as("dst"))
     Datalake.writeParquet(graft.ops.Components.connectedComponents(
       hist.select(col("m_id").as("id")), histEdges), labelsPath)
-    Datalake.writeParquet(graft.ops.FuzzyJoin.deletionKeys(
-      hist, col("m_id"), col("m_name")), keysPath)
     // "today's" job: O(batch) keying, pairs touching the batch only
     val batchKeysPath =
       Datalake.path(root, Datalake.Formatted, "er", "batch_keys")
-    Datalake.writeParquet(graft.ops.FuzzyJoin.deletionKeys(
-      batch, col("m_id"), col("m_name")), batchKeysPath)
-    val newEdges = erStrongEdges(mentions,
-      graft.ops.FuzzyJoin.edit1IncrementalPairs(
-        spark.read.parquet(batchKeysPath), spark.read.parquet(keysPath)))
+    Datalake.writeParquet(graft.ops.FuzzyJoin.deletionKeysWith(
+      batch, col("m_id"), col("m_name"), col("c_acctbal")), batchKeysPath)
+    val newEdges = graft.ops.FuzzyJoin.edit1IncrementalStrongPairs(
+        spark.read.parquet(batchKeysPath), histKeys)
+      .select(col("id1").as("src"), col("id2").as("dst"))
     val labels = graft.ops.Components.incrementalComponents(
       spark.read.parquet(labelsPath), batch.select(col("m_id").as("id")),
       newEdges)
