@@ -44,6 +44,14 @@ object Multimodal {
   // strictly right for byte-array media and is set ONCE per JVM here —
   // object init runs on any executor before the first codec call, since
   // every kernel below is a method of this object.
+  //
+  // REFACTOR INVARIANT (r18 ADVICE #4): the executor-side guarantee rests
+  // on "every codec call is a method of THIS object" — a decode inlined
+  // into another object's closure (or a lambda capturing ImageIO calls
+  // directly) would run on executors that never initialized Multimodal
+  // and silently re-enter the disk-cache regime. Keep every
+  // ImageIO.read/write call inside this object; if one must move, move
+  // the setUseCache(false) call into the new home's initializer too.
   javax.imageio.ImageIO.setUseCache(false)
 
   val featureDim = 8

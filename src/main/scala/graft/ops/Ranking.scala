@@ -73,6 +73,16 @@ object Ranking {
     */
   @volatile private[graft] var lastMaxPartitionRows: Long = 0L
 
+  /** True iff the LAST [[withRanks]] call took the sequential skew
+    * fallback. On that path the input frame is fully consumed DURING the
+    * call (the first dimension's checkpoint materializes from it), so a
+    * caller that checkpointed its input may release it immediately —
+    * where the fused path reads the input lazily through the returned
+    * plan and the input must stay persisted (r18 ADVICE #2: the fallback
+    * used to leak the caller's input checkpoint until ContextCleaner GC).
+    */
+  @volatile private[graft] var lastRanksFellBack: Boolean = false
+
   /** Adds `rankName` (exact 1-based rank within `groupCols`, ordered by
     * (`keyCol` asc/desc, `tieCol` asc — the tie column must make the
     * order TOTAL)) and `nName` (group row count) to `df`. No global
@@ -199,18 +209,27 @@ object Ranking {
     if (cntRows.exists(_.getAs[Long]("c") > skewThreshold)) {
       // sequential fallback, checkpointing between dims like the fused
       // path's single plan makes unnecessary — identical output
+      lastRanksFellBack = true
       var cur = df
       var done = List.empty[DataFrame]
+      var maxPart = 0L
       dims.foreach { dim =>
         val r = Checkpoints.checkpoint(withRank(cur, Nil, dim.keyCol,
           dim.desc, tieCol, dim.rankName, dim.nName, skewThreshold))
+        // max ACROSS dims, like the fused path — not just the last call's
+        // (r18 ADVICE #2)
+        maxPart = math.max(maxPart, lastMaxPartitionRows)
         done = r :: done
         cur = r
       }
-      // the tail checkpoint stays persisted (the caller reads it lazily)
+      lastMaxPartitionRows = maxPart
+      // the tail checkpoint stays persisted (the caller reads it lazily);
+      // everything BEFORE it — including the caller's input, which the
+      // flag hands back to the caller to release — is fully consumed
       done.tail.foreach(Checkpoints.release)
       return cur
     }
+    lastRanksFellBack = false
     lastMaxPartitionRows =
       if (cntRows.isEmpty) 0L
       else cntRows.iterator.map(_.getAs[Long]("c")).max

@@ -2057,11 +2057,18 @@ object Relational {
     // until ContextCleaner collects the unreferenced frame (r16 ADVICE
     // note).
     val cp0 = Checkpoints.checkpoint(rfm)
-    Ranking.withRanks(cp0, Seq(
+    val ranked = Ranking.withRanks(cp0, Seq(
         Ranking.RankDim("r_days", desc = false, "__rk_r", "__n"),
         Ranking.RankDim("f_orders", desc = true, "__rk_f", "__n2"),
         Ranking.RankDim("m_total", desc = true, "__rk_m", "__n3")),
       tieCol = "o_custkey")
+    // on the skew fallback cp0 is fully consumed inside withRanks (the
+    // returned frame reads only the tail checkpoint) — release it now
+    // instead of leaking its blocks until ContextCleaner GC (r18 ADVICE
+    // #2); on the fused path the returned plan reads cp0 lazily and it
+    // must stay persisted (the deliberate non-release above).
+    if (Ranking.lastRanksFellBack) Checkpoints.release(cp0)
+    ranked
       .select(col("o_custkey"), col("r_days"), col("f_orders"),
         col("m_total"),
         Ranking.ntileOf(col("__rk_r"), col("__n"), 5).as("r_q"),
