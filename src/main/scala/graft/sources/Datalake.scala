@@ -2687,66 +2687,78 @@ object Datalake {
     val base = new org.apache.hadoop.fs.Path(dataPath)
     val fs = base.getFileSystem(conf)
     val want = statsCols.toSet
-    val sb = new StringBuilder
+    import scala.jdk.CollectionConverters._
     val it = fs.listFiles(base, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && name.startsWith("part-") && name.endsWith(".parquet")) {
-        // string-prefix relativization: URI.relativize needs a trailing
-        // slash on the base to treat it as a directory, so it would hand
-        // back the ABSOLUTE path here
-        val rel = st.getPath.toUri.getPath
-          .stripPrefix(base.toUri.getPath.stripSuffix("/") + "/")
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(st, conf))
-        try {
-          import scala.jdk.CollectionConverters._
-          val blocks = reader.getFooter.getBlocks.asScala
-          val rows = blocks.map(_.getRowCount).sum
-          val agg = scala.collection.mutable.Map[String, (Double, Double)]()
-          var complete = Set.empty[String] // cols with stats in EVERY block
-          var first = true
-          blocks.foreach { b =>
-            val inBlock = scala.collection.mutable.Set[String]()
-            b.getColumns.asScala.foreach { c =>
-              val cn = c.getPath.toDotString
-              if (want.contains(cn)) {
-                val s = c.getStatistics
-                if (s != null && s.hasNonNullValue) numeric(s.genericGetMin)
-                  .zip(numeric(s.genericGetMax)).foreach { case (mn, mx) =>
-                    inBlock += cn
-                    agg.get(cn) match {
-                      case Some((m0, m1)) =>
-                        agg(cn) = (math.min(m0, mn), math.max(m1, mx))
-                      case None => agg(cn) = (mn, mx)
-                    }
+    val parts = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .filter { st =>
+        val name = st.getPath.getName
+        st.isFile && name.startsWith("part-") && name.endsWith(".parquet")
+      }.toVector
+    // one footer open per file — IO-bound driver work, so the sweep runs
+    // on a parallel stream (r19: a 63-file publish paid ~63 sequential
+    // opens per commit; the per-file blocks are independent and the
+    // sidecar is assembled in sorted-path order afterwards, so the
+    // artifact is byte-deterministic regardless of completion order —
+    // readFileStats sorts too, and at production file counts this sweep
+    // distributes as write-task-collected stats, same protocol)
+    val blocksByRel = parts.asJava.parallelStream().map[(String, String)] { st =>
+      // string-prefix relativization: URI.relativize needs a trailing
+      // slash on the base to treat it as a directory, so it would hand
+      // back the ABSOLUTE path here
+      val rel = st.getPath.toUri.getPath
+        .stripPrefix(base.toUri.getPath.stripSuffix("/") + "/")
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf))
+      val block = try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        val rows = blocks.map(_.getRowCount).sum
+        val agg = scala.collection.mutable.Map[String, (Double, Double)]()
+        var complete = Set.empty[String] // cols with stats in EVERY block
+        var first = true
+        blocks.foreach { b =>
+          val inBlock = scala.collection.mutable.Set[String]()
+          b.getColumns.asScala.foreach { c =>
+            val cn = c.getPath.toDotString
+            if (want.contains(cn)) {
+              val s = c.getStatistics
+              if (s != null && s.hasNonNullValue) numeric(s.genericGetMin)
+                .zip(numeric(s.genericGetMax)).foreach { case (mn, mx) =>
+                  inBlock += cn
+                  agg.get(cn) match {
+                    case Some((m0, m1)) =>
+                      agg(cn) = (math.min(m0, mn), math.max(m1, mx))
+                    case None => agg(cn) = (mn, mx)
                   }
-              }
+                }
             }
-            complete = if (first) inBlock.toSet else complete.intersect(inBlock.toSet)
-            first = false
           }
-          // a column missing stats in ANY row group has an unknown
-          // envelope for part of the file — recording the partial one
-          // would prune rows that exist. Drop it for this file.
-          val safe = agg.filter { case (k, _) => complete.contains(k) }
-          if (rows > 0 || safe.nonEmpty) {
-            sb.append(s"$rel\t$rows")
-            if (safe.isEmpty) sb.append("\t-\t-\t-")
-            else // one line per column, repeating the file/rows prefix
-              safe.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, (mn, mx)), i) =>
-                if (i > 0) sb.append(s"\n$rel\t$rows")
-                sb.append(s"\t$c\t$mn\t$mx")
-              }
-            sb.append("\n")
-          }
-        } finally reader.close()
-      }
-    }
+          complete = if (first) inBlock.toSet else complete.intersect(inBlock.toSet)
+          first = false
+        }
+        // a column missing stats in ANY row group has an unknown
+        // envelope for part of the file — recording the partial one
+        // would prune rows that exist. Drop it for this file.
+        val safe = agg.filter { case (k, _) => complete.contains(k) }
+        if (rows > 0 || safe.nonEmpty) {
+          val sb = new StringBuilder
+          sb.append(s"$rel\t$rows")
+          if (safe.isEmpty) sb.append("\t-\t-\t-")
+          else // one line per column, repeating the file/rows prefix
+            safe.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, (mn, mx)), i) =>
+              if (i > 0) sb.append(s"\n$rel\t$rows")
+              sb.append(s"\t$c\t$mn\t$mx")
+            }
+          sb.append("\n")
+          sb.toString
+        } else ""
+      } finally reader.close()
+      (rel, block)
+    }.collect(java.util.stream.Collectors.toList[(String, String)])
+      .asScala
+    val body = blocksByRel.sortBy(_._1).map(_._2).mkString
     val out = fs.create(new org.apache.hadoop.fs.Path(base, StatsFile), true)
-    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
   private def numeric(v: Comparable[_]): Option[Double] = v match {
