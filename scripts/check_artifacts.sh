@@ -9,11 +9,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 ROUND="${1:?usage: check_artifacts.sh <round-label, e.g. r18>}"
-# Compare against the last commit touching the SOURCE (and the scripts
-# the gate itself runs), not bare HEAD: an artifact-only commit would
-# otherwise immediately re-stale the very artifacts it ships (r19 — the
-# check is meant to prove the artifacts describe the shipped CODE).
-HEAD_TS=$(git log -1 --format=%ct -- src build.sbt scripts)
+# Compare against the last commit touching the ENGINE SOURCE, not bare
+# HEAD: an artifact-only (or tooling-only) commit would otherwise
+# immediately re-stale the very artifacts it ships (r19 — the check is
+# meant to prove the artifacts describe the shipped CODE).
+HEAD_TS=$(git log -1 --format=%ct -- src build.sbt)
 fail=0
 for f in "CORRECTNESS_sf0.1_${ROUND}.json" "PLANDUMP_${ROUND}.txt" \
          "BENCH_LOCAL_${ROUND}.json"; do
